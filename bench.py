@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "suite_seconds", "value": N, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is fully materialized via the noop sink (all columns
+computed, nothing collected to the driver) — measures engine time,
+not pandas conversion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+HEADLINE = [
+    "flagship_market_share",  # spine + interpolation + 2 windows
+    "a1_pricing_summary",     # wide aggregate scan
+    "a4_median",              # exact percentile
+    "j2_inner_join_revenue",  # fact + 2 broadcast dims
+    "w8_interpolate_keep_edges",
+    "w9_lm_extrapolate",
+    "e1_tumbling_window",
+    "d1_exact_dedup",
+    "d3_minhash_lsh",         # shingle→sign→band→bucket join
+    "s1_cosine_topk",         # brute-force ANN baseline
+    "x3_quality_score",
+    "x4_fingerprint",
+    "m1_multimodal_decode",   # Arrow/pandas plumbing
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from trisk_datawrangle_spark import get_spark
+    from trisk_datawrangle_spark.catalog import QUERIES
+
+    spark = get_spark(
+        app_name="trisk-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus if cpus.isdigit() else "32")),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup on a trivial job
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {times[name]}s", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,363 @@
+"""LLM training-data operator catalog: dedup, similarity search,
+text analysis, multimodal plumbing — over the ``documents`` and
+``embeddings`` tables.
+
+Oracle-checkable where the math is engine-portable (exact dedup,
+n-gram Jaccard, cosine similarity, text heuristics, fingerprints,
+sha256 metadata). MinHash/SimHash/LSH signatures hash with Spark's
+``xxhash64`` (no DuckDB equivalent) → rows-only driver check, plus
+property tests in tests/ (LSH candidates ⊇ high-Jaccard pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trisk_datawrangle_spark.llm.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from trisk_datawrangle_spark.llm.similarity import cosine_topk, lsh_bucket_topk
+from trisk_datawrangle_spark.llm.text import (
+    LANG_MARKERS,
+    lang_id,
+    fingerprint,
+    quality_score,
+    token_count,
+    tokenize,
+)
+from trisk_datawrangle_spark.llm.multimodal import (
+    decode_metadata,
+    with_binary_payload,
+)
+from trisk_datawrangle_spark.sources.readers import load_tables
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _docs(spark, sf_dir):
+    return load_tables(spark, sf_dir, ["documents"])["documents"]
+
+
+def _embs(spark, sf_dir):
+    return load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+
+
+# ---------------------------------------------------------------- #
+# dedup                                                             #
+# ---------------------------------------------------------------- #
+
+
+@q(
+    "d1_exact_dedup",
+    """
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY text
+""",
+)
+def d1(spark, sf_dir):
+    """Exact dedup by full content (the library's scale variant
+    groups on xxhash64(text) — same result, narrower shuffle)."""
+    return _docs(spark, sf_dir).groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    ).select("keep_id", "n_copies")
+
+
+@q(
+    "d2_ngram_jaccard",
+    """
+WITH toks AS (
+    SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '') AS words
+    FROM documents
+), grams AS (
+    SELECT DISTINCT doc_id,
+        array_to_string(words[i:i+2], ' ') AS gram
+    FROM (SELECT doc_id, words,
+            unnest(generate_series(1, greatest(len(words) - 2, 0))) AS i
+          FROM toks)
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY 1
+), common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+    FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+    ROUND(c.n_common / (sa.n_grams + sb.n_grams - c.n_common), 6) AS jaccard
+FROM common c
+JOIN sizes sa ON c.id_a = sa.doc_id
+JOIN sizes sb ON c.id_b = sb.doc_id
+WHERE c.n_common / (sa.n_grams + sb.n_grams - c.n_common) >= 0.12
+""",
+)
+def d2(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs (co-shingle join)."""
+    pairs = ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", n=3, threshold=0.12
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@q("d3_minhash_lsh")  # xxhash64-based → no SQL oracle (rows-only check)
+def d3(spark, sf_dir):
+    pairs = minhash_lsh_pairs(
+        _docs(spark, sf_dir), num_hashes=64, bands=16
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+@q("d4_simhash")  # xxhash64-based → no SQL oracle (rows-only check)
+def d4(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", simhash64("text").alias("simhash")
+    )
+
+
+@q(
+    "d5_embedding_dups",
+    """
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    ROUND(list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(b.v, b.v))) >= 0.92
+""",
+)
+def d5(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (brute force; the LSH-bucketed
+    scale path is s2)."""
+    from trisk_datawrangle_spark.llm.similarity import _dot, _norm
+
+    e = _embs(spark, sf_dir).select("vec_id", "embedding")
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        _norm("embedding").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        _norm("embedding").alias("nb"),
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.92)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------- #
+# similarity search                                                 #
+# ---------------------------------------------------------------- #
+
+
+@q(
+    "s1_cosine_topk",
+    """
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+    SELECT vec_id, v FROM e WHERE vec_id < 10
+), scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        list_dot_product(q.v, c.v)
+            / (sqrt(list_dot_product(q.v, q.v))
+               * sqrt(list_dot_product(c.v, c.v))) AS cosine
+    FROM e c CROSS JOIN q
+    WHERE c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, ROUND(cosine, 4) AS cosine, rank FROM (
+    SELECT query_id, neighbor_id, cosine,
+        CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+    FROM scored
+) WHERE rank <= 5
+""",
+)
+def s1(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    res = cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+    return res.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@q("s2_lsh_bucket_topk")  # approximate by design → rows-only check
+def s2(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    res = lsh_bucket_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+    return res.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------- #
+# text analysis                                                     #
+# ---------------------------------------------------------------- #
+
+_LANG_SQL_SCORES = {
+    lang: " + ".join(
+        f"(len(string_split(' ' || lower(text) || ' ', ' {m} ')) - 1)"
+        for m in markers
+    )
+    for lang, markers in LANG_MARKERS.items()
+}
+
+_LANG_SQL = f"""
+SELECT doc_id, CASE
+    WHEN best <= 0 THEN 'und'
+    WHEN s_en = best THEN 'en'
+    WHEN s_fr = best THEN 'fr'
+    WHEN s_de = best THEN 'de'
+    WHEN s_es = best THEN 'es'
+    ELSE 'und' END AS lang_pred
+FROM (
+    SELECT doc_id, s_en, s_fr, s_de, s_es,
+           greatest(s_en, s_fr, s_de, s_es) AS best
+    FROM (
+        SELECT doc_id,
+            {_LANG_SQL_SCORES['en']} AS s_en,
+            {_LANG_SQL_SCORES['fr']} AS s_fr,
+            {_LANG_SQL_SCORES['de']} AS s_de,
+            {_LANG_SQL_SCORES['es']} AS s_es
+        FROM documents
+    )
+)
+"""
+
+
+@q("x1_lang_id", _LANG_SQL)
+def x1(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", lang_id("text").alias("lang_pred")
+    )
+
+
+_STOPLIST = [w for ws in LANG_MARKERS.values() for w in ws]
+_STOP_SQL = ", ".join(f"'{w}'" for w in _STOPLIST)
+
+_TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+        AS INTEGER) AS n_ws,
+    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
+        AS INTEGER) AS n_bpe,
+    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        x -> x <> '')) AS INTEGER) AS n_words
+FROM documents
+"""
+
+
+@q("x2_token_stats", _TOKEN_STATS_SQL)
+def x2(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count("text", "ws").alias("n_ws"),
+        token_count("text", "bpe").alias("n_bpe"),
+        F.size(tokenize("text")).alias("n_words"),
+    )
+
+
+_QUALITY_SQL = f"""
+WITH feat AS (
+    SELECT doc_id,
+        length(text) AS n,
+        len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+            x -> x <> '')) AS n_words,
+        len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+            x -> list_contains([{_STOP_SQL}], x))) AS n_stop,
+        len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+    FROM documents
+)
+SELECT doc_id, ROUND((
+    (CASE WHEN n >= 100 AND n <= 10000 THEN 1.0 ELSE 0.5 END)
+    + (CASE WHEN (CASE WHEN n > 0 THEN n_punct / n ELSE 0.0 END) <= 0.1
+        THEN 1.0 ELSE 0.3 END)
+    + (CASE WHEN (CASE WHEN n_words > 0 THEN n_stop / n_words ELSE 0.0 END)
+        >= 0.05 THEN 1.0 ELSE 0.6 END)
+) / 3.0, 6) AS quality
+FROM feat
+"""
+
+
+@q("x3_quality_score", _QUALITY_SQL)
+def x3(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.round(quality_score("text"), 6).alias("quality")
+    )
+
+
+@q(
+    "x4_fingerprint",
+    """
+WITH pre AS (
+    SELECT doc_id, substring(text, 1, 256) AS t FROM documents
+), expanded AS (
+    SELECT doc_id, t, unnest(generate_series(1, length(t))) AS i FROM pre
+)
+SELECT doc_id,
+    CAST(SUM(ascii(substring(t, i, 1)) * (((i - 1) * 31) % 1000003))
+        % 2147483648 AS BIGINT) AS fp
+FROM expanded GROUP BY 1
+""",
+)
+def x4(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", fingerprint("text").alias("fp")
+    )
+
+
+# ---------------------------------------------------------------- #
+# multimodal plumbing                                               #
+# ---------------------------------------------------------------- #
+
+
+@q(
+    "m1_multimodal_decode",
+    """
+SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+       sha256(text) AS sha256
+FROM documents
+""",
+)
+def m1(spark, sf_dir):
+    """Binary-payload metadata extraction via mapInPandas — the real
+    Arrow plumbing; sha/length are oracle-checkable, the stubbed
+    decode fields (width/height) are covered by unit tests."""
+    d = with_binary_payload(_docs(spark, sf_dir), "text", "payload")
+    meta = decode_metadata(d, "doc_id", "payload")
+    return meta.select("doc_id", "byte_len", "sha256")

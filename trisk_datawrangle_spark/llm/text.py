@@ -1,0 +1,97 @@
+"""Text-analysis operators for training-data pipelines.
+
+All JVM-side expressions (regex / array built-ins) — at 100 TB these
+run inside whole-stage codegen with zero Python cost. Heuristics are
+deliberately simple and deterministic so they are oracle-checkable;
+swap in model-based scorers behind the same column contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword markers for the n-gram language heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "fr": ["le", "la", "et"],
+    "de": ["der", "und", "die"],
+    "es": ["el", "los", "que"],
+}
+
+_WORD_RX = "[a-z0-9]+"
+# BPE-ish segmentation: alnum runs OR single non-alnum-non-space marks.
+_TOKEN_RX = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokenize(col: str | Column) -> Column:
+    """Lowercased word array (empty strings filtered)."""
+    words = F.split(F.lower(_c(col)), "[^a-z0-9]+")
+    return F.filter(words, lambda w: w != "")
+
+
+def token_count(col: str | Column, mode: str = "bpe") -> Column:
+    """Token count: ``mode='ws'`` whitespace words, ``mode='bpe'`` a
+    BPE-ish regex (alnum runs + individual punctuation marks)."""
+    if mode == "ws":
+        return F.size(F.filter(F.split(_c(col), "\\s+"), lambda w: w != ""))
+    return F.size(F.regexp_extract_all(_c(col), F.lit(_TOKEN_RX), 0))
+
+
+def lang_id(col: str | Column, default: str = "und") -> Column:
+    """N-gram-marker language guess: score = number of marker-word
+    hits per language, pick the max (ties broken by fixed language
+    order). Pure expression — no UDF, no model."""
+    c = F.concat(F.lit(" "), F.lower(_c(col)), F.lit(" "))
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        score = None
+        for m in markers:
+            hits = (
+                F.size(F.split(c, f" {m} ")) - 1
+            )  # non-overlapping marker occurrences
+            score = hits if score is None else score + hits
+        scores.append((lang, score))
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.when(best <= 0, F.lit(default))
+    for lang, score in scores:
+        expr = expr.when(score == best, F.lit(lang))
+    return expr.otherwise(F.lit(default))
+
+
+def quality_score(col: str | Column) -> Column:
+    """Composite document-quality score in [0,1]: length band,
+    punctuation ratio, stopword ratio — the standard cheap filters in
+    LLM data pipelines (C4-style), as one expression."""
+    c = _c(col)
+    n = F.length(c)
+    words = tokenize(c)
+    n_words = F.size(words)
+    stop = F.array([F.lit(w) for ws in LANG_MARKERS.values() for w in ws])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
+    n_punct = F.size(F.regexp_extract_all(c, F.lit("[^A-Za-z0-9\\s]"), 0))
+    len_score = F.when((n >= 100) & (n <= 10000), 1.0).otherwise(0.5)
+    punct_ratio = F.when(n > 0, n_punct / n).otherwise(F.lit(0.0))
+    punct_score = F.when(punct_ratio <= 0.1, 1.0).otherwise(0.3)
+    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+    stop_score = F.when(stop_ratio >= 0.05, 1.0).otherwise(0.6)
+    return (len_score + punct_score + stop_score) / 3.0
+
+
+def fingerprint(col: str | Column, prefix_len: int = 256) -> Column:
+    """Deterministic document fingerprint: position-weighted
+    polynomial hash over the first ``prefix_len`` characters,
+    computed as a *commutative* integer sum so it is partition-order
+    independent and exactly reproducible in any engine:
+    ``sum(ascii(ch_i) * ((i*31) % 1000003)) % 2^31``."""
+    c = F.substring(_c(col), 1, prefix_len)
+    chars = F.split(c, "")
+    weighted = F.transform(
+        chars, lambda ch, i: F.ascii(ch).cast("long") * ((i * 31) % 1000003)
+    )
+    total = F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x)
+    return (total % F.lit(2147483648)).cast("long")

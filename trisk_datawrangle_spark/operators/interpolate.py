@@ -1,0 +1,215 @@
+"""Gap-filling / time-series operators (SURVEY.md §2.5 W7-W9, §2.9).
+
+The engine's flagship custom operator family: ``zoo::na.approx``
+parity (linear interpolation between known points), LOCF fill,
+per-group OLS extrapolation, spine extension. All are *expression
+trees over windows and joins* — not UDFs — so they stay inside
+whole-stage codegen and scale with ordinary shuffle machinery.
+
+Window-frame scale note: every window here partitions by the
+interpolation groups and orders by the x column. For climate-scenario
+shapes, groups are small (tens of rows) and numerous (millions at
+100 TB) — exactly the shape Spark's window operator handles well
+after one shuffle on the group keys. All downstream windows reuse the
+same partitioning, so the whole interpolate→index pipeline costs a
+single shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _w_back(groups: Sequence[str], x_col: str):
+    """Frame: partition start .. current row (ordered by x)."""
+    return (
+        Window.partitionBy(*groups)
+        .orderBy(x_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+
+def _w_fwd(groups: Sequence[str], x_col: str):
+    """Frame: current row .. partition end (ordered by x)."""
+    return (
+        Window.partitionBy(*groups)
+        .orderBy(x_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+
+
+def na_approx(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str = "year",
+    value_col: str = "value",
+    na_rm: bool = True,
+    out_col: str | None = None,
+) -> DataFrame:
+    """``zoo::na.approx(value, x)`` parity per group (W8; reference
+    sites: prepare_scenario_data.R:11-20,
+    prepare_prewrangled_capacity_factors.R:129-134,
+    prepare_price_data_long.R:216-222, prepare_ngfs_carbon_price.R:115-165).
+
+    Interior NULLs are linearly interpolated against ``x_col`` (the
+    reference always passes the year as the x coordinate — index-based
+    interpolation only coincides on dense spines, SURVEY.md §7.3.1).
+    Leading/trailing NULLs: kept as NULL when ``na_rm=False``
+    (``zoo`` ``na.rm=FALSE``), rows dropped when ``na_rm=True``
+    (``zoo`` default).
+    """
+    out = out_col or value_col
+    groups = list(group_cols)
+    v = F.col(value_col)
+    known_x = F.when(v.isNotNull(), F.col(x_col))
+
+    prev_v = F.last(value_col, ignorenulls=True).over(_w_back(groups, x_col))
+    prev_x = F.last(known_x, ignorenulls=True).over(_w_back(groups, x_col))
+    next_v = F.first(value_col, ignorenulls=True).over(_w_fwd(groups, x_col))
+    next_x = F.first(known_x, ignorenulls=True).over(_w_fwd(groups, x_col))
+
+    interp = prev_v + (next_v - prev_v) * (F.col(x_col) - prev_x) / (next_x - prev_x)
+    filled = F.when(v.isNotNull(), v).when(
+        prev_v.isNotNull() & next_v.isNotNull(), interp
+    )
+    res = df.withColumn(out, filled)
+    if na_rm:
+        res = res.filter(F.col(out).isNotNull())
+    return res
+
+
+def fill_locf(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str = "year",
+    value_col: str = "value",
+    direction: str = "down",
+    out_col: str | None = None,
+) -> DataFrame:
+    """``tidyr::fill(.direction=)`` (W7; prepare_price_data_long.R:159-169,
+    prepare_abcd_stress_test_input.R:287-288). ``down`` = last
+    observation carried forward; ``up`` = next carried backward;
+    ``downup``/``updown`` chain both."""
+    out = out_col or value_col
+    groups = list(group_cols)
+    col = F.col(value_col)
+    down = F.last(value_col, ignorenulls=True).over(_w_back(groups, x_col))
+    up = F.first(value_col, ignorenulls=True).over(_w_fwd(groups, x_col))
+    if direction == "down":
+        filled = down
+    elif direction == "up":
+        filled = up
+    elif direction == "downup":
+        filled = F.coalesce(down, up)
+    elif direction == "updown":
+        filled = F.coalesce(up, down)
+    else:
+        raise ValueError(f"unknown direction {direction!r}")
+    return df.withColumn(out, F.coalesce(col, filled))
+
+
+def interpolate_yearly(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str = "year",
+    value_col: str = "value",
+) -> DataFrame:
+    """The reference's ``interpolate_yearly`` (T7,
+    prepare_scenario_data.R:11-20): complete the per-group year spine,
+    then na.approx with dropped edges. One reusable op because it is
+    the first step of every scenario pipeline (SURVEY.md §3.3)."""
+    from trisk_datawrangle_spark.operators.spine import complete_spine
+
+    dense = complete_spine(df, group_cols, x_col, bounds="group")
+    return na_approx(dense, group_cols, x_col, value_col, na_rm=True)
+
+
+def zero_after_last(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str = "year",
+    value_col: str = "value",
+) -> DataFrame:
+    """Trailing-NULL → 0 after the last observation (T5,
+    prepare_scenario_data.R:980-995): ``last_value_year =
+    max(year[!is.na(value)])``; beyond it, value := 0."""
+    groups = list(group_cols)
+    w = Window.partitionBy(*groups)
+    last_x = F.max(
+        F.when(F.col(value_col).isNotNull(), F.col(x_col))
+    ).over(w)
+    return df.withColumn(
+        value_col,
+        F.when(
+            F.col(value_col).isNull() & (F.col(x_col) > last_x), F.lit(0.0)
+        ).otherwise(F.col(value_col)),
+    )
+
+
+def backfill_from_year(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    value_col: str,
+    source_x: int,
+) -> DataFrame:
+    """Leading-NULL backfill from a specific x's value (T6,
+    prepare_scenario_data.R:1004-1013: DRI-BOF NAs ← the scenario's
+    2026 value). Implemented as a per-group single-row lookup joined
+    back (broadcast-sized after the filter)."""
+    groups = list(group_cols)
+    lookup = (
+        df.filter((F.col(x_col) == source_x) & F.col(value_col).isNotNull())
+        .select(*groups, F.col(value_col).alias("__src"))
+    )
+    return (
+        df.join(lookup, groups, "left")
+        .withColumn(value_col, F.coalesce(F.col(value_col), F.col("__src")))
+        .drop("__src")
+    )
+
+
+def lm_extrapolate(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str = "year",
+    y_col: str = "value",
+    fit_lo: int | None = None,
+    fit_hi: int | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group OLS fill (W9, prepare_price_data_long.R:725-733:
+    ``lm(price ~ year)`` on a trailing window, predict the NULLs).
+
+    Spark-first: the per-group regression is a *closed form* over
+    plain aggregates — slope = covar_pop/var_pop, intercept =
+    ȳ − slope·x̄ — i.e. one map-side-combinable groupBy, one join
+    back. No iteration, no UDF, no per-group collect. The reference's
+    R loop (price_data_long.R:728-733 iterates rows!) becomes two
+    shuffles total regardless of group count.
+    """
+    out = out_col or y_col
+    groups = list(group_cols)
+    fit = df.filter(F.col(y_col).isNotNull())
+    if fit_lo is not None:
+        fit = fit.filter(F.col(x_col) >= fit_lo)
+    if fit_hi is not None:
+        fit = fit.filter(F.col(x_col) <= fit_hi)
+    x = F.col(x_col).cast("double")
+    coef = fit.groupBy(*groups).agg(
+        (F.covar_pop(x, F.col(y_col)) / F.var_pop(x)).alias("__slope"),
+        F.avg(y_col).alias("__my"),
+        F.avg(x).alias("__mx"),
+    )
+    coef = coef.withColumn(
+        "__icept", F.col("__my") - F.col("__slope") * F.col("__mx")
+    ).drop("__my", "__mx")
+    pred = F.col("__icept") + F.col("__slope") * F.col(x_col).cast("double")
+    return (
+        df.join(coef, groups, "left")
+        .withColumn(out, F.coalesce(F.col(y_col), pred))
+        .drop("__slope", "__icept")
+    )

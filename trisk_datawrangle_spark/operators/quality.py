@@ -1,0 +1,111 @@
+"""Data-quality / assertion operators (SURVEY.md §2.10).
+
+The reference runs ``assertr::verify`` / ``stopifnot`` checks inline;
+here each check is either an *assertion* (raises ``DataQualityError``,
+forcing one action) or a *report* (returns a small DataFrame for
+logging). Assertions that need a count run it as a single lightweight
+job; at scale, call them at stage boundaries, not per-operator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from trisk_datawrangle_spark.functions.scalars import any_null
+
+
+class DataQualityError(AssertionError):
+    pass
+
+
+def require_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Schema assert (Q1, prepare_scenario_data.R:174-182)."""
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise DataQualityError(f"missing columns: {missing}")
+    return df
+
+
+def assert_row_count(df: DataFrame, expected: int) -> DataFrame:
+    """Join-safety row-count invariant (Q2,
+    prepare_prewrangled_financial_data_stress_test.R:211-214)."""
+    n = df.count()
+    if n != expected:
+        raise DataQualityError(f"row count {n} != expected {expected}")
+    return df
+
+
+def assert_no_null(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """No-NULL assert (Q3,
+    prepare_prewrangled_financial_data_stress_test.R:600-603)."""
+    cols = list(cols) if cols else df.columns
+    bad = df.filter(any_null(cols)).count()
+    if bad:
+        raise DataQualityError(f"{bad} rows contain NULL in {cols}")
+    return df
+
+
+def assert_bounds(
+    df: DataFrame, col: str, lo: float | None = None, hi: float | None = None
+) -> DataFrame:
+    """Bounds assert (Q4, capacity_factor ∈ [0,1] at
+    prepare_prewrangled_capacity_factors.R:182-193)."""
+    cond = F.lit(False)
+    if lo is not None:
+        cond = cond | (F.col(col) < lo)
+    if hi is not None:
+        cond = cond | (F.col(col) > hi)
+    bad = df.filter(cond).count()
+    if bad:
+        raise DataQualityError(f"{bad} rows of {col} outside [{lo}, {hi}]")
+    return df
+
+
+def missings_report(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Per-column NULL counts (Q5, helpers.R:11-25) — one aggregate
+    job, no per-column scans."""
+    cols = list(cols) if cols else df.columns
+    return df.select(
+        *[
+            F.count(F.when(F.col(c).isNull(), 1)).alias(c)
+            for c in cols
+        ]
+    )
+
+
+def duplicates_report(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """Key groups with n()>1 (Q6, helpers.R:36-52)."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def incomplete_groups(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    lookup: DataFrame,
+    lookup_group_col: str,
+    lookup_member_col: str,
+    member_col: str | None = None,
+) -> DataFrame:
+    """Groups missing any required member (Q8, helpers.R:110-154):
+    per group, right-join the (group-kind → required members) lookup
+    and report groups where any member is absent. The reference loops
+    ``split + map_dfr`` per (scenario, geography); here it is one
+    broadcast join + one aggregate over all groups at once."""
+    member = member_col or lookup_member_col
+    present = df.select(*group_cols, member).distinct()
+    # expected member set per group: groups × their kind's members
+    kinds = df.select(*group_cols, lookup_group_col).distinct()
+    expected = kinds.join(F.broadcast(lookup), lookup_group_col, "inner")
+    probe = expected.join(
+        present.withColumnRenamed(member, lookup_member_col),
+        list(group_cols) + [lookup_member_col],
+        "left_anti",
+    )
+    return probe.select(*group_cols).distinct()

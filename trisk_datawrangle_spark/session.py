@@ -1,0 +1,66 @@
+"""SparkSession factory.
+
+Defaults are chosen for the scale story, not just local tests:
+AQE on (runtime re-planning, skew-join splitting, partition
+coalescing), Arrow on (vectorized Python interchange for the few
+Pandas-UDF operators), UTC session timezone (deterministic calendar
+arithmetic against naive parquet timestamps), and a shuffle-partition
+count that callers override per deployment (32 locally; thousands on
+a real cluster).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "trisk-datawrangle-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    Parameters
+    ----------
+    master:
+        Defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``).
+        On a cluster, pass None and let spark-submit own it.
+    shuffle_partitions:
+        Defaults to 32 locally. At 100 TB scale this should be sized
+        so that each shuffle partition is ~128-256 MB (i.e. tens of
+        thousands); AQE's coalescing makes over-provisioning cheap.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    conf = {
+        # Runtime re-optimization: partition coalescing, skew-join
+        # splitting, dynamic join-strategy switching.
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Deterministic time semantics vs naive parquet timestamps.
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.shuffle.partitions": str(shuffle_partitions or 32),
+        # Arrow-batched interchange for Pandas UDF operators.
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # The test corpus stores TIMESTAMP(NANOS) which Spark refuses
+        # by default; read as long and convert in the loader.
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # Keep ANSI off: the engine's null/NaN contract (SURVEY.md
+        # §7.3) is written against non-ANSI division/cast semantics
+        # with explicit guards.
+        "spark.sql.ansi.enabled": "false",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,131 @@
+"""Typed sources and sinks (SURVEY.md §2.1).
+
+Contract from the reference: schemas are *pinned*, never inferred —
+``readr::cols_only`` both projects and types at scan time
+(run_prepare_Scenarios_AnalysisInput.R:41-49). Here every reader takes
+an explicit schema; with parquet, column pruning and predicate
+pushdown then reach the scan for free (check ``PushedFilters`` /
+``ReadSchema`` in ``.explain``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_csv_typed(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    sep: str = ",",
+    header: bool = True,
+) -> DataFrame:
+    """S1/S2: CSV scan with a pinned schema (select+cast at scan).
+    ``sep=';'`` covers the reference's read_delim sites
+    (run_prepare_price_data_long.R:318-329)."""
+    return (
+        spark.read.option("header", header)
+        .option("sep", sep)
+        .schema(schema)
+        .csv(path)
+    )
+
+
+def read_excel_sheet(
+    spark: SparkSession, path: str, sheet: str, schema: str | None = None
+) -> DataFrame:
+    """S3: Excel ingest (prepare_asset_impact_data.R:7-41).
+
+    Spark has no native xlsx source; the engine lands Excel via pandas
+    (driver-side — Excel workbooks are small dimension inputs by
+    construction) into a DataFrame, after which everything is
+    distributed. At scale the landing zone should convert xlsx →
+    parquet once, upstream.
+    """
+    try:
+        import pandas as pd
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError("pandas required for Excel ingest") from e
+    try:
+        pdf = pd.read_excel(path, sheet_name=sheet)
+    except ImportError as e:
+        raise NotImplementedError(
+            "no xlsx engine (openpyxl) in this environment; land the "
+            "workbook as parquet upstream instead"
+        ) from e
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+# Columns stored as TIMESTAMP(NANOS) in the corpus parquet — Spark
+# has no nanos timestamp type, so they are read as long (see
+# ``spark.sql.legacy.parquet.nanosAsLong``) and converted to
+# microsecond timestamps here (exact integer division).
+NANO_TS_COLS: dict[str, tuple[str, ...]] = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: Sequence[str] = TABLES
+) -> dict[str, DataFrame]:
+    """S4: parquet scans for the test corpus."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    # runtime-set too: the driver may pass a session built without it
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        for c in NANO_TS_COLS.get(name, ()):
+            if c in df.columns and isinstance(df.schema[c].dataType, LongType):
+                df = df.withColumn(
+                    c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
+                )
+        out[name] = df
+    return out
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: Sequence[str] = TABLES
+) -> dict[str, DataFrame]:
+    tables = load_tables(spark, sf_dir, names)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables
+
+
+def write_output(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: Sequence[str] | None = None,
+    single_file: bool = False,
+) -> None:
+    """S6 sink. Canonical tables are written partitioned (scenario /
+    year) so downstream reads prune partitions (SURVEY.md §4);
+    ``single_file`` reproduces the reference's one-CSV handoff for
+    small outputs only."""
+    out = df.coalesce(1) if single_file else df
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.format(fmt).option("header", True).save(path)
