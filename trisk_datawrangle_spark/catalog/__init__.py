@@ -22,8 +22,12 @@ from trisk_datawrangle_spark.catalog.llm import (
     ORACLES as _LLM_ORACLES,
     QUERIES as _LLM_QUERIES,
 )
+from trisk_datawrangle_spark.catalog.extended import (
+    ORACLES as _EXT_ORACLES,
+    QUERIES as _EXT_QUERIES,
+)
 
-QUERIES = {**_REL_QUERIES, **_LLM_QUERIES}
-ORACLES = {**_REL_ORACLES, **_LLM_ORACLES}
+QUERIES = {**_REL_QUERIES, **_LLM_QUERIES, **_EXT_QUERIES}
+ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES}
 
 assert set(ORACLES) <= set(QUERIES), "oracle without query"

@@ -1,0 +1,461 @@
+"""Extended catalog: sources/sinks (S1/S2/S6/S8), remaining scalar
+families (F2-F9, F13), spine extensions (T4/T6), assertion summary
+(Q1-Q4), the layered-median financial cascade (§3.2 analog), and the
+full §2.11 regroup-rename — each with a DuckDB oracle.
+
+Source round-trips write into a per-sf scratch dir under /tmp: the
+query is "sink then typed scan" (S6→S1), oracled against the original
+parquet, so the driver's hash check covers both directions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from trisk_datawrangle_spark.functions.aggregates import median
+from trisk_datawrangle_spark.functions.scalars import row_sum
+from trisk_datawrangle_spark.operators.geography import regroup_geographies
+from trisk_datawrangle_spark.operators.interpolate import (
+    backfill_from_year,
+    fill_locf,
+)
+from trisk_datawrangle_spark.operators.spine import complete_spine
+from trisk_datawrangle_spark.sources.readers import (
+    load_tables,
+    read_csv_typed,
+    write_output,
+)
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _scratch(sf_dir: str, leaf: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return f"/tmp/trisk_src_cache/{tag}/{leaf}"
+
+
+# ---------------------------------------------------------------- #
+# §2.1 sources / sinks                                              #
+# ---------------------------------------------------------------- #
+
+
+@q(
+    "s1_s6_csv_roundtrip",
+    """
+SELECT CAST(n_nationkey AS BIGINT) AS nationkey, n_name AS name,
+       CAST(n_regionkey AS BIGINT) AS regionkey
+FROM nation
+""",
+)
+def s1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 CSV sink → S1 typed CSV scan (readr ``cols_only`` parity:
+    pinned schema, projection at scan —
+    run_prepare_Scenarios_AnalysisInput.R:41-49). Round-tripping
+    through the sink proves both directions against the parquet
+    oracle."""
+    (nat,) = load_tables(spark, sf_dir, ["nation"]).values()
+    path = _scratch(sf_dir, "nation_csv")
+    write_output(nat, path, fmt="csv", single_file=True)
+    typed = read_csv_typed(
+        spark,
+        path,
+        "n_nationkey bigint, n_name string, n_regionkey bigint, n_comment string",
+    )
+    return typed.select(
+        F.col("n_nationkey").alias("nationkey"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").alias("regionkey"),
+    )
+
+
+@q(
+    "s2_semicolon_csv",
+    """
+SELECT CAST(r_regionkey AS BIGINT) AS regionkey, r_name AS name FROM region
+""",
+)
+def s2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: ``read_delim(delim=';')`` parity
+    (run_prepare_price_data_long.R:318-329)."""
+    (reg,) = load_tables(spark, sf_dir, ["region"]).values()
+    path = _scratch(sf_dir, "region_semi")
+    reg.select("r_regionkey", "r_name").coalesce(1).write.mode(
+        "overwrite"
+    ).option("header", True).option("sep", ";").csv(path)
+    typed = read_csv_typed(
+        spark, path, "r_regionkey bigint, r_name string", sep=";"
+    )
+    return typed.select(
+        F.col("r_regionkey").alias("regionkey"), F.col("r_name").alias("name")
+    )
+
+
+@q(
+    "s8_glob_union",
+    """
+SELECT name, COUNT(*) AS n FROM (
+    SELECT r_name AS name FROM region
+    UNION ALL SELECT r_name FROM region
+) GROUP BY 1
+""",
+)
+def s8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: multi-file ingest via a glob path — the reference's
+    ``list.files() %>% map(read_xlsx) %>% bind_rows``
+    (prep_datalake.R:13-27) is a single glob scan in Spark (file
+    parallelism for free, no driver-side loop)."""
+    (reg,) = load_tables(spark, sf_dir, ["region"]).values()
+    base = _scratch(sf_dir, "region_multi")
+    for part in ("a", "b"):
+        reg.select("r_name").coalesce(1).write.mode("overwrite").option(
+            "header", True
+        ).csv(f"{base}/{part}")
+    typed = read_csv_typed(spark, f"{base}/*", "r_name string")
+    return typed.groupBy(F.col("r_name").alias("name")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------- #
+# §2.8 scalar families F2-F9, F13                                   #
+# ---------------------------------------------------------------- #
+
+
+@q(
+    "f2_f9_scalar_bundle",
+    """
+SELECT c_custkey AS custkey,
+    CASE WHEN c_acctbal < 0 THEN 'debtor' ELSE 'credit' END AS standing,
+    concat(c_mktsegment, '_', c_name) AS seg_name,
+    regexp_extract(c_name, '([0-9]+)', 1) AS name_num,
+    substr(c_name, 1, 8) AS name_head,
+    regexp_replace(c_mktsegment, '[AEIOU]', '', 'g') AS devoweled,
+    upper(substr(lower(c_mktsegment), 1, 1))
+        || substr(lower(c_mktsegment), 2) AS segment_title,
+    length(c_name) AS name_len,
+    CAST(trunc(c_acctbal) AS INTEGER) AS bal_int,
+    regexp_extract(c_name, '^[^#]+', 0) AS name_prefix
+FROM customer
+""",
+)
+def f2f9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 if_else, F3 concat, F4 regex extract, F5 regex replace,
+    F6 initcap/length, F7 substring, F8 prefix extract, F9 casts —
+    one projection, zero UDFs (SURVEY.md §2.8)."""
+    (c,) = load_tables(spark, sf_dir, ["customer"]).values()
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.when(F.col("c_acctbal") < 0, "debtor")
+        .otherwise("credit")
+        .alias("standing"),
+        F.concat_ws("_", "c_mktsegment", "c_name").alias("seg_name"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_num"),
+        F.substring("c_name", 1, 8).alias("name_head"),
+        F.regexp_replace("c_mktsegment", "[AEIOU]", "").alias("devoweled"),
+        F.initcap(F.lower("c_mktsegment")).alias("segment_title"),
+        F.length("c_name").alias("name_len"),
+        F.col("c_acctbal").cast("int").alias("bal_int"),
+        F.regexp_extract("c_name", r"^[^#]+", 0).alias("name_prefix"),
+    )
+
+
+@q(
+    "f13_row_sum",
+    """
+SELECT l_orderkey AS orderkey, l_linenumber AS lineno,
+    ROUND(l_extendedprice + l_tax + l_discount, 6) AS charge_parts
+FROM lineitem
+""",
+)
+def f13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13: row-wise across-column sum (``sum(c_across(...))``,
+    prepare_prewrangled_financial_data_stress_test.R:492-495)."""
+    (li,) = load_tables(spark, sf_dir, ["lineitem"]).values()
+    return li.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("lineno"),
+        F.round(
+            row_sum(["l_extendedprice", "l_tax", "l_discount"]), 6
+        ).alias("charge_parts"),
+    )
+
+
+# ---------------------------------------------------------------- #
+# §2.9 spine extensions T4 / T6                                     #
+# ---------------------------------------------------------------- #
+
+from trisk_datawrangle_spark.catalog.relational import (  # noqa: E402
+    GAPPED_CTE,
+    _series,
+)
+
+
+@q(
+    "t4_extend_years_constant",
+    f"""
+WITH {GAPPED_CTE},
+spine AS (
+    SELECT g.segment, g.priority, y.year
+    FROM (SELECT DISTINCT segment, priority FROM gapped) g
+    CROSS JOIN (
+        SELECT CAST(unnest(generate_series(1992, 2001)) AS INTEGER) AS year
+    ) y
+), joined AS (
+    SELECT s.segment, s.priority, s.year, g.value
+    FROM spine s LEFT JOIN gapped g USING (segment, priority, year)
+)
+SELECT segment, priority, year,
+    ROUND(COALESCE(value,
+        last_value(value IGNORE NULLS) OVER (
+            PARTITION BY segment, priority ORDER BY year
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS value
+FROM joined
+""",
+)
+def t4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: add-years constant extension — fixed-bound spine past the
+    data + LOCF (prepare_prewrangled_capacity_factors.R:779-808
+    loop-builds these rows; here it's spine + one window)."""
+    series = _series(spark, sf_dir)
+    dense = complete_spine(
+        series, ["segment", "priority"], "year", bounds="fixed", lo=1992, hi=2001
+    )
+    filled = fill_locf(dense, ["segment", "priority"], "year", "value")
+    return filled.select(
+        "segment", "priority", "year", F.round("value", 6).alias("value")
+    )
+
+
+@q(
+    "t6_backfill_from_year",
+    f"""
+WITH {GAPPED_CTE},
+spine AS (
+    SELECT g.segment, g.priority, y.year
+    FROM (SELECT DISTINCT segment, priority FROM gapped) g
+    CROSS JOIN (
+        SELECT CAST(unnest(generate_series(1990, 1998)) AS INTEGER) AS year
+    ) y
+), joined AS (
+    SELECT s.segment, s.priority, s.year, g.value
+    FROM spine s LEFT JOIN gapped g USING (segment, priority, year)
+), src AS (
+    SELECT segment, priority, value AS src_value
+    FROM gapped WHERE year = 1994
+)
+SELECT j.segment, j.priority, j.year,
+    ROUND(COALESCE(j.value, s.src_value), 6) AS value
+FROM joined j LEFT JOIN src s USING (segment, priority)
+""",
+)
+def t6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: leading-NULL backfill from a specific year's value
+    (prepare_scenario_data.R:1004-1013: DRI-BOF ← 2026 value)."""
+    series = _series(spark, sf_dir)
+    dense = complete_spine(
+        series, ["segment", "priority"], "year", bounds="fixed", lo=1990, hi=1998
+    )
+    filled = backfill_from_year(
+        dense, ["segment", "priority"], "year", "value", source_x=1994
+    )
+    return filled.select(
+        "segment", "priority", "year", F.round("value", 6).alias("value")
+    )
+
+
+# ---------------------------------------------------------------- #
+# §2.10 assertion summary Q1-Q4                                     #
+# ---------------------------------------------------------------- #
+
+
+@q(
+    "q1_q4_assert_summary",
+    """
+SELECT
+    (SELECT COUNT(*) FROM orders) AS row_count,
+    (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL
+        OR o_totalprice IS NULL) AS null_violations,
+    (SELECT COUNT(*) FROM orders WHERE o_totalprice < 0) AS bounds_violations,
+    (SELECT COUNT(*) FROM (
+        SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1
+    )) AS dup_keys
+""",
+)
+def q1q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1-Q4 as one single-pass audit row: row count (Q2), no-NULL
+    (Q3), bounds (Q4) — computed in ONE aggregate scan, not four jobs
+    (the raising assert_* variants in operators.quality wrap the same
+    expressions); dup-keys (Q6-style) is the only extra shuffle."""
+    (o,) = load_tables(spark, sf_dir, ["orders"]).values()
+    audit = o.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.count(
+            F.when(
+                F.col("o_custkey").isNull() | F.col("o_totalprice").isNull(), 1
+            )
+        ).alias("null_violations"),
+        F.count(F.when(F.col("o_totalprice") < 0, 1)).alias(
+            "bounds_violations"
+        ),
+    )
+    dups = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .agg(F.count(F.lit(1)).alias("dup_keys"))
+    )
+    return audit.crossJoin(F.broadcast(dups))
+
+
+# ---------------------------------------------------------------- #
+# §3.2 analog: layered median imputation cascade                    #
+# ---------------------------------------------------------------- #
+
+
+@q(
+    "fin_layered_median_cascade",
+    """
+WITH firm AS (
+    SELECT c_custkey AS firm_id, c_mktsegment AS sector,
+           CAST(c_nationkey AS BIGINT) AS region,
+           CASE WHEN c_acctbal >= 0 THEN c_acctbal END AS indicator
+    FROM customer
+), by_sr AS (
+    SELECT sector, region, median(indicator) AS avg_sr
+    FROM firm WHERE indicator IS NOT NULL
+    GROUP BY 1, 2 HAVING COUNT(indicator) >= 30
+), by_s AS (
+    SELECT sector, median(indicator) AS avg_s
+    FROM firm WHERE indicator IS NOT NULL GROUP BY 1
+), gmed AS (
+    SELECT median(indicator) AS avg_g FROM firm WHERE indicator IS NOT NULL
+)
+SELECT f.firm_id, f.sector, f.region,
+    ROUND(COALESCE(f.indicator, sr.avg_sr, s.avg_s, g.avg_g), 6) AS indicator,
+    CAST(CASE WHEN f.indicator IS NOT NULL THEN 1.0 ELSE 0.0 END AS DOUBLE)
+        AS rawdata_ratio
+FROM firm f
+LEFT JOIN by_sr sr ON f.sector = sr.sector AND f.region = sr.region
+LEFT JOIN by_s s ON f.sector = s.sector
+CROSS JOIN gmed g
+""",
+)
+def fin_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 core: layered exact-median imputation — (sector, region)
+    when the pool has ≥30 firms, else sector, else global — with
+    provenance tagging (A4×3 + J2/J4/J8 + F11 + F13,
+    prepare_prewrangled_financial_data_stress_test.R:246-339,
+    :348-441). All three layers are tiny aggregates broadcast back;
+    negative balances play the reference's implausible-npm rows."""
+    (c,) = load_tables(spark, sf_dir, ["customer"]).values()
+    firm = c.select(
+        F.col("c_custkey").alias("firm_id"),
+        F.col("c_mktsegment").alias("sector"),
+        F.col("c_nationkey").cast("long").alias("region"),
+        F.when(F.col("c_acctbal") >= 0, F.col("c_acctbal")).alias("indicator"),
+    )
+    nn = firm.filter(F.col("indicator").isNotNull())
+    by_sr = (
+        nn.groupBy("sector", "region")
+        .agg(
+            median("indicator").alias("avg_sr"),
+            F.count("indicator").alias("__n"),
+        )
+        .filter(F.col("__n") >= 30)
+        .drop("__n")
+    )
+    by_s = nn.groupBy("sector").agg(median("indicator").alias("avg_s"))
+    glob = nn.agg(median("indicator").alias("avg_g"))
+    out = (
+        firm.join(F.broadcast(by_sr), ["sector", "region"], "left")
+        .join(F.broadcast(by_s), "sector", "left")
+        .crossJoin(F.broadcast(glob))
+    )
+    return out.select(
+        "firm_id",
+        "sector",
+        "region",
+        F.round(
+            F.coalesce("indicator", "avg_sr", "avg_s", "avg_g"), 6
+        ).alias("indicator"),
+        F.when(F.col("indicator").isNotNull(), 1.0)
+        .otherwise(0.0)
+        .alias("rawdata_ratio"),
+    )
+
+
+# ---------------------------------------------------------------- #
+# §2.11 full regroup-rename                                         #
+# ---------------------------------------------------------------- #
+
+
+@q(
+    "g2_regroup_rename",
+    """
+WITH base AS (
+    SELECT r_name AS geo, n_name AS member
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+), bridge AS (
+    SELECT geo, member FROM base
+    UNION ALL
+    SELECT geo || ' ZONE' AS geo, member FROM base
+), sets AS (
+    SELECT DISTINCT geo, member FROM bridge
+), sz AS (
+    SELECT geo, COUNT(*) AS n FROM sets GROUP BY 1
+), inter AS (
+    SELECT a.geo AS ga, b.geo AS gb, COUNT(*) AS ni
+    FROM sets a JOIN sets b ON a.member = b.member AND a.geo <> b.geo
+    GROUP BY 1, 2
+), pairs AS (
+    SELECT i.ga, i.gb FROM inter i JOIN sz ON i.ga = sz.geo
+    WHERE i.ni * 1.0 / sz.n >= 1.0
+), mutual AS (
+    SELECT p.ga, p.gb FROM pairs p JOIN pairs q ON p.ga = q.gb AND p.gb = q.ga
+), cand AS (
+    SELECT ga, gb FROM mutual
+    UNION ALL SELECT DISTINCT geo, geo FROM sets
+), ranked AS (
+    SELECT ga, gb,
+        ROW_NUMBER() OVER (PARTITION BY ga ORDER BY length(gb) DESC, gb) AS rn
+    FROM cand
+)
+SELECT ga AS scenario_geography, gb AS new_name FROM ranked WHERE rn = 1
+""",
+)
+def g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 end-to-end: mutual-containment clusters → longest-named
+    canonical label (rename_geographies.R:222-268). The ' ZONE'
+    clones synthesize the duplicate-geography situation the reference
+    deduplicates (same country set under different labels)."""
+    t = load_tables(spark, sf_dir, ["nation", "region"])
+    base = t["nation"].join(
+        F.broadcast(t["region"]),
+        t["nation"].n_regionkey == t["region"].r_regionkey,
+    )
+    bridge = base.select(
+        F.col("r_name").alias("scenario_geography"),
+        F.col("n_name").alias("country_iso"),
+    ).unionByName(
+        base.select(
+            F.concat(F.col("r_name"), F.lit(" ZONE")).alias(
+                "scenario_geography"
+            ),
+            F.col("n_name").alias("country_iso"),
+        )
+    )
+    return regroup_geographies(bridge, tolerance=1.0)

@@ -869,27 +869,42 @@ spine AS (
 ), dense AS (
     SELECT s.segment, s.priority, s.year, g.value
     FROM spine s LEFT JOIN gapped g USING (segment, priority, year)
+), ints AS (
+    SELECT segment, priority, CAST(year AS BIGINT) AS x,
+           CAST(round(value * 100) AS BIGINT) AS yc
+    FROM dense WHERE value IS NOT NULL
 ), coef AS (
+    SELECT segment, priority, COUNT(*) AS n, SUM(x) AS sx,
+           SUM(x * x) AS sxx, SUM(yc) AS sy, SUM(x * yc) AS sxy
+    FROM ints GROUP BY 1, 2
+), cf AS (
     SELECT segment, priority,
-           covar_pop(CAST(year AS DOUBLE), value)
-               / var_pop(CAST(year AS DOUBLE)) AS slope,
-           AVG(value) AS my, AVG(CAST(year AS DOUBLE)) AS mx
-    FROM dense WHERE value IS NOT NULL GROUP BY 1, 2
+        CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+        n, sx, sy
+    FROM coef
 )
 SELECT d.segment, d.priority, d.year,
-    ROUND(COALESCE(d.value, (c.my - c.slope * c.mx)
-        + c.slope * CAST(d.year AS DOUBLE)), 2) AS value
-FROM dense d LEFT JOIN coef c USING (segment, priority)
+    ROUND(COALESCE(d.value,
+        ((CAST(c.sy AS DOUBLE) - c.slope * CAST(c.sx AS DOUBLE))
+             / CAST(c.n AS DOUBLE)
+         + c.slope * CAST(d.year AS DOUBLE)) / 100.0), 2) AS value
+FROM dense d LEFT JOIN cf c USING (segment, priority)
 """,
 )
 def w9(spark, sf_dir):
     """Per-group OLS extension (W9+T4): spine beyond the data, NULLs
-    filled by the closed-form regression — two shuffles total."""
+    filled by the closed-form regression — two shuffles total.
+    ``exact_scale=2``: integer-sum closed form, bit-identical on any
+    partitioning (float covar_pop differs in the last ulps between
+    runs, which flips round(x, 2) on boundary values)."""
     series = _series(spark, sf_dir)
     dense = complete_spine(
         series, ["segment", "priority"], "year", bounds="fixed", lo=1995, hi=2004
     )
-    res = lm_extrapolate(dense, ["segment", "priority"], "year", "value")
+    res = lm_extrapolate(
+        dense, ["segment", "priority"], "year", "value", exact_scale=2
+    )
     return res.select(
         "segment", "priority", "year", F.round("value", 2).alias("value")
     )

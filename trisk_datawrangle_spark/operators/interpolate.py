@@ -180,6 +180,7 @@ def lm_extrapolate(
     fit_lo: int | None = None,
     fit_hi: int | None = None,
     out_col: str | None = None,
+    exact_scale: int | None = None,
 ) -> DataFrame:
     """Per-group OLS fill (W9, prepare_price_data_long.R:725-733:
     ``lm(price ~ year)`` on a trailing window, predict the NULLs).
@@ -190,6 +191,13 @@ def lm_extrapolate(
     back. No iteration, no UDF, no per-group collect. The reference's
     R loop (price_data_long.R:728-733 iterates rows!) becomes two
     shuffles total regardless of group count.
+
+    ``exact_scale``: for fixed-point y (money with ``exact_scale``
+    decimals) and integer x, compute the closed form from *integer*
+    sums (n, Σx, Σx², Σy, Σxy as BIGINT) — bit-identical on any
+    partitioning / cluster size / engine. The default float
+    ``covar_pop`` path is order-dependent in the last ulps, which
+    flips values sitting on a rounding boundary between runs.
     """
     out = out_col or y_col
     groups = list(group_cols)
@@ -198,6 +206,38 @@ def lm_extrapolate(
         fit = fit.filter(F.col(x_col) >= fit_lo)
     if fit_hi is not None:
         fit = fit.filter(F.col(x_col) <= fit_hi)
+    if exact_scale is not None:
+        mult = 10 **exact_scale
+        xi = F.col(x_col).cast("long")
+        yi = F.round(F.col(y_col) * mult).cast("long")
+        coef = fit.groupBy(*groups).agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(xi).alias("__sx"),
+            F.sum(xi * xi).alias("__sxx"),
+            F.sum(yi).alias("__sy"),
+            F.sum(xi * yi).alias("__sxy"),
+        )
+        n, sx, sxx, sy, sxy = (
+            F.col("__n"), F.col("__sx"), F.col("__sxx"),
+            F.col("__sy"), F.col("__sxy"),
+        )
+        slope = (n * sxy - sx * sy).cast("double") / (
+            n * sxx - sx * sx
+        ).cast("double")
+        icept = (
+            sy.cast("double") - slope * sx.cast("double")
+        ) / n.cast("double")
+        coef = coef.withColumn("__slope", slope).withColumn(
+            "__icept", icept
+        ).drop("__n", "__sx", "__sxx", "__sy", "__sxy")
+        pred = (
+            F.col("__icept") + F.col("__slope") * F.col(x_col).cast("double")
+        ) / F.lit(float(mult))
+        return (
+            df.join(coef, groups, "left")
+            .withColumn(out, F.coalesce(F.col(y_col), pred))
+            .drop("__slope", "__icept")
+        )
     x = F.col(x_col).cast("double")
     coef = fit.groupBy(*groups).agg(
         (F.covar_pop(x, F.col(y_col)) / F.var_pop(x)).alias("__slope"),
