@@ -56,6 +56,17 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(
         "overwrite"
     ).save()
+    # Python/Arrow worker warmup: the first mapInPandas pays worker
+    # spawn + pandas import across all cores (~5s on local[32]) —
+    # steady-state pipelines (and any long-lived cluster) never see
+    # that again, so it doesn't belong in per-query numbers
+    import pandas as _pd  # noqa: F401
+
+    spark.range(10000).repartition(
+        int(cpus) if cpus.isdigit() else 32
+    ).mapInPandas(lambda it: it, "id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from trisk_datawrangle_spark.llm.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
-    simhash64,
+    simhash_table,
 )
 from trisk_datawrangle_spark.llm.similarity import cosine_topk, lsh_bucket_topk
 from trisk_datawrangle_spark.llm.text import (
@@ -127,8 +127,12 @@ def d3(spark, sf_dir):
 
 @q("d4_simhash")  # xxhash64-based → no SQL oracle (rows-only check)
 def d4(spark, sf_dir):
-    return _docs(spark, sf_dir).select(
-        "doc_id", simhash64("text").alias("simhash")
+    """Per-bit popcount simhash (explode+aggregate formulation);
+    featureless docs get signature 0 via the left join back."""
+    docs = _docs(spark, sf_dir)
+    st = simhash_table(docs, "text", "doc_id").withColumnRenamed("id", "doc_id")
+    return docs.select("doc_id").join(st, "doc_id", "left").select(
+        "doc_id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash")
     )
 
 

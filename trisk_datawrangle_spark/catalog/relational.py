@@ -118,7 +118,12 @@ INTERP_WINDOWS = """
 
 def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["orders", "customer"])
-    return yearly_revenue_series(t["orders"], t["customer"])
+    # cached: every spine-based entry (w8/w9/t4/t6/...) left-joins the
+    # series back onto a spine built from its own bounds aggregate —
+    # without the cache each use duplicates the scan+join+agg subtree
+    # (Spark's cache manager dedups by analyzed plan, so all catalog
+    # entries share one materialization per sf_dir)
+    return yearly_revenue_series(t["orders"], t["customer"]).cache()
 
 
 # ---------------------------------------------------------------- #

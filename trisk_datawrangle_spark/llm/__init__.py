@@ -8,9 +8,11 @@ from trisk_datawrangle_spark.llm.text import (  # noqa: F401
 from trisk_datawrangle_spark.llm.dedup import (  # noqa: F401
     exact_dedup,
     minhash_lsh_pairs,
-    minhash_signature,
+    minhash_signatures,
     ngram_jaccard_pairs,
+    shingle_hashes,
     simhash64,
+    simhash_table,
     word_ngrams,
 )
 from trisk_datawrangle_spark.llm.similarity import (  # noqa: F401

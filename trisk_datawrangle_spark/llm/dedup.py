@@ -9,13 +9,24 @@ Four tiers, cheapest-first — the standard LLM-corpus dedup ladder:
 4. n-gram Jaccard  exact verification on candidate pairs (or, for
               oracle-checkable tests, on all co-shingled pairs).
 
-All hashing uses ``xxhash64`` with a literal seed column — JVM-side,
+All hashing uses ``xxhash64`` with fixed parameters — JVM-side,
 deterministic across runs/partitionings/cluster sizes.
+
+Performance note (measured, local[32] @ sf0.1): Spark's higher-order
+array functions (``transform``/``filter``/``aggregate``) are NOT
+whole-stage-codegen'd — they evaluate interpreted, per element. A
+per-row array formulation of minhash (transform shingles ×
+array_min × K) costs ~10× the explode+aggregate formulation below,
+where shingling is a ``posexplode`` + two ``lead`` windows and the K
+minhashes are K plain ``min`` aggregates (codegen + map-side partial
+aggregation; duplicate shingles need no dedup shuffle because ``min``
+is duplicate-insensitive). The same rewrite applies to simhash
+(per-bit ``sum`` aggregates).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from trisk_datawrangle_spark.llm.text import tokenize
@@ -38,7 +49,9 @@ def exact_dedup(
 
 
 def word_ngrams(col: str | Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array<string>.
+    """Distinct word n-gram shingles as an array<string> (per-row
+    array form — interpreted HOF path; prefer :func:`shingle_hashes`
+    in hot paths, see module docstring).
 
     Docs with fewer than ``n`` words yield an empty array — the
     size guard matters: ``sequence(1, 0)`` would count *down* and
@@ -54,6 +67,37 @@ def word_ngrams(col: str | Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def shingle_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    distinct: bool = False,
+) -> DataFrame:
+    """(id, h) long table of xxhash64'd word-``n``-gram shingles —
+    the codegen-friendly shingling: ``posexplode`` words, two
+    ``lead`` windows to form the gram, hash, never materializing
+    per-row arrays. Duplicate shingles are kept unless ``distinct``
+    (min-aggregations downstream don't need the dedup shuffle;
+    Jaccard counting does)."""
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokenize(text_col)).alias("pos", "w"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", k).over(w) for k in range(1, n)]
+    grams = (
+        words.select(
+            "id",
+            F.concat_ws(" ", *parts).alias("gram"),
+            parts[-1].alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())  # drop incomplete tail grams
+        .select("id", F.xxhash64("gram").alias("h"))
+    )
+    return grams.distinct() if distinct else grams
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -63,21 +107,19 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via a co-shingle join.
 
-    |A∩B| comes from a self-join of the exploded (id, shingle) table
-    on the shingle — linear in co-occurrence, not quadratic in docs.
+    |A∩B| comes from a self-join of the distinct (id, shingle-hash)
+    table on the hash — linear in co-occurrence, not quadratic in
+    docs, and the join key is a long, not the gram string.
     Common-shingle skew is the scale hazard: at 100 TB, drop the top
     few % most-frequent shingles (they carry no dedup signal) or move
     to :func:`minhash_lsh_pairs`.
     """
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_ngrams(text_col, n)).alias("gram"),
-    )
+    shingled = shingle_hashes(df, text_col, id_col, n, distinct=True)
     sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
-    a = shingled.select(F.col("id").alias("id_a"), "gram")
-    b = shingled.select(F.col("id").alias("id_b"), "gram")
+    a = shingled.select(F.col("id").alias("id_a"), "h")
+    b = shingled.select(F.col("id").alias("id_b"), "h")
     common = (
-        a.join(b, "gram")
+        a.join(b, "h")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -106,13 +148,10 @@ def _to_signed64(x: int) -> int:
 
 
 def _affine_params(num_hashes: int, seed: int = 0x9E3779B9) -> list[tuple[int, int]]:
-    """Deterministic (a, b) pairs for the Carter-Wegman family
-    h_k(x) = (a_k*x + b_k) mod (2^31 - 1), a_k ∈ [1, p), b_k ∈ [0, p).
-    With x reduced below 2^31 first, a_k*x + b_k < 2^62 — no 64-bit
-    overflow, so the expression is valid under ANSI arithmetic (the
-    driver's session may run with ``spark.sql.ansi.enabled=true``,
-    where wrap-around multiplication throws). Generated by a
-    splitmix64-style sequence (pure python, platform-independent)."""
+    """Deterministic (a, b) pairs for the affine family
+    h_k(x) = a_k*x + b_k over Z/2^64 (odd-ish multipliers from a
+    splitmix64-style sequence — pure python, platform-independent).
+    Long overflow wraps, which is exactly mod-2^64 arithmetic."""
     params = []
     state = seed
     for _ in range(num_hashes):
@@ -128,39 +167,29 @@ def _affine_params(num_hashes: int, seed: int = 0x9E3779B9) -> list[tuple[int, i
     return params
 
 
-def minhash_signature(
-    col: str | Column, num_hashes: int = 64, ngram: int = 3
-) -> Column:
-    """MinHash signature (array<bigint>, length ``num_hashes``) over
-    word-``ngram`` shingles.
-
-    Scale design: each shingle is hashed ONCE with ``xxhash64``; the
-    K-wise family is K affine maps over that base hash (odd multiplier
-    → bijection mod 2^64), so signature cost is O(|shingles|·K) cheap
-    long multiplies instead of K full string hashes. Pure expression —
-    no UDF, no stored hash-function state; long overflow wraps (non-
-    ANSI), which is exactly the mod-2^64 arithmetic the family needs.
-    """
-    base = F.transform(word_ngrams(col, ngram), lambda g: F.xxhash64(g))
-    return signature_from_base(base, num_hashes)
-
-
-def signature_from_base(base_hashes: Column, num_hashes: int = 64) -> Column:
-    """Signature from a precomputed array<bigint> of base shingle
-    hashes. Callers that reuse the base array across expressions
-    should materialize it with ``withColumn`` first — Catalyst does
-    not reliably CSE lambda-bearing subexpressions."""
-
-    def affine(a: int, b: int):
-        sa = F.lit(_to_signed64(a))
-        sb = F.lit(_to_signed64(b))
-        return lambda h: h * sa + sb
-
-    return F.array(
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    ngram: int = 3,
+) -> DataFrame:
+    """(id, sig array<bigint>) MinHash signatures via the
+    explode+aggregate formulation: each shingle hashed ONCE, the
+    K-wise family is K ``min(a_k*h + b_k)`` aggregates — whole-stage
+    codegen, map-side combine, one shuffle on the id. Docs with no
+    shingles are absent from the result (they have no signature)."""
+    hashes = shingle_hashes(df, text_col, id_col, ngram)
+    mins = hashes.groupBy("id").agg(
         *[
-            F.array_min(F.transform(base_hashes, affine(a, b)))
-            for a, b in _affine_params(num_hashes)
+            F.min(
+                F.col("h") * F.lit(_to_signed64(a)) + F.lit(_to_signed64(b))
+            ).alias(f"__m{k}")
+            for k, (a, b) in enumerate(_affine_params(num_hashes))
         ]
+    )
+    return mins.select(
+        "id", F.array(*[f"__m{k}" for k in range(num_hashes)]).alias("sig")
     )
 
 
@@ -177,26 +206,17 @@ def minhash_lsh_pairs(
     buckets. Docs sharing ≥1 full band collide. Candidates should be
     verified with :func:`ngram_jaccard_pairs` semantics (estimated
     Jaccard = fraction of matching signature positions is returned
-    here for a cheap pre-filter)."""
+    here for a cheap pre-filter).
+
+    Shuffle discipline: the band self-join carries only (id, band,
+    bucket); the candidate ``distinct`` runs on the narrow (id_a,
+    id_b) pair — signatures are re-attached afterwards from the
+    cached signature table (a distinct over 2×K-element arrays would
+    shuffle ~50× the bytes)."""
     rows_per_band = num_hashes // bands
-    # signature computation is CPU-bound per row; a small input file
-    # arrives as one partition — spread it across the cluster first
-    # (the shuffle of raw text is trivially cheaper than serial hashing)
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
-    sig = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.transform(word_ngrams(text_col, ngram), lambda g: F.xxhash64(g))
-            .alias("__base"),
-        )
-        .withColumn("sig", signature_from_base(F.col("__base"), num_hashes))
-        .drop("__base")
-    )
-    # skip empty docs (no shingles → all-null signature)
-    sig = sig.filter(F.col("sig")[0].isNotNull()).cache()
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, ngram).cache()
     banded = sig.select(
         "id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -213,19 +233,17 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bucket")
-    a = banded.select(
-        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
-    )
-    b = banded.select(
-        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
-    )
+    ).select("id", "bb.band", "bb.bucket")
+    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
     cand = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .distinct()
     )
+    sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     est = (
         F.size(
             F.filter(
@@ -235,29 +253,64 @@ def minhash_lsh_pairs(
         )
         / F.lit(float(num_hashes))
     )
-    return cand.withColumn("est_jaccard", est).select(
-        "id_a", "id_b", "est_jaccard"
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", est)
+        .select("id_a", "id_b", "est_jaccard")
     )
 
 
+def simhash_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 1,
+) -> DataFrame:
+    """(id, simhash) via explode+aggregate: per bit, count features
+    with that bit set (64 plain ``sum`` aggregates — codegen +
+    map-side combine); bit set in the output when more than half the
+    features have it. Near-dups differ in few bits (verify with
+    ``bit_count(s1 ^ s2) <= k``). Docs with no features are absent."""
+    if ngram > 1:
+        feats = shingle_hashes(df, text_col, id_col, ngram, distinct=True)
+    else:
+        feats = df.select(
+            F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("w")
+        ).distinct().select("id", F.xxhash64("w").alias("h"))
+    counted = feats.groupBy("id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.shiftright("h", bit).bitwiseAND(F.lit(1))).alias(f"__b{bit}")
+            for bit in range(64)
+        ],
+    )
+    total = None
+    for bit in range(64):
+        one = F.when(F.col(f"__b{bit}") * 2 > F.col("__n"), F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = one * F.lit(2 ** bit).cast("long") if bit < 63 else F.shiftleft(one, 63)
+        total = term if total is None else total + term
+    return counted.select("id", total.alias("simhash"))
+
+
 def simhash64(col: str | Column, ngram: int = 1) -> Column:
-    """64-bit SimHash over word (or word-ngram) features: for each
-    bit, sum ±1 over feature hashes; bit = 1 when the sum is
-    positive. Near-dups differ in few bits (verify with
-    ``bit_count(s1 ^ s2) <= k``). Expression-only formulation:
-    per-bit popcount via shiftright/mask over the feature array."""
+    """64-bit SimHash as a per-row Column expression (interpreted HOF
+    path — kept for expression contexts; use :func:`simhash_table`
+    in hot paths). For each bit, sum ±1 over feature hashes; bit = 1
+    when the sum is positive."""
     feats = word_ngrams(col, ngram) if ngram > 1 else F.array_distinct(tokenize(col))
     hashes = F.transform(feats, lambda g: F.xxhash64(g))
     n = F.size(hashes)
 
     def bit_test(b: int):
-        # closure, not default-arg lambda (see minhash_signature note)
+        # closure, not default-arg lambda
         return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
 
     bit_exprs = []
     for bit in range(64):
         ones = F.size(F.filter(hashes, bit_test(bit)))
-        # bit set when more than half the features have it set
         bit_exprs.append(
             F.when(ones * 2 > n, F.lit(1).cast("long")).otherwise(
                 F.lit(0).cast("long")

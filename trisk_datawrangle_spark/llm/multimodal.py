@@ -56,24 +56,21 @@ def decode_metadata(df: DataFrame, id_col: str = "doc_id", payload_col: str = "p
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            payloads = pdf[payload_col]
-            rows = []
-            for i, payload in enumerate(payloads):
-                b = bytes(payload)
-                w, h, ok = _decode_stub(b)
-                rows.append(
-                    (
-                        int(pdf[id_col].iloc[i]),
-                        len(b),
-                        hashlib.sha256(b).hexdigest(),
-                        w,
-                        h,
-                        ok,
-                    )
-                )
+            # columnar (Series.map) rather than a python row loop:
+            # per-row DataFrame indexing dominates at wide batches
+            payloads = pdf[payload_col].map(bytes)
+            dims = payloads.map(_decode_stub)
             yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "byte_len", "sha256", "width", "height", "ok"],
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "byte_len": payloads.map(len).astype("int32"),
+                    "sha256": payloads.map(
+                        lambda b: hashlib.sha256(b).hexdigest()
+                    ),
+                    "width": dims.map(lambda t: t[0]).astype("int32"),
+                    "height": dims.map(lambda t: t[1]).astype("int32"),
+                    "ok": dims.map(lambda t: t[2]),
+                }
             )
 
     return df.select(id_col, payload_col).mapInPandas(decode, DECODED_SCHEMA)

@@ -32,6 +32,8 @@ def yearly_revenue_series(
     The customer dimension is broadcast; revenue uses the exact
     integer-cents sum so results are identical on any partitioning.
     """
+    from pyspark.sql import Window
+
     yearly = (
         orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .withColumn("year", F.year("o_orderdate"))
@@ -42,12 +44,13 @@ def yearly_revenue_series(
         )
         .agg(exact_cents_sum("o_totalprice").alias("value"))
     )
-    # knock out every gap_modulus-th year (keep series endpoints)
-    bounds = yearly.groupBy("segment", "priority").agg(
-        F.min("year").alias("__lo"), F.max("year").alias("__hi")
-    )
+    # knock out every gap_modulus-th year (keep series endpoints);
+    # bounds via a window, not a self-join — a bounds join would
+    # duplicate the whole scan+agg subtree in the physical plan
+    w = Window.partitionBy("segment", "priority")
     return (
-        yearly.join(bounds, ["segment", "priority"])
+        yearly.withColumn("__lo", F.min("year").over(w))
+        .withColumn("__hi", F.max("year").over(w))
         .filter(
             (F.col("year") % gap_modulus != 0)
             | (F.col("year") == F.col("__lo"))
@@ -64,7 +67,11 @@ def flagship_market_share(
     §7.1.2): dense yearly spine per (segment, priority), linear
     interpolation of the gaps, then tmsr/smsp market-share indexing
     with segment as the "sector" grouping."""
-    series = yearly_revenue_series(orders, customer)
+    # stage-boundary materialization: the aggregated series is tiny
+    # (groups × years) but its lineage scans the fact table — the
+    # spine op reuses it twice (bounds agg + join back), so without
+    # the cache the physical plan duplicates the scan+join+agg subtree
+    series = yearly_revenue_series(orders, customer).cache()
     dense = complete_spine(series, ["segment", "priority"], "year", bounds="group")
     interp = na_approx(dense, ["segment", "priority"], "year", "value", na_rm=True)
     shares = add_market_share_columns(
