@@ -1,0 +1,96 @@
+"""Property tests for the hash-based dedup/similarity operators that
+have no SQL oracle (minhash/LSH/simhash): determinism, signature
+structure, and the LSH recall property — near-identical documents
+MUST collide; unrelated documents must not flood the candidate set.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trisk_datawrangle_spark.llm.dedup import (
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingle_hashes,
+    simhash_table,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside "
+    "every single morning before the sun rises over the quiet hills"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact duplicate
+        (2, BASE.replace("lazy", "sleepy")),  # near-duplicate
+        (3, "completely different content about spark query engines "
+            "and distributed columnar execution with shuffle exchanges "
+            "plus adaptive planning for skewed join keys at scale"),
+        (4, "short doc"),  # too short for 3-grams
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_shingles_deterministic_and_complete(docs):
+    sh = shingle_hashes(docs, "text", "doc_id", n=3)
+    counts = {r["id"]: r["cnt"] for r in sh.groupBy("id").agg(F.count("*").alias("cnt")).collect()}
+    n_words = len(BASE.split())
+    assert counts[0] == n_words - 2  # every position yields one gram
+    assert 4 not in counts  # 2-word doc has no 3-grams
+    # identical text → identical shingle multiset
+    a = sorted(r["h"] for r in sh.filter(F.col("id") == 0).collect())
+    b = sorted(r["h"] for r in sh.filter(F.col("id") == 1).collect())
+    assert a == b
+
+
+def test_minhash_signature_properties(docs):
+    sig = minhash_signatures(docs, "text", "doc_id", num_hashes=64)
+    rows = {r["id"]: r["sig"] for r in sig.collect()}
+    assert set(rows) == {0, 1, 2, 3}  # shingle-less doc 4 absent
+    assert all(len(s) == 64 for s in rows.values())
+    assert rows[0] == rows[1]  # identical docs → identical signature
+    # near-dup agrees on most positions; unrelated on almost none
+    agree_near = sum(x == y for x, y in zip(rows[0], rows[2]))
+    agree_far = sum(x == y for x, y in zip(rows[0], rows[3]))
+    assert agree_near > 40
+    assert agree_far < 10
+
+
+def test_lsh_recall_and_precision(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(docs, num_hashes=64, bands=16).collect()
+    }
+    # exact and near duplicates MUST be candidates (recall)
+    assert (0, 1) in pairs and pairs[(0, 1)] == pytest.approx(1.0)
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.5
+    # the unrelated doc must not pair with everything (precision)
+    assert (0, 3) not in pairs
+    # LSH candidates ⊇ high-Jaccard pairs from the exact verifier
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert exact <= set(pairs)
+
+
+def test_simhash_hamming_property(docs):
+    st = {r["id"]: r["simhash"] for r in simhash_table(docs, "text", "doc_id").collect()}
+    assert st[0] == st[1]
+    ham_near = bin((st[0] ^ st[2]) & ((1 << 64) - 1)).count("1")
+    ham_far = bin((st[0] ^ st[3]) & ((1 << 64) - 1)).count("1")
+    assert ham_near < 16
+    assert ham_far > 16
+
+
+def test_signatures_stable_across_partitionings(docs):
+    one = {r["id"]: r["sig"] for r in minhash_signatures(docs.coalesce(1)).collect()}
+    many = {r["id"]: r["sig"] for r in minhash_signatures(docs.repartition(7)).collect()}
+    assert one == many
