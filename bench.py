@@ -28,7 +28,9 @@ HEADLINE = [
     "w9_lm_extrapolate",
     "e1_tumbling_window",
     "d1_exact_dedup",
+    "d2_ngram_jaccard",       # co-shingle join, exact verifier
     "d3_minhash_lsh",         # shingle→sign→band→bucket join
+    "fin_layered_median_cascade",  # §3.2 layered exact-median impute
     "s1_cosine_topk",         # brute-force ANN baseline
     "x3_quality_score",
     "x4_fingerprint",

@@ -1,0 +1,146 @@
+"""Structured Streaming parity tests (the batch expression trees run
+unchanged under readStream, with watermarks bounding state) and
+skew-mitigation correctness (salted results == unsalted results)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from trisk_datawrangle_spark.operators.skew import salted_agg, salted_join
+from trisk_datawrangle_spark.sources.readers import load_tables
+from trisk_datawrangle_spark.streaming.windows import (
+    session_agg,
+    sliding_agg,
+    stream_dedup,
+    tumbling_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir):
+    """Events parquet staged into a temp dir used as a file-stream
+    source (micro-batched by availableNow)."""
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    d = tempfile.mkdtemp(prefix="trisk_stream_")
+    ev.write.mode("overwrite").parquet(f"{d}/in")
+    yield d, ev
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_stream(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_streaming_tumbling_matches_batch(spark, events_stream_dir):
+    d, ev = events_stream_dir
+    src = spark.readStream.schema(ev.schema).parquet(f"{d}/in")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    streamed = _run_stream(
+        spark,
+        tumbling_agg(src, "ts", "1 hour", ["event_type"], aggs, watermark="2 hours"),
+        "t_tumbling",
+    )
+    batch = tumbling_agg(ev, "ts", "1 hour", ["event_type"], aggs)
+    key = ["window_start", "event_type"]
+    s = {tuple(str(r[k]) for k in key): r["n"] for r in streamed.collect()}
+    b = {tuple(str(r[k]) for k in key): r["n"] for r in batch.collect()}
+    assert s == b and len(s) > 0
+
+
+def test_streaming_sliding_and_dedup(spark, events_stream_dir):
+    d, ev = events_stream_dir
+    src = spark.readStream.schema(ev.schema).parquet(f"{d}/in")
+    slid = _run_stream(
+        spark,
+        sliding_agg(
+            src, "ts", "2 hours", "1 hour", ["event_type"],
+            [F.count(F.lit(1)).alias("n")], watermark="2 hours",
+        ),
+        "t_sliding",
+    )
+    batch = sliding_agg(
+        ev, "ts", "2 hours", "1 hour", ["event_type"],
+        [F.count(F.lit(1)).alias("n")],
+    )
+    assert slid.count() == batch.count() > 0
+    # stateful dedup: one output row per event_type, state bounded
+    deduped = (
+        stream_dedup(src, ["event_type"], "ts", watermark="1 hour")
+        .writeStream.format("memory").queryName("t_dedup")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    deduped.awaitTermination(120)
+    got = spark.table("t_dedup")
+    assert got.count() == ev.select("event_type").distinct().count()
+
+
+def test_session_agg_batch(spark, sf_dir):
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    out = session_agg(
+        ev, "ts", "30 minutes", ["user_id"], [F.count(F.lit(1)).alias("n")]
+    )
+    # sessions partition each user's events completely
+    assert (
+        out.agg(F.sum("n")).collect()[0][0] == ev.count()
+    )
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    plain = {
+        r["l_returnflag"]: (r["n"], r["q"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+        .collect()
+    }
+    salted = {
+        r["l_returnflag"]: (r["n"], r["q"])
+        for r in salted_agg(
+            li,
+            ["l_returnflag"],
+            {"n": ("count", "l_quantity"), "q": ("sum", "l_quantity")},
+            salt_buckets=16,
+        ).collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert salted[k][0] == plain[k][0]
+        assert salted[k][1] == pytest.approx(plain[k][1])
+
+
+def test_salted_agg_rejects_non_decomposable(spark, sf_dir):
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    with pytest.raises(ValueError):
+        salted_agg(li, ["l_returnflag"], {"m": ("median", "l_quantity")})
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    o, c = t["orders"], t["customer"]
+    plain = (
+        o.join(c.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
+        .groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    )
+    salted = (
+        salted_join(
+            o, c.withColumnRenamed("c_custkey", "o_custkey"), ["o_custkey"],
+            salt_buckets=8,
+        )
+        .groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert {(r["c_mktsegment"], r["n"]) for r in plain.collect()} == {
+        (r["c_mktsegment"], r["n"]) for r in salted.collect()
+    }

@@ -459,3 +459,71 @@ def g2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return regroup_geographies(bridge, tolerance=1.0)
+
+
+# ---------------------------------------------------------------- #
+# §2.6 R7 unnest / §2.4 A6-A7 wide-column sums                      #
+# ---------------------------------------------------------------- #
+
+
+@q(
+    "r7_explode_words",
+    """
+SELECT word, COUNT(*) AS n
+FROM (
+    SELECT unnest(list_filter(
+        string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word
+    FROM documents
+)
+GROUP BY 1 HAVING COUNT(*) >= 50
+""",
+)
+def r7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7: ``unnest_longer``/explode of a list column
+    (gen_synthetic_company_data.R:69-72) — here the tokenized word
+    list of each document, rolled into frequent-word counts."""
+    from trisk_datawrangle_spark.llm.text import tokenize
+
+    (docs,) = load_tables(spark, sf_dir, ["documents"]).values()
+    return (
+        docs.select(F.explode(tokenize("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 50)
+    )
+
+
+@q(
+    "a6_a7_wide_year_sums",
+    """
+SELECT o_orderpriority AS priority,
+    SUM(CASE WHEN year(o_orderdate) = 1995
+        THEN CAST(round(o_totalprice * 100) AS BIGINT) END) / 100.0 AS y1995,
+    SUM(CASE WHEN year(o_orderdate) = 1996
+        THEN CAST(round(o_totalprice * 100) AS BIGINT) END) / 100.0 AS y1996,
+    SUM(CASE WHEN year(o_orderdate) = 1997
+        THEN CAST(round(o_totalprice * 100) AS BIGINT) END) / 100.0 AS y1997
+FROM orders GROUP BY 1
+""",
+)
+def a6a7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/A7: ``summarise(across(starts_with("20"), sum))``
+    (prepare_prewrangled_capacity_factors.R:56-67) — the wide frame
+    is pivoted from orders, then every year column is summed in one
+    grouped pass (the comprehension the reference writes as
+    ``across(everything(), sum)``)."""
+    (o,) = load_tables(spark, sf_dir, ["orders"]).values()
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    wide = (
+        o.withColumn("year", F.year("o_orderdate"))
+        .groupBy(F.col("o_orderpriority").alias("priority"), "o_custkey")
+        .pivot("year", [1995, 1996, 1997])
+        .agg(F.sum(cents))
+    )
+    year_cols = ["1995", "1996", "1997"]
+    return wide.groupBy("priority").agg(
+        *[
+            (F.sum(c) / 100.0).alias(f"y{c}")
+            for c in year_cols
+        ]
+    )

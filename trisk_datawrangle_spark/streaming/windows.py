@@ -1,9 +1,17 @@
 """Time-bucketed aggregation over event streams (batch or streaming).
 
-``tumbling_agg`` is written against the batch DataFrame API but the
-identical expression tree is valid under Structured Streaming:
-``spark.readStream...`` → same transformations → ``writeStream`` with
-``withWatermark(ts_col, delay)`` prepended for late-data bounds.
+Every helper is written against the DataFrame API so the identical
+expression tree runs in batch (``spark.read``) and under Structured
+Streaming (``spark.readStream`` → same transformations →
+``writeStream``). For streams, pass ``watermark`` so state stays
+bounded: tumbling/sliding windows emit finalized buckets once the
+watermark passes the window end, and stateful dedup can drop seen-key
+state past the horizon.
+
+The reference pipeline is batch-only (SURVEY.md §2.12); these exist
+because a 100 TB training-data pipeline ingests event/telemetry
+streams, and the engine's time-bucketing must not fork into a second
+code path to do so.
 """
 
 from __future__ import annotations
@@ -12,6 +20,12 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _maybe_watermark(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
+    if watermark is not None and df.isStreaming:
+        return df.withWatermark(ts_col, watermark)
+    return df
 
 
 def tumbling_agg(
@@ -27,8 +41,7 @@ def tumbling_agg(
     In batch mode ``F.window`` bucketing is a plain projection before
     the aggregate — no special machinery. Pass ``watermark`` when the
     input is a stream to bound state."""
-    if watermark is not None and df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+    df = _maybe_watermark(df, ts_col, watermark)
     return (
         df.groupBy(F.window(ts_col, duration).alias("w"), *group_cols)
         .agg(*aggs)
@@ -36,3 +49,62 @@ def tumbling_agg(
         .withColumn("window_end", F.col("w.end"))
         .drop("w")
     )
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    group_cols: Sequence[str],
+    aggs: Sequence[Column],
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding-window aggregation (each event lands in
+    duration/slide buckets — the fan-out is a projection, state is
+    bounded by the watermark)."""
+    df = _maybe_watermark(df, ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, duration, slide).alias("w"), *group_cols)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("w.start"))
+        .withColumn("window_end", F.col("w.end"))
+        .drop("w")
+    )
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    group_cols: Sequence[str],
+    aggs: Sequence[Column],
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session-window aggregation (``F.session_window``): windows
+    close after ``gap`` of inactivity per group. Streaming requires a
+    watermark (session state cannot be bounded without one)."""
+    df = _maybe_watermark(df, ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("w"), *group_cols)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("w.start"))
+        .withColumn("window_end", F.col("w.end"))
+        .drop("w")
+    )
+
+
+def stream_dedup(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Exactly-once-per-key filtering. On a stream with a watermark,
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only inside
+    the lateness horizon (unbounded dedup state is the classic
+    streaming OOM); in batch it degrades to a plain dropDuplicates."""
+    keys = list(key_cols)
+    if df.isStreaming and watermark is not None and ts_col is not None:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
