@@ -1,0 +1,87 @@
+"""Physical-plan audits: the properties that make queries scale must
+be visible in the optimized plan, not assumed — filters reach the
+parquet scan (PushedFilters), projection prunes columns (ReadSchema),
+small dimensions broadcast, and the flagship pipeline does not
+duplicate its scan subtree."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trisk_datawrangle_spark.sources.readers import load_tables
+
+
+def _formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    df = li.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    plan = _formatted(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    plan = _formatted(li.select("l_orderkey", "l_quantity"))
+    # ReadSchema lists only the projected columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    from trisk_datawrangle_spark.catalog import QUERIES
+
+    df = QUERIES["j2_inner_join_revenue"](spark, sf_dir)
+    plan = _formatted(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_flagship_scans_inputs_once(spark, sf_dir):
+    from trisk_datawrangle_spark.catalog import QUERIES
+
+    df = QUERIES["flagship_market_share"](spark, sf_dir)
+    plan = _formatted(df)
+    # the cached series collapses the repeated spine/bounds uses into
+    # InMemoryTableScans — orders must not be re-scanned per use
+    n_orders_scans = plan.count("orders.parquet")
+    assert n_orders_scans <= 2, f"flagship scans orders {n_orders_scans}x"
+
+
+def test_interpolation_single_shuffle(spark, sf_dir):
+    """The interpolate→market-share chain partitions every window by
+    the same keys; no more than the minimal exchanges appear."""
+    from trisk_datawrangle_spark.operators.interpolate import na_approx
+    from trisk_datawrangle_spark.operators.windows import (
+        add_market_share_columns,
+    )
+
+    li = load_tables(spark, sf_dir, ["orders"])["orders"]
+    series = (
+        li.withColumn("year", F.year("o_orderdate"))
+        .groupBy("o_orderpriority", "year")
+        .agg(F.sum("o_totalprice").alias("value"))
+    )
+    chained = add_market_share_columns(
+        na_approx(series, ["o_orderpriority"], "year", "value", na_rm=True),
+        tech_group_cols=["o_orderpriority"],
+        sector_group_cols=["o_orderpriority"],
+        x_col="year",
+        value_col="value",
+    )
+    import re
+
+    plan = _formatted(chained)
+    # exactly two shuffles: the groupBy hash and the window
+    # repartitioning on (o_orderpriority) — which also satisfies the
+    # (priority, year) sum window (subset clustering) and every
+    # later window, so the whole chain reuses one sort order
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) <= 2, plan

@@ -19,7 +19,11 @@ from trisk_datawrangle_spark.llm.dedup import (
     ngram_jaccard_pairs,
     simhash_table,
 )
-from trisk_datawrangle_spark.llm.similarity import cosine_topk, lsh_bucket_topk
+from trisk_datawrangle_spark.llm.similarity import (
+    cosine_topk,
+    cosine_topk_vectorized,
+    lsh_bucket_topk,
+)
 from trisk_datawrangle_spark.llm.text import (
     LANG_MARKERS,
     lang_id,
@@ -208,6 +212,24 @@ SELECT query_id, neighbor_id, ROUND(cosine, 4) AS cosine, rank FROM (
 def s1(spark, sf_dir):
     e = _embs(spark, sf_dir)
     res = cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+    return res.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@q(
+    "s3_cosine_topk_vectorized",
+    ORACLES["s1_cosine_topk"],
+)
+def s3(spark, sf_dir):
+    """Scale-path brute-force ANN: numpy GEMM over Arrow batches with
+    per-partition partial top-k (same contract and oracle as s1 —
+    rounded to 4 decimals the summation-order difference vanishes)."""
+    e = _embs(spark, sf_dir)
+    res = cosine_topk_vectorized(e, e.filter(F.col("vec_id") < 10), k=5)
     return res.select(
         "query_id",
         "neighbor_id",

@@ -158,3 +158,72 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def cosine_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale-path brute-force cosine top-k: numpy matmul over Arrow
+    batches instead of per-element Catalyst expressions.
+
+    The expression form (:func:`cosine_topk`) evaluates ``zip_with``/
+    ``aggregate`` on the interpreted path — fine for thousands of
+    vectors, ~100× too slow for millions. Here each corpus partition
+    computes a (batch × queries) GEMM against the broadcast query
+    matrix and emits only its local top-k per query; the global
+    window then ranks |partitions|·k candidates per query instead of
+    |corpus|. Same output contract as :func:`cosine_topk` (float
+    summation order differs in the last ulps — compare with
+    tolerance, not hashes).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows])
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, q_mat, q_norm))
+
+    def topk_partition(batches):
+        ids, mat, norms = bq.value
+        for pdf in batches:
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_ids = pdf[id_col].to_numpy()
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            # (corpus_batch × queries) cosine matrix in one GEMM
+            sims = (c_mat @ mat.T) / np.outer(c_norm, norms)
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(ids)):
+                col = sims[:, j]
+                mask = c_ids != ids[j]
+                cand_idx = np.nonzero(mask)[0]
+                if len(cand_idx) == 0:
+                    continue
+                take = min(k, len(cand_idx))
+                top = cand_idx[np.argpartition(-col[cand_idx], take - 1)[:take]]
+                out_q.extend([ids[j]] * len(top))
+                out_n.extend(c_ids[top])
+                out_c.extend(col[top])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+            )
+
+    part = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism, id_col
+    ).mapInPandas(
+        topk_partition, "query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
