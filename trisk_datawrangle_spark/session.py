@@ -41,6 +41,11 @@ def get_spark(
     if master:
         builder = builder.master(master)
     conf = {
+        # local-mode driver heap: the JVM default (1g) OOMs on plans
+        # with many cached/broadcast stages; only applies at JVM
+        # launch (harmless no-op on an existing session / real cluster
+        # where spark-submit owns sizing)
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         # Runtime re-optimization: partition coalescing, skew-join
         # splitting, dynamic join-strategy switching.
         "spark.sql.adaptive.enabled": "true",
