@@ -69,6 +69,12 @@ def main() -> None:
     ).mapInPandas(lambda it: it, "id long").write.format("noop").mode(
         "overwrite"
     ).save()
+    # touch every input once: file-index build + OS page cache warm,
+    # so per-query numbers measure the engine, not first-read I/O
+    from trisk_datawrangle_spark.sources.readers import TABLES, load_tables
+
+    for df in load_tables(spark, sf_dir, TABLES).values():
+        df.write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
