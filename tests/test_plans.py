@@ -85,3 +85,24 @@ def test_interpolation_single_shuffle(spark, sf_dir):
     # later window, so the whole chain reuses one sort order
     exchanges = re.findall(r"\(\d+\) Exchange", plan)
     assert len(exchanges) <= 2, plan
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path_factory):
+    """SURVEY.md §4: canonical tables written partitioned give free
+    partition pruning — the scan must show PartitionFilters and touch
+    only the selected partition's files."""
+    out = str(tmp_path_factory.mktemp("part")) + "/orders_by_priority"
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    from trisk_datawrangle_spark.sources.readers import write_output
+
+    write_output(o, out, partition_by=["o_orderpriority"])
+    back = spark.read.parquet(out).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    plan = _formatted(back)
+    assert "PartitionFilters" in plan
+    assert "1-URGENT" in plan
+    # pruning is real: only one partition directory is read
+    n_all = spark.read.parquet(out).count()
+    n_one = back.count()
+    assert 0 < n_one < n_all
