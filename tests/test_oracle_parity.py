@@ -29,4 +29,9 @@ def test_entry_smoke(spark):
 def test_every_query_has_oracle_or_reason():
     no_oracle = set(QUERIES) - set(ORACLES)
     # only hash-based / approximate ops may skip the oracle
-    assert no_oracle <= {"d3_minhash_lsh", "d4_simhash", "s2_lsh_bucket_topk"}
+    assert no_oracle <= {
+        "d3_minhash_lsh",
+        "d4_simhash",
+        "s2_lsh_bucket_topk",
+        "c2_curate_near_dedup",  # LSH stage is hash-seeded
+    }

@@ -144,3 +144,41 @@ def test_salted_join_matches_plain(spark, sf_dir):
     assert {(r["c_mktsegment"], r["n"]) for r in plain.collect()} == {
         (r["c_mktsegment"], r["n"]) for r in salted.collect()
     }
+
+
+def test_stateful_running_totals_stream(spark, events_stream_dir):
+    from trisk_datawrangle_spark.streaming.stateful import running_totals
+
+    d, ev = events_stream_dir
+    src = spark.readStream.schema(ev.schema).parquet(f"{d}/in")
+    q = (
+        running_totals(src, ["event_type"], "value")
+        .writeStream.format("memory").queryName("t_state")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_state")
+    # the last emission per key equals the batch fixpoint
+    latest = {
+        r["event_type"]: (r["n"], r["total"])
+        for r in got.collect()  # availableNow: one batch → one row/key
+    }
+    expect = {
+        r["event_type"]: (r["n"], r["total"])
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(latest) == set(expect)
+    for k in expect:
+        assert latest[k][0] == expect[k][0]
+        assert latest[k][1] == pytest.approx(expect[k][1])
+
+
+def test_stateful_running_totals_batch_fallback(spark, sf_dir):
+    from trisk_datawrangle_spark.streaming.stateful import running_totals
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    out = running_totals(ev, ["event_type"], "value")
+    assert out.filter(F.col("finalized")).count() == 0
+    assert out.count() == ev.select("event_type").distinct().count()

@@ -387,3 +387,72 @@ def m1(spark, sf_dir):
     d = with_binary_payload(_docs(spark, sf_dir), "text", "payload")
     meta = decode_metadata(d, "doc_id", "payload")
     return meta.select("doc_id", "byte_len", "sha256")
+
+
+# ---------------------------------------------------------------- #
+# corpus curation (composite pipeline)                              #
+# ---------------------------------------------------------------- #
+
+_CURATE_SQL = f"""
+WITH feat AS (
+    SELECT doc_id, text,
+        (SELECT CASE
+            WHEN greatest(s_en, s_fr, s_de, s_es) <= 0 THEN 'und'
+            WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+            WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 'fr'
+            WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
+            ELSE 'es' END) AS lang,
+        ROUND((
+            (CASE WHEN length(text) >= 100 AND length(text) <= 10000
+                THEN 1.0 ELSE 0.5 END)
+            + (CASE WHEN (CASE WHEN length(text) > 0
+                THEN len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                     / length(text) ELSE 0.0 END) <= 0.1
+                THEN 1.0 ELSE 0.3 END)
+            + (CASE WHEN (CASE WHEN len(list_filter(
+                    string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '')) > 0
+                THEN len(list_filter(
+                    string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> list_contains([{_STOP_SQL}], x)))
+                     / len(list_filter(
+                    string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '')) ELSE 0.0 END) >= 0.05
+                THEN 1.0 ELSE 0.6 END)
+        ) / 3.0, 6) AS quality,
+        CAST(len(list_filter(string_split_regex(text, '\\s+'),
+            x -> x <> '')) AS INTEGER) AS n_tokens
+    FROM (
+        SELECT doc_id, text,
+            {_LANG_SQL_SCORES['en']} AS s_en,
+            {_LANG_SQL_SCORES['fr']} AS s_fr,
+            {_LANG_SQL_SCORES['de']} AS s_de,
+            {_LANG_SQL_SCORES['es']} AS s_es
+        FROM documents
+    )
+), gated AS (
+    SELECT * FROM feat WHERE lang = 'en' AND quality >= 0.6
+)
+SELECT MIN(doc_id) AS doc_id, MIN(lang) AS lang,
+       MIN(quality) AS quality, MIN(n_tokens) AS n_tokens
+FROM gated GROUP BY text
+"""
+
+
+@q("c1_curate_exact", _CURATE_SQL)
+def c1(spark, sf_dir):
+    """Deterministic corpus curation: lang filter + quality gate +
+    exact dedup keeping the lowest id (llm/curate.py)."""
+    from trisk_datawrangle_spark.llm.curate import curate_exact
+
+    return curate_exact(_docs(spark, sf_dir))
+
+
+@q("c2_curate_near_dedup")  # LSH stage is hash-seeded → rows-only
+def c2(spark, sf_dir):
+    """Full curation with MinHash-LSH near-dup removal on top of the
+    exact stage (drop the higher id of every candidate pair above
+    0.8 estimated Jaccard)."""
+    from trisk_datawrangle_spark.llm.curate import curate
+
+    return curate(_docs(spark, sf_dir))
