@@ -106,3 +106,39 @@ def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path_factory):
     n_all = spark.read.parquet(out).count()
     n_one = back.count()
     assert 0 < n_one < n_all
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path_factory):
+    """SURVEY.md §4 / instructions: bucketing co-locates recurring
+    join keys so the join plans with zero Exchange on either side."""
+    import re
+
+    # external tables: explicit paths, no warehouse-dir dependency
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+    (
+        t["orders"].write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", f"{wh}/orders_b").mode("overwrite")
+        .saveAsTable("orders_b")
+    )
+    (
+        t["customer"].withColumnRenamed("c_custkey", "o_custkey")
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", f"{wh}/customer_b").mode("overwrite")
+        .saveAsTable("customer_b")
+    )
+    # disable broadcast so the bucket co-location is what's tested
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("orders_b").join(
+            spark.table("customer_b"), "o_custkey"
+        )
+        plan = _formatted(joined)
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
