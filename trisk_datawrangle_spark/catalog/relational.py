@@ -875,34 +875,42 @@ spine AS (
     SELECT s.segment, s.priority, s.year, g.value
     FROM spine s LEFT JOIN gapped g USING (segment, priority, year)
 ), ints AS (
-    SELECT segment, priority, CAST(year AS BIGINT) AS x,
-           CAST(round(value * 100) AS BIGINT) AS yc
+    SELECT segment, priority, CAST(year AS HUGEINT) AS x,
+           CAST(round(value * 100) AS HUGEINT) AS yc
     FROM dense WHERE value IS NOT NULL
 ), coef AS (
-    SELECT segment, priority, COUNT(*) AS n, SUM(x) AS sx,
-           SUM(x * x) AS sxx, SUM(yc) AS sy, SUM(x * yc) AS sxy
+    SELECT segment, priority, CAST(COUNT(*) AS HUGEINT) AS n,
+           SUM(x) AS sx, SUM(x * x) AS sxx, SUM(yc) AS sy,
+           SUM(x * yc) AS sxy
     FROM ints GROUP BY 1, 2
 ), cf AS (
-    SELECT segment, priority,
-        CAST(n * sxy - sx * sy AS DOUBLE)
-            / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
-        n, sx, sy
+    SELECT segment, priority, n, sx, sy,
+        n * sxy - sx * sy AS a, n * sxx - sx * sx AS b
     FROM coef
+), pred AS (
+    SELECT d.segment, d.priority, d.year, d.value,
+        c.sy * c.b - c.a * c.sx + c.a * c.n * CAST(d.year AS HUGEINT)
+            AS num,
+        c.b * c.n AS den
+    FROM dense d LEFT JOIN cf c USING (segment, priority)
 )
-SELECT d.segment, d.priority, d.year,
-    ROUND(COALESCE(d.value,
-        ((CAST(c.sy AS DOUBLE) - c.slope * CAST(c.sx AS DOUBLE))
-             / CAST(c.n AS DOUBLE)
-         + c.slope * CAST(d.year AS DOUBLE)) / 100.0), 2) AS value
-FROM dense d LEFT JOIN cf c USING (segment, priority)
+SELECT segment, priority, year,
+    COALESCE(value, CAST(
+        CASE WHEN den IS NULL OR den = 0 THEN NULL
+             WHEN num >= 0 THEN (2 * num + den) // (2 * den)
+             ELSE -((2 * (-num) + den) // (2 * den)) END
+        AS DOUBLE) / 100.0) AS value
+FROM pred
 """,
 )
 def w9(spark, sf_dir):
     """Per-group OLS extension (W9+T4): spine beyond the data, NULLs
     filled by the closed-form regression — two shuffles total.
-    ``exact_scale=2``: integer-sum closed form, bit-identical on any
-    partitioning (float covar_pop differs in the last ulps between
-    runs, which flips round(x, 2) on boundary values)."""
+    ``exact_scale=2``: the prediction is an exact small-denominator
+    rational that lands on half-cent rounding boundaries, so it is
+    rounded in integer arithmetic with explicit tie-breaking —
+    bit-identical on any partitioning/engine (float covar_pop or even
+    float slope·x flips those ties by noise)."""
     series = _series(spark, sf_dir)
     dense = complete_spine(
         series, ["segment", "priority"], "year", bounds="fixed", lo=1995, hi=2004

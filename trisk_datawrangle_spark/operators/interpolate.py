@@ -207,7 +207,15 @@ def lm_extrapolate(
     if fit_hi is not None:
         fit = fit.filter(F.col(x_col) <= fit_hi)
     if exact_scale is not None:
-        mult = 10 **exact_scale
+        # Exact-rational prediction. With fixed-point y the closed
+        # form pred = ((sy·B − A·sx) + A·n·x) / (B·n), A = n·sxy−sx·sy,
+        # B = n·sxx−sx², is a small-denominator rational that lands
+        # EXACTLY on half-ulp rounding boundaries (e.g. ….435) — any
+        # float evaluation then decides the tie by noise. So the
+        # quotient is rounded in integer arithmetic (decimal128) with
+        # explicit half-away-from-zero, bit-identical on any engine,
+        # partitioning or FMA behavior.
+        mult = 10 ** exact_scale
         xi = F.col(x_col).cast("long")
         yi = F.round(F.col(y_col) * mult).cast("long")
         coef = fit.groupBy(*groups).agg(
@@ -217,26 +225,34 @@ def lm_extrapolate(
             F.sum(yi).alias("__sy"),
             F.sum(xi * yi).alias("__sxy"),
         )
+        dec = "decimal(38,0)"
         n, sx, sxx, sy, sxy = (
-            F.col("__n"), F.col("__sx"), F.col("__sxx"),
-            F.col("__sy"), F.col("__sxy"),
+            F.col("__n").cast(dec), F.col("__sx").cast(dec),
+            F.col("__sxx").cast(dec), F.col("__sy").cast(dec),
+            F.col("__sxy").cast(dec),
         )
-        slope = (n * sxy - sx * sy).cast("double") / (
-            n * sxx - sx * sx
-        ).cast("double")
-        icept = (
-            sy.cast("double") - slope * sx.cast("double")
-        ) / n.cast("double")
-        coef = coef.withColumn("__slope", slope).withColumn(
-            "__icept", icept
-        ).drop("__n", "__sx", "__sxx", "__sy", "__sxy")
-        pred = (
-            F.col("__icept") + F.col("__slope") * F.col(x_col).cast("double")
-        ) / F.lit(float(mult))
+        coef = coef.withColumn("__A", n * sxy - sx * sy).withColumn(
+            "__B", n * sxx - sx * sx
+        )
+        joined = df.join(coef, groups, "left")
+        xd = F.col(x_col).cast(dec)
+        num = (
+            F.col("__sy").cast(dec) * F.col("__B")
+            - F.col("__A") * F.col("__sx").cast(dec)
+            + F.col("__A") * F.col("__n").cast(dec) * xd
+        )
+        den = F.col("__B") * F.col("__n").cast(dec)
+        joined = joined.withColumn("__num", num).withColumn("__den", den)
+        scaled_units = F.expr(
+            "CASE WHEN __den IS NULL OR __den = 0 THEN NULL "
+            "WHEN __num >= 0 THEN (2 * __num + __den) div (2 * __den) "
+            "ELSE -((2 * (-__num) + __den) div (2 * __den)) END"
+        )
+        pred = scaled_units.cast("double") / F.lit(float(mult))
         return (
-            df.join(coef, groups, "left")
-            .withColumn(out, F.coalesce(F.col(y_col), pred))
-            .drop("__slope", "__icept")
+            joined.withColumn(out, F.coalesce(F.col(y_col), pred))
+            .drop("__n", "__sx", "__sxx", "__sy", "__sxy", "__A", "__B",
+                  "__num", "__den")
         )
     x = F.col(x_col).cast("double")
     coef = fit.groupBy(*groups).agg(
