@@ -208,3 +208,36 @@ def test_carbon_price_pipeline(spark):
     assert vals[2022] == pytest.approx(14.0)
     assert vals[2027] == pytest.approx(28.0)
     assert vals[2030] == pytest.approx(40.0)
+
+
+def test_lcoe_adjusted_prices(spark):
+    from trisk_datawrangle_spark.plans.prices import (
+        prepare_lcoe_adjusted_prices,
+    )
+
+    lcoe = spark.createDataFrame(
+        [
+            ("NZE", "Global", "SolarPV", 2020, 50.0),
+            ("NZE", "Global", "SolarPV", 2030, 25.0),
+        ],
+        "scenario string, scenario_geography string, technology string, "
+        "year int, price double",
+    )
+    fuel = spark.createDataFrame(
+        [
+            ("NZE", "Global", "Power", "usd/GJ", 2020, 10.0),
+            ("NZE", "Global", "Power", "usd/GJ", 2030, 12.0),
+        ],
+        "scenario string, scenario_geography string, sector string, "
+        "unit string, year int, price double",
+    )
+    out = prepare_lcoe_adjusted_prices(lcoe, fuel).cache()
+    # cost factor: 2020 = 1.0, 2030 = 50/25 = 2.0 → adjusted 10, 24
+    vals = {
+        (r["year"], r["model"]): r["lcoe_adjusted_price"]
+        for r in out.collect()
+    }
+    assert vals[(2020, "GCAM")] == pytest.approx(10.0)
+    assert vals[(2030, "GCAM")] == pytest.approx(24.0)
+    # R8 fan-out: every row duplicated across the three models
+    assert out.select("model").distinct().count() == 3

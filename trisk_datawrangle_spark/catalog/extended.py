@@ -527,3 +527,43 @@ def a6a7(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in year_cols
         ]
     )
+
+
+# ---------------------------------------------------------------- #
+# e3: sliding window with oracle                                    #
+# ---------------------------------------------------------------- #
+
+
+@q(
+    "e3_sliding_window",
+    """
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n
+FROM (
+    SELECT e.event_type,
+        date_trunc('hour', e.ts) - INTERVAL (o.k) HOUR AS ws
+    FROM events e
+    CROSS JOIN (SELECT unnest([0, 1]) AS k) o
+)
+GROUP BY 1, 2
+""",
+)
+def e3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (2h window, 1h slide) in batch —
+    the same expression tree runs under readStream (verified in
+    tests/test_streaming_and_skew.py). Oracle: each event lands in
+    the two windows starting at trunc(ts) and trunc(ts)-1h."""
+    from trisk_datawrangle_spark.streaming.windows import sliding_agg
+
+    (ev,) = load_tables(spark, sf_dir, ["events"]).values()
+    res = sliding_agg(
+        ev, "ts", "2 hours", "1 hour", ["event_type"],
+        [F.count(F.lit(1)).alias("n")],
+    )
+    return res.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "n",
+    )

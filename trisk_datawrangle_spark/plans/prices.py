@@ -152,3 +152,60 @@ def prepare_ngfs_carbon_price(
         dense, CARBON_KEYS, "year", "carbon_tax", na_rm=False
     )
     return interp.select(*CARBON_KEYS, "year", "carbon_tax")
+
+
+def add_cost_factor(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    price_col: str = "price",
+    x_col: str = "year",
+    out_col: str = "cost_factor",
+) -> DataFrame:
+    """W3 (R/prepare_LCOE_adjusted_price_data.R:38-48,146-156,280-290,
+    409-419): ``cost_factor = first(price)/price`` per group ordered
+    by year — the technology-cost decline index."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(x_col)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    first_p = F.first(price_col).over(w)
+    return df.withColumn(
+        out_col,
+        F.when(F.col(price_col) != 0, first_p / F.col(price_col)),
+    )
+
+
+def prepare_lcoe_adjusted_prices(
+    lcoe_long: DataFrame,
+    fuel_prices: DataFrame,
+    models: Sequence[str] = ("GCAM", "REMIND", "MESSAGE"),
+) -> DataFrame:
+    """LCOE adjustment chain (R/prepare_LCOE_adjusted_price_data.R):
+    per-(scenario, region, technology) cost-decline factors from the
+    LCOE series (W3), applied to the fuel-price series joined on the
+    conformed keys (J3 natural-join sites :131-132,244-249), then
+    fanned out across the NGFS models (R8 :225-242 — the reference
+    builds constant columns and melts; the Spark idiom is one explode
+    over a literal array).
+
+    Inputs: ``lcoe_long`` (scenario, scenario_geography, technology,
+    year, price); ``fuel_prices`` (scenario, scenario_geography,
+    sector, unit, year, price).
+    """
+    factors = add_cost_factor(
+        lcoe_long,
+        ["scenario", "scenario_geography", "technology"],
+    ).select(
+        "scenario", "scenario_geography", "technology", "year", "cost_factor"
+    )
+    adjusted = fuel_prices.join(
+        F.broadcast(factors),
+        ["scenario", "scenario_geography", "year"],
+        "inner",
+    ).withColumn("lcoe_adjusted_price", F.col("price") * F.col("cost_factor"))
+    from trisk_datawrangle_spark.operators.reshape import fan_out
+
+    return fan_out(adjusted, "model", list(models))
