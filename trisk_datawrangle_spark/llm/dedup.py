@@ -80,10 +80,17 @@ def shingle_hashes(
     per-row arrays. Duplicate shingles are kept unless ``distinct``
     (min-aggregations downstream don't need the dedup shuffle;
     Jaccard counting does)."""
+    # posexplode the raw split and drop empties with a relational
+    # filter (codegen) — tokenize()'s array-filter HOF evaluates
+    # interpreted per word, ~2× the whole shingling cost at sf0.1.
+    # Position gaps from removed empties don't matter: lead() is
+    # row-based, so grams pair consecutive surviving words.
     words = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(tokenize(text_col)).alias("pos", "w"),
-    )
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+        ).alias("pos", "w"),
+    ).filter(F.col("w") != "")
     w = Window.partitionBy("id").orderBy("pos")
     parts = [F.col("w")] + [F.lead("w", k).over(w) for k in range(1, n)]
     grams = (
