@@ -126,6 +126,13 @@ def prepare_abcd_data(
     # drop NULL locations, roll production/emissions up over locations
     # (prepare_abcd_stress_test_input.R:369-371, :246-259); the HQ
     # country (first location in key order) is kept as country_iso2.
+    # stage boundary: cached — the spine completion reuses this frame
+    # twice (bounds aggregate + join back) and everything downstream
+    # hangs off it; uncached, the physical plan replicates the whole
+    # scan→melt→aggregate→outer-join subtree once per reuse (~9 scans
+    # of each input observed). After the rollup the frame is
+    # series-grain (companies × business units × years) — orders of
+    # magnitude smaller than the raw asset-level input.
     rolled = (
         merged.filter(F.col("ald_location").isNotNull())
         .groupBy(*KEYS, "ald_production_unit", "year")
@@ -135,6 +142,7 @@ def prepare_abcd_data(
             F.min("ald_location").alias("country_iso2"),
             F.first("emissions_unit", ignorenulls=True).alias("emissions_unit"),
         )
+        .cache()
     )
 
     # dense year spine over the model horizon (T1 fixed bounds,
@@ -162,6 +170,8 @@ def prepare_abcd_data(
     # NULL (R Inf/NaN re-expressed, SURVEY.md §7.3.3), then missing
     # factors are mean-imputed per (sector, business_unit)
     # (:130-169) via a tiny broadcast lookup.
+    # second boundary: the EF-imputation lookup, the dead-series
+    # filter and the asset-id numbering each re-read this frame
     with_ef = dense.withColumn(
         "plan_emission_factor", safe_div("plan_emissions", "plan_tech_prod")
     ).withColumn(
@@ -169,7 +179,7 @@ def prepare_abcd_data(
         F.concat_ws(
             "/", F.coalesce("emissions_unit", F.lit("tCO2")), "ald_production_unit"
         ),
-    )
+    ).cache()
     avg_ef = with_ef.groupBy("ald_sector", "ald_business_unit").agg(
         F.avg("plan_emission_factor").alias("__avg_ef")
     )

@@ -165,7 +165,14 @@ def prepare_financial_data(
     through to the cascade averages. Output: one row per
     (company_id, ald_sector) with indicators + provenance ratios
     (:586-603)."""
-    firm = company_indicator_medians(eikon, companies, npm_range, indicators)
+    # stage boundaries: firm is re-read by the missing-company probe
+    # and the parent-inheritance join; pool by the three average
+    # layers, the cascade attach and the uncovered probe — uncached,
+    # each reuse replays the eikon scan + median aggregation. Both
+    # frames are company-grain (tiny next to the isin-level input).
+    firm = company_indicator_medians(
+        eikon, companies, npm_range, indicators
+    ).cache()
 
     # production companies with no financial record → closest parent
     missing = companies.select("company_id", "ald_sector").distinct().join(
@@ -196,7 +203,7 @@ def prepare_financial_data(
         .filter(F.col("ald_sector") == F.col("__psector"))
         .select("company_id", "ald_sector", "region", *indicators)
     )
-    pool = firm.unionByName(inherited)
+    pool = firm.unionByName(inherited).cache()
 
     sr, s, g = layered_averages(pool, min_sample_size, indicators)
     filled = impute_with_provenance(attach_averages(pool, sr, s, g, indicators))
