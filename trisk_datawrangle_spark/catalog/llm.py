@@ -22,6 +22,7 @@ from trisk_datawrangle_spark.llm.dedup import (
 from trisk_datawrangle_spark.llm.similarity import (
     cosine_topk,
     cosine_topk_vectorized,
+    ivf_topk,
     lsh_bucket_topk,
 )
 from trisk_datawrangle_spark.llm.text import (
@@ -242,6 +243,27 @@ def s3(spark, sf_dir):
 def s2(spark, sf_dir):
     e = _embs(spark, sf_dir)
     res = lsh_bucket_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+    return res.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@q(
+    "s4_ivf_topk",
+    ORACLES["s1_cosine_topk"],
+)
+def s4(spark, sf_dir):
+    """IVF index probed at full width (n_probe = n_cells) recovers
+    exact brute force — so the s1 oracle checks the whole IVF path
+    (train → assign → probe → score); recall-vs-n_probe behavior is
+    property-tested in tests/test_similarity_ivf.py."""
+    e = _embs(spark, sf_dir)
+    res = ivf_topk(
+        e, e.filter(F.col("vec_id") < 10), k=5, n_cells=16, n_probe=16
+    )
     return res.select(
         "query_id",
         "neighbor_id",
