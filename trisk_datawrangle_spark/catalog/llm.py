@@ -35,6 +35,8 @@ from trisk_datawrangle_spark.llm.text import (
 )
 from trisk_datawrangle_spark.llm.multimodal import (
     decode_metadata,
+    extract_features,
+    resize_media,
     with_binary_payload,
 )
 from trisk_datawrangle_spark.sources.readers import load_tables
@@ -409,6 +411,41 @@ def m1(spark, sf_dir):
     d = with_binary_payload(_docs(spark, sf_dir), "text", "payload")
     meta = decode_metadata(d, "doc_id", "payload")
     return meta.select("doc_id", "byte_len", "sha256")
+
+
+@q(
+    "m2_multimodal_resize",
+    """
+SELECT doc_id, 32 AS width, 32 AS height, 1024 AS byte_len
+FROM documents
+""",
+)
+def m2(spark, sf_dir):
+    """Resize plumbing (binary-in/binary-out mapInPandas): the oracle
+    checks every document flowed through and got the target
+    dimensions; exact payload semantics (truncate / zero-pad) are
+    unit-tested where bytes can be compared directly."""
+    d = with_binary_payload(_docs(spark, sf_dir), "text", "payload")
+    resized = resize_media(d, width=32, height=32)
+    return resized.select("doc_id", "width", "height", "byte_len")
+
+
+@q("m3_multimodal_features")  # sha-derived stub floats → rows-only
+def m3(spark, sf_dir):
+    """Feature extraction feeding the similarity stack: payload →
+    unit-norm embedding (stub: sha256-derived) → exact cosine top-3
+    over the extracted vectors. Exercises the full multimodal →
+    embedding → ANN composition in one plan."""
+    d = with_binary_payload(_docs(spark, sf_dir), "text", "payload")
+    emb = extract_features(d, dim=16)
+    probes = emb.filter(F.col("vec_id") < 5)
+    res = cosine_topk(emb, probes, k=3)
+    return res.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
 
 
 # ---------------------------------------------------------------- #

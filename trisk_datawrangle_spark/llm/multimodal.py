@@ -76,6 +76,93 @@ def decode_metadata(df: DataFrame, id_col: str = "doc_id", payload_col: str = "p
     return df.select(id_col, payload_col).mapInPandas(decode, DECODED_SCHEMA)
 
 
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize plumbing: emit a payload of exactly ``width*height``
+    bytes per row (truncate or zero-pad — the STUB for a real
+    bilinear/ffmpeg resample), plus typed dimensions.
+
+    The Spark-side contract is the real part: binary-in/binary-out
+    over Arrow batches, output rows fatter or thinner than input by a
+    known factor — so downstream partition sizing can be planned
+    (``target_bytes = rows × width × height``). Keeps the input id
+    for joining resized payloads back to source metadata."""
+    import pandas as pd
+
+    target = width * height
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            payloads = pdf[payload_col].map(bytes)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": payloads.map(
+                        lambda b: b[:target].ljust(target, b"\0")
+                    ),
+                    "width": width,
+                    "height": height,
+                    "byte_len": target,
+                }
+            )
+
+    out_schema = "doc_id long, payload binary, width int, height int, byte_len int"
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    return df.select(id_col, payload_col).mapInPandas(resize, out_schema)
+
+
+def extract_features(
+    df: DataFrame,
+    dim: int = 16,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Feature extraction: payload → unit-norm ``array<float>``
+    embedding, vectorized over Arrow batches.
+
+    The STUB derives features from the sha256 digest (deterministic,
+    library-free); a real extractor (CLIP / wav2vec) drops into the
+    same contract. Output matches the ``embeddings`` table shape
+    (id + ``array<float>``), so the result feeds the similarity
+    stack directly — see ``ivf_topk`` / ``cosine_topk`` — letting
+    dedup-by-embedding run end-to-end on multimodal corpora."""
+    import numpy as np
+    import pandas as pd
+
+    if not 1 <= dim <= 32:
+        raise ValueError("stub features come from a 32-byte digest")
+
+    def feats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            payloads = pdf[payload_col].map(bytes)
+            mat = np.array(
+                [
+                    np.frombuffer(
+                        hashlib.sha256(b).digest()[:dim], dtype=np.uint8
+                    ).astype(np.float64)
+                    - 127.5
+                    for b in payloads
+                ]
+            )
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].astype("int64"),
+                    "embedding": [r.astype(np.float32) for r in mat],
+                }
+            )
+
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    return df.select(id_col, payload_col).mapInPandas(
+        feats, "vec_id long, embedding array<float>"
+    )
+
+
 def frame_sample_plan(df: DataFrame, payload_col: str = "payload", every_n: int = 30) -> DataFrame:
     """Video frame-sampling plumbing: explode a (stubbed) frame index
     list per payload; a real decoder would yield actual frames. Kept
