@@ -53,6 +53,7 @@ from trisk_datawrangle_spark.operators.reshape import (
     separate,
 )
 from trisk_datawrangle_spark.operators.setops import clone_recode
+from trisk_datawrangle_spark.operators.temporal import interval_join, join_asof
 from trisk_datawrangle_spark.operators.spine import (
     complete_cross,
     complete_spine,
@@ -1463,3 +1464,83 @@ def e2(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.sum(k).cast("long").alias("sum_k"), F.count(F.lit(1)).alias("n")
     )
+
+
+@q(
+    "e3_asof_join",
+    """
+WITH c AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), err AS (
+    SELECT user_id, ts, value FROM events WHERE event_type = 'error'
+)
+SELECT c.event_id, c.user_id,
+    CASE WHEN err.ts >= c.ts - INTERVAL 1 HOUR
+         THEN strftime(err.ts, '%Y-%m-%d %H:%M:%S.%f') END AS err_ts,
+    CASE WHEN err.ts >= c.ts - INTERVAL 1 HOUR
+         THEN err.value END AS err_value
+FROM c ASOF LEFT JOIN err
+    ON c.user_id = err.user_id AND err.ts <= c.ts
+""",
+)
+def e3(spark, sf_dir):
+    """As-of join (union + LOCF window — one shuffle, no inequality
+    join): every click gets the latest same-user error value at or
+    before it, voided when older than 1 hour. DuckDB's native ASOF
+    JOIN is the oracle."""
+    (ev,) = load_tables(spark, sf_dir, ["events"]).values()
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    res = join_asof(
+        clicks,
+        errors,
+        on=["user_id"],
+        right_cols=["value"],
+        tolerance_seconds=3600,
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("err_ts"),
+        F.col("value_asof").alias("err_value"),
+    )
+
+
+@q(
+    "e4_interval_join",
+    """
+SELECT c.event_id, e.event_id AS incident_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+  ON c.user_id = e.user_id
+ AND c.ts BETWEEN e.ts AND e.ts + INTERVAL 30 MINUTE
+""",
+)
+def e4(spark, sf_dir):
+    """Point-in-interval join via time-bucketed equi-join (no
+    broadcast-nested-loop): clicks falling inside any same-user
+    30-minute incident window opened by an error event."""
+    (ev,) = load_tables(spark, sf_dir, ["events"]).values()
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    incidents = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
+    )
+    res = interval_join(
+        clicks,
+        incidents,
+        on=["user_id"],
+        ts_col="ts",
+        start_col="start",
+        end_col="end",
+        bucket_seconds=1800,
+    )
+    return res.select("event_id", "incident_id")

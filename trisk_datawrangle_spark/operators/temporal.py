@@ -1,0 +1,175 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and
+point-in-interval (range) join.
+
+Both are implemented as compositions of existing DataFrame ops chosen
+for their shuffle shape, not as UDFs:
+
+- ``join_asof`` uses the union + last-observation-carried-forward
+  window trick: one shuffle on the join key, one sort within
+  partitions — instead of the naive inequality join, whose plan is a
+  per-key cross product (quadratic in rows-per-key, catastrophic on a
+  100 TB event log).
+- ``interval_join`` buckets time to a fixed grain and turns the range
+  predicate into an equi-join on (key, bucket) + a residual filter —
+  Catalyst shuffles hash-partitioned instead of falling back to
+  broadcast-nested-loop. Each point joins only its own bucket, so no
+  post-join distinct is needed.
+
+The reference has no temporal joins (its panels are yearly and dense —
+SURVEY.md §2.9 spine ops cover that grain); these exist for the
+event/telemetry side of a training-data pipeline.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def join_asof(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] | None = None,
+    tolerance_seconds: float | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For every left row, attach the latest right row with
+    ``right_ts <= left_ts`` per join key (pandas ``merge_asof`` /
+    DuckDB ``ASOF JOIN`` semantics, direction=backward). Left rows
+    with no match (or none within ``tolerance_seconds``) keep NULLs.
+
+    Plan shape: tag sides, union, then ``last(..., ignorenulls)`` over
+    a (key)-partitioned window ordered by (ts, side) — right rows sort
+    before left rows at equal timestamps so exact-tie matches are
+    taken. Right-side ties at the same (key, ts) resolve to the
+    largest carried struct (deterministic). One hash shuffle + sort;
+    no inequality join anywhere.
+
+    Output: all left columns plus ``<right_ts><suffix>`` and
+    ``<col><suffix>`` for each of ``right_cols``.
+    """
+    on = list(on)
+    right_cols = [c for c in (right_cols or []) if c not in on]
+
+    r_struct = F.struct(
+        F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols]
+    )
+    rt = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        r_struct.alias("__r"),
+    )
+    null_r = F.lit(None).cast(rt.schema["__r"].dataType)
+    lt = left.select(
+        *left.columns,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        null_r.alias("__r"),
+    )
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ts", "__side", "__r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn(
+        "__m", F.last("__r", ignorenulls=True).over(w)
+    ).filter(F.col("__side") == 1)
+
+    if tolerance_seconds is not None:
+        in_range = (
+            F.col("__ts").cast("double") - F.col("__m.__rts").cast("double")
+            <= F.lit(float(tolerance_seconds))
+        )
+        matched = matched.withColumn(
+            "__m", F.when(in_range, F.col("__m"))
+        )
+
+    out = [F.col(c) for c in left.columns]
+    out.append(F.col("__m.__rts").alias(f"{right_ts}{suffix}"))
+    out.extend(F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in right_cols)
+    return matched.select(*out)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: Sequence[str],
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Join point rows to interval rows on shared keys with
+    ``start <= ts <= end`` (inclusive), as an equi-join.
+
+    Every interval row is exploded to the time buckets it covers
+    (``(end - start) / bucket_seconds + 1`` rows — pick the grain near
+    the typical interval length so the fan-out stays O(1) per
+    interval); points carry their single bucket. The join key becomes
+    (keys…, bucket), which Catalyst executes as a plain shuffled hash
+    join with the residual BETWEEN as a post-join filter. A point's
+    bucket appears once per covering interval, so no duplicates are
+    produced and no distinct is needed.
+    """
+    on = list(on)
+    grain = F.lit(int(bucket_seconds))
+
+    def bucket_of(c: Column) -> Column:
+        return F.floor(c.cast("double") / grain).cast("long")
+
+    pts = points.withColumn("__bucket", bucket_of(F.col(ts_col)))
+    ivs = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                bucket_of(F.col(start_col)), bucket_of(F.col(end_col))
+            )
+        ),
+    )
+    joined = pts.join(ivs, [*on, "__bucket"], "inner")
+    residual = F.col(ts_col).between(F.col(start_col), F.col(end_col))
+    return joined.filter(residual).drop("__bucket")
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: int,
+    upper_seconds: int,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream (or batch) inner join with an event-time band:
+    match when ``right_ts ∈ [left_ts - lower, left_ts + upper]`` on
+    shared keys.
+
+    Under Structured Streaming both sides get the watermark and the
+    time-band condition is exactly what Spark needs to bound join
+    state (rows age out once the watermark passes their band); in
+    batch the same expression tree runs as an ordinary join. The two
+    timestamp columns must be named differently.
+    """
+    if left_ts == right_ts:
+        raise ValueError("rename one side: timestamp columns must differ")
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, watermark)
+    band = (
+        (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {int(lower_seconds)} SECONDS"))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {int(upper_seconds)} SECONDS"))
+    )
+    cond = band
+    for k in on:
+        cond = cond & (left[k] == right[k])
+    return left.join(right, cond, "inner")

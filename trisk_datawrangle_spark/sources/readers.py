@@ -97,8 +97,12 @@ def load_tables(
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         for c in NANO_TS_COLS.get(name, ()):
             if c in df.columns and isinstance(df.schema[c].dataType, LongType):
+                # integer DIV, not float `/`: the nano longs (~1.7e18)
+                # exceed double's 53-bit integer range, so float
+                # division rounds the microsecond — and engines that
+                # truncate ns→µs (DuckDB, Arrow) then disagree by 1µs
                 df = df.withColumn(
-                    c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
+                    c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000"))
                 )
         out[name] = df
     return out
