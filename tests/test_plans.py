@@ -142,3 +142,26 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_asof_join_plans_no_nested_loop(spark, sf_dir):
+    """The as-of join must compile to shuffle+window, never a
+    nested-loop/cartesian plan (the quadratic shape it exists to
+    avoid)."""
+    from trisk_datawrangle_spark.catalog import QUERIES
+
+    plan = _formatted(QUERIES["e3_asof_join"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_interval_join_is_equi_join(spark, sf_dir):
+    """The bucketed range join must appear as a hash equi-join with
+    the BETWEEN as residual — not a nested-loop over the band."""
+    from trisk_datawrangle_spark.catalog import QUERIES
+
+    plan = _formatted(QUERIES["e4_interval_join"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan
