@@ -35,6 +35,8 @@ HEADLINE = [
     "x3_quality_score",
     "x4_fingerprint",
     "m1_multimodal_decode",   # Arrow/pandas plumbing
+    "e3_asof_join",           # union+LOCF as-of (one shuffle)
+    "s4_ivf_topk",            # IVF ANN: train + assign + full probe
 ]
 
 

@@ -1544,3 +1544,49 @@ def e4(spark, sf_dir):
         bucket_seconds=1800,
     )
     return res.select("event_id", "incident_id")
+
+
+@q(
+    "e5_rollup_range",
+    """
+SELECT event_type,
+    COUNT(*) AS n,
+    SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+    MIN(CAST(round(value * 100) AS BIGINT)) AS min_cents,
+    MAX(CAST(round(value * 100) AS BIGINT)) AS max_cents
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+GROUP BY 1
+""",
+)
+def e5(spark, sf_dir):
+    """Continuous-aggregate ladder (hour → day → month) answering a
+    month-aligned range from the coarsest grain — the rollup answer
+    must equal aggregating the raw events (the oracle does the
+    latter). Values ride as exact integer cents so every fold is
+    associative."""
+    import datetime as dt
+
+    from trisk_datawrangle_spark.operators.rollup import (
+        build_rollups,
+        rollup_range_query,
+    )
+
+    (ev,) = load_tables(spark, sf_dir, ["events"]).values()
+    cents = ev.withColumn(
+        "value", F.round(F.col("value") * 100).cast("long")
+    )
+    rollups = build_rollups(cents, "ts", ["event_type"])
+    res = rollup_range_query(
+        rollups,
+        dt.datetime(2024, 1, 1),
+        dt.datetime(2024, 2, 1),
+        ["event_type"],
+    )
+    return res.select(
+        "event_type",
+        "n",
+        F.col("sum_value").alias("sum_cents"),
+        F.col("min_value").alias("min_cents"),
+        F.col("max_value").alias("max_cents"),
+    )
