@@ -35,4 +35,5 @@ def test_every_query_has_oracle_or_reason():
         "s2_lsh_bucket_topk",
         "c2_curate_near_dedup",  # LSH stage is hash-seeded
         "m3_multimodal_features",  # stub features are sha-derived
+        "e6_hll_distinct_rollup",  # HLL estimates are engine-specific
     }

@@ -1590,3 +1590,23 @@ def e5(spark, sf_dir):
         F.col("min_value").alias("min_cents"),
         F.col("max_value").alias("max_cents"),
     )
+
+
+@q("e6_hll_distinct_rollup")  # sketch estimates are engine-specific → rows-only
+def e6(spark, sf_dir):
+    """Distinct users per event_type from the HLL sketch ladder
+    (hour sketches → month union). Estimates are Datasketches-HLL
+    specific so no cross-engine oracle; fold invariance and error
+    bounds are property-tested in tests/test_sketches.py."""
+    import datetime as dt
+
+    from trisk_datawrangle_spark.operators.sketches import (
+        hll_range_distinct,
+        hll_rollup,
+    )
+
+    (ev,) = load_tables(spark, sf_dir, ["events"]).values()
+    rollups = hll_rollup(ev, "ts", ["event_type"], "user_id")
+    return hll_range_distinct(
+        rollups, dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1), ["event_type"]
+    )

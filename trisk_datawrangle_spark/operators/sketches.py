@@ -1,0 +1,85 @@
+"""Mergeable sketch aggregates: distinct counts that fold like sums.
+
+Exact COUNT(DISTINCT) does not roll up — the hour-grain distinct
+counts of a day cannot be added (users repeat across hours). HLL
+sketches fix that: each bucket keeps a fixed-size (2^lg_k registers)
+sketch column, and coarser grains ``hll_union_agg`` the finer
+sketches — the union of sketches IS the sketch of the union, so the
+estimate at any grain is identical to sketching the raw rows
+directly. That turns the non-additive aggregate into a rollup-ladder
+resident (see operators/rollup.py) at a few KB per bucket instead of
+a per-bucket distinct-set shuffle over 100 TB.
+
+All functions are JVM-side (Datasketches HLL via
+``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate``) —
+no Python in the hot path. Estimates carry the usual HLL relative
+error (~1.04/sqrt(2^lg_k); ~1.6% at the default lg_k=12).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from trisk_datawrangle_spark.operators.rollup import (
+    GRAIN_ORDER,
+    GRAINS,
+    route_grain,
+)
+
+
+def hll_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_cols: Sequence[str] = ("event_type",),
+    distinct_col: str = "user_id",
+    grains: Sequence[str] = GRAIN_ORDER,
+    lg_k: int = 12,
+) -> dict[str, DataFrame]:
+    """Build the sketch ladder: raw rows are sketched once at the
+    finest grain; every coarser grain unions the previous grain's
+    sketches. Returns {grain: DataFrame(bucket, *group_cols, sketch)}.
+    """
+    grains = [g for g in GRAIN_ORDER if g in set(grains)]
+    if not grains:
+        raise ValueError("need at least one grain")
+    out: dict[str, DataFrame] = {}
+    finest = grains[0]
+    out[finest] = (
+        events.withColumn("bucket", F.date_trunc(GRAINS[finest], F.col(ts_col)))
+        .groupBy("bucket", *group_cols)
+        .agg(F.hll_sketch_agg(distinct_col, F.lit(lg_k)).alias("sketch"))
+    )
+    for i, g in enumerate(grains[1:], start=1):
+        out[g] = (
+            out[grains[i - 1]]
+            .withColumn("bucket", F.date_trunc(GRAINS[g], F.col("bucket")))
+            .groupBy("bucket", *group_cols)
+            .agg(F.hll_union_agg("sketch").alias("sketch"))
+        )
+    return out
+
+
+def hll_range_distinct(
+    rollups: dict[str, DataFrame],
+    start,
+    end,
+    group_cols: Sequence[str] = ("event_type",),
+) -> DataFrame:
+    """Approximate distinct count over [start, end) from the routed
+    grain: union the covered buckets' sketches per group, estimate
+    once at the end."""
+    g = route_grain(start, end, list(rollups))
+    r = rollups[g].filter(
+        (F.col("bucket") >= F.lit(start)) & (F.col("bucket") < F.lit(end))
+    )
+    return (
+        r.groupBy(*group_cols)
+        .agg(F.hll_union_agg("sketch").alias("sketch"))
+        .withColumn(
+            "approx_distinct", F.hll_sketch_estimate("sketch").cast("long")
+        )
+        .drop("sketch")
+    )
