@@ -83,6 +83,30 @@ def s1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "s9_jsonl_roundtrip",
+    """
+SELECT doc_id, length(text) AS text_len, lang AS lang
+FROM documents
+""",
+)
+def s9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink → pinned-schema JSONL scan over the documents
+    corpus (the interchange format for training-data pipelines).
+    Round-tripping proves both directions against the parquet
+    oracle; the scan never infers its schema (two full reads + type
+    drift at scale)."""
+    from trisk_datawrangle_spark.sources.readers import read_jsonl, write_jsonl
+
+    (docs,) = load_tables(spark, sf_dir, ["documents"]).values()
+    path = _scratch(sf_dir, "documents_jsonl")
+    write_jsonl(docs.select("doc_id", "text", "lang"), path)
+    typed = read_jsonl(spark, path, "doc_id long, text string, lang string")
+    return typed.select(
+        "doc_id", F.length("text").alias("text_len"), "lang"
+    )
+
+
+@q(
     "s2_semicolon_csv",
     """
 SELECT CAST(r_regionkey AS BIGINT) AS regionkey, r_name AS name FROM region

@@ -47,6 +47,27 @@ def read_csv_typed(
     )
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+) -> DataFrame:
+    """JSON-lines scan with a pinned schema. Always pass the schema:
+    schema inference reads the whole input twice, and at corpus scale
+    a drifting inferred type (long→double, string→struct) silently
+    corrupts downstream plans. Malformed lines land in NULL rows
+    rather than failing the scan (PERMISSIVE), which quality ops
+    (operators/quality.py) then surface."""
+    return spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """JSON-lines sink — the interchange format for document corpora
+    (one doc per line, splittable when uncompressed, appendable)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").json(path)
+
+
 def read_excel_sheet(
     spark: SparkSession, path: str, sheet: str, schema: str | None = None
 ) -> DataFrame:
