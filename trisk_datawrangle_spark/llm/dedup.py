@@ -121,7 +121,12 @@ def ngram_jaccard_pairs(
     few % most-frequent shingles (they carry no dedup signal) or move
     to :func:`minhash_lsh_pairs`.
     """
-    shingled = shingle_hashes(df, text_col, id_col, n, distinct=True)
+    # stage boundary: the shingle table feeds the size aggregate AND
+    # both sides of the co-shingle self-join — uncached, the
+    # scan→explode→hash subtree runs three times (measured 2× total
+    # query time at sf0.1). The cached frame is (id, long-hash) rows,
+    # far smaller than the text it came from.
+    shingled = shingle_hashes(df, text_col, id_col, n, distinct=True).cache()
     sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
     a = shingled.select(F.col("id").alias("id_a"), "h")
     b = shingled.select(F.col("id").alias("id_b"), "h")
