@@ -44,6 +44,44 @@ def upsert_partitions(df: DataFrame, path: str, partition_by: Sequence[str]) -> 
     )
 
 
+def stream_upsert(
+    stream_df: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    partition_by: Sequence[str],
+    checkpoint: str,
+):
+    """Maintain a partitioned parquet table from a stream: each
+    micro-batch is key-merged into the table (``foreachBatch`` →
+    :func:`merge_by_key`), so the table always holds the latest row
+    per key while only touched partitions are rewritten.
+
+    The checkpoint makes ingestion resumable — a restarted query
+    continues from the last committed batch instead of re-merging
+    history. Returns the started StreamingQuery (caller awaits /
+    stops); uses availableNow so batch backfills and continuous runs
+    share the code path.
+    """
+    import os
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        if os.path.exists(path):
+            merge_by_key(
+                batch_df.sparkSession, batch_df, path, keys, partition_by
+            )
+        else:  # first batch bootstraps the table layout
+            write_partitioned(batch_df, path, partition_by)
+
+    return (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def merge_by_key(
     spark: SparkSession,
     updates: DataFrame,
