@@ -37,6 +37,7 @@ HEADLINE = [
     "m1_multimodal_decode",   # Arrow/pandas plumbing
     "e3_asof_join",           # union+LOCF as-of (one shuffle)
     "s4_ivf_topk",            # IVF ANN: train + assign + full probe
+    "q3_shipping_priority",   # fact-fact shuffled joins + top-k
 ]
 
 

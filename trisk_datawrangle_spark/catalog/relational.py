@@ -1592,6 +1592,130 @@ def e5(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------- #
+# classic multi-way-join analytics (TPC-H Q3/Q5 shapes)             #
+# ---------------------------------------------------------------- #
+
+# revenue = price*(1-discount) carried as an exact integer in 1e-4
+# units: cents(price) × (100 - cents(discount)) — both factors are
+# exact small integers, so the sum is associative and engine-portable
+# (a float product rounded at the boundary is not).
+_REV_SQL = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+)
+
+
+def _rev_e4() -> F.Column:
+    return F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+
+
+@q(
+    "q3_shipping_priority",
+    f"""
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority, SUM({_REV_SQL}) / 10000.0 AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-30'
+  AND l_shipdate > TIMESTAMP '1998-06-30'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+)
+def q3(spark, sf_dir):
+    """TPC-H Q3 shape: two fact-fact shuffled joins + a selective
+    dimension filter, top-k with a deterministic tie-break. Filters
+    sit on the scan side of each join (pushdown audited in
+    tests/test_plans.py patterns); AQE owns the join strategy."""
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    cutoff = "1998-06-30"
+    res = (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .join(
+            t["orders"].filter(F.col("o_orderdate") < cutoff),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            t["lineitem"].filter(F.col("l_shipdate") > cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(_rev_e4()) / 10000.0).alias("revenue"))
+    )
+    return (
+        res.orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+@q(
+    "q5_local_supplier_volume",
+    f"""
+SELECT n_name, SUM({_REV_SQL}) / 10000.0 AS revenue
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+""",
+)
+def q5(spark, sf_dir):
+    """TPC-H Q5 shape: star joins with tiny dims broadcast
+    explicitly, fact joins shuffled, plus the correlated
+    customer-nation = supplier-nation predicate."""
+    t = load_tables(
+        spark,
+        sf_dir,
+        ["region", "nation", "customer", "orders", "lineitem", "supplier"],
+    )
+    asia_nations = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    cust = t["customer"].join(
+        F.broadcast(asia_nations),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    ord_f = t["orders"].filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    res = (
+        cust.join(ord_f, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg((F.sum(_rev_e4()) / 10000.0).alias("revenue"))
+    )
+    return res
+
+
 @q("e6_hll_distinct_rollup")  # sketch estimates are engine-specific → rows-only
 def e6(spark, sf_dir):
     """Distinct users per event_type from the HLL sketch ladder
