@@ -165,3 +165,26 @@ def test_interval_join_is_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan
+
+
+def test_q3_filters_reach_scans(spark, sf_dir):
+    """Q3's date and segment filters must be pushed to the parquet
+    scans — at 100 TB the scan-side selectivity IS the query plan."""
+    from trisk_datawrangle_spark.catalog import QUERIES
+
+    plan = _formatted(QUERIES["q3_shipping_priority"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+    # timestamp filters on both fact scans
+    assert plan.count("GreaterThan(l_shipdate") >= 1
+    assert plan.count("LessThan(o_orderdate") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_q5_broadcasts_dims_only(spark, sf_dir):
+    """Region/nation (tiny) broadcast; the fact joins must shuffle,
+    not broadcast (a broadcast fact pins every executor at scale)."""
+    from trisk_datawrangle_spark.catalog import QUERIES
+
+    plan = _formatted(QUERIES["q5_local_supplier_volume"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
