@@ -79,14 +79,30 @@ def main() -> None:
     for df in load_tables(spark, sf_dir, TABLES).values():
         df.write.format("noop").mode("overwrite").save()
 
+    # two passes per query: the first pays whole-stage-codegen / JIT
+    # compilation (seconds, data-size independent — amortizes to zero
+    # on real inputs); the second is the steady-state engine time that
+    # actually scales with data. Report both: cold in "queries"
+    # (comparable with historical rounds), warm in "queries_warm".
     times: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
         times[name] = round(time.perf_counter() - t0, 3)
-        print(f"  {name}: {times[name]}s", file=sys.stderr)
+        # drop stage-boundary caches so the warm pass re-does the
+        # compute (steady-state), not a cache lookup (overstated)
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        warm[name] = round(time.perf_counter() - t0, 3)
+        print(
+            f"  {name}: {times[name]}s (warm {warm[name]}s)", file=sys.stderr
+        )
 
     total = round(sum(times.values()), 3)
     print(
@@ -96,6 +112,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_warm": warm,
+                "warm_value": round(sum(warm.values()), 3),
                 "sf": sf,
             }
         )
