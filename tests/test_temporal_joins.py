@@ -190,3 +190,19 @@ def test_stream_interval_join_matches_batch(spark, sf_dir):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     assert streamed == batch and len(batch) > 0
+
+
+def test_asof_rejects_colliding_left_columns(spark):
+    trades, quotes = _trades_quotes(spark)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="collide"):
+        join_asof(
+            trades.withColumn("bid_asof", F.lit(1)), quotes,
+            on=["sym"], right_cols=["bid"],
+        )
+    with _pt.raises(ValueError, match="collide"):
+        join_asof(
+            trades.withColumn("__ts", F.lit(1)), quotes,
+            on=["sym"], right_cols=["bid"],
+        )

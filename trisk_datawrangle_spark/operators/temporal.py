@@ -56,6 +56,17 @@ def join_asof(
     on = list(on)
     right_cols = [c for c in (right_cols or []) if c not in on]
 
+    reserved = {"__ts", "__side", "__r", "__m"}
+    clashes = reserved & set(left.columns) | {
+        f"{right_ts}{suffix}",
+        *(f"{c}{suffix}" for c in right_cols),
+    } & set(left.columns)
+    if clashes:
+        raise ValueError(
+            f"join_asof: left columns collide with internals/outputs: "
+            f"{sorted(clashes)}"
+        )
+
     r_struct = F.struct(
         F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols]
     )
