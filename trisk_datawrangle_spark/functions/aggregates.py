@@ -29,6 +29,19 @@ def median(col: str | Column) -> Column:
     return F.percentile(_c(col), 0.5)
 
 
+def median_approx(col: str | Column, accuracy: int = 10000) -> Column:
+    """Scale-path median: the t-digest-style ``percentile_approx``
+    sketch — mergeable partial aggregates with bounded memory per
+    group, where the exact percentile keeps every group's values.
+
+    Rank error ≤ n/``accuracy`` per group (≤0.01% at the default), at
+    a fixed sketch size regardless of group cardinality. Use for
+    100 TB rollups; keep :func:`median` where oracle/bit parity
+    matters. Property-tested to land between the exact 49th and 51st
+    percentiles (tests/test_aggregate_properties.py)."""
+    return F.percentile_approx(_c(col), 0.5, F.lit(accuracy))
+
+
 def sum_or_null(col: str | Column) -> Column:
     """``.sum_or_all_nans`` (A2, prepare_abcd_stress_test_input.R:8-14):
     sum ignoring NULLs, but NULL (not 0) when every input is NULL.
