@@ -1,0 +1,76 @@
+"""Deterministic split properties: proportions near the requested
+fractions, assignment a pure function of the id (stable across
+partition layouts), seed changes reshuffle, and cluster-keyed splits
+keep near-duplicates together (leakage control)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from trisk_datawrangle_spark.llm.sampling import deterministic_split
+
+FR = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _assignment(df, id_col="doc_id"):
+    out = deterministic_split(df, id_col, FR, seed=1)
+    return {r[id_col]: r.split for r in out.select(id_col, "split").collect()}
+
+
+def test_proportions_and_completeness(spark, docs):
+    a = _assignment(docs)
+    n = len(a)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) <= set(FR)
+    assert sum(c.values()) == n  # complete: every row labeled
+    # 500 docs: binomial 5σ bands around the requested fractions
+    assert abs(c["train"] / n - 0.8) < 0.10
+    assert abs(c["val"] / n - 0.1) < 0.08
+    assert abs(c["test"] / n - 0.1) < 0.08
+
+
+def test_pure_function_of_id(spark, docs):
+    assert _assignment(docs) == _assignment(docs.repartition(13))
+
+
+def test_seed_reshuffles(spark, docs):
+    a = {
+        r.doc_id: r.split
+        for r in deterministic_split(docs, "doc_id", FR, seed=1)
+        .select("doc_id", "split")
+        .collect()
+    }
+    b = {
+        r.doc_id: r.split
+        for r in deterministic_split(docs, "doc_id", FR, seed=2)
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert a != b  # some docs move between splits under a new seed
+
+
+def test_cluster_keyed_split_prevents_leakage(spark, docs):
+    """Splitting on a dedup-cluster key puts every member of a cluster
+    in the same split."""
+    clustered = docs.withColumn("cluster_id", F.col("doc_id") % 50)
+    out = deterministic_split(clustered, "cluster_id", FR, seed=1)
+    per_cluster = (
+        out.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .collect()
+    )
+    assert all(r.k == 1 for r in per_cluster)
+
+
+def test_bad_fractions_rejected(spark, docs):
+    with pytest.raises(ValueError, match="sum"):
+        deterministic_split(docs, "doc_id", {"a": 0.5, "b": 0.2})

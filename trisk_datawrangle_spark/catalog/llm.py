@@ -448,6 +448,38 @@ def m3(spark, sf_dir):
     )
 
 
+from trisk_datawrangle_spark.llm.sampling import (  # noqa: E402
+    deterministic_split,
+    split_sql,
+)
+
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@q(
+    "x5_deterministic_split",
+    f"""
+SELECT {split_sql('doc_id', _SPLIT_FRACTIONS, seed=7)} AS split,
+       COUNT(*) AS n,
+       MIN(doc_id) AS min_id
+FROM documents
+GROUP BY 1
+""",
+)
+def x5(spark, sf_dir):
+    """Hash-deterministic train/val/test assignment: the Spark
+    expression and the oracle's SQL CASE assign every document the
+    same split (md5 thresholds are engine-portable), so the grouped
+    counts hash-match exactly — proving the split is a pure function
+    of the id, not of partitioning or engine."""
+    d = deterministic_split(
+        _docs(spark, sf_dir), "doc_id", _SPLIT_FRACTIONS, seed=7
+    )
+    return d.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_id")
+    )
+
+
 # ---------------------------------------------------------------- #
 # corpus curation (composite pipeline)                              #
 # ---------------------------------------------------------------- #

@@ -1,0 +1,84 @@
+"""Deterministic dataset splitting and sampling for training
+pipelines.
+
+``random_split``/``sample`` are partition-order dependent — rerun the
+job on a different cluster layout and rows silently migrate between
+train and test. Here the split is a pure function of the row's id:
+``md5(id ':' seed)`` compared against hex thresholds. Properties that
+matter at corpus scale:
+
+- stable: a document keeps its split across reruns, cluster sizes,
+  and engine versions (md5 is everywhere, including the DuckDB
+  oracle);
+- disjoint + complete by construction (threshold chain);
+- leakage-controllable: pass the *dedup cluster id* (not the doc id)
+  as ``id_col`` and near-duplicates land in the same split — the
+  standard train/test-contamination defense;
+- no shuffle: the split column is a projection.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hex_threshold(cum: float) -> str:
+    """Cumulative fraction → 32-hex-digit threshold string (md5 hashes
+    compare lexicographically as uniform 128-bit values)."""
+    scaled = int(round(cum * (1 << 128)))
+    scaled = min(scaled, (1 << 128) - 1)
+    return format(scaled, "032x")
+
+
+def split_column(
+    id_col: str | Column, fractions: Mapping[str, float], seed: int = 0
+) -> Column:
+    """Expression assigning each row a split label from ``fractions``
+    (e.g. ``{"train": .8, "val": .1, "test": .1}``; must sum to 1).
+    Pure projection — usable on batch and streaming frames alike."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions sum to {total}, expected 1")
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.md5(F.concat(c.cast("string"), F.lit(f":{seed}")))
+    expr = None
+    cum = 0.0
+    labels = list(fractions)
+    for label in labels[:-1]:
+        cum += fractions[label]
+        cond = h < F.lit(_hex_threshold(cum))
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    last = F.lit(labels[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: Mapping[str, float],
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Attach the split label column. For leakage-safe splits over a
+    near-dup'd corpus, pass the dedup cluster id as ``id_col``."""
+    return df.withColumn(out_col, split_column(id_col, fractions, seed))
+
+
+def split_sql(id_expr: str, fractions: Mapping[str, float], seed: int = 0) -> str:
+    """The same split as ANSI-ish SQL (DuckDB-compatible) — keeps the
+    engine and any SQL-side consumer assigning identical labels."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions sum to {total}, expected 1")
+    h = f"md5(CAST({id_expr} AS VARCHAR) || ':{seed}')"
+    cum = 0.0
+    labels = list(fractions)
+    parts = ["CASE"]
+    for label in labels[:-1]:
+        cum += fractions[label]
+        parts.append(f"WHEN {h} < '{_hex_threshold(cum)}' THEN '{label}'")
+    parts.append(f"ELSE '{labels[-1]}' END")
+    return " ".join(parts)
