@@ -74,3 +74,27 @@ def test_cluster_keyed_split_prevents_leakage(spark, docs):
 def test_bad_fractions_rejected(spark, docs):
     with pytest.raises(ValueError, match="sum"):
         deterministic_split(docs, "doc_id", {"a": 0.5, "b": 0.2})
+
+
+def test_stratified_take_exact_k_and_stable(spark, docs):
+    from trisk_datawrangle_spark.llm.sampling import stratified_take
+
+    out = stratified_take(docs, ["lang"], 3, "doc_id", seed=1)
+    counts = {
+        r.lang: r.n
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    sizes = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for lang, n in counts.items():
+        assert n == min(3, sizes[lang])
+    a = {(r.lang, r.doc_id) for r in out.select("lang", "doc_id").collect()}
+    b = {
+        (r.lang, r.doc_id)
+        for r in stratified_take(docs.repartition(11), ["lang"], 3, "doc_id", seed=1)
+        .select("lang", "doc_id")
+        .collect()
+    }
+    assert a == b

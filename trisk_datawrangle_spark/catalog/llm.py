@@ -451,6 +451,7 @@ def m3(spark, sf_dir):
 from trisk_datawrangle_spark.llm.sampling import (  # noqa: E402
     deterministic_split,
     split_sql,
+    stratified_take,
 )
 
 _SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
@@ -478,6 +479,27 @@ def x5(spark, sf_dir):
     return d.groupBy("split").agg(
         F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_id")
     )
+
+
+@q(
+    "x6_stratified_take",
+    """
+SELECT lang, doc_id FROM (
+    SELECT lang, doc_id,
+        row_number() OVER (
+            PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7'), doc_id
+        ) AS rk
+    FROM documents
+) WHERE rk <= 5
+""",
+)
+def x6(spark, sf_dir):
+    """Deterministic per-language eval subset: exactly 5 docs per
+    lang, chosen by hash order — the same rows on any engine or
+    partitioning (the oracle runs the identical window)."""
+    d = stratified_take(_docs(spark, sf_dir), ["lang"], 5, "doc_id", seed=7)
+    return d.select("lang", "doc_id")
 
 
 # ---------------------------------------------------------------- #

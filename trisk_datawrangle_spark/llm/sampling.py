@@ -67,6 +67,32 @@ def deterministic_split(
     return df.withColumn(out_col, split_column(id_col, fractions, seed))
 
 
+def stratified_take(
+    df: DataFrame,
+    group_cols,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic per-group sample of exactly ``min(k, |group|)``
+    rows: rank by ``md5(id:seed)`` within each group and keep the
+    first ``k``. A hash order is an unbiased shuffle of the group,
+    but — unlike ``sample``/``rand()`` — the chosen rows are a pure
+    function of (id, seed): reruns, retries and different cluster
+    layouts pick the same eval subset. One shuffle (the window
+    partition); no driver-side collection."""
+    from pyspark.sql import Window
+
+    c = F.col(id_col).cast("string")
+    h = F.md5(F.concat(c, F.lit(f":{seed}")))
+    w = Window.partitionBy(*group_cols).orderBy(h, id_col)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def split_sql(id_expr: str, fractions: Mapping[str, float], seed: int = 0) -> str:
     """The same split as ANSI-ish SQL (DuckDB-compatible) — keeps the
     engine and any SQL-side consumer assigning identical labels."""
