@@ -1,0 +1,64 @@
+"""Sequence-packing invariants: packs fill to the budget with at most
+one straddling document of overflow, oversized documents isolate, and
+assignment is a pure function of (shard, order, counts)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trisk_datawrangle_spark.llm.packing import pack_sequences
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    rows = [
+        # shard s: 200+200+200 → doc 3 straddles into pack 1, etc.
+        (1, "s", 200), (2, "s", 200), (3, "s", 200), (4, "s", 200),
+        (5, "s", 900),   # oversized: bigger than the budget
+        (6, "s", 10),
+        (7, "t", 512),   # exactly one budget
+        (8, "t", 1),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, shard string, n_tok long")
+
+
+def test_pack_assignment_and_overflow_bound(spark, frame):
+    out = {
+        r.doc_id: r.pack_id
+        for r in pack_sequences(frame, "n_tok", 512, ["shard"], "doc_id").collect()
+    }
+    # cum_before/512: 0,200,400 → docs 1-3 in pack 0 (600 tokens —
+    # one straddler over budget); 600,800 → docs 4-5 pack 1; 1700 → doc 6 pack 3
+    assert out[1] == out[2] == out[3] == 0
+    assert out[4] == 1 and out[5] == 1
+    assert out[6] == 3
+    # shard t: doc 7 fills pack 0 exactly; doc 8 starts pack 1
+    assert out[7] == 0 and out[8] == 1
+
+
+def test_pack_totals_overflow_by_at_most_one_doc(spark, frame):
+    packed = pack_sequences(frame, "n_tok", 512, ["shard"], "doc_id")
+    per_pack = (
+        packed.groupBy("shard", "pack_id")
+        .agg(F.sum("n_tok").alias("tot"), F.max("n_tok").alias("mx"))
+        .collect()
+    )
+    for r in per_pack:
+        assert r.tot < 512 + r.mx  # budget + one straddler
+
+
+def test_pack_partition_layout_independent(spark, frame):
+    a = {(r.doc_id, r.pack_id) for r in pack_sequences(frame, "n_tok", 512, ["shard"], "doc_id").collect()}
+    b = {
+        (r.doc_id, r.pack_id)
+        for r in pack_sequences(
+            frame.repartition(7), "n_tok", 512, ["shard"], "doc_id"
+        ).collect()
+    }
+    assert a == b
+
+
+def test_bad_budget_rejected(spark, frame):
+    with pytest.raises(ValueError):
+        pack_sequences(frame, "n_tok", 0, ["shard"], "doc_id")

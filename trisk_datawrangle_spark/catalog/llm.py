@@ -30,6 +30,7 @@ from trisk_datawrangle_spark.llm.text import (
     lang_id,
     fingerprint,
     quality_score,
+    repetition_table,
     token_count,
     tokenize,
 )
@@ -479,6 +480,71 @@ def x5(spark, sf_dir):
     return d.groupBy("split").agg(
         F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_id")
     )
+
+
+@q(
+    "x8_sequence_pack",
+    """
+WITH toks AS (
+    SELECT doc_id, lang,
+        len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_tok
+    FROM documents
+), packed AS (
+    SELECT doc_id, lang, n_tok,
+        SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+    FROM toks
+)
+SELECT doc_id, lang,
+    CAST(floor(CAST(cum - n_tok AS DOUBLE) / 512) AS BIGINT) AS pack_id,
+    CAST(cum AS BIGINT) AS pack_cum_tokens
+FROM packed
+""",
+)
+def x8(spark, sf_dir):
+    """Token-budget sequence packing (streaming chunking): per-lang
+    shards, BPE-ish token counts, 512-token budget. The oracle runs
+    the identical cumulative window — pack assignment is a pure
+    function of (shard, order, counts)."""
+    from trisk_datawrangle_spark.llm.packing import pack_sequences
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", token_count("text", "bpe").alias("n_tok")
+    )
+    packed = pack_sequences(d, "n_tok", 512, ["lang"], "doc_id")
+    return packed.select(
+        "doc_id",
+        "lang",
+        "pack_id",
+        F.col("pack_cum_tokens").cast("long").alias("pack_cum_tokens"),
+    )
+
+
+@q(
+    "x7_repetition_score",
+    """
+WITH words AS (
+    SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    w -> w <> '') AS ws
+    FROM documents
+), grams AS (
+    SELECT doc_id,
+        list_transform(range(1, greatest(len(ws) - 1, 1)),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS gs
+    FROM words
+)
+SELECT doc_id,
+    ROUND(CASE WHEN len(gs) > 0
+          THEN 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs)
+          ELSE 0.0 END, 6) AS rep_ratio
+FROM grams
+""",
+)
+def x7(spark, sf_dir):
+    """Word-trigram repetition ratio per document (boilerplate /
+    degenerate-repetition gate)."""
+    return repetition_table(_docs(spark, sf_dir), "text", "doc_id", 3)
 
 
 @q(

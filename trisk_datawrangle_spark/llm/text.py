@@ -95,3 +95,49 @@ def fingerprint(col: str | Column, prefix_len: int = 256) -> Column:
     )
     total = F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x)
     return (total % F.lit(2147483648)).cast("long")
+
+
+def repetition_table(df, text_col: str = "text", id_col: str = "doc_id", n: int = 3):
+    """Per-document repetition ratio: 1 − distinct/total word
+    ``n``-grams — high values flag boilerplate and degenerate
+    repetition (a standard corpus-quality gate alongside
+    :func:`quality_score`).
+
+    Built codegen-style (posexplode + lead window + two aggregates),
+    not with array higher-order functions, per the engine's hot-path
+    convention — the shuffle is keyed by document id, so the window
+    and aggregation stay within one exchange. Documents with fewer
+    than ``n`` words score 0.0."""
+    from pyspark.sql import DataFrame, Window
+
+    assert isinstance(df, DataFrame)
+    words = df.select(
+        F.col(id_col), F.posexplode(tokenize(text_col)).alias("pos", "w")
+    )
+    win = Window.partitionBy(id_col).orderBy("pos")
+    grams = (
+        words.select(
+            id_col,
+            F.concat_ws(
+                " ", "w", *[F.lead("w", i).over(win) for i in range(1, n)]
+            ).alias("g"),
+            F.lead("w", n - 1).over(win).alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .drop("__last")
+    )
+    stats = grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__total"),
+        F.countDistinct("g").alias("__distinct"),
+    )
+    ratio = F.round(1.0 - F.col("__distinct") / F.col("__total"), 6)
+    return (
+        df.select(id_col)
+        .join(stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.when(F.col("__total") > 0, ratio), F.lit(0.0)
+            ).alias("rep_ratio"),
+        )
+    )
