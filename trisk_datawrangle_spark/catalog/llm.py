@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from trisk_datawrangle_spark.llm.dedup import (
+    contamination_overlap,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_table,
@@ -480,6 +481,38 @@ def x5(spark, sf_dir):
     return d.groupBy("split").agg(
         F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_id")
     )
+
+
+@q(
+    "d6_contamination",
+    """
+WITH ws AS (
+    SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    w -> w <> '') AS ws
+    FROM documents
+), g AS (
+    SELECT doc_id,
+        unnest(list_distinct(list_transform(
+            range(1, greatest(len(ws) - 2, 1)),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+        ))) AS g
+    FROM ws
+), bench AS (SELECT DISTINCT g FROM g WHERE doc_id < 20),
+   corpus AS (SELECT * FROM g WHERE doc_id >= 20)
+SELECT c.doc_id, COUNT(*) AS n_hits
+FROM corpus c JOIN bench b USING (g)
+GROUP BY 1
+""",
+)
+def d6(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing any distinct
+    word-4-gram with the (broadcast) eval set, with overlap counts —
+    the leakage gate run before training."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") < 20)
+    corp = docs.filter(F.col("doc_id") >= 20)
+    return contamination_overlap(corp, bench, "text", "doc_id", n=4)
 
 
 @q(

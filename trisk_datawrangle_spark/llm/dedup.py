@@ -341,3 +341,52 @@ def simhash64(col: str | Column, ngram: int = 1) -> Column:
     for e in bit_exprs[1:]:
         total = total + e
     return total
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing ≥1 distinct
+    word ``n``-gram with any benchmark document, with the overlap
+    count — the standard eval-set leakage gate before training.
+
+    Scale shape: the benchmark side is tiny (an eval set), so its
+    distinct gram table broadcasts; the corpus side streams through
+    the same codegen shingling as the dedup ladder (posexplode +
+    lead, no per-row arrays) and the flag is one broadcast semi-ish
+    join + a doc-keyed count. Grams stay strings here for
+    cross-engine checkability; at 100 TB hash them (xxhash64) to
+    shrink the broadcast and the shuffle."""
+    from pyspark.sql import Window
+
+    def gram_table(df: DataFrame) -> DataFrame:
+        words = df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+            ).alias("pos", "w"),
+        ).filter(F.col("w") != "")
+        win = Window.partitionBy("id").orderBy("pos")
+        leads = [F.lead("w", i).over(win) for i in range(1, n)]
+        return (
+            words.select(
+                "id",
+                F.concat_ws(" ", "w", *leads).alias("g"),
+                leads[-1].alias("__last"),
+            )
+            .filter(F.col("__last").isNotNull())
+            .select("id", "g")
+            .distinct()
+        )
+
+    bench_grams = gram_table(benchmark).select("g").distinct()
+    return (
+        gram_table(corpus)
+        .join(F.broadcast(bench_grams), "g")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
