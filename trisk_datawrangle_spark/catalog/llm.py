@@ -27,9 +27,13 @@ from trisk_datawrangle_spark.llm.similarity import (
     lsh_bucket_topk,
 )
 from trisk_datawrangle_spark.llm.text import (
+    EMAIL_RX,
     LANG_MARKERS,
+    SPACE_RX,
+    URL_RX,
     lang_id,
     fingerprint,
+    normalize_text,
     quality_score,
     repetition_table,
     token_count,
@@ -480,6 +484,31 @@ def x5(spark, sf_dir):
     )
     return d.groupBy("split").agg(
         F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_id")
+    )
+
+
+@q(
+    "x9_normalize_text",
+    f"""
+SELECT doc_id,
+    trim(regexp_replace(
+        regexp_replace(
+            regexp_replace(text, '{URL_RX}', '<URL>', 'g'),
+            '{EMAIL_RX}', '<EMAIL>', 'g'),
+        '{SPACE_RX}', ' ', 'g')) AS clean,
+    length(text) AS raw_len
+FROM documents
+""",
+)
+def x9(spark, sf_dir):
+    """Text normalization / cheap PII masking as one JVM expression
+    chain; the oracle runs the literally-identical POSIX-class
+    regexes, so the cleaned strings hash-match."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        normalize_text("text").alias("clean"),
+        F.length("text").alias("raw_len"),
     )
 
 

@@ -141,3 +141,26 @@ def repetition_table(df, text_col: str = "text", id_col: str = "doc_id", n: int 
             ).alias("rep_ratio"),
         )
     )
+
+
+#: normalization patterns shared with the oracle SQL (POSIX classes —
+#: portable between Java regex (Spark) and RE2 (DuckDB))
+URL_RX = "https?://\\S+"
+EMAIL_RX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+SPACE_RX = "\\s+"
+
+
+def normalize_text(col: str | Column) -> Column:
+    """Corpus text normalization: URLs → ``<URL>``, emails →
+    ``<EMAIL>`` (cheap PII masking), whitespace runs collapsed,
+    edges trimmed. Pure JVM expression chain (three
+    ``regexp_replace`` passes), no UDF; patterns stick to backslash
+    classes (``\\s``/``\\S``) — the subset Java regex and RE2
+    (DuckDB) interpret identically. POSIX bracket classes are NOT in
+    that subset: Java parses ``[[:space:]]`` as a literal char class
+    and eats matching letters."""
+    c = _c(col)
+    c = F.regexp_replace(c, URL_RX, "<URL>")
+    c = F.regexp_replace(c, EMAIL_RX, "<EMAIL>")
+    c = F.regexp_replace(c, SPACE_RX, " ")
+    return F.trim(c)
