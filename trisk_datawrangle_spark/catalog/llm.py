@@ -487,6 +487,40 @@ def x5(spark, sf_dir):
     )
 
 
+def _d7_sql() -> str:
+    """Cluster-id oracle: the d2 pair SQL composed with a recursive
+    min-label CTE (reachability → min reachable node per doc)."""
+    return f"""
+WITH RECURSIVE pairs AS ({ORACLES['d2_ngram_jaccard']}),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+),
+lbl(node, comp) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT e.u, l.comp FROM edges e JOIN lbl l ON e.v = l.node
+),
+comp AS (SELECT node, MIN(comp) AS comp FROM lbl GROUP BY node)
+SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+"""
+
+
+@q("d7_dedup_clusters", _d7_sql())
+def d7(spark, sf_dir):
+    """Near-dup cluster ids: the d2 pair graph collapsed to connected
+    components (iterative min-label propagation — the documented
+    driver-loop island; each round is plain DataFrame ops). Cluster
+    ids feed deterministic_split for leakage-safe train/test
+    assignment."""
+    from trisk_datawrangle_spark.llm.components import dedup_clusters
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.12)
+    return dedup_clusters(docs, pairs)
+
+
 @q(
     "x9_normalize_text",
     f"""

@@ -1,0 +1,97 @@
+"""Connected components over near-duplicate pairs → cluster ids.
+
+The dedup ladder emits *pairs* (a ~ b); downstream consumers need
+*clusters* — one id per transitively-connected group — for canonical
+selection and leakage-safe splits (``deterministic_split`` on the
+cluster id keeps a whole near-dup family in one split).
+
+Components are computed by iterative min-label propagation: every
+node starts as its own label; each round, a node adopts the smallest
+label among itself and its neighbors; fixpoint = components labeled
+by their minimum member id. Rounds = graph diameter (near-dup
+clusters are shallow — a handful of rounds), each round one
+join+aggregate over the edge list. ``localCheckpoint`` truncates the
+growing lineage every round — without it the plan doubles per
+iteration and the job dies on plan size long before data size.
+
+This is the documented non-SQL-expressible island: iteration needs a
+driver loop (Pregel-style), though each step is plain DataFrame ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``; the
+    component id is the minimum node id in the group. Raises if the
+    fixpoint is not reached within ``max_iter`` rounds (disconnected
+    near-dup graphs converge in a few)."""
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"not converged after {max_iter} rounds")
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Every document with its cluster id: paired docs share their
+    component's minimum id, singletons are their own cluster. Feed
+    ``cluster_id`` to ``deterministic_split`` for leakage-safe
+    train/test assignment."""
+    comp = connected_components(pairs, src, dst)
+    return (
+        docs.select(id_col)
+        .join(comp, docs[id_col] == comp.node, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("comp"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
