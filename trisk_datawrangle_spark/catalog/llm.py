@@ -521,6 +521,66 @@ def d7(spark, sf_dir):
     return dedup_clusters(docs, pairs)
 
 
+def _c3_sql() -> str:
+    """Canonical-per-cluster oracle: cluster CTE (recursive) × the
+    quality SQL × a window argmax."""
+    return f"""
+WITH RECURSIVE pairs AS ({ORACLES['d2_ngram_jaccard']}),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+),
+lbl(node, comp) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT e.u, l.comp FROM edges e JOIN lbl l ON e.v = l.node
+),
+comp AS (SELECT node, MIN(comp) AS comp FROM lbl GROUP BY node),
+clusters AS (
+    SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+),
+q AS ({_QUALITY_SQL}),
+ranked AS (
+    SELECT cl.cluster_id, cl.doc_id, q.quality,
+        row_number() OVER (PARTITION BY cl.cluster_id
+                           ORDER BY q.quality DESC, cl.doc_id) AS rk
+    FROM clusters cl JOIN q ON cl.doc_id = q.doc_id
+)
+SELECT cluster_id, doc_id AS canonical_id, quality
+FROM ranked WHERE rk = 1
+"""
+
+
+@q("c3_cluster_canonical", _c3_sql())
+def c3(spark, sf_dir):
+    """Curation capstone: near-dup clusters collapsed to one
+    canonical document each — the highest quality_score wins, ties to
+    the smaller id. Composes the pair graph (d2), connected
+    components (d7) and quality scoring (x3) in one plan."""
+    from pyspark.sql import Window
+
+    from trisk_datawrangle_spark.llm.components import dedup_clusters
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.12)
+    clustered = dedup_clusters(docs, pairs)
+    scored = clustered.join(
+        docs.select(
+            "doc_id", F.round(quality_score("text"), 6).alias("quality")
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), "doc_id"
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("cluster_id", F.col("doc_id").alias("canonical_id"), "quality")
+    )
+
+
 @q(
     "x9_normalize_text",
     f"""
