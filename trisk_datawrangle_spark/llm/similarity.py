@@ -160,6 +160,56 @@ def lsh_bucket_topk(
     )
 
 
+def cosine_pairs_vectorized(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine ≥ ``threshold`` — the
+    GEMM formulation of brute-force near-dup detection.
+
+    The expression form (zip_with + aggregate per pair) evaluates
+    interpreted: n²/2 HOF evaluations — 33s for 5k vectors at sf0.1.
+    Here each corpus partition does one (batch × n) numpy GEMM
+    against the broadcast corpus matrix (~60× faster, same pairs).
+    The broadcast bounds this at driver-memory corpus sizes — beyond
+    that, bucket first (LSH, :func:`lsh_bucket_topk`) or shard the
+    GEMM with :func:`ivf_topk`-style cells; this is the verifier, not
+    the candidate generator, at 100 TB."""
+    import numpy as np
+    import pandas as pd
+
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in rows])
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    norm = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast((ids, mat, norm))
+
+    def pairs(batches):
+        c_ids, c_mat, c_norm = bc.value
+        for pdf in batches:
+            b_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            b_ids = pdf[id_col].to_numpy()
+            b_norm = np.maximum(np.linalg.norm(b_mat, axis=1), 1e-12)
+            sims = (b_mat @ c_mat.T) / np.outer(b_norm, c_norm)
+            keep = (sims >= threshold) & (b_ids[:, None] < c_ids[None, :])
+            bi, cj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "id_a": b_ids[bi],
+                    "id_b": c_ids[cj],
+                    "cosine": sims[bi, cj],
+                }
+            )
+
+    part = df.select(id_col, vec_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+    return part.mapInPandas(pairs, "id_a long, id_b long, cosine double")
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     n_cells: int = 16,
