@@ -116,3 +116,44 @@ def test_stream_upsert_resumes_from_checkpoint(spark, tmp_path_factory):
     }
     assert second == {(1, "d1", 9.0), (2, "d2", 2.0), (3, "d3", 3.0)}
     assert _files(table, "d2") == d2_files_before
+
+
+def test_merge_handles_null_partition_values(spark, tmp_path_factory):
+    """Rows already in a NULL partition must survive a merge into it
+    (== lit(None) is NULL, not a match — the filter needs eqNullSafe)."""
+    path = str(tmp_path_factory.mktemp("inc")) + "/t"
+    base = spark.createDataFrame(
+        [(1, None, 1.0), (2, None, 2.0), (3, "d1", 3.0)],
+        "id long, day string, v double",
+    )
+    write_partitioned(base, path, ["day"])
+    updates = spark.createDataFrame([(2, None, 9.0)], "id long, day string, v double")
+    merge_by_key(spark, updates, path, keys=["id"], partition_by=["day"])
+    got = {
+        (r.id, r.day, r.v)
+        for r in spark.read.parquet(path).select("id", "day", "v").collect()
+    }
+    assert got == {(1, None, 1.0), (2, None, 9.0), (3, "d1", 3.0)}
+
+
+def test_merge_removes_old_row_when_key_moves_partition(spark, tmp_path_factory):
+    """An update that moves a key to a new partition must also purge
+    the old partition's copy — including when that drains the old
+    partition entirely."""
+    path = str(tmp_path_factory.mktemp("inc")) + "/t"
+    base = spark.createDataFrame(
+        [(1, "d1", 1.0), (2, "d1", 2.0), (3, "d2", 3.0)],
+        "id long, day string, v double",
+    )
+    write_partitioned(base, path, ["day"])
+    # key 1 moves d1 → d3 (d1 keeps key 2); key 3 moves d2 → d3,
+    # draining d2 completely
+    updates = spark.createDataFrame(
+        [(1, "d3", 10.0), (3, "d3", 30.0)], "id long, day string, v double"
+    )
+    merge_by_key(spark, updates, path, keys=["id"], partition_by=["day"])
+    got = {
+        (r.id, r.day, r.v)
+        for r in spark.read.parquet(path).select("id", "day", "v").collect()
+    }
+    assert got == {(1, "d3", 10.0), (2, "d1", 2.0), (3, "d3", 30.0)}

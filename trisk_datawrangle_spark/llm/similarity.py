@@ -109,7 +109,7 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH: bucket =
     sign-bit string of ``n_planes`` projections; candidates = same
@@ -118,7 +118,19 @@ def lsh_bucket_topk(
     The corpus-side bucketing is one projection pass; the join is on
     the bucket key, so work scales with bucket occupancy (2^planes
     buckets) instead of |corpus|·|queries|. Recall < 1 by design —
-    raise recall with multi-probe (flip one bit) or more tables."""
+    raise recall with multi-probe (flip one bit) or more tables.
+
+    ``dim`` defaults to the measured embedding length (one-row
+    probe). It must match: ``zip_with`` against a shorter plane pads
+    with NULLs, the projection goes NULL, every sign bit falls to
+    '0', and ALL rows share one bucket — the join silently becomes
+    the |corpus|·|queries| brute force this function exists to
+    avoid."""
+    if dim is None:
+        probe = corpus.select(F.size(_c(vec_col)).alias("d")).head()
+        if probe is None:
+            raise ValueError("empty corpus — cannot infer embedding dim")
+        dim = probe["d"]
     planes = _hyperplanes(dim, n_planes)
 
     def bucket(vec: Column) -> Column:
@@ -373,7 +385,7 @@ def cosine_topk_vectorized(
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[id_col] for r in q_rows])
     q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
-    q_norm = np.linalg.norm(q_mat, axis=1)
+    q_norm = np.maximum(np.linalg.norm(q_mat, axis=1), 1e-12)
     sc = corpus.sparkSession.sparkContext
     bq = sc.broadcast((q_ids, q_mat, q_norm))
 
@@ -382,7 +394,11 @@ def cosine_topk_vectorized(
         for pdf in batches:
             c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             c_ids = pdf[id_col].to_numpy()
-            c_norm = np.linalg.norm(c_mat, axis=1)
+            # clamp zero norms (failed-extraction / padded rows):
+            # unclamped they yield NaN cosines, and Spark's descending
+            # sort ranks NaN ABOVE every real value — a single zero
+            # vector would pollute rank 1 of every query
+            c_norm = np.maximum(np.linalg.norm(c_mat, axis=1), 1e-12)
             # (corpus_batch × queries) cosine matrix in one GEMM
             sims = (c_mat @ mat.T) / np.outer(c_norm, norms)
             out_q, out_n, out_c = [], [], []

@@ -47,21 +47,20 @@ def _fold_aggs() -> list:
     ]
 
 
-def build_rollups(
+def fold_ladder(
     events: DataFrame,
-    ts_col: str = "ts",
-    group_cols: Sequence[str] = ("event_type",),
-    grains: Sequence[str] = GRAIN_ORDER,
+    ts_col: str,
+    group_cols: Sequence[str],
+    grains: Sequence[str],
+    base_aggs: Sequence,
+    fold_aggs: Sequence,
 ) -> dict[str, DataFrame]:
-    """Materialize the rollup ladder. The raw table is aggregated once
-    (finest grain); every coarser grain folds the previous rollup —
-    O(raw) work total regardless of how many grains exist.
-
-    Returns {grain: DataFrame(bucket, *group_cols, n, sum_value,
-    min_value, max_value)}. Callers persist each grain partitioned by
-    a date-derived column (``.write.partitionBy(...)``) so range
-    queries prune partitions.
-    """
+    """The grain-ladder scaffolding shared by every rollup flavor:
+    aggregate the raw table once at the finest selected grain with
+    ``base_aggs``, then fold each coarser grain from the previous one
+    with ``fold_aggs`` (any coarser unit tiles exactly over a finer
+    one). O(raw) work total regardless of how many grains exist; each
+    grain is (buckets × groups) rows."""
     grains = [g for g in GRAIN_ORDER if g in set(grains)]
     if not grains:
         raise ValueError("need at least one grain")
@@ -70,19 +69,33 @@ def build_rollups(
     out[finest] = (
         events.withColumn("bucket", F.date_trunc(GRAINS[finest], F.col(ts_col)))
         .groupBy("bucket", *group_cols)
-        .agg(*_additive_aggs())
+        .agg(*base_aggs)
     )
     for i, g in enumerate(grains[1:], start=1):
-        prev = out[grains[i - 1]]
-        # fold the next-finer selected grain (any coarser unit tiles
-        # exactly over a finer one); each grain is (buckets × groups)
-        # rows, tiny — the caller's write is the materialization point
         out[g] = (
-            prev.withColumn("bucket", F.date_trunc(GRAINS[g], F.col("bucket")))
+            out[grains[i - 1]]
+            .withColumn("bucket", F.date_trunc(GRAINS[g], F.col("bucket")))
             .groupBy("bucket", *group_cols)
-            .agg(*_fold_aggs())
+            .agg(*fold_aggs)
         )
     return out
+
+
+def build_rollups(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_cols: Sequence[str] = ("event_type",),
+    grains: Sequence[str] = GRAIN_ORDER,
+) -> dict[str, DataFrame]:
+    """Materialize the additive rollup ladder
+    (count/sum/min/max). Returns {grain: DataFrame(bucket,
+    *group_cols, n, sum_value, min_value, max_value)}. Callers persist
+    each grain partitioned by a date-derived column
+    (``.write.partitionBy(...)``) so range queries prune partitions.
+    """
+    return fold_ladder(
+        events, ts_col, group_cols, grains, _additive_aggs(), _fold_aggs()
+    )
 
 
 def route_grain(start, end, grains: Sequence[str] = GRAIN_ORDER) -> str:

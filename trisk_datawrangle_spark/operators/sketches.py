@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from trisk_datawrangle_spark.operators.rollup import (
     GRAIN_ORDER,
-    GRAINS,
+    fold_ladder,
     route_grain,
 )
 
@@ -40,26 +40,18 @@ def hll_rollup(
 ) -> dict[str, DataFrame]:
     """Build the sketch ladder: raw rows are sketched once at the
     finest grain; every coarser grain unions the previous grain's
-    sketches. Returns {grain: DataFrame(bucket, *group_cols, sketch)}.
+    sketches (the same :func:`fold_ladder` scaffolding as the additive
+    rollups — only the aggregates differ). Returns {grain:
+    DataFrame(bucket, *group_cols, sketch)}.
     """
-    grains = [g for g in GRAIN_ORDER if g in set(grains)]
-    if not grains:
-        raise ValueError("need at least one grain")
-    out: dict[str, DataFrame] = {}
-    finest = grains[0]
-    out[finest] = (
-        events.withColumn("bucket", F.date_trunc(GRAINS[finest], F.col(ts_col)))
-        .groupBy("bucket", *group_cols)
-        .agg(F.hll_sketch_agg(distinct_col, F.lit(lg_k)).alias("sketch"))
+    return fold_ladder(
+        events,
+        ts_col,
+        group_cols,
+        grains,
+        [F.hll_sketch_agg(distinct_col, F.lit(lg_k)).alias("sketch")],
+        [F.hll_union_agg("sketch").alias("sketch")],
     )
-    for i, g in enumerate(grains[1:], start=1):
-        out[g] = (
-            out[grains[i - 1]]
-            .withColumn("bucket", F.date_trunc(GRAINS[g], F.col("bucket")))
-            .groupBy("bucket", *group_cols)
-            .agg(F.hll_union_agg("sketch").alias("sketch"))
-        )
-    return out
 
 
 def hll_range_distinct(

@@ -54,7 +54,11 @@ def join_asof(
     ``<col><suffix>`` for each of ``right_cols``.
     """
     on = list(on)
-    right_cols = [c for c in (right_cols or []) if c not in on]
+    # right_ts is always carried (as <right_ts><suffix>) — listing it
+    # in right_cols again would emit two identically-named columns
+    right_cols = [
+        c for c in (right_cols or []) if c not in on and c != right_ts
+    ]
 
     reserved = {"__ts", "__side", "__r", "__m"}
     clashes = reserved & set(left.columns) | {

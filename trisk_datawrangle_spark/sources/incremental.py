@@ -44,6 +44,18 @@ def upsert_partitions(df: DataFrame, path: str, partition_by: Sequence[str]) -> 
     )
 
 
+def _table_exists(spark: SparkSession, path: str) -> bool:
+    """Filesystem-agnostic existence check via the Hadoop FS API —
+    ``os.path.exists`` is driver-local and always False for s3://
+    hdfs:// etc., which would make every micro-batch 'bootstrap' and
+    statically overwrite the table."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def stream_upsert(
     stream_df: DataFrame,
     path: str,
@@ -62,12 +74,11 @@ def stream_upsert(
     stops); uses availableNow so batch backfills and continuous runs
     share the code path.
     """
-    import os
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
-        if os.path.exists(path):
+        if _table_exists(batch_df.sparkSession, path):
             merge_by_key(
                 batch_df.sparkSession, batch_df, path, keys, partition_by
             )
@@ -82,6 +93,19 @@ def stream_upsert(
     )
 
 
+def _partition_filter(parts, partition_by: Sequence[str]):
+    """OR-of-ANDs partition predicate, NULL-safe: ``== lit(None)``
+    evaluates to NULL and silently drops existing rows from a NULL
+    partition (which dynamic overwrite then deletes)."""
+    cond = F.lit(False)
+    for p in parts:
+        clause = F.lit(True)
+        for c in partition_by:
+            clause = clause & F.col(c).eqNullSafe(F.lit(p[c]))
+        cond = cond | clause
+    return cond
+
+
 def merge_by_key(
     spark: SparkSession,
     updates: DataFrame,
@@ -90,30 +114,64 @@ def merge_by_key(
     partition_by: Sequence[str],
 ) -> None:
     """Upsert ``updates`` into the table at ``path``: rows matching on
-    ``keys`` are replaced, new rows appended, and only partitions
-    named in ``updates`` are rewritten.
+    ``keys`` are replaced (wherever they currently live), new rows
+    appended, and only affected partitions are rewritten.
 
-    The existing-side read filters to the affected partitions (an
-    isin over the update batch's partition values — partition-pruned
-    at the scan), then drops rows whose key reappears in the batch
-    via a left-anti join. The anti join shuffles only the affected
-    partitions' rows, never the full table.
+    Affected partitions = partitions named by the update batch ∪
+    partitions currently holding an updated key (a key may move
+    between partitions; finding its old home is one column-pruned
+    semi-join over (keys, partition cols) — no data columns read).
+    The existing-side read filters to those partitions, drops rows
+    whose key reappears in the batch (left-anti join over just those
+    partitions' rows), and the union is written with dynamic
+    partition overwrite. A partition whose every row moved away is
+    deleted explicitly (dynamic overwrite cannot write an empty
+    partition).
     """
     keys = list(keys)
     partition_by = list(partition_by)
-    parts = updates.select(*partition_by).distinct().collect()
+    upd_keys = updates.select(*keys).distinct()
+    table = spark.read.parquet(path)
+    # partitions that currently hold any updated key (key moves)
+    old_parts = (
+        table.select(*keys, *partition_by)
+        .join(upd_keys, keys, "left_semi")
+        .select(*partition_by)
+        .distinct()
+        .collect()
+    )
+    new_parts = updates.select(*partition_by).distinct().collect()
+    seen, parts = set(), []
+    for p in [*new_parts, *old_parts]:
+        t = tuple(p[c] for c in partition_by)
+        if t not in seen:
+            seen.add(t)
+            parts.append(p)
     if not parts:
         return
-    cond = F.lit(False)
-    for p in parts:
-        clause = F.lit(True)
-        for c in partition_by:
-            clause = clause & (F.col(c) == F.lit(p[c]))
-        cond = cond | clause
-    existing = spark.read.parquet(path).filter(cond)
-    kept = existing.join(updates.select(*keys), keys, "left_anti")
+    cond = _partition_filter(parts, partition_by)
+    existing = table.filter(cond)
+    kept = existing.join(upd_keys, keys, "left_anti")
     merged = updates.select(*existing.columns).unionByName(kept)
     # the merged frame re-reads `path` while overwrite is rewriting it
     # → materialize before the write (localCheckpoint severs lineage)
     merged = merged.localCheckpoint(eager=True)
     upsert_partitions(merged, path, partition_by)
+    # partitions fully drained by key moves: dynamic overwrite wrote
+    # no rows there, so the stale files must be removed explicitly
+    written = {
+        tuple(r[c] for c in partition_by)
+        for r in merged.select(*partition_by).distinct().collect()
+    }
+    drained = [p for p in parts if tuple(p[c] for c in partition_by) not in written]
+    if drained:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        for p in drained:
+            leaf = "/".join(
+                f"{c}={'__HIVE_DEFAULT_PARTITION__' if p[c] is None else p[c]}"
+                for c in partition_by
+            )
+            hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{leaf}")
+            fs = hpath.getFileSystem(hconf)
+            fs.delete(hpath, True)
