@@ -378,7 +378,7 @@ WITH pre AS (
     SELECT doc_id, t, unnest(generate_series(1, length(t))) AS i FROM pre
 )
 SELECT doc_id,
-    CAST(SUM(ascii(substring(t, i, 1)) * (((i - 1) * 31) % 1000003))
+    CAST(SUM(ascii(substring(t, i, 1)) * ((i * 31) % 1000003))
         % 2147483648 AS BIGINT) AS fp
 FROM expanded GROUP BY 1
 """,

@@ -80,27 +80,10 @@ def shingle_hashes(
     per-row arrays. Duplicate shingles are kept unless ``distinct``
     (min-aggregations downstream don't need the dedup shuffle;
     Jaccard counting does)."""
-    # posexplode the raw split and drop empties with a relational
-    # filter (codegen) — tokenize()'s array-filter HOF evaluates
-    # interpreted per word, ~2× the whole shingling cost at sf0.1.
-    # Position gaps from removed empties don't matter: lead() is
-    # row-based, so grams pair consecutive surviving words.
-    words = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(
-            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
-        ).alias("pos", "w"),
-    ).filter(F.col("w") != "")
-    w = Window.partitionBy("id").orderBy("pos")
-    parts = [F.col("w")] + [F.lead("w", k).over(w) for k in range(1, n)]
-    grams = (
-        words.select(
-            "id",
-            F.concat_ws(" ", *parts).alias("gram"),
-            parts[-1].alias("__last"),
-        )
-        .filter(F.col("__last").isNotNull())  # drop incomplete tail grams
-        .select("id", F.xxhash64("gram").alias("h"))
+    from trisk_datawrangle_spark.llm.text import word_gram_table
+
+    grams = word_gram_table(df, text_col, id_col, n).select(
+        "id", F.xxhash64("gram").alias("h")
     )
     return grams.distinct() if distinct else grams
 
@@ -356,37 +339,21 @@ def contamination_overlap(
 
     Scale shape: the benchmark side is tiny (an eval set), so its
     distinct gram table broadcasts; the corpus side streams through
-    the same codegen shingling as the dedup ladder (posexplode +
-    lead, no per-row arrays) and the flag is one broadcast semi-ish
-    join + a doc-keyed count. Grams stay strings here for
-    cross-engine checkability; at 100 TB hash them (xxhash64) to
-    shrink the broadcast and the shuffle."""
-    from pyspark.sql import Window
+    the same codegen shingling as the dedup ladder
+    (:func:`~trisk_datawrangle_spark.llm.text.word_gram_table`) and
+    the flag is one broadcast semi-ish join + a doc-keyed count.
+    Grams stay strings here for cross-engine checkability; at 100 TB
+    hash them (xxhash64) to shrink the broadcast and the shuffle."""
+    from trisk_datawrangle_spark.llm.text import word_gram_table
 
-    def gram_table(df: DataFrame) -> DataFrame:
-        words = df.select(
-            F.col(id_col).alias("id"),
-            F.posexplode(
-                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
-            ).alias("pos", "w"),
-        ).filter(F.col("w") != "")
-        win = Window.partitionBy("id").orderBy("pos")
-        leads = [F.lead("w", i).over(win) for i in range(1, n)]
-        return (
-            words.select(
-                "id",
-                F.concat_ws(" ", "w", *leads).alias("g"),
-                leads[-1].alias("__last"),
-            )
-            .filter(F.col("__last").isNotNull())
-            .select("id", "g")
-            .distinct()
-        )
-
-    bench_grams = gram_table(benchmark).select("g").distinct()
+    bench_grams = (
+        word_gram_table(benchmark, text_col, id_col, n, distinct=True)
+        .select("gram")
+        .distinct()
+    )
     return (
-        gram_table(corpus)
-        .join(F.broadcast(bench_grams), "g")
+        word_gram_table(corpus, text_col, id_col, n, distinct=True)
+        .join(F.broadcast(bench_grams), "gram")
         .groupBy(F.col("id").alias(id_col))
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )

@@ -165,11 +165,15 @@ def extract_features(
 
 def frame_sample_plan(df: DataFrame, payload_col: str = "payload", every_n: int = 30) -> DataFrame:
     """Video frame-sampling plumbing: explode a (stubbed) frame index
-    list per payload; a real decoder would yield actual frames. Kept
-    as a plan-shape demonstration: the fan-out happens *after*
-    repartitioning by payload so one fat row never pins a task."""
+    list per payload; a real decoder would yield actual frames. The
+    fan-out happens *after* repartitioning so one fat row never pins
+    a task. Payloads shorter than ``every_n`` still sample frame 0
+    (every non-empty video yields ≥1 frame); EMPTY payloads yield no
+    rows — a phantom frame for a zero-byte video breaks downstream
+    per-frame decodes."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     n_frames = (F.length(F.col(payload_col)) / every_n).cast("int")
-    return df.withColumn(
+    return df.filter(F.length(F.col(payload_col)) > 0).withColumn(
         "frame_idx",
         F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))),
     )

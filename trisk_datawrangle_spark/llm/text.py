@@ -11,6 +11,38 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+
+def word_gram_table(df, text_col="text", id_col="doc_id", n=3, distinct=False):
+    """(id, gram) long table of word ``n``-grams — THE gram builder
+    (shingling, repetition, decontamination all route here).
+
+    Relational/codegen form: ``posexplode`` the raw lowercase split,
+    drop empties with a row filter (tokenize()'s array-filter HOF
+    evaluates interpreted per word — measured ~2× the whole shingling
+    cost at sf0.1), form grams with ``lead`` windows (row-based, so
+    position gaps from removed empties don't matter), drop incomplete
+    tail grams."""
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+        ).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    win = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", k).over(win) for k in range(1, n)]
+    grams = (
+        words.select(
+            "id",
+            F.concat_ws(" ", *parts).alias("gram"),
+            parts[-1].alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .select("id", "gram")
+    )
+    return grams.distinct() if distinct else grams
+
 # Tiny per-language stopword markers for the n-gram language heuristic.
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of"],
@@ -87,11 +119,14 @@ def fingerprint(col: str | Column, prefix_len: int = 256) -> Column:
     polynomial hash over the first ``prefix_len`` characters,
     computed as a *commutative* integer sum so it is partition-order
     independent and exactly reproducible in any engine:
-    ``sum(ascii(ch_i) * ((i*31) % 1000003)) % 2^31``."""
+    ``sum(ascii(ch_i) * (((i+1)*31) % 1000003)) % 2^31`` — the +1
+    keeps the FIRST character's weight non-zero (a zero weight made
+    every pair of docs differing only in char 0 collide)."""
     c = F.substring(_c(col), 1, prefix_len)
     chars = F.split(c, "")
     weighted = F.transform(
-        chars, lambda ch, i: F.ascii(ch).cast("long") * ((i * 31) % 1000003)
+        chars,
+        lambda ch, i: F.ascii(ch).cast("long") * (((i + 1) * 31) % 1000003),
     )
     total = F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x)
     return (total % F.lit(2147483648)).cast("long")
@@ -103,32 +138,14 @@ def repetition_table(df, text_col: str = "text", id_col: str = "doc_id", n: int 
     repetition (a standard corpus-quality gate alongside
     :func:`quality_score`).
 
-    Built codegen-style (posexplode + lead window + two aggregates),
-    not with array higher-order functions, per the engine's hot-path
-    convention — the shuffle is keyed by document id, so the window
-    and aggregation stay within one exchange. Documents with fewer
-    than ``n`` words score 0.0."""
-    from pyspark.sql import DataFrame, Window
-
-    assert isinstance(df, DataFrame)
-    words = df.select(
-        F.col(id_col), F.posexplode(tokenize(text_col)).alias("pos", "w")
-    )
-    win = Window.partitionBy(id_col).orderBy("pos")
-    grams = (
-        words.select(
-            id_col,
-            F.concat_ws(
-                " ", "w", *[F.lead("w", i).over(win) for i in range(1, n)]
-            ).alias("g"),
-            F.lead("w", n - 1).over(win).alias("__last"),
-        )
-        .filter(F.col("__last").isNotNull())
-        .drop("__last")
-    )
-    stats = grams.groupBy(id_col).agg(
+    Routes through :func:`word_gram_table` (the shared relational
+    gram builder — no array HOFs in the hot path); the shuffle is
+    keyed by document id, so the window and aggregation stay within
+    one exchange. Documents with fewer than ``n`` words score 0.0."""
+    grams = word_gram_table(df, text_col, id_col, n)
+    stats = grams.groupBy(F.col("id").alias(id_col)).agg(
         F.count(F.lit(1)).alias("__total"),
-        F.countDistinct("g").alias("__distinct"),
+        F.countDistinct("gram").alias("__distinct"),
     )
     ratio = F.round(1.0 - F.col("__distinct") / F.col("__total"), 6)
     return (

@@ -161,9 +161,12 @@ def backfill_from_year(
     2026 value). Implemented as a per-group single-row lookup joined
     back (broadcast-sized after the filter)."""
     groups = list(group_cols)
+    # reduce to ONE row per group: duplicate observations at source_x
+    # would otherwise fan out every row of the group through the join
     lookup = (
         df.filter((F.col(x_col) == source_x) & F.col(value_col).isNotNull())
-        .select(*groups, F.col(value_col).alias("__src"))
+        .groupBy(*groups)
+        .agg(F.min(value_col).alias("__src"))
     )
     return (
         df.join(lookup, groups, "left")

@@ -88,11 +88,13 @@ def complete_cross(
         grid = levels if grid is None else grid.crossJoin(F.broadcast(levels))
     if x_col is not None:
         if lo is None or hi is None:
-            agg = df.agg(F.min(x_col).alias("__lo"), F.max(x_col).alias("__hi"))
+            # a half-specified bound is honored, not silently
+            # discarded: coalesce the given side with the data bound
+            agg = df.agg(F.min(x_col).alias("__dlo"), F.max(x_col).alias("__dhi"))
             grid = grid.crossJoin(F.broadcast(agg))
-            years = F.explode(
-                F.sequence(F.col("__lo"), F.col("__hi"))
-            ).alias(x_col)
+            lo_c = F.lit(lo) if lo is not None else F.col("__dlo")
+            hi_c = F.lit(hi) if hi is not None else F.col("__dhi")
+            years = F.explode(F.sequence(lo_c, hi_c)).alias(x_col)
             grid = grid.select(*level_cols, years)
         else:
             grid = grid.select(

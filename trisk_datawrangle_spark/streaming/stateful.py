@@ -57,11 +57,15 @@ def running_totals(
     def update(
         key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
     ) -> Iterator["pd.DataFrame"]:
+        # out_schema declares keys as string — convert explicitly: the
+        # batch path casts, but raw-typed (e.g. bigint) keys here would
+        # fail Arrow conversion and kill every micro-batch
+        skey = tuple(str(k) for k in key)
         if state.hasTimedOut:
             n, total = state.get
             state.remove()
             yield pd.DataFrame(
-                [(*key, n, total, True)],
+                [(*skey, n, total, True)],
                 columns=keys + ["n", "total", "finalized"],
             )
             return
@@ -73,7 +77,7 @@ def running_totals(
         if timeout_ms > 0:
             state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(
-            [(*key, n, total, False)],
+            [(*skey, n, total, False)],
             columns=keys + ["n", "total", "finalized"],
         )
 

@@ -105,6 +105,15 @@ def stream_dedup(
     the lateness horizon (unbounded dedup state is the classic
     streaming OOM); in batch it degrades to a plain dropDuplicates."""
     keys = list(key_cols)
-    if df.isStreaming and watermark is not None and ts_col is not None:
-        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    if df.isStreaming:
+        if (ts_col is None) != (watermark is None):
+            raise ValueError(
+                "stream_dedup on a stream needs BOTH ts_col and watermark "
+                "(got one) — a silent fallback to dropDuplicates would "
+                "accumulate per-key state forever"
+            )
+        if ts_col is not None:
+            return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+                keys
+            )
     return df.dropDuplicates(keys)
