@@ -182,3 +182,22 @@ def test_stateful_running_totals_batch_fallback(spark, sf_dir):
     out = running_totals(ev, ["event_type"], "value")
     assert out.filter(F.col("finalized")).count() == 0
     assert out.count() == ev.select("event_type").distinct().count()
+
+
+def test_salted_count_distinct_matches_plain(spark, sf_dir):
+    from trisk_datawrangle_spark.operators.skew import salted_count_distinct
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    plain = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    salted = {
+        r.event_type: r.n_distinct
+        for r in salted_count_distinct(
+            ev, ["event_type"], "user_id", salt_buckets=7
+        ).collect()
+    }
+    assert salted == plain and len(plain) > 0

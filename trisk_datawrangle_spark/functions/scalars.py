@@ -112,5 +112,8 @@ class UNIT:
     TWH_TO_GW_YEAR = 1000.0 / (24 * 365)
     TWH_TO_GW_LEAP = 1000.0 / (24 * 365.25)
     EJ_TO_GW = 31.68808781
-    COAL_TONNE_TO_GJ = 1.0 / 0.122835
+    # GJ per tonne of coal, derived from the reference's own chain:
+    # 1 MWh = 0.122835 tonne (prepare_price_data_long.R:706) and
+    # 1 MWh = 3.6 GJ → 1 tonne = 3.6/0.122835 ≈ 29.307 GJ
+    COAL_TONNE_TO_GJ = 3.6 / 0.122835
     GAS_MBTU_FACTOR = 1.0 / 0.03414368

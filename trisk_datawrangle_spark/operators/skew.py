@@ -5,16 +5,24 @@ when it doesn't at 100 TB).
 AQE splits skewed *partitions* of sort-merge joins, but two shapes
 still need manual salting:
 
-1. **Skewed aggregation** — one hot group key (e.g. the "Global"
-   geography, an empty-string user id) funnels into one task.
-   ``salted_agg`` runs a two-stage aggregate: hash-partial over
-   (key, salt), then final over key. Only works for decomposable
-   aggregates (sum/count/min/max — anything with a map-side partial).
+1. **Skewed distinct-count** — ``count(DISTINCT v)`` keeps the hot
+   key's whole value set in one task (no map-side reduction of the
+   set). ``salted_count_distinct`` salts by ``hash(value)`` so every
+   distinct value lands in exactly one (key, salt) bucket — partial
+   distinct counts then merge with a plain sum.
 2. **Hot-key broadcast-less join** — ``salted_join`` replicates the
    small side R times and salts the big side's key so one hot key
    spreads over R tasks.
 
-Both keep the salt column internal — caller-visible schemas are
+For plain sum/count/min/max a hot key needs NO salting: Spark's
+hash aggregation does map-side partial aggregation, so each map task
+sends at most one row per key to the final reducer regardless of
+skew. ``salted_agg`` therefore exists only for explicit two-stage
+control (e.g. when partial aggregation degrades to sort-based under
+a high-cardinality group mix and you want the reduction forced
+early); reach for it last.
+
+All keep the salt column internal — caller-visible schemas are
 unchanged.
 """
 
@@ -62,6 +70,33 @@ def salted_agg(
             for out, (fn, _) in aggs.items()
         ]
     )
+
+
+def salted_count_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "n_distinct",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Exact distinct count that survives a hot key.
+
+    The salt is ``pmod(xxhash64(value), buckets)`` — derived from the
+    VALUE, so every distinct value falls in exactly one (key, salt)
+    bucket and the per-bucket exact distinct counts merge with a
+    plain sum. (A row-position salt would double-count values that
+    appear in several buckets; a partition-id salt degenerates when
+    the hot key is concentrated in one input partition.) For
+    approximate counts at rollup grain prefer the HLL sketch ladder
+    (operators/sketches.py)."""
+    groups = list(group_cols)
+    salted = df.withColumn(
+        SALT, F.pmod(F.xxhash64(F.col(value_col)), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy(*groups, SALT).agg(
+        F.countDistinct(value_col).alias("__pd")
+    )
+    return partial.groupBy(*groups).agg(F.sum("__pd").alias(out_col))
 
 
 def salted_join(

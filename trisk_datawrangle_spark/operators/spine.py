@@ -40,7 +40,10 @@ def complete_spine(
         broadcast back — stays lazy, no driver collect).
       - ``"fixed"``  explicit ``lo``/``hi`` — the reference's
         ``seq(start_year, end_year)`` call sites, and the T4
-        add-years extension when ``hi`` exceeds the data.
+        add-years extension when ``hi`` exceeds the data. Either
+        side may be None: the missing bound comes from the data via
+        a one-row aggregate broadcast back (lazy — no driver
+        collect, no empty-input crash).
 
     Missing combinations appear with NULL in all non-key columns.
     """
@@ -53,14 +56,27 @@ def complete_spine(
         agg = df.agg(F.min(x_col).alias("__lo"), F.max(x_col).alias("__hi"))
         keys = df.select(*group_cols).distinct().crossJoin(F.broadcast(agg))
     elif bounds == "fixed":
+        if lo is None and hi is None:
+            raise ValueError("bounds='fixed' requires lo and/or hi")
+        keys = df.select(*group_cols).distinct()
         if lo is None or hi is None:
-            raise ValueError("bounds='fixed' requires lo and hi")
-        keys = (
-            df.select(*group_cols)
-            .distinct()
-            .withColumn("__lo", F.lit(lo))
-            .withColumn("__hi", F.lit(hi))
-        )
+            agg = df.agg(
+                F.min(x_col).alias("__dlo"), F.max(x_col).alias("__dhi")
+            )
+            keys = (
+                keys.crossJoin(F.broadcast(agg))
+                .withColumn(
+                    "__lo", F.lit(lo) if lo is not None else F.col("__dlo")
+                )
+                .withColumn(
+                    "__hi", F.lit(hi) if hi is not None else F.col("__dhi")
+                )
+                .drop("__dlo", "__dhi")
+            )
+        else:
+            keys = keys.withColumn("__lo", F.lit(lo)).withColumn(
+                "__hi", F.lit(hi)
+            )
     else:
         raise ValueError(f"unknown bounds mode {bounds!r}")
 

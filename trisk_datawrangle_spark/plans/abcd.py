@@ -140,7 +140,11 @@ def prepare_abcd_data(
             F.sum("plan_tech_prod").alias("plan_tech_prod"),
             F.sum("plan_emissions").alias("plan_emissions"),
             F.min("ald_location").alias("country_iso2"),
-            F.first("emissions_unit", ignorenulls=True).alias("emissions_unit"),
+            # min, not first(ignorenulls): first over an unordered
+            # aggregate is partition-order dependent — a company
+            # reporting tCO2 in one location and tCO2e in another
+            # would flip units between runs
+            F.min("emissions_unit").alias("emissions_unit"),
         )
         .cache()
     )
@@ -160,9 +164,7 @@ def prepare_abcd_data(
         fill_locf(dense, series_keys, "year", "country_iso2", direction="downup")
         .withColumn(
             "emissions_unit",
-            F.first("emissions_unit", ignorenulls=True).over(
-                Window.partitionBy(*series_keys)
-            ),
+            F.min("emissions_unit").over(Window.partitionBy(*series_keys)),
         )
     )
 

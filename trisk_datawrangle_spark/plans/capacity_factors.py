@@ -102,9 +102,12 @@ def prepare_capacity_factors(
         ),
     ).select(*SERIES_KEYS, "year", "capacity_factor")
     # T1 + W8: dense yearly spine, interior interpolation, kept edges
+    # half-specified bounds are legal: complete_spine's fixed mode
+    # derives the missing side from the data (previously start_year
+    # without end_year crashed in complete_spine)
     bounds = (
         {"bounds": "fixed", "lo": start_year, "hi": end_year}
-        if start_year is not None
+        if start_year is not None or end_year is not None
         else {"bounds": "group"}
     )
     dense = complete_spine(cf, SERIES_KEYS, "year", **bounds)

@@ -45,9 +45,14 @@ def convert_units(df: DataFrame) -> DataFrame:
     unit label rewritten to match."""
     price = F.col("price")
     unit = F.col("unit")
+    # reference arithmetic (prepare_price_data_long.R:41-42): barrel
+    # ×0.16, Mbtu ×0.9478171203 — the previous formulation divided
+    # where the reference multiplies (Mbtu ~11% high). usd/tonne →
+    # usd/GJ is ÷(GJ per tonne), derived from the reference's own
+    # constants (:706-713: MWh↔tonne 0.122835, MWh↔GJ 3.6).
     converted = (
-        F.when(unit == "usd/barrel", price / F.lit(1 / UNIT.BARREL_TO_GJ))
-        .when(unit == "usd/Mbtu", price / F.lit(UNIT.MBTU_TO_GJ))
+        F.when(unit == "usd/barrel", price * F.lit(UNIT.BARREL_TO_GJ))
+        .when(unit == "usd/Mbtu", price * F.lit(UNIT.MBTU_TO_GJ))
         .when(unit == "usd/tonne", price / F.lit(UNIT.COAL_TONNE_TO_GJ))
         .when(unit == "usd/MWh", price * F.lit(UNIT.USD_MWH_TO_USD_GJ))
         .otherwise(price)
@@ -103,9 +108,11 @@ def prepare_price_data_long(
     long = add_global_mean_rows(long)
     keys = [c for c in PRICE_KEYS if c in long.columns]
     if horizon_end is not None:
-        lo = long.agg(F.min("year")).collect()[0][0]
+        # lo comes from the data lazily (half-specified fixed bounds);
+        # an eager min-year collect here replayed the whole upstream
+        # chain as an extra job and crashed on empty input
         dense = complete_spine(
-            long, keys, "year", bounds="fixed", lo=int(lo), hi=horizon_end
+            long, keys, "year", bounds="fixed", hi=horizon_end
         )
     else:
         dense = complete_spine(long, keys, "year", bounds="group")

@@ -148,25 +148,40 @@ def prepare_scenarios_analysis_input(
     scenario-type tagging. Returns the canonical
     ``Scenarios_AnalysisInput`` columns."""
     prepared = []
-    for _, raw in sources.items():
+    for rank, (_, raw) in enumerate(sources.items()):
         interp = interpolate_yearly(
             raw, list(INTERPOLATION_GROUPS), "year", "value"
         )
         interp = interp.filter(F.col("year") >= start_year)
         shares = add_market_share_columns(interp)
-        prepared.append(format_p4i(shares, green_techs))
+        prepared.append(
+            format_p4i(shares, green_techs).withColumn(
+                "__source_rank", F.lit(rank)
+            )
+        )
     merged = prepared[0]
     for p in prepared[1:]:
         merged = merged.unionByName(p, allowMissingColumns=True)
-    merged = drop_na_geographies(merged).dropDuplicates(
-        [
-            "scenario",
-            "scenario_geography",
-            "ald_sector",
-            "ald_business_unit",
-            "units",
-            "year",
-        ]
+    # deterministic cross-source dedup: when two sources publish the
+    # same series-year, the EARLIER entry in `sources` wins (plain
+    # dropDuplicates would keep whichever row a partitioning
+    # encountered first — fair_share_perc silently varied run-to-run)
+    from pyspark.sql import Window
+
+    dedup_keys = [
+        "scenario",
+        "scenario_geography",
+        "ald_sector",
+        "ald_business_unit",
+        "units",
+        "year",
+    ]
+    w = Window.partitionBy(*dedup_keys).orderBy("__source_rank")
+    merged = (
+        drop_na_geographies(merged)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk", "__source_rank")
     )
     merged = remove_incomplete_sectors(merged, sector_tech_lookup)
     tagged = tag_scenario_type(merged, baseline_scenarios, shock_scenarios)
