@@ -44,7 +44,13 @@ def q(name: str, sql: str | None = None):
 
 
 def _scratch(sf_dir: str, leaf: str) -> str:
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    import hashlib
+
+    # key by a hash of the FULL normalized path, not the basename —
+    # two corpora both named "sf01" would otherwise share (and
+    # clobber) one round-trip sink directory
+    full = os.path.abspath(os.path.normpath(sf_dir))
+    tag = hashlib.sha256(full.encode()).hexdigest()[:16]
     return f"/tmp/trisk_src_cache/{tag}/{leaf}"
 
 

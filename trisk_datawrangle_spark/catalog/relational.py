@@ -1089,17 +1089,22 @@ def r4(spark, sf_dir):
     """unite + separate + the scalar string family (R4/R5,
     F3-F8)."""
     (p,) = load_tables(spark, sf_dir, ["part"]).values()
+    # separate() drops its source column; run it on a frame carrying a
+    # duplicate so p_name survives for the scalar ops below — the
+    # previous version re-attached it with a full self-join of part
     sep = separate(
-        p.select("p_partkey", "p_name", "p_brand", "p_type"),
-        "p_name",
+        p.select(
+            "p_partkey",
+            "p_name",
+            F.col("p_name").alias("__p_name_split"),
+            "p_brand",
+            "p_type",
+        ),
+        "__p_name_split",
         ["name_adj", "name_noun"],
         " ",
     )
-    # re-attach p_name for the remaining string ops
-    p2 = p.select("p_partkey", "p_name", "p_brand", "p_type").join(
-        sep.select("p_partkey", "name_adj", "name_noun"), "p_partkey"
-    )
-    return p2.select(
+    return sep.select(
         "p_partkey",
         unite("_", "p_brand", "p_type").alias("brand_type"),
         "name_adj",

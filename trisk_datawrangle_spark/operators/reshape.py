@@ -41,8 +41,11 @@ def melt_year_columns(
     if not value_cols:
         raise ValueError(f"no columns match {pattern!r}")
     long = df.unpivot(list(id_cols), value_cols, "__name", value_name)
+    # extract with the SAME pattern that selected the columns — a
+    # caller pattern like r"FY(\d{2})" would otherwise select columns
+    # the hardcoded 4-digit extractor cannot parse (year=NULL rows)
     return long.withColumn(
-        year_name, F.regexp_extract("__name", r"(\d{4})", 1).cast("int")
+        year_name, F.regexp_extract("__name", pattern, 1).cast("int")
     ).drop("__name")
 
 
@@ -64,6 +67,13 @@ def pivot_wider(
     Single value: plain ``{name}`` columns.
     """
     agg_fn = getattr(F, agg)
+    if values is None and len(value_cols) > 1:
+        # the multi-value rename below needs the pivot levels; derive
+        # them deterministically (sorted distinct) instead of silently
+        # dropping every pivoted column
+        values = sorted(
+            r[0] for r in df.select(name_col).distinct().collect()
+        )
     gb = df.groupBy(*id_cols)
     piv = gb.pivot(name_col, list(values) if values else None)
     if len(value_cols) == 1:
@@ -74,7 +84,7 @@ def pivot_wider(
         *id_cols,
         *[
             F.col(f"{n}_{v}").alias(f"{v}_{n}")
-            for n in (values or [])
+            for n in values
             for v in value_cols
         ],
     )

@@ -28,10 +28,7 @@ trisk_v2            all prior outputs
 ==================  ===============================================
 
 Outputs are written partitioned where downstream reads prune
-(scenario for pathway-shaped tables — SURVEY.md §4). Unlike the
-reference, the handoff is optional: ``--no-materialize`` chains the
-lazy DataFrames so Catalyst optimizes across stage boundaries (only
-the final outputs are written).
+(scenario for pathway-shaped tables — SURVEY.md §4).
 """
 
 from __future__ import annotations
@@ -182,9 +179,21 @@ def run_stage(
         fin = _read(
             spark, output_dir, "prewrangled_financial_data_stress_test"
         )
+        # only "the carbon stage was never run" may degrade to None;
+        # a corrupt/unreadable table must fail loudly, not silently
+        # drop carbon prices from the assembled output
+        from pyspark.errors import AnalysisException
+
         try:
             carbon = _read(spark, output_dir, "ngfs_carbon_price")
-        except Exception:
+        except AnalysisException as ex:
+            if "PATH_NOT_FOUND" not in str(ex):
+                raise
+            print(
+                "ngfs_carbon_price not found — assembling without "
+                "carbon prices",
+                file=sys.stderr,
+            )
             carbon = None
         scen, prices, cf = align_to_common_scenarios(scen, prices, cf)
         _write(
