@@ -26,6 +26,7 @@ from trisk_datawrangle_spark.operators.spine import complete_spine
 from trisk_datawrangle_spark.sources.readers import (
     load_tables,
     read_csv_typed,
+    read_excel_sheet,
     write_output,
 )
 
@@ -86,6 +87,40 @@ def s1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("name"),
         F.col("n_regionkey").alias("regionkey"),
     )
+
+
+@q(
+    "s3_excel_roundtrip",
+    """
+SELECT CAST(n_nationkey AS BIGINT) AS nationkey, n_name AS name,
+       CAST(n_regionkey AS BIGINT) AS regionkey
+FROM nation
+""",
+)
+def s3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: Excel sink → Excel scan round trip on the stdlib xlsx
+    path (sources/excel.py — no xlsx engine ships here), checked
+    against the parquet oracle. Workbooks are driver-side by
+    design: small dimension handoffs, never fact data."""
+    import os
+
+    from trisk_datawrangle_spark.sources.excel import write_minimal_xlsx
+
+    (nat,) = load_tables(spark, sf_dir, ["nation"]).values()
+    rows = [
+        [r.n_nationkey, r.n_name, r.n_regionkey]
+        for r in nat.select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect()
+    ]
+    path = _scratch(sf_dir, "nation_xlsx")
+    os.makedirs(path, exist_ok=True)
+    fp = f"{path}/nation.xlsx"
+    write_minimal_xlsx(fp, "nation", ["nationkey", "name", "regionkey"], rows)
+    typed = read_excel_sheet(
+        spark, fp, "nation", "nationkey long, name string, regionkey long"
+    )
+    return typed
 
 
 @q(

@@ -73,24 +73,28 @@ def read_excel_sheet(
 ) -> DataFrame:
     """S3: Excel ingest (prepare_asset_impact_data.R:7-41).
 
-    Spark has no native xlsx source; the engine lands Excel via pandas
-    (driver-side — Excel workbooks are small dimension inputs by
+    Spark has no native xlsx source; the workbook is parsed
+    driver-side (Excel inputs are small dimension files by
     construction) into a DataFrame, after which everything is
-    distributed. At scale the landing zone should convert xlsx →
-    parquet once, upstream.
+    distributed. pandas+openpyxl handles feature-rich workbooks when
+    present; otherwise the stdlib parser (sources/excel.py) covers
+    the subset real data workbooks use. At scale the landing zone
+    should convert xlsx → parquet once, upstream.
     """
     try:
         import pandas as pd
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError("pandas required for Excel ingest") from e
-    try:
+
         pdf = pd.read_excel(path, sheet_name=sheet)
-    except ImportError as e:
-        raise NotImplementedError(
-            "no xlsx engine (openpyxl) in this environment; land the "
-            "workbook as parquet upstream instead"
-        ) from e
-    return spark.createDataFrame(pdf, schema=schema)
+        return spark.createDataFrame(pdf, schema=schema)
+    except ImportError:
+        pass  # no pandas xlsx engine — stdlib fallback below
+    from trisk_datawrangle_spark.sources.excel import read_xlsx_rows
+
+    header, rows = read_xlsx_rows(path, sheet)
+    if schema is None:
+        schema = ", ".join(f"`{h}` string" for h in header)
+        rows = [[None if v is None else str(v) for v in r] for r in rows]
+    return spark.createDataFrame(rows, schema=schema)
 
 
 # Columns stored as TIMESTAMP(NANOS) in the corpus parquet — Spark
