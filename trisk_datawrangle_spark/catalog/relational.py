@@ -1721,6 +1721,25 @@ def q5(spark, sf_dir):
     return res
 
 
+@q(
+    "k1_salted_count_distinct",
+    """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY 1
+""",
+)
+def k1(spark, sf_dir):
+    """Skew-proof exact distinct count: value-derived salt puts every
+    distinct value in exactly one (key, salt) bucket, so per-bucket
+    exact counts merge by sum — same answer as COUNT(DISTINCT), but a
+    hot key's value set spreads over salt_buckets tasks instead of
+    one."""
+    from trisk_datawrangle_spark.operators.skew import salted_count_distinct
+
+    (ev,) = load_tables(spark, sf_dir, ["events"]).values()
+    return salted_count_distinct(ev, ["event_type"], "user_id", salt_buckets=8)
+
+
 @q("e6_hll_distinct_rollup")  # sketch estimates are engine-specific → rows-only
 def e6(spark, sf_dir):
     """Distinct users per event_type from the HLL sketch ladder
