@@ -67,7 +67,10 @@ def curate(
     of every LSH candidate pair above the estimated-Jaccard
     threshold, the higher id is dropped (canonical-keeps-lowest, the
     same policy as exact dedup)."""
-    kept = curate_exact(df, text_col, id_col, min_quality, langs)
+    # stage boundary: kept feeds the survivor semi-join AND the final
+    # anti-join — uncached, the scan→score→gate→dedup subtree runs
+    # twice. The cached frame is post-dedup metadata (no text column).
+    kept = curate_exact(df, text_col, id_col, min_quality, langs).cache()
     survivors = df.join(
         kept.select("doc_id"),
         df[id_col] == kept["doc_id"],
