@@ -47,7 +47,7 @@ def main() -> None:
             ).save()
             times[name] = round(time.perf_counter() - t0, 2)
         except Exception as ex:  # noqa: BLE001 — report, don't abort the sweep
-            failed[name] = str(ex).splitlines()[0][:200]
+            failed[name] = (str(ex).splitlines() or ["<no message>"])[0][:200]
         spark.catalog.clearCache()
         print(f"  {name}: {times.get(name, 'FAILED')}", file=sys.stderr)
 

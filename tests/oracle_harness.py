@@ -39,12 +39,23 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+def _normalize(df: pd.DataFrame, atol: float = 1e-9) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     if len(df):
-        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
-            drop=True
-        )
+        # sort floats ROUNDED to the comparison tolerance: raw float
+        # sort keys let sub-tolerance engine jitter flip row order
+        # between the two frames and misalign the positional compare
+        import numpy as np
+
+        digits = max(0, round(-math.log10(atol)))
+        sort_frame = df.copy()
+        for c in sort_frame.columns:
+            if sort_frame[c].dtype.kind == "f":
+                sort_frame[c] = np.round(sort_frame[c], digits)
+        order = sort_frame.sort_values(
+            by=list(sort_frame.columns), kind="mergesort"
+        ).index
+        df = df.loc[order].reset_index(drop=True)
     # normalize NaN → None-ish consistent NA for object cols
     return df
 
@@ -52,7 +63,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 def compare_frames(
     spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, atol: float = 1e-9
 ) -> tuple[bool, str]:
-    a, b = _normalize(spark_pdf.copy()), _normalize(duck_pdf.copy())
+    a, b = _normalize(spark_pdf.copy(), atol), _normalize(duck_pdf.copy(), atol)
     if list(a.columns) != list(b.columns):
         return False, f"schema mismatch: {list(a.columns)} vs {list(b.columns)}"
     if len(a) != len(b):

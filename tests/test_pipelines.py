@@ -242,3 +242,32 @@ def test_uncovered_company_gets_cascade_average(fin):
 def test_one_row_per_company(fin):
     assert fin.count() == 4
     assert fin.select("company_id").distinct().count() == 4
+
+
+def test_multisector_company_keeps_all_sector_rows(spark, fin_inputs):
+    """A company listed under several sectors with no direct record
+    must surface one row PER sector — via parent inheritance where
+    the parent covers the sector, else via cascade averages."""
+    eikon, companies, tree = fin_inputs
+    multi = companies.unionByName(
+        spark.createDataFrame(
+            [(3, "Oil&Gas"), (9, "Oil&Gas")],
+            "company_id long, ald_sector string",
+        )
+    )
+    out = prepare_financial_data(eikon, multi, tree, min_sample_size=2)
+    pairs = {
+        (r.company_id, r.ald_sector)
+        for r in out.select("company_id", "ald_sector").collect()
+    }
+    # every (company, sector) pair survives — the company-keyed
+    # keep-one window previously dropped one of company 3's sectors
+    assert {(3, "Power"), (3, "Oil&Gas"), (9, "Power"), (9, "Oil&Gas")} <= pairs
+    assert out.count() == out.select("company_id", "ald_sector").distinct().count()
+    # the parent (company 1, Power) covers only Power: sector match →
+    # inherited medians for (3, Power); (3, Oil&Gas) falls back to
+    # cascade averages with zero raw-data provenance
+    r3p = out.filter((F.col("company_id") == 3) & (F.col("ald_sector") == "Power")).collect()[0]
+    assert r3p["pd"] == pytest.approx(0.3)
+    r3o = out.filter((F.col("company_id") == 3) & (F.col("ald_sector") == "Oil&Gas")).collect()[0]
+    assert r3o["rawdata_ratio"] == 0.0

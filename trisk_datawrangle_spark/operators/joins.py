@@ -48,16 +48,24 @@ def closest_parent(
     edge_child_key: str,
     level_col: str = "ownership_level",
     tie_cols: Sequence[str] = (),
+    group_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Nearest-ancestor match through an ownership tree (J9,
     prepare_prewrangled_financial_data_stress_test.R:172-217): join
     the edge list on the subsidiary key, keep the minimum
     ``ownership_level`` row per child (slice_min :195-197). Levels are
     precomputed in the data, so no graph traversal — one join + one
-    window."""
+    window.
+
+    ``group_cols`` widens the keep-one window beyond ``child_key``
+    when the child frame is finer-grained than the join key (e.g. one
+    row per (company, sector) matched through a company-keyed tree) —
+    without it, all but one of a child's rows would be silently
+    collapsed."""
     e = edges.withColumnRenamed(edge_child_key, child_key)
     joined = child.join(e, child_key, "left")
-    w = Window.partitionBy(child_key).orderBy(level_col, *tie_cols)
+    keys = list(group_cols) if group_cols else [child_key]
+    w = Window.partitionBy(*keys).orderBy(level_col, *tie_cols)
     return (
         joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

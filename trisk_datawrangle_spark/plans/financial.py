@@ -78,7 +78,9 @@ def layered_averages(
             F.count(F.lit(1)).alias("__n"),
             *[median(i).alias(f"avg_{i}") for i in indicators],
         )
-        .filter(F.col("__n") >= min_sample_size)
+        # strict >, matching the reference's sample_sufficient gate
+        # (create_averages_eikon, :71: size_sample > minimum_sample_size)
+        .filter(F.col("__n") > min_sample_size)
         .drop("__n")
     )
     by_sector = firm_level.groupBy("ald_sector").agg(
@@ -175,7 +177,8 @@ def prepare_financial_data(
     ).cache()
 
     # production companies with no financial record → closest parent
-    missing = companies.select("company_id", "ald_sector").distinct().join(
+    prod_pairs = companies.select("company_id", "ald_sector").distinct()
+    missing = prod_pairs.join(
         firm.select("company_id").distinct(), "company_id", "left_anti"
     )
     parents = closest_parent(
@@ -188,6 +191,10 @@ def prepare_financial_data(
         child_key="company_id",
         edge_child_key="subsidiary_company_id",
         tie_cols=["parent_company_id"],
+        # one keep-one window PER (company, sector) pair — keyed by
+        # company alone, a multi-sector company kept an arbitrary
+        # single sector and the others vanished from the output
+        group_cols=["company_id", "ald_sector"],
     )
     inherited = (
         parents.join(
@@ -211,10 +218,14 @@ def prepare_financial_data(
     # still-missing production companies: cascade averages only,
     # provenance 0 (the reference reaches the same rows through its
     # bind_cols fallback, :319-322)
+    # anti-join on BOTH keys: a company covered for one sector must
+    # still fall back to cascade averages for its other sectors
     uncovered = (
-        companies.select("company_id", "ald_sector")
-        .distinct()
-        .join(pool.select("company_id").distinct(), "company_id", "left_anti")
+        prod_pairs.join(
+            pool.select("company_id", "ald_sector").distinct(),
+            ["company_id", "ald_sector"],
+            "left_anti",
+        )
         .withColumn("region", F.lit(None).cast("string"))
     )
     uncovered = attach_averages(uncovered, sr, s, g, indicators)
