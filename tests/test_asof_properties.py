@@ -76,3 +76,51 @@ def test_join_asof_matches_pandas_merge_asof(spark, keyed):
                     assert g is None, (k, t, g)
                 else:
                     assert g == v, (k, t, g, v)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(  # points: (key, ts)
+        st.tuples(st.integers(0, 3), st.integers(0, 500)),
+        min_size=1, max_size=30,
+    ),
+    st.lists(  # intervals: (key, start, length>=0)
+        st.tuples(st.integers(0, 3), st.integers(0, 500), st.integers(0, 120)),
+        min_size=0, max_size=15,
+    ),
+    st.sampled_from([7, 60, 200]),  # bucket width in seconds
+)
+def test_interval_join_matches_naive_definition(spark, points, spans, bucket):
+    """The bucketed equi-join must equal the BETWEEN definition for
+    any bucket grain — including intervals far longer or shorter than
+    the bucket, zero-length intervals, and boundary-exact points."""
+    from trisk_datawrangle_spark.operators.temporal import interval_join
+
+    pts = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(points)],
+        "pid long, k long, ts long",
+    )
+    ivs = spark.createDataFrame(
+        [(i, k, s, s + ln) for i, (k, s, ln) in enumerate(spans)]
+        or [(0, -1, 0, 0)],  # sentinel key no point uses, when empty
+        "iid long, k long, start long, end long",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join(
+            pts, ivs, on=["k"], ts_col="ts", start_col="start",
+            end_col="end", bucket_seconds=bucket,
+        ).collect()
+    }
+    expected = {
+        (pi, ii)
+        for pi, (pk, pt) in enumerate(points)
+        for ii, (ik, s, ln) in enumerate(spans)
+        if pk == ik and s <= pt <= s + ln
+    }
+    assert got == expected
