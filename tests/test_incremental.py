@@ -157,3 +157,43 @@ def test_merge_removes_old_row_when_key_moves_partition(spark, tmp_path_factory)
         for r in spark.read.parquet(path).select("id", "day", "v").collect()
     }
     assert got == {(1, "d3", 10.0), (2, "d1", 2.0), (3, "d3", 30.0)}
+
+
+def test_merge_by_key_random_batches_match_dict_semantics(spark, tmp_path_factory):
+    """Apply a sequence of random update batches; the table must equal
+    a dict keyed by id where later batches win."""
+    import random
+
+    rng = random.Random(3)
+    path = str(tmp_path_factory.mktemp("incp")) + "/t"
+    state = {}
+    base = [(i, f"d{rng.randint(1, 4)}", float(rng.randint(0, 99))) for i in range(20)]
+    for i, d, v in base:
+        state[i] = (d, v)
+    write_partitioned(
+        spark.createDataFrame(base, "id long, day string, v double"),
+        path,
+        ["day"],
+    )
+    for _ in range(3):
+        batch = [
+            (rng.randint(0, 29), f"d{rng.randint(1, 5)}", float(rng.randint(0, 99)))
+            for _ in range(8)
+        ]
+        dedup = {}
+        for i, d, v in batch:  # one row per key within a batch
+            dedup[i] = (d, v)
+        batch = [(i, d, v) for i, (d, v) in dedup.items()]
+        merge_by_key(
+            spark,
+            spark.createDataFrame(batch, "id long, day string, v double"),
+            path,
+            keys=["id"],
+            partition_by=["day"],
+        )
+        state.update(dedup)
+        got = {
+            r.id: (r.day, r.v)
+            for r in spark.read.parquet(path).select("id", "day", "v").collect()
+        }
+        assert got == state

@@ -62,3 +62,33 @@ def test_pack_partition_layout_independent(spark, frame):
 def test_bad_budget_rejected(spark, frame):
     with pytest.raises(ValueError):
         pack_sequences(frame, "n_tok", 0, ["shard"], "doc_id")
+
+
+def test_pack_invariants_on_random_inputs(spark):
+    """Property sweep: for random token multisets, packing preserves
+    rows, respects order-contiguity (a pack is a contiguous run in
+    the accumulation order), and never overflows by more than the one
+    straddling document."""
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (i, f"s{rng.randint(0, 2)}", rng.choice([1, 10, 100, 450, 700]))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, shard string, n_tok long")
+    out = pack_sequences(df, "n_tok", 512, ["shard"], "doc_id").collect()
+    assert len(out) == len(rows)
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r.shard, r.doc_id)):
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        # pack ids are non-decreasing in accumulation order (contiguous)
+        packs = [r.pack_id for r in rs]
+        assert packs == sorted(packs), shard
+        # per-pack totals: budget plus at most the largest member
+        totals = {}
+        for r in rs:
+            totals.setdefault(r.pack_id, []).append(r.n_tok)
+        for pid, toks in totals.items():
+            assert sum(toks) < 512 + max(toks), (shard, pid)
