@@ -68,6 +68,19 @@ def compare_frames(
         return False, f"schema mismatch: {list(a.columns)} vs {list(b.columns)}"
     if len(a) != len(b):
         return False, f"row count mismatch: {len(a)} vs {len(b)}"
+    # Driver-parity dtype gate: the driver hash-compares rendered values,
+    # so Spark int64 vs DuckDB float64 (e.g. HUGEINT from SUM(BIGINT))
+    # mismatches even when every value is equal. Catch that class here
+    # instead of letting the float-cast comparison below mask it.
+    int_kinds = {"i", "u"}
+    for col in a.columns:
+        ka, kb = a[col].dtype.kind, b[col].dtype.kind
+        if {ka, kb} <= int_kinds | {"f"} and (ka in int_kinds) != (kb in int_kinds):
+            return False, (
+                f"{col}: dtype class mismatch ({a[col].dtype} vs "
+                f"{b[col].dtype}) — integer-vs-float hash-mismatches in the "
+                f"driver; CAST the oracle expression (HUGEINT→BIGINT?)"
+            )
     max_dev = 0.0
     for col in a.columns:
         av, bv = a[col], b[col]

@@ -388,7 +388,10 @@ SELECT COALESCE(a.p_partkey, b.p_partkey) AS p_partkey,
        a.p_retailprice, b.sum_qty
 FROM (SELECT p_partkey, p_retailprice FROM part WHERE p_size <= 25) a
 FULL OUTER JOIN (
-    SELECT l_partkey AS p_partkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+    -- DuckDB SUM(BIGINT) returns HUGEINT (pandas float64); re-cast so the
+    -- driver's hash-exact compare sees int64 like Spark's sum(long).
+    SELECT l_partkey AS p_partkey,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
     FROM lineitem GROUP BY 1
 ) b USING (p_partkey)
 """,
@@ -1556,7 +1559,7 @@ def e4(spark, sf_dir):
     """
 SELECT event_type,
     COUNT(*) AS n,
-    SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
     MIN(CAST(round(value * 100) AS BIGINT)) AS min_cents,
     MAX(CAST(round(value * 100) AS BIGINT)) AS max_cents
 FROM events
