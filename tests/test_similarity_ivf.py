@@ -102,3 +102,33 @@ def test_vectorized_topk_ignores_zero_vectors(spark):
     res = cosine_topk_vectorized(corpus, q, k=3).collect()
     assert all(r.neighbor_id != 999999 for r in res if r.rank == 1)
     assert all(not (r.cosine != r.cosine) for r in res)  # no NaN survives
+
+
+def test_blocked_pairs_match_vectorized_exactly(spark):
+    """The blocked self-GEMM (no driver collect) must emit the exact
+    same pair set and cosines as the broadcast-verifier formulation,
+    for any block count — every unordered pair lands in exactly one
+    block-pair group."""
+    from trisk_datawrangle_spark.llm.similarity import (
+        cosine_pairs_blocked,
+        cosine_pairs_vectorized,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    ref = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_pairs_vectorized(e, threshold=0.45).collect()
+    }
+    assert ref, "fixture must produce at least one qualifying pair"
+    for n_blocks in (1, 3, 8):
+        got = {
+            (r.id_a, r.id_b): r.cosine
+            for r in cosine_pairs_blocked(
+                e, threshold=0.45, n_blocks=n_blocks
+            ).collect()
+        }
+        assert set(got) == set(ref), f"pair set drift at B={n_blocks}"
+        for key, cos in got.items():
+            assert abs(cos - ref[key]) < 1e-9, (key, n_blocks)

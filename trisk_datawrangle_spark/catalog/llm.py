@@ -166,17 +166,19 @@ WHERE list_dot_product(a.v, b.v)
 """,
 )
 def d5(spark, sf_dir):
-    """Embedding-cosine high-similarity pairs via the GEMM
-    formulation (33s → ~1s at sf0.1 vs the interpreted per-pair
-    expression; the LSH-bucketed candidate path for beyond-driver
-    corpora is s2). Threshold 0.45: the synthetic embeddings top out
-    near cosine 0.6, and a 0.92 gate returned zero rows — an empty
-    result set correctness-gates nothing (nearest boundary pair sits
-    5.5e-4 away, far above summation-order noise)."""
-    from trisk_datawrangle_spark.llm.similarity import cosine_pairs_vectorized
+    """Embedding-cosine high-similarity pairs via the blocked
+    self-GEMM — exact all-pairs with no driver-side corpus collect or
+    broadcast (each block-pair group GEMMs independently;
+    ``cosine_pairs_vectorized`` remains the small-corpus verifier,
+    the LSH-bucketed approximate path is s2). Threshold 0.45: the
+    synthetic embeddings top out near cosine 0.6, and a 0.92 gate
+    returned zero rows — an empty result set correctness-gates
+    nothing (nearest boundary pair sits 5.5e-4 away, far above
+    summation-order noise)."""
+    from trisk_datawrangle_spark.llm.similarity import cosine_pairs_blocked
 
     e = _embs(spark, sf_dir).select("vec_id", "embedding")
-    pairs = cosine_pairs_vectorized(e, threshold=0.45)
+    pairs = cosine_pairs_blocked(e, threshold=0.45)
     return pairs.select(
         "id_a", "id_b", F.round("cosine", 4).alias("cosine")
     )

@@ -222,6 +222,109 @@ def cosine_pairs_vectorized(
     return part.mapInPandas(pairs, "id_a long, id_b long, cosine double")
 
 
+def cosine_pairs_blocked(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine ≥ ``threshold`` — exact,
+    like :func:`cosine_pairs_vectorized`, but with NO driver-side
+    corpus collect/broadcast: the scale-safe formulation.
+
+    Shape: hash every vector into one of ``B`` blocks, replicate each
+    row once per block-pair it participates in (``B`` copies), group
+    by the (lo, hi) block-pair key, and compute each group's
+    similarity matrix as one numpy GEMM inside ``applyInPandas``.
+    Exactness is structural — every unordered pair of rows lands in
+    exactly one block-pair group — so the same threshold oracle holds.
+
+    Scale: shuffle is ``n·B`` rows (vs the quadratic pair count);
+    compute is the same O(n²/2) dot products but spread over
+    ``B(B+1)/2`` independent tasks, each holding ~``2n/B`` vectors —
+    pick ``B ≈ sqrt(cluster cores)`` so tasks stay memory-bounded.
+    All-pairs is inherently quadratic; at corpus sizes where even the
+    blocked GEMM is too much, generate candidates approximately
+    (:func:`lsh_bucket_topk` / :func:`ivf_topk` cells) and accept
+    recall < 1 — but then the exact-threshold contract no longer
+    holds, which is why this entry stays exact."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    if n_blocks is None:
+        n_blocks = max(4, int(spark.sparkContext.defaultParallelism ** 0.5))
+    B = int(n_blocks)
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(B))
+        .cast("int")
+        .alias("__blk"),
+    )
+    # one replica per block-pair the row participates in; the replica
+    # carries its role so the GEMM knows which side of the pair it is
+    repl = base.select(
+        "__id",
+        "__v",
+        "__blk",
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("__other"),
+    ).select(
+        "__id",
+        "__v",
+        F.least("__blk", "__other").alias("__p1"),
+        F.greatest("__blk", "__other").alias("__p2"),
+        F.when(F.col("__blk") <= F.col("__other"), F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("__role"),
+    )
+
+    def gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        p1, p2 = key
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+        )
+
+        def unit(rows: pd.DataFrame):
+            ids = rows["__id"].to_numpy()
+            mat = np.array(list(rows["__v"]), dtype=np.float64)
+            mat /= np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            return ids, mat
+
+        if p1 == p2:
+            ids, mat = unit(pdf)
+            if len(ids) < 2:
+                return empty
+            sims = mat @ mat.T
+            xi, yj = np.nonzero(np.triu(sims >= threshold, k=1))
+        else:
+            a = pdf[pdf["__role"] == "a"]
+            b = pdf[pdf["__role"] == "b"]
+            if not len(a) or not len(b):
+                return empty
+            ids_a, mat_a = unit(a)
+            ids_b, mat_b = unit(b)
+            sims = mat_a @ mat_b.T
+            xi, yj = np.nonzero(sims >= threshold)
+            lo = np.minimum(ids_a[xi], ids_b[yj])
+            hi = np.maximum(ids_a[xi], ids_b[yj])
+            return pd.DataFrame(
+                {"id_a": lo, "id_b": hi, "cosine": sims[xi, yj]}
+            )
+        lo = np.minimum(ids[xi], ids[yj])
+        hi = np.maximum(ids[xi], ids[yj])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": sims[xi, yj]})
+
+    return (
+        repl.groupBy("__p1", "__p2")
+        .applyInPandas(gemm, "id_a long, id_b long, cosine double")
+    )
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     n_cells: int = 16,
