@@ -61,10 +61,10 @@ def staged_dirs(spark, tmp_path_factory):
         "Technology string, Indicator string, `2022` double, `2025` double",
     ).write.mode("overwrite").parquet(f"{inp}/capacity_factors_raw.parquet")
 
-    # prices (wide years)
+    # prices (wide years; Mbtu exercises the F10 conversion → "GJ")
     spark.createDataFrame(
         [
-            (s, g, "Power", "usd/MWh", 40.0, 50.0)
+            (s, g, "Power", "usd/Mbtu", 40.0, 50.0)
             for s in ("WEO_STEPS", "WEO_NZE")
             for g in ("Global", "Europe")
         ],
@@ -72,9 +72,15 @@ def staged_dirs(spark, tmp_path_factory):
         "unit string, `2022` double, `2025` double",
     ).write.mode("overwrite").parquet(f"{inp}/price_raw.parquet")
 
-    # carbon (wide years)
+    # carbon (wide years): three NGFS models, 'World' vocabulary —
+    # the assembler must average across models and conform to
+    # 'Global', not fan scenarios_data out 3×
     spark.createDataFrame(
-        [("GCAM", "WEO_NZE", "World", "Price|Carbon", "US$/t", 10.0, 30.0)],
+        [
+            ("GCAM", "WEO_NZE", "World", "Price|Carbon", "US$/t", 10.0, 30.0),
+            ("REMIND", "WEO_NZE", "World", "Price|Carbon", "US$/t", 20.0, 40.0),
+            ("MESSAGE", "WEO_NZE", "World", "Price|Carbon", "US$/t", 30.0, 50.0),
+        ],
         "Model string, Scenario string, Region string, Variable string, "
         "Unit string, `2022` double, `2025` double",
     ).write.mode("overwrite").parquet(f"{inp}/ngfs_carbon_price_raw.parquet")
@@ -148,7 +154,7 @@ def test_full_workflow(spark, staged_dirs):
     prices = spark.read.parquet(f"{out}/price_data_long.parquet")
     assert set(
         r["unit"] for r in prices.select("unit").distinct().collect()
-    ) == {"usd/GJ"}
+    ) == {"GJ"}
 
     abcd = spark.read.parquet(f"{out}/abcd_stress_test_input.parquet")
     assert abcd.filter(F.col("plan_tech_prod").isNull()).count() == 0
@@ -169,6 +175,20 @@ def test_full_workflow(spark, staged_dirs):
         r["scenario_provider"]
         for r in scen_data.select("scenario_provider").distinct().collect()
     ) == {"WEO"}
+    # carbon joined without model fan-out: exactly one row per
+    # (scenario, geography, business unit, year)
+    n = scen_data.count()
+    assert n == scen_data.select(
+        "scenario", "scenario_geography", "ald_business_unit", "year"
+    ).distinct().count()
+    # the NGFS scenario got a carbon tax on every year (vocabulary
+    # conformed World→Global; interior years interpolated); 2022 is
+    # the mean over the three models: (10+20+30)/3
+    nze = scen_data.filter(F.col("scenario") == "WEO_NZE")
+    assert nze.filter(F.col("carbon_tax").isNull()).count() == 0
+    assert nze.filter(F.col("year") == 2022).collect()[0][
+        "carbon_tax"
+    ] == pytest.approx(20.0)
 
 
 def test_cli_arg_validation():

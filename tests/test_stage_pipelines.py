@@ -188,8 +188,9 @@ def test_price_pipeline(spark):
         for r in out.filter(F.col("scenario_geography") == "Global").collect()
     }
     assert glob[2020] == pytest.approx((2.56 + 5.12) / 2)
+    # reference relabels converted units as "GJ" (not "usd/GJ")
     assert set(r["unit"] for r in out.select("unit").distinct().collect()) == {
-        "usd/GJ"
+        "GJ"
     }
 
 
@@ -211,33 +212,49 @@ def test_carbon_price_pipeline(spark):
 
 
 def test_lcoe_adjusted_prices(spark):
+    """Reference semantics (prepare_LCOE_adjusted_price_data.R:18-70):
+    Power LCOE series → implied market prices within the SAME
+    (scenario, geography, sector, technology, unit) series; two
+    technologies must not cross-fan, non-Power rows pass through."""
     from trisk_datawrangle_spark.plans.prices import (
         prepare_lcoe_adjusted_prices,
     )
 
-    lcoe = spark.createDataFrame(
+    data = spark.createDataFrame(
         [
-            ("NZE", "Global", "SolarPV", 2020, 50.0),
-            ("NZE", "Global", "SolarPV", 2030, 25.0),
-        ],
-        "scenario string, scenario_geography string, technology string, "
-        "year int, price double",
-    )
-    fuel = spark.createDataFrame(
-        [
-            ("NZE", "Global", "Power", "usd/GJ", 2020, 10.0),
-            ("NZE", "Global", "Power", "usd/GJ", 2030, 12.0),
+            # SolarPV LCOE halves by 2030 → cost factor 2.0
+            ("NZE", "Global", "Power", "SolarPV", "LCOE", "usd/MWh", 2020, 50.0),
+            ("NZE", "Global", "Power", "SolarPV", "LCOE", "usd/MWh", 2030, 25.0),
+            # CoalCap LCOE rises → cost factor 0.8
+            ("NZE", "Global", "Power", "CoalCap", "LCOE", "usd/MWh", 2020, 40.0),
+            ("NZE", "Global", "Power", "CoalCap", "LCOE", "usd/MWh", 2030, 50.0),
+            # non-Power fuel price: untouched pass-through
+            ("NZE", "Global", "Oil&Gas", "Oil", "price", "GJ", 2020, 12.0),
         ],
         "scenario string, scenario_geography string, sector string, "
-        "unit string, year int, price double",
+        "technology string, indicator string, unit string, "
+        "year int, price double",
     )
-    out = prepare_lcoe_adjusted_prices(lcoe, fuel).cache()
-    # cost factor: 2020 = 1.0, 2030 = 50/25 = 2.0 → adjusted 10, 24
+    out = prepare_lcoe_adjusted_prices(
+        data, average_npm_power=0.2, start_year=2020
+    ).cache()
     vals = {
-        (r["year"], r["model"]): r["lcoe_adjusted_price"]
-        for r in out.collect()
+        (r["technology"], r["year"]): r["price"]
+        for r in out.filter(F.col("sector") == "Power").collect()
     }
-    assert vals[(2020, "GCAM")] == pytest.approx(10.0)
-    assert vals[(2030, "GCAM")] == pytest.approx(24.0)
-    # R8 fan-out: every row duplicated across the three models
-    assert out.select("model").distinct().count() == 3
+    # implied 2020 price = lcoe / (1 - npm) = 50 / 0.8 = 62.5; 2030 =
+    # 62.5 × (50/25) = 125. CoalCap: 50, then 50 × (40/50) = 40.
+    assert vals[("SolarPV", 2020)] == pytest.approx(62.5)
+    assert vals[("SolarPV", 2030)] == pytest.approx(125.0)
+    assert vals[("CoalCap", 2020)] == pytest.approx(50.0)
+    assert vals[("CoalCap", 2030)] == pytest.approx(40.0)
+    # exactly one row per (technology, year): no cross-technology fan
+    assert out.filter(F.col("sector") == "Power").count() == 4
+    # all Power LCOE rows relabeled as prices
+    assert {
+        r["indicator"]
+        for r in out.filter(F.col("sector") == "Power").collect()
+    } == {"price"}
+    # the non-Power row passes through untouched
+    oil = out.filter(F.col("sector") == "Oil&Gas").collect()
+    assert len(oil) == 1 and oil[0]["price"] == pytest.approx(12.0)

@@ -67,18 +67,65 @@ def test_scenarios_data_join_and_provider(spark):
         "scenario string, scenario_geography string, "
         "ald_business_unit string, year int, capacity_factor double",
     )
+    # geography-free after the reference's select(-scenario_geography)
+    # happens inside the assembler; the raw price table still has it
     price = spark.createDataFrame(
         [("WEO_STEPS", "Global", "Power", 2022, 42.0)],
         "scenario string, scenario_geography string, sector string, "
         "year int, price double",
     )
+    # NGFS-keyed carbon: 3 models, 'World' vocabulary — must reduce
+    # to ONE row per (scenario, geography, year) and conform to
+    # 'Global', not fan the scenarios row out 3×
     carbon = spark.createDataFrame(
-        [("WEO_STEPS", "Global", 2022, 75.0)],
-        "scenario string, scenario_geography string, year int, "
-        "carbon_tax double",
+        [
+            ("GCAM", "WEO_STEPS", "World", "Price|Carbon", 2022, 70.0),
+            ("REMIND", "WEO_STEPS", "World", "Price|Carbon", 2022, 75.0),
+            ("MESSAGE", "WEO_STEPS", "World", "Price|Carbon", 2022, 80.0),
+        ],
+        "model string, scenario string, scenario_geography string, "
+        "variable string, year int, carbon_tax double",
     )
-    row = assemble_scenarios_data(scen, cf, price, carbon).collect()[0]
+    rows = assemble_scenarios_data(scen, cf, price, carbon).collect()
+    assert len(rows) == 1, "multi-model carbon must not fan out"
+    row = rows[0]
     assert row["capacity_factor"] == pytest.approx(0.55)
     assert row["price"] == pytest.approx(42.0)
-    assert row["carbon_tax"] == pytest.approx(75.0)
+    assert row["carbon_tax"] == pytest.approx(75.0)  # mean over models
     assert row["scenario_provider"] == "WEO"
+
+
+def test_scenarios_data_price_join_is_technology_granular(spark):
+    """run_workflow.R:197-199: prices join on (scenario, ald_sector,
+    ald_business_unit, year) with geography dropped, INNER — a row
+    whose business unit has no price is dropped, and a two-technology
+    price table must not cross-fan."""
+    scen = spark.createDataFrame(
+        [
+            ("S", "Global", "Power", "CoalCap", 2022, -0.1),
+            ("S", "Global", "Power", "GasCap", 2022, -0.2),
+            ("S", "Global", "Power", "HydroCap", 2022, 0.3),
+        ],
+        "scenario string, scenario_geography string, ald_sector string, "
+        "ald_business_unit string, year int, fair_share_perc double",
+    )
+    cf = spark.createDataFrame(
+        [("S", "Global", "CoalCap", 2022, 0.5)],
+        "scenario string, scenario_geography string, "
+        "ald_business_unit string, year int, capacity_factor double",
+    )
+    price = spark.createDataFrame(
+        [
+            ("S", "EU", "Power", "CoalCap", 2022, 40.0),
+            ("S", "Global", "Power", "CoalCap", 2022, 40.0),
+            ("S", "Global", "Power", "GasCap", 2022, 60.0),
+        ],
+        "scenario string, scenario_geography string, sector string, "
+        "ald_business_unit string, year int, price double",
+    )
+    out = assemble_scenarios_data(scen, cf, price).cache()
+    got = {r["ald_business_unit"]: r["price"] for r in out.collect()}
+    # geography dropped + distinct: the EU duplicate collapses; Hydro
+    # has no price so the inner join drops it
+    assert got == {"CoalCap": 40.0, "GasCap": 60.0}
+    assert out.count() == 2

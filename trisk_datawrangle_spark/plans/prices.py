@@ -40,31 +40,49 @@ def melt_price_table(raw: DataFrame, id_cols: Sequence[str]) -> DataFrame:
 
 
 def convert_units(df: DataFrame) -> DataFrame:
-    """F10 (R/prepare_price_data_long.R:38-52,297-299,709-717): all
-    fossil prices normalized to usd/GJ via the published constants;
-    unit label rewritten to match."""
+    """F10 (R/prepare_price_data_long.R:36-52): oil & gas prices
+    normalized to GJ via the published constants; coal stays at
+    usd/tonne ("tonnes of coal -> tonnes of coal (already correct)",
+    :36-38) so coal prices keep pairing with tonne-denominated
+    production. Converted units are relabeled "GJ", matching the
+    reference's vocabulary (:47-51)."""
     price = F.col("price")
     unit = F.col("unit")
     # reference arithmetic (prepare_price_data_long.R:41-42): barrel
     # ×0.16, Mbtu ×0.9478171203 — the previous formulation divided
-    # where the reference multiplies (Mbtu ~11% high). usd/tonne →
-    # usd/GJ is ÷(GJ per tonne), derived from the reference's own
-    # constants (:706-713: MWh↔tonne 0.122835, MWh↔GJ 3.6).
+    # where the reference multiplies (Mbtu ~11% high).
     converted = (
         F.when(unit == "usd/barrel", price * F.lit(UNIT.BARREL_TO_GJ))
         .when(unit == "usd/Mbtu", price * F.lit(UNIT.MBTU_TO_GJ))
-        .when(unit == "usd/tonne", price / F.lit(UNIT.COAL_TONNE_TO_GJ))
-        .when(unit == "usd/MWh", price * F.lit(UNIT.USD_MWH_TO_USD_GJ))
         .otherwise(price)
     )
     new_unit = recode(
         unit,
         {
-            "usd/barrel": "usd/GJ",
-            "usd/Mbtu": "usd/GJ",
-            "usd/tonne": "usd/GJ",
-            "usd/MWh": "usd/GJ",
+            "usd/barrel": "GJ",
+            "usd/Mbtu": "GJ",
         },
+    )
+    return df.withColumn("price", converted).withColumn("unit", new_unit)
+
+
+def convert_mwh_units(df: DataFrame, tech_col: str = "technology") -> DataFrame:
+    """The Oxford-variant per-technology $/MWh normalization
+    (R/prepare_price_data_long.R:706-717): Oil and Gas $/MWh → GJ
+    (÷3.6), Coal $/MWh → usd/tonne (÷0.122835) — coal lands back on
+    the tonne denomination its production series uses."""
+    price = F.col("price")
+    tech = F.col(tech_col)
+    mwh = F.col("unit").isin("$/MWh", "usd/MWh")
+    converted = (
+        F.when(mwh & tech.isin("Oil", "Gas"), price * F.lit(UNIT.USD_MWH_TO_USD_GJ))
+        .when(mwh & (tech == "Coal"), price / F.lit(0.122835))
+        .otherwise(price)
+    )
+    new_unit = (
+        F.when(mwh & tech.isin("Oil", "Gas"), F.lit("GJ"))
+        .when(mwh & (tech == "Coal"), F.lit("usd/tonne"))
+        .otherwise(F.col("unit"))
     )
     return df.withColumn("price", converted).withColumn("unit", new_unit)
 
@@ -185,34 +203,64 @@ def add_cost_factor(
     )
 
 
+LCOE_SERIES_KEYS = [
+    "source",
+    "scenario",
+    "scenario_geography",
+    "sector",
+    "technology",
+    "unit",
+]
+
+
 def prepare_lcoe_adjusted_prices(
-    lcoe_long: DataFrame,
-    fuel_prices: DataFrame,
-    models: Sequence[str] = ("GCAM", "REMIND", "MESSAGE"),
+    input_data: DataFrame,
+    average_npm_power: float = 0.1,
+    start_year: int | None = None,
 ) -> DataFrame:
-    """LCOE adjustment chain (R/prepare_LCOE_adjusted_price_data.R):
-    per-(scenario, region, technology) cost-decline factors from the
-    LCOE series (W3), applied to the fuel-price series joined on the
-    conformed keys (J3 natural-join sites :131-132,244-249), then
-    fanned out across the NGFS models (R8 :225-242 — the reference
-    builds constant columns and melts; the Spark idiom is one explode
-    over a literal array).
+    """LCOE → implied-market-price adjustment
+    (R/prepare_LCOE_adjusted_price_data.R:18-70, and the structurally
+    identical WEO2021/IPR variants :140-165,265-300).
 
-    Inputs: ``lcoe_long`` (scenario, scenario_geography, technology,
-    year, price); ``fuel_prices`` (scenario, scenario_geography,
-    sector, unit, year, price).
+    Power-sector LCOE series become market prices: the start-year
+    implied price is ``lcoe / (1 - npm)`` (the sector net profit
+    margin on top of costs), and every later year scales that by the
+    cost-decline factor ``lcoe_t0 / lcoe_t`` — both computed and
+    joined WITHIN the same (source, scenario, geography, sector,
+    technology, unit) series, so nothing fans out across
+    technologies or leaks Power factors into other sectors. Non-Power
+    / non-LCOE rows pass through unchanged (:62-67 bind_rows).
+
+    ``input_data`` is the long price frame: the series keys (those of
+    ``LCOE_SERIES_KEYS`` that are present) + (indicator, year,
+    price). ``start_year`` defaults to the earliest year present.
+
+    Scale: the implied-price side is one row per series — broadcast;
+    the cost factor is a window over the already-partitioned series.
     """
-    factors = add_cost_factor(
-        lcoe_long,
-        ["scenario", "scenario_geography", "technology"],
-    ).select(
-        "scenario", "scenario_geography", "technology", "year", "cost_factor"
+    if start_year is None:
+        start_year = input_data.agg(F.min("year")).first()[0]
+    keys = [c for c in LCOE_SERIES_KEYS if c in input_data.columns]
+    data = input_data.filter(F.col("year") >= start_year)
+    lcoe = data.filter(
+        (F.col("sector") == "Power") & (F.col("indicator") == "LCOE")
     )
-    adjusted = fuel_prices.join(
-        F.broadcast(factors),
-        ["scenario", "scenario_geography", "year"],
-        "inner",
-    ).withColumn("lcoe_adjusted_price", F.col("price") * F.col("cost_factor"))
-    from trisk_datawrangle_spark.operators.reshape import fan_out
-
-    return fan_out(adjusted, "model", list(models))
+    implied = (
+        lcoe.filter(F.col("year") == start_year)
+        .withColumn(
+            "implied_price",
+            F.col("price") / (1 - F.lit(float(average_npm_power))),
+        )
+        .select(*keys, "implied_price")
+    )
+    factors = add_cost_factor(lcoe, keys)
+    adjusted = (
+        factors.join(F.broadcast(implied), keys, "inner")
+        .withColumn("price", F.col("implied_price") * F.col("cost_factor"))
+        .withColumn("indicator", F.lit("price"))
+        .select(*data.columns)
+    )
+    others = data.filter(
+        ~((F.col("sector") == "Power") & (F.col("indicator") == "LCOE"))
+    )
+    return union_by_name(adjusted, others)

@@ -95,29 +95,37 @@ def assemble_scenarios_data(
         ["scenario", "scenario_geography", "ald_business_unit", "year"],
         "left",
     )
-    out = out.join(
-        F.broadcast(
-            prices.select(
-                "scenario",
-                "scenario_geography",
-                F.col("sector").alias("ald_sector"),
-                "year",
-                "price",
-            )
-        ),
-        ["scenario", "scenario_geography", "ald_sector", "year"],
-        "left",
-    )
+    # price join (run_workflow.R:197-199): the reference drops
+    # scenario_geography from the price side, distincts, and
+    # INNER-joins on (scenario, ald_sector[, ald_business_unit], year)
+    # — technology-granular when the price table carries the business
+    # unit (LCOE-adjusted Power prices), sector-grain otherwise; rows
+    # without a price are dropped, not NULL-padded.
+    price_keys = ["scenario", "ald_sector"]
+    p = prices.withColumnsRenamed({"sector": "ald_sector"})
+    if "ald_business_unit" in p.columns:
+        price_keys.append("ald_business_unit")
+    price_keys.append("year")
+    p = p.select(*price_keys, "price").distinct()
+    out = out.join(F.broadcast(p), price_keys, "inner")
     if carbon is not None:
+        # the carbon table is keyed by (model, scenario, geography,
+        # variable, unit, year) — NGFS raw carries 3 models
+        # (GCAM/REMIND/MESSAGE), so joining it as-is fans every
+        # scenarios row out N×. Reduce to one row per join key (mean
+        # across models/variables) and conform the NGFS geography
+        # vocabulary ('World') to the scenario tables' 'Global' first.
+        conformed = carbon.withColumn(
+            "scenario_geography",
+            F.when(
+                F.col("scenario_geography") == "World", F.lit("Global")
+            ).otherwise(F.col("scenario_geography")),
+        )
+        reduced = conformed.groupBy(
+            "scenario", "scenario_geography", "year"
+        ).agg(F.avg("carbon_tax").alias("carbon_tax"))
         out = out.join(
-            F.broadcast(
-                carbon.select(
-                    "scenario",
-                    "scenario_geography",
-                    "year",
-                    "carbon_tax",
-                )
-            ),
+            F.broadcast(reduced),
             ["scenario", "scenario_geography", "year"],
             "left",
         )
