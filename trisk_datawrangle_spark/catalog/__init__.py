@@ -26,9 +26,13 @@ from trisk_datawrangle_spark.catalog.extended import (
     ORACLES as _EXT_ORACLES,
     QUERIES as _EXT_QUERIES,
 )
+from trisk_datawrangle_spark.catalog.scenarios import (
+    ORACLES as _SCN_ORACLES,
+    QUERIES as _SCN_QUERIES,
+)
 
-_ALL_QUERIES = {**_REL_QUERIES, **_LLM_QUERIES, **_EXT_QUERIES}
-_ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES}
+_ALL_QUERIES = {**_REL_QUERIES, **_LLM_QUERIES, **_EXT_QUERIES, **_SCN_QUERIES}
+_ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 
 # Registration-order priority. The per-round correctness driver samples
 # the FIRST N catalog entries (r01: N=50, all §2 relational), so the
@@ -42,8 +46,8 @@ _PRIORITY = [
     "j3_full_outer_natural",
     # round-2 additions (registered in relational/extended/llm modules)
     "w0_run_workflow_e2e",
-    "sc1_weo_wrangle",
-    "sc2_geco_wrangle",
+    "sc1_weo_geco_wrangle",
+    "sc2_weo23_wrangle",
     "sc3_ngfs_wrangle",
     "sc4_ipr_wrangle",
     "sc5_oxford_wrangle",

@@ -1,0 +1,919 @@
+"""Per-source scenario-wrangler catalog entries (sc1–sc6), each
+oracle-gated: a deterministic raw-source frame is synthesized from
+the ``nation`` table plus literal vocabulary rows — reproducibly in
+both engines — and the full wrangler chain (filters, recodes,
+renewables fan-in, market shares, clones, imputation) is replayed in
+DuckDB SQL.
+
+Determinism contract: every synthesized ``value`` is an
+integer-valued double, so share-window sums are order-independent
+and tmsr/smsp are single identical IEEE divisions on both sides —
+hash-exact without rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trisk_datawrangle_spark.sources.readers import load_tables
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ["nation"])["nation"]
+
+
+# ------------------------------------------------------------------ #
+# sc1 — WEO2021 / GECO2021 (prepare_scenario_data.R:172-255)          #
+# ------------------------------------------------------------------ #
+
+
+@q(
+    "sc1_weo_geco_wrangle",
+    """
+WITH ti AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(ti)),
+yr AS (SELECT * FROM (VALUES (2025), (2030)) AS t(year)),
+raw AS (
+    SELECT
+        CASE WHEN n_nationkey % 2 = 0 THEN 'WEO2021' ELSE 'GECO2021' END
+            AS source,
+        CASE WHEN n_nationkey % 2 = 0 THEN 'Power' ELSE 'Automotive' END
+            AS sector0,
+        CASE WHEN n_nationkey % 2 = 0 THEN
+            CASE WHEN ti = 0 THEN 'CoalCap' ELSE 'RenewablesCap' END
+        ELSE
+            CASE WHEN ti = 0 THEN 'ICE' ELSE 'Electric' END
+        END AS technology,
+        n_name AS geography,
+        CASE WHEN n_nationkey = 3 THEN NULL ELSE 'GW' END AS units,
+        CASE WHEN ti = 2 THEN 'Emissions'
+             WHEN n_nationkey % 2 = 0 THEN 'Capacity'
+             ELSE 'Sales' END AS indicator,
+        CASE WHEN n_nationkey % 2 = 0 THEN 'STEPS' ELSE 'CurPol' END
+            AS scenario0,
+        CASE WHEN n_nationkey % 7 = 0 AND ti = 1 THEN 'Solar' END
+            AS sub_technology,
+        year,
+        CAST((n_nationkey * 13 + year + ti * 7) % 100 AS DOUBLE) / 10.0
+            AS fair_share_perc
+    FROM nation CROSS JOIN ti CROSS JOIN yr
+),
+filtered AS (
+    SELECT * FROM raw
+    WHERE ((source = 'WEO2021' AND indicator IN
+                ('Capacity', 'Energy Supply', 'Production', 'Sales'))
+        OR (source = 'GECO2021' AND indicator IN
+                ('Capacity', 'Production', 'Sales')))
+      AND NOT (source = 'GECO2021' AND sector0 <> 'Automotive')
+      AND NOT (technology = 'RenewablesCap'
+               AND sub_technology IS NOT NULL)
+),
+renamed AS (
+    SELECT DISTINCT source AS scenario_source, geography AS
+        scenario_geography, source || '_' || scenario0 AS scenario,
+        sector0 AS ald_sector, units, technology, year,
+        'declining' AS direction, fair_share_perc
+    FROM filtered
+),
+na_geos AS (
+    SELECT DISTINCT scenario_source, scenario_geography, ald_sector
+    FROM renamed
+    WHERE scenario IN ('WEO2021_STEPS', 'WEO2021_SDS',
+            'WEO2021_NZE_2050', 'WEO2021_APS', 'WEO2020_SPS',
+            'GECO2021_CurPol', 'GECO2021_1.5C-Unif', 'GECO2021_NDC-LTS')
+      AND (scenario_source IS NULL OR scenario_geography IS NULL
+           OR scenario IS NULL OR ald_sector IS NULL OR units IS NULL
+           OR technology IS NULL OR year IS NULL OR direction IS NULL
+           OR fair_share_perc IS NULL)
+)
+SELECT scenario_geography, scenario, ald_sector, units, technology,
+       year, direction, fair_share_perc
+FROM renamed r
+WHERE NOT EXISTS (
+    SELECT 1 FROM na_geos g
+    WHERE g.scenario_source = r.scenario_source
+      AND g.scenario_geography = r.scenario_geography
+      AND g.ald_sector = r.ald_sector
+)
+""",
+)
+def sc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEO2021+GECO2021 wrangle (prepare_scenario_data.R:172-255):
+    indicator whitelists, GECO→Automotive-only, sub-technology'd
+    renewables dropped, source-prefixed scenario, NA-geography
+    poisoning. One nation (key 3, a GECO guard scenario) carries a
+    NULL unit, so its whole (source, geography, sector) is pruned."""
+    from trisk_datawrangle_spark.plans.scenario_sources import wrangle_weo_geco
+
+    n = _nation(spark, sf_dir)
+    k = F.col("n_nationkey")
+    even = k % 2 == 0
+    raw = (
+        n.select(
+            "n_nationkey",
+            "n_name",
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("ti"),
+        )
+        .select(
+            "*",
+            F.explode(F.array(F.lit(2025), F.lit(2030))).alias("Year"),
+        )
+        .select(
+            F.when(even, F.lit("WEO2021")).otherwise(F.lit("GECO2021")).alias("Source"),
+            F.when(
+                even,
+                F.when(F.col("ti") == 0, F.lit("CoalCap")).otherwise(
+                    F.lit("RenewablesCap")
+                ),
+            )
+            .otherwise(
+                F.when(F.col("ti") == 0, F.lit("ICE")).otherwise(
+                    F.lit("Electric")
+                )
+            )
+            .alias("Technology"),
+            F.col("n_name").alias("ScenarioGeography"),
+            F.when(even, F.lit("Power")).otherwise(F.lit("Automotive")).alias("Sector"),
+            F.when(k == 3, F.lit(None).cast("string"))
+            .otherwise(F.lit("GW"))
+            .alias("Units"),
+            F.when(F.col("ti") == 2, F.lit("Emissions"))
+            .when(even, F.lit("Capacity"))
+            .otherwise(F.lit("Sales"))
+            .alias("Indicator"),
+            F.when(even, F.lit("STEPS")).otherwise(F.lit("CurPol")).alias("Scenario"),
+            F.when((k % 7 == 0) & (F.col("ti") == 1), F.lit("Solar"))
+            .cast("string")
+            .alias("Sub_Technology"),
+            F.col("Year"),
+            F.lit("declining").alias("Direction"),
+            F.lit(0.0).alias("mktFSRatio"),
+            F.lit(0.0).alias("techFSRatio"),
+            (((k * 13 + F.col("Year") + F.col("ti") * 7) % 100).cast("double") / 10.0).alias("FairSharePerc"),
+        )
+    )
+    out = wrangle_weo_geco(raw)
+    return out.select(
+        "scenario_geography",
+        "scenario",
+        "ald_sector",
+        "units",
+        "technology",
+        "year",
+        "direction",
+        "fair_share_perc",
+    )
+
+
+# ------------------------------------------------------------------ #
+# sc2 — WEO2023 (prepare_scenario_data.R:262-309)                     #
+# ------------------------------------------------------------------ #
+
+
+@q(
+    "sc2_weo23_wrangle",
+    """
+WITH ti AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(ti)),
+yr AS (SELECT * FROM (VALUES (2030), (2040)) AS t(year)),
+raw AS (
+    SELECT 'WEO2023' AS source, n_name AS geography,
+        CASE WHEN ti = 0 THEN 'Capacity'
+             WHEN ti = 1 THEN 'Total energy supply'
+             ELSE 'Sales' END AS indicator,
+        CASE WHEN ti = 1 THEN 'Gas' ELSE 'CoalCap' END AS technology,
+        CASE WHEN ti = 1 THEN 'Oil&Gas' ELSE 'Power' END AS sector0,
+        'GW' AS units,
+        CASE WHEN n_nationkey % 2 = 0 THEN 'STEPS' ELSE 'NZE_2050' END
+            AS scenario0,
+        year,
+        CAST((n_nationkey * 19 + year + ti * 5) % 90 AS DOUBLE) / 10.0
+            AS fair_share_perc
+    FROM nation CROSS JOIN ti CROSS JOIN yr
+)
+SELECT DISTINCT geography AS scenario_geography,
+    source || '_' || scenario0 AS scenario, sector0 AS ald_sector,
+    units, technology, year, 'declining' AS direction, fair_share_perc
+FROM raw
+WHERE indicator IN ('Capacity', 'Total energy supply')
+""",
+)
+def sc2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEO2023 wrangle (prepare_scenario_data.R:262-309): the 2023
+    vintage keeps only Capacity / Total energy supply indicators."""
+    from trisk_datawrangle_spark.plans.scenario_sources import wrangle_weo23
+
+    n = _nation(spark, sf_dir)
+    k = F.col("n_nationkey")
+    raw = (
+        n.select(
+            "n_nationkey",
+            "n_name",
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("ti"),
+        )
+        .select(
+            "*",
+            F.explode(F.array(F.lit(2030), F.lit(2040))).alias("Year"),
+        )
+        .select(
+            F.lit("WEO2023").alias("Source"),
+            F.when(F.col("ti") == 1, F.lit("Gas")).otherwise(F.lit("CoalCap")).alias("Technology"),
+            F.col("n_name").alias("ScenarioGeography"),
+            F.when(F.col("ti") == 1, F.lit("Oil&Gas")).otherwise(F.lit("Power")).alias("Sector"),
+            F.lit("GW").alias("Units"),
+            F.when(F.col("ti") == 0, F.lit("Capacity"))
+            .when(F.col("ti") == 1, F.lit("Total energy supply"))
+            .otherwise(F.lit("Sales"))
+            .alias("Indicator"),
+            F.when(k % 2 == 0, F.lit("STEPS")).otherwise(F.lit("NZE_2050")).alias("Scenario"),
+            F.lit(None).cast("string").alias("Sub_Technology"),
+            F.col("Year"),
+            F.lit("declining").alias("Direction"),
+            F.lit(0.0).alias("mktFSRatio"),
+            F.lit(0.0).alias("techFSRatio"),
+            (((k * 19 + F.col("Year") + F.col("ti") * 5) % 90).cast("double") / 10.0).alias("FairSharePerc"),
+        )
+    )
+    out = wrangle_weo23(raw)
+    return out.select(
+        "scenario_geography",
+        "scenario",
+        "ald_sector",
+        "units",
+        "technology",
+        "year",
+        "direction",
+        "fair_share_perc",
+    )
+
+
+# ------------------------------------------------------------------ #
+# sc3 — NGFS pre-wrangler (prepare_scenario_data.R:435-505)           #
+# ------------------------------------------------------------------ #
+
+
+@q(
+    "sc3_ngfs_wrangle",
+    """
+WITH cats AS (
+    SELECT * FROM (VALUES
+        ('Electricity', 'Solar'), ('Electricity', 'Wind'),
+        ('Electricity', 'Coal'), ('Oil', NULL),
+        ('Gas', NULL), ('Coal', NULL)
+    ) AS t(category_b, category_c)
+),
+yr AS (SELECT * FROM (VALUES (2030), (2050)) AS t(year)),
+raw AS (
+    SELECT
+        CASE n_nationkey % 3 WHEN 0 THEN 'GCAM 6.0 NGFS'
+            WHEN 1 THEN 'REMIND-MAgPIE 3.2-4.6'
+            ELSE 'MESSAGEix-GLOBIOM 1.1-M-R12' END AS model0,
+        CASE WHEN n_nationkey % 2 = 0 THEN 'Net Zero 2050'
+             ELSE 'Current Policies' END AS scenario0,
+        CASE WHEN n_nationkey % 5 = 0 THEN 'World' ELSE n_name END
+            AS region, 'GW' AS units, category_b, category_c, year,
+        CAST((n_nationkey * 17 + year * 3
+              + length(COALESCE(category_c, '')) * 5) % 83 + 1
+             AS DOUBLE) AS value
+    FROM nation CROSS JOIN cats CROSS JOIN yr
+),
+shaped AS (
+    SELECT
+        CASE scenario0 WHEN 'Net Zero 2050' THEN 'NZ2050'
+            WHEN 'Current Policies' THEN 'CP' ELSE scenario0 END
+            AS scenario,
+        CASE WHEN region = 'World' THEN 'Global' ELSE region END
+            AS scenario_geography,
+        CASE WHEN category_b IN ('Oil', 'Gas') THEN 'Oil&Gas'
+             WHEN category_b = 'Coal' THEN 'Coal'
+             ELSE 'Power' END AS sector,
+        CASE WHEN category_b IN ('Oil', 'Gas', 'Coal') THEN category_b
+             WHEN category_b = 'Electricity' THEN
+                CASE category_c WHEN 'Coal' THEN 'CoalCap'
+                    WHEN 'Gas' THEN 'GasCap' WHEN 'Hydro' THEN 'HydroCap'
+                    WHEN 'Nuclear' THEN 'NuclearCap' WHEN 'Oil' THEN 'OilCap'
+                    WHEN 'Solar' THEN 'RenewablesCap'
+                    WHEN 'Geothermal' THEN 'RenewablesCap'
+                    WHEN 'Biomass' THEN 'RenewablesCap'
+                    WHEN 'Wind' THEN 'RenewablesCap'
+                    ELSE category_c END
+             ELSE category_c END AS technology,
+        CASE WHEN category_b NOT IN ('Oil', 'Gas', 'Coal')
+             THEN 'Capacity' ELSE 'Production' END AS indicator,
+        'NGFS2023' AS source,
+        CASE model0 WHEN 'GCAM 6.0 NGFS' THEN 'GCAM'
+            WHEN 'REMIND-MAgPIE 3.2-4.6' THEN 'REMIND'
+            WHEN 'MESSAGEix-GLOBIOM 1.1-M-R12' THEN 'MESSAGE'
+            ELSE model0 END AS model,
+        units, year, value
+    FROM raw
+),
+rest AS (
+    SELECT scenario, scenario_geography, sector, technology, indicator,
+           source, model, units, year, value
+    FROM shaped WHERE technology <> 'RenewablesCap'
+),
+ren AS (
+    SELECT scenario, scenario_geography, 'Power' AS sector,
+        'RenewablesCap' AS technology, 'Capacity' AS indicator,
+        'NGFS2023' AS source, model, MAX(units) AS units, year,
+        CAST(SUM(value) AS DOUBLE) AS value
+    FROM shaped WHERE technology = 'RenewablesCap'
+    GROUP BY scenario, scenario_geography, model, year
+)
+SELECT 'NGFS2023' || model || '_' || scenario AS scenario,
+    scenario_geography, sector, technology, indicator, source, units,
+    year, value
+FROM (SELECT * FROM rest UNION ALL SELECT * FROM ren)
+""",
+)
+def sc3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NGFS phase-IV pre-wrangle (prepare_scenario_data.R:435-505):
+    vocabulary recodes, World→Global, the renewables fan-in, and the
+    NGFS2023{model}_{scenario} key."""
+    from trisk_datawrangle_spark.plans.scenario_sources import preprepare_ngfs
+
+    n = _nation(spark, sf_dir)
+    k = F.col("n_nationkey")
+    cats = [
+        ("Electricity", "Solar"),
+        ("Electricity", "Wind"),
+        ("Electricity", "Coal"),
+        ("Oil", None),
+        ("Gas", None),
+        ("Coal", None),
+    ]
+    cat_struct = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("category_b"),
+                F.lit(c).cast("string").alias("category_c"),
+            )
+            for b, c in cats
+        ]
+    )
+    raw = (
+        n.select("n_nationkey", "n_name", F.explode(cat_struct).alias("cat"))
+        .select(
+            "*",
+            F.explode(F.array(F.lit(2030), F.lit(2050))).alias("year"),
+        )
+        .select(
+            F.when(k % 3 == 0, F.lit("GCAM 6.0 NGFS"))
+            .when(k % 3 == 1, F.lit("REMIND-MAgPIE 3.2-4.6"))
+            .otherwise(F.lit("MESSAGEix-GLOBIOM 1.1-M-R12"))
+            .alias("Model"),
+            F.when(k % 2 == 0, F.lit("Net Zero 2050"))
+            .otherwise(F.lit("Current Policies"))
+            .alias("Scenario"),
+            F.when(k % 5 == 0, F.lit("World")).otherwise(F.col("n_name")).alias("Region"),
+            F.lit("GW").alias("Unit"),
+            F.col("cat.category_b").alias("category_b"),
+            F.col("cat.category_c").alias("category_c"),
+            "year",
+            (
+                (
+                    k * 17
+                    + F.col("year") * 3
+                    + F.length(F.coalesce(F.col("cat.category_c"), F.lit(""))) * 5
+                )
+                % 83
+                + 1
+            )
+            .cast("double")
+            .alias("value"),
+        )
+    )
+    out = preprepare_ngfs(raw, vintage=2023)
+    return out.select(
+        "scenario",
+        "scenario_geography",
+        "sector",
+        "technology",
+        "indicator",
+        "source",
+        "units",
+        "year",
+        "value",
+    )
+
+
+# ------------------------------------------------------------------ #
+# sc4 — IPR 2023 (prepare_scenario_data.R:613-760)                    #
+# ------------------------------------------------------------------ #
+
+
+@q(
+    "sc4_ipr_wrangle",
+    """
+WITH parts AS (
+    SELECT * FROM (VALUES
+        ('Power', NULL, 'Coal'), ('Power', NULL, 'Solar'),
+        ('Power', NULL, 'Onshore wind'), ('Transport', NULL, 'BEV'),
+        ('Extraction', 'Oil', NULL), ('Industry', 'Hydrogen', NULL)
+    ) AS t(sector0, sub1, sub2)
+),
+yr AS (SELECT * FROM (VALUES (2025), (2030), (2045)) AS t(year)),
+raw AS (
+    SELECT sector0, sub1, sub2,
+        CASE WHEN n_nationkey % 2 = 0 THEN 'RPS' ELSE 'FPS' END
+            AS scenario0,
+        CASE WHEN n_nationkey % 5 = 0 THEN 'WORLD' ELSE n_name END
+            AS region,
+        'GW' AS units, year,
+        CAST((n_nationkey * 11 + year * 2
+              + length(COALESCE(sub2, sub1)) * 3) % 71 + 2 AS DOUBLE)
+            AS value
+    FROM nation CROSS JOIN parts CROSS JOIN yr
+),
+teched AS (
+    SELECT *,
+        CASE
+            CASE WHEN sector0 = 'Power'
+                 THEN concat_ws('_', sub2, sector0)
+                 WHEN sector0 = 'Transport' THEN sub2
+                 ELSE sub1 END
+            WHEN 'Oil' THEN 'Oil' WHEN 'Coal' THEN 'Coal'
+            WHEN 'Natural gas' THEN 'Gas'
+            WHEN 'Coal_Power' THEN 'CoalCap'
+            WHEN 'Natural gas_Power' THEN 'GasCap'
+            WHEN 'Oil_Power' THEN 'OilCap'
+            WHEN 'Nuclear_Power' THEN 'NuclearCap'
+            WHEN 'Hydro_Power' THEN 'HydroCap'
+            WHEN 'Biomass_Power' THEN 'BiomassCap'
+            WHEN 'Offshore wind_Power' THEN 'OffWindCap'
+            WHEN 'Onshore wind_Power' THEN 'OnWindCap'
+            WHEN 'Solar_Power' THEN 'SolarCap'
+            WHEN 'BEV' THEN 'Electric' WHEN 'PHEV' THEN 'Hybrid'
+            WHEN 'H2' THEN 'FuelCell' WHEN 'ICE' THEN 'ICE'
+            ELSE NULL END AS technology
+    FROM raw
+),
+shaped AS (
+    SELECT
+        CASE WHEN scenario0 = 'RPS' THEN 'IPR2023_RPS'
+             WHEN scenario0 = 'FPS' AND ald_sector <> 'Automotive'
+                THEN 'IPR2023_FPS'
+             WHEN scenario0 = 'FPS' AND ald_sector = 'Automotive'
+                THEN 'IPR2023Automotive_FPS' END AS scenario,
+        CASE WHEN region = 'WORLD' THEN 'Global' ELSE region END
+            AS scenario_geography,
+        ald_sector, technology, units, year, value
+    FROM (
+        SELECT *,
+            CASE technology
+                WHEN 'Oil' THEN 'Oil&Gas' WHEN 'Gas' THEN 'Oil&Gas'
+                WHEN 'Coal' THEN 'Coal'
+                WHEN 'CoalCap' THEN 'Power' WHEN 'GasCap' THEN 'Power'
+                WHEN 'OilCap' THEN 'Power' WHEN 'NuclearCap' THEN 'Power'
+                WHEN 'HydroCap' THEN 'Power' WHEN 'BiomassCap' THEN 'Power'
+                WHEN 'OffWindCap' THEN 'Power' WHEN 'OnWindCap' THEN 'Power'
+                WHEN 'SolarCap' THEN 'Power'
+                WHEN 'ICE' THEN 'Automotive' WHEN 'Electric' THEN 'Automotive'
+                WHEN 'Hybrid' THEN 'Automotive'
+                WHEN 'FuelCell' THEN 'Automotive'
+                ELSE NULL END AS ald_sector
+        FROM teched
+    )
+    WHERE ald_sector IS NOT NULL
+),
+combined AS (
+    SELECT scenario, scenario_geography, ald_sector, technology, units,
+           year, value
+    FROM shaped
+    WHERE technology NOT IN
+        ('OffWindCap', 'OnWindCap', 'SolarCap', 'BiomassCap')
+    UNION ALL
+    SELECT scenario, scenario_geography, ald_sector,
+        'RenewablesCap' AS technology, units, year,
+        CAST(SUM(value) AS DOUBLE) AS value
+    FROM shaped
+    WHERE technology IN
+        ('OffWindCap', 'OnWindCap', 'SolarCap', 'BiomassCap')
+    GROUP BY scenario, scenario_geography, ald_sector, units, year
+),
+filtered AS (SELECT * FROM combined WHERE year >= 2025),
+tot AS (
+    SELECT *, SUM(value) OVER (
+        PARTITION BY scenario_geography, scenario, ald_sector, units,
+        year) AS sector_total
+    FROM filtered
+),
+shares AS (
+    SELECT *,
+        FIRST_VALUE(value) OVER w AS first_v,
+        FIRST_VALUE(sector_total) OVER w AS first_tot
+    FROM tot
+    WINDOW w AS (
+        PARTITION BY scenario_geography, scenario, ald_sector, units,
+        technology ORDER BY year
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+final AS (
+    SELECT scenario_geography, scenario, ald_sector, technology, units,
+        year,
+        CASE WHEN technology IN ('RenewablesCap', 'HydroCap',
+            'NuclearCap', 'SolarCap', 'OffWindCap', 'OnWindCap',
+            'BiomassCap', 'Electric', 'FuelCell')
+            THEN 'increasing' ELSE 'declining' END AS direction,
+        CASE WHEN technology IN ('RenewablesCap', 'HydroCap',
+            'NuclearCap', 'SolarCap', 'OffWindCap', 'OnWindCap',
+            'BiomassCap', 'Electric', 'FuelCell')
+            THEN (value - first_v) / first_tot
+            ELSE (value - first_v) / first_v END AS fair_share_perc,
+        value AS scenario_pathway
+    FROM shares
+)
+SELECT * FROM final
+WHERE NOT (ald_sector = 'Automotive' AND year >= 2042)
+""",
+)
+def sc4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPR2023 wrangle (prepare_scenario_data.R:613-760): compound
+    technology key, vocabulary recodes with NULL-sector row drops,
+    renewables fan-in, the units-carrying share variant (:713-732),
+    the FPS Automotive scenario split, and the 2042 Automotive
+    horizon cap."""
+    from trisk_datawrangle_spark.plans.scenario_sources import wrangle_ipr
+
+    n = _nation(spark, sf_dir)
+    k = F.col("n_nationkey")
+    parts = [
+        ("Power", None, "Coal"),
+        ("Power", None, "Solar"),
+        ("Power", None, "Onshore wind"),
+        ("Transport", None, "BEV"),
+        ("Extraction", "Oil", None),
+        ("Industry", "Hydrogen", None),
+    ]
+    part_struct = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sector0"),
+                F.lit(s1).cast("string").alias("sub1"),
+                F.lit(s2).cast("string").alias("sub2"),
+            )
+            for s, s1, s2 in parts
+        ]
+    )
+    raw = (
+        n.select("n_nationkey", "n_name", F.explode(part_struct).alias("p"))
+        .select(
+            "*",
+            F.explode(
+                F.array(F.lit(2025), F.lit(2030), F.lit(2045))
+            ).alias("year"),
+        )
+        .select(
+            F.lit("Cap").alias("Variable_class"),
+            F.col("p.sub1").alias("Sub_variable_class_1"),
+            F.col("p.sub2").alias("Sub_variable_class_2"),
+            F.col("p.sector0").alias("Sector"),
+            F.when(k % 2 == 0, F.lit("RPS")).otherwise(F.lit("FPS")).alias("Scenario"),
+            F.when(k % 5 == 0, F.lit("WORLD")).otherwise(F.col("n_name")).alias("Region"),
+            F.lit("GW").alias("Units"),
+            "year",
+            (
+                (
+                    k * 11
+                    + F.col("year") * 2
+                    + F.length(F.coalesce(F.col("p.sub2"), F.col("p.sub1"))) * 3
+                )
+                % 71
+                + 2
+            )
+            .cast("double")
+            .alias("value"),
+        )
+    )
+    out = wrangle_ipr(raw, start_year=2025)
+    return out.select(
+        "scenario_geography",
+        "scenario",
+        "ald_sector",
+        "technology",
+        "units",
+        "year",
+        "direction",
+        "fair_share_perc",
+        "scenario_pathway",
+    )
+
+
+# ------------------------------------------------------------------ #
+# sc5 — Oxford (prepare_scenario_data.R:836-935)                      #
+# ------------------------------------------------------------------ #
+
+
+@q(
+    "sc5_oxford_wrangle",
+    """
+WITH series AS (
+    SELECT * FROM (VALUES
+        ('gas_electricity'), ('solar_electricity'), ('wind_electricity'),
+        ('coal_final'), ('oil_final'), ('hydrogen')
+    ) AS t(ae)
+),
+yr AS (SELECT * FROM (VALUES (2021), (2030)) AS t(year)),
+raw AS (
+    SELECT ae,
+        CASE WHEN n_nationkey % 2 = 0 THEN 'fast_transition_oxford'
+             ELSE 'slow_transition_oxford' END AS scenario,
+        n_name AS scenario_geography, 'EJ' AS units, year,
+        CAST((n_nationkey * 7 + year + length(ae)) % 61 + 3 AS DOUBLE)
+            AS value
+    FROM nation CROSS JOIN series CROSS JOIN yr
+    WHERE ae NOT IN ('batteries_ST_transport', 'batteries_ST_electricity',
+                     'batteries_LT_electricity', 'hydrogen')
+),
+split AS (
+    SELECT *, split_part(ae, '_', 1) AS tech0,
+        split_part(ae, '_', 2) AS sect0
+    FROM raw
+),
+sectored AS (
+    SELECT *,
+        CASE WHEN sect0 = 'electricity' THEN 'Power'
+             WHEN tech0 = 'coal' AND sect0 = 'final' THEN 'Coal'
+             WHEN tech0 IN ('gas', 'oil') AND sect0 = 'final'
+                THEN 'Oil&Gas'
+             ELSE sect0 END AS ald_sector
+    FROM split
+),
+teched AS (
+    SELECT scenario, scenario_geography, ald_sector, units, year, value,
+        CASE WHEN tech0 = 'coal' AND ald_sector = 'Power' THEN 'CoalCap'
+             WHEN tech0 = 'gas' AND ald_sector = 'Power' THEN 'GasCap'
+             WHEN tech0 = 'oil' AND ald_sector = 'Power' THEN 'OilCap'
+             WHEN tech0 = 'coal' AND ald_sector = 'Coal' THEN 'Coal'
+             WHEN tech0 = 'gas' AND ald_sector = 'Oil&Gas' THEN 'Gas'
+             WHEN tech0 = 'oil' AND ald_sector = 'Oil&Gas' THEN 'Oil'
+             WHEN tech0 = 'solar' THEN 'SolarCap'
+             WHEN tech0 = 'wind' THEN 'WindCap'
+             WHEN tech0 = 'nuclear' THEN 'NuclearCap'
+             WHEN tech0 = 'hydro' THEN 'HydroCap'
+             WHEN tech0 = 'bioenergy' THEN 'BiomassCap'
+             ELSE tech0 END AS technology
+    FROM sectored
+),
+combined AS (
+    SELECT scenario_geography, scenario, ald_sector, technology, units,
+           year, value
+    FROM teched
+    WHERE technology NOT IN ('WindCap', 'SolarCap', 'BiomassCap')
+    UNION ALL
+    SELECT scenario_geography, scenario, ald_sector,
+        'RenewablesCap' AS technology, units, year,
+        CAST(SUM(value) AS DOUBLE) AS value
+    FROM teched
+    WHERE technology IN ('WindCap', 'SolarCap', 'BiomassCap')
+    GROUP BY scenario_geography, scenario, ald_sector, units, year
+),
+filtered AS (SELECT * FROM combined WHERE year >= 2021),
+tot AS (
+    SELECT *, SUM(value) OVER (
+        PARTITION BY scenario_geography, scenario, ald_sector, units,
+        year) AS sector_total
+    FROM filtered
+),
+shares AS (
+    SELECT *,
+        FIRST_VALUE(value) OVER w AS first_v,
+        FIRST_VALUE(sector_total) OVER w AS first_tot
+    FROM tot
+    WINDOW w AS (
+        PARTITION BY scenario_geography, scenario, ald_sector, units,
+        technology ORDER BY year
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+cloned AS (
+    SELECT * FROM shares
+    UNION ALL
+    SELECT scenario_geography, scenario, ald_sector,
+        'OilCap' AS technology, units, year, value, sector_total,
+        first_v, first_tot
+    FROM shares WHERE technology = 'GasCap'
+)
+SELECT scenario_geography, scenario, ald_sector, technology, units,
+    year,
+    CASE WHEN technology IN ('RenewablesCap', 'HydroCap', 'NuclearCap',
+        'SolarCap', 'WindCap', 'BiomassCap')
+        THEN 'increasing' ELSE 'declining' END AS direction,
+    CASE WHEN technology IN ('RenewablesCap', 'HydroCap', 'NuclearCap',
+        'SolarCap', 'WindCap', 'BiomassCap')
+        THEN (value - first_v) / first_tot
+        ELSE (value - first_v) / first_v END AS fair_share_perc,
+    value
+FROM cloned
+""",
+)
+def sc5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oxford wrangle (prepare_scenario_data.R:836-935): compound
+    series split, battery/hydrogen drops, the order-sensitive
+    sector-then-technology recode, renewables fan-in, and the OilCap
+    clone of GasCap AFTER the share pass."""
+    from trisk_datawrangle_spark.plans.scenario_sources import wrangle_oxford
+
+    n = _nation(spark, sf_dir)
+    k = F.col("n_nationkey")
+    series = [
+        "gas_electricity",
+        "solar_electricity",
+        "wind_electricity",
+        "coal_final",
+        "oil_final",
+        "hydrogen",
+    ]
+    raw = (
+        n.select(
+            "n_nationkey",
+            "n_name",
+            F.explode(F.array(*[F.lit(s) for s in series])).alias(
+                "Annual energy"
+            ),
+        )
+        .select(
+            "*", F.explode(F.array(F.lit(2021), F.lit(2030))).alias("year")
+        )
+        .select(
+            F.col("Annual energy"),
+            F.when(k % 2 == 0, F.lit("fast_transition_oxford"))
+            .otherwise(F.lit("slow_transition_oxford"))
+            .alias("scenario"),
+            F.col("n_name").alias("scenario_geography"),
+            F.lit("EJ").alias("units"),
+            "year",
+            ((k * 7 + F.col("year") + F.length("Annual energy")) % 61 + 3)
+            .cast("double")
+            .alias("value"),
+        )
+    )
+    out = wrangle_oxford(raw, start_year=2021)
+    return out.select(
+        "scenario_geography",
+        "scenario",
+        "ald_sector",
+        "technology",
+        "units",
+        "year",
+        "direction",
+        "fair_share_perc",
+        "value",
+    )
+
+
+# ------------------------------------------------------------------ #
+# sc6 — Steel (prepare_scenario_data.R:938-1065)                      #
+# ------------------------------------------------------------------ #
+
+_STEEL_ROWS = [
+    ("Baseline", "Avg BF-BOF", 2025, 100.0),
+    ("Baseline", "Avg BF-BOF", 2027, 80.0),
+    ("Baseline", "EAF", 2025, 50.0),
+    ("Baseline", "EAF", 2028, 70.0),
+    ("Baseline", "DRI-Melt-BOF", 2026, 10.0),
+    ("Baseline", "DRI-EAF", 2025, 20.0),
+    ("Baseline", "DRI-EAF", 2026, 25.0),
+    ("Carbon Cost", "Avg BF-BOF", 2025, 90.0),
+    ("Carbon Cost", "Avg BF-BOF", 2028, 45.0),
+    ("Carbon Cost", "EAF", 2025, 60.0),
+    ("Carbon Cost", "EAF", 2027, 66.0),
+    ("Carbon Cost", "DRI-Melt-BOF", 2026, 12.0),
+    ("Carbon Cost", "DRI-EAF", 2025, 30.0),
+    ("Carbon Cost", "DRI-EAF", 2028, 36.0),
+    ("unmodeled", "EAF", 2025, 1.0),
+    ("Baseline", "H2-DRI", 2025, 1.0),
+]
+
+_STEEL_VALUES_SQL = ",\n        ".join(
+    f"('{s}', '{t}', {y}, {v})" for s, t, y, v in _STEEL_ROWS
+)
+
+
+@q(
+    "sc6_steel_wrangle",
+    f"""
+WITH raw AS (
+    SELECT * FROM (VALUES
+        {_STEEL_VALUES_SQL}
+    ) AS t(scenario, technology, year, value)
+),
+filtered AS (
+    SELECT scenario, technology, year, CAST(value AS DOUBLE) AS value
+    FROM raw
+    WHERE technology IN ('Avg BF-BOF', 'DRI-Melt-BOF', 'EAF', 'DRI-EAF')
+      AND scenario IN ('Baseline', 'Carbon Cost')
+),
+combos AS (
+    SELECT s.scenario, t.technology,
+        CAST(unnest(generate_series(2025, 2028)) AS INTEGER) AS year
+    FROM (SELECT DISTINCT scenario FROM filtered) s
+    CROSS JOIN (SELECT DISTINCT technology FROM filtered) t
+),
+dense0 AS (
+    SELECT c.scenario, c.technology, c.year, f.value
+    FROM combos c LEFT JOIN filtered f
+        ON c.scenario = f.scenario AND c.technology = f.technology
+        AND c.year = f.year
+),
+renamed AS (
+    SELECT scenario,
+        CASE technology WHEN 'Avg BF-BOF' THEN 'BF-BOF'
+            WHEN 'DRI-Melt-BOF' THEN 'DRI-BOF'
+            ELSE technology END AS technology,
+        year, value
+    FROM dense0
+),
+with_bfeaf AS (
+    SELECT * FROM renamed
+    UNION ALL
+    SELECT scenario, 'BF-EAF' AS technology, year, value
+    FROM renamed WHERE technology = 'EAF'
+),
+zeroed AS (
+    SELECT scenario, technology, year,
+        CASE WHEN year > COALESCE(MAX(CASE WHEN value IS NOT NULL
+                THEN year END) OVER (PARTITION BY scenario, technology),
+                -1000000000)
+            THEN 0.0 ELSE value END AS value
+    FROM with_bfeaf
+),
+anchor AS (
+    SELECT DISTINCT scenario, value AS anchor_v
+    FROM zeroed WHERE technology = 'DRI-BOF' AND year = 2026
+),
+filled AS (
+    SELECT z.scenario, z.technology, z.year,
+        CASE WHEN z.technology = 'DRI-BOF' AND z.value IS NULL
+                AND a.anchor_v IS NOT NULL
+            THEN a.anchor_v ELSE z.value END AS value
+    FROM zeroed z LEFT JOIN anchor a ON z.scenario = a.scenario
+),
+with_clones AS (
+    SELECT * FROM filled
+    UNION ALL
+    SELECT scenario, 'BOF' AS technology, year, value
+    FROM filled WHERE technology = 'BF-BOF'
+    UNION ALL
+    SELECT scenario, 'BF-OHF' AS technology, year, value
+    FROM filled WHERE technology = 'BF-BOF'
+),
+staged AS (
+    SELECT 'Global' AS scenario_geography, scenario, 'Steel' AS sector,
+        technology, year, value
+    FROM with_clones WHERE year >= 2025
+),
+shares AS (
+    SELECT *, FIRST_VALUE(value) OVER (
+        PARTITION BY scenario, sector, scenario_geography, technology
+        ORDER BY year
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        AS first_v
+    FROM staged
+)
+SELECT scenario_geography,
+    CASE scenario WHEN 'Baseline' THEN 'Steel_baseline'
+        WHEN 'Carbon Cost' THEN 'Steel_NZ' ELSE scenario END AS scenario,
+    sector AS ald_sector, technology, 'Mt/yr' AS units, year,
+    'declining' AS direction,
+    (value - first_v) / first_v AS fair_share_perc,
+    value AS scenario_pathway
+FROM shares
+""",
+)
+def sc6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steel wrangle (prepare_scenario_data.R:938-1065): route/
+    scenario filters, the (scenario × technology × year) completion
+    cube, trailing-zero + anchor-year imputation, the three route
+    clones, and tmsr-only fair shares."""
+    from trisk_datawrangle_spark.plans.scenario_sources import wrangle_steel
+
+    raw = spark.createDataFrame(
+        _STEEL_ROWS,
+        "scenario string, technology string, year int, "
+        "`Production (Mt)` double",
+    )
+    out = wrangle_steel(raw, start_year=2025, max_year=2028)
+    return out.select(
+        "scenario_geography",
+        "scenario",
+        "ald_sector",
+        "technology",
+        "units",
+        "year",
+        "direction",
+        "fair_share_perc",
+        "scenario_pathway",
+    )
