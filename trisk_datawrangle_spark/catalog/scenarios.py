@@ -917,3 +917,725 @@ def sc6(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fair_share_perc",
         "scenario_pathway",
     )
+
+
+# ------------------------------------------------------------------ #
+# cf1 — NGFS capacity factors (prepare_prewrangled_capacity_factors  #
+# .R:380-493)                                                         #
+# ------------------------------------------------------------------ #
+
+
+@q(
+    "cf1_ngfs_capacity_factors",
+    """
+WITH cats AS (
+    SELECT * FROM (VALUES
+        ('Capacity', 'Coal'), ('Capacity', 'Solar'), ('Capacity', 'Wind'),
+        ('Secondary Energy', 'Coal'), ('Secondary Energy', 'Solar'),
+        ('Secondary Energy', 'Wind')
+    ) AS t(category_a, category_c)
+),
+yr AS (SELECT * FROM (VALUES (2030), (2035)) AS t(year)),
+raw AS (
+    SELECT
+        CASE n_nationkey % 3 WHEN 0 THEN 'GCAM 6.0 NGFS'
+            WHEN 1 THEN 'REMIND-MAgPIE 3.2-4.6'
+            ELSE 'MESSAGEix-GLOBIOM 1.1-M-R12' END AS model0,
+        CASE WHEN n_nationkey % 2 = 0 THEN 'Net Zero 2050'
+             ELSE 'Current Policies' END AS scenario0,
+        CASE WHEN n_nationkey % 5 = 0 THEN 'World' ELSE n_name END
+            AS region,
+        CASE WHEN category_a = 'Capacity' THEN 'GW' ELSE 'EJ' END
+            AS units,
+        category_a, category_c, year,
+        CAST((n_nationkey * 13 + year
+              + length(category_a) + length(category_c) * 7) % 59 + 1
+             AS DOUBLE) AS value
+    FROM nation CROSS JOIN cats CROSS JOIN yr
+),
+shaped AS (
+    SELECT
+        CASE scenario0 WHEN 'Net Zero 2050' THEN 'NZ2050'
+            WHEN 'Current Policies' THEN 'CP' ELSE scenario0 END
+            AS scenario,
+        CASE WHEN region = 'World' THEN 'Global' ELSE region END
+            AS scenario_geography,
+        CASE category_c WHEN 'Oil' THEN 'OilCap' WHEN 'Gas' THEN 'GasCap'
+            WHEN 'Coal' THEN 'CoalCap' WHEN 'Hydro' THEN 'HydroCap'
+            WHEN 'Nuclear' THEN 'NuclearCap'
+            WHEN 'Solar' THEN 'RenewablesCap'
+            WHEN 'Geothermal' THEN 'RenewablesCap'
+            WHEN 'Biomass' THEN 'RenewablesCap'
+            WHEN 'Wind' THEN 'RenewablesCap'
+            ELSE category_c END AS technology,
+        CASE model0 WHEN 'GCAM 6.0 NGFS' THEN 'GCAM'
+            WHEN 'REMIND-MAgPIE 3.2-4.6' THEN 'REMIND'
+            WHEN 'MESSAGEix-GLOBIOM 1.1-M-R12' THEN 'MESSAGE'
+            ELSE model0 END AS model,
+        units, category_a, year, value
+    FROM raw
+),
+combined AS (
+    SELECT scenario, scenario_geography, technology, model, units,
+           category_a, year, value
+    FROM shaped WHERE technology <> 'RenewablesCap'
+    UNION ALL
+    SELECT scenario, scenario_geography, 'RenewablesCap' AS technology,
+        model, MAX(units) AS units, category_a, year,
+        CAST(SUM(value) AS DOUBLE) AS value
+    FROM shaped WHERE technology = 'RenewablesCap'
+    GROUP BY scenario, scenario_geography, model, category_a, year
+),
+bounds AS (
+    SELECT scenario, scenario_geography, technology, model, units,
+        category_a, MIN(year) AS lo, MAX(year) AS hi
+    FROM combined
+    GROUP BY 1, 2, 3, 4, 5, 6
+),
+spine AS (
+    SELECT scenario, scenario_geography, technology, model, units,
+        category_a,
+        CAST(unnest(generate_series(lo, hi)) AS INTEGER) AS year
+    FROM bounds
+),
+dense AS (
+    SELECT s.scenario, s.scenario_geography, s.technology, s.model,
+        s.units, s.category_a, s.year, c.value
+    FROM spine s LEFT JOIN combined c
+        USING (scenario, scenario_geography, technology, model, units,
+               category_a, year)
+),
+marked AS (
+    SELECT *,
+        last_value(value IGNORE NULLS) OVER wback AS prev_v,
+        last_value(CASE WHEN value IS NOT NULL THEN year END IGNORE NULLS)
+            OVER wback AS prev_x,
+        first_value(value IGNORE NULLS) OVER wfwd AS next_v,
+        first_value(CASE WHEN value IS NOT NULL THEN year END IGNORE NULLS)
+            OVER wfwd AS next_x
+    FROM dense
+    WINDOW wback AS (
+        PARTITION BY scenario, scenario_geography, technology, model,
+            units, category_a ORDER BY year
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wfwd AS (
+        PARTITION BY scenario, scenario_geography, technology, model,
+            units, category_a ORDER BY year
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+interp AS (
+    SELECT scenario, scenario_geography, technology, model, category_a,
+        year,
+        CASE WHEN value IS NOT NULL THEN value
+             WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+             THEN prev_v + (next_v - prev_v) * (year - prev_x)
+                  / (next_x - prev_x)
+        END AS value
+    FROM marked WHERE year >= 2030
+),
+cap AS (
+    SELECT scenario, scenario_geography, technology, model, year,
+        value AS capacity
+    FROM interp WHERE category_a = 'Capacity'
+),
+gen AS (
+    SELECT scenario, scenario_geography, technology, model, year,
+        value * 31.68808781 AS generation
+    FROM interp WHERE category_a = 'Secondary Energy'
+)
+SELECT 'NGFS2023' || model || '_' || scenario AS scenario,
+    scenario_geography, technology, year,
+    CASE WHEN capacity = 0 AND generation = 0 THEN 0.0
+         WHEN capacity = 0 AND generation > 0 THEN 0.0
+         WHEN generation / capacity > 1 THEN 1.0
+         ELSE generation / capacity END AS capacity_factor
+FROM cap FULL OUTER JOIN gen
+    USING (scenario, scenario_geography, technology, model, year)
+""",
+)
+def cf1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NGFS capacity-factor chain
+    (prepare_capacity_factors_NGFS2023, :380-493): recodes,
+    renewables fan-in per category, dense spine + interpolation,
+    Capacity/Secondary-Energy pivot, clamped factor, model-prefixed
+    scenario key."""
+    from trisk_datawrangle_spark.plans.capacity_factor_sources import (
+        prepare_capacity_factors_ngfs,
+    )
+
+    n = _nation(spark, sf_dir)
+    k = F.col("n_nationkey")
+    cats = [
+        ("Capacity", "Coal"),
+        ("Capacity", "Solar"),
+        ("Capacity", "Wind"),
+        ("Secondary Energy", "Coal"),
+        ("Secondary Energy", "Solar"),
+        ("Secondary Energy", "Wind"),
+    ]
+    cat_struct = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("category_a"), F.lit(c).alias("category_c")
+            )
+            for a, c in cats
+        ]
+    )
+    raw = (
+        n.select("n_nationkey", "n_name", F.explode(cat_struct).alias("cat"))
+        .select(
+            "*",
+            F.explode(F.array(F.lit(2030), F.lit(2035))).alias("year"),
+        )
+        .select(
+            F.when(k % 3 == 0, F.lit("GCAM 6.0 NGFS"))
+            .when(k % 3 == 1, F.lit("REMIND-MAgPIE 3.2-4.6"))
+            .otherwise(F.lit("MESSAGEix-GLOBIOM 1.1-M-R12"))
+            .alias("Model"),
+            F.when(k % 2 == 0, F.lit("Net Zero 2050"))
+            .otherwise(F.lit("Current Policies"))
+            .alias("Scenario"),
+            F.when(k % 5 == 0, F.lit("World")).otherwise(F.col("n_name")).alias("Region"),
+            F.when(F.col("cat.category_a") == "Capacity", F.lit("GW"))
+            .otherwise(F.lit("EJ"))
+            .alias("Unit"),
+            F.col("cat.category_a").alias("category_a"),
+            F.col("cat.category_c").alias("category_c"),
+            "year",
+            (
+                (
+                    k * 13
+                    + F.col("year")
+                    + F.length("cat.category_a")
+                    + F.length("cat.category_c") * 7
+                )
+                % 59
+                + 1
+            )
+            .cast("double")
+            .alias("value"),
+        )
+    )
+    out = prepare_capacity_factors_ngfs(raw, start_year=2030)
+    return out.select(
+        "scenario",
+        "scenario_geography",
+        "technology",
+        "year",
+        "capacity_factor",
+    )
+
+
+# ------------------------------------------------------------------ #
+# cf2 — IPR capacity factors (:613-747)                               #
+# ------------------------------------------------------------------ #
+
+
+@q(
+    "cf2_ipr_capacity_factors",
+    """
+WITH parts AS (
+    SELECT * FROM (VALUES
+        ('Capacity', NULL, 'Coal', 'Power'),
+        ('Capacity', NULL, 'Solar', 'Power'),
+        ('Capacity', NULL, 'Onshore wind', 'Power'),
+        ('Electricity generation', 'Coal', NULL, 'Power'),
+        ('Electricity generation', 'Solar', NULL, 'Power'),
+        ('Electricity generation', 'Onshore wind', NULL, 'Power'),
+        ('Capacity', NULL, 'Hydrogen', 'Power')
+    ) AS t(vclass, sub1, sub2, sector0)
+),
+yr AS (SELECT * FROM (VALUES (2030), (2040)) AS t(year)),
+raw AS (
+    SELECT vclass, sub1, sub2, sector0,
+        CASE WHEN n_nationkey % 2 = 0 THEN 'RPS' ELSE 'FPS' END
+            AS scenario0,
+        CASE WHEN n_nationkey % 5 = 0 THEN 'WORLD' ELSE n_name END
+            AS region,
+        year,
+        CAST((n_nationkey * 9 + year
+              + length(COALESCE(sub2, sub1)) * 4
+              + length(vclass)) % 47 + 1 AS DOUBLE) AS value
+    FROM nation CROSS JOIN parts CROSS JOIN yr
+),
+teched AS (
+    SELECT *,
+        CASE
+            CASE WHEN vclass = 'Electricity generation'
+                 THEN concat_ws('_', sub1, sector0)
+                 WHEN sector0 = 'Power'
+                 THEN concat_ws('_', sub2, sector0)
+                 ELSE sub1 END
+            WHEN 'Coal_Power' THEN 'CoalCap'
+            WHEN 'Natural gas_Power' THEN 'GasCap'
+            WHEN 'Nuclear_Power' THEN 'NuclearCap'
+            WHEN 'Hydro_Power' THEN 'HydroCap'
+            WHEN 'Oil_Power' THEN 'OilCap'
+            WHEN 'Biomass_Power' THEN 'BiomassCap'
+            WHEN 'Offshore wind_Power' THEN 'OffWindCap'
+            WHEN 'Onshore wind_Power' THEN 'OnWindCap'
+            WHEN 'Solar_Power' THEN 'SolarCap'
+            ELSE NULL END AS technology
+    FROM raw
+),
+shaped AS (
+    SELECT
+        CASE WHEN scenario0 = 'RPS' THEN 'IPR2023_RPS'
+             WHEN scenario0 = 'FPS' THEN 'IPR2023_FPS' END AS scenario,
+        CASE WHEN region = 'WORLD' THEN 'Global' ELSE region END
+            AS scenario_geography,
+        technology, vclass AS category, year, value
+    FROM teched WHERE technology IS NOT NULL
+),
+combined AS (
+    SELECT scenario, scenario_geography, technology, category, year,
+           value
+    FROM shaped
+    WHERE technology NOT IN
+        ('OffWindCap', 'OnWindCap', 'SolarCap', 'BiomassCap')
+    UNION ALL
+    SELECT scenario, scenario_geography, 'RenewablesCap' AS technology,
+        category, year, CAST(SUM(value) AS DOUBLE) AS value
+    FROM shaped
+    WHERE technology IN
+        ('OffWindCap', 'OnWindCap', 'SolarCap', 'BiomassCap')
+    GROUP BY scenario, scenario_geography, category, year
+),
+cap AS (
+    SELECT scenario, scenario_geography, technology, year,
+        value AS capacity
+    FROM combined WHERE category = 'Capacity'
+),
+gen AS (
+    SELECT scenario, scenario_geography, technology, year,
+        value * (1000.0 / (24 * 365.25)) AS generation
+    FROM combined WHERE category = 'Electricity generation'
+)
+SELECT scenario, scenario_geography, technology, year,
+    CASE WHEN capacity = 0 AND generation = 0 THEN 0.0
+         WHEN capacity = 0 AND generation > 0 THEN 0.0
+         WHEN generation / capacity > 1 THEN 1.0
+         ELSE generation / capacity END AS capacity_factor
+FROM cap FULL OUTER JOIN gen
+    USING (scenario, scenario_geography, technology, year)
+WHERE year >= 2030
+""",
+)
+def cf2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPR capacity-factor chain (prepare_capacity_factors_IPR2023,
+    :613-747): compound technology key (generation rows key by
+    Sub_variable_class_1), renewables fan-in per category, TWh→GW,
+    full join + clamped factor."""
+    from trisk_datawrangle_spark.plans.capacity_factor_sources import (
+        prepare_capacity_factors_ipr,
+    )
+
+    n = _nation(spark, sf_dir)
+    k = F.col("n_nationkey")
+    parts = [
+        ("Capacity", None, "Coal", "Power"),
+        ("Capacity", None, "Solar", "Power"),
+        ("Capacity", None, "Onshore wind", "Power"),
+        ("Electricity generation", "Coal", None, "Power"),
+        ("Electricity generation", "Solar", None, "Power"),
+        ("Electricity generation", "Onshore wind", None, "Power"),
+        ("Capacity", None, "Hydrogen", "Power"),
+    ]
+    part_struct = F.array(
+        *[
+            F.struct(
+                F.lit(v).alias("vclass"),
+                F.lit(s1).cast("string").alias("sub1"),
+                F.lit(s2).cast("string").alias("sub2"),
+                F.lit(s).alias("sector0"),
+            )
+            for v, s1, s2, s in parts
+        ]
+    )
+    raw = (
+        n.select("n_nationkey", "n_name", F.explode(part_struct).alias("p"))
+        .select(
+            "*",
+            F.explode(F.array(F.lit(2030), F.lit(2040))).alias("year"),
+        )
+        .select(
+            F.col("p.vclass").alias("Variable_class"),
+            F.col("p.sub1").alias("Sub_variable_class_1"),
+            F.col("p.sub2").alias("Sub_variable_class_2"),
+            F.col("p.sector0").alias("Sector"),
+            F.when(k % 2 == 0, F.lit("RPS")).otherwise(F.lit("FPS")).alias("Scenario"),
+            F.when(k % 5 == 0, F.lit("WORLD")).otherwise(F.col("n_name")).alias("Region"),
+            F.lit("GW").alias("Units"),
+            "year",
+            (
+                (
+                    k * 9
+                    + F.col("year")
+                    + F.length(F.coalesce(F.col("p.sub2"), F.col("p.sub1"))) * 4
+                    + F.length("p.vclass")
+                )
+                % 47
+                + 1
+            )
+            .cast("double")
+            .alias("value"),
+        )
+    )
+    out = prepare_capacity_factors_ipr(raw, start_year=2030)
+    return out.select(
+        "scenario",
+        "scenario_geography",
+        "technology",
+        "year",
+        "capacity_factor",
+    )
+
+
+# ------------------------------------------------------------------ #
+# cf3 — WEO2023 capacity factors (:250-365)                           #
+# ------------------------------------------------------------------ #
+
+
+@q(
+    "cf3_weo2023_capacity_factors",
+    """
+WITH techs AS (
+    SELECT * FROM (VALUES ('CoalCap'), ('GasCap')) AS t(technology)
+),
+yr AS (SELECT * FROM (VALUES (2030), (2034)) AS t(year)),
+raw AS (
+    SELECT 'WEO2023' AS source,
+        CASE WHEN n_nationkey % 2 = 0 THEN 'STEPS' ELSE 'NZE' END
+            AS scenario,
+        n_name AS scenario_geography, 'Power' AS sector, technology,
+        'GW' AS units, year,
+        CAST((n_nationkey * 5 + year + length(technology)) % 37 + 10
+             AS DOUBLE) AS capacity,
+        CAST((n_nationkey * 3 + year) % 29 + 5 AS DOUBLE) AS gen_twh
+    FROM nation CROSS JOIN techs CROSS JOIN yr
+),
+joined AS (
+    SELECT source, scenario, scenario_geography, sector, technology,
+        'GW' AS units, year, capacity,
+        gen_twh * 1000.0 / 8760.0 AS generation
+    FROM raw
+),
+combos AS (
+    SELECT DISTINCT source, scenario, scenario_geography, sector,
+        technology, units
+    FROM joined
+),
+spine AS (
+    SELECT c.*, CAST(unnest(generate_series(2030, 2034)) AS INTEGER)
+        AS year
+    FROM combos c
+),
+dense AS (
+    SELECT s.source, s.scenario, s.scenario_geography, s.sector,
+        s.technology, s.units, s.year, j.capacity, j.generation
+    FROM spine s LEFT JOIN joined j
+        USING (source, scenario, scenario_geography, sector, technology,
+               units, year)
+),
+marked AS (
+    SELECT *,
+        last_value(capacity IGNORE NULLS) OVER wback AS cprev_v,
+        last_value(CASE WHEN capacity IS NOT NULL THEN year END
+            IGNORE NULLS) OVER wback AS cprev_x,
+        first_value(capacity IGNORE NULLS) OVER wfwd AS cnext_v,
+        first_value(CASE WHEN capacity IS NOT NULL THEN year END
+            IGNORE NULLS) OVER wfwd AS cnext_x,
+        last_value(generation IGNORE NULLS) OVER wback AS gprev_v,
+        last_value(CASE WHEN generation IS NOT NULL THEN year END
+            IGNORE NULLS) OVER wback AS gprev_x,
+        first_value(generation IGNORE NULLS) OVER wfwd AS gnext_v,
+        first_value(CASE WHEN generation IS NOT NULL THEN year END
+            IGNORE NULLS) OVER wfwd AS gnext_x
+    FROM dense
+    WINDOW wback AS (
+        PARTITION BY source, scenario, scenario_geography, sector,
+            technology, units ORDER BY year
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wfwd AS (
+        PARTITION BY source, scenario, scenario_geography, sector,
+            technology, units ORDER BY year
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+interp AS (
+    SELECT scenario, scenario_geography, technology, year,
+        CASE WHEN capacity IS NOT NULL THEN capacity
+             WHEN cprev_v IS NOT NULL AND cnext_v IS NOT NULL
+             THEN cprev_v + (cnext_v - cprev_v) * (year - cprev_x)
+                  / (cnext_x - cprev_x) END AS capacity,
+        CASE WHEN generation IS NOT NULL THEN generation
+             WHEN gprev_v IS NOT NULL AND gnext_v IS NOT NULL
+             THEN gprev_v + (gnext_v - gprev_v) * (year - gprev_x)
+                  / (gnext_x - gprev_x) END AS generation
+    FROM marked
+)
+SELECT 'WEO2023_' || scenario AS scenario, scenario_geography,
+    technology, year,
+    CASE WHEN capacity = 0 AND generation = 0 THEN 0.0
+         WHEN capacity = 0 AND generation > 0 THEN 0.0
+         WHEN generation / capacity > 1 THEN 1.0
+         ELSE generation / capacity END AS capacity_factor
+FROM interp
+WHERE capacity IS NOT NULL AND generation IS NOT NULL AND year >= 2030
+""",
+)
+def cf3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEO2023 capacity-factor chain
+    (prepare_prewrangled_capacity_factors_WEO2023, :250-365): TWh→GW
+    generation inner-joined to capacity, dense spine with both sides
+    interpolated, clamped factor, WEO2023_ scenario prefix."""
+    from trisk_datawrangle_spark.plans.capacity_factor_sources import (
+        prepare_capacity_factors_weo2023,
+    )
+
+    n = _nation(spark, sf_dir)
+    k = F.col("n_nationkey")
+    base = (
+        n.select(
+            "n_nationkey",
+            "n_name",
+            F.explode(F.array(F.lit("CoalCap"), F.lit("GasCap"))).alias(
+                "technology"
+            ),
+        )
+        .select(
+            "*",
+            F.explode(F.array(F.lit(2030), F.lit(2034))).alias("year"),
+        )
+    )
+    cap = base.select(
+        F.lit("WEO2023").alias("source"),
+        F.when(k % 2 == 0, F.lit("STEPS")).otherwise(F.lit("NZE")).alias("scenario"),
+        F.col("n_name").alias("scenario_geography"),
+        F.lit("Power").alias("sector"),
+        "technology",
+        F.lit("GW").alias("units"),
+        F.lit("Capacity").alias("indicator"),
+        "year",
+        ((k * 5 + F.col("year") + F.length("technology")) % 37 + 10)
+        .cast("double")
+        .alias("value"),
+    )
+    gen = base.select(
+        F.lit("WEO2023").alias("source"),
+        F.when(k % 2 == 0, F.lit("STEPS")).otherwise(F.lit("NZE")).alias("scenario"),
+        F.col("n_name").alias("scenario_geography"),
+        F.lit("Power").alias("sector"),
+        "technology",
+        F.lit("TWh").alias("units"),
+        F.lit("Electricity generation").alias("indicator"),
+        "year",
+        ((k * 3 + F.col("year")) % 29 + 5).cast("double").alias("value"),
+    )
+    out = prepare_capacity_factors_weo2023(
+        cap.unionByName(gen), start_year=2030, end_year=2034
+    )
+    return out.select(
+        "scenario",
+        "scenario_geography",
+        "technology",
+        "year",
+        "capacity_factor",
+    )
+
+
+# ------------------------------------------------------------------ #
+# cf4 — GEM steel capacity factors (:815-884)                         #
+# ------------------------------------------------------------------ #
+
+_GEM_ROWS = [
+    ("BOF Steel", 2027, 0.8),
+    ("EAF Steel", 2026, 0.6),
+    ("EAF Steel", 2028, 0.7),
+    ("DRI", 2026, 0.5),
+    ("OHF Steel", 2026, 0.4),
+]
+
+_GEM_VALUES_SQL = ",\n        ".join(
+    f"('{t}', {y}, {v})" for t, y, v in _GEM_ROWS
+)
+
+
+@q(
+    "cf4_gem_steel_capacity_factors",
+    f"""
+WITH raw AS (
+    SELECT * FROM (VALUES
+        {_GEM_VALUES_SQL}
+    ) AS t(technology, year, value)
+),
+renamed AS (
+    SELECT CASE WHEN technology = 'BOF Steel' THEN 'BOF'
+           ELSE technology END AS technology,
+        year, CAST(value AS DOUBLE) AS value
+    FROM raw
+),
+cloned AS (
+    SELECT technology, year, value FROM renamed
+        WHERE technology NOT IN ('EAF Steel', 'DRI')
+    UNION ALL SELECT 'BF-EAF', year, value FROM renamed
+        WHERE technology = 'EAF Steel'
+    UNION ALL SELECT 'EAF', year, value FROM renamed
+        WHERE technology = 'EAF Steel'
+    UNION ALL SELECT 'DRI-EAF', year, value FROM renamed
+        WHERE technology = 'DRI'
+    UNION ALL SELECT 'BF-BOF', year, value FROM renamed
+        WHERE technology = 'BOF'
+    UNION ALL SELECT 'DRI-BOF', year, value FROM renamed
+        WHERE technology = 'DRI'
+    UNION ALL SELECT 'BF-OHF', year, value FROM renamed
+        WHERE technology = 'OHF Steel'
+),
+scen2 AS (
+    SELECT technology, 'Steel_baseline' AS scenario,
+        'Global' AS scenario_geography, year, value FROM cloned
+    UNION ALL
+    SELECT technology, 'Steel_NZ' AS scenario,
+        'Global' AS scenario_geography, year, value FROM cloned
+),
+combos AS (
+    SELECT DISTINCT technology, scenario, scenario_geography FROM scen2
+),
+spine AS (
+    SELECT c.*, CAST(unnest(generate_series(2025, 2028)) AS INTEGER)
+        AS year
+    FROM combos c
+),
+dense AS (
+    SELECT s.technology, s.scenario, s.scenario_geography, s.year,
+        b.value
+    FROM spine s LEFT JOIN scen2 b
+        USING (technology, scenario, scenario_geography, year)
+)
+SELECT scenario_geography, scenario, technology, year,
+    COALESCE(value, FIRST_VALUE(value IGNORE NULLS) OVER (
+        PARTITION BY technology, scenario, scenario_geography
+        ORDER BY year
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        AS capacity_factor
+FROM dense
+WHERE technology IN ('BF-BOF', 'BF-EAF', 'EAF', 'BOF', 'DRI-EAF',
+                     'DRI-BOF', 'BF-OHF')
+""",
+)
+def cf4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEM steel capacity factors (prepare_capacity_factors_GEM_steel,
+    :815-884): route renames + fan-out clones, both steel scenarios,
+    completion, first-non-NA constant fill."""
+    from trisk_datawrangle_spark.plans.capacity_factor_sources import (
+        prepare_capacity_factors_gem_steel,
+    )
+
+    raw = spark.createDataFrame(
+        _GEM_ROWS, "technology string, year int, value double"
+    )
+    out = prepare_capacity_factors_gem_steel(raw, start_year=2025, max_year=2028)
+    return out.select(
+        "scenario_geography",
+        "scenario",
+        "technology",
+        "year",
+        "capacity_factor",
+    )
+
+
+# ------------------------------------------------------------------ #
+# cf5 — Oxford capacity factors (:764-812)                            #
+# ------------------------------------------------------------------ #
+
+
+@q(
+    "cf5_oxford_capacity_factors",
+    """
+WITH techs AS (
+    SELECT * FROM (VALUES ('CoalCap'), ('GasCap')) AS t(technology)
+),
+yr AS (SELECT * FROM (VALUES (2038), (2039), (2040)) AS t(year)),
+raw AS (
+    SELECT
+        CASE WHEN n_nationkey % 2 = 0 THEN 'WEO2021_SDS'
+             ELSE 'WEO2021_STEPS' END AS scenario,
+        CASE WHEN n_nationkey % 5 = 0 THEN 'Global' ELSE n_name END
+            AS scenario_geography,
+        technology, year,
+        CAST((n_nationkey * 3 + year + length(technology)) % 50 + 10
+             AS DOUBLE) / 100.0 AS capacity_factor
+    FROM nation CROSS JOIN techs CROSS JOIN yr
+),
+matched AS (
+    SELECT CASE scenario WHEN 'WEO2021_SDS' THEN 'Oxford2021_fast'
+           WHEN 'WEO2021_STEPS' THEN 'Oxford2021_base' END AS scenario,
+        scenario_geography, technology, year, capacity_factor
+    FROM raw
+    WHERE scenario_geography = 'Global'
+      AND scenario IN ('WEO2021_SDS', 'WEO2021_STEPS')
+),
+hold AS (
+    SELECT scenario, scenario_geography, technology,
+        capacity_factor AS hold_v
+    FROM matched WHERE year = 2040
+),
+extension AS (
+    SELECT c.scenario, c.scenario_geography, c.technology,
+        CAST(unnest(generate_series(2041, 2044)) AS INTEGER) AS year,
+        h.hold_v AS capacity_factor
+    FROM (SELECT DISTINCT scenario, scenario_geography, technology
+          FROM matched) c
+    LEFT JOIN hold h
+        USING (scenario, scenario_geography, technology)
+)
+SELECT * FROM matched
+UNION ALL
+SELECT * FROM extension
+""",
+)
+def cf5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oxford capacity factors (prepare_capacity_factors_OXF2021,
+    :764-812): Global WEO2021 SDS/STEPS factors matched to the Oxford
+    scenarios and held constant past 2040."""
+    from trisk_datawrangle_spark.plans.capacity_factor_sources import (
+        prepare_capacity_factors_oxford,
+    )
+
+    n = _nation(spark, sf_dir)
+    k = F.col("n_nationkey")
+    raw = (
+        n.select(
+            "n_nationkey",
+            "n_name",
+            F.explode(F.array(F.lit("CoalCap"), F.lit("GasCap"))).alias(
+                "technology"
+            ),
+        )
+        .select(
+            "*",
+            F.explode(
+                F.array(F.lit(2038), F.lit(2039), F.lit(2040))
+            ).alias("year"),
+        )
+        .select(
+            F.when(k % 2 == 0, F.lit("WEO2021_SDS"))
+            .otherwise(F.lit("WEO2021_STEPS"))
+            .alias("scenario"),
+            F.when(k % 5 == 0, F.lit("Global")).otherwise(F.col("n_name")).alias("scenario_geography"),
+            "technology",
+            "year",
+            (
+                ((k * 3 + F.col("year") + F.length("technology")) % 50 + 10)
+                .cast("double")
+                / 100.0
+            ).alias("capacity_factor"),
+        )
+    )
+    out = prepare_capacity_factors_oxford(raw, hold_from=2040, end_year=2044)
+    return out.select(
+        "scenario",
+        "scenario_geography",
+        "technology",
+        "year",
+        "capacity_factor",
+    )
