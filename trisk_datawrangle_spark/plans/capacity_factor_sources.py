@@ -474,25 +474,39 @@ def prepare_capacity_factors_gem_steel(
     """prepare_capacity_factors_GEM_steel (:815-884): route renames
     and fan-out clones, duplication across the two steel scenarios,
     completion to [start_year, max_year], and a first-non-NA constant
-    fill per series. Expected input: technology, year, value."""
-    base = data.withColumn("scenario_geography", F.lit("Global")).withColumn(
+    fill per series. Expected input: technology, year, value.
+
+    The reference's sequence of per-route ``rbind`` clones is a single
+    explode over a routing map here (the 7-way union produced a
+    needlessly deep plan; one generator expression reads the source
+    once and keeps analysis cost flat)."""
+    renamed = data.withColumn("scenario_geography", F.lit("Global")).withColumn(
         "technology",
         F.when(F.col("technology") == "BOF Steel", F.lit("BOF")).otherwise(
             F.col("technology")
         ),
     )
-    clones = [
-        base.filter(F.col("technology") == src).withColumn(
-            "technology", F.lit(dst)
+    # route → output technologies, derived from the clone table: the
+    # source survives unless it is rbind-only (EAF Steel / DRI), and
+    # every clone destination is appended.
+    fanout: dict[str, list[str]] = {}
+    for src, dst in GEM_STEEL_CLONES:
+        fanout.setdefault(src, [] if src in ("EAF Steel", "DRI") else [src])
+        fanout[src].append(dst)
+    t = F.col("technology")
+    dsts: Column = F.array(t)
+    for src, outs in fanout.items():
+        dsts = F.when(t == src, F.array(*[F.lit(o) for o in outs])).otherwise(
+            dsts
         )
-        for src, dst in GEM_STEEL_CLONES
-    ]
-    combined = base.filter(~F.col("technology").isin("EAF Steel", "DRI"))
-    for c in clones:
-        combined = union_by_name(combined, c)
-    both = union_by_name(
-        combined.withColumn("scenario", F.lit("Steel_baseline")),
-        combined.withColumn("scenario", F.lit("Steel_NZ")),
+    both = (
+        renamed.withColumn("technology", F.explode(dsts))
+        .withColumn(
+            "scenario",
+            F.explode(
+                F.array(F.lit("Steel_baseline"), F.lit("Steel_NZ"))
+            ),
+        )
     )
     series = ["technology", "scenario", "scenario_geography"]
     combos = both.select(*series).distinct().withColumn(
