@@ -17,7 +17,10 @@ from pyspark.sql import functions as F
 
 from trisk_datawrangle_spark.functions.aggregates import median
 from trisk_datawrangle_spark.functions.scalars import row_sum
-from trisk_datawrangle_spark.operators.geography import regroup_geographies
+from trisk_datawrangle_spark.operators.geography import (
+    geography_rename_map,
+    standardize_geography_names,
+)
 from trisk_datawrangle_spark.operators.interpolate import (
     backfill_from_year,
     fill_locf,
@@ -478,6 +481,8 @@ WITH base AS (
     SELECT geo, member FROM base
     UNION ALL
     SELECT geo || ' ZONE' AS geo, member FROM base
+    UNION ALL
+    SELECT geo || ' & zone (R5)' AS geo, member FROM base
 ), sets AS (
     SELECT DISTINCT geo, member FROM bridge
 ), sz AS (
@@ -498,32 +503,115 @@ WITH base AS (
     SELECT ga, gb,
         ROW_NUMBER() OVER (PARTITION BY ga ORDER BY length(gb) DESC, gb) AS rn
     FROM cand
+), canon AS (
+    SELECT ga AS scenario_geography, gb AS v FROM ranked WHERE rn = 1
+), r1 AS (
+    SELECT scenario_geography, regexp_replace(v, '&', ' and ', 'g') AS v
+    FROM canon
+), r2 AS (
+    SELECT scenario_geography,
+        CASE WHEN v LIKE '% %' THEN array_to_string(
+            list_transform(string_split(v, ' '),
+                           w -> upper(w[1]) || lower(w[2:])), ' ')
+        ELSE v END AS v
+    FROM r1
 )
-SELECT ga AS scenario_geography, gb AS new_name FROM ranked WHERE rn = 1
+SELECT scenario_geography,
+    regexp_replace(replace(v, ' ', ''), '\\(R5\\)', '', 'gi') AS new_name
+FROM r2
 """,
 )
 def g2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 end-to-end: mutual-containment clusters → longest-named
-    canonical label (rename_geographies.R:222-268). The ' ZONE'
-    clones synthesize the duplicate-geography situation the reference
-    deduplicates (same country set under different labels)."""
+    canonical label → standardization rule chain
+    (rename_geographies.R:148-176, :222-268). The ' ZONE' and
+    ' & zone (R5)' clones synthesize the duplicate-geography situation
+    the reference deduplicates (same country set under different
+    labels) and exercise every renaming rule."""
     t = load_tables(spark, sf_dir, ["nation", "region"])
     base = t["nation"].join(
         F.broadcast(t["region"]),
         t["nation"].n_regionkey == t["region"].r_regionkey,
     )
-    bridge = base.select(
+    labeled = base.select(
         F.col("r_name").alias("scenario_geography"),
         F.col("n_name").alias("country_iso"),
-    ).unionByName(
-        base.select(
-            F.concat(F.col("r_name"), F.lit(" ZONE")).alias(
-                "scenario_geography"
-            ),
-            F.col("n_name").alias("country_iso"),
+    )
+    bridge = (
+        labeled.unionByName(
+            labeled.select(
+                F.concat("scenario_geography", F.lit(" ZONE")).alias(
+                    "scenario_geography"
+                ),
+                "country_iso",
+            )
+        ).unionByName(
+            labeled.select(
+                F.concat("scenario_geography", F.lit(" & zone (R5)")).alias(
+                    "scenario_geography"
+                ),
+                "country_iso",
+            )
         )
     )
-    return regroup_geographies(bridge, tolerance=1.0)
+    return geography_rename_map(bridge, tolerance=1.0)
+
+
+@q(
+    "g3_standardize_names",
+    """
+WITH labels AS (
+    SELECT n_name AS label FROM nation
+    UNION ALL
+    SELECT lower(n_name) || ' & co (R5)' AS label FROM nation
+    UNION ALL
+    SELECT lower(n_name) AS label FROM nation
+    UNION ALL
+    SELECT n_name || ' economic zone' AS label FROM nation
+), r1 AS (
+    SELECT label, regexp_replace(label, '&', ' and ', 'g') AS v
+    FROM labels
+), r2 AS (
+    SELECT label,
+        CASE WHEN v LIKE '% %' THEN array_to_string(
+            list_transform(string_split(v, ' '),
+                           w -> upper(w[1]) || lower(w[2:])), ' ')
+        ELSE v END AS v
+    FROM r1
+)
+SELECT DISTINCT label,
+    regexp_replace(replace(v, ' ', ''), '\\(R5\\)', '', 'gi') AS new_name
+FROM r2
+""",
+)
+def g3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 generic renaming rule chain in isolation
+    (rename_geographies.R:148-176): '&' → ' and ', conditional
+    title-case, whitespace strip, '(R5)' strip. Labels decorate
+    nation names to hit every rule plus the single-token casing
+    gate (lowercased names without spaces keep their case)."""
+    (n,) = load_tables(spark, sf_dir, ["nation"]).values()
+    labels = (
+        n.select(F.col("n_name").alias("label"))
+        .unionByName(
+            n.select(
+                F.concat(F.lower("n_name"), F.lit(" & co (R5)")).alias(
+                    "label"
+                )
+            )
+        )
+        .unionByName(n.select(F.lower("n_name").alias("label")))
+        .unionByName(
+            n.select(
+                F.concat(F.col("n_name"), F.lit(" economic zone")).alias(
+                    "label"
+                )
+            )
+        )
+    )
+    return labels.withColumn(
+        "new_name", standardize_geography_names("label")
+    ).distinct()
 
 
 # ---------------------------------------------------------------- #
