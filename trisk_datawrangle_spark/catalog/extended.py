@@ -32,6 +32,7 @@ from trisk_datawrangle_spark.sources.readers import (
     read_excel_sheet,
     write_output,
 )
+from trisk_datawrangle_spark.sources.seeds import load_seeds, seed_path
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -612,6 +613,89 @@ def g3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.withColumn(
         "new_name", standardize_geography_names("label")
     ).distinct()
+
+
+# ---------------------------------------------------------------- #
+# S7 in-package seed datasets / Q7 row-diff report                  #
+# ---------------------------------------------------------------- #
+
+
+@q(
+    "s7_seed_datasets",
+    f"""
+SELECT 'geo:' || scenario_geography AS key,
+    COUNT(*) AS n, CAST(MAX(reg_count) AS BIGINT) AS meta
+FROM read_parquet('{seed_path("scenarios_geographies")}')
+GROUP BY 1
+UNION ALL
+SELECT 'sector:' || ald_sector AS key,
+    COUNT(*) AS n, CAST(NULL AS BIGINT) AS meta
+FROM read_parquet('{seed_path("production_types")}')
+GROUP BY 1
+UNION ALL
+SELECT 'unit:' || from_unit || '->' || to_unit AS key,
+    CAST(1 AS BIGINT) AS n, CAST(NULL AS BIGINT) AS meta
+FROM read_parquet('{seed_path("unit_conversions")}')
+""",
+)
+def s7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: the shipped seed datasets (R/data.R ``.rda`` → in-package
+    parquet, sources/seeds.py) — summary over all three tables proves
+    the packaged read path end-to-end."""
+    seeds = load_seeds(spark)
+    geo = seeds["scenarios_geographies"].groupBy("scenario_geography").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("reg_count").cast("long").alias("meta"),
+    )
+    geo = geo.select(
+        F.concat(F.lit("geo:"), F.col("scenario_geography")).alias("key"),
+        "n",
+        "meta",
+    )
+    sect = (
+        seeds["production_types"]
+        .groupBy("ald_sector")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.concat(F.lit("sector:"), F.col("ald_sector")).alias("key"),
+            "n",
+            F.lit(None).cast("long").alias("meta"),
+        )
+    )
+    unit = seeds["unit_conversions"].select(
+        F.concat(
+            F.lit("unit:"), F.col("from_unit"), F.lit("->"), F.col("to_unit")
+        ).alias("key"),
+        F.lit(1).cast("long").alias("n"),
+        F.lit(None).cast("long").alias("meta"),
+    )
+    return geo.unionByName(sect).unionByName(unit)
+
+
+@q(
+    "q7_row_diff_report",
+    """
+SELECT (SELECT COUNT(*) FROM orders) AS initial_rows,
+    (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F')
+        AS final_rows,
+    (SELECT COUNT(*) FROM orders)
+        - (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F')
+        AS diff,
+    'removed' AS status,
+    'status filter' AS cause
+""",
+)
+def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 row-diff report (helpers.R:97-104): count delta between a
+    frame and its filtered successor, as a one-row report frame."""
+    from trisk_datawrangle_spark.operators.quality import row_diff_report
+
+    (orders,) = load_tables(spark, sf_dir, ["orders"]).values()
+    return row_diff_report(
+        orders,
+        orders.filter(F.col("o_orderstatus") == "F"),
+        cause="status filter",
+    )
 
 
 # ---------------------------------------------------------------- #

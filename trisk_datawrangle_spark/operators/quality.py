@@ -85,6 +85,30 @@ def duplicates_report(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
     )
 
 
+def row_diff_report(
+    before: DataFrame, after: DataFrame, cause: str = ""
+) -> DataFrame:
+    """Row-count delta between two stages of a pipeline (Q7,
+    helpers.R:97-104). The reference prints a colored message; here
+    it is a one-row report frame (initial_rows, final_rows, diff,
+    status, cause) — composable, and the two counts run as two
+    count-only jobs (column-pruned scans), never a collect of data."""
+    b = before.agg(F.count(F.lit(1)).alias("initial_rows"))
+    a = after.agg(F.count(F.lit(1)).alias("final_rows"))
+    diff = F.col("initial_rows") - F.col("final_rows")
+    return (
+        b.crossJoin(a)
+        .withColumn("diff", diff)
+        .withColumn(
+            "status",
+            F.when(F.col("diff") > 0, F.lit("removed"))
+            .when(F.col("diff") < 0, F.lit("added"))
+            .otherwise(F.lit("unchanged")),
+        )
+        .withColumn("cause", F.lit(cause))
+    )
+
+
 def incomplete_groups(
     df: DataFrame,
     group_cols: Sequence[str],
