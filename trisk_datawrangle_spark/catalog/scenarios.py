@@ -1639,3 +1639,309 @@ def cf5(spark: SparkSession, sf_dir: str) -> DataFrame:
         "year",
         "capacity_factor",
     )
+
+
+# ------------------------------------------------------------------ #
+# w0 — end-to-end workflow: scenarios → capacity factors → prices →  #
+# carbon → trisk_v2 assembly (run_workflow.R:104-268)                 #
+# ------------------------------------------------------------------ #
+
+
+@q(
+    "w0_run_workflow_e2e",
+    """
+WITH ti AS (SELECT * FROM (VALUES (0), (1)) AS t(ti)),
+yr2 AS (SELECT * FROM (VALUES (2025), (2027)) AS t(year)),
+yr3 AS (SELECT * FROM (VALUES (2025), (2026), (2027)) AS t(year)),
+geo AS (
+    SELECT n_nationkey AS k,
+        CASE WHEN n_nationkey = 0 THEN 'Global' ELSE n_name END AS g,
+        CASE WHEN n_nationkey % 2 = 0 THEN 'WEO2023_NZE'
+             ELSE 'WEO2023_STEPS' END AS scen
+    FROM nation
+),
+scen_raw AS (
+    SELECT scen AS scenario, g AS scenario_geography,
+        'Power' AS ald_sector,
+        CASE WHEN ti = 0 THEN 'CoalCap' ELSE 'RenewablesCap' END
+            AS technology,
+        'GW' AS units, year,
+        CAST((k * 7 + ti * 13 + year) % 90 + 10 AS DOUBLE) AS value
+    FROM geo CROSS JOIN ti CROSS JOIN yr2
+),
+scen_series AS (
+    SELECT scenario, scenario_geography, ald_sector, technology, units,
+        MAX(CASE WHEN year = 2025 THEN value END) AS v0,
+        MAX(CASE WHEN year = 2027 THEN value END) AS v1
+    FROM scen_raw GROUP BY 1, 2, 3, 4, 5
+),
+scen_dense AS (
+    SELECT scenario, scenario_geography, ald_sector, technology, units,
+        year,
+        CASE year WHEN 2025 THEN v0 WHEN 2027 THEN v1
+             ELSE v0 + (v1 - v0) * (year - 2025) / 2.0 END AS value
+    FROM scen_series CROSS JOIN yr3
+),
+tot AS (
+    SELECT *, SUM(value) OVER (PARTITION BY scenario,
+        scenario_geography, ald_sector, year) AS sector_total
+    FROM scen_dense
+),
+shares AS (
+    SELECT *, FIRST_VALUE(value) OVER w AS first_v,
+        FIRST_VALUE(sector_total) OVER w AS first_tot
+    FROM tot
+    WINDOW w AS (PARTITION BY scenario, scenario_geography, ald_sector,
+        technology ORDER BY year
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+scenarios_out AS (
+    SELECT scenario, scenario_geography, ald_sector,
+        technology AS ald_business_unit, units, year,
+        CASE WHEN technology = 'RenewablesCap' THEN 'increasing'
+             ELSE 'declining' END AS direction,
+        ROUND(CASE WHEN technology = 'RenewablesCap'
+                   THEN (value - first_v) / first_tot
+                   ELSE (value - first_v) / first_v END, 9)
+            AS fair_share_perc,
+        CASE WHEN scenario = 'WEO2023_STEPS' THEN 'baseline'
+             ELSE 'shock' END AS scenario_type
+    FROM shares
+),
+cf_out AS (
+    SELECT scen AS scenario, g AS scenario_geography,
+        CASE WHEN ti = 0 THEN 'CoalCap' ELSE 'RenewablesCap' END
+            AS ald_business_unit,
+        year,
+        LEAST(GREATEST(
+            CAST((k * 5 + ti + year) % 50 + 10 AS DOUBLE)
+            / CAST((k * 3 + ti + year) % 40 + 60 AS DOUBLE), 0.0), 1.0)
+            AS capacity_factor
+    FROM geo CROSS JOIN ti CROSS JOIN yr3
+),
+price_raw AS (
+    SELECT scen AS scenario, g AS scenario_geography, 'Power' AS sector,
+        'usd/tonne' AS unit, year,
+        CAST((k * 11 + year) % 70 + 5 AS DOUBLE) AS price
+    FROM geo CROSS JOIN yr3
+),
+price_world AS (
+    SELECT scenario, 'Global' AS scenario_geography, sector, unit, year,
+        AVG(price) AS price
+    FROM price_raw WHERE scenario_geography <> 'Global'
+    GROUP BY scenario, sector, unit, year
+),
+price_out AS (
+    SELECT * FROM price_raw WHERE scenario_geography <> 'Global'
+    UNION ALL SELECT * FROM price_world
+),
+carbon_red AS (
+    SELECT scenario, 'Global' AS scenario_geography, year,
+        AVG(carbon_tax) AS carbon_tax
+    FROM (VALUES
+        ('GCAM', 'WEO2023_NZE', 2025, 40.0),
+        ('GCAM', 'WEO2023_NZE', 2026, 60.0),
+        ('GCAM', 'WEO2023_NZE', 2027, 80.0),
+        ('REMIND', 'WEO2023_NZE', 2025, 50.0),
+        ('REMIND', 'WEO2023_NZE', 2026, 70.0),
+        ('REMIND', 'WEO2023_NZE', 2027, 90.0),
+        ('GCAM', 'WEO2023_STEPS', 2025, 10.0),
+        ('GCAM', 'WEO2023_STEPS', 2026, 12.0),
+        ('GCAM', 'WEO2023_STEPS', 2027, 14.0),
+        ('REMIND', 'WEO2023_STEPS', 2025, 20.0),
+        ('REMIND', 'WEO2023_STEPS', 2026, 22.0),
+        ('REMIND', 'WEO2023_STEPS', 2027, 24.0)
+    ) AS t(model, scenario, year, carbon_tax)
+    GROUP BY scenario, year
+),
+common AS (
+    SELECT DISTINCT scenario, scenario_geography FROM scenarios_out
+),
+price_aligned AS (
+    SELECT p.* FROM price_out p
+    JOIN common c USING (scenario, scenario_geography)
+),
+price_dim AS (
+    SELECT DISTINCT scenario, sector AS ald_sector, year, price
+    FROM price_aligned
+)
+SELECT s.scenario, s.scenario_geography, s.ald_sector,
+    s.ald_business_unit, s.units, s.year, s.direction,
+    s.fair_share_perc, s.scenario_type, cf.capacity_factor, p.price,
+    cb.carbon_tax,
+    regexp_extract(s.scenario, '^[^_]+', 0) AS scenario_provider
+FROM scenarios_out s
+LEFT JOIN cf_out cf
+    ON cf.scenario = s.scenario
+   AND cf.scenario_geography = s.scenario_geography
+   AND cf.ald_business_unit = s.ald_business_unit
+   AND cf.year = s.year
+JOIN price_dim p
+    ON p.scenario = s.scenario AND p.ald_sector = s.ald_sector
+   AND p.year = s.year
+LEFT JOIN carbon_red cb
+    ON cb.scenario = s.scenario
+   AND cb.scenario_geography = s.scenario_geography
+   AND cb.year = s.year
+""",
+)
+def w0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end workflow oracle (run_workflow.R:104-268 composed
+    with every upstream stage): deterministic nation-derived fixtures
+    flow through prepare_scenarios_analysis_input →
+    prepare_capacity_factors → prepare_price_data_long →
+    prepare_ngfs_carbon_price → align_to_common_scenarios →
+    assemble_scenarios_data, and the ORACLE replays the whole
+    dataflow in SQL — the composed pipeline is hash-gated, not just
+    its stages.
+
+    Determinism: integer-valued inputs, gap-year interpolation lands
+    on exact binary halves, and means/shares are single identical
+    IEEE divisions on both engines."""
+    from trisk_datawrangle_spark.plans.capacity_factors import (
+        clone_missing_technologies,
+        prepare_capacity_factors,
+        validate,
+    )
+    from trisk_datawrangle_spark.plans.prices import (
+        prepare_ngfs_carbon_price,
+        prepare_price_data_long,
+    )
+    from trisk_datawrangle_spark.plans.scenarios import (
+        assert_all_classified,
+        prepare_scenarios_analysis_input,
+    )
+    from trisk_datawrangle_spark.plans.trisk_v2 import (
+        align_to_common_scenarios,
+        assemble_scenarios_data,
+    )
+
+    n = _nation(spark, sf_dir)
+    k = F.col("n_nationkey")
+    geo = F.when(k == 0, F.lit("Global")).otherwise(F.col("n_name"))
+    scen_name = (
+        F.when(k % 2 == 0, F.lit("WEO2023_NZE"))
+        .otherwise(F.lit("WEO2023_STEPS"))
+    )
+    years = (2025, 2026, 2027)
+
+    scen_raw = (
+        n.select(
+            "n_nationkey",
+            "n_name",
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("ti"),
+        )
+        .select(
+            "*",
+            F.explode(F.array(F.lit(2025), F.lit(2027))).alias("year"),
+        )
+        .select(
+            F.lit("WEO2023").alias("source"),
+            scen_name.alias("scenario"),
+            geo.alias("scenario_geography"),
+            F.lit("Power").alias("sector"),
+            F.when(F.col("ti") == 0, F.lit("CoalCap"))
+            .otherwise(F.lit("RenewablesCap"))
+            .alias("technology"),
+            F.lit("Capacity").alias("indicator"),
+            F.lit("GW").alias("units"),
+            "year",
+            ((k * 7 + F.col("ti") * 13 + F.col("year")) % 90 + 10)
+            .cast("double")
+            .alias("value"),
+        )
+    )
+    lookup = spark.createDataFrame(
+        [("Power", "CoalCap"), ("Power", "RenewablesCap")],
+        "ald_sector string, ald_business_unit string",
+    )
+    scen = assert_all_classified(
+        prepare_scenarios_analysis_input(
+            {"all": scen_raw},
+            lookup,
+            ["WEO2023_STEPS"],
+            ["WEO2023_NZE"],
+            start_year=2025,
+        )
+    )
+
+    cf_raw = (
+        n.select(
+            "n_nationkey",
+            "n_name",
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("ti"),
+        )
+        .select(
+            "*",
+            F.explode(
+                F.array(F.lit("Capacity"), F.lit("Generation"))
+            ).alias("ind"),
+        )
+        .select(
+            scen_name.alias("Scenario"),
+            geo.alias("ScenarioGeography"),
+            F.when(F.col("ti") == 0, F.lit("Coal"))
+            .otherwise(F.lit("Renewables"))
+            .alias("Technology"),
+            F.col("ind").alias("Indicator"),
+            *[
+                F.when(
+                    F.col("ind") == "Capacity",
+                    (k * 3 + F.col("ti") + F.lit(y)) % 40 + 60,
+                )
+                .otherwise((k * 5 + F.col("ti") + F.lit(y)) % 50 + 10)
+                .cast("double")
+                .alias(str(y))
+                for y in years
+            ],
+        )
+    )
+    cf = validate(
+        clone_missing_technologies(prepare_capacity_factors(cf_raw))
+    )
+
+    price_raw = n.select(
+        scen_name.alias("scenario"),
+        geo.alias("scenario_geography"),
+        F.lit("Power").alias("sector"),
+        F.lit("usd/tonne").alias("unit"),
+        *[
+            ((k * 11 + F.lit(y)) % 70 + 5).cast("double").alias(str(y))
+            for y in years
+        ],
+    )
+    prices = prepare_price_data_long(price_raw)
+
+    carbon_raw = spark.createDataFrame(
+        [
+            ("GCAM", "WEO2023_NZE", "World", "Price|Carbon", "US$/t",
+             40.0, 60.0, 80.0),
+            ("REMIND", "WEO2023_NZE", "World", "Price|Carbon", "US$/t",
+             50.0, 70.0, 90.0),
+            ("GCAM", "WEO2023_STEPS", "World", "Price|Carbon", "US$/t",
+             10.0, 12.0, 14.0),
+            ("REMIND", "WEO2023_STEPS", "World", "Price|Carbon", "US$/t",
+             20.0, 22.0, 24.0),
+        ],
+        "Model string, Scenario string, Region string, Variable string, "
+        "Unit string, `2025` double, `2026` double, `2027` double",
+    )
+    carbon = prepare_ngfs_carbon_price(carbon_raw)
+
+    scen, prices, cf = align_to_common_scenarios(scen, prices, cf)
+    out = assemble_scenarios_data(scen, cf, prices, carbon)
+    return out.select(
+        "scenario",
+        "scenario_geography",
+        "ald_sector",
+        "ald_business_unit",
+        "units",
+        "year",
+        "direction",
+        "fair_share_perc",
+        "scenario_type",
+        "capacity_factor",
+        "price",
+        "carbon_tax",
+        "scenario_provider",
+    )
