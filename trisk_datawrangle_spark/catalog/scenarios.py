@@ -1855,15 +1855,16 @@ def w0(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("Power", "CoalCap"), ("Power", "RenewablesCap")],
         "ald_sector string, ald_business_unit string",
     )
-    scen = assert_all_classified(
-        prepare_scenarios_analysis_input(
-            {"all": scen_raw},
-            lookup,
-            ["WEO2023_STEPS"],
-            ["WEO2023_NZE"],
-            start_year=2025,
-        )
-    )
+    # cache before the Q3 assert: its count job and the final collect
+    # would otherwise each replay the whole interpolation+share chain
+    scen = prepare_scenarios_analysis_input(
+        {"all": scen_raw},
+        lookup,
+        ["WEO2023_STEPS"],
+        ["WEO2023_NZE"],
+        start_year=2025,
+    ).cache()
+    scen = assert_all_classified(scen)
 
     cf_raw = (
         n.select(
@@ -1896,8 +1897,9 @@ def w0(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
     )
+    # same: Q4's bounds count would replay the pivot+spine chain
     cf = validate(
-        clone_missing_technologies(prepare_capacity_factors(cf_raw))
+        clone_missing_technologies(prepare_capacity_factors(cf_raw)).cache()
     )
 
     price_raw = n.select(
