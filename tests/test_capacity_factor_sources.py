@@ -202,3 +202,48 @@ def test_weo2023_zero_capacity_rows(spark):
     )
     out = prepare_capacity_factors_weo2023(df, start_year=2030, end_year=2030)
     assert out.collect()[0]["capacity_factor"] == 0.0
+
+
+def test_oxford_holds_last_value_when_hold_year_missing(spark):
+    """A series with no row at exactly hold_from holds its LAST
+    published value; years beyond hold_from in the input are
+    truncated instead of conflicting with the extension."""
+    df = spark.createDataFrame(
+        [
+            # ends at 2039 — no 2040 row
+            ("WEO2021_SDS", "Global", "GasCap", 2039, 0.55),
+            # runs past 2040 — 2041 input row must not duplicate
+            ("WEO2021_STEPS", "Global", "GasCap", 2040, 0.70),
+            ("WEO2021_STEPS", "Global", "GasCap", 2041, 0.99),
+        ],
+        "scenario string, scenario_geography string, technology string, "
+        "year int, capacity_factor double",
+    )
+    out = prepare_capacity_factors_oxford(df, hold_from=2040, end_year=2042)
+    rows = [
+        (r["scenario"], r["year"], r["capacity_factor"])
+        for r in out.collect()
+    ]
+    fast = {y: v for s, y, v in rows if s == "Oxford2021_fast"}
+    base = {y: v for s, y, v in rows if s == "Oxford2021_base"}
+    # fast (from SDS): extension holds the 2039 value, never NULL
+    assert fast[2041] == pytest.approx(0.55)
+    assert fast[2042] == pytest.approx(0.55)
+    # base: the 2041 input row was truncated; extension holds 0.70
+    assert base[2041] == pytest.approx(0.70)
+    # exactly one row per (scenario, year)
+    assert len(rows) == len({(s, y) for s, y, _ in rows})
+
+
+def test_ipr_off_vocabulary_scenario_dropped(spark):
+    rows = [
+        ("Capacity", None, "Coal", "Power", "FPS", "WORLD", "GW", 2030, 80.0),
+        ("Electricity generation", "Coal", None, "Power", "FPS", "WORLD",
+         "TWh", 2030, 350.64),
+        # unknown scenario label: dropped, not a NULL-scenario group
+        ("Capacity", None, "Coal", "Power", "EPS", "WORLD", "GW", 2030, 70.0),
+    ]
+    out = prepare_capacity_factors_ipr(
+        spark.createDataFrame(rows, IPR_CF_SCHEMA), start_year=2030
+    ).collect()
+    assert len(out) == 1 and out[0]["scenario"] == "IPR2023_FPS"

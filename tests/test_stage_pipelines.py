@@ -258,3 +258,72 @@ def test_lcoe_adjusted_prices(spark):
     # the non-Power row passes through untouched
     oil = out.filter(F.col("sector") == "Oil&Gas").collect()
     assert len(oil) == 1 and oil[0]["price"] == pytest.approx(12.0)
+
+
+def test_lcoe_late_starting_series_not_dropped(spark):
+    """A Power LCOE series whose publication starts after the global
+    start year must adjust off its own first year, not vanish in an
+    anchor-year equi-join."""
+    from trisk_datawrangle_spark.plans.prices import (
+        prepare_lcoe_adjusted_prices,
+    )
+
+    data = spark.createDataFrame(
+        [
+            ("NZE", "Global", "Power", "SolarPV", "LCOE", "usd/MWh", 2020, 50.0),
+            ("NZE", "Global", "Power", "SolarPV", "LCOE", "usd/MWh", 2030, 25.0),
+            # starts at 2021 — no 2020 row
+            ("NZE", "Global", "Power", "WindOn", "LCOE", "usd/MWh", 2021, 40.0),
+            ("NZE", "Global", "Power", "WindOn", "LCOE", "usd/MWh", 2030, 20.0),
+        ],
+        "scenario string, scenario_geography string, sector string, "
+        "technology string, indicator string, unit string, "
+        "year int, price double",
+    )
+    out = prepare_lcoe_adjusted_prices(
+        data, average_npm_power=0.2, start_year=2020
+    )
+    vals = {
+        (r["technology"], r["year"]): r["price"] for r in out.collect()
+    }
+    # WindOn anchors at ITS first year 2021: implied = 40/0.8 = 50,
+    # 2030 = 50 × (40/20) = 100
+    assert vals[("WindOn", 2021)] == pytest.approx(50.0)
+    assert vals[("WindOn", 2030)] == pytest.approx(100.0)
+    assert vals[("SolarPV", 2020)] == pytest.approx(62.5)
+
+
+def test_price_chain_technology_granular_mwh(spark):
+    """A technology-granular price source (the Oxford $/MWh shape)
+    gets the per-technology MWh normalization and keeps technologies
+    separate through the global-mean and spine keys."""
+    from trisk_datawrangle_spark.plans.prices import prepare_price_data_long
+
+    raw = spark.createDataFrame(
+        [
+            ("fast", "Europe", "Oil&Gas", "Oil", "usd/MWh", 36.0, 72.0),
+            ("fast", "Europe", "Coal", "Coal", "usd/MWh", 12.2835, 24.567),
+        ],
+        "scenario string, scenario_geography string, sector string, "
+        "technology string, unit string, `2025` double, `2026` double",
+    )
+    out = prepare_price_data_long(
+        raw,
+        id_cols=("scenario", "scenario_geography", "sector", "technology", "unit"),
+    )
+    rows = {
+        (r["technology"], r["scenario_geography"], r["year"]): (
+            r["price"],
+            r["unit"],
+        )
+        for r in out.collect()
+    }
+    # Oil: 36 $/MWh ÷ 3.6 = 10 usd/GJ, relabeled GJ
+    assert rows[("Oil", "Europe", 2025)][0] == pytest.approx(10.0)
+    assert rows[("Oil", "Europe", 2025)][1] == "GJ"
+    # Coal: 12.2835 $/MWh ÷ 0.122835 = 100 usd/tonne
+    assert rows[("Coal", "Europe", 2025)][0] == pytest.approx(100.0)
+    assert rows[("Coal", "Europe", 2025)][1] == "usd/tonne"
+    # global mean is per-technology, not pooled across technologies
+    assert rows[("Oil", "Global", 2025)][0] == pytest.approx(10.0)
+    assert rows[("Coal", "Global", 2025)][0] == pytest.approx(100.0)

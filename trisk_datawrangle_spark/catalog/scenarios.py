@@ -1574,21 +1574,31 @@ matched AS (
     WHERE scenario_geography = 'Global'
       AND scenario IN ('WEO2021_SDS', 'WEO2021_STEPS')
 ),
-hold AS (
+trunc AS (
+    SELECT * FROM matched WHERE year <= 2040
+),
+last_years AS (
     SELECT scenario, scenario_geography, technology,
-        capacity_factor AS hold_v
-    FROM matched WHERE year = 2040
+        MAX(year) AS hold_year
+    FROM trunc WHERE capacity_factor IS NOT NULL
+    GROUP BY 1, 2, 3
+),
+hold AS (
+    SELECT t.scenario, t.scenario_geography, t.technology,
+        MAX(t.capacity_factor) AS hold_v
+    FROM trunc t JOIN last_years l
+        ON t.scenario = l.scenario
+       AND t.scenario_geography = l.scenario_geography
+       AND t.technology = l.technology AND t.year = l.hold_year
+    GROUP BY 1, 2, 3
 ),
 extension AS (
-    SELECT c.scenario, c.scenario_geography, c.technology,
+    SELECT scenario, scenario_geography, technology,
         CAST(unnest(generate_series(2041, 2044)) AS INTEGER) AS year,
-        h.hold_v AS capacity_factor
-    FROM (SELECT DISTINCT scenario, scenario_geography, technology
-          FROM matched) c
-    LEFT JOIN hold h
-        USING (scenario, scenario_geography, technology)
+        hold_v AS capacity_factor
+    FROM hold
 )
-SELECT * FROM matched
+SELECT * FROM trunc
 UNION ALL
 SELECT * FROM extension
 """,

@@ -44,6 +44,7 @@ from trisk_datawrangle_spark.plans.scenario_sources import (
     NGFS_MODEL_RECODE_V4,
     NGFS_MODEL_RECODE_V5,
     NGFS_SCENARIO_RECODE,
+    _combine_renewables,
 )
 
 __all__ = [
@@ -85,7 +86,11 @@ def weo2021_scenario_clones(df: DataFrame) -> DataFrame:
 
 #: The three-rule capacity-factor clamp shared by every variant
 #: (:472-488, :585-601, :725-739): >1 → 1; capacity 0 with generation
-#: → 0; 0/0 (NaN) → 0.
+#: → 0; 0/0 (NaN) → 0. One-sided full-join rows (one of cap/gen NULL)
+#: deliberately pass through as NULL — the reference's ``if_else``
+#: chain propagates NA the same way and keeps those rows in the
+#: NGFS/IPR outputs; only the WEO2023 variant (na.approx na.rm
+#: semantics) filters them, which its chain does explicitly.
 def _clamp_cf(cap: Column, gen: Column) -> Column:
     raw = gen.cast("double") / cap.cast("double")
     return (
@@ -324,27 +329,30 @@ def prepare_capacity_factors_ipr(
         ).otherwise(F.col("Sub_variable_class_1"))
     )
     tech = recode(raw_tech, IPR_CF_TECH_RECODE, default=F.lit(None))
-    shaped = data.select(
-        F.when(F.col("Scenario") == "RPS", F.lit("IPR2023_RPS"))
-        .when(F.col("Scenario") == "FPS", F.lit("IPR2023_FPS"))
-        .alias("scenario"),
-        F.when(F.col("Region") == "WORLD", F.lit("Global"))
-        .otherwise(F.col("Region"))
-        .alias("scenario_geography"),
-        tech.alias("technology"),
-        F.col("Variable_class").alias("category"),
-        F.col("Units").alias("units"),
-        F.col("year").cast("int").alias("year"),
-        "value",
-    ).filter(F.col("technology").isNotNull())
-    renewables = (
-        shaped.filter(F.col("technology").isin(*IPR_CF_RENEWABLE_PARTS))
-        .groupBy("category", "scenario_geography", "scenario", "units", "year")
-        .agg(F.sum("value").alias("value"))
-        .withColumn("technology", F.lit("RenewablesCap"))
+    shaped = (
+        data.select(
+            F.when(F.col("Scenario") == "RPS", F.lit("IPR2023_RPS"))
+            .when(F.col("Scenario") == "FPS", F.lit("IPR2023_FPS"))
+            .alias("scenario"),
+            F.when(F.col("Region") == "WORLD", F.lit("Global"))
+            .otherwise(F.col("Region"))
+            .alias("scenario_geography"),
+            tech.alias("technology"),
+            F.col("Variable_class").alias("category"),
+            F.col("Units").alias("units"),
+            F.col("year").cast("int").alias("year"),
+            "value",
+        )
+        .filter(F.col("technology").isNotNull())
+        # off-vocabulary scenario labels would otherwise survive as
+        # NULL-scenario groups all the way into the full join
+        .filter(F.col("scenario").isNotNull())
     )
-    rest = shaped.filter(~F.col("technology").isin(*IPR_CF_RENEWABLE_PARTS))
-    combined = union_by_name(rest, renewables)
+    combined = _combine_renewables(
+        shaped,
+        IPR_CF_RENEWABLE_PARTS,
+        ["category", "scenario_geography", "scenario", "units", "year"],
+    )
     join_keys = ["scenario", "scenario_geography", "technology", "year"]
     capacity = combined.filter(F.col("category") == "Capacity").select(
         *join_keys, F.col("value").alias("capacity")
@@ -407,25 +415,32 @@ def prepare_capacity_factors_oxford(
             ),
         )
     )
-    hold_vals = matched.filter(F.col("year") == hold_from).select(
-        "scenario",
-        "scenario_geography",
-        "technology",
-        F.col("capacity_factor").alias("__hold"),
+    # the reference assumes every series carries a row at exactly
+    # hold_from (its NA fill indexes `year == 2040` and would error
+    # otherwise) and that the input ends there (add_years would
+    # otherwise create duplicate years). Make both robust: truncate
+    # at hold_from, and hold the LAST published value ≤ hold_from —
+    # picked as (max year with data, max value at that year) so the
+    # result is deterministic even on degenerate duplicate-year input.
+    series = ["scenario", "scenario_geography", "technology"]
+    matched = matched.filter(F.col("year") <= hold_from)
+    last_years = (
+        matched.filter(F.col("capacity_factor").isNotNull())
+        .groupBy(*series)
+        .agg(F.max("year").alias("__hold_year"))
+    )
+    hold_vals = (
+        matched.join(F.broadcast(last_years), series)
+        .filter(F.col("year") == F.col("__hold_year"))
+        .groupBy(*series)
+        .agg(F.max("capacity_factor").alias("__hold"))
     )
     extension = (
-        matched.select("scenario", "scenario_geography", "technology")
-        .distinct()
-        .withColumn(
+        hold_vals.withColumn(
             "year",
             F.explode(
                 F.sequence(F.lit(hold_from + 1), F.lit(end_year))
             ),
-        )
-        .join(
-            F.broadcast(hold_vals),
-            ["scenario", "scenario_geography", "technology"],
-            "left",
         )
         .select(
             "scenario",

@@ -87,14 +87,17 @@ def convert_mwh_units(df: DataFrame, tech_col: str = "technology") -> DataFrame:
     return df.withColumn("price", converted).withColumn("unit", new_unit)
 
 
-def add_global_mean_rows(df: DataFrame) -> DataFrame:
+def add_global_mean_rows(
+    df: DataFrame, extra_keys: Sequence[str] = ()
+) -> DataFrame:
     """A3+U1 (R/prepare_price_data_long.R:78-92): the 'Global'
     geography is the mean over regional rows per (scenario, sector,
-    unit, year), appended to the regional data. One extra aggregate
-    over the same shuffle keys minus geography."""
+    unit[, technology], year), appended to the regional data. One
+    extra aggregate over the same shuffle keys minus geography."""
+    group = ["scenario", "sector", "unit", *extra_keys, "year"]
     global_rows = (
         df.filter(F.col("scenario_geography") != "Global")
-        .groupBy("scenario", "sector", "unit", "year")
+        .groupBy(*group)
         .agg(F.avg("price").alias("price"))
         .withColumn("scenario_geography", F.lit("Global"))
     )
@@ -123,8 +126,15 @@ def prepare_price_data_long(
     if first_year is not None:
         long = long.filter(F.col("year") >= first_year)  # P3 :33
     long = convert_units(long)
-    long = add_global_mean_rows(long)
-    keys = [c for c in PRICE_KEYS if c in long.columns]
+    # technology-granular sources (the Oxford $/MWh shape) also get
+    # the per-technology MWh normalization (:706-717) and carry the
+    # technology through the global-mean, spine, and extension keys —
+    # sector-grain frames have no technology column and skip it
+    tech_keys = ["technology"] if "technology" in long.columns else []
+    if tech_keys:
+        long = convert_mwh_units(long)
+    long = add_global_mean_rows(long, extra_keys=tech_keys)
+    keys = [c for c in PRICE_KEYS if c in long.columns] + tech_keys
     if horizon_end is not None:
         # lo comes from the data lazily (half-specified fixed bounds);
         # an eager min-year collect here replayed the whole upstream
@@ -233,30 +243,37 @@ def prepare_lcoe_adjusted_prices(
 
     ``input_data`` is the long price frame: the series keys (those of
     ``LCOE_SERIES_KEYS`` that are present) + (indicator, year,
-    price). ``start_year`` defaults to the earliest year present.
+    price). ``start_year`` filters the input when given; omitting it
+    keeps every year (a ``>= min(year)`` filter is a no-op, so no
+    eager min-year job runs).
 
-    Scale: the implied-price side is one row per series — broadcast;
-    the cost factor is a window over the already-partitioned series.
+    Both anchors — the implied price and the cost-decline factor —
+    are the FIRST row of the same ordered series window, so a series
+    whose publication starts after ``start_year`` still adjusts off
+    its own first year instead of silently dropping out of an
+    anchor-year equi-join.
+
+    Scale: one window over the series partitioning; no join at all.
     """
-    if start_year is None:
-        start_year = input_data.agg(F.min("year")).first()[0]
     keys = [c for c in LCOE_SERIES_KEYS if c in input_data.columns]
-    data = input_data.filter(F.col("year") >= start_year)
+    data = input_data
+    if start_year is not None:
+        data = data.filter(F.col("year") >= start_year)
     lcoe = data.filter(
         (F.col("sector") == "Power") & (F.col("indicator") == "LCOE")
     )
-    implied = (
-        lcoe.filter(F.col("year") == start_year)
-        .withColumn(
-            "implied_price",
-            F.col("price") / (1 - F.lit(float(average_npm_power))),
-        )
-        .select(*keys, "implied_price")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("year")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    factors = add_cost_factor(lcoe, keys)
+    first_p = F.first("price").over(w)
+    implied = first_p / (1 - F.lit(float(average_npm_power)))
+    cost_factor = F.when(F.col("price") != 0, first_p / F.col("price"))
     adjusted = (
-        factors.join(F.broadcast(implied), keys, "inner")
-        .withColumn("price", F.col("implied_price") * F.col("cost_factor"))
+        lcoe.withColumn("price", implied * cost_factor)
         .withColumn("indicator", F.lit("price"))
         .select(*data.columns)
     )

@@ -7,10 +7,12 @@ ships the same shapes as parquet under
 no external inputs. Regenerate with ``scripts/build_seed_data.py``.
 
 Seeds are dimension-sized (dozens of rows): always broadcast them
-against fact tables. ``load_seed`` goes through ``spark.read.parquet``
-so the same call works on a cluster as long as the package is
-installed on the driver (the file is read driver-side into a local
-scan — seed frames are far below any broadcast threshold).
+against fact tables. ``load_seed`` reads the file DRIVER-side (pyarrow
+against the installed package) and ships the rows via
+``createDataFrame`` — a ``spark.read.parquet`` on the bare path would
+resolve against the cluster's default filesystem (HDFS/S3) and ask
+executors, which may not have the package installed, to scan a local
+file. Seed frames are far below any broadcast threshold.
 """
 
 from __future__ import annotations
@@ -36,8 +38,11 @@ def seed_path(name: str) -> str:
 
 
 def load_seed(spark: SparkSession, name: str) -> DataFrame:
-    """Read a shipped seed dataset (S7)."""
-    return spark.read.parquet(seed_path(name))
+    """Read a shipped seed dataset (S7) — driver-side local read."""
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(seed_path(name))
+    return spark.createDataFrame(table.to_pandas())
 
 
 def load_seeds(spark: SparkSession) -> dict[str, DataFrame]:
