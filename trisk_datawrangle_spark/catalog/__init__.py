@@ -46,6 +46,7 @@ _PRIORITY = [
     "j3_full_outer_natural",
     # round-2 additions (registered in relational/extended/llm modules)
     "w0_run_workflow_e2e",
+    "w1_assets_e2e",
     "sc1_weo_geco_wrangle",
     "sc2_weo23_wrangle",
     "sc3_ngfs_wrangle",

@@ -1957,3 +1957,284 @@ def w0(spark: SparkSession, sf_dir: str) -> DataFrame:
         "carbon_tax",
         "scenario_provider",
     )
+
+
+# ------------------------------------------------------------------ #
+# w1 — end-to-end assets workflow: abcd → financial →                 #
+# assemble_assets_data (run_workflow.R:104-160)                       #
+# ------------------------------------------------------------------ #
+
+
+@q(
+    "w1_assets_e2e",
+    """
+WITH ti AS (SELECT * FROM (VALUES (0), (1)) AS t(ti)),
+li AS (SELECT * FROM (VALUES (0), (1)) AS t(li)),
+yr AS (SELECT * FROM (VALUES (2025), (2026), (2027)) AS t(year)),
+base AS (
+    SELECT n_nationkey AS k, n_nationkey + 1 AS cid,
+        CASE WHEN n_nationkey = 7 THEN 'Unknown Owner'
+             ELSE 'Co ' || (n_nationkey + 1) END AS company_name
+    FROM nation
+),
+-- abcd stage: melt + location rollup (locations summed, min kept)
+rolled AS (
+    SELECT cid AS company_id, company_name, 'Power' AS ald_sector,
+        CASE WHEN ti = 0 THEN 'CoalCap' ELSE 'RenewablesCap' END
+            AS ald_business_unit,
+        'MW' AS ald_production_unit, year,
+        SUM(CAST(CASE WHEN k = 3 AND ti = 0 AND year = 2025 THEN 0
+                 ELSE (k * 7 + ti * 3 + li * 5 + year) % 50 + 1 END
+                 AS DOUBLE)) AS plan_tech_prod,
+        SUM(CAST((k * 11 + ti * 2 + li * 7 + year) % 40 + 1 AS DOUBLE))
+            AS plan_emissions,
+        MIN(CASE WHEN li = 0 THEN 'AA' ELSE 'BB' END) AS country_iso2
+    FROM base CROSS JOIN ti CROSS JOIN li CROSS JOIN yr
+    WHERE company_name <> 'Unknown Owner'
+    GROUP BY 1, 2, 3, 4, 5, 6
+),
+with_ef AS (
+    SELECT *,
+        CASE WHEN plan_tech_prod <> 0
+             THEN plan_emissions / plan_tech_prod END
+            AS plan_emission_factor,
+        'tCO2/MW' AS emissions_factor_unit
+    FROM rolled
+),
+assets AS (
+    SELECT company_id, ald_sector, ald_business_unit,
+        ald_production_unit,
+        company_id || '_' || ROW_NUMBER() OVER (
+            PARTITION BY company_id
+            ORDER BY ald_sector, ald_business_unit, ald_production_unit)
+            AS asset_id
+    FROM (SELECT DISTINCT company_id, ald_sector, ald_business_unit,
+          ald_production_unit FROM with_ef)
+),
+abcd AS (
+    SELECT w.company_id, w.company_name, w.ald_sector,
+        w.ald_business_unit, w.country_iso2, a.asset_id,
+        'Global' AS scenario_geography, w.year, w.ald_production_unit,
+        w.emissions_factor_unit, w.plan_tech_prod,
+        w.plan_emission_factor
+    FROM with_ef w JOIN assets a
+        USING (company_id, ald_sector, ald_business_unit,
+               ald_production_unit)
+),
+gated AS (
+    SELECT * FROM (
+        SELECT *, FIRST_VALUE(plan_tech_prod) OVER (
+            PARTITION BY company_id, ald_business_unit,
+                ald_production_unit ORDER BY year
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS first_prod
+        FROM abcd
+    ) WHERE first_prod > 0
+),
+-- financial stage
+companies AS (SELECT DISTINCT company_id, ald_sector FROM gated),
+eikon AS (
+    SELECT cid AS company_id, i,
+        CASE WHEN k % 2 = 0 THEN 'EU' ELSE 'AS' END AS region,
+        CAST((k * 5 + 1) % 40 + 1 AS DOUBLE) / 100.0 AS pd,
+        CASE WHEN k = 6 AND i = 0 THEN CAST(1.5 AS DOUBLE)
+             ELSE CAST((k * 7 + 11) % 90 + 5 AS DOUBLE) / 100.0 END
+            AS net_profit_margin,
+        CAST((k * 9 + 7) % 60 + 2 AS DOUBLE) / 10.0
+            AS debt_equity_ratio,
+        CAST((k * 4 + 5) % 30 + 3 AS DOUBLE) / 100.0 AS volatility
+    FROM base CROSS JOIN (SELECT * FROM (VALUES (0), (1)) AS t(i))
+    WHERE k % 7 <> 3
+),
+firm AS (
+    SELECT e.company_id, c.ald_sector, e.region,
+        MEDIAN(CASE WHEN e.pd BETWEEN -1e308 AND 1e308 THEN e.pd END)
+            AS pd,
+        MEDIAN(CASE WHEN e.net_profit_margin BETWEEN 0.0 AND 1.0
+               THEN e.net_profit_margin END) AS net_profit_margin,
+        MEDIAN(e.debt_equity_ratio) AS debt_equity_ratio,
+        MEDIAN(e.volatility) AS volatility
+    FROM eikon e JOIN companies c USING (company_id)
+    GROUP BY 1, 2, 3
+),
+missing AS (
+    SELECT c.company_id, c.ald_sector FROM companies c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM firm f WHERE f.company_id = c.company_id)
+),
+inherited AS (
+    SELECT m.company_id, m.ald_sector, f.region, f.pd,
+        f.net_profit_margin, f.debt_equity_ratio, f.volatility
+    FROM missing m
+    JOIN firm f ON f.company_id = m.company_id - 1
+               AND f.ald_sector = m.ald_sector
+),
+fin AS (
+    SELECT company_id, ald_sector, pd, net_profit_margin,
+        debt_equity_ratio, volatility
+    FROM firm
+    UNION ALL
+    SELECT company_id, ald_sector, pd, net_profit_margin,
+        debt_equity_ratio, volatility
+    FROM inherited
+),
+-- trisk_v2 assets assembly
+with_cf AS (
+    SELECT *,
+        CASE WHEN MAX(plan_tech_prod) OVER (PARTITION BY asset_id) > 0
+             THEN plan_tech_prod
+                  / MAX(plan_tech_prod) OVER (PARTITION BY asset_id)
+             ELSE 0.0 END AS capacity_factor
+    FROM (SELECT company_id, company_name, ald_sector,
+          ald_business_unit, country_iso2, asset_id,
+          scenario_geography, year, ald_production_unit,
+          emissions_factor_unit, plan_tech_prod, plan_emission_factor
+          FROM gated)
+)
+SELECT w.*, f.pd, f.net_profit_margin, f.debt_equity_ratio,
+    f.volatility
+FROM with_cf w
+LEFT JOIN fin f USING (company_id, ald_sector)
+""",
+)
+def w1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end assets workflow oracle (run_workflow.R:104-160
+    composed with §3.1 + §3.2): deterministic nation-derived wide
+    activity/emission tables flow through prepare_abcd_data →
+    first_year_positive → prepare_financial_data (with ownership
+    inheritance for Eikon-missing companies) → assemble_assets_data,
+    and the oracle replays the dataflow in SQL.
+
+    Determinism notes: years are dense so spine/interpolation are
+    structural no-ops; both isins of a company carry IDENTICAL
+    indicator values so the median is formula-invariant (Spark's
+    interpolating percentile vs DuckDB MEDIAN); one out-of-range
+    net-profit-margin exercises the F12 gate; the zero-production
+    first year exercises the P9 gate after asset ids are assigned."""
+    from trisk_datawrangle_spark.plans.abcd import (
+        first_year_positive,
+        prepare_abcd_data,
+    )
+    from trisk_datawrangle_spark.plans.financial import (
+        prepare_financial_data,
+    )
+    from trisk_datawrangle_spark.plans.trisk_v2 import assemble_assets_data
+
+    n = _nation(spark, sf_dir)
+    k = F.col("n_nationkey")
+    cid = (k + 1).alias("company_id")
+    cname = (
+        F.when(k == 7, F.lit("Unknown Owner"))
+        .otherwise(F.concat(F.lit("Co "), (k + 1).cast("string")))
+        .alias("company_name")
+    )
+    years = (2025, 2026, 2027)
+
+    def wide(emissions: bool) -> DataFrame:
+        unit = "tCO2" if emissions else "MW"
+        cols = []
+        for y in years:
+            if emissions:
+                v = (k * 11 + F.col("ti") * 2 + F.col("li") * 7 + F.lit(y)) % 40 + 1
+            else:
+                v = F.when(
+                    (k == 3) & (F.col("ti") == 0) & (F.lit(y) == 2025),
+                    F.lit(0),
+                ).otherwise(
+                    (k * 7 + F.col("ti") * 3 + F.col("li") * 5 + F.lit(y)) % 50 + 1
+                )
+            cols.append(v.cast("double").alias(f"Equity Ownership {y}"))
+        return (
+            n.select(
+                "n_nationkey",
+                F.explode(F.array(F.lit(0), F.lit(1))).alias("ti"),
+            )
+            .select(
+                "*",
+                F.explode(F.array(F.lit(0), F.lit(1))).alias("li"),
+            )
+            .select(
+                cid,
+                cname,
+                F.lit("Power").alias("ald_sector"),
+                F.when(F.col("ti") == 0, F.lit("CoalCap"))
+                .otherwise(F.lit("RenewablesCap"))
+                .alias("ald_business_unit"),
+                F.when(F.col("li") == 0, F.lit("AA"))
+                .otherwise(F.lit("BB"))
+                .alias("ald_location"),
+                F.lit(unit).alias("activity_unit"),
+                *cols,
+            )
+        )
+
+    abcd = first_year_positive(
+        prepare_abcd_data(
+            wide(False), wide(True), start_year=2025, time_horizon=2
+        ),
+        ["company_id", "ald_business_unit", "ald_production_unit"],
+    ).cache()
+
+    eikon = (
+        n.select(
+            "n_nationkey",
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("i"),
+        )
+        .filter(k % 7 != 3)
+        .select(
+            F.concat(F.lit("IS"), k.cast("string"), F.lit("_"), F.col("i").cast("string")).alias("isin"),
+            cid,
+            F.lit("XX").alias("ald_location"),
+            F.when(k % 2 == 0, F.lit("EU")).otherwise(F.lit("AS")).alias("region"),
+            ((k * 5 + 1) % 40 + 1).cast("double") / 100.0,
+            F.when((k == 6) & (F.col("i") == 0), F.lit(1.5))
+            .otherwise(((k * 7 + 11) % 90 + 5).cast("double") / 100.0)
+            .alias("net_profit_margin"),
+            ((k * 9 + 7) % 60 + 2).cast("double") / 10.0,
+            ((k * 4 + 5) % 30 + 3).cast("double") / 100.0,
+        )
+        .toDF(
+            "isin",
+            "company_id",
+            "ald_location",
+            "region",
+            "pd",
+            "net_profit_margin",
+            "debt_equity_ratio",
+            "volatility",
+        )
+    )
+    tree = n.filter(k >= 1).select(
+        k.alias("subsidiary_company_id") + 1,
+        k.alias("parent_company_id"),
+        F.lit(1.0).alias("linking_stake"),
+        F.lit(1).alias("ownership_level"),
+    ).toDF(
+        "subsidiary_company_id",
+        "parent_company_id",
+        "linking_stake",
+        "ownership_level",
+    )
+    companies = abcd.select("company_id", "ald_sector").distinct()
+    fin = prepare_financial_data(eikon, companies, tree)
+
+    out = assemble_assets_data(abcd, fin)
+    return out.select(
+        "company_id",
+        "company_name",
+        "ald_sector",
+        "ald_business_unit",
+        "country_iso2",
+        "asset_id",
+        "scenario_geography",
+        "year",
+        "ald_production_unit",
+        "emissions_factor_unit",
+        "plan_tech_prod",
+        "plan_emission_factor",
+        "capacity_factor",
+        "pd",
+        "net_profit_margin",
+        "debt_equity_ratio",
+        "volatility",
+    )
