@@ -57,6 +57,12 @@ _PRIORITY = [
     "cf2_ipr_capacity_factors",
     "cf3_weo2023_capacity_factors",
     "cf4_gem_steel_capacity_factors",
+    "pr1_weo2021_prices",
+    "pr2_ngfs_prices",
+    "pr3_ipr_prices",
+    "pr4_oxford_prices",
+    "pr5_ipr_baseline_prices",
+    "pr6_automotive_prices",
     "g3_standardize_names",
     "q7_row_diff_report",
     "s7_seed_datasets",

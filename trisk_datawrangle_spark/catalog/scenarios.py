@@ -2238,3 +2238,749 @@ def w1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "debt_equity_ratio",
         "volatility",
     )
+
+
+# ------------------------------------------------------------------ #
+# pr1 — WEO2021 price chain (prepare_price_data_long.R:11-246)        #
+# ------------------------------------------------------------------ #
+
+
+@q(
+    "pr1_weo2021_prices",
+    """
+WITH yr2 AS (SELECT * FROM (VALUES (2020), (2022)) AS t(year)),
+yr3 AS (SELECT * FROM (VALUES (2020), (2021), (2022)) AS t(year)),
+fuels AS (
+    SELECT * FROM (VALUES
+        ('Crude oil', 'usd/barrel'), ('Coal', 'usd/tonne'),
+        ('Natural gas', 'usd/Mbtu')
+    ) AS t(fuel, unit0)
+),
+fossil_raw AS (
+    SELECT 'WEO2020' AS source, fuel, unit0, n_name AS geo,
+        CASE WHEN n_nationkey % 2 = 0 THEN 'STEPS' ELSE 'SDS' END
+            AS scenario,
+        year,
+        CAST((n_nationkey * 3 + year + length(fuel)) % 60 + 10
+             AS DOUBLE) AS price
+    FROM nation CROSS JOIN fuels CROSS JOIN yr2
+    WHERE NOT (fuel = 'Natural gas' AND n_nationkey NOT IN (1, 2))
+),
+fossil AS (
+    SELECT source, scenario, geo AS scenario_geography,
+        CASE WHEN fuel = 'Coal' THEN 'Coal' ELSE 'Oil&Gas' END
+            AS sector,
+        CASE fuel WHEN 'Crude oil' THEN 'Oil'
+            WHEN 'Natural gas' THEN 'Gas' ELSE fuel END AS technology,
+        'price' AS indicator,
+        CASE WHEN unit0 IN ('usd/barrel', 'usd/Mbtu') THEN 'GJ'
+             ELSE unit0 END AS unit,
+        year,
+        CASE unit0 WHEN 'usd/barrel' THEN price * 0.16
+            WHEN 'usd/Mbtu' THEN price * 0.9478171203
+            ELSE price END AS price
+    FROM fossil_raw
+),
+fossil_global AS (
+    SELECT source, scenario, 'Global' AS scenario_geography, sector,
+        technology, indicator, unit, year, AVG(price) AS price
+    FROM fossil WHERE technology IN ('Gas', 'Coal')
+    GROUP BY source, scenario, sector, technology, indicator, unit, year
+),
+fossil_all AS (
+    SELECT * FROM fossil UNION ALL SELECT * FROM fossil_global
+),
+ptechs AS (
+    SELECT * FROM (VALUES
+        ('Gas CCGT'), ('Solar PV'), ('Wind onshore')
+    ) AS t(tech0)
+),
+power_raw AS (
+    SELECT 'WEO2020' AS source,
+        CASE WHEN n_nationkey % 2 = 0 THEN 'STEPS' ELSE 'SDS' END
+            AS scenario,
+        n_name AS geo, tech0, '$/MWh' AS unit, year,
+        CASE WHEN tech0 = 'Gas CCGT' AND n_nationkey = 4
+                  AND year = 2022 THEN NULL
+             ELSE CAST((n_nationkey * 5 + year + length(tech0)) % 40
+                       + 20 AS DOUBLE) END AS price
+    FROM nation CROSS JOIN ptechs CROSS JOIN yr2
+),
+power_shaped AS (
+    SELECT source, scenario, geo AS scenario_geography,
+        'Power' AS sector,
+        CASE tech0 WHEN 'Gas CCGT' THEN 'GasCap'
+            ELSE 'RenewablesCap' END AS technology,
+        'LCOE' AS indicator, unit, year, price
+    FROM power_raw
+),
+power_fanned AS (
+    SELECT source, scenario, scenario_geography, sector, technology,
+        unit, year, indicator, AVG(price) AS price
+    FROM power_shaped
+    GROUP BY source, scenario, scenario_geography, sector, technology,
+        unit, year, indicator
+),
+power_cloned AS (
+    SELECT * FROM power_fanned
+    UNION ALL
+    SELECT source, scenario, scenario_geography, sector,
+        CASE technology WHEN 'GasCap' THEN 'OilCap'
+            ELSE 'HydroCap' END AS technology,
+        unit, year, indicator, price
+    FROM power_fanned
+    WHERE technology IN ('GasCap', 'RenewablesCap')
+),
+power_locf AS (
+    SELECT source, scenario, scenario_geography, sector, technology,
+        unit, year, indicator,
+        COALESCE(price, LAST_VALUE(price IGNORE NULLS) OVER (
+            PARTITION BY source, technology, unit, scenario_geography,
+                scenario, sector, indicator ORDER BY year
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS price
+    FROM power_cloned
+),
+power_global AS (
+    SELECT source, scenario, 'Global' AS scenario_geography, sector,
+        technology, unit, year, indicator, AVG(price) AS price
+    FROM power_locf
+    GROUP BY source, scenario, sector, technology, unit, year, indicator
+),
+power_all AS (
+    SELECT * FROM power_locf UNION ALL SELECT * FROM power_global
+),
+unioned AS (
+    SELECT source, scenario, scenario_geography, sector, technology,
+        indicator, unit, year, price
+    FROM fossil_all
+    UNION ALL
+    SELECT source, scenario, scenario_geography, sector, technology,
+        indicator, unit, year, price
+    FROM power_all
+),
+spine AS (
+    SELECT s.*, y.year AS yy
+    FROM (SELECT DISTINCT source, scenario, scenario_geography, sector,
+          technology, indicator, unit FROM unioned) s
+    CROSS JOIN yr3 y
+),
+dense AS (
+    SELECT sp.source, sp.scenario, sp.scenario_geography, sp.sector,
+        sp.technology, sp.indicator, sp.unit, sp.yy AS year, u.price
+    FROM spine sp LEFT JOIN unioned u
+        ON u.source = sp.source AND u.scenario = sp.scenario
+       AND u.scenario_geography = sp.scenario_geography
+       AND u.sector = sp.sector AND u.technology = sp.technology
+       AND u.indicator = sp.indicator AND u.unit = sp.unit
+       AND u.year = sp.yy
+),
+marked AS (
+    SELECT *,
+        last_value(price IGNORE NULLS) OVER wback AS prev_v,
+        last_value(CASE WHEN price IS NOT NULL THEN year END
+            IGNORE NULLS) OVER wback AS prev_x,
+        first_value(price IGNORE NULLS) OVER wfwd AS next_v,
+        first_value(CASE WHEN price IS NOT NULL THEN year END
+            IGNORE NULLS) OVER wfwd AS next_x
+    FROM dense
+    WINDOW wback AS (
+        PARTITION BY source, scenario, scenario_geography, sector,
+            technology, indicator, unit ORDER BY year
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wfwd AS (
+        PARTITION BY source, scenario, scenario_geography, sector,
+            technology, indicator, unit ORDER BY year
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT source, scenario, scenario_geography, sector, technology,
+    indicator, unit, year,
+    CASE WHEN price IS NOT NULL THEN price
+         WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+         THEN prev_v + (next_v - prev_v) * (year - prev_x)
+              / (next_x - prev_x) END AS price
+FROM marked
+WHERE price IS NOT NULL
+   OR (prev_v IS NOT NULL AND next_v IS NOT NULL)
+""",
+)
+def pr1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEO2021 price chain (prepare_price_data_long_WEO2021, :11-246):
+    fossil conversions + Gas/Coal global means; power LCOE fan-in
+    (mean), placeholder clones, LOCF, global means; fixed spine +
+    interpolation with dropped edges. Determinism: every mean pools
+    integers or exact halves (the converted Mbtu pool is exactly two
+    rows), so sums are order-independent."""
+    from trisk_datawrangle_spark.plans.price_sources import (
+        wrangle_prices_weo2021,
+    )
+
+    n = _nation(spark, sf_dir)
+    k = F.col("n_nationkey")
+    scen = F.when(k % 2 == 0, F.lit("STEPS")).otherwise(F.lit("SDS"))
+    fuels = [
+        ("Crude oil", "usd/barrel"),
+        ("Coal", "usd/tonne"),
+        ("Natural gas", "usd/Mbtu"),
+    ]
+    fuel_struct = F.array(
+        *[
+            F.struct(F.lit(f).alias("fuel"), F.lit(u).alias("unit0"))
+            for f, u in fuels
+        ]
+    )
+    fossil = (
+        n.select("n_nationkey", "n_name", F.explode(fuel_struct).alias("f"))
+        .filter(
+            ~((F.col("f.fuel") == "Natural gas") & ~k.isin(1, 2))
+        )
+        .select(
+            F.lit("WEO2020").alias("source"),
+            F.col("f.fuel").alias("sector"),
+            F.col("f.unit0").alias("unit"),
+            F.col("n_name").alias("scenario_geography"),
+            scen.alias("scenario"),
+            *[
+                ((k * 3 + F.lit(y) + F.length("f.fuel")) % 60 + 10)
+                .cast("double")
+                .alias(str(y))
+                for y in (2020, 2022)
+            ],
+        )
+    )
+    power = (
+        n.select(
+            "n_nationkey",
+            "n_name",
+            F.explode(
+                F.array(
+                    F.lit("Gas CCGT"), F.lit("Solar PV"), F.lit("Wind onshore")
+                )
+            ).alias("tech0"),
+        )
+        .select(
+            F.lit("WEO2020").alias("source"),
+            scen.alias("scenario"),
+            F.col("n_name").alias("region"),
+            F.col("tech0").alias("technology"),
+            F.lit("LCOE").alias("indicator"),
+            F.lit("$/MWh").alias("unit"),
+            *[
+                F.when(
+                    (F.col("tech0") == "Gas CCGT")
+                    & (k == 4)
+                    & (F.lit(y) == 2022),
+                    F.lit(None).cast("double"),
+                )
+                .otherwise(
+                    ((k * 5 + F.lit(y) + F.length("tech0")) % 40 + 20)
+                    .cast("double")
+                )
+                .alias(str(y))
+                for y in (2020, 2022)
+            ],
+        )
+    )
+    out = wrangle_prices_weo2021(fossil, power)
+    return out.select(
+        "source",
+        "scenario",
+        "scenario_geography",
+        "sector",
+        "technology",
+        "indicator",
+        "unit",
+        "year",
+        "price",
+    )
+
+
+# ------------------------------------------------------------------ #
+# pr2 — NGFS price chain (:247-374)                                   #
+# ------------------------------------------------------------------ #
+
+
+@q(
+    "pr2_ngfs_prices",
+    """
+WITH fuels AS (
+    SELECT * FROM (VALUES ('Oil'), ('Gas'), ('Coal')) AS t(fuel)
+),
+yr AS (SELECT * FROM (VALUES (2030), (2032)) AS t(year)),
+raw AS (
+    SELECT
+        CASE n_nationkey % 3 WHEN 0 THEN 'GCAM 6.0 NGFS'
+            WHEN 1 THEN 'REMIND-MAgPIE 3.2-4.6'
+            ELSE 'MESSAGEix-GLOBIOM 1.1-M-R12' END AS model0,
+        CASE WHEN n_nationkey % 2 = 0 THEN 'Net Zero 2050'
+             ELSE 'Current Policies' END AS scenario0,
+        CASE WHEN n_nationkey % 5 = 0 THEN 'World' ELSE n_name END
+            AS region, fuel, year,
+        CAST((n_nationkey * 7 + year + length(fuel) * 5) % 50 + 2
+             AS DOUBLE) AS value
+    FROM nation CROSS JOIN fuels CROSS JOIN yr
+),
+shaped AS (
+    SELECT
+        CASE scenario0 WHEN 'Net Zero 2050' THEN 'NZ2050'
+            ELSE 'CP' END AS scenario,
+        CASE WHEN region = 'World' THEN 'Global' ELSE region END
+            AS scenario_geography,
+        CASE model0 WHEN 'GCAM 6.0 NGFS' THEN 'GCAM'
+            WHEN 'REMIND-MAgPIE 3.2-4.6' THEN 'REMIND'
+            ELSE 'MESSAGE' END AS model,
+        CASE WHEN fuel IN ('Oil', 'Gas') THEN 'Oil&Gas'
+             ELSE 'Coal' END AS sector,
+        '$/GJ' AS unit0, fuel AS technology, 'price' AS indicator,
+        year, value
+    FROM raw
+),
+series AS (
+    SELECT scenario, scenario_geography, model, sector, unit0,
+        technology, indicator, MIN(year) AS lo, MAX(year) AS hi
+    FROM shaped GROUP BY 1, 2, 3, 4, 5, 6, 7
+),
+spine AS (
+    SELECT scenario, scenario_geography, model, sector, unit0,
+        technology, indicator,
+        CAST(unnest(generate_series(lo, hi)) AS INTEGER) AS year
+    FROM series
+),
+dense AS (
+    SELECT sp.scenario, sp.scenario_geography, sp.model, sp.sector,
+        sp.unit0, sp.technology, sp.indicator, sp.year, s.value
+    FROM spine sp LEFT JOIN shaped s
+        ON s.scenario = sp.scenario
+       AND s.scenario_geography = sp.scenario_geography
+       AND s.model = sp.model AND s.sector = sp.sector
+       AND s.technology = sp.technology AND s.year = sp.year
+),
+interp AS (
+    SELECT scenario, scenario_geography, model, sector, technology,
+        indicator, year,
+        CASE WHEN value IS NOT NULL THEN value
+             ELSE (last_value(value IGNORE NULLS) OVER wb
+                   + (first_value(value IGNORE NULLS) OVER wf
+                      - last_value(value IGNORE NULLS) OVER wb)
+                   * (year - last_value(CASE WHEN value IS NOT NULL
+                        THEN year END IGNORE NULLS) OVER wb)
+                   / (first_value(CASE WHEN value IS NOT NULL
+                        THEN year END IGNORE NULLS) OVER wf
+                      - last_value(CASE WHEN value IS NOT NULL
+                        THEN year END IGNORE NULLS) OVER wb))
+        END AS value
+    FROM dense
+    WINDOW wb AS (PARTITION BY scenario, scenario_geography, model,
+        sector, technology, indicator ORDER BY year
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY scenario, scenario_geography, model, sector,
+        technology, indicator ORDER BY year
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+flt AS (SELECT * FROM interp WHERE year >= 2030)
+SELECT 'NGFS2023' || model || '_' || scenario AS scenario,
+    scenario_geography, sector, technology, indicator,
+    CASE WHEN sector = 'Oil&Gas' THEN '$/GJ' ELSE '$/tonnes' END
+        AS unit,
+    year,
+    CASE WHEN sector = 'Coal' THEN value / 0.03414368
+         ELSE value END AS price
+FROM flt
+""",
+)
+def pr2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NGFS price chain (prepare_price_data_long_NGFS2023, :247-309):
+    vocabulary recodes, per-series spine + interpolation, the
+    Oil&Gas/$-per-GJ vs Coal/$-per-tonne unit split, and the
+    model-prefixed scenario key."""
+    from trisk_datawrangle_spark.plans.price_sources import (
+        wrangle_prices_ngfs,
+    )
+
+    n = _nation(spark, sf_dir)
+    k = F.col("n_nationkey")
+    raw = (
+        n.select(
+            "n_nationkey",
+            "n_name",
+            F.explode(
+                F.array(F.lit("Oil"), F.lit("Gas"), F.lit("Coal"))
+            ).alias("fuel"),
+        )
+        .select(
+            "*",
+            F.explode(F.array(F.lit(2030), F.lit(2032))).alias("year"),
+        )
+        .select(
+            F.when(k % 3 == 0, F.lit("GCAM 6.0 NGFS"))
+            .when(k % 3 == 1, F.lit("REMIND-MAgPIE 3.2-4.6"))
+            .otherwise(F.lit("MESSAGEix-GLOBIOM 1.1-M-R12"))
+            .alias("Model"),
+            F.when(k % 2 == 0, F.lit("Net Zero 2050"))
+            .otherwise(F.lit("Current Policies"))
+            .alias("Scenario"),
+            F.when(k % 5 == 0, F.lit("World")).otherwise(F.col("n_name")).alias("Region"),
+            F.lit("$/GJ").alias("Unit"),
+            F.lit("price").alias("category_a"),
+            F.col("fuel").alias("category_c"),
+            "year",
+            ((k * 7 + F.col("year") + F.length("fuel") * 5) % 50 + 2)
+            .cast("double")
+            .alias("value"),
+        )
+    )
+    out = wrangle_prices_ngfs(raw, start_year=2030)
+    return out.select(
+        "scenario",
+        "scenario_geography",
+        "sector",
+        "technology",
+        "indicator",
+        "unit",
+        "year",
+        "price",
+    )
+
+
+# ------------------------------------------------------------------ #
+# pr3 — IPR price chain (:376-483)                                    #
+# ------------------------------------------------------------------ #
+
+
+@q(
+    "pr3_ipr_prices",
+    """
+WITH parts AS (
+    SELECT * FROM (VALUES
+        ('Coal', 'price'), ('Natural gas', 'high price'),
+        ('Natural gas', 'low price'), ('Oil', 'high price'),
+        ('Oil', 'low price')
+    ) AS t(fuel, vclass)
+),
+yr AS (SELECT * FROM (VALUES (2030), (2031)) AS t(year)),
+raw AS (
+    SELECT fuel, vclass,
+        CASE WHEN n_nationkey % 2 = 0 THEN 'IPR2023_RPS'
+             ELSE 'IPR2023_FPS' END AS scenario,
+        year,
+        CAST((n_nationkey * 9 + year + length(vclass) * 3) % 80 + 4
+             AS DOUBLE) AS price
+    FROM nation CROSS JOIN parts CROSS JOIN yr
+),
+coal AS (
+    SELECT scenario, 'price' AS indicator, year, AVG(price) AS price,
+        'Global' AS scenario_geography, 'Coal' AS sector,
+        'Coal' AS technology, 'USD / tonne' AS unit
+    FROM raw WHERE fuel = 'Coal'
+    GROUP BY scenario, vclass, year
+),
+gas1 AS (
+    SELECT scenario, vclass, year, AVG(price) AS price
+    FROM raw WHERE fuel = 'Natural gas'
+    GROUP BY scenario, vclass, year
+),
+gas AS (
+    SELECT scenario, 'price' AS indicator, year, AVG(price) AS price,
+        'Global' AS scenario_geography, 'Oil&Gas' AS sector,
+        'Gas' AS technology, 'USD / MMBtu' AS unit
+    FROM gas1 GROUP BY scenario, year
+),
+oil AS (
+    SELECT scenario, 'price' AS indicator, year, AVG(price) AS price,
+        'Global' AS scenario_geography, 'Oil&Gas' AS sector,
+        'Oil' AS technology, 'USD / Barrel' AS unit
+    FROM raw WHERE fuel = 'Oil'
+    GROUP BY scenario, year
+),
+merged AS (
+    SELECT * FROM coal UNION ALL SELECT * FROM gas
+    UNION ALL SELECT * FROM oil
+)
+SELECT scenario, indicator, year,
+    CASE unit WHEN 'USD / Barrel' THEN price * 0.16
+        WHEN 'USD / MMBtu' THEN price * 0.9478171203
+        ELSE price END AS price,
+    scenario_geography, sector, technology,
+    CASE unit WHEN 'USD / Barrel' THEN 'GJ'
+        WHEN 'USD / MMBtu' THEN 'GJ' ELSE 'usd/tonne' END AS unit
+FROM merged WHERE year >= 2030
+""",
+)
+def pr3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPR price chain (prepare_price_data_long_IPR2023, :376-483):
+    global coal mean, two-stage gas high/low mean, pooled oil mean,
+    barrel/MMBtu conversions. All means pool integers, so the sums
+    are order-independent."""
+    from trisk_datawrangle_spark.plans.price_sources import (
+        wrangle_prices_ipr,
+    )
+
+    n = _nation(spark, sf_dir)
+    k = F.col("n_nationkey")
+    parts = [
+        ("Coal", "price"),
+        ("Natural gas", "high price"),
+        ("Natural gas", "low price"),
+        ("Oil", "high price"),
+        ("Oil", "low price"),
+    ]
+    part_struct = F.array(
+        *[
+            F.struct(F.lit(f).alias("fuel"), F.lit(v).alias("vclass"))
+            for f, v in parts
+        ]
+    )
+    raw = (
+        n.select("n_nationkey", "n_name", F.explode(part_struct).alias("p"))
+        .select(
+            "*",
+            F.explode(F.array(F.lit(2030), F.lit(2031))).alias("year"),
+        )
+        .select(
+            F.col("p.fuel").alias("Sub_variable_class_1"),
+            F.col("p.vclass").alias("Variable_class"),
+            F.when(k % 2 == 0, F.lit("RPS")).otherwise(F.lit("FPS")).alias("Scenario"),
+            F.col("n_name").alias("Region"),
+            F.lit("USD").alias("Units"),
+            "year",
+            ((k * 9 + F.col("year") + F.length("p.vclass") * 3) % 80 + 4)
+            .cast("double")
+            .alias("value"),
+        )
+    )
+    out = wrangle_prices_ipr(raw, start_year=2030)
+    return out.select(
+        "scenario",
+        "indicator",
+        "year",
+        "price",
+        "scenario_geography",
+        "sector",
+        "technology",
+        "unit",
+    )
+
+
+# ------------------------------------------------------------------ #
+# pr4 — Oxford price chain (:640-747)                                 #
+# ------------------------------------------------------------------ #
+
+
+@q(
+    "pr4_oxford_prices",
+    """
+WITH techs AS (
+    SELECT * FROM (VALUES
+        ('Oil', 4, 2), ('Gas', 6, 1), ('Coal', 8, 3)
+    ) AS t(tech, base, slope)
+),
+scens AS (
+    SELECT * FROM (VALUES
+        ('Oxford - fast_transition', 'Oxford2021_fast', 0),
+        ('Oxford - no_transition', 'Oxford2021_base', 5)
+    ) AS t(scen0, scen, off)
+),
+raw AS (
+    SELECT tech, scen,
+        CAST(unnest(generate_series(2045, 2069)) AS INTEGER) AS year,
+        base, slope, off
+    FROM techs CROSS JOIN scens
+),
+conv AS (
+    SELECT tech AS technology, scen AS scenario,
+        'Global' AS scenario_geography,
+        CASE WHEN tech = 'Coal' THEN 'Coal' ELSE 'Oil&Gas' END
+            AS sector,
+        CASE WHEN tech = 'Coal' THEN 'usd/tonne' ELSE 'GJ' END
+            AS unit,
+        'price' AS indicator, year,
+        CAST(base + off + slope * (year - 2049) AS DOUBLE) AS price
+    FROM raw
+),
+extension AS (
+    SELECT technology, scenario, scenario_geography, sector, unit,
+        indicator,
+        CAST(unnest(generate_series(2070, 2080)) AS INTEGER) AS year,
+        CAST(NULL AS DOUBLE) AS price
+    FROM (SELECT DISTINCT technology, scenario, scenario_geography,
+          sector, unit, indicator FROM conv)
+),
+dense AS (
+    SELECT * FROM conv UNION ALL SELECT * FROM extension
+),
+fit AS (
+    SELECT technology, scenario,
+        COUNT(*) AS n,
+        SUM(CAST(year AS DOUBLE)) AS sx,
+        SUM(price) AS sy,
+        SUM(year * price) AS sxy,
+        SUM(CAST(year * year AS DOUBLE)) AS sxx
+    FROM conv WHERE year BETWEEN 2049 AND 2069
+    GROUP BY 1, 2
+),
+coef AS (
+    SELECT technology, scenario,
+        (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_f,
+        (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+            AS icept_f
+    FROM fit
+)
+SELECT d.technology, d.scenario, d.scenario_geography, d.sector,
+    d.unit, d.indicator, d.year,
+    COALESCE(d.price, c.slope_f * d.year + c.icept_f) AS price
+FROM dense d LEFT JOIN coef c
+    ON c.technology = d.technology AND c.scenario = d.scenario
+""",
+)
+def pr4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oxford price chain (prepare_price_data_long_Oxf2021,
+    :640-747): $/MWh conversions, slow-scenario drop, and the
+    2070+ extension from an OLS line over the 2049-2069 window.
+    Fixture prices are exactly linear, so the normal equations
+    recover integer coefficients and the extension is exact."""
+    from trisk_datawrangle_spark.plans.price_sources import (
+        wrangle_prices_oxford,
+    )
+
+    techs = [("Oil", 4, 2), ("Gas", 6, 1), ("Coal", 8, 3)]
+    scens = [
+        ("Oxford - fast_transition", 0),
+        ("Oxford - no_transition", 5),
+        ("Oxford - slow_transition", 9),  # dropped by the chain
+    ]
+    tech_struct = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tech"),
+                F.lit(b).alias("base"),
+                F.lit(s).alias("slope"),
+            )
+            for t, b, s in techs
+        ]
+    )
+    scen_struct = F.array(
+        *[
+            F.struct(F.lit(s).alias("scen0"), F.lit(o).alias("off"))
+            for s, o in scens
+        ]
+    )
+    spark_df = (
+        spark.range(1)
+        .select(F.explode(tech_struct).alias("t"))
+        .select("t", F.explode(scen_struct).alias("s"))
+        .select(
+            "*",
+            F.explode(F.sequence(F.lit(2045), F.lit(2069))).alias("Year"),
+        )
+        .select(
+            F.col("t.tech").alias("Technology"),
+            F.lit("Fossil Fuels").alias("Sector"),
+            F.col("s.scen0").alias("Scenario"),
+            F.lit("World").alias("Region"),
+            "Year",
+            # LCOE in $/MWh such that the converted price is exactly
+            # base + off + slope*(year-2049)
+            (
+                (
+                    F.col("t.base")
+                    + F.col("s.off")
+                    + F.col("t.slope") * (F.col("Year") - 2049)
+                ).cast("double")
+                * F.when(F.col("t.tech") == "Coal", F.lit(0.122835))
+                .otherwise(F.lit(3.6))
+            ).alias("LCOE"),
+        )
+    )
+    out = wrangle_prices_oxford(
+        spark_df, start_year=2045, fit_lo=2049, fit_hi=2069, end_year=2080
+    )
+    return out.select(
+        "technology",
+        "scenario",
+        "scenario_geography",
+        "sector",
+        "unit",
+        "indicator",
+        "year",
+        "price",
+    )
+
+
+# ------------------------------------------------------------------ #
+# pr5 — IPR baseline prices (:629-637) / pr6 — automotive (:750-767)  #
+# ------------------------------------------------------------------ #
+
+
+@q(
+    "pr5_ipr_baseline_prices",
+    """
+SELECT 'IPR2023_baseline' AS scenario, n_name AS scenario_geography,
+    'Oil&Gas' AS sector, 'Oil' AS technology, 'GJ' AS unit,
+    CAST(2030 + n_nationkey % 3 AS INTEGER) AS year,
+    CAST(n_nationkey * 2 + 7 AS DOUBLE) AS price
+FROM nation WHERE n_nationkey % 2 = 0
+""",
+)
+def pr5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPR baseline prices (prepare_price_data_long_IPR2023_baseline,
+    :629-637): the WEO2021 STEPS table relabeled, everything else
+    filtered away."""
+    from trisk_datawrangle_spark.plans.price_sources import (
+        ipr_prices_baseline,
+    )
+
+    n = _nation(spark, sf_dir)
+    k = F.col("n_nationkey")
+    weo = n.select(
+        F.when(k % 2 == 0, F.lit("WEO2021_STEPS"))
+        .otherwise(F.lit("WEO2021_SDS"))
+        .alias("scenario"),
+        F.col("n_name").alias("scenario_geography"),
+        F.lit("Oil&Gas").alias("sector"),
+        F.lit("Oil").alias("technology"),
+        F.lit("GJ").alias("unit"),
+        (F.lit(2030) + k % 3).cast("int").alias("year"),
+        (k * 2 + 7).cast("double").alias("price"),
+    )
+    return ipr_prices_baseline(weo)
+
+
+@q(
+    "pr6_automotive_prices",
+    """
+SELECT DISTINCT
+    CASE WHEN n_nationkey % 2 = 0 THEN 'GECO2021_CurPol'
+         ELSE 'GECO2021_NDC-LTS' END AS scenario,
+    'Automotive' AS sector,
+    CASE WHEN n_nationkey % 3 = 0 THEN 'Electric' ELSE 'ICE' END
+        AS technology,
+    CAST(2030 + n_nationkey % 2 AS INTEGER) AS year,
+    CAST(1.0 AS DOUBLE) AS price,
+    'Global' AS scenario_geography,
+    'price' AS indicator, 'dummy' AS unit
+FROM nation WHERE n_nationkey % 4 <> 0
+""",
+)
+def pr6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automotive unit prices (create_automotive_prices, :750-767):
+    price 1 for every Automotive (scenario, business unit, year) in
+    the scenario data; non-Automotive rows contribute nothing."""
+    from trisk_datawrangle_spark.plans.price_sources import (
+        create_automotive_prices,
+    )
+
+    n = _nation(spark, sf_dir)
+    k = F.col("n_nationkey")
+    scen = n.select(
+        F.when(k % 2 == 0, F.lit("GECO2021_CurPol"))
+        .otherwise(F.lit("GECO2021_NDC-LTS"))
+        .alias("scenario"),
+        F.when(k % 4 == 0, F.lit("Power"))
+        .otherwise(F.lit("Automotive"))
+        .alias("ald_sector"),
+        F.when(k % 3 == 0, F.lit("Electric"))
+        .otherwise(F.lit("ICE"))
+        .alias("ald_business_unit"),
+        (F.lit(2030) + k % 2).cast("int").alias("year"),
+        (k % 10).cast("double").alias("fair_share_perc"),
+    )
+    return create_automotive_prices(scen)
