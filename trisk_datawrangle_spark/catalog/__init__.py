@@ -63,6 +63,9 @@ _PRIORITY = [
     "pr4_oxford_prices",
     "pr5_ipr_baseline_prices",
     "pr6_automotive_prices",
+    "lc1_mp_steel_lc_prices",
+    "lc2_ipr_lcoe_prices",
+    "lc3_oxford_lcoe_ngfs_prices",
     "g3_standardize_names",
     "q7_row_diff_report",
     "s7_seed_datasets",

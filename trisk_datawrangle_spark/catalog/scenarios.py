@@ -2984,3 +2984,434 @@ def pr6(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k % 10).cast("double").alias("fair_share_perc"),
     )
     return create_automotive_prices(scen)
+
+
+# ------------------------------------------------------------------ #
+# lc1-lc3 — LCOE/LC adjustment variants                               #
+# (prepare_LCOE_adjusted_price_data.R)                                #
+# ------------------------------------------------------------------ #
+
+
+@q(
+    "lc1_mp_steel_lc_prices",
+    """
+WITH routes AS (
+    SELECT * FROM (VALUES
+        ('Avg BF-BOF'), ('DRI-Melt-BOF'), ('EAF'), ('DRI-EAF'), ('Scrap')
+    ) AS t(route)
+),
+scens AS (
+    SELECT * FROM (VALUES ('baseline'), ('carbon_cost'), ('other'))
+        AS t(scen)
+),
+yr AS (SELECT * FROM (VALUES (2030), (2040)) AS t(year)),
+raw AS (
+    SELECT scen AS scenario, n_name AS region, route AS technology,
+        year,
+        CAST((n_nationkey * 3 + year + length(route) * 7) % 200 + 100
+             AS DOUBLE) AS levelized_cost
+    FROM nation CROSS JOIN routes CROSS JOIN scens CROSS JOIN yr
+),
+global_rows AS (
+    SELECT scenario, 'Global' AS region, technology, year,
+        AVG(levelized_cost) AS levelized_cost
+    FROM raw GROUP BY scenario, technology, year
+),
+allrows AS (
+    SELECT * FROM raw UNION ALL SELECT * FROM global_rows
+),
+shaped AS (
+    SELECT scenario, region AS scenario_geography,
+        CASE technology WHEN 'Avg BF-BOF' THEN 'BF-BOF'
+            WHEN 'DRI-Melt-BOF' THEN 'DRI-BOF'
+            ELSE technology END AS technology,
+        year, levelized_cost AS price
+    FROM allrows
+    WHERE technology IN ('Avg BF-BOF', 'DRI-Melt-BOF', 'EAF', 'DRI-EAF')
+      AND scenario IN ('baseline', 'carbon_cost')
+),
+fanned AS (
+    SELECT scenario, scenario_geography, technology, year, price
+    FROM shaped
+    UNION ALL SELECT scenario, scenario_geography, 'BF-EAF', year, price
+    FROM shaped WHERE technology = 'EAF'
+    UNION ALL SELECT scenario, scenario_geography, 'BOF', year, price
+    FROM shaped WHERE technology = 'BF-BOF'
+    UNION ALL SELECT scenario, scenario_geography, 'BF-OHF', year, price
+    FROM shaped WHERE technology = 'BF-BOF'
+),
+adjusted AS (
+    SELECT scenario, scenario_geography, 'Steel' AS sector, technology,
+        '$/ton' AS unit, 'price' AS indicator, year,
+        (FIRST_VALUE(price) OVER w / 0.8)
+            * (FIRST_VALUE(price) OVER w / price) AS price
+    FROM fanned
+    WINDOW w AS (PARTITION BY scenario, scenario_geography, technology
+        ORDER BY year
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT CASE scenario WHEN 'baseline' THEN 'Steel_baseline'
+       ELSE 'Steel_NZ' END AS scenario,
+    scenario_geography, sector, technology, unit, indicator, year,
+    price
+FROM adjusted
+""",
+)
+def lc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mission Possible steel levelized-cost chain
+    (MP_LC_steel_wrangling + prepare_lc_adjusted_price_data_steel,
+    :333-448): global means, route recodes + clone fan-out, and the
+    implied-price adjustment with the Steel_* relabel."""
+    from trisk_datawrangle_spark.plans.lcoe_sources import (
+        lc_adjust_steel,
+        mp_lc_steel_wrangling,
+    )
+
+    n = _nation(spark, sf_dir)
+    k = F.col("n_nationkey")
+    routes = ["Avg BF-BOF", "DRI-Melt-BOF", "EAF", "DRI-EAF", "Scrap"]
+    scens = ["baseline", "carbon_cost", "other"]
+    raw = (
+        n.select(
+            "n_nationkey",
+            "n_name",
+            F.explode(F.array(*[F.lit(r) for r in routes])).alias("route"),
+        )
+        .select(
+            "*",
+            F.explode(F.array(*[F.lit(s) for s in scens])).alias("scen"),
+        )
+        .select(
+            "*",
+            F.explode(F.array(F.lit(2030), F.lit(2040))).alias("year"),
+        )
+        .select(
+            F.col("scen").alias("scenario"),
+            F.col("n_name").alias("region"),
+            F.col("route").alias("technology"),
+            "year",
+            ((k * 3 + F.col("year") + F.length("route") * 7) % 200 + 100)
+            .cast("double")
+            .alias("levelized_cost"),
+        )
+    )
+    wrangled = mp_lc_steel_wrangling(raw)
+    out = lc_adjust_steel(wrangled, average_npm_steel=0.2, start_year=2030)
+    return out.select(
+        "scenario",
+        "scenario_geography",
+        "sector",
+        "technology",
+        "unit",
+        "indicator",
+        "year",
+        "price",
+    )
+
+
+@q(
+    "lc2_ipr_lcoe_prices",
+    """
+WITH techs AS (
+    SELECT * FROM (VALUES ('CoalCap'), ('GasCap')) AS t(technology)
+),
+yr AS (SELECT * FROM (VALUES (2021), (2030)) AS t(year)),
+raw AS (
+    SELECT 'WEO2021' AS source,
+        CASE WHEN n_nationkey % 2 = 0 THEN 'SDS' ELSE 'STEPS' END
+            AS scenario,
+        CASE WHEN n_nationkey % 5 = 0 THEN 'Global' ELSE n_name END
+            AS scenario_geography,
+        'Power' AS sector, technology, 'LCOE' AS indicator,
+        '$/MWh' AS unit, year,
+        CAST((n_nationkey * 7 + year + length(technology)) % 80 + 20
+             AS DOUBLE) AS price
+    FROM nation CROSS JOIN techs CROSS JOIN yr
+),
+adjusted AS (
+    SELECT source, scenario, scenario_geography, sector, technology,
+        'price' AS indicator, unit, year,
+        (FIRST_VALUE(price) OVER w / 0.8)
+            * (FIRST_VALUE(price) OVER w / price) AS price
+    FROM raw
+    WINDOW w AS (PARTITION BY source, scenario, scenario_geography,
+        sector, technology, unit ORDER BY year
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+pruned AS (
+    SELECT * FROM adjusted
+    WHERE scenario_geography = 'Global' AND scenario = 'SDS'
+)
+SELECT source, 'IPR2023_FPS' AS scenario, scenario_geography, sector,
+    technology, indicator, unit, year, price
+FROM pruned
+UNION ALL
+SELECT source, 'IPR2023_RPS' AS scenario, scenario_geography, sector,
+    technology, indicator, unit, year, price
+FROM pruned
+""",
+)
+def lc2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPR LCOE adjustment (prepare_lcoe_adjusted_price_data_IPR2023,
+    :260-331): the WEO adjustment pruned to Global with the SDS
+    series cloned to both IPR scenarios."""
+    from trisk_datawrangle_spark.plans.lcoe_sources import lcoe_adjust_ipr
+
+    n = _nation(spark, sf_dir)
+    k = F.col("n_nationkey")
+    raw = (
+        n.select(
+            "n_nationkey",
+            "n_name",
+            F.explode(F.array(F.lit("CoalCap"), F.lit("GasCap"))).alias(
+                "technology"
+            ),
+        )
+        .select(
+            "*",
+            F.explode(F.array(F.lit(2021), F.lit(2030))).alias("year"),
+        )
+        .select(
+            F.lit("WEO2021").alias("source"),
+            F.when(k % 2 == 0, F.lit("SDS")).otherwise(F.lit("STEPS")).alias("scenario"),
+            F.when(k % 5 == 0, F.lit("Global")).otherwise(F.col("n_name")).alias("scenario_geography"),
+            F.lit("Power").alias("sector"),
+            "technology",
+            F.lit("LCOE").alias("indicator"),
+            F.lit("$/MWh").alias("unit"),
+            "year",
+            ((k * 7 + F.col("year") + F.length("technology")) % 80 + 20)
+            .cast("double")
+            .alias("price"),
+        )
+    )
+    out = lcoe_adjust_ipr(raw, average_npm_power=0.2, start_year=2021)
+    return out.select(
+        "source",
+        "scenario",
+        "scenario_geography",
+        "sector",
+        "technology",
+        "indicator",
+        "unit",
+        "year",
+        "price",
+    )
+
+
+@q(
+    "lc3_oxford_lcoe_ngfs_prices",
+    """
+WITH techs AS (
+    SELECT * FROM (VALUES
+        ('Coal', 'none', 1), ('Natural gas', 'none', 2),
+        ('Nuclear', 'none', 4), ('Renewables', 'Solar PV', 8),
+        ('Renewables', 'Wind', 16)
+    ) AS t(tech0, sub0, scale)
+),
+scens AS (
+    SELECT * FROM (VALUES
+        ('Oxford - fast_transition', 'fast_transition_oxford'),
+        ('Oxford - no_transition', 'no_transition_oxford'),
+        ('Oxford - slow_transition', 'slow_transition_oxford')
+    ) AS t(scen0, scen)
+),
+raw AS (
+    SELECT tech0, sub0, scale, scen,
+        CAST(unnest(generate_series(2049, 2069)) AS INTEGER) AS year
+    FROM techs CROSS JOIN scens
+),
+base AS (
+    SELECT
+        CASE WHEN tech0 = 'Natural gas' THEN 'GasCap'
+            WHEN tech0 = 'Coal' THEN 'CoalCap'
+            WHEN sub0 = 'Hydro' THEN 'HydroCap'
+            WHEN tech0 = 'Nuclear' THEN 'NuclearCap'
+            WHEN tech0 = 'Renewables' AND sub0 <> 'HydroCap'
+                THEN 'RenewablesCap'
+            ELSE tech0 END AS technology,
+        'Global' AS scenario_geography, '$/MWh' AS unit, scen AS scenario,
+        'Power' AS sector, year,
+        CAST(scale * (CASE (year - 2049) % 5 WHEN 0 THEN 40
+            WHEN 1 THEN 50 WHEN 2 THEN 25 WHEN 3 THEN 100
+            ELSE 20 END) AS DOUBLE) AS price
+    FROM raw
+    WHERE scen <> 'slow_transition_oxford'
+),
+renew AS (
+    SELECT scenario, scenario_geography, sector, year, technology, unit,
+        AVG(price) AS price
+    FROM base WHERE technology = 'RenewablesCap'
+    GROUP BY scenario, scenario_geography, sector, year, technology, unit
+),
+rest AS (SELECT * FROM base WHERE technology <> 'RenewablesCap'),
+oil AS (
+    SELECT 'OilCap' AS technology, scenario_geography, unit, scenario,
+        sector, year, price
+    FROM base WHERE technology = 'GasCap'
+),
+merged AS (
+    SELECT technology, scenario_geography, unit, scenario, sector,
+        year, price FROM rest
+    UNION ALL
+    SELECT technology, scenario_geography, unit, scenario, sector,
+        year, price FROM renew
+    UNION ALL SELECT * FROM oil
+),
+adjusted AS (
+    SELECT scenario, scenario_geography, sector, technology, unit,
+        'price' AS indicator, year,
+        (FIRST_VALUE(price) OVER w / 0.8)
+            * (FIRST_VALUE(price) OVER w / price) AS price
+    FROM merged
+    WINDOW w AS (PARTITION BY scenario, scenario_geography, sector,
+        technology, unit ORDER BY year
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+extension AS (
+    SELECT scenario, scenario_geography, sector, technology, unit,
+        indicator,
+        CAST(unnest(generate_series(2070, 2080)) AS INTEGER) AS year,
+        CAST(NULL AS DOUBLE) AS price
+    FROM (SELECT DISTINCT scenario, scenario_geography, sector,
+          technology, unit, indicator FROM adjusted)
+),
+dense AS (
+    SELECT * FROM adjusted UNION ALL SELECT * FROM extension
+),
+fit AS (
+    SELECT technology, scenario,
+        COUNT(*) AS n,
+        SUM(CAST(year AS DOUBLE)) AS sx,
+        SUM(price) AS sy,
+        SUM(year * price) AS sxy,
+        SUM(CAST(year * year AS DOUBLE)) AS sxx
+    FROM adjusted WHERE year BETWEEN 2049 AND 2069
+    GROUP BY 1, 2
+),
+coef AS (
+    SELECT technology, scenario,
+        (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_f,
+        (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+            AS icept_f
+    FROM fit
+),
+extended AS (
+    SELECT d.scenario, d.scenario_geography, d.sector, d.technology,
+        d.unit, d.indicator, d.year,
+        COALESCE(d.price, c.slope_f * d.year + c.icept_f) AS price
+    FROM dense d LEFT JOIN coef c
+        ON c.technology = d.technology AND c.scenario = d.scenario
+),
+oxford AS (
+    SELECT CASE scenario
+           WHEN 'fast_transition_oxford' THEN 'Oxford2021_fast'
+           WHEN 'no_transition_oxford' THEN 'Oxford2021_base'
+           ELSE scenario END AS scenario,
+        scenario_geography, sector, technology, unit, indicator, year,
+        price
+    FROM extended
+),
+models AS (SELECT * FROM (VALUES ('GCAM'), ('REMIND'), ('MESSAGE'))
+    AS t(model)),
+fastn AS (SELECT * FROM (VALUES ('NZ2050'), ('LD'), ('B2DS'), ('DT'))
+    AS t(ngfs)),
+slown AS (SELECT * FROM (VALUES ('NDC'), ('FW'), ('CP')) AS t(ngfs)),
+ngfs AS (
+    SELECT 'NGFS2023' || m.model || '_' || f.ngfs AS scenario,
+        e.scenario_geography, e.sector, e.technology, e.unit,
+        e.indicator, e.year, e.price
+    FROM extended e CROSS JOIN models m CROSS JOIN fastn f
+    WHERE e.scenario = 'fast_transition_oxford'
+    UNION ALL
+    SELECT 'NGFS2023' || m.model || '_' || s.ngfs AS scenario,
+        e.scenario_geography, e.sector, e.technology, e.unit,
+        e.indicator, e.year, e.price
+    FROM extended e CROSS JOIN models m CROSS JOIN slown s
+    WHERE e.scenario = 'no_transition_oxford'
+)
+SELECT * FROM ngfs
+UNION ALL
+SELECT * FROM oxford
+""",
+)
+def lc3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oxford power LCOE → NGFS/Oxford price matrix
+    (prepare_lcoe_adjusted_price_data_oxford2022, :81-258): recodes,
+    renewables mean fan-in, OilCap clone, implied-price adjustment,
+    OLS extension to 2080, and the model × scenario label fan-out.
+    Fixture LCOEs cycle divisors of the implied numerator so every
+    adjusted price is an exact integer — the OLS sums are
+    order-independent."""
+    from trisk_datawrangle_spark.plans.lcoe_sources import (
+        oxford_lcoe_power,
+    )
+
+    techs = [
+        ("Coal", "none", 1),
+        ("Natural gas", "none", 2),
+        ("Nuclear", "none", 4),
+        ("Renewables", "Solar PV", 8),
+        ("Renewables", "Wind", 16),
+    ]
+    scens = [
+        "Oxford - fast_transition",
+        "Oxford - no_transition",
+        "Oxford - slow_transition",
+    ]
+    tech_struct = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tech0"),
+                F.lit(s).alias("sub0"),
+                F.lit(sc).alias("scale"),
+            )
+            for t, s, sc in techs
+        ]
+    )
+    cyc = F.col("Year") - 2049
+    base_cost = (
+        F.when(cyc % 5 == 0, F.lit(40))
+        .when(cyc % 5 == 1, F.lit(50))
+        .when(cyc % 5 == 2, F.lit(25))
+        .when(cyc % 5 == 3, F.lit(100))
+        .otherwise(F.lit(20))
+    )
+    raw = (
+        spark.range(1)
+        .select(F.explode(tech_struct).alias("t"))
+        .select(
+            "t",
+            F.explode(F.array(*[F.lit(s) for s in scens])).alias("Scenario"),
+        )
+        .select(
+            "*",
+            F.explode(F.sequence(F.lit(2049), F.lit(2069))).alias("Year"),
+        )
+        .select(
+            F.lit("Power").alias("Sector"),
+            "Scenario",
+            "Year",
+            F.col("t.tech0").alias("Technology"),
+            F.col("t.sub0").alias("Sub_Technology"),
+            F.lit("World").alias("Region"),
+            (F.col("t.scale") * base_cost).cast("double").alias("LCOE"),
+        )
+    )
+    out = oxford_lcoe_power(
+        raw,
+        average_npm_power=0.2,
+        start_year=2021,
+        ngfs_vintage=2023,
+        end_year=2080,
+    )
+    return out.select(
+        "scenario",
+        "scenario_geography",
+        "sector",
+        "technology",
+        "unit",
+        "indicator",
+        "year",
+        "price",
+    )
