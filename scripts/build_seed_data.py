@@ -87,6 +87,32 @@ _PRODUCTION_TYPES: list[tuple[str, str, str]] = [
 ]
 
 
+# P4I <-> P4B sector/technology vocabulary bridge
+# (R/lookup.R:p4i_p4b_sector_technology_lookup).
+_P4I_P4B_LOOKUP: list[tuple[str, str, str, str]] = [
+    ("automotive", "electric", "Automotive", "Electric"),
+    ("automotive", "hybrid", "Automotive", "Hybrid"),
+    ("automotive", "ice", "Automotive", "ICE"),
+    ("aviation", "freight", "Aviation", "Freight"),
+    ("aviation", "passenger", "Aviation", "Passenger"),
+    ("cement", "grinding", "Cement", "Grinding"),
+    ("cement", "integrated facility", "Cement", "Integrated facility"),
+    ("coal", "coal", "Coal", "Coal"),
+    ("oil and gas", "gas", "Oil&Gas", "Gas"),
+    ("oil and gas", "oil", "Oil&Gas", "Oil"),
+    ("power", "coalcap", "Power", "CoalCap"),
+    ("power", "gascap", "Power", "GasCap"),
+    ("power", "hydrocap", "Power", "HydroCap"),
+    ("power", "nuclearcap", "Power", "NuclearCap"),
+    ("power", "oilcap", "Power", "OilCap"),
+    ("power", "renewablescap", "Power", "RenewablesCap"),
+    ("steel", "ac-electric arc furnace", "Steel", "Ac-Electric Arc Furnace"),
+    ("steel", "bof shop", "Steel", "Bof Shop"),
+    ("steel", "dc-electric arc furnace", "Steel", "Dc-Electric Arc Furnace"),
+    ("steel", "open hearth meltshop", "Steel", "Open Hearth Meltshop"),
+]
+
+
 def _unit_rows() -> list[tuple[str, str, float]]:
     from trisk_datawrangle_spark.functions.scalars import UNIT
 
@@ -135,10 +161,19 @@ def build() -> dict[str, pa.Table]:
             "factor": pa.array([r[2] for r in units], type=pa.float64()),
         }
     )
+    p4i_p4b_lookup = pa.table(
+        {
+            "sector_p4b": [r[0] for r in _P4I_P4B_LOOKUP],
+            "technology_p4b": [r[1] for r in _P4I_P4B_LOOKUP],
+            "sector_p4i": [r[2] for r in _P4I_P4B_LOOKUP],
+            "technology_p4i": [r[3] for r in _P4I_P4B_LOOKUP],
+        }
+    )
     return {
         "scenarios_geographies": scenarios_geographies,
         "production_types": production_types,
         "unit_conversions": unit_conversions,
+        "p4i_p4b_lookup": p4i_p4b_lookup,
     }
 
 

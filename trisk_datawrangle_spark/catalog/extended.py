@@ -636,6 +636,11 @@ UNION ALL
 SELECT 'unit:' || from_unit || '->' || to_unit AS key,
     CAST(1 AS BIGINT) AS n, CAST(NULL AS BIGINT) AS meta
 FROM read_parquet('{seed_path("unit_conversions")}')
+UNION ALL
+SELECT 'p4b:' || sector_p4b AS key,
+    COUNT(*) AS n, CAST(NULL AS BIGINT) AS meta
+FROM read_parquet('{seed_path("p4i_p4b_lookup")}')
+GROUP BY 1
 """,
 )
 def s7(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -669,7 +674,17 @@ def s7(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("long").alias("n"),
         F.lit(None).cast("long").alias("meta"),
     )
-    return geo.unionByName(sect).unionByName(unit)
+    p4b = (
+        seeds["p4i_p4b_lookup"]
+        .groupBy("sector_p4b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.concat(F.lit("p4b:"), F.col("sector_p4b")).alias("key"),
+            "n",
+            F.lit(None).cast("long").alias("meta"),
+        )
+    )
+    return geo.unionByName(sect).unionByName(unit).unionByName(p4b)
 
 
 @q(

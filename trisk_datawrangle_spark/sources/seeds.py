@@ -27,6 +27,7 @@ SEED_NAMES = (
     "scenarios_geographies",
     "production_types",
     "unit_conversions",
+    "p4i_p4b_lookup",
 )
 
 
