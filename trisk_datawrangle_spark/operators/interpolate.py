@@ -272,3 +272,65 @@ def lm_extrapolate(
         .withColumn(out, F.coalesce(F.col(y_col), pred))
         .drop("__slope", "__icept")
     )
+
+
+def fit_window_extension(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    value_col: str,
+    fit_lo: int,
+    fit_hi: int,
+) -> DataFrame:
+    """Fill NULL ``value_col`` rows from a per-group OLS line fitted
+    over rows with ``x`` in [``fit_lo``, ``fit_hi``] (the reference's
+    "linear extrapolation using the last 20 years of observation"
+    loops, prepare_price_data_long.R:735-744 and
+    prepare_LCOE_adjusted_price_data.R:199-207 — one grouped
+    aggregate + broadcast join here, never a per-combination loop).
+
+    Deterministic by construction: the normal equations are computed
+    from plain sums (n·Σxy − ΣxΣy over n·Σx² − (Σx)²), and the
+    slope/intercept/prediction expression sequence is fixed, so two
+    engines evaluating the same rows produce bit-identical output —
+    unlike the ``covar_pop`` formulation, whose intermediate rounding
+    is aggregation-order-dependent."""
+    groups = list(group_cols)
+    fit = (
+        df.filter(
+            F.col(x_col).between(fit_lo, fit_hi)
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(*groups)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col(x_col).cast("double")).alias("__sx"),
+            F.sum(value_col).alias("__sy"),
+            F.sum(F.col(x_col) * F.col(value_col)).alias("__sxy"),
+            F.sum((F.col(x_col) * F.col(x_col)).cast("double")).alias(
+                "__sxx"
+            ),
+        )
+        .withColumn(
+            "__slope",
+            (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
+            / (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")),
+        )
+        .withColumn(
+            "__icept",
+            (F.col("__sy") - F.col("__slope") * F.col("__sx"))
+            / F.col("__n"),
+        )
+        .select(*groups, "__slope", "__icept")
+    )
+    return (
+        df.join(F.broadcast(fit), groups, "left")
+        .withColumn(
+            value_col,
+            F.coalesce(
+                F.col(value_col),
+                F.col("__slope") * F.col(x_col) + F.col("__icept"),
+            ),
+        )
+        .drop("__slope", "__icept")
+    )

@@ -57,7 +57,9 @@ def lcoe_adjust_ipr(
     adjusted = prepare_lcoe_adjusted_prices(
         input_data, average_npm_power, start_year
     ).filter(F.col("scenario_geography") == "Global")
-    sds = adjusted.filter(F.col("scenario") == "SDS")
+    # stage boundary: both clone branches re-read the adjusted frame —
+    # uncached, the window chain would run twice
+    sds = adjusted.filter(F.col("scenario") == "SDS").cache()
     return union_by_name(
         sds.withColumn("scenario", F.lit("IPR2023_FPS")),
         sds.withColumn("scenario", F.lit("IPR2023_RPS")),
@@ -210,6 +212,10 @@ def oxford_lcoe_power(
             .when(F.col("Sub_Technology") == "Hydro", F.lit("HydroCap"))
             .when(F.col("Technology") == "Nuclear", F.lit("NuclearCap"))
             .when(
+                # faithful to the reference (:95): the comparison is
+                # against the RECODED label 'HydroCap' (not 'Hydro'),
+                # and a NULL Sub_Technology falls through to the raw
+                # Technology label — both quirks preserved
                 (F.col("Technology") == "Renewables")
                 & (F.col("Sub_Technology") != "HydroCap"),
                 F.lit("RenewablesCap"),
@@ -227,6 +233,12 @@ def oxford_lcoe_power(
         )
         .filter(F.col("scenario") != "slow_transition_oxford")
     )
+    from trisk_datawrangle_spark.operators.interpolate import (
+        fit_window_extension,
+    )
+
+    # stage boundary: three branches re-read base
+    base = base.cache()
     renewables = (
         base.filter(F.col("technology") == "RenewablesCap")
         .groupBy("scenario", "scenario_geography", "sector", "year",
@@ -248,54 +260,33 @@ def oxford_lcoe_power(
     first_p = F.first("price").over(w)
     implied = first_p / (1 - F.lit(float(average_npm_power)))
     cost_factor = F.when(F.col("price") != 0, first_p / F.col("price"))
-    adjusted = merged.withColumn("price", implied * cost_factor).withColumn(
-        "indicator", F.lit("price")
+    adjusted = (
+        merged.withColumn("price", implied * cost_factor)
+        .withColumn("indicator", F.lit("price"))
+        # the published horizon is the fit window's end; rows past it
+        # would collide with the extension years
+        .filter(F.col("year") <= fit_hi)
     )
 
-    # extension years + OLS over the fit window (same integer-exact
-    # normal equations as wrangle_prices_oxford)
-    series = adjusted.select(
-        *keys, "indicator"
-    ).distinct()
-    extension = series.withColumn(
-        "year", F.explode(F.sequence(F.lit(fit_hi + 1), F.lit(end_year)))
-    ).withColumn("price", F.lit(None).cast("double"))
-    dense = union_by_name(adjusted, extension)
-    fit = (
-        adjusted.filter(F.col("year").between(fit_lo, fit_hi))
-        .groupBy("technology", "scenario")
-        .agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.sum(F.col("year").cast("double")).alias("__sx"),
-            F.sum("price").alias("__sy"),
-            F.sum(F.col("year") * F.col("price")).alias("__sxy"),
-            F.sum((F.col("year") * F.col("year")).cast("double")).alias(
-                "__sxx"
-            ),
+    series_keys = [*keys, "indicator"]
+    if end_year > fit_hi:
+        extension = (
+            adjusted.select(*series_keys)
+            .distinct()
+            .withColumn(
+                "year",
+                F.explode(F.sequence(F.lit(fit_hi + 1), F.lit(end_year))),
+            )
+            .withColumn("price", F.lit(None).cast("double"))
         )
-        .withColumn(
-            "__slope",
-            (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
-            / (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")),
+        dense = union_by_name(adjusted, extension)
+        extended = fit_window_extension(
+            dense, series_keys, "year", "price", fit_lo, fit_hi
         )
-        .withColumn(
-            "__icept",
-            (F.col("__sy") - F.col("__slope") * F.col("__sx"))
-            / F.col("__n"),
-        )
-        .select("technology", "scenario", "__slope", "__icept")
-    )
-    extended = (
-        dense.join(F.broadcast(fit), ["technology", "scenario"], "left")
-        .withColumn(
-            "price",
-            F.coalesce(
-                "price",
-                F.col("__slope") * F.col("year") + F.col("__icept"),
-            ),
-        )
-        .drop("__slope", "__icept")
-    )
+    else:
+        extended = adjusted
+    # stage boundary: the three scenario-matrix branches re-read it
+    extended = extended.cache()
 
     # scenario matrix: Oxford labels + NGFS model × scenario fan-out
     oxford = extended.withColumn(
@@ -307,7 +298,7 @@ def oxford_lcoe_power(
                 "no_transition_oxford": "Oxford2021_base",
             },
         ),
-    ).filter(F.col("scenario") != "slow_transition_oxford")
+    )
     model_arr = F.array(*[F.lit(m) for m in NGFS_MODELS])
     fast = (
         extended.filter(F.col("scenario") == "fast_transition_oxford")

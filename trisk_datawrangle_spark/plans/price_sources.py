@@ -91,25 +91,22 @@ WEO_POWER_TECH_RECODE = {
 }
 
 
-def _convert_fossil_units(df: DataFrame) -> DataFrame:
-    """barrel/Mbtu → GJ (:38-52); coal stays on the tonne."""
-    price, unit = F.col("price"), F.col("unit")
-    converted = (
-        F.when(unit == "usd/barrel", price * F.lit(UNIT.BARREL_TO_GJ))
-        .when(unit == "usd/Mbtu", price * F.lit(UNIT.MBTU_TO_GJ))
-        .otherwise(price)
-    )
-    return df.withColumn("price", converted).withColumn(
-        "unit", recode(unit, {"usd/barrel": "GJ", "usd/Mbtu": "GJ"})
-    )
-
-
 def _global_mean_rows(df: DataFrame, keys: list[str]) -> DataFrame:
-    """Mean over every published geography, labeled Global
-    (:77-92, :176-190) — appended, the regional rows stay."""
+    """Mean over the published regional geographies, labeled Global
+    (:77-92, :176-190) — appended, the regional rows stay. The raw
+    WEO tables carry no Global row (that is why the mean exists), but
+    guard anyway: pre-existing Global rows are excluded from the pool
+    and series that already have one get no synthetic duplicate."""
+    regional = df.filter(F.col("scenario_geography") != "Global")
+    existing = (
+        df.filter(F.col("scenario_geography") == "Global")
+        .select(*keys)
+        .distinct()
+    )
     return (
-        df.groupBy(*keys)
+        regional.groupBy(*keys)
         .agg(F.avg("price").alias("price"))
+        .join(existing, keys, "left_anti")
         .withColumn("scenario_geography", F.lit("Global"))
     )
 
@@ -203,6 +200,8 @@ def wrangle_prices_weo2021(
     first_year: int = 2020,
 ) -> DataFrame:
     """prepare_price_data_long_WEO2021 (:11-246), full chain."""
+    from trisk_datawrangle_spark.plans.prices import convert_units
+
     fossil = (
         melt_year_columns(
             fossil_wide,
@@ -211,7 +210,7 @@ def wrangle_prices_weo2021(
         )
         .filter(F.col("year") >= first_year)
     )
-    fossil = _convert_fossil_units(fossil)
+    fossil = convert_units(fossil)
     fossil = (
         fossil.withColumnRenamed("sector", "technology")
         .withColumn("technology", recode("technology", WEO_FOSSIL_TECH_RECODE))
@@ -318,6 +317,10 @@ def wrangle_prices_ipr(data: DataFrame, start_year: int) -> DataFrame:
         F.col("Variable_class").alias("variable_class"),
         F.col("year").cast("int").alias("year"),
         F.col("value").alias("price"),
+    ).filter(
+        # off-vocabulary scenario labels would otherwise aggregate
+        # into NULL-scenario global rows that join nowhere downstream
+        F.col("scenario").isNotNull()
     )
     coal = (
         shaped.filter(F.col("technology") == "Coal")
@@ -418,19 +421,25 @@ def wrangle_prices_oxford(
     per-(technology, scenario) OLS line fitted over
     [``fit_lo``, ``fit_hi``].
 
-    The reference loops ``stats::lm`` per combination; here the
-    normal equations are one grouped aggregate over integer-exact
-    sums (n·Σxy − ΣxΣy etc.), broadcast back — deterministic and one
-    shuffle. Expected input columns: Technology, Sector, Scenario,
-    Region, Year, LCOE."""
+    The reference loops ``stats::lm`` per combination; here the fit
+    is :func:`operators.interpolate.fit_window_extension` — one
+    grouped aggregate over integer-exact sums, broadcast back,
+    keyed by the FULL series (a second geography must get its own
+    line, not a pooled one). Expected input columns: Technology,
+    Sector, Scenario, Region, Year, LCOE."""
+    from trisk_datawrangle_spark.operators.interpolate import (
+        fit_window_extension,
+    )
+    from trisk_datawrangle_spark.plans.prices import convert_mwh_units
+
     base = data.select(
         F.col("Technology").alias("technology"),
         recode("Scenario", OXFORD_SCENARIO_RECODE, default=F.lit(None)).alias(
             "scenario"
         ),
-        F.when(F.col("Region") == "World", F.lit("Global")).alias(
-            "scenario_geography"
-        ),
+        F.when(F.col("Region") == "World", F.lit("Global"))
+        .otherwise(F.col("Region"))
+        .alias("scenario_geography"),
         F.col("Year").cast("int").alias("year"),
         F.col("LCOE").alias("price"),
     ).withColumn(
@@ -439,72 +448,34 @@ def wrangle_prices_oxford(
             F.col("technology").isin("Gas", "Oil"), F.lit("Oil&Gas")
         ),
     )
-    price, tech = F.col("price"), F.col("technology")
-    converted = (
-        F.when(tech.isin("Oil", "Gas"), price / F.lit(3.6))
-        .when(tech == "Coal", price / F.lit(0.122835))
-        .otherwise(price)
-    )
-    unit = (
-        F.when(tech.isin("Oil", "Gas"), F.lit("GJ"))
-        .when(tech == "Coal", F.lit("usd/tonne"))
-        .otherwise(F.lit("$/MWh"))
-    )
+    base = convert_mwh_units(base.withColumn("unit", F.lit("$/MWh")))
     base = (
-        base.withColumn("price", converted)
-        .withColumn("unit", unit)
-        .withColumn("indicator", F.lit("price"))
+        base.withColumn("indicator", F.lit("price"))
         .filter(F.col("year") >= start_year)
         .filter(F.col("scenario") != "Oxford2021_slow")
+        # the published horizon is the fit window's end; rows past it
+        # would collide with the extension (the reference's add_years
+        # assumes the data stops at fit_hi)
+        .filter(F.col("year") <= fit_hi)
     )
-    # extension starts right after the fit window's end (the
-    # reference's data ends at fit_hi=2069 and add_years starts 2070);
-    # no eager max-year collect — fit_hi IS the published horizon
-    series = base.select(
+    if end_year <= fit_hi:
+        return base
+    series_keys = [
         "technology", "scenario", "scenario_geography", "sector", "unit",
         "indicator",
-    ).distinct()
-    extension = series.withColumn(
-        "year", F.explode(F.sequence(F.lit(fit_hi + 1), F.lit(end_year)))
-    ).withColumn("price", F.lit(None).cast("double"))
-    dense = union_by_name(base, extension)
-    # normal equations over the fit window; Σ are exact because the
-    # converted prices are quotients and years are ints — both
-    # engines evaluate the identical float expression
-    fit = (
-        base.filter(F.col("year").between(fit_lo, fit_hi))
-        .groupBy("technology", "scenario")
-        .agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.sum(F.col("year").cast("double")).alias("__sx"),
-            F.sum("price").alias("__sy"),
-            F.sum(F.col("year") * F.col("price")).alias("__sxy"),
-            F.sum((F.col("year") * F.col("year")).cast("double")).alias(
-                "__sxx"
-            ),
-        )
+    ]
+    extension = (
+        base.select(*series_keys)
+        .distinct()
         .withColumn(
-            "__slope",
-            (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
-            / (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")),
+            "year",
+            F.explode(F.sequence(F.lit(fit_hi + 1), F.lit(end_year))),
         )
-        .withColumn(
-            "__icept",
-            (F.col("__sy") - F.col("__slope") * F.col("__sx"))
-            / F.col("__n"),
-        )
-        .select("technology", "scenario", "__slope", "__icept")
+        .withColumn("price", F.lit(None).cast("double"))
     )
-    return (
-        dense.join(F.broadcast(fit), ["technology", "scenario"], "left")
-        .withColumn(
-            "price",
-            F.coalesce(
-                "price",
-                F.col("__slope") * F.col("year") + F.col("__icept"),
-            ),
-        )
-        .drop("__slope", "__icept")
+    dense = union_by_name(base, extension)
+    return fit_window_extension(
+        dense, series_keys, "year", "price", fit_lo, fit_hi
     )
 
 
