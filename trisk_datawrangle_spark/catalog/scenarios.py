@@ -2168,12 +2168,19 @@ def w1(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    # localCheckpoint, not cache: the financial chain and the assembly
+    # both build ON TOP of this plan, and Catalyst re-analyzes the
+    # embedded subtree at every operator — the composed DAG cost ~35s
+    # of pure driver-side analysis. Cutting the lineage here mirrors
+    # what run_workflow does between stages (parquet write/read) and
+    # collapses the analysis to shallow plans. The frame is
+    # series-grain (tiny), so materializing it is free.
     abcd = first_year_positive(
         prepare_abcd_data(
             wide(False), wide(True), start_year=2025, time_horizon=2
         ),
         ["company_id", "ald_business_unit", "ald_production_unit"],
-    ).cache()
+    ).localCheckpoint()
 
     eikon = (
         n.select(
@@ -2216,7 +2223,7 @@ def w1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ownership_level",
     )
     companies = abcd.select("company_id", "ald_sector").distinct()
-    fin = prepare_financial_data(eikon, companies, tree)
+    fin = prepare_financial_data(eikon, companies, tree).localCheckpoint()
 
     out = assemble_assets_data(abcd, fin)
     return out.select(

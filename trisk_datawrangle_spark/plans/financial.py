@@ -126,12 +126,22 @@ def attach_averages(
         .join(s, "ald_sector", "left")
         .crossJoin(g)
     )
-    for i in indicators:
-        out = out.withColumn(
-            f"avg_{i}",
-            F.coalesce(f"__sr_{i}", f"__s_{i}", f"__g_{i}"),
-        ).drop(f"__sr_{i}", f"__s_{i}", f"__g_{i}")
-    return out
+    # ONE select, not a withColumn-per-indicator loop: each withColumn
+    # re-analyzes the whole upstream logical plan, which is quadratic
+    # in chain depth (this function sat on top of the full abcd plan
+    # in the e2e path and cost ~20s of pure analysis)
+    keep = [
+        c
+        for c in out.columns
+        if not c.startswith(("__sr_", "__s_", "__g_"))
+    ]
+    return out.select(
+        *keep,
+        *[
+            F.coalesce(f"__sr_{i}", f"__s_{i}", f"__g_{i}").alias(f"avg_{i}")
+            for i in indicators
+        ],
+    )
 
 
 def impute_with_provenance(
@@ -143,13 +153,24 @@ def impute_with_provenance(
     the same per indicator as pure projections (no shuffle at all —
     the melt/pivot round-trip exists in R only because dplyr mutate
     can't loop columns)."""
-    out = with_avgs
-    for i in indicators:
-        out = out.withColumn(
-            f"{i}_rawdata_ratio",
-            F.when(F.col(i).isNotNull(), 1.0).otherwise(0.0),
-        ).withColumn(i, F.coalesce(F.col(i), F.col(f"avg_{i}")))
-    return out.drop(*[f"avg_{i}" for i in indicators])
+    # one select (see attach_averages: withColumn loops are quadratic
+    # in plan depth)
+    avg_cols = {f"avg_{i}" for i in indicators}
+    passthrough = [
+        c
+        for c in with_avgs.columns
+        if c not in set(indicators) and c not in avg_cols
+    ]
+    return with_avgs.select(
+        *passthrough,
+        *[F.coalesce(F.col(i), F.col(f"avg_{i}")).alias(i) for i in indicators],
+        *[
+            F.when(F.col(i).isNotNull(), 1.0)
+            .otherwise(0.0)
+            .alias(f"{i}_rawdata_ratio")
+            for i in indicators
+        ],
+    )
 
 
 def prepare_financial_data(
@@ -229,11 +250,15 @@ def prepare_financial_data(
         .withColumn("region", F.lit(None).cast("string"))
     )
     uncovered = attach_averages(uncovered, sr, s, g, indicators)
-    for i in indicators:
-        uncovered = uncovered.withColumn(i, F.col(f"avg_{i}")).withColumn(
-            f"{i}_rawdata_ratio", F.lit(0.0)
-        )
-    uncovered = uncovered.drop(*[f"avg_{i}" for i in indicators])
+    uncovered = uncovered.select(
+        *[
+            c
+            for c in uncovered.columns
+            if c not in {f"avg_{i}" for i in indicators}
+        ],
+        *[F.col(f"avg_{i}").alias(i) for i in indicators],
+        *[F.lit(0.0).alias(f"{i}_rawdata_ratio") for i in indicators],
+    )
 
     all_rows = filled.unionByName(uncovered)
 
