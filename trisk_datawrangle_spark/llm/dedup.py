@@ -135,18 +135,11 @@ def ngram_jaccard_pairs(
 _MERSENNE_31 = 2147483647
 
 
-def _to_signed64(x: int) -> int:
-    """Reinterpret an unsigned python int as a signed 64-bit value so
-    it is a legal LongType literal."""
-    x &= (1 << 64) - 1
-    return x - (1 << 64) if x >= (1 << 63) else x
-
-
 def _affine_params(num_hashes: int, seed: int = 0x9E3779B9) -> list[tuple[int, int]]:
-    """Deterministic (a, b) pairs for the affine family
-    h_k(x) = a_k*x + b_k over Z/2^64 (odd-ish multipliers from a
-    splitmix64-style sequence — pure python, platform-independent).
-    Long overflow wraps, which is exactly mod-2^64 arithmetic."""
+    """Deterministic (a, b) pairs for the Carter-Wegman family
+    h_k(x) = (a_k*x + b_k) mod p, p = 2^31-1, a_k in [1, p-1],
+    b_k in [0, p-1] (from a splitmix64-style sequence — pure python,
+    platform-independent)."""
     params = []
     state = seed
     for _ in range(num_hashes):
@@ -171,15 +164,23 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig array<bigint>) MinHash signatures via the
     explode+aggregate formulation: each shingle hashed ONCE, the
-    K-wise family is K ``min(a_k*h + b_k)`` aggregates — whole-stage
-    codegen, map-side combine, one shuffle on the id. Docs with no
-    shingles are absent from the result (they have no signature)."""
+    K-wise family is K ``min((a_k*h31 + b_k) mod p)`` aggregates —
+    whole-stage codegen, map-side combine, one shuffle on the id.
+    Docs with no shingles are absent from the result (they have no
+    signature).
+
+    Overflow discipline: the raw ``xxhash64`` spans the full signed
+    64-bit range, so an affine map over Z/2^64 would rely on silent
+    long wraparound — which *throws* under ANSI mode (Spark 4
+    default). Instead the hash is first folded to ``h31 = pmod(h, p)``
+    (p = 2^31-1); then ``a*h31 + b < 2^62 + 2^31`` stays in-range for
+    any ANSI setting."""
     hashes = shingle_hashes(df, text_col, id_col, ngram)
+    p = F.lit(_MERSENNE_31)
+    h31 = F.pmod(F.col("h"), p)
     mins = hashes.groupBy("id").agg(
         *[
-            F.min(
-                F.col("h") * F.lit(_to_signed64(a)) + F.lit(_to_signed64(b))
-            ).alias(f"__m{k}")
+            F.min(F.pmod(h31 * F.lit(a) + F.lit(b), p)).alias(f"__m{k}")
             for k, (a, b) in enumerate(_affine_params(num_hashes))
         ]
     )
