@@ -76,32 +76,51 @@ def main() -> None:
     # so per-query numbers measure the engine, not first-read I/O
     from trisk_datawrangle_spark.sources.readers import TABLES, load_tables
 
-    for df in load_tables(spark, sf_dir, TABLES).values():
-        df.write.format("noop").mode("overwrite").save()
+    for tname, df in load_tables(spark, sf_dir, TABLES).items():
+        try:
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as ex:  # noqa: BLE001 — warmup only, not fatal
+            print(f"  warmup {tname}: {ex}", file=sys.stderr)
 
     # two passes per query: the first pays whole-stage-codegen / JIT
     # compilation (seconds, data-size independent — amortizes to zero
     # on real inputs); the second is the steady-state engine time that
     # actually scales with data. Report both: cold in "queries"
     # (comparable with historical rounds), warm in "queries_warm".
+    # Per-query fault isolation: a single failing query records an
+    # error entry but NEVER aborts the suite — the JSON line below is
+    # always emitted (round 3 lost its entire perf signal to one
+    # AnalysisException at query 16/18).
     times: dict[str, float] = {}
     warm: dict[str, float] = {}
-    for name in HEADLINE:
+    errors: dict[str, str] = {}
+
+    def run(name: str) -> float | None:
         t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        try:
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as ex:  # noqa: BLE001 — record, keep benching
+            errors[name] = (str(ex).splitlines() or ["<no message>"])[0][:300]
+            return None
+        return round(time.perf_counter() - t0, 3)
+
+    for name in HEADLINE:
+        cold = run(name)
+        if cold is None:
+            print(f"  {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
+        times[name] = cold
         # drop stage-boundary caches so the warm pass re-does the
         # compute (steady-state), not a cache lookup (overstated)
         spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        warm[name] = round(time.perf_counter() - t0, 3)
+        w = run(name)
+        if w is not None:
+            warm[name] = w
         print(
-            f"  {name}: {times[name]}s (warm {warm[name]}s)", file=sys.stderr
+            f"  {name}: {times[name]}s (warm {warm.get(name)}s)",
+            file=sys.stderr,
         )
 
     total = round(sum(times.values()), 3)
@@ -114,11 +133,17 @@ def main() -> None:
                 "queries": times,
                 "queries_warm": warm,
                 "warm_value": round(sum(warm.values()), 3),
+                "errors": errors,
                 "sf": sf,
             }
         )
     )
     spark.stop()
+    # always exit 0: the JSON line (with its "errors" field) IS the
+    # signal — a nonzero rc would make harnesses drop the parsed
+    # numbers, which is exactly the failure mode this guards against
+    if errors:
+        print(f"bench: {len(errors)} queries errored", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -89,6 +89,38 @@ def d1(spark, sf_dir):
     ).select("keep_id", "n_copies")
 
 
+def _jaccard_pairs_sql(threshold: float) -> str:
+    """Exact word-3-gram Jaccard pair SQL at a given threshold — the
+    shared oracle for the whole dedup ladder (d2 exact, d3 MinHash-LSH
+    verified, d4 SimHash verified)."""
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '') AS words
+    FROM documents
+), grams AS (
+    SELECT DISTINCT doc_id,
+        array_to_string(words[i:i+2], ' ') AS gram
+    FROM (SELECT doc_id, words,
+            unnest(generate_series(1, greatest(len(words) - 2, 0))) AS i
+          FROM toks)
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY 1
+), common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+    FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+    ROUND(c.n_common / (sa.n_grams + sb.n_grams - c.n_common), 6) AS jaccard
+FROM common c
+JOIN sizes sa ON c.id_a = sa.doc_id
+JOIN sizes sb ON c.id_b = sb.doc_id
+WHERE c.n_common / (sa.n_grams + sb.n_grams - c.n_common) >= {threshold}
+"""
+
+
 @q(
     "d2_ngram_jaccard",
     """
@@ -128,24 +160,47 @@ def d2(spark, sf_dir):
     )
 
 
-@q("d3_minhash_lsh")  # xxhash64-based → no SQL oracle (rows-only check)
+@q("d3_minhash_lsh", _jaccard_pairs_sql(0.5))
 def d3(spark, sf_dir):
-    pairs = minhash_lsh_pairs(
-        _docs(spark, sf_dir), num_hashes=64, bands=16
+    """MinHash-LSH candidates + exact-Jaccard verification: the
+    internal hashing (xxhash64 signatures, banded buckets) has no SQL
+    equivalent, but the *verified output* — pairs with true word-3-gram
+    Jaccard ≥ 0.5 — is the oracle-expressible exact result, so the
+    whole scale path (shingle → sign → band → bucket join → verify)
+    hash-checks against DuckDB. Threshold 0.5 sits in the corpus's
+    dup/background margin (dups ≥ 0.8, background ≤ 0.14 at every sf);
+    32 bands × 2 rows puts a j=0.8 pair's miss probability at
+    (1-0.64)^32 ≈ 6e-15. Any miss surfaces as a row-count mismatch,
+    not silently."""
+    from trisk_datawrangle_spark.llm.dedup import minhash_lsh_dedup_pairs
+
+    pairs = minhash_lsh_dedup_pairs(
+        _docs(spark, sf_dir), num_hashes=64, bands=32, threshold=0.5
     )
     return pairs.select(
-        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
 
 
-@q("d4_simhash")  # xxhash64-based → no SQL oracle (rows-only check)
+@q("d4_simhash", _jaccard_pairs_sql(0.5))
 def d4(spark, sf_dir):
-    """Per-bit popcount simhash (explode+aggregate formulation);
-    featureless docs get signature 0 via the left join back."""
-    docs = _docs(spark, sf_dir)
-    st = simhash_table(docs, "text", "doc_id").withColumnRenamed("id", "doc_id")
-    return docs.select("doc_id").join(st, "doc_id", "left").select(
-        "doc_id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash")
+    """SimHash near-dup pairs, exact-verified: 64-bit per-bit-popcount
+    signatures (explode+aggregate), bucketed into 16 contiguous 4-bit
+    bands — pairs within Hamming < 16 are *guaranteed* to share a band
+    (pigeonhole), covering a 0.8-Jaccard dup's bit noise; random band
+    collisions are killed by exact verification at threshold 0.5 —
+    same hard oracle as d3. 4-bit bands are the verified-oracle
+    configuration (small bucket space → more candidates); at corpus
+    scale use 8-bit bands + a bit_count(xor) pre-filter. The raw
+    signature table (incl. featureless-doc handling) stays covered by
+    tests/test_llm_properties.py."""
+    from trisk_datawrangle_spark.llm.dedup import simhash_dedup_pairs
+
+    pairs = simhash_dedup_pairs(
+        _docs(spark, sf_dir), ngram=3, bands=16, threshold=0.5
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
 
 
@@ -241,7 +296,48 @@ def s3(spark, sf_dir):
     )
 
 
-@q("s2_lsh_bucket_topk")  # approximate by design → rows-only check
+def _s2_sql() -> str:
+    """Oracle for the hyperplane-LSH top-k: the bucketing is a pure
+    deterministic function (sign bits of dot products with fixed
+    pseudo-random planes — llm/similarity.py:_hyperplanes), so the
+    *approximate* semantics are themselves SQL-expressible: embed the
+    identical plane literals and replay bucket → candidate join →
+    exact rank in DuckDB. The corpus embedding dim is 64 (all sf
+    dirs); a dim drift would fail loudly as an all-rows bucket
+    mismatch."""
+    from trisk_datawrangle_spark.llm.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 8)
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(x) for x in plane)
+        + "]) >= 0 THEN '1' ELSE '0' END)"
+        for plane in planes
+    )
+    return f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), b AS (
+    SELECT vec_id, v, {bits} AS bucket FROM e
+), q AS (
+    SELECT vec_id, v, bucket FROM b WHERE vec_id < 10
+), scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        list_dot_product(q.v, c.v)
+            / (sqrt(list_dot_product(q.v, q.v))
+               * sqrt(list_dot_product(c.v, c.v))) AS cosine
+    FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, ROUND(cosine, 4) AS cosine, rank FROM (
+    SELECT query_id, neighbor_id, cosine,
+        CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+
+@q("s2_lsh_bucket_topk", _s2_sql())
 def s2(spark, sf_dir):
     e = _embs(spark, sf_dir)
     res = lsh_bucket_topk(e, e.filter(F.col("vec_id") < 10), k=5)

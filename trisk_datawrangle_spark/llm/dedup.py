@@ -257,6 +257,158 @@ def minhash_lsh_pairs(
     )
 
 
+def verify_pairs_exact(
+    df: DataFrame,
+    cand: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard computed ONLY for candidate (id_a, id_b)
+    pairs — the verification tier of the dedup ladder.
+
+    Cost is linear in |candidates| × shingles-per-doc (each pair is
+    fanned out by the a-side's shingles, matched against the b-side's
+    on the hash), never quadratic in docs — so it composes with any
+    candidate generator (MinHash-LSH, SimHash bands) at corpus scale.
+    Returns (id_a, id_b, jaccard) for pairs meeting ``threshold`` —
+    i.e. exactly :func:`ngram_jaccard_pairs` semantics restricted to
+    the candidate set."""
+    shingled = shingle_hashes(df, text_col, id_col, n, distinct=True).cache()
+    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = shingled.select(F.col("id").alias("id_a"), "h")
+    b = shingled.select(F.col("id").alias("id_b"), "h")
+    common = (
+        cand.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The full scale-path near-dup operator: MinHash-LSH candidate
+    generation (:func:`minhash_lsh_pairs`) composed with exact-Jaccard
+    verification (:func:`verify_pairs_exact`).
+
+    The returned pairs are *exact-verified* — every (id_a, id_b) has
+    true n-gram Jaccard ≥ ``threshold`` — which makes the output
+    deterministically checkable against a SQL oracle computing exact
+    pairs, provided the banding gives recall 1 on the qualifying pairs
+    (near-dup corpora have a wide margin between dup Jaccard ~0.9+ and
+    background ~0.07, so band collision is certain in practice; any
+    miss shows up as a row-count/hash mismatch, not silently)."""
+    cand = minhash_lsh_pairs(
+        df, text_col, id_col, num_hashes, bands, ngram
+    ).select("id_a", "id_b")
+    return verify_pairs_exact(df, cand, text_col, id_col, ngram, threshold)
+
+
+def simhash_band_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    bands: int = 8,
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """SimHash candidate pairs: split the 64-bit signature into
+    ``bands`` contiguous bit-bands and bucket-join on (band, bits) —
+    pairs within Hamming distance < ``bands`` are guaranteed to share
+    a band (pigeonhole); near-dups differ in far fewer bits. Shuffle
+    carries only (id, band, bucket) longs.
+
+    ``max_hamming`` adds a full-signature ``bit_count(xor)`` gate
+    after the bucket join — with narrow bands (small bucket space) the
+    random band collisions dwarf the true pairs, and pruning them here
+    (a broadcast join against the tiny signature table + one codegen
+    popcount) keeps the expensive downstream verification linear in
+    *true* candidates. Set it to ``bands - 1`` to keep exactly the
+    pigeonhole-guaranteed recall class."""
+    width = 64 // bands
+    mask = F.lit((1 << width) - 1)
+    st = simhash_table(df, text_col, id_col, ngram).cache()
+    banded = st.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bnd).alias("band"),
+                        F.shiftright("simhash", bnd * width)
+                        .bitwiseAND(mask)
+                        .alias("bucket"),
+                    )
+                    for bnd in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    if max_hamming is not None:
+        sa = st.select(F.col("id").alias("id_a"), F.col("simhash").alias("__sa"))
+        sb = st.select(F.col("id").alias("id_b"), F.col("simhash").alias("__sb"))
+        # plain equi-joins: the signature table is one row per doc, so
+        # at corpus scale it exceeds broadcast limits — AQE will still
+        # pick a broadcast join when it is small (as in tests)
+        cand = (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .filter(
+                F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+                <= F.lit(int(max_hamming))
+            )
+            .select("id_a", "id_b")
+        )
+    return cand
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """SimHash-banded candidates + exact-Jaccard verification — the
+    SimHash analogue of :func:`minhash_lsh_dedup_pairs`, same
+    oracle-checkable output contract. Candidates are pre-gated at
+    Hamming ≤ bands-1 (the pigeonhole recall class) so verification
+    cost tracks true near-dups, not random band collisions."""
+    cand = simhash_band_pairs(
+        df, text_col, id_col, ngram, bands, max_hamming=bands - 1
+    )
+    return verify_pairs_exact(df, cand, text_col, id_col, ngram, threshold)
+
+
 def simhash_table(
     df: DataFrame,
     text_col: str = "text",

@@ -26,6 +26,26 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType, TimestampType
+
+
+def _epoch_micros(c: Column) -> Column:
+    """Microseconds-since-epoch for any time-like column, without a
+    timestamp→numeric cast (illegal for TIMESTAMP_NTZ under Spark 4's
+    ANSI rules). ``cast("timestamp")`` is a no-op on TIMESTAMP,
+    relabels TIMESTAMP_NTZ under the (UTC-pinned) session zone, and
+    interprets numerics as epoch seconds — so the same expression
+    serves all dtypes the operators accept."""
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def _with_ts_watermarkable(df: DataFrame, ts_col: str) -> DataFrame:
+    """``withWatermark`` rejects TIMESTAMP_NTZ event time
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE); relabel to TIMESTAMP first.
+    No-op for anything else."""
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast(TimestampType()))
+    return df
 
 
 def join_asof(
@@ -100,8 +120,8 @@ def join_asof(
 
     if tolerance_seconds is not None:
         in_range = (
-            F.col("__ts").cast("double") - F.col("__m.__rts").cast("double")
-            <= F.lit(float(tolerance_seconds))
+            _epoch_micros(F.col("__ts")) - _epoch_micros(F.col("__m.__rts"))
+            <= F.lit(int(round(float(tolerance_seconds) * 1_000_000)))
         )
         matched = matched.withColumn(
             "__m", F.when(in_range, F.col("__m"))
@@ -135,10 +155,10 @@ def interval_join(
     produced and no distinct is needed.
     """
     on = list(on)
-    grain = F.lit(int(bucket_seconds))
+    grain_us = F.lit(int(bucket_seconds) * 1_000_000)
 
     def bucket_of(c: Column) -> Column:
-        return F.floor(c.cast("double") / grain).cast("long")
+        return F.floor(_epoch_micros(c) / grain_us).cast("long")
 
     pts = points.withColumn("__bucket", bucket_of(F.col(ts_col)))
     ivs = intervals.withColumn(
@@ -177,9 +197,13 @@ def stream_interval_join(
     if left_ts == right_ts:
         raise ValueError("rename one side: timestamp columns must differ")
     if left.isStreaming:
-        left = left.withWatermark(left_ts, watermark)
+        left = _with_ts_watermarkable(left, left_ts).withWatermark(
+            left_ts, watermark
+        )
     if right.isStreaming:
-        right = right.withWatermark(right_ts, watermark)
+        right = _with_ts_watermarkable(right, right_ts).withWatermark(
+            right_ts, watermark
+        )
     band = (
         (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {int(lower_seconds)} SECONDS"))
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {int(upper_seconds)} SECONDS"))

@@ -97,15 +97,41 @@ def read_excel_sheet(
     return spark.createDataFrame(rows, schema=schema)
 
 
-# Columns stored as TIMESTAMP(NANOS) in the corpus parquet — Spark
-# has no nanos timestamp type, so they are read as long (see
-# ``spark.sql.legacy.parquet.nanosAsLong``) and converted to
-# microsecond timestamps here (exact integer division).
+# Columns historically stored as TIMESTAMP(NANOS) in the corpus
+# parquet — Spark has no nanos timestamp type, so they are read as
+# long (see ``spark.sql.legacy.parquet.nanosAsLong``) and converted
+# to microsecond timestamps here (exact integer division).
 NANO_TS_COLS: dict[str, tuple[str, ...]] = {
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
     "events": ("ts",),
 }
+
+
+def _normalize_timestamps(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to TIMESTAMP at the read
+    boundary.
+
+    The corpus parquet stores tz-less ``timestamp[us]``, which Spark 4
+    (``spark.sql.parquet.inferTimestampNTZ.enabled`` default) reads as
+    TIMESTAMP_NTZ — a type that cannot be cast to numerics, rejects
+    ``withWatermark``, and forks every downstream time expression into
+    a second dtype. The session timezone is pinned UTC here (runtime
+    conf, safe on a live session), so NTZ→TIMESTAMP is a deterministic
+    relabeling of the same micros and the whole engine sees exactly the
+    dtype it saw under Spark 3.x semantics.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields
+           if isinstance(f.dataType, TimestampNTZType)]
+    if ntz:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumns(
+            {c: F.col(c).cast("timestamp") for c in ntz}
+        )
+    return df
 
 
 def load_tables(
@@ -129,7 +155,7 @@ def load_tables(
                 df = df.withColumn(
                     c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000"))
                 )
-        out[name] = df
+        out[name] = _normalize_timestamps(spark, df)
     return out
 
 

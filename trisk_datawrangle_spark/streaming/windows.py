@@ -24,7 +24,15 @@ from pyspark.sql import functions as F
 
 def _maybe_watermark(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
     if watermark is not None and df.isStreaming:
-        return df.withWatermark(ts_col, watermark)
+        from trisk_datawrangle_spark.operators.temporal import (
+            _with_ts_watermarkable,
+        )
+
+        # Spark 4 reads tz-less parquet as TIMESTAMP_NTZ, which
+        # withWatermark rejects; relabel to TIMESTAMP first.
+        return _with_ts_watermarkable(df, ts_col).withWatermark(
+            ts_col, watermark
+        )
     return df
 
 
@@ -113,7 +121,13 @@ def stream_dedup(
                 "accumulate per-key state forever"
             )
         if ts_col is not None:
-            return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-                keys
+            from trisk_datawrangle_spark.operators.temporal import (
+                _with_ts_watermarkable,
+            )
+
+            return (
+                _with_ts_watermarkable(df, ts_col)
+                .withWatermark(ts_col, watermark)
+                .dropDuplicatesWithinWatermark(keys)
             )
     return df.dropDuplicates(keys)
