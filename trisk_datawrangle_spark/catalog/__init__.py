@@ -35,18 +35,71 @@ _ALL_QUERIES = {**_REL_QUERIES, **_LLM_QUERIES, **_EXT_QUERIES, **_SCN_QUERIES}
 _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 
 # Registration-order priority. The per-round correctness driver samples
-# the FIRST N catalog entries (r01: N=50, all §2 relational), so the
-# entries whose correctness is attested only by the local harness must
-# register first. Order: (1) j3 — the one r01 hash failure, re-proving
-# the oracle dtype fix; (2) round-2 additions (workflow e2e, per-source
-# scenario/capacity wranglers, geography chain); (3) the dedup / ANN /
-# temporal / text / source families r01 never checked; (4) everything
-# r01 already confirmed green, in original order.
+# the FIRST N catalog entries (N=50), so ordering decides which entries
+# get driver-verified each round. Round-4 window: (1) the 28 entries
+# that have NEVER been inside a driver window (sources, scalar bundles,
+# quality asserts, geography pair ops, multimodal, curation, sketches,
+# skew, TPC shapes, Oxford capacity factors); (2) the round-3 NTZ
+# regressions (e3/e4) and the entries that just gained hard oracles
+# (d3/d4/s2) — all need fresh driver proof; (3) the asset country-filter
+# entry added this round; (4) high-value entries last driver-checked in
+# r1. Everything else (green r3) follows in the prior order.
 _PRIORITY = [
-    "j3_full_outer_natural",
-    # round-2 additions (registered in relational/extended/llm modules)
+    # --- never inside a driver window before r4 ---
+    "s1_s6_csv_roundtrip",
+    "s2_semicolon_csv",
+    "s3_excel_roundtrip",
+    "s8_glob_union",
+    "s9_jsonl_roundtrip",
+    "a6_a7_wide_year_sums",
+    "f2_f9_scalar_bundle",
+    "f13_row_sum",
+    "fin_layered_median_cascade",
+    "t4_extend_years_constant",
+    "t6_backfill_from_year",
+    "q1_q4_assert_summary",
+    "q8_incomplete_groups",
+    "g1_containment_pairs",
+    "g2_regroup_rename",
+    "m1_multimodal_decode",
+    "m2_multimodal_resize",
+    "m3_multimodal_features",
+    "c1_curate_exact",
+    "c2_curate_near_dedup",
+    "c3_cluster_canonical",
+    "e6_hll_distinct_rollup",
+    "k1_salted_count_distinct",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "cf5_oxford_capacity_factors",
+    "r7_explode_words",
+    "x9_normalize_text",
+    # --- r3 NTZ regressions + newly-oracled entries ---
+    "e3_asof_join",
+    "e4_interval_join",
+    "d3_minhash_lsh",
+    "d4_simhash",
+    "s2_lsh_bucket_topk",
+    # --- added round 4 ---
+    "w2_asset_country_filters",
+    # --- last driver-checked in r1; refresh ---
+    "flagship_market_share",
     "w0_run_workflow_e2e",
     "w1_assets_e2e",
+    "j3_full_outer_natural",
+    "a1_pricing_summary",
+    "a4_median",
+    "j2_inner_join_revenue",
+    "w8_interpolate_keep_edges",
+    "w9_lm_extrapolate",
+    "w7_locf_fill",
+    "r1_melt",
+    "t2_complete_cross",
+    "f1_recode",
+    "f14_safe_div",
+    "q5_missings_report",
+    "q6_duplicates_report",
+    # --- green in r3, keep next in line ---
     "sc1_weo_geco_wrangle",
     "sc2_weo23_wrangle",
     "sc3_ngfs_wrangle",
@@ -69,23 +122,17 @@ _PRIORITY = [
     "g3_standardize_names",
     "q7_row_diff_report",
     "s7_seed_datasets",
-    # families the r01 driver window never sampled
     "d1_exact_dedup",
     "d2_ngram_jaccard",
-    "d3_minhash_lsh",
-    "d4_simhash",
     "d5_embedding_dups",
     "d6_contamination",
     "d7_dedup_clusters",
     "s1_cosine_topk",
-    "s2_lsh_bucket_topk",
     "s3_cosine_topk_vectorized",
     "s4_ivf_topk",
     "e1_tumbling_window",
     "e2_json_extract",
-    "e3_asof_join",
     "e3_sliding_window",
-    "e4_interval_join",
     "e5_rollup_range",
     "x1_lang_id",
     "x2_token_stats",
@@ -95,30 +142,6 @@ _PRIORITY = [
     "x6_stratified_take",
     "x7_repetition_score",
     "x8_sequence_pack",
-    "x9_normalize_text",
-    "g1_containment_pairs",
-    "g2_regroup_rename",
-    "q8_incomplete_groups",
-    "s1_s6_csv_roundtrip",
-    "s2_semicolon_csv",
-    "s3_excel_roundtrip",
-    "s8_glob_union",
-    "s9_jsonl_roundtrip",
-    "k1_salted_count_distinct",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "c1_curate_exact",
-    "c3_cluster_canonical",
-    "m1_multimodal_decode",
-    "m2_multimodal_resize",
-    "a6_a7_wide_year_sums",
-    "f2_f9_scalar_bundle",
-    "f13_row_sum",
-    "t4_extend_years_constant",
-    "t6_backfill_from_year",
-    "q1_q4_assert_summary",
-    "fin_layered_median_cascade",
-    "r7_explode_words",
 ]
 
 _ordered = [n for n in _PRIORITY if n in _ALL_QUERIES]

@@ -89,16 +89,17 @@ def d1(spark, sf_dir):
     ).select("keep_id", "n_copies")
 
 
-def _jaccard_pairs_sql(threshold: float) -> str:
-    """Exact word-3-gram Jaccard pair SQL at a given threshold — the
-    shared oracle for the whole dedup ladder (d2 exact, d3 MinHash-LSH
-    verified, d4 SimHash verified)."""
+def _jaccard_pairs_sql(threshold: float, source: str = "documents") -> str:
+    """Exact word-3-gram Jaccard pair SQL at a given threshold over a
+    (doc_id, text) relation — the shared oracle for the whole dedup
+    ladder (d2 exact, d3 MinHash-LSH verified, d4 SimHash verified,
+    c2's near-dup removal stage)."""
     return f"""
 WITH toks AS (
     SELECT doc_id,
         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                     x -> x <> '') AS words
-    FROM documents
+    FROM {source}
 ), grams AS (
     SELECT DISTINCT doc_id,
         array_to_string(words[i:i+2], ' ') AS gram
@@ -873,11 +874,30 @@ def c1(spark, sf_dir):
     return curate_exact(_docs(spark, sf_dir))
 
 
-@q("c2_curate_near_dedup")  # LSH stage is hash-seeded → rows-only
+def _c2_sql() -> str:
+    """Oracle for the full curation chain: the exact-curation CTE,
+    exact-Jaccard pairs *within the curated survivors*, anti-join on
+    the higher id. The Spark side finds the same pairs through
+    MinHash-LSH + exact verification, so the outputs coincide."""
+    return f"""
+WITH kept AS ({_CURATE_SQL}),
+survdocs AS (
+    SELECT d.doc_id, d.text FROM documents d
+    JOIN kept k ON d.doc_id = k.doc_id
+),
+jp AS ({_jaccard_pairs_sql(0.8, source="survdocs")})
+SELECT k.doc_id, k.lang, k.quality, k.n_tokens FROM kept k
+WHERE k.doc_id NOT IN (SELECT id_b FROM jp)
+"""
+
+
+@q("c2_curate_near_dedup", _c2_sql())
 def c2(spark, sf_dir):
-    """Full curation with MinHash-LSH near-dup removal on top of the
-    exact stage (drop the higher id of every candidate pair above
-    0.8 estimated Jaccard)."""
+    """Full curation with near-dup removal on top of the exact stage:
+    drop the higher id of every *exact-verified* pair (true
+    word-3-gram Jaccard ≥ 0.8, candidates via MinHash-LSH) — the
+    whole chain is deterministic and hash-checks against the SQL
+    oracle."""
     from trisk_datawrangle_spark.llm.curate import curate
 
     return curate(_docs(spark, sf_dir))

@@ -5,8 +5,10 @@ composed from the engine's operators:
     near-dup removal (MinHash-LSH) → token accounting
 
 Two entry points: :func:`curate_exact` is fully deterministic and
-SQL-expressible (oracle-checkable); :func:`curate` adds the LSH
-near-dup stage (hash-seeded → rows-only checks + property tests).
+SQL-expressible (oracle-checkable); :func:`curate` adds the near-dup
+stage — MinHash-LSH candidates *verified with exact n-gram Jaccard*,
+so its output is deterministic and oracle-checkable too (the internal
+hashing only decides how cheaply the exact answer is found).
 
 Scale shape: one shuffle for the exact-dedup groupBy, one id-keyed
 shuffle inside the LSH stage; the quality/lang columns are pure
@@ -18,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from trisk_datawrangle_spark.llm.dedup import minhash_lsh_pairs
+from trisk_datawrangle_spark.llm.dedup import minhash_lsh_dedup_pairs
 from trisk_datawrangle_spark.llm.text import (
     lang_id,
     quality_score,
@@ -64,8 +66,9 @@ def curate(
     near_dup_jaccard: float = 0.8,
 ) -> DataFrame:
     """Full curation: :func:`curate_exact` plus near-dup removal —
-    of every LSH candidate pair above the estimated-Jaccard
-    threshold, the higher id is dropped (canonical-keeps-lowest, the
+    of every exact-verified near-dup pair (true n-gram Jaccard ≥
+    ``near_dup_jaccard``, candidates from MinHash-LSH at 32×2
+    banding), the higher id is dropped (canonical-keeps-lowest, the
     same policy as exact dedup)."""
     # stage boundary: kept feeds the survivor semi-join AND the final
     # anti-join — uncached, the scan→score→gate→dedup subtree runs
@@ -76,8 +79,9 @@ def curate(
         df[id_col] == kept["doc_id"],
         "left_semi",
     )
-    pairs = minhash_lsh_pairs(survivors, text_col, id_col).filter(
-        F.col("est_jaccard") >= near_dup_jaccard
+    pairs = minhash_lsh_dedup_pairs(
+        survivors, text_col, id_col, num_hashes=64, bands=32,
+        threshold=near_dup_jaccard,
     )
     drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return kept.join(drop, "doc_id", "left_anti")
