@@ -188,3 +188,53 @@ def test_q5_broadcasts_dims_only(spark, sf_dir):
     plan = _formatted(QUERIES["q5_local_supplier_volume"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_filter_countries_coverage_modes(spark):
+    """R/prepare_asset_impact_data.R:156-195 semantics: HQ mode keeps
+    worldwide assets of ultimate parents HQ'd in-country (subsidiaries
+    excluded from the HQ set); asset mode keeps in-country rows of any
+    company; both = intersection; empty filter / no flags = no-op."""
+    from trisk_datawrangle_spark.plans.abcd import filter_countries_coverage
+
+    ar = spark.createDataFrame(
+        [
+            (1, "AA", 10.0),  # c1: HQ in AA (parent)
+            (1, "BB", 11.0),
+            (2, "BB", 20.0),  # c2: HQ in BB (parent)
+            (3, "AA", 30.0),  # c3: located AA but parent flag False
+        ],
+        "company_id int, ald_location string, value double",
+    )
+    cinfo = spark.createDataFrame(
+        [
+            (1, "AA", True),
+            (2, "BB", True),
+            (3, "AA", False),  # subsidiary: excluded from the HQ set
+        ],
+        "company_id int, ald_location string, is_ultimate_parent boolean",
+    )
+
+    def rows(df):
+        return sorted(
+            (r.company_id, r.ald_location) for r in df.collect()
+        )
+
+    # no-op cases
+    assert rows(filter_countries_coverage(ar, cinfo, [], True, True)) == rows(ar)
+    assert rows(filter_countries_coverage(ar, cinfo, ["AA"], False, False)) == rows(ar)
+    # HQ-only: company 1's worldwide assets
+    assert rows(filter_countries_coverage(ar, cinfo, ["AA"], True, False)) == [
+        (1, "AA"), (1, "BB"),
+    ]
+    # assets-only: any company's AA rows (incl. the subsidiary)
+    assert rows(filter_countries_coverage(ar, cinfo, ["AA"], False, True)) == [
+        (1, "AA"), (3, "AA"),
+    ]
+    # both: intersection
+    assert rows(filter_countries_coverage(ar, cinfo, ["AA"], True, True)) == [
+        (1, "AA"),
+    ]
+    # hq mode without the company sheet is an explicit error
+    with pytest.raises(ValueError):
+        filter_countries_coverage(ar, None, ["AA"], True, False)

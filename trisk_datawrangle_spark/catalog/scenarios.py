@@ -3422,3 +3422,140 @@ def lc3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "year",
         "price",
     )
+
+
+# ------------------------------------------------------------------ #
+# w2 — optional country scoping of Asset-Impact data                  #
+# (R/prepare_asset_impact_data.R:156-195,                             #
+#  vignettes/country_specific_dataprep.Rmd:84-99)                     #
+# ------------------------------------------------------------------ #
+
+
+@q(
+    "w2_asset_country_filters",
+    """
+WITH ti AS (SELECT * FROM (VALUES (0), (1)) AS t(ti)),
+li AS (SELECT * FROM (VALUES (0), (1)) AS t(li)),
+yr AS (SELECT * FROM (VALUES (2025), (2026)) AS t(year)),
+base AS (
+    SELECT n_nationkey AS k, n_nationkey + 1 AS cid,
+        CASE WHEN n_nationkey = 7 THEN 'Unknown Owner'
+             ELSE 'Co ' || (n_nationkey + 1) END AS company_name
+    FROM nation
+),
+-- prepare_asset_impact_data: melt + dedup-sum (one row per key here)
+acts AS (
+    SELECT cid AS company_id, company_name, 'Power' AS ald_sector,
+        CASE WHEN ti = 0 THEN 'CoalCap' ELSE 'RenewablesCap' END
+            AS ald_business_unit,
+        CASE WHEN li = 0 THEN 'AA' ELSE 'BB' END AS ald_location,
+        'MW' AS activity_unit, year,
+        CAST((k * 7 + ti * 3 + li * 5 + year) % 50 + 1 AS DOUBLE)
+            AS plan_tech_prod
+    FROM base CROSS JOIN ti CROSS JOIN li CROSS JOIN yr
+    WHERE company_name <> 'Unknown Owner'
+),
+-- company information sheet: HQ location + ultimate-parent flag
+cinfo AS (
+    SELECT cid AS company_id,
+        CASE WHEN k % 3 = 0 THEN 'AA' ELSE 'BB' END AS ald_location,
+        k % 3 <> 2 AS is_ultimate_parent
+    FROM base
+),
+hqs AS (
+    SELECT DISTINCT company_id FROM cinfo
+    WHERE ald_location = 'AA' AND is_ultimate_parent
+),
+modes AS (
+    SELECT 'hq' AS mode, a.* FROM acts a
+    WHERE a.company_id IN (SELECT company_id FROM hqs)
+    UNION ALL
+    SELECT 'asset' AS mode, a.* FROM acts a
+    WHERE a.ald_location = 'AA'
+    UNION ALL
+    SELECT 'both' AS mode, a.* FROM acts a
+    WHERE a.company_id IN (SELECT company_id FROM hqs)
+      AND a.ald_location = 'AA'
+)
+SELECT mode, company_id, ald_business_unit, ald_location, year,
+    plan_tech_prod
+FROM modes
+""",
+)
+def w2_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Country-scoping parity entry: a nation-derived wide activity
+    table flows through prepare_asset_impact_data, then
+    filter_countries_coverage in each of its three modes (HQ-only /
+    assets-only / both) for country_filter=['AA']; the oracle replays
+    the HQ semi-join (ultimate parents only — subsidiaries excluded)
+    and the location filter in SQL. Covers
+    R/prepare_asset_impact_data.R:156-195 exactly: empty-filter
+    passthrough is unit-tested in tests/test_plans.py."""
+    from trisk_datawrangle_spark.plans.abcd import (
+        filter_countries_coverage,
+        prepare_asset_impact_data,
+    )
+
+    n = _nation(spark, sf_dir)
+    k = F.col("n_nationkey")
+    cid = (k + 1).alias("company_id")
+    cname = (
+        F.when(k == 7, F.lit("Unknown Owner"))
+        .otherwise(F.concat(F.lit("Co "), (k + 1).cast("string")))
+        .alias("company_name")
+    )
+    years = (2025, 2026)
+    wide = (
+        n.select(
+            "n_nationkey",
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("ti"),
+        )
+        .select("*", F.explode(F.array(F.lit(0), F.lit(1))).alias("li"))
+        .select(
+            cid,
+            cname,
+            F.lit("Power").alias("ald_sector"),
+            F.when(F.col("ti") == 0, F.lit("CoalCap"))
+            .otherwise(F.lit("RenewablesCap"))
+            .alias("ald_business_unit"),
+            F.when(F.col("li") == 0, F.lit("AA"))
+            .otherwise(F.lit("BB"))
+            .alias("ald_location"),
+            F.lit("MW").alias("activity_unit"),
+            *[
+                ((k * 7 + F.col("ti") * 3 + F.col("li") * 5 + F.lit(y)) % 50 + 1)
+                .cast("double")
+                .alias(f"Equity Ownership {y}")
+                for y in years
+            ],
+        )
+    )
+    cinfo = n.select(
+        cid,
+        F.when(k % 3 == 0, F.lit("AA")).otherwise(F.lit("BB")).alias(
+            "ald_location"
+        ),
+        (k % 3 != 2).alias("is_ultimate_parent"),
+    )
+    # stage boundary: all three filter modes reuse the melted frame
+    acts = prepare_asset_impact_data(wide, "plan_tech_prod").cache()
+    parts = []
+    for mode, hq, asset in (
+        ("hq", True, False),
+        ("asset", False, True),
+        ("both", True, True),
+    ):
+        parts.append(
+            filter_countries_coverage(
+                acts, cinfo, ["AA"], filter_hqs=hq, filter_assets=asset
+            ).withColumn("mode", F.lit(mode))
+        )
+    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return out.select(
+        "mode",
+        "company_id",
+        "ald_business_unit",
+        "ald_location",
+        "year",
+        "plan_tech_prod",
+    )

@@ -88,24 +88,82 @@ def prepare_asset_impact_data(
     )
 
 
+def filter_countries_coverage(
+    ar_data: DataFrame,
+    company_informations: DataFrame | None = None,
+    country_filter: Sequence[str] = (),
+    filter_hqs: bool = False,
+    filter_assets: bool = False,
+) -> DataFrame:
+    """Optional country scoping of Asset-Impact data
+    (R/prepare_asset_impact_data.R:156-195,
+    vignettes/country_specific_dataprep.Rmd:84-99).
+
+    - ``filter_hqs``: keep only companies whose ultimate parent (HQ)
+      is located in ``country_filter`` — subsidiaries are filtered
+      out of the HQ set — while their assets may be worldwide.
+      Implemented as a broadcast left-semi join on the distinct HQ
+      company-id list (the company-information sheet is a dimension
+      table by construction).
+    - ``filter_assets``: keep only asset rows located in
+      ``country_filter`` (a plain pushed-down filter).
+    - both: the intersection.
+
+    A no-op when ``country_filter`` is empty or both flags are off,
+    exactly like the reference."""
+    country_filter = list(country_filter)
+    if not country_filter or not (filter_hqs or filter_assets):
+        return ar_data
+    if filter_hqs:
+        if company_informations is None:
+            raise ValueError(
+                "filter_hqs=True needs company_informations "
+                "(company_id, ald_location, is_ultimate_parent)"
+            )
+        hqs = (
+            company_informations.filter(
+                F.col("ald_location").isin(*country_filter)
+                & F.col("is_ultimate_parent")
+            )
+            .select("company_id")
+            .distinct()
+        )
+        ar_data = ar_data.join(F.broadcast(hqs), "company_id", "left_semi")
+    if filter_assets:
+        ar_data = ar_data.filter(F.col("ald_location").isin(*country_filter))
+    return ar_data
+
+
 def prepare_abcd_data(
     activities_wide: DataFrame,
     emissions_wide: DataFrame,
     start_year: int = 2022,
     time_horizon: int = 5,
     sectors: Sequence[str] = DEFAULT_SECTORS,
+    company_informations: DataFrame | None = None,
+    country_filter: Sequence[str] = (),
+    filter_hqs: bool = False,
+    filter_assets: bool = False,
 ) -> DataFrame:
-    """Full §3.1 chain: melt → dedup-sum → emissions⋈production full
-    outer join → location rollup → year-spine completion →
-    interpolate + LOCF + zero-fill → emission factors (with
-    per-(sector, unit) mean imputation) → drop dead series →
-    asset ids (R/prepare_abcd_stress_test_input.R:339-426).
+    """Full §3.1 chain: melt → dedup-sum → [optional country scoping,
+    vignettes/country_specific_dataprep.Rmd:84-99] →
+    emissions⋈production full outer join → location rollup →
+    year-spine completion → interpolate + LOCF + zero-fill →
+    emission factors (with per-(sector, unit) mean imputation) →
+    drop dead series → asset ids
+    (R/prepare_abcd_stress_test_input.R:339-426).
     """
     lo, hi = start_year, start_year + time_horizon
 
     prod = prepare_asset_impact_data(activities_wide, "plan_tech_prod")
     emis = prepare_asset_impact_data(emissions_wide, "plan_emissions").filter(
         F.col("activity_unit").isin("tCO2", "tCO2e")
+    )
+    prod = filter_countries_coverage(
+        prod, company_informations, country_filter, filter_hqs, filter_assets
+    )
+    emis = filter_countries_coverage(
+        emis, company_informations, country_filter, filter_hqs, filter_assets
     )
 
     # emissions⋈production on the natural keys (J3,
