@@ -175,10 +175,26 @@ def minhash_signatures(
     default). Instead the hash is first folded to ``h31 = pmod(h, p)``
     (p = 2^31-1); then ``a*h31 + b < 2^62 + 2^31`` stays in-range for
     any ANSI setting."""
-    hashes = shingle_hashes(df, text_col, id_col, ngram)
+    return _signatures_from_shingles(
+        shingle_hashes(df, text_col, id_col, ngram), num_hashes
+    )
+
+
+def _signatures_from_shingles(
+    hashes: DataFrame, num_hashes: int
+) -> DataFrame:
+    """(id, sig) from a (id, h) shingle-hash table. ``min`` is
+    duplicate-insensitive, so distinct and non-distinct shingle
+    tables yield identical signatures — callers that also need exact
+    verification can share one cached distinct table across both
+    stages."""
     p = F.lit(_MERSENNE_31)
-    h31 = F.pmod(F.col("h"), p)
-    mins = hashes.groupBy("id").agg(
+    # h31 materialized as a projected column so the shared mod-p fold
+    # is provably evaluated once per row (not K times via
+    # subexpression elimination luck)
+    proj = hashes.select("id", F.pmod(F.col("h"), p).alias("h31"))
+    h31 = F.col("h31")
+    mins = proj.groupBy("id").agg(
         *[
             F.min(F.pmod(h31 * F.lit(a) + F.lit(b), p)).alias(f"__m{k}")
             for k, (a, b) in enumerate(_affine_params(num_hashes))
@@ -189,28 +205,15 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 64,
-    bands: int = 16,
-    ngram: int = 3,
+def _lsh_candidate_pairs(
+    sig: DataFrame, num_hashes: int, bands: int
 ) -> DataFrame:
-    """LSH candidate pairs: split the signature into ``bands`` rows of
-    ``num_hashes/bands``, bucket each band by its hash, join within
-    buckets. Docs sharing ≥1 full band collide. Candidates should be
-    verified with :func:`ngram_jaccard_pairs` semantics (estimated
-    Jaccard = fraction of matching signature positions is returned
-    here for a cheap pre-filter).
-
-    Shuffle discipline: the band self-join carries only (id, band,
-    bucket); the candidate ``distinct`` runs on the narrow (id_a,
-    id_b) pair — signatures are re-attached afterwards from the
-    cached signature table (a distinct over 2×K-element arrays would
+    """Banded-LSH candidate (id_a, id_b) pairs from a (id, sig)
+    signature table. The band self-join carries only (id, band,
+    bucket); the candidate ``distinct`` runs on the narrow pair —
+    never on signatures (a distinct over 2×K-element arrays would
     shuffle ~50× the bytes)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, ngram).cache()
     banded = sig.select(
         "id",
         F.explode(
@@ -232,12 +235,35 @@ def minhash_lsh_pairs(
     ).select("id", "bb.band", "bb.bucket")
     a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
-    cand = (
+    return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: split the signature into ``bands`` rows of
+    ``num_hashes/bands``, bucket each band by its hash, join within
+    buckets. Docs sharing ≥1 full band collide. Candidates should be
+    verified with :func:`ngram_jaccard_pairs` semantics (estimated
+    Jaccard = fraction of matching signature positions is returned
+    here for a cheap pre-filter); :func:`minhash_lsh_dedup_pairs` is
+    the exact-verified composition.
+
+    Shuffle discipline: see :func:`_lsh_candidate_pairs` — signatures
+    are re-attached to the narrow pair set from the cached signature
+    table."""
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, ngram).cache()
+    cand = _lsh_candidate_pairs(sig, num_hashes, bands)
     sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     est = (
@@ -276,6 +302,16 @@ def verify_pairs_exact(
     i.e. exactly :func:`ngram_jaccard_pairs` semantics restricted to
     the candidate set."""
     shingled = shingle_hashes(df, text_col, id_col, n, distinct=True).cache()
+    return _verify_candidates(shingled, cand, threshold)
+
+
+def _verify_candidates(
+    shingled: DataFrame, cand: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification against a pre-built *distinct*
+    (id, h) shingle table — callers cache it and share it with
+    signature generation (one scan+explode of the corpus instead of
+    two)."""
     sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
     a = shingled.select(F.col("id").alias("id_a"), "h")
     b = shingled.select(F.col("id").alias("id_b"), "h")
@@ -317,11 +353,19 @@ def minhash_lsh_dedup_pairs(
     pairs, provided the banding gives recall 1 on the qualifying pairs
     (near-dup corpora have a wide margin between dup Jaccard ~0.9+ and
     background ~0.07, so band collision is certain in practice; any
-    miss shows up as a row-count/hash mismatch, not silently)."""
-    cand = minhash_lsh_pairs(
-        df, text_col, id_col, num_hashes, bands, ngram
-    ).select("id_a", "id_b")
-    return verify_pairs_exact(df, cand, text_col, id_col, ngram, threshold)
+    miss shows up as a row-count/hash mismatch, not silently).
+
+    Only the narrow candidate pair set is taken from the LSH stage —
+    the estimated-Jaccard signature re-attach is skipped entirely
+    (exact verification supersedes it) — and both stages read ONE
+    cached distinct shingle table (signatures are duplicate-
+    insensitive), so the corpus is scanned and shingled once."""
+    shingled = shingle_hashes(
+        df, text_col, id_col, ngram, distinct=True
+    ).cache()
+    sig = _signatures_from_shingles(shingled, num_hashes)
+    cand = _lsh_candidate_pairs(sig, num_hashes, bands)
+    return _verify_candidates(shingled, cand, threshold)
 
 
 def simhash_band_pairs(
@@ -331,6 +375,7 @@ def simhash_band_pairs(
     ngram: int = 3,
     bands: int = 8,
     max_hamming: int | None = None,
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash candidate pairs: split the 64-bit signature into
     ``bands`` contiguous bit-bands and bucket-join on (band, bits) —
@@ -344,10 +389,18 @@ def simhash_band_pairs(
     (a broadcast join against the tiny signature table + one codegen
     popcount) keeps the expensive downstream verification linear in
     *true* candidates. Set it to ``bands - 1`` to keep exactly the
-    pigeonhole-guaranteed recall class."""
+    pigeonhole-guaranteed recall class.
+
+    ``feats`` supplies a pre-built distinct (id, h) feature table so
+    the caller can share one cached shingle table between signature
+    and verification stages."""
     width = 64 // bands
     mask = F.lit((1 << width) - 1)
-    st = simhash_table(df, text_col, id_col, ngram).cache()
+    st = (
+        _simhash_from_features(feats)
+        if feats is not None
+        else simhash_table(df, text_col, id_col, ngram)
+    ).cache()
     banded = st.select(
         "id",
         F.explode(
@@ -402,11 +455,17 @@ def simhash_dedup_pairs(
     SimHash analogue of :func:`minhash_lsh_dedup_pairs`, same
     oracle-checkable output contract. Candidates are pre-gated at
     Hamming ≤ bands-1 (the pigeonhole recall class) so verification
-    cost tracks true near-dups, not random band collisions."""
+    cost tracks true near-dups, not random band collisions; signature
+    and verification stages share ONE cached distinct shingle table
+    (the corpus is scanned and shingled once)."""
+    shingled = shingle_hashes(
+        df, text_col, id_col, ngram, distinct=True
+    ).cache()
     cand = simhash_band_pairs(
-        df, text_col, id_col, ngram, bands, max_hamming=bands - 1
+        df, text_col, id_col, ngram, bands,
+        max_hamming=bands - 1, feats=shingled,
     )
-    return verify_pairs_exact(df, cand, text_col, id_col, ngram, threshold)
+    return _verify_candidates(shingled, cand, threshold)
 
 
 def simhash_table(
@@ -426,6 +485,12 @@ def simhash_table(
         feats = df.select(
             F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("w")
         ).distinct().select("id", F.xxhash64("w").alias("h"))
+    return _simhash_from_features(feats)
+
+
+def _simhash_from_features(feats: DataFrame) -> DataFrame:
+    """(id, simhash) from a distinct (id, h) feature-hash table —
+    shareable with the verification stage's shingle table."""
     counted = feats.groupBy("id").agg(
         F.count(F.lit(1)).alias("__n"),
         *[
