@@ -527,12 +527,58 @@ def m2(spark, sf_dir):
     return resized.select("doc_id", "width", "height", "byte_len")
 
 
-@q("m3_multimodal_features")  # sha-derived stub floats → rows-only
+def _m3_sql() -> str:
+    """Oracle for the multimodal feature stack: the stub embedding is
+    a pure function of sha256(payload) (llm/multimodal.py
+    extract_features) — bytes 1..16 of the digest, centered at 127.5,
+    L2-normalized in float64, stored float32. Every step is
+    replayable in SQL: hex-digit parsing recovers the digest bytes,
+    the squared-norm sum is a dyadic rational (k.5² terms, exact in
+    double in any order), and REAL casts reproduce the float32
+    storage rounding; cosine + rank then follow the s1 oracle shape."""
+    b = (
+        "CAST(strpos('0123456789abcdef', substr(sha,(i-1)*2+1,1))-1 AS DOUBLE)*16"
+        " + CAST(strpos('0123456789abcdef', substr(sha,(i-1)*2+2,1))-1 AS DOUBLE)"
+    )
+    return f"""
+WITH raw AS (
+    SELECT doc_id AS vec_id,
+        list_transform(range(1, 17), i -> {b} - 127.5) AS r
+    FROM (SELECT doc_id, sha256(text) AS sha FROM documents)
+), nrm AS (
+    SELECT vec_id, r,
+        sqrt(list_sum(list_transform(r, x -> x * x))) AS n
+    FROM raw
+), emb AS (
+    SELECT vec_id,
+        CAST(list_transform(r, x -> CAST(x / n AS REAL)) AS DOUBLE[]) AS v
+    FROM nrm
+), q AS (
+    SELECT vec_id, v FROM emb WHERE vec_id < 5
+), scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        list_dot_product(q.v, c.v)
+            / (sqrt(list_dot_product(q.v, q.v))
+               * sqrt(list_dot_product(c.v, c.v))) AS cosine
+    FROM emb c CROSS JOIN q
+    WHERE c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, ROUND(cosine, 4) AS cosine, rank FROM (
+    SELECT query_id, neighbor_id, cosine,
+        CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+    FROM scored
+) WHERE rank <= 3
+"""
+
+
+@q("m3_multimodal_features", _m3_sql())
 def m3(spark, sf_dir):
     """Feature extraction feeding the similarity stack: payload →
     unit-norm embedding (stub: sha256-derived) → exact cosine top-3
     over the extracted vectors. Exercises the full multimodal →
-    embedding → ANN composition in one plan."""
+    embedding → ANN composition in one plan, hash-checked end-to-end
+    against the SQL replay of the digest-derived features."""
     d = with_binary_payload(_docs(spark, sf_dir), "text", "payload")
     emb = extract_features(d, dim=16)
     probes = emb.filter(F.col("vec_id") < 5)

@@ -1743,12 +1743,30 @@ def k1(spark, sf_dir):
     return salted_count_distinct(ev, ["event_type"], "user_id", salt_buckets=8)
 
 
-@q("e6_hll_distinct_rollup")  # sketch estimates are engine-specific → rows-only
+@q(
+    "e6_hll_distinct_rollup",
+    """
+SELECT event_type,
+    COUNT(DISTINCT user_id) AS exact_distinct,
+    TRUE AS within_5pct
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+GROUP BY event_type
+""",
+)
 def e6(spark, sf_dir):
     """Distinct users per event_type from the HLL sketch ladder
-    (hour sketches → month union). Estimates are Datasketches-HLL
-    specific so no cross-engine oracle; fold invariance and error
-    bounds are property-tested in tests/test_sketches.py."""
+    (hour sketches → month union), gated against ground truth.
+
+    The raw Datasketches-HLL estimate has no cross-engine oracle, but
+    it IS deterministic for a fixed input multiset (hash-based,
+    order/partitioning-independent register maxes), so the entry
+    returns the exact distinct count plus a ``within_5pct`` accuracy
+    flag — the oracle asserts the flag TRUE, turning the sketch's
+    error contract (~1.6% rsd at lg_k=12; 5% ≈ 3σ) into a hard driver
+    check: a broken ladder or a drifting estimate hash-mismatches.
+    Fold invariance and error bounds stay property-tested in
+    tests/test_sketches.py."""
     import datetime as dt
 
     from trisk_datawrangle_spark.operators.sketches import (
@@ -1757,7 +1775,20 @@ def e6(spark, sf_dir):
     )
 
     (ev,) = load_tables(spark, sf_dir, ["events"]).values()
+    lo, hi = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
     rollups = hll_rollup(ev, "ts", ["event_type"], "user_id")
-    return hll_range_distinct(
-        rollups, dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1), ["event_type"]
+    approx = hll_range_distinct(rollups, lo, hi, ["event_type"])
+    exact = (
+        ev.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact_distinct"))
+    )
+    return approx.join(exact, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            <= 0.05
+        ).alias("within_5pct"),
     )
