@@ -26,14 +26,9 @@ def test_entry_smoke(spark):
     )
 
 
-def test_every_query_has_oracle_or_reason():
-    no_oracle = set(QUERIES) - set(ORACLES)
-    # only hash-based / approximate ops may skip the oracle
-    assert no_oracle <= {
-        "d3_minhash_lsh",
-        "d4_simhash",
-        "s2_lsh_bucket_topk",
-        "c2_curate_near_dedup",  # LSH stage is hash-seeded
-        "m3_multimodal_features",  # stub features are sha-derived
-        "e6_hll_distinct_rollup",  # HLL estimates are engine-specific
-    }
+def test_every_query_has_oracle():
+    # since round 4 the full catalog is oracle-gated: hash-seeded ops
+    # compose with exact verification (d3/d4/c2), deterministic
+    # hashing is replayed in SQL (s2 planes, m3 sha features), and
+    # approximate sketches are gated against ground truth (e6)
+    assert set(QUERIES) == set(ORACLES)

@@ -16,9 +16,7 @@ from pyspark.sql import functions as F
 
 from trisk_datawrangle_spark.llm.dedup import (
     contamination_overlap,
-    minhash_lsh_pairs,
     ngram_jaccard_pairs,
-    simhash_table,
 )
 from trisk_datawrangle_spark.llm.similarity import (
     cosine_topk,
