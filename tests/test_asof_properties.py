@@ -124,3 +124,60 @@ def test_interval_join_matches_naive_definition(spark, points, spans, bucket):
         if pk == ik and s <= pt <= s + ln
     }
     assert got == expected
+
+
+def _pd_asof_dir(left_ts, right_obs, tolerance, direction):
+    lt = pd.DataFrame({"ts": sorted(left_ts)})
+    rt = pd.DataFrame(
+        {
+            "ts": pd.array([t for t, _ in right_obs], dtype="int64"),
+            "v": pd.array([v for _, v in right_obs], dtype="float64"),
+        }
+    ).sort_values("ts")
+    kw = {"tolerance": tolerance} if tolerance is not None else {}
+    m = pd.merge_asof(lt, rt, on="ts", direction=direction, **kw)
+    return dict(zip(m["ts"], m["v"]))
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.dictionaries(st.integers(0, 6), key_strategy, min_size=1, max_size=4),
+    st.sampled_from(["forward", "nearest"]),
+    st.sampled_from([None, 50]),
+)
+def test_join_asof_directions_match_pandas(spark, keyed, direction, tolerance):
+    """forward/nearest against pandas merge_asof (both pin the same
+    tie rule: equidistant nearest matches resolve backward)."""
+    left_rows, right_rows = [], []
+    for k, (lts, rts) in keyed.items():
+        left_rows += [(k, t) for t in lts]
+        right_rows += [(k, t, float(k * 1000 + t)) for t in rts]
+    left = spark.createDataFrame(left_rows, "k long, ts long")
+    right = (
+        spark.createDataFrame(right_rows, "k long, ts long, v double")
+        if right_rows
+        else spark.createDataFrame([], "k long, ts long, v double")
+    )
+    got = {
+        (r.k, r.ts): r.v_asof
+        for r in join_asof(
+            left, right, on=["k"], right_cols=["v"],
+            tolerance_seconds=tolerance, direction=direction,
+        ).collect()
+    }
+    assert set(got) == {(k, t) for k, t in left_rows}
+    for k, (lts, rts) in keyed.items():
+        expected = _pd_asof_dir(
+            lts, [(t, float(k * 1000 + t)) for t in rts], tolerance, direction
+        )
+        for t, v in expected.items():
+            g = got[(k, t)]
+            if pd.isna(v):
+                assert g is None, (direction, k, t, g)
+            else:
+                assert g == v, (direction, k, t, g, v)

@@ -82,6 +82,7 @@ _PRIORITY = [
     "s2_lsh_bucket_topk",
     # --- added round 4 ---
     "w2_asset_country_filters",
+    "e7_asof_forward",
     # --- last driver-checked in r1; refresh ---
     "flagship_market_share",
     "w0_run_workflow_e2e",

@@ -1475,6 +1475,53 @@ def e2(spark, sf_dir):
 
 
 @q(
+    "e7_asof_forward",
+    """
+WITH c AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), err AS (
+    SELECT user_id, ts, value FROM events WHERE event_type = 'error'
+)
+SELECT c.event_id, c.user_id,
+    CASE WHEN err.ts <= c.ts + INTERVAL 1 HOUR
+         THEN strftime(err.ts, '%Y-%m-%d %H:%M:%S.%f') END AS err_ts,
+    CASE WHEN err.ts <= c.ts + INTERVAL 1 HOUR
+         THEN err.value END AS err_value
+FROM c ASOF LEFT JOIN err
+    ON c.user_id = err.user_id AND err.ts >= c.ts
+""",
+)
+def e7(spark, sf_dir):
+    """Forward as-of join (same one-shuffle union+window plan run over
+    the reversed sort order): every click gets the EARLIEST same-user
+    error at or after it, voided when more than 1 hour later. DuckDB's
+    native forward ASOF JOIN (``err.ts >= c.ts``) is the oracle; the
+    nearest direction is pandas-parity property-tested
+    (tests/test_asof_properties.py)."""
+    (ev,) = load_tables(spark, sf_dir, ["events"]).values()
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    res = join_asof(
+        clicks,
+        errors,
+        on=["user_id"],
+        right_cols=["value"],
+        tolerance_seconds=3600,
+        direction="forward",
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("err_ts"),
+        F.col("value_asof").alias("err_value"),
+    )
+
+
+@q(
     "e3_asof_join",
     """
 WITH c AS (

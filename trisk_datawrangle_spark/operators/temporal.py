@@ -57,22 +57,36 @@ def join_asof(
     right_cols: Sequence[str] | None = None,
     tolerance_seconds: float | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For every left row, attach the latest right row with
-    ``right_ts <= left_ts`` per join key (pandas ``merge_asof`` /
-    DuckDB ``ASOF JOIN`` semantics, direction=backward). Left rows
-    with no match (or none within ``tolerance_seconds``) keep NULLs.
+    """For every left row, attach the matching right row per join key
+    (pandas ``merge_asof`` / DuckDB ``ASOF JOIN`` semantics):
+
+    - ``backward`` (default): latest right with ``right_ts <= left_ts``
+    - ``forward``: earliest right with ``right_ts >= left_ts``
+    - ``nearest``: whichever of the two is closer in time (exact ties
+      resolve to the backward match)
+
+    Left rows with no match (or none within ``tolerance_seconds``)
+    keep NULLs.
 
     Plan shape: tag sides, union, then ``last(..., ignorenulls)`` over
     a (key)-partitioned window ordered by (ts, side) — right rows sort
     before left rows at equal timestamps so exact-tie matches are
-    taken. Right-side ties at the same (key, ts) resolve to the
-    largest carried struct (deterministic). One hash shuffle + sort;
-    no inequality join anywhere.
+    taken (forward runs the same frame over the reversed order;
+    nearest evaluates both windows on ONE hash shuffle — two sorts,
+    no second exchange). Right-side ties at the same (key, ts) resolve
+    to the largest carried struct (deterministic). No inequality join
+    anywhere.
 
     Output: all left columns plus ``<right_ts><suffix>`` and
     ``<col><suffix>`` for each of ``right_cols``.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"join_asof: direction must be backward/forward/nearest, "
+            f"got {direction!r}"
+        )
     on = list(on)
     # right_ts is always carried (as <right_ts><suffix>) — listing it
     # in right_cols again would emit two identically-named columns
@@ -80,7 +94,7 @@ def join_asof(
         c for c in (right_cols or []) if c not in on and c != right_ts
     ]
 
-    reserved = {"__ts", "__side", "__r", "__m"}
+    reserved = {"__ts", "__side", "__r", "__m", "__mb", "__mf"}
     clashes = reserved & set(left.columns) | {
         f"{right_ts}{suffix}",
         *(f"{c}{suffix}" for c in right_cols),
@@ -109,22 +123,68 @@ def join_asof(
     )
     unioned = lt.unionByName(rt, allowMissingColumns=True)
 
-    w = (
+    frame = (Window.unboundedPreceding, Window.currentRow)
+    # backward: ascending scan — the last right row seen at or before
+    # each left row. forward: the same frame over the reversed order.
+    # At equal __ts, __side ASC puts right rows (0) first in BOTH
+    # orders, so exact-timestamp matches are taken in every direction.
+    wb = (
         Window.partitionBy(*on)
-        .orderBy("__ts", "__side", "__r")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__r").asc())
+        .rowsBetween(*frame)
     )
-    matched = unioned.withColumn(
-        "__m", F.last("__r", ignorenulls=True).over(w)
-    ).filter(F.col("__side") == 1)
-
-    if tolerance_seconds is not None:
-        in_range = (
-            _epoch_micros(F.col("__ts")) - _epoch_micros(F.col("__m.__rts"))
-            <= F.lit(int(round(float(tolerance_seconds) * 1_000_000)))
+    wf = (
+        Window.partitionBy(*on)
+        .orderBy(
+            F.col("__ts").desc(), F.col("__side").asc(), F.col("__r").desc()
         )
+        .rowsBetween(*frame)
+    )
+
+    tol_us = (
+        F.lit(int(round(float(tolerance_seconds) * 1_000_000)))
+        if tolerance_seconds is not None
+        else None
+    )
+
+    def gate(m: Column, delta: Column) -> Column:
+        # void matches outside the tolerance window
+        return F.when(delta <= tol_us, m) if tol_us is not None else m
+
+    ts_us = _epoch_micros(F.col("__ts"))
+    if direction == "backward":
+        matched = unioned.withColumn(
+            "__m", F.last("__r", ignorenulls=True).over(wb)
+        ).filter(F.col("__side") == 1)
         matched = matched.withColumn(
-            "__m", F.when(in_range, F.col("__m"))
+            "__m",
+            gate(F.col("__m"), ts_us - _epoch_micros(F.col("__m.__rts"))),
+        )
+    elif direction == "forward":
+        matched = unioned.withColumn(
+            "__m", F.last("__r", ignorenulls=True).over(wf)
+        ).filter(F.col("__side") == 1)
+        matched = matched.withColumn(
+            "__m",
+            gate(F.col("__m"), _epoch_micros(F.col("__m.__rts")) - ts_us),
+        )
+    else:  # nearest: both candidates from one shuffle, pick the closer
+        matched = (
+            unioned.withColumn("__mb", F.last("__r", ignorenulls=True).over(wb))
+            .withColumn("__mf", F.last("__r", ignorenulls=True).over(wf))
+            .filter(F.col("__side") == 1)
+        )
+        db = ts_us - _epoch_micros(F.col("__mb.__rts"))
+        df_ = _epoch_micros(F.col("__mf.__rts")) - ts_us
+        matched = matched.withColumn(
+            "__mb", gate(F.col("__mb"), db)
+        ).withColumn("__mf", gate(F.col("__mf"), df_))
+        matched = matched.withColumn(
+            "__m",
+            F.when(F.col("__mb").isNull(), F.col("__mf"))
+            .when(F.col("__mf").isNull(), F.col("__mb"))
+            .when(df_ < db, F.col("__mf"))
+            .otherwise(F.col("__mb")),
         )
 
     out = [F.col(c) for c in left.columns]
