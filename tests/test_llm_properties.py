@@ -94,3 +94,45 @@ def test_signatures_stable_across_partitionings(docs):
     one = {r["id"]: r["sig"] for r in minhash_signatures(docs.coalesce(1)).collect()}
     many = {r["id"]: r["sig"] for r in minhash_signatures(docs.repartition(7)).collect()}
     assert one == many
+
+
+def test_ngram_jaccard_max_doc_freq_is_conservative(spark):
+    """Dropping high-doc-frequency shingles from the join side only
+    can only LOWER a pair's Jaccard (sizes keep every shingle), and a
+    frequency cap >= ndocs is a no-op."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "the quick brown fox jumps over the lazy cat tonight",
+        "completely different words here about spark engines running",
+        "completely different words here about spark engines failing",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    noop = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.0, max_doc_freq=len(texts)
+        ).collect()
+    }
+    assert noop == exact
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.0, max_doc_freq=1
+        ).collect()
+    }
+    # df<=1 keeps only shingles unique to one doc -> no co-shingles
+    assert capped == {}
+    capped2 = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.0, max_doc_freq=2
+        ).collect()
+    }
+    for pair, j in capped2.items():
+        assert j <= exact[pair] + 1e-12, (pair, j, exact[pair])

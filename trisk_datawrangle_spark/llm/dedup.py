@@ -94,15 +94,23 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via a co-shingle join.
 
     |A∩B| comes from a self-join of the distinct (id, shingle-hash)
     table on the hash — linear in co-occurrence, not quadratic in
     docs, and the join key is a long, not the gram string.
-    Common-shingle skew is the scale hazard: at 100 TB, drop the top
-    few % most-frequent shingles (they carry no dedup signal) or move
-    to :func:`minhash_lsh_pairs`.
+    Common-shingle skew is the scale hazard: a boilerplate shingle in
+    k docs contributes k² join rows. ``max_doc_freq`` implements the
+    mitigation: shingles appearing in more than that many documents
+    are dropped from the JOIN side only (one extra aggregate on the
+    already-cached table); per-doc sizes still count every shingle, so
+    the estimate under-counts |A∩B| by at most the dropped shingles —
+    a conservative (never-inflating) Jaccard. With it unset the result
+    is exact; at 100 TB set it (or move to
+    :func:`minhash_lsh_dedup_pairs`, which bounds candidates by
+    construction).
     """
     # stage boundary: the shingle table feeds the size aggregate AND
     # both sides of the co-shingle self-join — uncached, the
@@ -111,6 +119,14 @@ def ngram_jaccard_pairs(
     # far smaller than the text it came from.
     shingled = shingle_hashes(df, text_col, id_col, n, distinct=True).cache()
     sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    if max_doc_freq is not None:
+        rare = (
+            shingled.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= int(max_doc_freq))
+            .select("h")
+        )
+        shingled = shingled.join(rare, "h", "left_semi")
     a = shingled.select(F.col("id").alias("id_a"), "h")
     b = shingled.select(F.col("id").alias("id_b"), "h")
     common = (
