@@ -132,3 +132,51 @@ def test_blocked_pairs_match_vectorized_exactly(spark):
         assert set(got) == set(ref), f"pair set drift at B={n_blocks}"
         for key, cos in got.items():
             assert abs(cos - ref[key]) < 1e-9, (key, n_blocks)
+
+
+def test_ivf_pq_recall_and_determinism(spark):
+    """IVF-PQ (compressed inverted lists + ADC scoring) must (a) keep
+    useful recall at full probe — losses come only from quantization,
+    (b) approximate the true cosine within loose quantization error,
+    and (c) be deterministic run-to-run (hash-ordered training
+    sample, deterministic k-means init)."""
+    from trisk_datawrangle_spark.llm.similarity import ivf_pq_topk
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    exact_rows = cosine_topk(e, q, k=5).collect()
+    exact = _pairs(exact_rows)
+    got_rows = ivf_pq_topk(
+        e, q, k=5, n_cells=8, n_probe=8, m=16, k_codes=256
+    ).collect()
+    got = _pairs(got_rows)
+    # full probe -> only quantization error. This corpus is a hard
+    # case (cosines tightly clustered near the top), so measured
+    # recall is 0.72 at m=16,k=256 (0.90 at m=32) — assert a margin
+    assert len(got & exact) / len(exact) >= 0.5
+    # ADC scores approximate the true cosine
+    true_cos = {
+        (r.query_id, r.neighbor_id): r.cosine for r in exact_rows
+    }
+    for r in got_rows:
+        if (r.query_id, r.neighbor_id) in true_cos:
+            assert abs(r.cosine - true_cos[(r.query_id, r.neighbor_id)]) < 0.25
+    # determinism
+    again = _pairs(
+        ivf_pq_topk(
+            e, q, k=5, n_cells=8, n_probe=8, m=16, k_codes=256
+        ).collect()
+    )
+    assert again == got
+
+
+def test_pq_codebook_shapes_and_dim_guard(spark):
+    import pytest
+
+    from trisk_datawrangle_spark.llm.similarity import train_pq_codebooks
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = train_pq_codebooks(e, m=8, k_codes=16, sample_size=256)
+    assert books.shape == (8, 16, 8)  # dim 64 / m 8
+    with pytest.raises(ValueError):
+        train_pq_codebooks(e, m=7)

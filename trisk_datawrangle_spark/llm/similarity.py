@@ -533,3 +533,203 @@ def cosine_topk_vectorized(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    k_codes: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+    iters: int = 5,
+):
+    """Train product-quantization codebooks: the embedding dim is
+    split into ``m`` contiguous subspaces and each gets an independent
+    ``k_codes``-centroid k-means, fit on the same deterministic
+    smallest-``xxhash64(id)`` sample as :func:`train_ivf_centroids`
+    (stable across runs, partitionings and cluster sizes). Vectors
+    are L2-normalized before fitting so PQ scores approximate cosine
+    directly. Returns an ``(m, k_codes, dim/m)`` float64 ndarray.
+
+    Training is driver-side numpy on a bounded sample — the codebook
+    is ``m·k_codes·(dim/m)`` floats (16 KB at m=8, k=256, dim=64),
+    trivially broadcastable at any corpus size.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .withColumn("__h", F.xxhash64("i"))
+        .orderBy("__h", "i")
+        .limit(sample_size)
+        .collect()
+    )
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    k_codes = min(k_codes, len(mat))
+    books = np.empty((m, k_codes, dsub))
+    for j in range(m):
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        cent = sub[:k_codes].copy()  # deterministic init: hash order
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k_codes):
+                members = sub[assign == c]
+                if len(members):  # empty code keeps its old centroid
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    k_codes: int = 256,
+    centroids=None,
+    codebooks=None,
+) -> DataFrame:
+    """IVF-PQ approximate cosine top-k — the memory-scale ANN tier.
+
+    :func:`ivf_topk` prunes WORK (score only probed cells) but still
+    carries every raw vector through the index; at 10^11 vectors the
+    float payload itself is the bottleneck. Here the inverted lists
+    store only (id, cell, m uint8 codes) — 8 bytes of codes instead
+    of dim·4 bytes of floats (32x at dim=64) — and queries score
+    candidates by asymmetric distance: per query, one ``m × k_codes``
+    lookup table of subspace dot products against the (broadcast)
+    codebooks, then each candidate's approximate cosine is the sum of
+    ``m`` table lookups — no float vectors move at query time.
+
+    Plan shape: one vectorized encode pass over the corpus (GEMM per
+    Arrow batch, no shuffle), probe join on the cell id with the
+    query side broadcast, scoring inside ``mapInPandas`` (LUT built
+    once per query per batch). Recall < 1 from BOTH cell pruning and
+    quantization — raise ``n_probe`` / ``m`` / ``k_codes``, or
+    exact-rescore the top candidates from the raw table as a refine
+    stage (an equi-join on id — deliberately NOT fused here so the
+    compressed index never has to carry the floats).
+    Output contract matches :func:`cosine_topk` with ``cosine``
+    holding the ADC approximation.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, n_cells, id_col, vec_col)
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, m, k_codes, id_col, vec_col
+        )
+    n_cells = len(centroids)
+    n_probe = min(n_probe, n_cells)
+    m = codebooks.shape[0]
+    dsub = codebooks.shape[2]
+    sc = corpus.sparkSession.sparkContext
+    bc_cent = sc.broadcast(np.asarray(centroids, dtype=np.float64))
+    bc_books = sc.broadcast(np.asarray(codebooks, dtype=np.float64))
+
+    def encode(batches):
+        cent, books = bc_cent.value, bc_books.value
+        for pdf in batches:
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mat /= np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            cell = np.argmax(mat @ cent.T, axis=1)
+            codes = np.empty((len(mat), m), dtype=np.int64)
+            for j in range(m):
+                sub = mat[:, j * dsub : (j + 1) * dsub]
+                d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].to_numpy(),
+                    "__cell": cell.astype(np.int32),
+                    "__codes": list(codes),
+                }
+            )
+
+    # the compressed index: (id, cell, codes) — no float payload
+    index = corpus.select(id_col, vec_col).mapInPandas(
+        encode, "neighbor_id long, __cell int, __codes array<long>"
+    )
+
+    def probe(batches):
+        cent = bc_cent.value
+        for pdf in batches:
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mat /= np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            sims = mat @ cent.T
+            probes = np.argsort(-sims, kind="stable", axis=1)[:, :n_probe]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf[id_col].to_numpy(), n_probe),
+                    "__qv": [v for v in pdf[vec_col] for _ in range(n_probe)],
+                    "__cell": probes.reshape(-1).astype(np.int32),
+                }
+            )
+
+    probed = queries.select(id_col, vec_col).mapInPandas(
+        probe, "query_id long, __qv array<float>, __cell int"
+    )
+    joined = index.join(F.broadcast(probed), "__cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+
+    def adc_score(batches):
+        books = bc_books.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.array(list(pdf["__codes"]), dtype=np.int64)
+            out = np.empty(len(pdf))
+            # one LUT per distinct query in the batch; scoring is m
+            # table lookups per candidate, fully vectorized
+            for qid, grp in pdf.groupby("query_id", sort=False):
+                q = np.array(grp["__qv"].iloc[0], dtype=np.float64)
+                q /= max(np.linalg.norm(q), 1e-12)
+                lut = np.stack(
+                    [
+                        books[j] @ q[j * dsub : (j + 1) * dsub]
+                        for j in range(m)
+                    ]
+                )  # (m, k_codes)
+                c = codes[pdf["query_id"].to_numpy() == qid]
+                out[pdf["query_id"].to_numpy() == qid] = lut[
+                    np.arange(m)[None, :], c
+                ].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "cosine": out,
+                }
+            )
+
+    scored = joined.mapInPandas(
+        adc_score, "query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
