@@ -4,8 +4,9 @@
   W1/W2 market shares — SURVEY.md §7.1.2) on sf0.001.
 - ``queries()``: one entry per implemented SURVEY.md §2 operator
   (names prefixed with the inventory id they cover).
-- ``oracle_sql()``: DuckDB-equivalent SQL for every oracle-checkable
-  query; xxhash64-based ops (minhash/simhash/LSH) are rows-only.
+- ``oracle_sql()``: DuckDB-equivalent SQL for EVERY query (since
+  round 4 the hash-based ops compose with exact verification or
+  ground-truth gating, so the full catalog is value-hash checkable).
 """
 
 from __future__ import annotations
