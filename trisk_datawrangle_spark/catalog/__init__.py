@@ -83,6 +83,7 @@ _PRIORITY = [
     # --- added round 4 ---
     "w2_asset_country_filters",
     "e7_asof_forward",
+    "e8_session_window",
     # --- last driver-checked in r1; refresh ---
     "flagship_market_share",
     "w0_run_workflow_e2e",

@@ -1647,6 +1647,60 @@ def e5(spark, sf_dir):
     )
 
 
+@q(
+    "e8_session_window",
+    """
+WITH ordered AS (
+    SELECT user_id, ts,
+        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                  > INTERVAL 30 MINUTES
+             OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+    FROM events
+), numbered AS (
+    SELECT user_id, ts,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS session_no
+    FROM ordered
+)
+SELECT user_id,
+    strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+    strftime(MAX(ts) + INTERVAL 30 MINUTES,
+             '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+    COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_no
+""",
+)
+def e8(spark, sf_dir):
+    """Session-window aggregation (``F.session_window``, 30-minute
+    inactivity gap, per user): the same expression tree runs under
+    Structured Streaming with a watermark (streaming/windows.py
+    session_agg). The oracle replays the sessionization as
+    gaps-and-islands SQL (lag → new-session flag → cumulative count →
+    group), including Spark's window-end = last event + gap."""
+    from trisk_datawrangle_spark.streaming.windows import session_agg
+
+    (ev,) = load_tables(spark, sf_dir, ["events"]).values()
+    res = session_agg(
+        ev,
+        "ts",
+        "30 minutes",
+        ["user_id"],
+        [F.count(F.lit(1)).alias("n_events")],
+    )
+    return res.select(
+        "user_id",
+        F.date_format(
+            "window_start", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ).alias("session_start"),
+        F.date_format(
+            "window_end", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ).alias("session_end"),
+        "n_events",
+    )
+
+
 # ---------------------------------------------------------------- #
 # classic multi-way-join analytics (TPC-H Q3/Q5 shapes)             #
 # ---------------------------------------------------------------- #

@@ -733,3 +733,47 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def rescore_topk(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-rescore refine stage for approximate ANN: take candidate
+    (query_id, neighbor_id) pairs from any approximate tier (IVF-PQ's
+    ADC scores, LSH buckets), re-attach the raw vectors and rank by
+    EXACT cosine, keeping top ``k`` per query.
+
+    This is the standard two-stage retrieval shape: the compressed
+    index proposes R ≥ k candidates cheaply; only |queries|·R raw
+    vectors are touched for exact scoring (an equi-join on the id —
+    one shuffle of the candidate list against the corpus, never a
+    re-scan per query). With R > k this recovers most of the recall
+    the quantizer lost while the index still never stores floats.
+    Output contract matches :func:`cosine_topk`."""
+    cand = candidates.select("query_id", "neighbor_id")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        _norm(vec_col).alias("__cn"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        _norm(vec_col).alias("__qn"),
+    )
+    pairs = cand.join(c, "neighbor_id").join(F.broadcast(q), "query_id")
+    cos = _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
