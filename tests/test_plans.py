@@ -238,3 +238,46 @@ def test_filter_countries_coverage_modes(spark):
     # hq mode without the company sheet is an explicit error
     with pytest.raises(ValueError):
         filter_countries_coverage(ar, None, ["AA"], True, False)
+
+
+def test_session_window_single_shuffle(spark, sf_dir):
+    """Batch session windows are one hash shuffle on the group key —
+    no extra exchange, no join machinery."""
+    from trisk_datawrangle_spark.catalog import QUERIES
+
+    plan = (
+        QUERIES["e8_session_window"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_asof_directions_single_shuffle(spark, sf_dir):
+    """forward keeps the backward plan shape (one exchange, reversed
+    sort); nearest evaluates both windows on the SAME exchange — the
+    second direction must not add a shuffle."""
+    from trisk_datawrangle_spark.operators.temporal import join_asof
+    from trisk_datawrangle_spark.sources.readers import load_tables
+
+    (ev,) = load_tables(spark, sf_dir, ["events"]).values()
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    for direction in ("forward", "nearest"):
+        plan = (
+            join_asof(
+                clicks, errors, on=["user_id"], right_cols=["value"],
+                direction=direction,
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") == 1, (direction, plan)
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
