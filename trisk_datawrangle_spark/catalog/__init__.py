@@ -84,6 +84,7 @@ _PRIORITY = [
     "w2_asset_country_filters",
     "e7_asof_forward",
     "e8_session_window",
+    "d8_normalized_dedup",
     # --- last driver-checked in r1; refresh ---
     "flagship_market_share",
     "w0_run_workflow_e2e",

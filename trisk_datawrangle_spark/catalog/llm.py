@@ -742,6 +742,41 @@ def x9(spark, sf_dir):
 
 
 @q(
+    "d8_normalized_dedup",
+    f"""
+WITH norm AS (
+    SELECT doc_id,
+        trim(regexp_replace(
+            regexp_replace(
+                regexp_replace(lower(text), '{URL_RX}', '<URL>', 'g'),
+                '{EMAIL_RX}', '<EMAIL>', 'g'),
+            '{SPACE_RX}', ' ', 'g')) AS clean
+    FROM documents
+)
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM norm GROUP BY clean
+""",
+)
+def d8(spark, sf_dir):
+    """Normalized exact dedup — the tier between raw-exact (d1) and
+    MinHash (d3) in the corpus ladder: dedup on the normalized text
+    (lowercased, URLs/emails masked, whitespace collapsed), so docs
+    differing only in casing, links or formatting collapse to one
+    canonical (min-id) row. One hash-partitioned aggregation; at
+    corpus scale group on xxhash64(clean) to narrow the shuffle."""
+    d = _docs(spark, sf_dir)
+    clean = normalize_text(F.lower(F.col("text")))
+    return (
+        d.groupBy(clean.alias("__clean"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep_id", "n_copies")
+    )
+
+
+@q(
     "d6_contamination",
     """
 WITH ws AS (
