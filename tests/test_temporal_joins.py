@@ -215,3 +215,16 @@ def test_asof_right_ts_in_right_cols_not_duplicated(spark):
     out = join_asof(trades, quotes, on=["sym"], right_cols=["ts", "bid"])
     assert out.columns.count("ts_asof") == 1
     assert out.count() == 5
+
+
+def test_join_asof_rejects_keyless_and_bad_direction(spark):
+    import pytest
+
+    from trisk_datawrangle_spark.operators.temporal import join_asof
+
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right = spark.createDataFrame([(1, 5, 1.0)], "k long, ts long, v double")
+    with pytest.raises(ValueError, match="join key"):
+        join_asof(left, right, on=[])
+    with pytest.raises(ValueError, match="direction"):
+        join_asof(left, right, on=["k"], direction="sideways")

@@ -88,6 +88,13 @@ def join_asof(
             f"got {direction!r}"
         )
     on = list(on)
+    if not on:
+        raise ValueError(
+            "join_asof: at least one join key is required — a keyless "
+            "as-of would put the whole dataset in ONE window partition "
+            "(a single-task global sort at corpus scale); add a "
+            "constant key column explicitly if that is really intended"
+        )
     # right_ts is always carried (as <right_ts><suffix>) — listing it
     # in right_cols again would emit two identically-named columns
     right_cols = [
