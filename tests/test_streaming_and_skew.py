@@ -201,3 +201,24 @@ def test_salted_count_distinct_matches_plain(spark, sf_dir):
         ).collect()
     }
     assert salted == plain and len(plain) > 0
+
+
+def test_streaming_session_matches_batch(spark, events_stream_dir):
+    """Session windows under Structured Streaming (watermarked, as
+    state-bounding requires) produce the same sessions as the batch
+    tree — the last window family without a streaming parity check."""
+    d, ev = events_stream_dir
+    src = spark.readStream.schema(ev.schema).parquet(f"{d}/in")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    streamed = _run_stream(
+        spark,
+        session_agg(
+            src, "ts", "30 minutes", ["user_id"], aggs, watermark="2 hours"
+        ),
+        "t_session",
+    )
+    batch = session_agg(ev, "ts", "30 minutes", ["user_id"], aggs)
+    key = ["user_id", "window_start", "window_end"]
+    s = {tuple(str(r[k]) for k in key): r["n"] for r in streamed.collect()}
+    b = {tuple(str(r[k]) for k in key): r["n"] for r in batch.collect()}
+    assert s == b and len(s) > 0
