@@ -98,3 +98,35 @@ def test_stratified_take_exact_k_and_stable(spark, docs):
         .collect()
     }
     assert a == b
+
+
+def test_weighted_take_properties(spark):
+    """E-S weighted sampling: exact k per group, deterministic across
+    calls, excludes non-positive weights, and a dominant weight is
+    effectively always selected."""
+    from trisk_datawrangle_spark.llm.sampling import weighted_take
+
+    rows = [(g, i, 1.0 if i else 1e9) for g in ("a", "b") for i in range(20)]
+    rows.append(("a", 99, 0.0))    # weight 0: never sampled
+    rows.append(("b", 98, None))   # NULL weight: never sampled
+    df = spark.createDataFrame(rows, "g string, doc_id long, w double")
+    for seed in (0, 1, 2, 3, 4):
+        got = weighted_take(df, ["g"], 5, "w", "doc_id", seed=seed)
+        per = {(r.g, r.doc_id) for r in got.collect()}
+        counts = {}
+        for g, i in per:
+            counts[g] = counts.get(g, 0) + 1
+        assert counts == {"a": 5, "b": 5}
+        # the 1e9-weight doc (doc_id 0) dominates: P(miss) ~ (u^1e9
+        # effect) -> essentially impossible at these sizes
+        assert ("a", 0) in per and ("b", 0) in per
+        assert ("a", 99) not in per and ("b", 98) not in per
+    again = {
+        (r.g, r.doc_id)
+        for r in weighted_take(df, ["g"], 5, "w", "doc_id", seed=2).collect()
+    }
+    first = {
+        (r.g, r.doc_id)
+        for r in weighted_take(df, ["g"], 5, "w", "doc_id", seed=2).collect()
+    }
+    assert again == first

@@ -85,6 +85,7 @@ _PRIORITY = [
     "e7_asof_forward",
     "e8_session_window",
     "d8_normalized_dedup",
+    "x10_weighted_take",
     # --- last driver-checked in r1; refresh ---
     "flagship_market_share",
     "w0_run_workflow_e2e",

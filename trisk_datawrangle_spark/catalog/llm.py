@@ -591,9 +591,36 @@ def m3(spark, sf_dir):
 
 from trisk_datawrangle_spark.llm.sampling import (  # noqa: E402
     deterministic_split,
+    md5_uniform_sql,
     split_sql,
     stratified_take,
+    weighted_take,
 )
+
+
+@q(
+    "x10_weighted_take",
+    f"""
+SELECT lang, doc_id FROM (
+    SELECT lang, doc_id,
+        row_number() OVER (
+            PARTITION BY lang
+            ORDER BY ln({md5_uniform_sql('doc_id', 7)}) / length(text) DESC,
+                     doc_id
+        ) AS rk
+    FROM documents WHERE length(text) > 0
+) WHERE rk <= 10
+""",
+)
+def x10(spark, sf_dir):
+    """Quality-weighted corpus selection: per language, 10 documents
+    sampled WITHOUT replacement with probability ∝ length (stand-in
+    weight; swap in quality_score/token counts in a real pipeline) —
+    Efraimidis–Spirakis keys ln(u)/w on an engine-portable md5
+    uniform, so the oracle replays the identical selection in SQL."""
+    d = _docs(spark, sf_dir).withColumn("__w", F.length("text"))
+    took = weighted_take(d, ["lang"], 10, "__w", "doc_id", seed=7)
+    return took.select("lang", "doc_id")
 
 _SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
 

@@ -108,3 +108,62 @@ def split_sql(id_expr: str, fractions: Mapping[str, float], seed: int = 0) -> st
         parts.append(f"WHEN {h} < '{_hex_threshold(cum)}' THEN '{label}'")
     parts.append(f"ELSE '{labels[-1]}' END")
     return " ".join(parts)
+
+
+def md5_uniform(id_col: str | Column, seed: int = 0) -> Column:
+    """Deterministic uniform in (0, 1], engine-portable: the first 13
+    hex digits of ``md5(id ':' seed)`` parsed as an integer v < 2^52
+    (so v, and v+1 over 2^52, are EXACTLY representable in a double —
+    no cross-engine rounding), mapped to ``(v+1) / 2^52``."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    hx = F.md5(F.concat(c.cast("string"), F.lit(f":{seed}")))
+    v = F.conv(F.substring(hx, 1, 13), 16, 10).cast("double")
+    return (v + F.lit(1.0)) / F.lit(float(1 << 52))
+
+
+def weighted_take(
+    df: DataFrame,
+    group_cols,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis): per group, keep the ``k`` rows maximizing
+    ``u^(1/w)`` — equivalently ``ln(u)/w``, the monotone form used
+    here — where ``u`` is the row's :func:`md5_uniform`. Inclusion
+    probability scales with the weight (quality score, token count…),
+    yet the chosen rows are a pure function of (id, seed): reruns,
+    retries and different cluster layouts pick the same subset —
+    the standard quality-weighted corpus-selection step, minus
+    ``rand()``'s partition-order dependence.
+
+    Rows with NULL or non-positive weight are excluded (weight 0 =
+    never sampled, the E-S convention). One shuffle (the window
+    partition), no driver-side state."""
+    w_col = F.col(weight_col).cast("double")
+    key = F.log(md5_uniform(id_col, seed)) / w_col
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(*group_cols).orderBy(
+        key.desc(), F.col(id_col)
+    )
+    return (
+        df.filter(w_col > 0)
+        .withColumn("__rk", F.row_number().over(win))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def md5_uniform_sql(id_expr: str, seed: int = 0) -> str:
+    """The identical uniform as DuckDB SQL (hex digits parsed via
+    strpos — every intermediate integer < 2^52, exact in double)."""
+    h = f"md5(CAST({id_expr} AS VARCHAR) || ':{seed}')"
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1) "
+        f"* {16 ** (12 - i)}.0"
+        for i in range(13)
+    )
+    return f"(({terms}) + 1.0) / {float(1 << 52)!r}"
