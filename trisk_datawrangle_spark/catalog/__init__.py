@@ -36,74 +36,56 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 
 # Registration-order priority. The per-round correctness driver samples
 # the FIRST N catalog entries (N=50), so ordering decides which entries
-# get driver-verified each round. Round-4 window: (1) the 28 entries
-# that have NEVER been inside a driver window (sources, scalar bundles,
-# quality asserts, geography pair ops, multimodal, curation, sketches,
-# skew, TPC shapes, Oxford capacity factors); (2) the round-3 NTZ
-# regressions (e3/e4) and the entries that just gained hard oracles
-# (d3/d4/s2) — all need fresh driver proof; (3) the asset country-filter
-# entry added this round; (4) high-value entries last driver-checked in
-# r1. Everything else (green r3) follows in the prior order.
+# get driver-verified each round. Round-5 window (disjoint from r4's,
+# per the rotation design): (1) the entries ADDED or renamed this round
+# (cp1 carbon-price chain, w3 datalake composite, s5/s6 IVF-PQ tiers,
+# e9 ex-e3_sliding) — all need first driver proof; (2) the relational
+# primitives whose last driver proof is r1 (p*/j*/a*/w1/w4/w6, t3/t5,
+# r3/r4/r6/r8, u*, f10-f12); (3) the head of the r3 cohort (sc1-sc6,
+# cf1-cf3). The rest of the r3 cohort follows, then the r4-window
+# entries (freshest proof) last.
 _PRIORITY = [
-    # --- never inside a driver window before r4 ---
-    "s1_s6_csv_roundtrip",
-    "s2_semicolon_csv",
-    "s3_excel_roundtrip",
-    "s8_glob_union",
-    "s9_jsonl_roundtrip",
-    "a6_a7_wide_year_sums",
-    "f2_f9_scalar_bundle",
-    "f13_row_sum",
-    "fin_layered_median_cascade",
-    "t4_extend_years_constant",
-    "t6_backfill_from_year",
-    "q1_q4_assert_summary",
-    "q8_incomplete_groups",
-    "g1_containment_pairs",
-    "g2_regroup_rename",
-    "m1_multimodal_decode",
-    "m2_multimodal_resize",
-    "m3_multimodal_features",
-    "c1_curate_exact",
-    "c2_curate_near_dedup",
-    "c3_cluster_canonical",
-    "e6_hll_distinct_rollup",
-    "k1_salted_count_distinct",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "cf5_oxford_capacity_factors",
-    "r7_explode_words",
-    "x9_normalize_text",
-    # --- r3 NTZ regressions + newly-oracled entries ---
-    "e3_asof_join",
-    "e4_interval_join",
-    "d3_minhash_lsh",
-    "d4_simhash",
-    "s2_lsh_bucket_topk",
-    # --- added round 4 ---
-    "w2_asset_country_filters",
-    "e7_asof_forward",
-    "e8_session_window",
-    "d8_normalized_dedup",
-    "x10_weighted_take",
-    # --- last driver-checked in r1; refresh ---
-    "flagship_market_share",
-    "w0_run_workflow_e2e",
-    "w1_assets_e2e",
-    "j3_full_outer_natural",
-    "a1_pricing_summary",
-    "a4_median",
-    "j2_inner_join_revenue",
-    "w8_interpolate_keep_edges",
-    "w9_lm_extrapolate",
-    "w7_locf_fill",
-    "r1_melt",
-    "t2_complete_cross",
-    "f1_recode",
-    "f14_safe_div",
-    "q5_missings_report",
-    "q6_duplicates_report",
-    # --- green in r3, keep next in line ---
+    "cp1_ngfs_carbon_price",
+    "w3_datalake_e2e",
+    "s5_ivf_pq_topk",
+    "s6_pq_recall",
+    "e9_sliding_window",
+    "p1_project_rename",
+    "p3_filter_isin",
+    "p4_filter_regex",
+    "p6_filter_any_null",
+    "p7_distinct",
+    "p8_distinct_keep_first",
+    "p9_first_year_positive",
+    "j1_left_join",
+    "j4_anti_join",
+    "j5_semi_join",
+    "j6_right_join",
+    "j7_cross_join",
+    "j8_global_share",
+    "j9_closest_parent",
+    "j10_majority_pick",
+    "a2_sum_or_null",
+    "a3_mean",
+    "a5_a12_counts",
+    "a8_minmax",
+    "a9_bool_reduce",
+    "a10_collect_sorted",
+    "a11_first_by_order",
+    "w1_baseline_index",
+    "w4_row_number",
+    "w6_group_max_ratio",
+    "t3_missing_combinations",
+    "t5_zero_after_last",
+    "r3_pivot_wider",
+    "r4_r5_strings",
+    "r6_one_hot",
+    "r8_fan_out",
+    "u1_union_by_name",
+    "u2_clone_recode",
+    "u3_union_precedence",
+    "f10_unit_convert",
+    "f11_f12_null_gates",
     "sc1_weo_geco_wrangle",
     "sc2_weo23_wrangle",
     "sc3_ngfs_wrangle",
@@ -136,7 +118,6 @@ _PRIORITY = [
     "s4_ivf_topk",
     "e1_tumbling_window",
     "e2_json_extract",
-    "e3_sliding_window",
     "e5_rollup_range",
     "x1_lang_id",
     "x2_token_stats",
@@ -146,6 +127,60 @@ _PRIORITY = [
     "x6_stratified_take",
     "x7_repetition_score",
     "x8_sequence_pack",
+    "s1_s6_csv_roundtrip",
+    "s2_semicolon_csv",
+    "s3_excel_roundtrip",
+    "s8_glob_union",
+    "s9_jsonl_roundtrip",
+    "a6_a7_wide_year_sums",
+    "f2_f9_scalar_bundle",
+    "f13_row_sum",
+    "fin_layered_median_cascade",
+    "t4_extend_years_constant",
+    "t6_backfill_from_year",
+    "q1_q4_assert_summary",
+    "q8_incomplete_groups",
+    "g1_containment_pairs",
+    "g2_regroup_rename",
+    "m1_multimodal_decode",
+    "m2_multimodal_resize",
+    "m3_multimodal_features",
+    "c1_curate_exact",
+    "c2_curate_near_dedup",
+    "c3_cluster_canonical",
+    "e6_hll_distinct_rollup",
+    "k1_salted_count_distinct",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "cf5_oxford_capacity_factors",
+    "r7_explode_words",
+    "x9_normalize_text",
+    "e3_asof_join",
+    "e4_interval_join",
+    "d3_minhash_lsh",
+    "d4_simhash",
+    "s2_lsh_bucket_topk",
+    "w2_asset_country_filters",
+    "e7_asof_forward",
+    "e8_session_window",
+    "d8_normalized_dedup",
+    "x10_weighted_take",
+    "flagship_market_share",
+    "w0_run_workflow_e2e",
+    "w1_assets_e2e",
+    "j3_full_outer_natural",
+    "a1_pricing_summary",
+    "a4_median",
+    "j2_inner_join_revenue",
+    "w8_interpolate_keep_edges",
+    "w9_lm_extrapolate",
+    "w7_locf_fill",
+    "r1_melt",
+    "t2_complete_cross",
+    "f1_recode",
+    "f14_safe_div",
+    "q5_missings_report",
+    "q6_duplicates_report",
 ]
 
 _ordered = [n for n in _PRIORITY if n in _ALL_QUERIES]

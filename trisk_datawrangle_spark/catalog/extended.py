@@ -787,7 +787,7 @@ def a6a7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
-    "e3_sliding_window",
+    "e9_sliding_window",
     """
 SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, COUNT(*) AS n
@@ -818,4 +818,159 @@ def e3(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "event_type",
         "n",
+    )
+
+
+# ---------------------------------------------------------------- #
+# w3 — datalake prep composite (data-raw/prep_datalake.R)           #
+# ---------------------------------------------------------------- #
+
+
+@q(
+    "w3_datalake_e2e",
+    """
+WITH old_assets AS (
+    SELECT c_custkey AS custkey, concat('IS', c_custkey) AS isin,
+        c_acctbal AS net_profit_margin,
+        CAST(c_custkey % 13 AS DOUBLE) AS debt_equity_ratio,
+        'archive' AS src
+    FROM customer
+    WHERE c_custkey % 11 <> 0
+), new_assets AS (
+    SELECT o_custkey AS custkey, concat('IS', o_custkey) AS isin,
+        ROUND(quantile_cont(o_totalprice, 0.5), 4) AS net_profit_margin,
+        CAST(COUNT(*) AS DOUBLE) AS debt_equity_ratio,
+        'new' AS src
+    FROM orders GROUP BY 1, 2
+), assets AS (
+    SELECT * FROM new_assets
+    UNION ALL
+    SELECT * FROM old_assets o
+    WHERE NOT EXISTS (SELECT 1 FROM new_assets n WHERE n.isin = o.isin)
+), edges AS (
+    SELECT DISTINCT o_custkey AS subsidiary_company_id,
+        (o_custkey * 7 + o_orderkey % 5) % 1500 AS parent_company_id,
+        CASE WHEN o_orderkey % 11 = 0 THEN NULL
+             ELSE CAST(o_orderkey % 101 AS DOUBLE) END AS linking_stake,
+        o_orderkey % 3 AS ownership_level
+    FROM orders
+), filled AS (
+    SELECT subsidiary_company_id, parent_company_id, ownership_level,
+        coalesce(linking_stake, 100.0) AS linking_stake
+    FROM edges WHERE ownership_level >= 0
+), majority AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY subsidiary_company_id, ownership_level
+            ORDER BY linking_stake DESC, parent_company_id) AS rn
+        FROM filled
+    ) WHERE rn = 1
+)
+SELECT a.isin, a.src, a.net_profit_margin, a.debt_equity_ratio,
+    m.parent_company_id, m.linking_stake
+FROM assets a
+JOIN majority m ON m.subsidiary_company_id = a.custkey
+    AND m.ownership_level = 1
+""",
+)
+def w3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datalake-prep composite (data-raw/prep_datalake.R end-to-end):
+    the last reference workflow without a composed gate. Replays, on
+    TPC tables, (1) the archive vintage as a MULTI-FILE glob-union
+    CSV scan with a NULL-isin drop (S8+P5, :13-27 ``list.files %>%
+    map(read_xlsx) %>% bind_rows`` and :63 ``filter(!is.na(isin))``);
+    (2) the recent vintage as a per-isin median aggregate (A4,
+    :97-107 ``group_by(isin) %>% summarise(median(...))``); (3)
+    dedup-union precedence — new wins per isin, archive fills gaps
+    (U3, :112-116); (4) the ownership tree's majority-parent pick:
+    distinct edges, NA stake → 100, slice_max per (company, level)
+    with the P8 pinned-order tie rule (J10+P8, :229-266,290-303);
+    (5) the isin→company bridge joining assets to their level-1
+    majority parent. Values are raw parquet doubles (CSV round-trip
+    is shortest-repr exact) and medians round to 4 — hash-exact."""
+    from trisk_datawrangle_spark.operators.joins import (
+        union_with_precedence,
+    )
+    from trisk_datawrangle_spark.operators.windows import slice_min
+
+    c, o = load_tables(spark, sf_dir, ["customer", "orders"]).values()
+    ck = F.col("c_custkey")
+
+    # (1) archive vintage: two CSV files (vintage split), glob scan
+    base = _scratch(sf_dir, "datalake_archive")
+    archive_src = c.select(
+        ck.alias("custkey"),
+        F.when(ck % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("IS"), ck.cast("string")))
+        .alias("isin"),
+        F.col("c_acctbal").alias("net_profit_margin"),
+        (ck % 13).cast("double").alias("debt_equity_ratio"),
+    )
+    for part, cond in (("even", ck % 2 == 0), ("odd", ck % 2 == 1)):
+        archive_src.filter(cond).coalesce(1).write.mode(
+            "overwrite"
+        ).option("header", True).csv(f"{base}/{part}")
+    old = (
+        read_csv_typed(
+            spark,
+            f"{base}/*",
+            "custkey bigint, isin string, net_profit_margin double, "
+            "debt_equity_ratio double",
+        )
+        .filter(F.col("isin").isNotNull())
+        .withColumn("src", F.lit("archive"))
+    )
+
+    # (2) recent vintage: per-isin exact-median consolidation
+    new = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.round(median("o_totalprice"), 4).alias("net_profit_margin"),
+        F.count(F.lit(1)).cast("double").alias("debt_equity_ratio"),
+    ).select(
+        "custkey",
+        F.concat(F.lit("IS"), F.col("custkey").cast("string")).alias(
+            "isin"
+        ),
+        "net_profit_margin",
+        "debt_equity_ratio",
+        F.lit("new").alias("src"),
+    )
+
+    # (3) dedup-union precedence: new wins, archive fills the gaps
+    assets = union_with_precedence(new, old, on=["isin"])
+
+    # (4) majority-parent pick over the ownership tree
+    edges = o.select(
+        F.col("o_custkey").alias("subsidiary_company_id"),
+        ((F.col("o_custkey") * 7 + F.col("o_orderkey") % 5) % 1500).alias(
+            "parent_company_id"
+        ),
+        F.when(
+            F.col("o_orderkey") % 11 == 0, F.lit(None).cast("double")
+        )
+        .otherwise((F.col("o_orderkey") % 101).cast("double"))
+        .alias("linking_stake"),
+        (F.col("o_orderkey") % 3).alias("ownership_level"),
+    ).distinct()
+    filled = edges.filter(F.col("ownership_level") >= 0).withColumn(
+        "linking_stake", F.coalesce("linking_stake", F.lit(100.0))
+    )
+    majority = slice_min(
+        filled,
+        ["subsidiary_company_id", "ownership_level"],
+        [F.col("linking_stake").desc(), F.col("parent_company_id").asc()],
+    )
+
+    # (5) isin→company bridge to the level-1 majority parent
+    bridge = majority.filter(F.col("ownership_level") == 1).select(
+        F.col("subsidiary_company_id").alias("custkey"),
+        "parent_company_id",
+        "linking_stake",
+    )
+    return assets.join(bridge, "custkey").select(
+        "isin",
+        "src",
+        "net_profit_margin",
+        "debt_equity_ratio",
+        "parent_company_id",
+        "linking_stake",
     )

@@ -3559,3 +3559,128 @@ def w2_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "year",
         "plan_tech_prod",
     )
+
+
+# ------------------------------------------------------------------ #
+# cp1 — NGFS carbon-price chain (prepare_ngfs_carbon_price.R:17-174)  #
+# ------------------------------------------------------------------ #
+
+_CP1_SERIES = """
+    SELECT
+        CASE WHEN n_nationkey % 2 = 0 THEN 'GCAM 6.0'
+             ELSE 'REMIND-MAgPIE 3.2-4.6' END AS model,
+        CASE WHEN n_nationkey % 3 = 0 THEN 'NetZero2050'
+             WHEN n_nationkey % 3 = 1 THEN 'DelayedTransition'
+             ELSE 'CurrentPolicies' END AS scenario,
+        n_name AS scenario_geography,
+        'Price|Carbon' AS variable,
+        'USD2010/tCO2' AS unit,
+        n_nationkey
+    FROM nation
+"""
+
+
+@q(
+    "cp1_ngfs_carbon_price",
+    f"""
+WITH yr AS (SELECT * FROM (VALUES (2020), (2025), (2030), (2035),
+                                  (2040), (2045), (2050)) AS t(y)),
+series AS ({_CP1_SERIES}),
+knots AS (
+    SELECT model, scenario, scenario_geography, variable, unit,
+        y AS year,
+        CASE WHEN (y = 2030 AND n_nationkey % 3 = 1)
+              OR (y = 2035 AND n_nationkey % 4 = 2)
+              OR (y = 2040 AND n_nationkey % 5 = 3) THEN NULL
+             ELSE CAST((n_nationkey * 7 + (y - 2020) * 3) % 97 AS DOUBLE)
+        END AS carbon_tax
+    FROM series CROSS JOIN yr
+),
+spine AS (
+    SELECT s.model, s.scenario, s.scenario_geography, s.variable, s.unit,
+        CAST(unnest(generate_series(2020, 2050)) AS INTEGER) AS year
+    FROM (SELECT DISTINCT model, scenario, scenario_geography,
+                 variable, unit FROM knots) s
+),
+dense AS (
+    SELECT s.model, s.scenario, s.scenario_geography, s.variable,
+           s.unit, s.year, k.carbon_tax
+    FROM spine s LEFT JOIN knots k
+    USING (model, scenario, scenario_geography, variable, unit, year)
+),
+marked AS (
+    SELECT model, scenario, scenario_geography, variable, unit, year,
+        carbon_tax,
+        last_value(carbon_tax IGNORE NULLS) OVER wback AS prev_v,
+        last_value(CASE WHEN carbon_tax IS NOT NULL THEN year END
+                   IGNORE NULLS) OVER wback AS prev_x,
+        first_value(carbon_tax IGNORE NULLS) OVER wfwd AS next_v,
+        first_value(CASE WHEN carbon_tax IS NOT NULL THEN year END
+                    IGNORE NULLS) OVER wfwd AS next_x
+    FROM dense
+    WINDOW wback AS (PARTITION BY model, scenario, scenario_geography,
+                     variable, unit ORDER BY year
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wfwd AS (PARTITION BY model, scenario, scenario_geography,
+                    variable, unit ORDER BY year
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT model, scenario, scenario_geography, variable, unit, year,
+    ROUND(CASE WHEN carbon_tax IS NOT NULL THEN carbon_tax
+         WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+         THEN prev_v + (next_v - prev_v) * (year - prev_x)
+              / (next_x - prev_x)
+    END, 6) AS carbon_tax
+FROM marked
+""",
+)
+def cp1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NGFS carbon-price chain (R/prepare_ngfs_carbon_price.R:17-174;
+    run daily by run_workflow.R:8-30): a wide 5-year-step NGFS-shaped
+    frame — synthesized deterministically from ``nation``, with
+    interior NULL knots — is melted (R1), completed to a yearly
+    per-series spine (T1, bounds=group), and linearly interpolated
+    with published edges kept (W8, na_rm=False). The oracle replays
+    melt → spine → interpolation in DuckDB; knot values are
+    integer-valued doubles and both engines compute the identical
+    ``prev + (next-prev)*(y-x0)/(x1-x0)`` expression, so values
+    hash-match at 6 decimals. The w0 composite also exercises this
+    stage; this entry gates it in isolation."""
+    from trisk_datawrangle_spark.plans.prices import (
+        prepare_ngfs_carbon_price,
+    )
+
+    n = _nation(spark, sf_dir)
+    k = F.col("n_nationkey")
+    years = [2020, 2025, 2030, 2035, 2040, 2045, 2050]
+    null_at = {2030: (k % 3 == 1), 2035: (k % 4 == 2), 2040: (k % 5 == 3)}
+    raw = n.select(
+        F.when(k % 2 == 0, F.lit("GCAM 6.0"))
+        .otherwise(F.lit("REMIND-MAgPIE 3.2-4.6"))
+        .alias("Model"),
+        F.when(k % 3 == 0, F.lit("NetZero2050"))
+        .when(k % 3 == 1, F.lit("DelayedTransition"))
+        .otherwise(F.lit("CurrentPolicies"))
+        .alias("Scenario"),
+        F.col("n_name").alias("Region"),
+        F.lit("Price|Carbon").alias("Variable"),
+        F.lit("USD2010/tCO2").alias("Unit"),
+        *[
+            F.when(
+                null_at.get(y, F.lit(False)), F.lit(None).cast("double")
+            )
+            .otherwise(((k * 7 + F.lit((y - 2020) * 3)) % 97).cast("double"))
+            .alias(str(y))
+            for y in years
+        ],
+    )
+    out = prepare_ngfs_carbon_price(raw)
+    return out.select(
+        "model",
+        "scenario",
+        "scenario_geography",
+        "variable",
+        "unit",
+        "year",
+        F.round("carbon_tax", 6).alias("carbon_tax"),
+    )
