@@ -228,3 +228,29 @@ def test_join_asof_rejects_keyless_and_bad_direction(spark):
         join_asof(left, right, on=[])
     with pytest.raises(ValueError, match="direction"):
         join_asof(left, right, on=["k"], direction="sideways")
+
+
+def test_asof_duplicate_right_ts_tie_rule_direction_invariant(spark):
+    """Right-side ties at the same (key, ts) must resolve to the
+    LARGEST carried struct in every direction — backward, forward,
+    and nearest all pick the same duplicate."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"))], "k long, ts timestamp"
+    )
+    # three right rows at the identical (key, ts): the largest struct
+    # (ordered by carried value) must win everywhere
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), "b"),
+            (1, _ts("2024-01-01 10:00:00"), "c"),
+            (1, _ts("2024-01-01 10:00:00"), "a"),
+        ],
+        "k long, ts timestamp, v string",
+    )
+    picks = {
+        d: join_asof(left, right, on=["k"], right_cols=["v"], direction=d)
+        .select("v_asof")
+        .first()[0]
+        for d in ("backward", "forward", "nearest")
+    }
+    assert picks == {"backward": "c", "forward": "c", "nearest": "c"}

@@ -140,10 +140,14 @@ def join_asof(
         .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__r").asc())
         .rowsBetween(*frame)
     )
+    # __r ASC in the desc scan: the last right row seen at equal
+    # (key, ts) is the LARGEST carried struct — the same tie rule as
+    # the backward scan (__r asc under ts asc), so forward/nearest and
+    # backward agree on duplicate right timestamps.
     wf = (
         Window.partitionBy(*on)
         .orderBy(
-            F.col("__ts").desc(), F.col("__side").asc(), F.col("__r").desc()
+            F.col("__ts").desc(), F.col("__side").asc(), F.col("__r").asc()
         )
         .rowsBetween(*frame)
     )

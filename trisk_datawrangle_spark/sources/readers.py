@@ -116,10 +116,13 @@ def _normalize_timestamps(spark: SparkSession, df: DataFrame) -> DataFrame:
     (``spark.sql.parquet.inferTimestampNTZ.enabled`` default) reads as
     TIMESTAMP_NTZ — a type that cannot be cast to numerics, rejects
     ``withWatermark``, and forks every downstream time expression into
-    a second dtype. The session timezone is pinned UTC here (runtime
-    conf, safe on a live session), so NTZ→TIMESTAMP is a deterministic
-    relabeling of the same micros and the whole engine sees exactly the
-    dtype it saw under Spark 3.x semantics.
+    a second dtype. The relabel is timezone-explicit: the NTZ wall
+    clock is treated as UTC regardless of the caller's session
+    timezone (``convert_timezone('UTC', session_tz, ntz)`` then a
+    plain cast), so the resulting TIMESTAMP carries exactly the NTZ
+    micros and this function never mutates session state. ``get_spark``
+    sessions are pinned UTC anyway, making the conversion an identity
+    there.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import TimestampNTZType
@@ -127,10 +130,20 @@ def _normalize_timestamps(spark: SparkSession, df: DataFrame) -> DataFrame:
     ntz = [f.name for f in df.schema.fields
            if isinstance(f.dataType, TimestampNTZType)]
     if ntz:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df = df.withColumns(
-            {c: F.col(c).cast("timestamp") for c in ntz}
-        )
+        session_tz = spark.conf.get("spark.sql.session.timeZone")
+        if session_tz in (None, "UTC", "Etc/UTC", "GMT", "Z"):
+            casts = {c: F.col(c).cast("timestamp") for c in ntz}
+        else:
+            # NTZ→LTZ cast interprets the wall clock in the session
+            # tz; shift the wall clock UTC→session_tz first so the
+            # final instant is the NTZ micros read as UTC.
+            casts = {
+                c: F.convert_timezone(
+                    F.lit("UTC"), F.lit(session_tz), F.col(c)
+                ).cast("timestamp")
+                for c in ntz
+            }
+        df = df.withColumns(casts)
     return df
 
 
