@@ -50,6 +50,7 @@ _PRIORITY = [
     "s5_ivf_pq_topk",
     "s6_pq_recall",
     "e9_sliding_window",
+    "st1_stateful_running_totals",
     "p1_project_rename",
     "p3_filter_isin",
     "p4_filter_regex",

@@ -974,3 +974,36 @@ def w3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "parent_company_id",
         "linking_stake",
     )
+
+
+# ---------------------------------------------------------------- #
+# st1 — custom stateful op, batch fixpoint                          #
+# ---------------------------------------------------------------- #
+
+
+@q(
+    "st1_stateful_running_totals",
+    """
+SELECT CAST(event_type AS VARCHAR) AS event_type,
+    COUNT(*) AS n,
+    ROUND(SUM(value), 4) AS total,
+    FALSE AS finalized
+FROM events
+GROUP BY event_type
+""",
+)
+def st1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (streaming/stateful.py
+    running_totals): per-key running (count, sum). The streaming path
+    is applyInPandasWithState with timeout eviction; this entry gates
+    the BATCH fixpoint of the same function (the final totals every
+    micro-batch converges to), which is SQL-expressible — the
+    stream/batch agreement is separately tested in
+    tests/test_streaming_and_skew.py."""
+    from trisk_datawrangle_spark.streaming.stateful import running_totals
+
+    (ev,) = load_tables(spark, sf_dir, ["events"]).values()
+    res = running_totals(ev, ["event_type"], "value")
+    return res.select(
+        "event_type", "n", F.round("total", 4).alias("total"), "finalized"
+    )
