@@ -400,12 +400,15 @@ def simhash_band_pairs(
     carries only (id, band, bucket) longs.
 
     ``max_hamming`` adds a full-signature ``bit_count(xor)`` gate
-    after the bucket join — with narrow bands (small bucket space) the
-    random band collisions dwarf the true pairs, and pruning them here
-    (a broadcast join against the tiny signature table + one codegen
-    popcount) keeps the expensive downstream verification linear in
-    *true* candidates. Set it to ``bands - 1`` to keep exactly the
-    pigeonhole-guaranteed recall class.
+    INSIDE the bucket join — with narrow bands (small bucket space)
+    random band collisions dwarf the true pairs quadratically, so the
+    signature rides along on the banded table and collision pairs die
+    on a codegen popcount as they stream out of the join, before the
+    candidate ``distinct`` exchange ever sees them (the naive
+    join→distinct→gate order shuffles the full quadratic collision
+    set: ~620M rows at 50k docs with 4-bit bands). Set it to
+    ``bands - 1`` to keep exactly the pigeonhole-guaranteed recall
+    class.
 
     ``feats`` supplies a pre-built distinct (id, h) feature table so
     the caller can share one cached shingle table between signature
@@ -419,6 +422,7 @@ def simhash_band_pairs(
     ).cache()
     banded = st.select(
         "id",
+        "simhash",
         F.explode(
             F.array(
                 *[
@@ -432,31 +436,25 @@ def simhash_band_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
-    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
-    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    ).select("id", "simhash", "bb.band", "bb.bucket")
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("__sa"),
+        "band", "bucket",
     )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("__sb"),
+        "band", "bucket",
+    )
+    pre = a.join(b, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
     if max_hamming is not None:
-        sa = st.select(F.col("id").alias("id_a"), F.col("simhash").alias("__sa"))
-        sb = st.select(F.col("id").alias("id_b"), F.col("simhash").alias("__sb"))
-        # plain equi-joins: the signature table is one row per doc, so
-        # at corpus scale it exceeds broadcast limits — AQE will still
-        # pick a broadcast join when it is small (as in tests)
-        cand = (
-            cand.join(sa, "id_a")
-            .join(sb, "id_b")
-            .filter(
-                F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
-                <= F.lit(int(max_hamming))
-            )
-            .select("id_a", "id_b")
+        # signatures joined as plain columns of the banded table —
+        # collision pairs are gated in the SAME codegen stage the
+        # join emits them from; only survivors reach the distinct
+        pre = pre.filter(
+            F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+            <= F.lit(int(max_hamming))
         )
-    return cand
+    return pre.select("id_a", "id_b").distinct()
 
 
 def simhash_dedup_pairs(
