@@ -116,3 +116,27 @@ def test_pq_recall_gate_margin(spark, sf):
         f"s6 driver flag (bar 0.5) is at risk; retune n_probe/m or "
         f"the flag threshold before the driver window runs"
     )
+
+
+@pytest.mark.parametrize("sf", _SCAN_DIRS)
+def test_asof_oracle_right_side_keys_are_unique(spark, sf):
+    """e3/e7 hash-match DuckDB's native ASOF JOIN, whose pick among
+    right rows tied at the same (key, ts) is UNSPECIFIED — our
+    join_asof pins 'largest carried struct' in every direction, so
+    the oracle gate is only safe while the events corpus has no
+    duplicate (user_id, ts) error rows. A regenerated corpus that
+    introduces one should fail here with a diagnostic, not as an
+    opaque driver hash mismatch."""
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM ("
+        f"  SELECT user_id, ts FROM '{sf}/events.parquet'"
+        f"  WHERE event_type = 'error'"
+        f"  GROUP BY user_id, ts HAVING count(*) > 1)"
+    ).fetchone()[0]
+    assert n == 0, (
+        f"{sf}: {n} duplicate (user_id, ts) error keys — e3/e7's "
+        f"DuckDB ASOF oracle tie pick is unspecified; either dedup "
+        f"the right side in the entries or drop the hash gate"
+    )
