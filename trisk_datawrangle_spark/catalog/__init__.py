@@ -51,6 +51,8 @@ _PRIORITY = [
     "s6_pq_recall",
     "e9_sliding_window",
     "st1_stateful_running_totals",
+    "x11_token_topk",
+    "x12_cms_freq_gate",
     "p1_project_rename",
     "p3_filter_isin",
     "p4_filter_regex",

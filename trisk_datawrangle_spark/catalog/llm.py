@@ -1113,3 +1113,90 @@ def c2(spark, sf_dir):
     from trisk_datawrangle_spark.llm.curate import curate
 
     return curate(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------- #
+# x11/x12 — token heavy hitters: exact top-k + Count-Min gate       #
+# ---------------------------------------------------------------- #
+
+_TOPK_SQL = """
+SELECT token, n FROM (
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+            AS token
+        FROM documents
+    )
+    WHERE token <> ''
+    GROUP BY token
+)
+ORDER BY n DESC, token ASC
+LIMIT {k}
+"""
+
+
+@q("x11_token_topk", _TOPK_SQL.format(k=40))
+def x11(spark, sf_dir):
+    """Exact corpus heavy hitters: top-40 tokens by frequency.
+    Explode → hash-agg with map-side combine (one shuffle, vocabulary
+    sized) → TakeOrdered (per-partition top-k, k-row driver merge —
+    no global sort). Ties at the cut are broken by token, so the k-
+    boundary is deterministic in both engines."""
+    from trisk_datawrangle_spark.llm.text import token_topk
+
+    return token_topk(_docs(spark, sf_dir), "text", k=40)
+
+
+@q(
+    "x12_cms_freq_gate",
+    """
+SELECT token, exact_n, TRUE AS within_eps FROM (
+    SELECT token, CAST(count(*) AS BIGINT) AS exact_n
+    FROM (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+            AS token
+        FROM documents
+    )
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY exact_n DESC, token ASC
+    LIMIT 20
+)
+""",
+)
+def x12(spark, sf_dir):
+    """Count-Min sketch frequency estimates gated against ground
+    truth (the e6 HLL pattern for point frequencies): the sketch is
+    built/merged JVM-side by the ``count_min_sketch`` aggregate, the
+    KB-scale binary is estimated driver-side for the exact top-20
+    tokens, and each row carries ``within_eps`` — CMS never
+    undercounts, and overcounts by ≤ eps·N with the configured
+    confidence (eps=1e-4, conf=0.999; the margin test in
+    tests/test_gate_margins.py asserts the corpus sits far inside
+    the bound, so this gate fails diagnostically, not flakily)."""
+    from trisk_datawrangle_spark.llm.text import token_topk
+    from trisk_datawrangle_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    from trisk_datawrangle_spark.operators.sketches import cms_total
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(tokenize("text")).alias("token")).cache()
+    top = token_topk(docs, "text", k=20).collect()  # bounded: 20 rows
+    sk = cms_sketch(toks, "token", eps=1e-4, confidence=0.999, seed=42)
+    est = cms_estimate(spark, sk, [r["token"] for r in top])
+    bound = max(1.0, 1e-4 * cms_total(spark, sk))  # the eps·N guarantee
+    rows = [
+        (
+            r["token"],
+            r["n"],
+            bool(est[r["token"]] >= r["n"]
+                 and est[r["token"]] - r["n"] <= bound),
+        )
+        for r in top
+    ]
+    return spark.createDataFrame(
+        rows, "token string, exact_n bigint, within_eps boolean"
+    )

@@ -181,3 +181,20 @@ def normalize_text(col: str | Column) -> Column:
     c = F.regexp_replace(c, EMAIL_RX, "<EMAIL>")
     c = F.regexp_replace(c, SPACE_RX, " ")
     return F.trim(c)
+
+
+def token_topk(df, text_col: str = "text", k: int = 50):
+    """Exact corpus-wide token heavy hitters: (token, n) for the k
+    most frequent :func:`tokenize` tokens, ties broken by token
+    (deterministic). Plan: explode → hash-aggregate (map-side partial
+    combine collapses each partition to its distinct tokens before
+    the ONE shuffle) → ``orderBy().limit(k)``, which Spark executes
+    as TakeOrdered — a per-partition top-k + a k-row merge on the
+    driver, never a global sort. The vocabulary, not the corpus, is
+    the shuffle volume."""
+    counts = (
+        df.select(F.explode(tokenize(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)

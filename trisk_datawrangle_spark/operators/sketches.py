@@ -75,3 +75,43 @@ def hll_range_distinct(
         )
         .drop("sketch")
     )
+
+
+def cms_sketch(df: DataFrame, col: str, eps: float = 1e-4,
+               confidence: float = 0.99, seed: int = 42) -> bytes:
+    """Count-Min sketch of a column as bytes: the ``count_min_sketch``
+    SQL aggregate builds and merges per-partition sketches JVM-side
+    (mergeable like the HLL ladder — the merged sketch IS the sketch
+    of the union), and only the final KB-scale binary reaches the
+    driver. Width ``ceil(e/eps)`` counters × depth ``ceil(ln(1/(1-
+    confidence)))`` rows; estimates never undercount and overcount by
+    ≤ eps·N with probability ≥ confidence."""
+    row = df.agg(
+        F.count_min_sketch(
+            col, F.lit(float(eps)), F.lit(float(confidence)),
+            F.lit(int(seed)),
+        ).alias("__cms")
+    ).head()
+    return bytes(row["__cms"])
+
+
+def cms_estimate(spark, sketch: bytes, values) -> dict:
+    """Point-frequency estimates from a serialized Count-Min sketch —
+    driver-side on the tiny binary (the distributed work already
+    happened in :func:`cms_sketch`). Strings hash as their UTF-8
+    bytes, matching how the SQL aggregate added them."""
+    cms = _cms_read(spark, sketch)
+    return {v: cms.estimateCount(v) for v in values}
+
+
+def _cms_read(spark, sketch: bytes):
+    jvm = spark.sparkContext._jvm
+    return jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytearray(sketch))
+    )
+
+
+def cms_total(spark, sketch: bytes) -> int:
+    """Total item count folded into a serialized Count-Min sketch —
+    the N in the eps·N overcount guarantee."""
+    return int(_cms_read(spark, sketch).totalCount())
