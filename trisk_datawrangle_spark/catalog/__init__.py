@@ -39,11 +39,12 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 # get driver-verified each round. Round-5 window (disjoint from r4's,
 # per the rotation design): (1) the entries ADDED or renamed this round
 # (cp1 carbon-price chain, w3 datalake composite, s5/s6 IVF-PQ tiers,
-# e9 ex-e3_sliding) — all need first driver proof; (2) the relational
-# primitives whose last driver proof is r1 (p*/j*/a*/w1/w4/w6, t3/t5,
-# r3/r4/r6/r8, u*, f10-f12); (3) the head of the r3 cohort (sc1-sc6,
-# cf1-cf3). The rest of the r3 cohort follows, then the r4-window
-# entries (freshest proof) last.
+# e9 ex-e3_sliding, st1 stateful, x11-x14 token/sketch/chunk/BM25
+# tiers, d9 bloom decontamination) — all need first driver proof;
+# (2) the relational primitives whose last driver proof is r1
+# (p*/j*/a*/w1/w4/w6, t3/t5, r3/r4/r6/r8, u*, f10-f12); (3) the head
+# of the r3 cohort (sc1-sc3). The rest of the r3 cohort follows, then
+# the r4-window entries (freshest proof) last.
 _PRIORITY = [
     "cp1_ngfs_carbon_price",
     "w3_datalake_e2e",
@@ -53,6 +54,9 @@ _PRIORITY = [
     "st1_stateful_running_totals",
     "x11_token_topk",
     "x12_cms_freq_gate",
+    "x13_doc_chunking",
+    "x14_bm25",
+    "d9_bloom_decontamination",
     "p1_project_rename",
     "p3_filter_isin",
     "p4_filter_regex",

@@ -1200,3 +1200,147 @@ def x12(spark, sf_dir):
     return spark.createDataFrame(
         rows, "token string, exact_n bigint, within_eps boolean"
     )
+
+
+# ---------------------------------------------------------------- #
+# round 5 additions: chunking, BM25, Bloom decontamination          #
+# ---------------------------------------------------------------- #
+
+
+@q(
+    "x13_doc_chunking",
+    """
+WITH toks AS (
+    SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    w -> w <> '') AS ws
+    FROM documents
+), spine AS (
+    SELECT doc_id, ws,
+        unnest(range(0, CASE WHEN len(ws) = 0 THEN 0
+            ELSE CAST(ceil(greatest(len(ws) - 64, 0) / 48.0) AS BIGINT) + 1
+            END)) AS chunk_id
+    FROM toks
+)
+SELECT doc_id, chunk_id,
+    array_to_string(ws[chunk_id*48 + 1 : chunk_id*48 + 64], ' ')
+        AS chunk_text,
+    len(ws[chunk_id*48 + 1 : chunk_id*48 + 64]) AS n_chunk_tokens
+FROM spine
+""",
+)
+def x13(spark, sf_dir):
+    """Overlapping context-window chunking (64-token windows, stride
+    48): the step that turns documents into embedding/training
+    examples. Pure projection + posexplode — no shuffle, codegen end
+    to end; the oracle replays the identical window arithmetic with
+    DuckDB list slicing."""
+    from trisk_datawrangle_spark.llm.packing import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), "text", "doc_id", window=64, stride=48
+    )
+
+
+_BM25_TERMS = ["hash", "join", "window"]
+
+
+def _bm25_oracle() -> str:
+    from trisk_datawrangle_spark.llm.ranking import bm25_sql
+
+    return bm25_sql(_BM25_TERMS, source="documents")
+
+
+@q("x14_bm25", None)  # oracle attached below (generator import order)
+def x14(spark, sf_dir):
+    """Okapi BM25 lexical relevance against a fixed query — sparse
+    retrieval next to the dense ANN ladder. Two hash aggregations
+    (token→doc tf vector, 1-row corpus stats) + a broadcast + a
+    fixed-order scoring projection; the fixed-order sum makes the
+    double bit-stable under any partitioning, so the oracle replays
+    it exactly."""
+    from trisk_datawrangle_spark.llm.ranking import bm25_scores
+
+    return bm25_scores(_docs(spark, sf_dir), _BM25_TERMS)
+
+
+ORACLES["x14_bm25"] = _bm25_oracle()
+
+
+def _d9_oracle(m_bits: int = 1 << 18, k: int = 3) -> str:
+    from trisk_datawrangle_spark.llm.dedup import bloom_position_sql
+
+    bpos_union = "\n    UNION ALL ".join(
+        f"SELECT {bloom_position_sql('g', j, m_bits)} AS pos FROM bench"
+        for j in range(k)
+    )
+    pos_cols = ", ".join(
+        f"{bloom_position_sql('g', j, m_bits)} AS p{j}" for j in range(k)
+    )
+    hit_cols = ",\n        ".join(
+        f"COALESCE((b{j}.word >> CAST(c.p{j} % 32 AS INTEGER)) & 1, 0) AS h{j}"
+        for j in range(k)
+    )
+    joins = "\n    ".join(
+        f"LEFT JOIN bitmap b{j} ON c.p{j} // 32 = b{j}.bucket"
+        for j in range(k)
+    )
+    all_hit = " AND ".join(f"h{j} = 1" for j in range(k))
+    return f"""
+WITH ws AS (
+    SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    w -> w <> '') AS ws
+    FROM documents
+), g AS (
+    SELECT doc_id,
+        unnest(list_distinct(list_transform(
+            range(1, greatest(len(ws) - 2, 1)),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+        ))) AS g
+    FROM ws
+), bench AS (SELECT DISTINCT g FROM g WHERE doc_id < 20),
+bpos AS (
+    {bpos_union}
+), bitmap AS (
+    SELECT pos // 32 AS bucket,
+        bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS word
+    FROM bpos GROUP BY 1
+), corpus AS (
+    SELECT doc_id, g, {pos_cols}
+    FROM g WHERE doc_id >= 20
+), scored AS (
+    SELECT c.doc_id,
+        {hit_cols}
+    FROM corpus c
+    {joins}
+)
+SELECT doc_id,
+    COUNT(*) FILTER ({all_hit}) AS n_bloom_hits
+FROM scored GROUP BY 1
+HAVING COUNT(*) FILTER ({all_hit}) > 0
+"""
+
+
+@q("d9_bloom_decontamination", None)
+def d9(spark, sf_dir):
+    """Bloom-filter decontamination — the scale tier above d6's
+    broadcast-gram-set join: the benchmark compresses to a fixed
+    2^18-bit filter (8K rows of packed 32-bit words) however large
+    its vocabulary; corpus grams take k=3 broadcast joins, the only
+    shuffle is the final per-doc count. No false negatives by
+    construction (property-tested supersets of d6); the md5-position
+    math replays exactly in the oracle."""
+    from trisk_datawrangle_spark.llm.dedup import bloom_contamination
+
+    docs = _docs(spark, sf_dir)
+    return bloom_contamination(
+        docs.filter(F.col("doc_id") >= 20),
+        docs.filter(F.col("doc_id") < 20),
+        "text",
+        "doc_id",
+        n=4,
+    )
+
+
+ORACLES["d9_bloom_decontamination"] = _d9_oracle()

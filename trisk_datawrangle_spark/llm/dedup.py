@@ -589,3 +589,115 @@ def contamination_overlap(
         .groupBy(F.col("id").alias(id_col))
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+
+
+# ---------------------------------------------------------------- #
+# Bloom-filter decontamination (the broadcast-set-free scale tier)  #
+# ---------------------------------------------------------------- #
+#
+# contamination_overlap() broadcasts the benchmark's distinct gram
+# STRINGS — fine for eval sets, but the broadcast grows with the
+# benchmark's vocabulary. The Bloom tier compresses the benchmark to
+# a fixed m-bit filter (m/32 rows of packed 32-bit words — a few KB)
+# regardless of benchmark size: corpus grams stream through k
+# broadcast-hash-joins against the bitmap, so the only shuffle left
+# is the final per-document count. False positives are possible
+# (rate ≈ (1 - e^(-k·n/m))^k), false negatives are not — the filter
+# is a conservative pre-gate; route survivors through the exact
+# overlap if exactness matters.
+#
+# Engine-portability: positions use the md5-hex-prefix trick
+# (13 hex digits < 2^52, exact in BIGINT everywhere), words are
+# 32-bit so 1<<bit never touches the sign bit in any engine.
+
+
+def _bloom_position(gram_col: Column, j: int, m_bits: int) -> Column:
+    """Deterministic hash position j for a gram: first 13 hex digits
+    of md5(gram '|' j) as an integer, mod m_bits."""
+    hx = F.md5(F.concat(gram_col, F.lit(f"|{j}")))
+    return F.conv(F.substring(hx, 1, 13), 16, 10).cast("long") % m_bits
+
+
+def bloom_position_sql(gram_expr: str, j: int, m_bits: int) -> str:
+    """The identical position as DuckDB SQL (exact BIGINT arithmetic,
+    no floats) — oracle generator counterpart of _bloom_position."""
+    h = f"md5({gram_expr} || '|{j}')"
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (12 - i)}"
+        for i in range(13)
+    )
+    return f"(({terms}) % {m_bits})"
+
+
+def bloom_bitmap(
+    grams: DataFrame,
+    gram_col: str = "gram",
+    m_bits: int = 1 << 18,
+    k: int = 3,
+) -> DataFrame:
+    """Pack a gram set into an m-bit Bloom filter as a (bucket, word)
+    table of 32-bit words — at most m/32 rows, mergeable (bit_or is
+    associative+commutative), broadcastable."""
+    if m_bits % 32:
+        raise ValueError("m_bits must be a multiple of 32")
+    pos = grams.select(
+        F.explode(
+            F.array(*[_bloom_position(F.col(gram_col), j, m_bits) for j in range(k)])
+        ).alias("pos")
+    )
+    # shiftleft/shiftright take a literal int in the Python API —
+    # column-valued shift counts go through the SQL expression form
+    return pos.groupBy(F.shiftright("pos", 5).alias("bucket")).agg(
+        F.bit_or(
+            F.expr("shiftleft(cast(1 as bigint), cast(pos % 32 as int))")
+        ).alias("word")
+    )
+
+
+def bloom_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    m_bits: int = 1 << 18,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom-gated decontamination: corpus documents whose distinct
+    word n-grams hit the benchmark's Bloom filter, with hit counts —
+    same output shape as :func:`contamination_overlap`, superset
+    semantics (no false negatives; FPs at the documented rate).
+
+    Plan: benchmark grams → tiny packed bitmap; corpus grams take k
+    BROADCAST joins (bucket equi-key) — no corpus-keyed shuffle until
+    the final per-document aggregate. This is the shape that survives
+    a benchmark too large to broadcast as strings."""
+    from trisk_datawrangle_spark.llm.text import word_gram_table
+
+    bitmap = bloom_bitmap(
+        word_gram_table(benchmark, text_col, id_col, n, distinct=True)
+        .select("gram")
+        .distinct(),
+        m_bits=m_bits,
+        k=k,
+    )
+    g = word_gram_table(corpus, text_col, id_col, n, distinct=True)
+    hit_all = F.lit(True)
+    for j in range(k):
+        g = g.withColumn(f"__p{j}", _bloom_position(F.col("gram"), j, m_bits))
+        bm = F.broadcast(
+            bitmap.select(
+                F.col("bucket").alias(f"__b{j}"), F.col("word").alias(f"__w{j}")
+            )
+        )
+        g = g.join(bm, F.shiftright(F.col(f"__p{j}"), 5) == F.col(f"__b{j}"), "left")
+        hit_j = F.col(f"__w{j}").isNotNull() & F.expr(
+            f"(shiftright(__w{j}, cast(__p{j} % 32 as int)) & 1) = 1"
+        )
+        hit_all = hit_all & hit_j
+    return (
+        g.groupBy(F.col("id").alias(id_col))
+        .agg(F.count_if(hit_all).alias("n_bloom_hits"))
+        .filter(F.col("n_bloom_hits") > 0)
+    )

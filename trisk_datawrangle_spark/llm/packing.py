@@ -49,3 +49,64 @@ def pack_sequences(
             "long"
         ),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows —
+    the context-window chunking step that precedes embedding or
+    training-example generation (stride < window ⇒ ``window-stride``
+    tokens of overlap so no boundary-spanning content is lost).
+
+    Output: (``id_col``, chunk_id, chunk_text, n_chunk_tokens), one
+    row per chunk; chunk ``i`` covers word positions
+    ``[i*stride, i*stride + window)``. A document with ``n`` words
+    yields ``ceil(max(n - window, 0) / stride) + 1`` chunks (empty
+    documents yield none) — every word is covered and the last chunk
+    is the only short one.
+
+    Scale shape: pure projection + ``posexplode`` — no shuffle, no
+    Python, whole-stage codegen end to end. The per-row words array
+    is built with ``split`` + ``array_remove`` (both native codegen
+    expressions; no interpreted lambda HOF on the hot path), chunks
+    are ``slice`` + ``concat_ws``. At 100 TB this is embarrassingly
+    parallel and scan-bound."""
+    if window <= 0 or stride <= 0:
+        raise ValueError("window and stride must be positive")
+    words = F.array_remove(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), ""
+    )
+    n = F.size(words)
+    n_chunks = (F.ceil(F.greatest(n - window, F.lit(0)) / stride) + 1).cast(
+        "int"
+    )
+    # guard: Spark's sequence(0, stop) infers step -1 when stop < 0,
+    # so an unguarded empty doc would yield chunks [0, -1] instead of
+    # none — emit an empty array explicitly for wordless documents
+    spine = F.when(n <= 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(0), n_chunks - 1)
+    )
+    out = (
+        df.select(
+            F.col(id_col),
+            words.alias("__ws"),
+            F.posexplode(spine).alias("chunk_id", "__i"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.concat_ws(
+                " ",
+                F.slice(F.col("__ws"), F.col("chunk_id") * stride + 1, window),
+            ).alias("chunk_text"),
+            F.size(
+                F.slice(F.col("__ws"), F.col("chunk_id") * stride + 1, window)
+            ).cast("long").alias("n_chunk_tokens"),
+        )
+    )
+    return out
