@@ -281,3 +281,55 @@ def test_asof_directions_single_shuffle(spark, sf_dir):
         )
         assert plan.count("Exchange") == 1, (direction, plan)
         assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    """x13 chunking is a pure projection + posexplode: zero
+    exchanges, no join, no Python — scan-bound at any scale."""
+    from trisk_datawrangle_spark.catalog import QUERIES
+
+    plan = (
+        QUERIES["x13_doc_chunking"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 0, plan
+    assert "Join" not in plan, plan
+
+
+def test_bloom_contamination_broadcasts_bitmap_only(spark, sf_dir):
+    """d9's k membership probes are all BROADCAST hash joins against
+    the packed bitmap — the corpus side never sort-merge-joins or
+    shuffles until the final per-doc count."""
+    from trisk_datawrangle_spark.catalog import QUERIES
+
+    plan = (
+        QUERIES["d9_bloom_decontamination"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert plan.count("BroadcastHashJoin") == 3, plan
+
+
+def test_bm25_single_corpus_shuffle(spark, sf_dir):
+    """x14's only corpus-sized exchange is the token→doc tf-vector
+    aggregation; corpus stats collapse to one row and broadcast."""
+    from trisk_datawrangle_spark.catalog import QUERIES
+
+    plan = (
+        QUERIES["x14_bm25"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan, plan
+    # exchanges: doc-grain hash agg (+ the 1-row stats single
+    # partition + its broadcast) — the corpus is shuffled ONCE
+    import re
+
+    hash_exchanges = re.findall(r"Exchange hashpartitioning", plan)
+    assert len(hash_exchanges) <= 2, plan
