@@ -141,3 +141,40 @@ def test_bloom_bitmap_rejects_bad_m(spark):
     g = spark.createDataFrame([("a b c d",)], "gram string")
     with pytest.raises(ValueError):
         bloom_bitmap(g, m_bits=100)
+
+
+# ---------------------------------------------------------------- #
+# block-level (sub-document) dedup                                  #
+# ---------------------------------------------------------------- #
+
+
+def test_block_dedup_removes_shared_blocks_and_preserves_order(spark):
+    from trisk_datawrangle_spark.llm.dedup import block_dedup
+
+    boiler = "b0 b1 b2 b3 b4 b5 b6 b7 b8 b9"  # one exact 10-word block
+    rows = [
+        (1, f"u0 u1 u2 u3 u4 u5 u6 u7 u8 u9 {boiler} t0 t1 t2"),
+        (2, f"{boiler} v0 v1 v2 v3 v4 v5 v6 v7 v8 v9"),
+        (3, "w0 w1 w2 w3 w4"),      # untouched
+        (4, boiler),                # entirely boilerplate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in block_dedup(df, block_words=10).collect()}
+    # the shared block disappears from every doc, order preserved
+    assert out[1].clean_text == "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9 t0 t1 t2"
+    assert out[1].n_blocks_removed == 1 and out[1].n_blocks_kept == 2
+    assert out[2].clean_text == "v0 v1 v2 v3 v4 v5 v6 v7 v8 v9"
+    assert out[3].clean_text == "w0 w1 w2 w3 w4"
+    assert out[3].n_blocks_removed == 0
+    # all-boilerplate doc survives with empty text (policy is caller's)
+    assert out[4].clean_text == "" and out[4].n_blocks_kept == 0
+
+
+def test_block_dedup_unique_corpus_is_identity(spark):
+    from trisk_datawrangle_spark.llm.dedup import block_dedup
+
+    rows = [(i, " ".join(f"d{i}w{j}" for j in range(25))) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for r in block_dedup(df, block_words=10).collect():
+        assert r.n_blocks_removed == 0 and r.n_blocks_kept == 3
+        assert r.clean_text == " ".join(f"d{r.doc_id}w{j}" for j in range(25))

@@ -57,6 +57,7 @@ _PRIORITY = [
     "x13_doc_chunking",
     "x14_bm25",
     "d9_bloom_decontamination",
+    "d10_block_dedup",
     "p1_project_rename",
     "p3_filter_isin",
     "p4_filter_regex",

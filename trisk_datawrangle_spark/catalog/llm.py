@@ -1344,3 +1344,50 @@ def d9(spark, sf_dir):
 
 
 ORACLES["d9_bloom_decontamination"] = _d9_oracle()
+
+
+@q(
+    "d10_block_dedup",
+    """
+WITH toks AS (
+    SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    w -> w <> '') AS ws
+    FROM documents
+), spine AS (
+    SELECT doc_id, ws,
+        unnest(range(0, CASE WHEN len(ws) = 0 THEN 0
+            ELSE CAST(ceil(greatest(len(ws) - 10, 0) / 10.0) AS BIGINT) + 1
+            END)) AS block_id
+    FROM toks
+), blocks AS (
+    SELECT doc_id, block_id,
+        array_to_string(ws[block_id*10 + 1 : block_id*10 + 10], ' ') AS bt
+    FROM spine
+), boiler AS (
+    SELECT bt FROM blocks GROUP BY bt HAVING COUNT(DISTINCT doc_id) >= 2
+), flagged AS (
+    SELECT b.doc_id, b.block_id, b.bt, (o.bt IS NOT NULL) AS is_b
+    FROM blocks b LEFT JOIN boiler o USING (bt)
+)
+SELECT doc_id,
+    COALESCE(string_agg(CASE WHEN NOT is_b THEN bt END, ' '
+                        ORDER BY block_id), '') AS clean_text,
+    COUNT(*) FILTER (NOT is_b) AS n_blocks_kept,
+    COUNT(*) FILTER (is_b) AS n_blocks_removed
+FROM flagged GROUP BY 1
+""",
+)
+def d10(spark, sf_dir):
+    """Sub-document exact dedup (C4/RefinedWeb boilerplate removal):
+    10-word blocks shared verbatim by ≥2 distinct documents are
+    removed and each document reassembles from its surviving blocks
+    in original order. Segmentation is the shuffle-free chunking
+    projection; detection is one block-text hash agg; removal a
+    broadcast anti-join; reassembly one doc-keyed sort_array
+    aggregation — deterministic under any partitioning."""
+    from trisk_datawrangle_spark.llm.dedup import block_dedup
+
+    return block_dedup(
+        _docs(spark, sf_dir), "text", "doc_id", block_words=10, min_docs=2
+    )

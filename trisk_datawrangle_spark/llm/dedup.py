@@ -701,3 +701,75 @@ def bloom_contamination(
         .agg(F.count_if(hit_all).alias("n_bloom_hits"))
         .filter(F.col("n_bloom_hits") > 0)
     )
+
+
+def block_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_words: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Sub-document exact dedup (the C4/RefinedWeb boilerplate-removal
+    step): segment every document into fixed ``block_words``-word
+    blocks, drop blocks whose exact text appears in ≥ ``min_docs``
+    DISTINCT documents (cross-corpus boilerplate — headers, license
+    banners, templated spans), and reassemble each document from its
+    surviving blocks in original order.
+
+    Natural-paragraph corpora should segment on newlines instead; the
+    fixed-width fallback keeps the operator meaningful for
+    whitespace-normalized corpora where paragraph breaks are gone.
+
+    Plan: segmentation is the shuffle-free chunking projection
+    (stride = window ⇒ non-overlapping); boilerplate detection is one
+    hash aggregation on block text (map-side combine collapses
+    per-partition repeats); removal is a broadcast-able anti-join
+    (the boilerplate set is vocabulary-sized, not corpus-sized);
+    reassembly is one doc-keyed aggregation using sort_array over
+    (block_id, text) structs — native expressions, no interpreted
+    HOF, ordered output independent of partitioning.
+
+    Returns (id_col, clean_text, n_blocks_kept, n_blocks_removed);
+    documents that were entirely boilerplate survive with an empty
+    clean_text (the curation policy of dropping them belongs to the
+    caller)."""
+    from trisk_datawrangle_spark.llm.packing import chunk_documents
+
+    blocks = chunk_documents(
+        df, text_col, id_col, window=block_words, stride=block_words
+    )
+    boiler = (
+        blocks.groupBy("chunk_text")
+        .agg(F.count_distinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("chunk_text")
+    )
+    flagged = blocks.join(
+        F.broadcast(boiler.withColumn("__is_boiler", F.lit(True))),
+        "chunk_text",
+        "left",
+    )
+    kept = F.when(F.col("__is_boiler").isNull(), F.col("chunk_text"))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("__is_boiler").isNull(),
+                            F.struct(
+                                F.col("chunk_id"), F.col("chunk_text")
+                            ),
+                        )
+                    )
+                ).getField("chunk_text"),
+                " ",
+            ).alias("clean_text"),
+            F.count(kept).alias("n_blocks_kept"),
+            F.count_if(F.col("__is_boiler").isNotNull()).alias(
+                "n_blocks_removed"
+            ),
+        )
+    )
