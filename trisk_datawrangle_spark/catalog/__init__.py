@@ -58,6 +58,7 @@ _PRIORITY = [
     "x14_bm25",
     "d9_bloom_decontamination",
     "d10_block_dedup",
+    "a13_approx_median_gate",
     "p1_project_rename",
     "p3_filter_isin",
     "p4_filter_regex",

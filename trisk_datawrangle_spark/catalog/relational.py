@@ -1893,3 +1893,43 @@ def e6(spark, sf_dir):
             <= 0.05
         ).alias("within_5pct"),
     )
+
+
+@q(
+    "a13_approx_median_gate",
+    """
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       TRUE AS within_bound
+FROM orders GROUP BY 1
+""",
+)
+def a13(spark, sf_dir):
+    """Mergeable approx-median gated against the exact percentile
+    (the e6-HLL/x12-CMS pattern for quantiles): ``median_approx`` is
+    the documented 100 TB rollup swap-in (bounded sketch memory per
+    group vs the exact percentile's keep-every-value); this entry
+    driver-gates its rank-error contract — the sketch value must land
+    between the group's exact 49th and 51st percentiles, far inside
+    percentile_approx's n/10000 rank bound, so a failure means the
+    sketch broke, not bad luck."""
+    from trisk_datawrangle_spark.functions.aggregates import median_approx
+
+    (o,) = load_tables(spark, sf_dir, ["orders"]).values()
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(median("o_totalprice"), 4).alias("median_price"),
+            median_approx("o_totalprice").alias("__approx"),
+            F.percentile("o_totalprice", F.lit(0.49)).alias("__lo"),
+            F.percentile("o_totalprice", F.lit(0.51)).alias("__hi"),
+        )
+        .select(
+            "o_orderpriority",
+            "median_price",
+            (
+                (F.col("__approx") >= F.col("__lo"))
+                & (F.col("__approx") <= F.col("__hi"))
+            ).alias("within_bound"),
+        )
+    )
