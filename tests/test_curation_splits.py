@@ -1,0 +1,144 @@
+"""Round-5 curation additions: per-domain cap (cap_per_group),
+leakage-safe cluster split (cluster_safe_split), and the end-to-end
+corpus build (curate_to_splits).
+
+Properties that matter: survivors/assignments are pure functions of
+the data (stable across partition layouts), the cap is exact per
+group, no near-dup cluster ever straddles splits, and the e2e
+summary reconciles with its component stages (c2 survivors minus
+contamination hits).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from trisk_datawrangle_spark.llm.curate import (
+    cluster_safe_split,
+    curate,
+    curate_to_splits,
+)
+from trisk_datawrangle_spark.llm.dedup import (
+    contamination_overlap,
+    minhash_lsh_dedup_pairs,
+)
+from trisk_datawrangle_spark.llm.sampling import cap_per_group
+
+FR = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+# ---------------------------------------------------------------- #
+# cap_per_group                                                     #
+# ---------------------------------------------------------------- #
+
+
+def test_cap_exact_per_group(spark, docs):
+    d = docs.select("doc_id", "source", F.length("text").alias("n"))
+    capped = cap_per_group(d, ["source"], 5, "n", "doc_id")
+    per = {
+        r.source: r.c
+        for r in capped.groupBy("source").agg(F.count("*").alias("c")).collect()
+    }
+    full = {
+        r.source: r.c
+        for r in d.groupBy("source").agg(F.count("*").alias("c")).collect()
+    }
+    assert per.keys() == full.keys()  # no group vanishes
+    for src, c in per.items():
+        assert c == min(5, full[src])
+
+
+def test_cap_keeps_top_priority(spark, docs):
+    d = docs.select("doc_id", "source", F.length("text").alias("n"))
+    kept = cap_per_group(d, ["source"], 3, "n", "doc_id")
+    one_src = d.filter(F.col("source") == "src0").collect()
+    want = sorted(one_src, key=lambda r: (-r.n, r.doc_id))[:3]
+    got = sorted(
+        kept.filter(F.col("source") == "src0").collect(),
+        key=lambda r: (-r.n, r.doc_id),
+    )
+    assert [r.doc_id for r in got] == [r.doc_id for r in want]
+
+
+def test_cap_partition_invariant(spark, docs):
+    d = docs.select("doc_id", "source", F.length("text").alias("n"))
+    a = {r.doc_id for r in cap_per_group(d, ["source"], 4, "n").collect()}
+    b = {
+        r.doc_id
+        for r in cap_per_group(d.repartition(17), ["source"], 4, "n").collect()
+    }
+    assert a == b
+
+
+# ---------------------------------------------------------------- #
+# cluster_safe_split                                                #
+# ---------------------------------------------------------------- #
+
+
+@pytest.fixture(scope="module")
+def assigned(spark, docs):
+    pairs = minhash_lsh_dedup_pairs(
+        docs, num_hashes=64, bands=32, threshold=0.5
+    )
+    return cluster_safe_split(docs, pairs, FR, seed=11).cache(), pairs
+
+
+def test_cluster_split_complete(spark, docs, assigned):
+    out, _ = assigned
+    assert out.count() == docs.count()
+    assert out.filter(F.col("split").isNull()).count() == 0
+
+
+def test_no_cluster_straddles_splits(spark, assigned):
+    out, _ = assigned
+    straddle = (
+        out.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert straddle == 0
+
+
+def test_near_dup_pairs_land_together(spark, assigned):
+    out, pairs = assigned
+    a = out.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    b = out.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    assert joined.filter(F.col("split_a") != F.col("split_b")).count() == 0
+    assert joined.count() == pairs.count()
+
+
+# ---------------------------------------------------------------- #
+# curate_to_splits (w4 chain)                                       #
+# ---------------------------------------------------------------- #
+
+
+def test_e2e_reconciles_with_stages(spark, docs):
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    bench = docs.filter(F.col("doc_id") < 20)
+    summary = curate_to_splits(corpus, bench, fractions=FR, seed=7)
+    rows = summary.collect()
+    assert {r.split for r in rows} <= set(FR)
+    # reconcile with the component stages computed independently
+    kept = curate(corpus)
+    hits = contamination_overlap(
+        corpus.join(kept.select("doc_id"), "doc_id", "left_semi"),
+        bench,
+        n=4,
+    ).select("doc_id")
+    clean_n = kept.join(hits, "doc_id", "left_anti").count()
+    assert sum(r.n_docs for r in rows) == clean_n
+    assert all(r.total_tokens > 0 for r in rows if r.n_docs > 0)
+    assert all(r.min_id >= 20 for r in rows)

@@ -46,6 +46,9 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 # of the r3 cohort (sc1-sc3). The rest of the r3 cohort follows, then
 # the r4-window entries (freshest proof) last.
 _PRIORITY = [
+    "w4_curation_e2e",
+    "x15_cluster_safe_split",
+    "x16_source_cap",
     "cp1_ngfs_carbon_price",
     "w3_datalake_e2e",
     "s5_ivf_pq_topk",

@@ -696,6 +696,7 @@ def m3(spark, sf_dir):
 
 
 from trisk_datawrangle_spark.llm.sampling import (  # noqa: E402
+    cap_per_group,
     deterministic_split,
     md5_uniform_sql,
     split_sql,
@@ -1031,7 +1032,11 @@ def x6(spark, sf_dir):
 # corpus curation (composite pipeline)                              #
 # ---------------------------------------------------------------- #
 
-_CURATE_SQL = f"""
+def _curate_sql(source: str = "documents") -> str:
+    """The c1 exact-curation chain (lang gate + quality gate + exact
+    dedup keep-lowest-id) as SQL over any (doc_id, text) relation —
+    shared by c1, c2 and the w4 end-to-end corpus build."""
+    return f"""
 WITH feat AS (
     SELECT doc_id, text,
         (SELECT CASE
@@ -1066,7 +1071,7 @@ WITH feat AS (
             {_LANG_SQL_SCORES['fr']} AS s_fr,
             {_LANG_SQL_SCORES['de']} AS s_de,
             {_LANG_SQL_SCORES['es']} AS s_es
-        FROM documents
+        FROM {source}
     )
 ), gated AS (
     SELECT * FROM feat WHERE lang = 'en' AND quality >= 0.6
@@ -1075,6 +1080,9 @@ SELECT MIN(doc_id) AS doc_id, MIN(lang) AS lang,
        MIN(quality) AS quality, MIN(n_tokens) AS n_tokens
 FROM gated GROUP BY text
 """
+
+
+_CURATE_SQL = _curate_sql()
 
 
 @q("c1_curate_exact", _CURATE_SQL)
@@ -1391,3 +1399,152 @@ def d10(spark, sf_dir):
     return block_dedup(
         _docs(spark, sf_dir), "text", "doc_id", block_words=10, min_docs=2
     )
+
+
+# ---------------------------------------------------------------- #
+# w4/x15/x16 — end-to-end corpus build, leakage-safe split,         #
+# per-domain cap (the RefinedWeb/C4 curation trio)                  #
+# ---------------------------------------------------------------- #
+
+_W4_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _w4_sql() -> str:
+    """End-to-end corpus-build oracle: the c2 curation chain
+    restricted to the corpus partition (doc_id >= 20), composed with
+    the d6 4-gram decontamination CTE against the eval partition
+    (doc_id < 20) and the x5 hash split, grouped to per-split
+    accounting. Every stage reuses the already-hash-matched SQL of
+    its standalone entry, so a w4 mismatch isolates to composition."""
+    return f"""
+WITH corpusdocs AS (
+    SELECT doc_id, text FROM documents WHERE doc_id >= 20
+),
+kept AS ({_curate_sql("corpusdocs")}),
+survdocs AS (
+    SELECT d.doc_id, d.text FROM corpusdocs d
+    JOIN kept k ON d.doc_id = k.doc_id
+),
+jp AS ({_jaccard_pairs_sql(0.8, source="survdocs")}),
+nd AS (
+    SELECT k.* FROM kept k
+    WHERE k.doc_id NOT IN (SELECT id_b FROM jp)
+),
+ws4 AS (
+    SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    w -> w <> '') AS ws
+    FROM documents
+), g4 AS (
+    SELECT doc_id,
+        unnest(list_distinct(list_transform(
+            range(1, greatest(len(ws) - 2, 1)),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+        ))) AS g
+    FROM ws4
+), benchg AS (SELECT DISTINCT g FROM g4 WHERE doc_id < 20),
+contam AS (
+    SELECT DISTINCT c.doc_id FROM g4 c JOIN benchg b USING (g)
+    WHERE c.doc_id >= 20
+),
+clean AS (
+    SELECT * FROM nd WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+)
+SELECT {split_sql('doc_id', _W4_FRACTIONS, seed=7)} AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM clean GROUP BY 1
+"""
+
+
+@q("w4_curation_e2e", _w4_sql())
+def w4(spark, sf_dir):
+    """The complete LLM corpus-build chain end to end — the LLM-side
+    analog of the w0/w1 finance composites: lang-id → quality gate →
+    exact dedup → exact-verified near-dup removal → benchmark
+    decontamination (docs 0-19 as the eval set) → deterministic
+    split → per-split token accounting. llm/curate.py
+    curate_to_splits; every stage is individually oracle-gated
+    (c1/c2/d3/d6/x5), this entry gates their composition."""
+    from trisk_datawrangle_spark.llm.curate import curate_to_splits
+
+    docs = _docs(spark, sf_dir)
+    return curate_to_splits(
+        docs.filter(F.col("doc_id") >= 20),
+        docs.filter(F.col("doc_id") < 20),
+        fractions=_W4_FRACTIONS,
+        seed=7,
+    )
+
+
+def _x15_sql() -> str:
+    """Leakage-safe split oracle: exact-Jaccard pairs at 0.5 (the d3
+    oracle) → recursive min-label components (the d7 pattern) → the
+    x5 hash split keyed on the CLUSTER id."""
+    return f"""
+WITH RECURSIVE pairs AS ({_jaccard_pairs_sql(0.5)}),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+),
+lbl(node, comp) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT e.u, l.comp FROM edges e JOIN lbl l ON e.v = l.node
+),
+comp AS (SELECT node, MIN(comp) AS comp FROM lbl GROUP BY node),
+clustered AS (
+    SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+)
+SELECT doc_id, cluster_id,
+       {split_sql('cluster_id', _W4_FRACTIONS, seed=11)} AS split
+FROM clustered
+"""
+
+
+@q("x15_cluster_safe_split", _x15_sql())
+def x15(spark, sf_dir):
+    """Dedup-aware train/test split: near-dup pairs from the
+    MinHash-LSH scale path (exact-verified, = the d3 oracle set),
+    collapsed to connected components, split assigned by hash of the
+    CLUSTER id — so a near-dup family can never straddle splits and
+    leak an almost-copy of a test doc into train. Splitting on the
+    raw doc id (x5) does not have this property; this entry gates
+    the per-document assignment exactly."""
+    from trisk_datawrangle_spark.llm.curate import cluster_safe_split
+    from trisk_datawrangle_spark.llm.dedup import minhash_lsh_dedup_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_dedup_pairs(
+        docs, num_hashes=64, bands=32, threshold=0.5
+    )
+    return cluster_safe_split(docs, pairs, _W4_FRACTIONS, seed=11)
+
+
+@q(
+    "x16_source_cap",
+    f"""
+WITH q AS ({_QUALITY_SQL}),
+r AS (
+    SELECT d.doc_id, d.source, q.quality,
+        row_number() OVER (PARTITION BY d.source
+                           ORDER BY q.quality DESC, d.doc_id) AS rk
+    FROM documents d JOIN q ON d.doc_id = q.doc_id
+)
+SELECT doc_id, source, quality FROM r WHERE rk <= 10
+""",
+)
+def x16(spark, sf_dir):
+    """Per-domain document cap (RefinedWeb's "at most k per domain"):
+    keep the 10 highest-quality docs per source, quality ties broken
+    by doc_id — survivors are a pure function of the data, not of
+    partitioning. One shuffle (window on source);
+    llm/sampling.py cap_per_group."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.round(quality_score("text"), 6).alias("quality"),
+    )
+    return cap_per_group(d, ["source"], 10, "quality", "doc_id")

@@ -85,3 +85,91 @@ def curate(
     )
     drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return kept.join(drop, "doc_id", "left_anti")
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    fractions=None,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: collapse the near-dup
+    pair graph to connected components, then hash-split on the
+    CLUSTER id — every member of a near-dup family lands in the same
+    split, so no document can leak an almost-identical copy of a test
+    document into train (the standard dedup-aware split; splitting on
+    the raw doc id does not have this property).
+
+    Returns ``(doc_id, cluster_id, split)`` for every document.
+    Scale shape: the component loop is the documented driver-loop
+    island (llm/components.py — one join+agg per round, checkpointed);
+    the split itself is a pure projection, no extra shuffle."""
+    from trisk_datawrangle_spark.llm.components import dedup_clusters
+    from trisk_datawrangle_spark.llm.sampling import deterministic_split
+
+    if fractions is None:
+        fractions = {"train": 0.8, "val": 0.1, "test": 0.1}
+    clustered = dedup_clusters(docs, pairs, id_col=id_col)
+    return deterministic_split(clustered, "cluster_id", fractions, seed)
+
+
+def curate_to_splits(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.6,
+    langs: tuple[str, ...] = ("en",),
+    near_dup_jaccard: float = 0.8,
+    contamination_ngram: int = 4,
+    fractions=None,
+    seed: int = 7,
+) -> DataFrame:
+    """The complete corpus-build chain, end to end:
+
+        lang-id -> quality gate -> exact dedup -> near-dup removal
+        -> benchmark decontamination -> deterministic split
+        -> per-split accounting
+
+    i.e. :func:`curate` (the c2 chain) composed with
+    :func:`~trisk_datawrangle_spark.llm.dedup.contamination_overlap`
+    (drop any surviving doc sharing a word n-gram with the eval set)
+    and :func:`~trisk_datawrangle_spark.llm.sampling
+    .deterministic_split`. Returns one row per split:
+    ``(split, n_docs, total_tokens, min_id, max_id)``.
+
+    Every stage is deterministic (near-dup candidates are
+    exact-verified), so the whole chain is SQL-expressible and
+    oracle-checkable. Scale shape: the c2 chain's shuffles plus one
+    broadcast join (eval grams) and one final tiny aggregate — no new
+    shuffle beyond the stages' own."""
+    from trisk_datawrangle_spark.llm.dedup import contamination_overlap
+    from trisk_datawrangle_spark.llm.sampling import deterministic_split
+
+    if fractions is None:
+        fractions = {"train": 0.8, "val": 0.1, "test": 0.1}
+    # stage boundary: kept feeds BOTH the contamination semi-join and
+    # the final anti-join — uncached, the whole curate() subtree
+    # (including the LSH near-dup stage) would execute twice. The
+    # cached frame is per-doc metadata only (no text), tiny at any
+    # scale; on a cluster this is the natural checkpoint between the
+    # dedup and decontamination stages.
+    kept = curate(
+        df, text_col, id_col, min_quality, langs, near_dup_jaccard
+    ).cache()
+    contaminated = contamination_overlap(
+        df.join(kept.select("doc_id"), "doc_id", "left_semi"),
+        benchmark,
+        text_col,
+        id_col,
+        n=contamination_ngram,
+    ).select("doc_id")
+    clean = kept.join(contaminated, "doc_id", "left_anti")
+    split = deterministic_split(clean, "doc_id", fractions, seed)
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

@@ -157,6 +157,41 @@ def weighted_take(
     )
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_cols,
+    k: int,
+    priority_col: str,
+    id_col: str = "doc_id",
+    descending: bool = True,
+) -> DataFrame:
+    """Per-group document cap — the RefinedWeb/C4-style "at most k
+    documents per domain" curation step, here by explicit quality
+    priority rather than hash order (:func:`stratified_take` is the
+    hash-order variant). Keeps the ``k`` best rows per group ranked
+    by ``priority_col`` (desc by default) with ``id_col`` as the
+    deterministic tiebreak, so the survivors are a pure function of
+    the data — reruns and different partitionings keep the same rows.
+
+    Scale shape: one shuffle (the window partition on the group
+    key); no driver-side state. A skewed group (one giant domain)
+    concentrates its rows on one task but emits at most ``k`` of
+    them — for pathological domains pre-aggregate with a salted
+    partial top-k first (operators/skew.py pattern).
+    """
+    from pyspark.sql import Window
+
+    p = F.col(priority_col)
+    w = Window.partitionBy(*group_cols).orderBy(
+        p.desc() if descending else p.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def md5_uniform_sql(id_expr: str, seed: int = 0) -> str:
     """The identical uniform as DuckDB SQL (hex digits parsed via
     strpos — every intermediate integer < 2^52, exact in double)."""
