@@ -49,6 +49,7 @@ _PRIORITY = [
     "w4_curation_e2e",
     "x15_cluster_safe_split",
     "x16_source_cap",
+    "x17_lm_score",
     "cp1_ngfs_carbon_price",
     "w3_datalake_e2e",
     "s5_ivf_pq_topk",

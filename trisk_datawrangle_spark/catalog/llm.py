@@ -1548,3 +1548,24 @@ def x16(spark, sf_dir):
         F.round(quality_score("text"), 6).alias("quality"),
     )
     return cap_per_group(d, ["source"], 10, "quality", "doc_id")
+
+
+# ---------------------------------------------------------------- #
+# x17 — n-gram LM quality score (CCNet-style perplexity filter)     #
+# ---------------------------------------------------------------- #
+
+from trisk_datawrangle_spark.llm.lm import (  # noqa: E402
+    ngram_lm_scores,
+    ngram_lm_sql,
+)
+
+
+@q("x17_lm_score", ngram_lm_sql())
+def x17(spark, sf_dir):
+    """Bigram language-model quality score per document (add-one
+    smoothing, model trained on the corpus itself) — the perplexity
+    filter that ranks "reads like language" before training. Each
+    bigram's log-prob is rounded to integer micro-units BEFORE the
+    per-doc sum, so the float aggregation is order-independent and
+    the mean hash-matches the DuckDB oracle exactly."""
+    return ngram_lm_scores(_docs(spark, sf_dir))
