@@ -222,3 +222,52 @@ def test_streaming_session_matches_batch(spark, events_stream_dir):
     s = {tuple(str(r[k]) for k in key): r["n"] for r in streamed.collect()}
     b = {tuple(str(r[k]) for k in key): r["n"] for r in batch.collect()}
     assert s == b and len(s) > 0
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir, events_stream_dir):
+    """Stream-static enrichment: the dimension join + tumbling agg
+    produces identical per-(window, nation) counts whether the events
+    arrive as a batch frame or a file stream."""
+    from trisk_datawrangle_spark.streaming.windows import (
+        stream_static_enrich,
+    )
+
+    d, ev = events_stream_dir
+    t = load_tables(spark, sf_dir, ["customer", "nation"])
+    dim = (
+        t["customer"]
+        .join(
+            t["nation"],
+            t["customer"].c_nationkey == t["nation"].n_nationkey,
+            "left",
+        )
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("n_name").alias("nation"),
+        )
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    src = spark.readStream.schema(ev.schema).parquet(f"{d}/in")
+    streamed = _run_stream(
+        spark,
+        tumbling_agg(
+            stream_static_enrich(src, dim, "user_id"),
+            "ts",
+            "1 hour",
+            ["nation"],
+            aggs,
+            watermark="2 hours",
+        ),
+        "t_stream_static",
+    )
+    batch = tumbling_agg(
+        stream_static_enrich(ev, dim, "user_id"),
+        "ts",
+        "1 hour",
+        ["nation"],
+        aggs,
+    )
+    key = ["window_start", "nation"]
+    s = {tuple(str(r[k]) for k in key): r["n"] for r in streamed.collect()}
+    b = {tuple(str(r[k]) for k in key): r["n"] for r in batch.collect()}
+    assert s == b and len(s) > 0

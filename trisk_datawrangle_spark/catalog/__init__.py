@@ -50,6 +50,7 @@ _PRIORITY = [
     "x15_cluster_safe_split",
     "x16_source_cap",
     "x17_lm_score",
+    "e10_stream_static_join",
     "cp1_ngfs_carbon_price",
     "w3_datalake_e2e",
     "s5_ivf_pq_topk",

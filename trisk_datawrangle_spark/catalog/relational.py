@@ -1933,3 +1933,62 @@ def a13(spark, sf_dir):
             ).alias("within_bound"),
         )
     )
+
+
+@q(
+    "e10_stream_static_join",
+    """
+SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S')
+           AS window_start,
+       n.n_name AS nation, COUNT(*) AS n,
+       SUM(CAST(round(e.value * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM events e
+LEFT JOIN customer c ON e.user_id = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1, 2
+""",
+)
+def e10(spark, sf_dir):
+    """Stream-static enrichment join + tumbling window: events
+    broadcast-joined to the customer→nation dimension, then the e1
+    hourly aggregate per nation. The identical expression tree runs
+    under readStream (stream-static joins re-broadcast per
+    micro-batch — parity-tested in tests/test_streaming_and_skew.py);
+    exact-cents sums keep the money column bit-stable under any
+    partitioning."""
+    from trisk_datawrangle_spark.streaming.windows import (
+        stream_static_enrich,
+    )
+
+    t = load_tables(spark, sf_dir, ["events", "customer", "nation"])
+    dim = (
+        t["customer"]
+        .join(
+            t["nation"],
+            t["customer"].c_nationkey == t["nation"].n_nationkey,
+            "left",
+        )
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("n_name").alias("nation"),
+        )
+    )
+    enriched = stream_static_enrich(t["events"], dim, "user_id")
+    res = tumbling_agg(
+        enriched,
+        "ts",
+        "1 hour",
+        ["nation"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            exact_cents_sum("value").alias("sum_value"),
+        ],
+    )
+    return res.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "nation",
+        "n",
+        "sum_value",
+    )

@@ -131,3 +131,24 @@ def stream_dedup(
                 .dropDuplicatesWithinWatermark(keys)
             )
     return df.dropDuplicates(keys)
+
+
+def stream_static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    on: list | str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: attach a (small, slowly-
+    changing) dimension to an event stream before windowing. The
+    static side is broadcast; under Structured Streaming, Spark
+    re-plans the join each micro-batch, so a refreshed dimension
+    table is picked up without restarting the query. The expression
+    is identical on batch frames — the batch⇄stream parity contract
+    the rest of this module follows.
+
+    Scale shape: broadcast hash join, zero shuffle added to the
+    stream side; keep the dimension under the broadcast threshold
+    (or pre-filter its columns) — a big dimension belongs in a
+    keyed stream-stream join instead."""
+    return events.join(F.broadcast(dim), on, how)
