@@ -333,3 +333,54 @@ def test_bm25_single_corpus_shuffle(spark, sf_dir):
 
     hash_exchanges = re.findall(r"Exchange hashpartitioning", plan)
     assert len(hash_exchanges) <= 2, plan
+
+
+def test_source_cap_single_shuffle(spark, sf_dir):
+    """x16's per-domain cap is one window over the source key: a
+    single hash exchange, no join of any kind."""
+    from trisk_datawrangle_spark.catalog import QUERIES
+    import re
+
+    plan = (
+        QUERIES["x16_source_cap"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_lm_score_model_joins_are_hash_joins(spark, sf_dir):
+    """x17: the bigram-model joins are BROADCAST hash joins on the
+    gram/word keys, never sort-merge; the only nested-loop is the
+    accepted broadcast-1-row shape (the V scalar attaching via
+    crossJoin, same as j8's bind_cols) — O(n·1), not O(n·m)."""
+    from trisk_datawrangle_spark.catalog import QUERIES
+
+    plan = (
+        QUERIES["x17_lm_score"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+
+
+def test_stream_static_join_broadcasts_dim(spark, sf_dir):
+    """e10: the customer→nation dimension broadcasts onto the events
+    scan — the stream side takes zero join-induced exchange (its only
+    shuffle is the windowed aggregate itself)."""
+    from trisk_datawrangle_spark.catalog import QUERIES
+
+    plan = (
+        QUERIES["e10_stream_static_join"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
