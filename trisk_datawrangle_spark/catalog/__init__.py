@@ -51,6 +51,9 @@ _PRIORITY = [
     "x16_source_cap",
     "x17_lm_score",
     "e10_stream_static_join",
+    "s10_orc_roundtrip",
+    "x18_quantile_bins",
+    "x19_group_zscore",
     "cp1_ngfs_carbon_price",
     "w3_datalake_e2e",
     "s5_ivf_pq_topk",

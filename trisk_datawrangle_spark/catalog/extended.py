@@ -1007,3 +1007,107 @@ def st1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "event_type", "n", F.round("total", 4).alias("total"), "finalized"
     )
+
+
+# ---------------------------------------------------------------- #
+# s10 — ORC source/sink; x18/x19 — ML feature prep                  #
+# ---------------------------------------------------------------- #
+
+
+@q(
+    "s10_orc_roundtrip",
+    """
+SELECT CAST(n_nationkey AS BIGINT) AS nationkey, n_name AS name,
+       CAST(n_regionkey AS BIGINT) AS regionkey
+FROM nation
+""",
+)
+def s10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → ORC scan round trip (the columnar-format sibling of
+    the parquet path — same pinned-schema discipline), checked
+    against the parquet oracle. ORC rides Spark's native vectorized
+    reader; at scale it gets the same pushdown/pruning guarantees the
+    parquet plan audits assert."""
+    (nat,) = load_tables(spark, sf_dir, ["nation"]).values()
+    path = _scratch(sf_dir, "nation_orc")
+    nat.write.mode("overwrite").format("orc").save(path)
+    back = spark.read.schema(nat.schema).orc(path)
+    return back.select(
+        F.col("n_nationkey").alias("nationkey"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").alias("regionkey"),
+    )
+
+
+@q(
+    "x18_quantile_bins",
+    """
+WITH binned AS (
+    SELECT o_orderpriority,
+        ntile(10) OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice, o_orderkey) AS bin,
+        o_totalprice
+    FROM orders
+)
+SELECT o_orderpriority, bin, COUNT(*) AS n,
+       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+FROM binned GROUP BY 1, 2
+""",
+)
+def x18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile binning of order value within priority
+    (operators/mlprep.py quantile_bins) — the discretization step for
+    skewed numerics; the id tiebreak pins tied rows to one bucket on
+    every run and engine. Summarized to per-bucket count + bounds."""
+    from trisk_datawrangle_spark.operators.mlprep import quantile_bins
+
+    (o,) = load_tables(spark, sf_dir, ["orders"]).values()
+    b = quantile_bins(
+        o, "o_totalprice", 10, ["o_orderpriority"], "o_orderkey"
+    )
+    return b.groupBy("o_orderpriority", "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+@q(
+    "x19_group_zscore",
+    """
+WITH c AS (
+    SELECT o_orderkey, o_orderpriority,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS c
+    FROM orders
+), stats AS (
+    SELECT o_orderpriority, COUNT(*) AS n, SUM(c) AS s,
+           SUM(CAST(c AS HUGEINT) * c) AS qq
+    FROM c GROUP BY 1
+)
+SELECT c.o_orderkey, c.o_orderpriority,
+    CASE WHEN stats.n > 1
+          AND (CAST(qq AS DOUBLE) / CAST(stats.n AS DOUBLE)
+               - (CAST(s AS DOUBLE) / CAST(stats.n AS DOUBLE))
+                 * (CAST(s AS DOUBLE) / CAST(stats.n AS DOUBLE))) > 0
+    THEN ROUND((CAST(c.c AS DOUBLE)
+                - CAST(s AS DOUBLE) / CAST(stats.n AS DOUBLE))
+               / sqrt(CAST(qq AS DOUBLE) / CAST(stats.n AS DOUBLE)
+                      - (CAST(s AS DOUBLE) / CAST(stats.n AS DOUBLE))
+                        * (CAST(s AS DOUBLE) / CAST(stats.n AS DOUBLE))),
+               6)
+    END AS zscore
+FROM c JOIN stats USING (o_orderpriority)
+""",
+)
+def x19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group standardization (z-scores) from EXACT moments
+    (operators/mlprep.py group_zscore): Σcents as BIGINT, Σcents² as
+    DECIMAL(38) (Spark) / HUGEINT (DuckDB) — both exact and
+    order-independent — then one deterministic double expression.
+    The standard-scaler step without float-sum nondeterminism."""
+    from trisk_datawrangle_spark.operators.mlprep import group_zscore
+
+    (o,) = load_tables(spark, sf_dir, ["orders"]).values()
+    return group_zscore(
+        o, "o_totalprice", ["o_orderpriority"], "o_orderkey"
+    )
