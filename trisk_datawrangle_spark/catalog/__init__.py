@@ -54,6 +54,7 @@ _PRIORITY = [
     "s10_orc_roundtrip",
     "x18_quantile_bins",
     "x19_group_zscore",
+    "m4_frame_sample",
     "cp1_ngfs_carbon_price",
     "w3_datalake_e2e",
     "s5_ivf_pq_topk",

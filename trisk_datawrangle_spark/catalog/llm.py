@@ -1569,3 +1569,31 @@ def x17(spark, sf_dir):
     per-doc sum, so the float aggregation is order-independent and
     the mean hash-matches the DuckDB oracle exactly."""
     return ngram_lm_scores(_docs(spark, sf_dir))
+
+
+@q(
+    "m4_frame_sample",
+    """
+WITH p AS (
+    SELECT doc_id, octet_length(encode(text)) AS L FROM documents
+)
+SELECT doc_id,
+    CAST(unnest(range(0,
+        greatest(CAST(floor(L / 30.0) AS INTEGER) - 1, 0) + 1))
+      AS INTEGER) AS frame_idx
+FROM p WHERE L > 0
+""",
+)
+def m4(spark, sf_dir):
+    """Video frame-sampling plumbing (every-Nth-frame index fan-out,
+    llm/multimodal.py frame_sample_plan): the explode happens after a
+    repartition so one fat payload never pins a task; empty payloads
+    yield no rows, short ones still sample frame 0. The index
+    arithmetic is the oracle-checkable part; a real decoder slots in
+    behind the same (doc_id, frame_idx) contract."""
+    from trisk_datawrangle_spark.llm.multimodal import frame_sample_plan
+
+    d = with_binary_payload(_docs(spark, sf_dir), "text", "payload")
+    return frame_sample_plan(d, "payload", every_n=30).select(
+        "doc_id", "frame_idx"
+    )
