@@ -142,3 +142,37 @@ def test_e2e_reconciles_with_stages(spark, docs):
     assert sum(r.n_docs for r in rows) == clean_n
     assert all(r.total_tokens > 0 for r in rows if r.n_docs > 0)
     assert all(r.min_id >= 20 for r in rows)
+
+
+# ---------------------------------------------------------------- #
+# incremental dedup (d11)                                           #
+# ---------------------------------------------------------------- #
+
+
+def test_incremental_equals_cross_set_subset_of_full(spark, docs):
+    """The incremental band join (incoming × existing only) must find
+    exactly the cross-set subset of the full self-join's verified
+    pairs — no pair lost by skipping within-set buckets, none
+    invented."""
+    from trisk_datawrangle_spark.llm.dedup import (
+        minhash_lsh_dedup_pairs,
+        minhash_lsh_incremental_pairs,
+    )
+
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    inc = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_incremental_pairs(
+            existing, incoming, num_hashes=64, bands=32, threshold=0.5
+        ).collect()
+    }
+    full = minhash_lsh_dedup_pairs(
+        docs, num_hashes=64, bands=32, threshold=0.5
+    ).collect()
+    cross = {
+        (r.id_a, r.id_b) if r.id_a % 2 == 0 else (r.id_b, r.id_a)
+        for r in full
+        if (r.id_a % 2) != (r.id_b % 2)
+    }
+    assert inc == cross and len(inc) > 0

@@ -55,6 +55,7 @@ _PRIORITY = [
     "x18_quantile_bins",
     "x19_group_zscore",
     "m4_frame_sample",
+    "d11_incremental_dedup",
     "cp1_ngfs_carbon_price",
     "w3_datalake_e2e",
     "s5_ivf_pq_topk",

@@ -1597,3 +1597,45 @@ def m4(spark, sf_dir):
     return frame_sample_plan(d, "payload", every_n=30).select(
         "doc_id", "frame_idx"
     )
+
+
+def _d11_sql() -> str:
+    """Cross-set exact pairs at 0.5 (the d3 oracle restricted to the
+    even/odd partition boundary), oriented (existing=even,
+    incoming=odd)."""
+    return f"""
+WITH jp AS ({_jaccard_pairs_sql(0.5)})
+SELECT o.ea AS id_a, o.eb AS id_b, o.jaccard
+FROM (
+    SELECT CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END AS ea,
+           CASE WHEN id_a % 2 = 0 THEN id_b ELSE id_a END AS eb,
+           jaccard
+    FROM jp WHERE (id_a % 2) <> (id_b % 2)
+) o
+"""
+
+
+@q("d11_incremental_dedup", _d11_sql())
+def d11(spark, sf_dir):
+    """Incremental dedup — a new batch checked against an existing
+    corpus (llm/dedup.py minhash_lsh_incremental_pairs): the band
+    join is incoming × existing only, never a corpus self-join, so a
+    small delta re-checks against 100 TB at delta cost. Here the
+    even/odd doc_id split stands in for corpus/batch; output pairs
+    are exact-verified at Jaccard ≥ 0.5 (the d3 hard-oracle
+    contract) and hash-match the cross-set exact pairs."""
+    from trisk_datawrangle_spark.llm.dedup import (
+        minhash_lsh_incremental_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_incremental_pairs(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        num_hashes=64,
+        bands=32,
+        threshold=0.5,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )

@@ -221,16 +221,15 @@ def _signatures_from_shingles(
     )
 
 
-def _lsh_candidate_pairs(
+def _banded_table(
     sig: DataFrame, num_hashes: int, bands: int
 ) -> DataFrame:
-    """Banded-LSH candidate (id_a, id_b) pairs from a (id, sig)
-    signature table. The band self-join carries only (id, band,
-    bucket); the candidate ``distinct`` runs on the narrow pair —
-    never on signatures (a distinct over 2×K-element arrays would
-    shuffle ~50× the bytes)."""
+    """(id, band, bucket) banded-LSH table from a (id, sig) signature
+    table — each band's slice of the signature hashed to one bucket
+    key. Narrow by construction: the join stages only ever carry
+    these three columns, never the K-element signature arrays."""
     rows_per_band = num_hashes // bands
-    banded = sig.select(
+    return sig.select(
         "id",
         F.explode(
             F.array(
@@ -249,6 +248,17 @@ def _lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+
+
+def _lsh_candidate_pairs(
+    sig: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """Banded-LSH candidate (id_a, id_b) pairs from a (id, sig)
+    signature table. The band self-join carries only (id, band,
+    bucket); the candidate ``distinct`` runs on the narrow pair —
+    never on signatures (a distinct over 2×K-element arrays would
+    shuffle ~50× the bytes)."""
+    banded = _banded_table(sig, num_hashes, bands)
     a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
     return (
@@ -382,6 +392,55 @@ def minhash_lsh_dedup_pairs(
     sig = _signatures_from_shingles(shingled, num_hashes)
     cand = _lsh_candidate_pairs(sig, num_hashes, bands)
     return _verify_candidates(shingled, cand, threshold)
+
+
+def minhash_lsh_incremental_pairs(
+    existing: DataFrame,
+    incoming: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus — the
+    continual-ingestion shape: the band join is incoming × existing
+    ONLY (never existing × existing), so re-checking a small delta
+    against a 100 TB corpus costs |delta|-bands ⋈ corpus-bands, not a
+    full-corpus self-join. In production the existing side's banded
+    table and shingle hashes are PRECOMPUTED and stored (they are
+    plain columnar tables — partition by band/bucket and the join
+    prunes); here they are derived inline from the frame.
+
+    Returns exact-verified pairs ``(id_a existing, id_b incoming,
+    jaccard ≥ threshold)`` — same hard-oracle contract as
+    :func:`minhash_lsh_dedup_pairs`, restricted to cross-set pairs.
+    Within-batch duplicates are a separate (cheap) self-dedup of the
+    incoming frame."""
+    sh_ex = shingle_hashes(
+        existing, text_col, id_col, ngram, distinct=True
+    ).cache()
+    sh_in = shingle_hashes(
+        incoming, text_col, id_col, ngram, distinct=True
+    ).cache()
+    banded_ex = _banded_table(
+        _signatures_from_shingles(sh_ex, num_hashes), num_hashes, bands
+    )
+    banded_in = _banded_table(
+        _signatures_from_shingles(sh_in, num_hashes), num_hashes, bands
+    )
+    cand = (
+        banded_ex.select(F.col("id").alias("id_a"), "band", "bucket")
+        .join(
+            banded_in.select(F.col("id").alias("id_b"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _verify_candidates(sh_ex.union(sh_in), cand, threshold)
 
 
 def simhash_band_pairs(
