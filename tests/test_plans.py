@@ -358,6 +358,10 @@ def test_lm_score_model_joins_are_hash_joins(spark, sf_dir):
     crossJoin, same as j8's bind_cols) — O(n·1), not O(n·m)."""
     from trisk_datawrangle_spark.catalog import QUERIES
 
+    # the lm tests cache the shared gram table; a cached subtree
+    # embeds its stored plan inside InMemoryTableScan and double-
+    # counts join nodes in the plan string - audit the uncached plan
+    spark.catalog.clearCache()
     plan = (
         QUERIES["x17_lm_score"](spark, sf_dir)
         ._jdf.queryExecution()

@@ -56,6 +56,7 @@ _PRIORITY = [
     "x19_group_zscore",
     "m4_frame_sample",
     "d11_incremental_dedup",
+    "v1_label_centroids",
     "cp1_ngfs_carbon_price",
     "w3_datalake_e2e",
     "s5_ivf_pq_topk",

@@ -1639,3 +1639,31 @@ def d11(spark, sf_dir):
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+@q(
+    "v1_label_centroids",
+    """
+WITH ex AS (
+    SELECT label,
+        unnest(range(0, len(embedding))) AS pos,
+        unnest(CAST(embedding AS DOUBLE[])) AS v
+    FROM embeddings
+)
+SELECT label, CAST(pos AS INTEGER) AS pos,
+    ROUND(CAST(SUM(CAST(ROUND(v * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6) AS centroid,
+    COUNT(*) AS n
+FROM ex GROUP BY 1, 2
+""",
+)
+def v1(spark, sf_dir):
+    """Per-label embedding centroids (llm/similarity.py
+    label_centroids) — class prototypes for nearest-centroid
+    classification and coarse-quantizer refresh. Elements round to
+    integer micro-units before the per-dimension sum (exact BIGINT
+    agg, order-independent), so all labels × dims means hash-match
+    the oracle bit-exactly."""
+    from trisk_datawrangle_spark.llm.similarity import label_centroids
+
+    return label_centroids(_embs(spark, sf_dir))

@@ -777,3 +777,46 @@ def rescore_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-label centroid vectors in long form ``(label, pos,
+    centroid, n)`` — the class-prototype computation behind
+    nearest-centroid classification, cluster summaries and
+    IVF-coarse-quantizer refreshes.
+
+    Determinism: each element is rounded to integer MICRO-units
+    before the per-(label, dim) sum — an exact BIGINT aggregation,
+    order-independent on any partitioning (the x17/x19 trick); only
+    the final mean is a float, the exactly-rounded quotient of exact
+    integers. Scale shape: one posexplode projection + one hash
+    aggregate on (label, pos) — dims × labels output rows, never a
+    per-vector shuffle of full arrays."""
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    )
+    micro = F.round(F.col("v").cast("double") * F.lit(1e6), 0).cast("long")
+    return (
+        ex.groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(micro).alias("__s"),
+        )
+        .select(
+            "label",
+            "pos",
+            F.round(
+                F.col("__s").cast("double")
+                / F.col("n").cast("double")
+                / F.lit(1e6),
+                round_to,
+            ).alias("centroid"),
+            "n",
+        )
+    )
