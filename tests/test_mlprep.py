@@ -77,3 +77,40 @@ def test_zscore_zero_variance_is_null(spark):
     z = {r.id: r.zscore for r in group_zscore(df, "v", ["g"], "id").collect()}
     assert z[1] is None and z[2] is None  # constant group
     assert z[3] is not None and math.isclose(z[3], -z[4])
+
+
+def test_nearest_centroid_beats_chance(spark):
+    """The synthetic labels are only weakly clustered in cosine
+    space (measured ~37% recovery at sf0.001), so the sanity bound
+    is better-than-chance by a wide factor — the prototypes carry
+    real class signal — plus completeness (every vector assigned
+    exactly once)."""
+    from tests.conftest import SF_DIR
+    from trisk_datawrangle_spark.llm.similarity import nearest_centroid
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = nearest_centroid(embs).cache()
+    n = out.count()
+    n_labels = embs.select("label").distinct().count()
+    agree = out.filter(
+        F.col("assigned_label") == F.col("true_label")
+    ).count()
+    assert n == embs.count()
+    assert out.select("vec_id").distinct().count() == n
+    assert agree / n > 2.0 / n_labels, f"{agree}/{n} vs chance 1/{n_labels}"
+
+
+def test_tfidf_rank_is_exact_and_stable(spark):
+    from tests.conftest import SF_DIR
+    from trisk_datawrangle_spark.llm.ranking import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = {
+        (r.doc_id, r.rank): (r.term, r.score_micro)
+        for r in tfidf_top_terms(docs, k=3).collect()
+    }
+    b = {
+        (r.doc_id, r.rank): (r.term, r.score_micro)
+        for r in tfidf_top_terms(docs.repartition(17), k=3).collect()
+    }
+    assert a == b and len(a) > 0

@@ -57,6 +57,8 @@ _PRIORITY = [
     "m4_frame_sample",
     "d11_incremental_dedup",
     "v1_label_centroids",
+    "v2_nearest_centroid",
+    "x20_tfidf_keywords",
     "cp1_ngfs_carbon_price",
     "w3_datalake_e2e",
     "s5_ivf_pq_topk",

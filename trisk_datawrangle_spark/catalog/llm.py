@@ -1667,3 +1667,88 @@ def v1(spark, sf_dir):
     from trisk_datawrangle_spark.llm.similarity import label_centroids
 
     return label_centroids(_embs(spark, sf_dir))
+
+
+@q(
+    "x20_tfidf_keywords",
+    """
+WITH toks AS (
+    SELECT doc_id,
+        unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           w -> w <> '')) AS gram
+    FROM documents
+), tf AS (
+    SELECT doc_id, gram, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+    SELECT gram, COUNT(*) AS df FROM tf GROUP BY 1
+), nd AS (SELECT COUNT(DISTINCT doc_id) AS N FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.gram,
+        tf.tf * CAST(ROUND(ln(CAST(nd.N AS DOUBLE)
+                              / CAST(dfreq.df AS DOUBLE)) * 1000000.0, 0)
+                     AS BIGINT) AS score_micro
+    FROM tf JOIN dfreq USING (gram) CROSS JOIN nd
+), ranked AS (
+    SELECT doc_id, gram, score_micro,
+        row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score_micro DESC, gram ASC) AS rank
+    FROM scored
+)
+SELECT doc_id, CAST(rank AS INTEGER) AS rank, gram AS term, score_micro
+FROM ranked WHERE rank <= 3
+""",
+)
+def x20(spark, sf_dir):
+    """Top-3 TF-IDF keywords per document (llm/ranking.py
+    tfidf_top_terms): tf is an int, idf rounds to integer micro-units
+    once per term, so the score and its (desc, term) tiebreak are
+    exact integer arithmetic — the whole ranking hash-matches the
+    oracle with no float aggregation anywhere."""
+    from trisk_datawrangle_spark.llm.ranking import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+def _v2_sql() -> str:
+    """Nearest-centroid oracle: the v1 centroid CTE folded to ordered
+    lists, cross-joined to every vector, cosine + pinned-tiebreak
+    argmax."""
+    return f"""
+WITH ex AS (
+    SELECT label,
+        unnest(range(0, len(embedding))) AS pos,
+        unnest(CAST(embedding AS DOUBLE[])) AS v
+    FROM embeddings
+), cent AS (
+    SELECT label, CAST(pos AS INTEGER) AS pos,
+        ROUND(CAST(SUM(CAST(ROUND(v * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6) AS centroid
+    FROM ex GROUP BY 1, 2
+), carr AS (
+    SELECT label, list(centroid ORDER BY pos) AS cvec FROM cent GROUP BY 1
+), scored AS (
+    SELECT e.vec_id, e.label AS true_label, c.label AS assigned_label,
+        ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+              / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[])))
+                 * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS cosine
+    FROM embeddings e CROSS JOIN carr c
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cosine DESC, assigned_label ASC)
+              AS rk
+    FROM scored
+)
+SELECT vec_id, true_label, assigned_label, cosine FROM ranked WHERE rk = 1
+"""
+
+
+@q("v2_nearest_centroid", _v2_sql())
+def v2(spark, sf_dir):
+    """Nearest-centroid classification against the v1 prototypes
+    (llm/similarity.py nearest_centroid): cosine to each broadcast
+    centroid, argmax with a pinned tiebreak — every per-vector
+    assignment hash-matches the oracle."""
+    from trisk_datawrangle_spark.llm.similarity import nearest_centroid
+
+    return nearest_centroid(_embs(spark, sf_dir))

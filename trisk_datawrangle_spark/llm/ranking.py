@@ -134,3 +134,56 @@ SELECT {id_col},
 FROM per_doc, stats
 WHERE ROUND({contribs}, {round_to}) > 0
 """
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the classic keyword
+    extraction / doc-summarization primitive. Scoring is EXACT
+    integer arithmetic: ``score = tf × round(ln(N/df)·1e6)`` (term
+    frequency is an int, the idf factor is rounded to integer
+    micro-units once per term), so the per-document ranking —
+    including its (score desc, term asc) tiebreak — is a pure
+    function of the corpus, bit-identical in any engine.
+
+    Scale shape: token table → (doc, term) tf counts (one shuffle) →
+    per-term df counts joined back on the term key (hash join; the
+    term side is vocabulary-grain) → per-doc top-k window. The token
+    table is never joined to itself."""
+    from pyspark.sql import Window
+
+    toks = word_gram_table(df, text_col=text_col, id_col=id_col, n=1)
+    tf = toks.groupBy("id", "gram").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.col(id_col)).distinct().agg(
+        F.count(F.lit(1)).alias("N")
+    )
+    dfreq = tf.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    idf_micro = F.round(
+        F.log(F.col("N").cast("double") / F.col("df").cast("double"))
+        * F.lit(1e6),
+        0,
+    ).cast("long")
+    scored = (
+        tf.join(dfreq, "gram")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "gram",
+            (F.col("tf") * idf_micro).alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("score_micro").desc(), F.col("gram").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col), "rank", F.col("gram").alias("term"),
+            "score_micro",
+        )
+    )

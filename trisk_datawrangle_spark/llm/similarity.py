@@ -820,3 +820,68 @@ def label_centroids(
             "n",
         )
     )
+
+
+def nearest_centroid(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Nearest-centroid classification: assign every vector to the
+    label whose :func:`label_centroids` prototype has the highest
+    cosine (ties → smallest label). Returns ``(id_col, true_label,
+    assigned_label, cosine)``.
+
+    Determinism: centroids are the micro-integer-exact rounded means;
+    dot products fold in index order on both engines (the d5
+    contract); the final cosine rounds before the argmax, whose
+    tiebreak is pinned. Scale shape: the centroid table is
+    label-cardinality-sized and broadcasts; per vector the work is
+    |labels| codegen dot products + one row_number window — for
+    label counts beyond broadcast range use the GEMM tier
+    (:func:`cosine_topk_vectorized`) against the centroid matrix."""
+    from pyspark.sql import Window
+
+    cents = (
+        label_centroids(df, vec_col, label_col, round_to)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
+                lambda s: s.centroid,
+            ).alias("cvec")
+        )
+    )
+    v = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("true_label"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    joined = v.crossJoin(F.broadcast(cents))
+    dot = F.aggregate(
+        F.zip_with("v", "cvec", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    nv = F.sqrt(
+        F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)
+    )
+    nc = F.sqrt(
+        F.aggregate("cvec", F.lit(0.0), lambda a, x: a + x * x)
+    )
+    scored = joined.select(
+        "vec_id",
+        "true_label",
+        F.col("label").alias("assigned_label"),
+        F.round(dot / (nv * nc), round_to).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("assigned_label").asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
