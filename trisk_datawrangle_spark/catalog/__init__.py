@@ -59,6 +59,7 @@ _PRIORITY = [
     "v1_label_centroids",
     "v2_nearest_centroid",
     "x20_tfidf_keywords",
+    "e11_stream_dedup",
     "cp1_ngfs_carbon_price",
     "w3_datalake_e2e",
     "s5_ivf_pq_topk",

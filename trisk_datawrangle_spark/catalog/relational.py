@@ -1992,3 +1992,29 @@ def e10(spark, sf_dir):
         "n",
         "sum_value",
     )
+
+
+@q(
+    "e11_stream_dedup",
+    """
+SELECT event_type, COUNT(*) AS n_distinct_users
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+GROUP BY 1
+""",
+)
+def e11(spark, sf_dir):
+    """Watermarked stream dedup, batch-path semantics
+    (streaming/windows.py stream_dedup): exactly-once per
+    (user_id, event_type), projected to the key columns so the
+    surviving-row choice (arbitrary in dropDuplicates) cannot leak
+    nondeterminism into the gate. The stream path
+    (dropDuplicatesWithinWatermark — bounded per-key state inside the
+    lateness horizon) is parity-tested in
+    tests/test_streaming_and_skew.py."""
+    from trisk_datawrangle_spark.streaming.windows import stream_dedup
+
+    (ev,) = load_tables(spark, sf_dir, ["events"]).values()
+    dd = stream_dedup(ev, ["user_id", "event_type"])
+    return dd.select("user_id", "event_type").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_distinct_users")
+    )
