@@ -114,3 +114,23 @@ def test_tfidf_rank_is_exact_and_stable(spark):
         for r in tfidf_top_terms(docs.repartition(17), k=3).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_rolling_stats_partition_invariant(spark, sf_dir):
+    from trisk_datawrangle_spark.operators.mlprep import rolling_stats
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    a = {
+        r.event_id: (r.roll_n, r.roll_sum, r.roll_mean)
+        for r in rolling_stats(
+            ev, "value", ["user_id"], ["ts", "event_id"]
+        ).select("event_id", "roll_n", "roll_sum", "roll_mean").collect()
+    }
+    b = {
+        r.event_id: (r.roll_n, r.roll_sum, r.roll_mean)
+        for r in rolling_stats(
+            ev.repartition(13), "value", ["user_id"], ["ts", "event_id"]
+        ).select("event_id", "roll_n", "roll_sum", "roll_mean").collect()
+    }
+    assert a == b and len(a) > 0
+    assert all(1 <= v[0] <= 3 for v in a.values())

@@ -60,6 +60,7 @@ _PRIORITY = [
     "v2_nearest_centroid",
     "x20_tfidf_keywords",
     "e11_stream_dedup",
+    "x21_rolling_stats",
     "cp1_ngfs_carbon_price",
     "w3_datalake_e2e",
     "s5_ivf_pq_topk",

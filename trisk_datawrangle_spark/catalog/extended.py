@@ -1111,3 +1111,33 @@ def x19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_zscore(
         o, "o_totalprice", ["o_orderpriority"], "o_orderkey"
     )
+
+
+@q(
+    "x21_rolling_stats",
+    """
+SELECT event_id, user_id,
+    CAST(COUNT(*) OVER w AS BIGINT) AS roll_n,
+    CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100.0
+        AS roll_sum,
+    ROUND(CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+          / CAST(COUNT(*) OVER w AS DOUBLE) / 100.0, 6) AS roll_mean
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+)
+def x21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 3-event rolling features per user
+    (operators/mlprep.py rolling_stats): ROWS frame pinned by
+    (ts, event_id) total order, sums in exact cents — every rolling
+    value hash-matches the oracle under any partitioning."""
+    from trisk_datawrangle_spark.operators.mlprep import rolling_stats
+
+    (ev,) = load_tables(spark, sf_dir, ["events"]).values()
+    r = rolling_stats(
+        ev, "value", ["user_id"], ["ts", "event_id"], window_rows=3
+    )
+    return r.select(
+        "event_id", "user_id", "roll_n", "roll_sum", "roll_mean"
+    )

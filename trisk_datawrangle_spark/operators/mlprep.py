@@ -91,3 +91,44 @@ def group_zscore(
             (F.col("__n") > 1) & (var > 0), F.round(z, round_to)
         ).alias(out_col),
     )
+
+
+def rolling_stats(
+    df: DataFrame,
+    value_col: str,
+    key_cols,
+    order_cols,
+    window_rows: int = 3,
+    out_prefix: str = "roll",
+) -> DataFrame:
+    """Trailing-window feature engineering: per key, the rolling
+    count / sum / mean of the last ``window_rows`` rows (current
+    included) in ``order_cols`` order — the classic "user's recent
+    activity" feature. The frame is ROWS-based with a pinned total
+    order (pass an id as the last order col), so membership is
+    deterministic; sums ride exact integer cents and the mean is the
+    exactly-rounded quotient — no float aggregation.
+
+    Adds ``{prefix}_n``, ``{prefix}_sum``, ``{prefix}_mean``.
+    Scale shape: one shuffle (the window partition); state per task
+    is the ``window_rows`` frame, constant memory."""
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(cents).over(w)
+    return (
+        df.withColumn(f"{out_prefix}_n", n)
+        .withColumn(
+            f"{out_prefix}_sum", (s.cast("double") / F.lit(100.0))
+        )
+        .withColumn(
+            f"{out_prefix}_mean",
+            F.round(
+                s.cast("double") / n.cast("double") / F.lit(100.0), 6
+            ),
+        )
+    )
