@@ -388,3 +388,20 @@ def test_stream_static_join_broadcasts_dim(spark, sf_dir):
     )
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_incremental_dedup_no_cartesian(spark, sf_dir):
+    """d11: every join in the incremental path is an equi-join
+    (band/bucket buckets, id re-attach, shingle-hash verify) — no
+    nested-loop, no cartesian, nothing quadratic in the corpus."""
+    from trisk_datawrangle_spark.catalog import QUERIES
+
+    spark.catalog.clearCache()
+    plan = (
+        QUERIES["d11_incremental_dedup"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
