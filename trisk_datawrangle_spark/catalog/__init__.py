@@ -61,6 +61,7 @@ _PRIORITY = [
     "x20_tfidf_keywords",
     "e11_stream_dedup",
     "x21_rolling_stats",
+    "k2_salted_join",
     "cp1_ngfs_carbon_price",
     "w3_datalake_e2e",
     "s5_ivf_pq_topk",

@@ -2018,3 +2018,37 @@ def e11(spark, sf_dir):
     return dd.select("user_id", "event_type").groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_distinct_users")
     )
+
+
+@q(
+    "k2_salted_join",
+    """
+SELECT c.c_mktsegment AS segment, COUNT(*) AS n,
+    SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+""",
+)
+def k2(spark, sf_dir):
+    """Hot-key salted join (operators/skew.py salted_join): the big
+    side salts into 8 buckets, the medium side replicates across
+    them, the join runs on (key, salt) — the standard mitigation when
+    one key would pin a single task and the small side is too big to
+    broadcast. The oracle is the PLAIN join aggregate: salting must
+    be output-invariant, and the exact-cents sum keeps the money
+    column hash-stable."""
+    from trisk_datawrangle_spark.operators.skew import salted_join
+
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    joined = salted_join(
+        t["orders"],
+        t["customer"].withColumnRenamed("c_custkey", "o_custkey"),
+        ["o_custkey"],
+        salt_buckets=8,
+    )
+    return joined.groupBy(
+        F.col("c_mktsegment").alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_cents_sum("o_totalprice").alias("revenue"),
+    )
