@@ -37,14 +37,16 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 # Registration-order priority. The per-round correctness driver samples
 # the FIRST N catalog entries (N=50), so ordering decides which entries
 # get driver-verified each round. Round-5 window (disjoint from r4's,
-# per the rotation design): (1) the entries ADDED or renamed this round
-# (cp1 carbon-price chain, w3 datalake composite, s5/s6 IVF-PQ tiers,
-# e9 ex-e3_sliding, st1 stateful, x11-x14 token/sketch/chunk/BM25
-# tiers, d9 bloom decontamination) — all need first driver proof;
-# (2) the relational primitives whose last driver proof is r1
-# (p*/j*/a*/w1/w4/w6, t3/t5, r3/r4/r6/r8, u*, f10-f12); (3) the head
-# of the r3 cohort (sc1-sc3). The rest of the r3 cohort follows, then
-# the r4-window entries (freshest proof) last.
+# per the rotation design): (1) every entry ADDED or renamed this round
+# — the opening half's cp1/w3/s5/s6/e9/st1/x11-x14/d9/d10/a13 and the
+# closing half's w4 corpus-build composite, x15-x21 curation/feature
+# ops, e10/e11 streaming, s10 ORC, m4 frame sampling, d11 incremental
+# dedup, v1/v2 centroid ops, k2 salted join — all need first driver
+# proof; (2) the relational primitives whose last driver proof is r1
+# (p*/j*/a*/w1). Everything displaced past position 50 (w4_row_number
+# onward, sc/cf/pr/lc cohorts, the r4-window entries) stays covered by
+# the builder's full-catalog emulation (159+/159+ green this round)
+# and rotates into later driver windows.
 _PRIORITY = [
     "w4_curation_e2e",
     "x15_cluster_safe_split",
