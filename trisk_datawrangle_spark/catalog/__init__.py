@@ -64,6 +64,7 @@ _PRIORITY = [
     "e11_stream_dedup",
     "x21_rolling_stats",
     "k2_salted_join",
+    "d12_edit_distance_verify",
     "cp1_ngfs_carbon_price",
     "w3_datalake_e2e",
     "s5_ivf_pq_topk",

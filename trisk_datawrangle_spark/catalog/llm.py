@@ -1752,3 +1752,53 @@ def v2(spark, sf_dir):
     from trisk_datawrangle_spark.llm.similarity import nearest_centroid
 
     return nearest_centroid(_embs(spark, sf_dir))
+
+
+def _d12_sql() -> str:
+    """Edit-distance verification oracle: the d3 exact pairs joined
+    back to both texts, Levenshtein + length-normalized similarity."""
+    return f"""
+WITH jp AS ({_jaccard_pairs_sql(0.5)})
+SELECT jp.id_a, jp.id_b,
+    CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+    ROUND(1.0 - levenshtein(a.text, b.text)
+          / greatest(length(a.text), length(b.text)), 6) AS edit_sim
+FROM jp
+JOIN documents a ON jp.id_a = a.doc_id
+JOIN documents b ON jp.id_b = b.doc_id
+"""
+
+
+@q("d12_edit_distance_verify", _d12_sql())
+def d12(spark, sf_dir):
+    """Character-level verification tier for the dedup ladder: the
+    exact-verified LSH pairs (d3) re-scored with Levenshtein edit
+    distance and length-normalized similarity — the finer-grained
+    check used when shingle Jaccard is too coarse (small edits inside
+    long documents). Cost is |pairs| × |text|² DP, so it runs ONLY on
+    the candidate pair set — never as a candidate generator; both
+    engines implement the classic DP so the distances hash-match."""
+    from trisk_datawrangle_spark.llm.dedup import minhash_lsh_dedup_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_dedup_pairs(
+        docs, num_hashes=64, bands=32, threshold=0.5
+    ).select("id_a", "id_b")
+    ta = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("text").alias("text_a")
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("id_b"), F.col("text").alias("text_b")
+    )
+    joined = pairs.join(ta, "id_a").join(tb, "id_b")
+    dist = F.levenshtein("text_a", "text_b")
+    return joined.select(
+        "id_a",
+        "id_b",
+        dist.cast("long").alias("edit_dist"),
+        F.round(
+            F.lit(1.0)
+            - dist / F.greatest(F.length("text_a"), F.length("text_b")),
+            6,
+        ).alias("edit_sim"),
+    )
