@@ -176,3 +176,35 @@ def test_incremental_equals_cross_set_subset_of_full(spark, docs):
         if (r.id_a % 2) != (r.id_b % 2)
     }
     assert inc == cross and len(inc) > 0
+
+
+def test_balance_sources_equalizes_expected_weight(spark, docs):
+    """Mixture sampling: per-source kept token weight lands near the
+    smallest source's budget (binomial noise), the full smallest
+    source is kept, and the sample is a pure function of (id, seed)."""
+    from trisk_datawrangle_spark.llm.sampling import balance_sources
+
+    d = docs.select("doc_id", "source", F.length("text").alias("w"))
+    kept = balance_sources(d, "source", "w", "doc_id", seed=5).cache()
+    full = {
+        r.source: r.tw
+        for r in d.groupBy("source").agg(F.sum("w").alias("tw")).collect()
+    }
+    got = {
+        r.source: r.tw
+        for r in kept.groupBy("source").agg(F.sum("w").alias("tw")).collect()
+    }
+    m = min(full.values())
+    min_src = min(full, key=full.get)
+    assert got[min_src] == full[min_src]  # rate 1: smallest kept whole
+    for src, tw in got.items():
+        assert tw <= full[src]
+        assert tw > 0.3 * m  # expectation m, generous binomial band
+    a = {r.doc_id for r in kept.collect()}
+    b = {
+        r.doc_id
+        for r in balance_sources(
+            d.repartition(17), "source", "w", "doc_id", seed=5
+        ).collect()
+    }
+    assert a == b

@@ -65,6 +65,7 @@ _PRIORITY = [
     "x21_rolling_stats",
     "k2_salted_join",
     "d12_edit_distance_verify",
+    "x22_mixture_sample",
     "cp1_ngfs_carbon_price",
     "w3_datalake_e2e",
     "s5_ivf_pq_topk",

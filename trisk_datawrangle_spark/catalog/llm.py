@@ -1802,3 +1802,42 @@ def d12(spark, sf_dir):
             6,
         ).alias("edit_sim"),
     )
+
+
+def _x22_sql() -> str:
+    """Mixture-sampling oracle: per-source token weights, min-weight
+    acceptance rates, the identical md5 uniform, doc-level output."""
+    u = md5_uniform_sql("doc_id", seed=5)
+    return f"""
+WITH w AS (
+    SELECT source,
+        SUM(CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '')) AS BIGINT)) AS tw
+    FROM documents GROUP BY 1
+), m AS (SELECT MIN(tw) AS mw FROM w),
+rates AS (
+    SELECT w.source, CAST(m.mw AS DOUBLE) / CAST(w.tw AS DOUBLE) AS rate
+    FROM w CROSS JOIN m
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE {u} <= r.rate
+"""
+
+
+@q("x22_mixture_sample", _x22_sql())
+def x22(spark, sf_dir):
+    """Source-balanced mixture sampling (llm/sampling.py
+    balance_sources): every source downsampled to the smallest
+    source's token budget via deterministic md5 acceptance — the
+    data-mixing step of a corpus build, reproducible across reruns
+    and engines. Doc-level output so each keep/drop decision is
+    hash-gated."""
+    from trisk_datawrangle_spark.llm.sampling import balance_sources
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", token_count("text", "ws").alias("__t")
+    )
+    return balance_sources(d, "source", "__t", "doc_id", seed=5).select(
+        "doc_id", "source"
+    )

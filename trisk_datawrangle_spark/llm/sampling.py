@@ -202,3 +202,40 @@ def md5_uniform_sql(id_expr: str, seed: int = 0) -> str:
         for i in range(13)
     )
     return f"(({terms}) + 1.0) / {float(1 << 52)!r}"
+
+
+def balance_sources(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Source-balanced mixture sampling — the data-mixing step of a
+    pretraining corpus build: downsample every source to the token
+    budget of the SMALLEST source, so no domain dominates the
+    mixture. Each source's acceptance rate is
+    ``min_source_weight / source_weight`` (weights summed from
+    ``weight_col``, e.g. token counts), and a row is kept when its
+    :func:`md5_uniform` ≤ rate — a pure function of (id, seed), so
+    the sampled mixture is identical across reruns, partitionings
+    and engines, and the EXPECTED kept weight is equal per source.
+
+    Scale shape: one group aggregate (source-cardinality rows) + a
+    broadcast of the rates back onto the scan — no extra shuffle of
+    the fact side."""
+    weights = df.groupBy(group_col).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("__w")
+    )
+    m = weights.agg(F.min("__w").alias("__m"))
+    rates = weights.crossJoin(F.broadcast(m)).select(
+        group_col,
+        (F.col("__m").cast("double") / F.col("__w").cast("double")).alias(
+            "__rate"
+        ),
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(md5_uniform(id_col, seed) <= F.col("__rate"))
+        .drop("__rate")
+    )
