@@ -66,6 +66,7 @@ _PRIORITY = [
     "k2_salted_join",
     "d12_edit_distance_verify",
     "x22_mixture_sample",
+    "e12_late_data_report",
     "cp1_ngfs_carbon_price",
     "w3_datalake_e2e",
     "s5_ivf_pq_topk",

@@ -2052,3 +2052,35 @@ def k2(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         exact_cents_sum("o_totalprice").alias("revenue"),
     )
+
+
+@q(
+    "e12_late_data_report",
+    """
+WITH flagged AS (
+    SELECT event_type,
+        (epoch_us(MAX(ts) OVER w) - epoch_us(ts)) / 1000000.0 AS late_by
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, COUNT(*) AS n_events,
+    COUNT(*) FILTER (late_by > 1800.0) AS n_late,
+    CAST(ROUND(MAX(CASE WHEN late_by > 1800.0 THEN late_by END), 0)
+        AS BIGINT) AS max_late_seconds
+FROM flagged GROUP BY 1
+""",
+)
+def e12(spark, sf_dir):
+    """Late-data accounting (streaming/windows.py late_data_report):
+    per event type, how many rows trail the per-user running max
+    event time by more than the 30-minute horizon — the rows a
+    watermarked stream would drop, measured on batch data before
+    choosing a production watermark. Exact integer-microsecond
+    arithmetic, per-key running max (never a global order)."""
+    from trisk_datawrangle_spark.streaming.windows import late_data_report
+
+    (ev,) = load_tables(spark, sf_dir, ["events"]).values()
+    return late_data_report(
+        ev, "ts", "event_id", 1800, ["user_id"], ["event_type"]
+    )

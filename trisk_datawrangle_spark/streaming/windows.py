@@ -152,3 +152,47 @@ def stream_static_enrich(
     (or pre-filter its columns) — a big dimension belongs in a
     keyed stream-stream join instead."""
     return events.join(F.broadcast(dim), on, how)
+
+
+def late_data_report(
+    df: DataFrame,
+    ts_col: str,
+    arrival_col: str,
+    horizon_seconds: int,
+    key_cols: Sequence[str],
+    group_cols: Sequence[str],
+) -> DataFrame:
+    """Watermark-drop accounting, replayed on batch data: a row is
+    "late" when its event time trails the running max event time seen
+    so far (per ``key_cols``, in ``arrival_col`` order) by more than
+    ``horizon_seconds`` — exactly the rows a
+    ``withWatermark(horizon)`` stream would drop had events arrived
+    in that order. Returns per-``group_cols`` totals:
+    ``(n_events, n_late, max_late_seconds)`` — the observability
+    report you run BEFORE picking a production watermark.
+
+    Scale shape: one window shuffle on the key; lateness arithmetic
+    is exact integer microseconds. The running max is per-key on
+    purpose — a global arrival order would serialize the scan."""
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(arrival_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run_max = F.max(us).over(w)
+    late_by = (run_max - us) / F.lit(1_000_000)
+    flagged = df.select(
+        *group_cols,
+        (late_by > F.lit(float(horizon_seconds))).alias("__late"),
+        late_by.alias("__late_by"),
+    )
+    return flagged.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_if(F.col("__late")).alias("n_late"),
+        F.round(F.max(F.when(F.col("__late"), F.col("__late_by"))), 0)
+        .cast("long")
+        .alias("max_late_seconds"),
+    )
