@@ -67,6 +67,7 @@ _PRIORITY = [
     "d12_edit_distance_verify",
     "x22_mixture_sample",
     "e12_late_data_report",
+    "x23_winsorize",
     "cp1_ngfs_carbon_price",
     "w3_datalake_e2e",
     "s5_ivf_pq_topk",

@@ -1141,3 +1141,31 @@ def x21(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(
         "event_id", "user_id", "roll_n", "roll_sum", "roll_mean"
     )
+
+
+@q(
+    "x23_winsorize",
+    """
+WITH bounds AS (
+    SELECT o_orderpriority,
+        quantile_cont(o_totalprice, 0.05) AS lo,
+        quantile_cont(o_totalprice, 0.95) AS hi
+    FROM orders GROUP BY 1
+)
+SELECT o.o_orderkey, o.o_orderpriority,
+    ROUND(least(greatest(o.o_totalprice, b.lo), b.hi), 6) AS clipped
+FROM orders o JOIN bounds b USING (o_orderpriority)
+""",
+)
+def x23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization at the exact 5th/95th percentiles
+    (operators/mlprep.py winsorize) — outlier clipping before
+    scaling/regression; Spark's interpolating percentile matches
+    DuckDB quantile_cont on identical doubles, so every clipped
+    value hash-matches."""
+    from trisk_datawrangle_spark.operators.mlprep import winsorize
+
+    (o,) = load_tables(spark, sf_dir, ["orders"]).values()
+    return winsorize(
+        o, "o_totalprice", ["o_orderpriority"], "o_orderkey", 0.05, 0.95
+    )

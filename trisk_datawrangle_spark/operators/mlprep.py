@@ -132,3 +132,43 @@ def rolling_stats(
             ),
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols,
+    id_col: str,
+    lower_q: float = 0.05,
+    upper_q: float = 0.95,
+    round_to: int = 6,
+    out_col: str = "clipped",
+) -> DataFrame:
+    """Per-group winsorization: clip the value into its group's
+    [lower_q, upper_q] exact-percentile band — the standard
+    outlier-taming step before scaling/regression. Exact
+    (interpolating) percentiles match DuckDB's ``quantile_cont``
+    bit-for-bit on the same doubles (the a4 parity contract), so the
+    clipped values are oracle-checkable.
+
+    Scale shape: one group aggregate (exact percentile is a
+    single-pass partial aggregate) broadcast back onto the scan —
+    no extra fact shuffle. For 100 TB rollups where 0.1% rank error
+    is fine, swap the bounds to ``percentile_approx`` (the a13
+    sketch path) — same plan shape, bounded memory."""
+    bounds = df.groupBy(*group_cols).agg(
+        F.percentile(value_col, F.lit(lower_q)).alias("__lo"),
+        F.percentile(value_col, F.lit(upper_q)).alias("__hi"),
+    )
+    return (
+        df.select(id_col, *group_cols, F.col(value_col).alias("__v"))
+        .join(F.broadcast(bounds), list(group_cols))
+        .select(
+            id_col,
+            *group_cols,
+            F.round(
+                F.least(F.greatest(F.col("__v"), F.col("__lo")), F.col("__hi")),
+                round_to,
+            ).alias(out_col),
+        )
+    )
