@@ -134,3 +134,37 @@ def test_rolling_stats_partition_invariant(spark, sf_dir):
     }
     assert a == b and len(a) > 0
     assert all(1 <= v[0] <= 3 for v in a.values())
+
+
+def test_winsorize_bounds_and_interior(spark, orders):
+    from trisk_datawrangle_spark.operators.mlprep import winsorize
+
+    out = winsorize(
+        orders, "o_totalprice", ["o_orderpriority"], "o_orderkey", 0.05, 0.95
+    ).cache()
+    assert out.count() == orders.count()
+    # clipped range per group equals the exact percentile band
+    bounds = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.05)).alias("lo"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("hi"),
+    )
+    merged = out.join(bounds, "o_orderpriority")
+    assert (
+        merged.filter(
+            (F.col("clipped") < F.round("lo", 6) - 1e-9)
+            | (F.col("clipped") > F.round("hi", 6) + 1e-9)
+        ).count()
+        == 0
+    )
+    # interior values pass through unchanged
+    joined = out.join(
+        orders.select("o_orderkey", "o_totalprice"), "o_orderkey"
+    ).join(bounds, "o_orderpriority")
+    interior = joined.filter(
+        (F.col("o_totalprice") > F.col("lo"))
+        & (F.col("o_totalprice") < F.col("hi"))
+    )
+    changed = interior.filter(
+        F.abs(F.col("clipped") - F.round("o_totalprice", 6)) > 1e-9
+    ).count()
+    assert changed == 0 and interior.count() > 0

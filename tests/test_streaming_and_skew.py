@@ -271,3 +271,29 @@ def test_stream_static_join_matches_batch(spark, sf_dir, events_stream_dir):
     s = {tuple(str(r[k]) for k in key): r["n"] for r in streamed.collect()}
     b = {tuple(str(r[k]) for k in key): r["n"] for r in batch.collect()}
     assert s == b and len(s) > 0
+
+
+def test_late_data_report_counts_only_beyond_horizon(spark, sf_dir):
+    """e12: every flagged row really trails its user's running max by
+    more than the horizon — cross-checked against a driver-side
+    replay of the same per-user scan."""
+    from trisk_datawrangle_spark.streaming.windows import late_data_report
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    rep = {
+        r.event_type: (r.n_events, r.n_late)
+        for r in late_data_report(
+            ev, "ts", "event_id", 1800, ["user_id"], ["event_type"]
+        ).collect()
+    }
+    rows = ev.select("user_id", "event_id", "ts", "event_type").collect()
+    seen: dict = {}
+    late_by_type: dict = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.event_id)):
+        m = seen.get(r.user_id)
+        if m is not None and (m - r.ts).total_seconds() > 1800:
+            late_by_type[r.event_type] = late_by_type.get(r.event_type, 0) + 1
+        seen[r.user_id] = max(m, r.ts) if m else r.ts
+    for et, (n, n_late) in rep.items():
+        assert n_late == late_by_type.get(et, 0), et
+    assert sum(n for n, _ in rep.values()) == len(rows)
