@@ -178,3 +178,15 @@ def test_block_dedup_unique_corpus_is_identity(spark):
     for r in block_dedup(df, block_words=10).collect():
         assert r.n_blocks_removed == 0 and r.n_blocks_kept == 3
         assert r.clean_text == " ".join(f"d{r.doc_id}w{j}" for j in range(25))
+
+
+def test_bm25_sql_escapes_quoted_terms(duck):
+    """Terms containing a single quote must emit a valid doubled-
+    quote SQL literal (found in review: bm25_sql(["o'brien"]) used to
+    generate a syntax error while the Spark side handled it fine)."""
+    from trisk_datawrangle_spark.llm.ranking import bm25_sql
+
+    sql = bm25_sql(["o'brien", "plain"])
+    assert "'o''brien'" in sql
+    rows = duck.execute(sql).fetchall()  # parses and runs
+    assert isinstance(rows, list)

@@ -208,3 +208,35 @@ def test_balance_sources_equalizes_expected_weight(spark, docs):
         ).collect()
     }
     assert a == b
+
+
+def test_incremental_overlapping_id_does_not_inflate(spark, docs):
+    """An id present in BOTH frames (same text — re-ingestion) must
+    not inflate verification counts: pairs involving it keep the
+    exact jaccard from the disjoint case, and it never pairs with
+    itself."""
+    from trisk_datawrangle_spark.llm.dedup import (
+        minhash_lsh_incremental_pairs,
+    )
+
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    base = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in minhash_lsh_incremental_pairs(
+            existing, incoming, num_hashes=64, bands=32, threshold=0.5
+        ).collect()
+    }
+    assert base
+    x = next(iter(base))[0]  # an existing id that participates in a pair
+    overlap_incoming = incoming.unionByName(
+        docs.filter(F.col("doc_id") == x)
+    )
+    got = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in minhash_lsh_incremental_pairs(
+            existing, overlap_incoming, num_hashes=64, bands=32, threshold=0.5
+        ).collect()
+    }
+    assert (x, x) not in got
+    assert got == base

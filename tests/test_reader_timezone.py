@@ -35,3 +35,51 @@ def test_load_tables_is_session_tz_invariant_and_pure(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.session.timeZone", original)
     assert est_micros == utc_micros
+
+
+def test_relabel_exact_through_dst_overlap(spark, tmp_path):
+    """The non-UTC branch must carry the NTZ micros exactly even for
+    wall clocks inside the session timezone's DST fall-back overlap —
+    the wall-shift + session-cast formulation resolved the ambiguous
+    hour to the earlier offset and moved those instants by -3600s
+    (found in review; the events corpus avoids the overlap hour, so
+    this synthesizes it)."""
+    import datetime as dt
+
+    from trisk_datawrangle_spark.sources.readers import (
+        _normalize_timestamps,
+    )
+
+    walls = [
+        "2025-11-02 06:30:00",  # inside America/New_York fall-back overlap
+        "2025-03-09 07:30:00",  # inside the spring-forward gap
+        "2025-06-01 12:00:00",  # plain summer instant
+        "2025-12-01 00:00:00",  # plain winter instant
+    ]
+    path = str(tmp_path / "ntz.parquet")
+    spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"(TIMESTAMP_NTZ'{w}')" for w in walls)
+        + " AS t(ts)"
+    ).write.mode("overwrite").parquet(path)
+    want = {
+        int(
+            dt.datetime.strptime(w, "%Y-%m-%d %H:%M:%S")
+            .replace(tzinfo=dt.timezone.utc)
+            .timestamp()
+            * 1_000_000
+        )
+        for w in walls
+    }
+    original = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        got = {
+            r.us
+            for r in _normalize_timestamps(spark, spark.read.parquet(path))
+            .select(F.unix_micros("ts").alias("us"))
+            .collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)
+    assert got == want

@@ -1182,17 +1182,29 @@ def x12(spark, sf_dir):
     confidence (eps=1e-4, conf=0.999; the margin test in
     tests/test_gate_margins.py asserts the corpus sits far inside
     the bound, so this gate fails diagnostically, not flakily)."""
-    from trisk_datawrangle_spark.llm.text import token_topk
+    from trisk_datawrangle_spark.llm.text import word_gram_table
     from trisk_datawrangle_spark.operators.sketches import (
         cms_estimate,
         cms_sketch,
+        cms_total,
     )
 
-    from trisk_datawrangle_spark.operators.sketches import cms_total
-
     docs = _docs(spark, sf_dir)
-    toks = docs.select(F.explode(tokenize("text")).alias("token")).cache()
-    top = token_topk(docs, "text", k=20).collect()  # bounded: 20 rows
+    # ONE cached token frame feeds both the exact top-k and the
+    # sketch aggregate (uncached, the scan+explode would run twice;
+    # a cache consumed once would be pure overhead)
+    toks = (
+        word_gram_table(docs, "text", "doc_id", n=1)
+        .select(F.col("gram").alias("token"))
+        .cache()
+    )
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+        .collect()  # bounded: 20 rows
+    )
     sk = cms_sketch(toks, "token", eps=1e-4, confidence=0.999, seed=42)
     est = cms_estimate(spark, sk, [r["token"] for r in top])
     bound = max(1.0, 1e-4 * cms_total(spark, sk))  # the eps·N guarantee

@@ -417,7 +417,16 @@ def minhash_lsh_incremental_pairs(
     jaccard ≥ threshold)`` — same hard-oracle contract as
     :func:`minhash_lsh_dedup_pairs`, restricted to cross-set pairs.
     Within-batch duplicates are a separate (cheap) self-dedup of the
-    incoming frame."""
+    incoming frame.
+
+    Id contract: ids should be DISJOINT between the two frames (an
+    ingestion batch carries new ids). An id present in both sides is
+    treated as the same document — it never pairs with itself, and
+    the verification table is distinct-ed so the duplicated shingle
+    rows cannot inflate ``n_grams``/``n_common`` for pairs involving
+    it; if the two sides carry DIFFERENT texts under one id, that is
+    corrupt input and the merged shingle set makes its Jaccard
+    meaningless — fix the ids upstream."""
     sh_ex = shingle_hashes(
         existing, text_col, id_col, ngram, distinct=True
     ).cache()
@@ -440,7 +449,12 @@ def minhash_lsh_incremental_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return _verify_candidates(sh_ex.union(sh_in), cand, threshold)
+    # distinct: with disjoint ids this is a no-op on already-distinct
+    # sides; with an id on both sides it collapses the duplicated
+    # shingle rows so verification counts stay exact (see id contract)
+    return _verify_candidates(
+        sh_ex.union(sh_in).distinct(), cand, threshold
+    )
 
 
 def simhash_band_pairs(
@@ -783,8 +797,12 @@ def block_dedup(
     Plan: segmentation is the shuffle-free chunking projection
     (stride = window ⇒ non-overlapping); boilerplate detection is one
     hash aggregation on block text (map-side combine collapses
-    per-partition repeats); removal is a broadcast-able anti-join
-    (the boilerplate set is vocabulary-sized, not corpus-sized);
+    per-partition repeats); removal is a plain equi-join — the
+    boilerplate set is DATA-dependent (it grows with how duplicated
+    the corpus is, not with vocabulary), so the join is left to AQE:
+    small sets still broadcast at runtime, a duplication-heavy crawl
+    degrades to a shuffle join instead of a forced-broadcast driver
+    OOM;
     reassembly is one doc-keyed aggregation using sort_array over
     (block_id, text) structs — native expressions, no interpreted
     HOF, ordered output independent of partitioning.
@@ -805,7 +823,7 @@ def block_dedup(
         .select("chunk_text")
     )
     flagged = blocks.join(
-        F.broadcast(boiler.withColumn("__is_boiler", F.lit(True))),
+        boiler.withColumn("__is_boiler", F.lit(True)),
         "chunk_text",
         "left",
     )

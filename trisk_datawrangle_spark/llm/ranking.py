@@ -99,8 +99,12 @@ def bm25_sql(
     """The identical BM25 computation as DuckDB SQL (same tokenizer,
     same fixed-order sum) — the catalog oracle generator."""
     terms = list(query_terms)
+    # terms land in SQL string literals — double any single quote so
+    # a term like "o'brien" stays a literal instead of a syntax error
+    # (the Spark side goes through F.lit and needs no escaping)
     tf_cols = ",\n        ".join(
-        f"COUNT(*) FILTER (w = '{t}') AS tf_{j}" for j, t in enumerate(terms)
+        f"COUNT(*) FILTER (w = '{t.replace(chr(39), chr(39) * 2)}') AS tf_{j}"
+        for j, t in enumerate(terms)
     )
     df_cols = ",\n        ".join(
         f"COUNT(*) FILTER (tf_{j} > 0) AS df_{j}" for j in range(len(terms))

@@ -183,18 +183,21 @@ def normalize_text(col: str | Column) -> Column:
     return F.trim(c)
 
 
-def token_topk(df, text_col: str = "text", k: int = 50):
+def token_topk(df, text_col: str = "text", k: int = 50, id_col: str = "doc_id"):
     """Exact corpus-wide token heavy hitters: (token, n) for the k
-    most frequent :func:`tokenize` tokens, ties broken by token
-    (deterministic). Plan: explode → hash-aggregate (map-side partial
+    most frequent lowercase-alnum tokens, ties broken by token
+    (deterministic). Plan: the shared codegen gram builder at n=1
+    (:func:`word_gram_table` — posexplode + row filter; the
+    ``tokenize`` array HOF runs interpreted per element and measures
+    ~2× the whole shingling cost) → hash-aggregate (map-side partial
     combine collapses each partition to its distinct tokens before
     the ONE shuffle) → ``orderBy().limit(k)``, which Spark executes
     as TakeOrdered — a per-partition top-k + a k-row merge on the
     driver, never a global sort. The vocabulary, not the corpus, is
     the shuffle volume."""
     counts = (
-        df.select(F.explode(tokenize(text_col)).alias("token"))
-        .groupBy("token")
+        word_gram_table(df, text_col=text_col, id_col=id_col, n=1)
+        .groupBy(F.col("gram").alias("token"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)

@@ -39,7 +39,16 @@ def quantile_bins(
     """Equal-frequency (quantile) bucketing: ``NTILE(n_bins)`` over
     the value within each group. ``id_col`` (strongly recommended)
     breaks value ties deterministically — without it NTILE's bucket
-    boundary among tied rows depends on partition order."""
+    boundary among tied rows depends on partition order.
+
+    Scale shape: one shuffle on the group key. WITHOUT ``group_cols``
+    the window is unpartitioned — Spark moves the ENTIRE dataset to a
+    single task (it warns "No Partition Defined for Window
+    operation"); that is fine for small frames but a single-executor
+    sort at corpus scale — for a global equal-frequency binning at
+    scale, bin against exact/approx percentile BOUNDS instead (the
+    :func:`winsorize` aggregate shape: tiny bounds frame broadcast
+    back, no global sort)."""
     order = [F.col(value_col).asc()]
     if id_col is not None:
         order.append(F.col(id_col).asc())

@@ -118,11 +118,18 @@ def _normalize_timestamps(spark: SparkSession, df: DataFrame) -> DataFrame:
     ``withWatermark``, and forks every downstream time expression into
     a second dtype. The relabel is timezone-explicit: the NTZ wall
     clock is treated as UTC regardless of the caller's session
-    timezone (``convert_timezone('UTC', session_tz, ntz)`` then a
-    plain cast), so the resulting TIMESTAMP carries exactly the NTZ
+    timezone, so the resulting TIMESTAMP carries exactly the NTZ
     micros and this function never mutates session state. ``get_spark``
     sessions are pinned UTC anyway, making the conversion an identity
     there.
+
+    Non-UTC sessions go through ``make_timestamp(..., 'UTC')`` on the
+    extracted fields rather than a wall-clock shift + session-tz cast:
+    the cast resolves DST-ambiguous wall clocks (the fall-back hour)
+    to the earlier offset, silently moving those instants by an hour —
+    UTC has no DST, so field-wise construction is exact for every
+    instant including both DST boundaries (micros preserved via
+    ``extract(second)``'s fractional seconds).
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import TimestampNTZType
@@ -134,13 +141,12 @@ def _normalize_timestamps(spark: SparkSession, df: DataFrame) -> DataFrame:
         if session_tz in (None, "UTC", "Etc/UTC", "GMT", "Z"):
             casts = {c: F.col(c).cast("timestamp") for c in ntz}
         else:
-            # NTZ→LTZ cast interprets the wall clock in the session
-            # tz; shift the wall clock UTC→session_tz first so the
-            # final instant is the NTZ micros read as UTC.
             casts = {
-                c: F.convert_timezone(
-                    F.lit("UTC"), F.lit(session_tz), F.col(c)
-                ).cast("timestamp")
+                c: F.expr(
+                    f"make_timestamp(year(`{c}`), month(`{c}`), "
+                    f"day(`{c}`), hour(`{c}`), minute(`{c}`), "
+                    f"extract(second from `{c}`), 'UTC')"
+                )
                 for c in ntz
             }
         df = df.withColumns(casts)
