@@ -168,3 +168,70 @@ def test_winsorize_bounds_and_interior(spark, orders):
         F.abs(F.col("clipped") - F.round("o_totalprice", 6)) > 1e-9
     ).count()
     assert changed == 0 and interior.count() > 0
+
+
+def test_null_values_and_null_groups_are_not_dropped_or_fabricated(spark):
+    """Review-found NULL gaps: NULL group keys must survive the
+    stats join (null-safe), NULL values must yield NULL features
+    (never the group's bound or a biased z), and denominators count
+    only contributing rows."""
+    from trisk_datawrangle_spark.operators.mlprep import (
+        group_zscore,
+        quantile_bins,
+        rolling_stats,
+        winsorize,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "a", None),
+            (3, "a", 20.0),
+            (4, None, 1.0),
+            (5, None, 3.0),
+        ],
+        "id long, g string, v double",
+    )
+    # winsorize: row count preserved incl. NULL group; NULL v -> NULL
+    wz = {r.id: r.clipped for r in winsorize(df, "v", ["g"], "id", 0.0, 1.0).collect()}
+    assert set(wz) == {1, 2, 3, 4, 5}
+    assert wz[2] is None
+    assert wz[4] == 1.0 and wz[5] == 3.0  # NULL group standardized together
+    # z-score: n counts contributing rows -> group 'a' mean is 15
+    z = {r.id: r.zscore for r in group_zscore(df, "v", ["g"], "id").collect()}
+    assert set(z) == {1, 2, 3, 4, 5}
+    assert z[2] is None
+    assert z[1] is not None and abs(z[1] + 1.0) < 1e-6  # (10-15)/5
+    assert z[4] is not None and abs(z[4] + 1.0) < 1e-6  # NULL-group pair
+    # bins: NULL values get NULL bin, not bin 1
+    b = {
+        r.id: r.bin
+        for r in quantile_bins(df, "v", 2, ["g"], "id").collect()
+    }
+    assert b[2] is None and b[1] == 1 and b[3] == 2
+    # rolling: mean over contributing rows only
+    r3 = rolling_stats(
+        df.withColumnRenamed("g", "k"), "v", ["k"], ["id"], window_rows=3
+    )
+    row3 = {r.id: (r.roll_n, r.roll_mean) for r in r3.collect()}[3]
+    assert row3 == (2, 15.0)  # frame [10, NULL, 20]
+
+
+def test_zscore_survives_large_mean_small_spread(spark):
+    """Cancellation guard: ~$10M values differing by cents must
+    produce finite, correct z-scores (naive E[c^2]-mean^2 loses all
+    precision at this magnitude)."""
+    from trisk_datawrangle_spark.operators.mlprep import group_zscore
+
+    base = 10_000_000.00
+    df = spark.createDataFrame(
+        [(1, "g", base + 0.01), (2, "g", base + 0.03), (3, "g", base + 0.05)],
+        "id long, g string, v double",
+    )
+    z = {r.id: r.zscore for r in group_zscore(df, "v", ["g"], "id").collect()}
+    assert all(v is not None for v in z.values()), z
+    import math
+
+    assert math.isclose(z[1], -1.224745, abs_tol=1e-5), z
+    assert math.isclose(z[3], 1.224745, abs_tol=1e-5), z
+    assert math.isclose(z[2], 0.0, abs_tol=1e-5), z

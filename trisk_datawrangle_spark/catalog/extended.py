@@ -1080,23 +1080,25 @@ WITH c AS (
         CAST(round(o_totalprice * 100) AS BIGINT) AS c
     FROM orders
 ), stats AS (
-    SELECT o_orderpriority, COUNT(*) AS n, SUM(c) AS s,
+    SELECT o_orderpriority, COUNT(c) AS n, SUM(c) AS s, MIN(c) AS m,
            SUM(CAST(c AS HUGEINT) * c) AS qq
     FROM c GROUP BY 1
+), der AS (
+    SELECT o_orderpriority, n, m,
+        CAST(CAST(s AS HUGEINT) - CAST(m AS HUGEINT) * n AS DOUBLE)
+            / CAST(n AS DOUBLE) AS mean_d,
+        CAST(qq - 2 * CAST(m AS HUGEINT) * s
+                + CAST(m AS HUGEINT) * m * n AS DOUBLE)
+            / CAST(n AS DOUBLE) AS msq_d
+    FROM stats
 )
 SELECT c.o_orderkey, c.o_orderpriority,
-    CASE WHEN stats.n > 1
-          AND (CAST(qq AS DOUBLE) / CAST(stats.n AS DOUBLE)
-               - (CAST(s AS DOUBLE) / CAST(stats.n AS DOUBLE))
-                 * (CAST(s AS DOUBLE) / CAST(stats.n AS DOUBLE))) > 0
-    THEN ROUND((CAST(c.c AS DOUBLE)
-                - CAST(s AS DOUBLE) / CAST(stats.n AS DOUBLE))
-               / sqrt(CAST(qq AS DOUBLE) / CAST(stats.n AS DOUBLE)
-                      - (CAST(s AS DOUBLE) / CAST(stats.n AS DOUBLE))
-                        * (CAST(s AS DOUBLE) / CAST(stats.n AS DOUBLE))),
-               6)
+    CASE WHEN der.n > 1 AND (msq_d - mean_d * mean_d) > 0
+    THEN ROUND((CAST(c.c - der.m AS DOUBLE) - mean_d)
+               / sqrt(msq_d - mean_d * mean_d), 6)
     END AS zscore
-FROM c JOIN stats USING (o_orderpriority)
+FROM c JOIN der
+  ON c.o_orderpriority IS NOT DISTINCT FROM der.o_orderpriority
 """,
 )
 def x19(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1117,7 +1119,8 @@ def x19(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x21_rolling_stats",
     """
 SELECT event_id, user_id,
-    CAST(COUNT(*) OVER w AS BIGINT) AS roll_n,
+    CAST(COUNT(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+        AS roll_n,
     CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100.0
         AS roll_sum,
     ROUND(CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE)
@@ -1153,8 +1156,11 @@ WITH bounds AS (
     FROM orders GROUP BY 1
 )
 SELECT o.o_orderkey, o.o_orderpriority,
-    ROUND(least(greatest(o.o_totalprice, b.lo), b.hi), 6) AS clipped
-FROM orders o JOIN bounds b USING (o_orderpriority)
+    CASE WHEN o.o_totalprice IS NOT NULL
+    THEN ROUND(least(greatest(o.o_totalprice, b.lo), b.hi), 6)
+    END AS clipped
+FROM orders o JOIN bounds b
+  ON o.o_orderpriority IS NOT DISTINCT FROM b.o_orderpriority
 """,
 )
 def x23(spark: SparkSession, sf_dir: str) -> DataFrame:

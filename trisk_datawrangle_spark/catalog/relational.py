@@ -2074,10 +2074,13 @@ FROM flagged GROUP BY 1
 def e12(spark, sf_dir):
     """Late-data accounting (streaming/windows.py late_data_report):
     per event type, how many rows trail the per-user running max
-    event time by more than the 30-minute horizon — the rows a
-    watermarked stream would drop, measured on batch data before
-    choosing a production watermark. Exact integer-microsecond
-    arithmetic, per-key running max (never a global order)."""
+    event time by more than the 30-minute horizon — a LOWER BOUND on
+    what a watermarked stream would drop (Spark's watermark is
+    global; the per-key replay measures each key's own
+    out-of-orderness and stays parallel), measured on batch data
+    before choosing a production watermark. Exact integer-
+    microsecond arithmetic; arrival order pinned by the unique
+    event_id."""
     from trisk_datawrangle_spark.streaming.windows import late_data_report
 
     (ev,) = load_tables(spark, sf_dir, ["events"]).values()

@@ -10,12 +10,19 @@ pure function of the data:
 - ``quantile_bins`` pins the NTILE order with the id column, so rows
   tied on the value land in the same bucket on every run/engine;
 - ``group_zscore`` aggregates cents (exact BIGINT) and squared cents
-  (exact DECIMAL(38) — Spark decimal sums and DuckDB's int128 sums
-  are both exact and order-independent), then derives mean/variance
-  in ONE fixed double expression. No float is ever summed across
-  rows, so the scores are bit-identical on any partitioning — the
+  (exact DECIMAL — Spark decimal sums and DuckDB's int128 sums are
+  both exact and order-independent), then derives mean/variance in
+  ONE fixed double expression. No float is ever summed across rows,
+  so the scores are bit-identical on any partitioning — the
   money-column exact-cents trick (SURVEY §7.4) extended to second
   moments.
+
+NULL policy (uniform across the module): NULL values are never
+fabricated into numbers — a NULL input value yields a NULL feature
+(bin / zscore / clipped), and aggregate denominators count only the
+rows that contributed to the numerator. NULL GROUP KEYS form their
+own group (joins are null-safe), so dirty rows are standardized
+against each other instead of silently vanishing from the output.
 
 Scale shape: one shuffle each (the window partition / the group
 aggregate); the per-group moments frame is group-cardinality-sized
@@ -26,6 +33,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _null_safe_join(left: DataFrame, right: DataFrame, keys) -> DataFrame:
+    """Inner join matching NULL keys to NULL keys (a plain equi-join
+    evaluates NULL = NULL as NULL and silently drops every row whose
+    group key is missing). Drops the right side's key columns."""
+    cond = None
+    for k in keys:
+        c = left[k].eqNullSafe(right[k])
+        cond = c if cond is None else cond & c
+    out = left.join(right, cond)
+    for k in keys:
+        out = out.drop(right[k])
+    return out
 
 
 def quantile_bins(
@@ -41,6 +62,11 @@ def quantile_bins(
     breaks value ties deterministically — without it NTILE's bucket
     boundary among tied rows depends on partition order.
 
+    Rows with a NULL value are excluded from the NTILE frame and get
+    a NULL bin — otherwise Spark's nulls-first sort would dump every
+    missing value into bin 1 (and DuckDB's nulls-last would dump them
+    into bin n: a silent cross-engine divergence on dirty data).
+
     Scale shape: one shuffle on the group key. WITHOUT ``group_cols``
     the window is unpartitioned — Spark moves the ENTIRE dataset to a
     single task (it warns "No Partition Defined for Window
@@ -55,7 +81,14 @@ def quantile_bins(
     w = (
         Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
     ).orderBy(*order)
-    return df.withColumn(out_col, F.ntile(n_bins).over(w))
+    v = F.col(value_col)
+    binned = df.filter(v.isNotNull()).withColumn(
+        out_col, F.ntile(n_bins).over(w)
+    )
+    missing = df.filter(v.isNull()).withColumn(
+        out_col, F.lit(None).cast("int")
+    )
+    return binned.unionByName(missing)
 
 
 def group_zscore(
@@ -67,11 +100,20 @@ def group_zscore(
     out_col: str = "zscore",
 ) -> DataFrame:
     """Per-group standardization from exact moments: values are fixed
-    to integer cents, the group's Σc (BIGINT-exact) and Σc²
-    (DECIMAL(38)-exact) are aggregated order-independently, and
+    to integer cents; the group's n (non-null rows), Σc (BIGINT), min
+    and Σc² (DECIMAL) are aggregated order-independently; and
     ``z = (c - mean) / stddev_pop`` is one deterministic double
     expression over those exact integers. Groups with zero variance
-    (or a single row) get NULL.
+    (or a single contributing row) and rows with NULL values get a
+    NULL score.
+
+    Cancellation guard: the variance is computed from MIN-SHIFTED
+    moments — ``Σd, Σd²`` for ``d = c - min(c)`` derived exactly in
+    decimal arithmetic from the raw sums — so the double subtraction
+    cancels against the group's SPREAD, not its magnitude (naive
+    ``E[c²] - mean²`` loses all precision for large-mean,
+    small-variance groups: cents ~1e9 squared already exhausts a
+    double's 2⁻⁵² resolution).
 
     Returns ``(id_col, *group_cols, out_col)``."""
     cents = F.round(F.col(value_col) * 100).cast("long")
@@ -79,25 +121,38 @@ def group_zscore(
         df.select(*group_cols, cents.alias("__c"))
         .groupBy(*group_cols)
         .agg(
-            F.count(F.lit(1)).alias("__n"),
+            F.count("__c").alias("__n"),  # rows that contribute
             F.sum("__c").alias("__s"),
+            F.min("__c").alias("__m"),
             F.sum(
-                (F.col("__c").cast("decimal(38,0)") * F.col("__c"))
+                (F.col("__c").cast("decimal(20,0)") * F.col("__c"))
             ).alias("__q"),
         )
     )
-    joined = df.select(id_col, *group_cols, cents.alias("__c")).join(
-        F.broadcast(stats), list(group_cols)
+    joined = _null_safe_join(
+        df.select(id_col, *group_cols, cents.alias("__c")),
+        F.broadcast(stats),
+        list(group_cols),
     )
-    n = F.col("__n").cast("double")
-    mean = F.col("__s").cast("double") / n
-    var = F.col("__q").cast("double") / n - mean * mean
-    z = (F.col("__c").cast("double") - mean) / F.sqrt(var)
+    n_l = F.col("__n")
+    n = n_l.cast("double")
+    md = F.col("__m").cast("decimal(20,0)")
+    sd_dec = F.col("__s").cast("decimal(20,0)") - md * n_l
+    sq_dec = (
+        F.col("__q")
+        - F.lit(2).cast("decimal(20,0)") * md * F.col("__s")
+        + md * md * n_l
+    )
+    mean_d = sd_dec.cast("double") / n
+    var = sq_dec.cast("double") / n - mean_d * mean_d
+    z = (
+        (F.col("__c") - F.col("__m")).cast("double") - mean_d
+    ) / F.sqrt(var)
     return joined.select(
         id_col,
         *group_cols,
         F.when(
-            (F.col("__n") > 1) & (var > 0), F.round(z, round_to)
+            (n_l > 1) & (var > 0), F.round(z, round_to)
         ).alias(out_col),
     )
 
@@ -118,6 +173,10 @@ def rolling_stats(
     deterministic; sums ride exact integer cents and the mean is the
     exactly-rounded quotient — no float aggregation.
 
+    ``{prefix}_n`` counts the CONTRIBUTING (non-null) values in the
+    frame — the same denominator the mean uses — so a window of all
+    NULLs reports n=0 and NULL sum/mean instead of a deflated mean.
+
     Adds ``{prefix}_n``, ``{prefix}_sum``, ``{prefix}_mean``.
     Scale shape: one shuffle (the window partition); state per task
     is the ``window_rows`` frame, constant memory."""
@@ -127,7 +186,7 @@ def rolling_stats(
         .rowsBetween(-(window_rows - 1), 0)
     )
     cents = F.round(F.col(value_col) * 100).cast("long")
-    n = F.count(F.lit(1)).over(w)
+    n = F.count(cents).over(w)
     s = F.sum(cents).over(w)
     return (
         df.withColumn(f"{out_prefix}_n", n)
@@ -158,7 +217,9 @@ def winsorize(
     outlier-taming step before scaling/regression. Exact
     (interpolating) percentiles match DuckDB's ``quantile_cont``
     bit-for-bit on the same doubles (the a4 parity contract), so the
-    clipped values are oracle-checkable.
+    clipped values are oracle-checkable. A NULL value stays NULL —
+    Spark's null-skipping ``greatest/least`` would otherwise
+    fabricate the lower bound for missing data.
 
     Scale shape: one group aggregate (exact percentile is a
     single-pass partial aggregate) broadcast back onto the scan —
@@ -169,15 +230,21 @@ def winsorize(
         F.percentile(value_col, F.lit(lower_q)).alias("__lo"),
         F.percentile(value_col, F.lit(upper_q)).alias("__hi"),
     )
-    return (
-        df.select(id_col, *group_cols, F.col(value_col).alias("__v"))
-        .join(F.broadcast(bounds), list(group_cols))
-        .select(
-            id_col,
-            *group_cols,
+    joined = _null_safe_join(
+        df.select(id_col, *group_cols, F.col(value_col).alias("__v")),
+        F.broadcast(bounds),
+        list(group_cols),
+    )
+    return joined.select(
+        id_col,
+        *group_cols,
+        F.when(
+            F.col("__v").isNotNull(),
             F.round(
-                F.least(F.greatest(F.col("__v"), F.col("__lo")), F.col("__hi")),
+                F.least(
+                    F.greatest(F.col("__v"), F.col("__lo")), F.col("__hi")
+                ),
                 round_to,
-            ).alias(out_col),
-        )
+            ),
+        ).alias(out_col),
     )

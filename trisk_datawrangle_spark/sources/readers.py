@@ -141,14 +141,22 @@ def _normalize_timestamps(spark: SparkSession, df: DataFrame) -> DataFrame:
         if session_tz in (None, "UTC", "Etc/UTC", "GMT", "Z"):
             casts = {c: F.col(c).cast("timestamp") for c in ntz}
         else:
-            casts = {
-                c: F.expr(
-                    f"make_timestamp(year(`{c}`), month(`{c}`), "
-                    f"day(`{c}`), hour(`{c}`), minute(`{c}`), "
-                    f"extract(second from `{c}`), 'UTC')"
+            def _relabel(name: str):
+                # backticks in a column name must be doubled inside a
+                # quoted attribute reference
+                col = F.col("`" + name.replace("`", "``") + "`")
+                return F.make_timestamp(
+                    F.year(col),
+                    F.month(col),
+                    F.dayofmonth(col),
+                    F.hour(col),
+                    F.minute(col),
+                    # fractional seconds ride extract's DECIMAL output
+                    F.extract(F.lit("SECOND"), col),
+                    F.lit("UTC"),
                 )
-                for c in ntz
-            }
+
+            casts = {c: _relabel(c) for c in ntz}
         df = df.withColumns(casts)
     return df
 

@@ -157,29 +157,41 @@ def stream_static_enrich(
 def late_data_report(
     df: DataFrame,
     ts_col: str,
-    arrival_col: str,
+    arrival_cols,
     horizon_seconds: int,
     key_cols: Sequence[str],
     group_cols: Sequence[str],
 ) -> DataFrame:
-    """Watermark-drop accounting, replayed on batch data: a row is
+    """Per-key late-data accounting, replayed on batch data: a row is
     "late" when its event time trails the running max event time seen
-    so far (per ``key_cols``, in ``arrival_col`` order) by more than
-    ``horizon_seconds`` — exactly the rows a
-    ``withWatermark(horizon)`` stream would drop had events arrived
-    in that order. Returns per-``group_cols`` totals:
+    so far (per ``key_cols``, in ``arrival_cols`` order) by more than
+    ``horizon_seconds``. Returns per-``group_cols`` totals:
     ``(n_events, n_late, max_late_seconds)`` — the observability
     report you run BEFORE picking a production watermark.
 
-    Scale shape: one window shuffle on the key; lateness arithmetic
-    is exact integer microseconds. The running max is per-key on
-    purpose — a global arrival order would serialize the scan."""
+    Contract: this is a LOWER BOUND on what a real
+    ``withWatermark(horizon)`` stream would drop. Spark's watermark
+    is GLOBAL — the max event time across ALL keys, advanced at
+    micro-batch boundaries — so a quiet key's stragglers can be
+    dropped by a busy key's progress, which a per-key running max
+    cannot see. The per-key formulation is deliberate: it measures
+    each key's OWN out-of-orderness (the input to choosing a
+    horizon) and parallelizes, where a faithful global replay would
+    serialize the scan on one arrival-ordered task.
+
+    ``arrival_cols`` should pin a TOTAL order (end with a unique id)
+    — ties in arrival order would otherwise make frame membership,
+    and therefore the counts, partition-order-dependent. Lateness
+    arithmetic is exact integer microseconds; one window shuffle on
+    the key."""
     from pyspark.sql import Window
 
+    if isinstance(arrival_cols, str):
+        arrival_cols = [arrival_cols]
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy(F.col(arrival_col).asc())
+        .orderBy(*[F.col(c).asc() for c in arrival_cols])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     run_max = F.max(us).over(w)
