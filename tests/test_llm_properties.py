@@ -136,3 +136,69 @@ def test_ngram_jaccard_max_doc_freq_is_conservative(spark):
     }
     for pair, j in capped2.items():
         assert j <= exact[pair] + 1e-12, (pair, j, exact[pair])
+
+
+def test_zero_norm_vector_survives_cosine_ops(spark):
+    """A zero embedding (failed extraction) must score ~0 cosine, not
+    kill the job with ANSI DIVIDE_BY_ZERO (found in review: the JVM
+    _norm had no clamp while every numpy path clamped at 1e-12)."""
+    from pyspark.sql import functions as F
+
+    from trisk_datawrangle_spark.llm.similarity import cosine_topk
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = cosine_topk(df, df.filter(F.col("vec_id") == 1), k=2).collect()
+    got = {r.neighbor_id: r.cosine for r in out}
+    assert set(got) == {2, 3}
+    assert abs(got[3]) < 1e-6  # zero vector ranks as ~0, never NaN/crash
+
+
+def test_block_dedup_keeps_zero_chunk_docs(spark):
+    """Docs whose text yields no chunks (empty/whitespace) must
+    survive with empty clean_text, not vanish from the output."""
+    from trisk_datawrangle_spark.llm.dedup import block_dedup
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.clean_text, r.n_blocks_kept) for r in
+           block_dedup(df, block_words=2, min_docs=2).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2] == ("", 0) and out[3] == ("", 0)
+
+
+def test_lsh_bands_must_divide_hashes(spark):
+    from trisk_datawrangle_spark.llm.dedup import minhash_lsh_pairs
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="must divide"):
+        minhash_lsh_pairs(df, num_hashes=64, bands=24).collect()
+
+
+def test_chunk_stride_gap_rejected(spark):
+    from trisk_datawrangle_spark.llm.packing import chunk_documents
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="uncovered"):
+        chunk_documents(df, window=10, stride=20)
+
+
+def test_balance_sources_zero_weight_source(spark):
+    """A source whose rows all weigh 0 must neither crash (0/0 under
+    ANSI) nor zero out every other source's rate."""
+    from trisk_datawrangle_spark.llm.sampling import balance_sources
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 0), (4, "b", 0), (5, "c", 30)],
+        "doc_id long, source string, w long",
+    )
+    kept = balance_sources(df, "source", "w", "doc_id", seed=1).collect()
+    srcs = {r.source for r in kept}
+    assert "b" not in srcs          # nothing eligible there
+    assert {"a", "c"} & srcs        # other sources still sampled

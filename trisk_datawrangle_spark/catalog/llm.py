@@ -213,12 +213,12 @@ WITH e AS (
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
     ROUND(list_dot_product(a.v, b.v)
-        / (sqrt(list_dot_product(a.v, a.v))
-           * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+        / (greatest(sqrt(list_dot_product(a.v, a.v)), 1e-12)
+           * greatest(sqrt(list_dot_product(b.v, b.v)), 1e-12)), 4) AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v)
-        / (sqrt(list_dot_product(a.v, a.v))
-           * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+        / (greatest(sqrt(list_dot_product(a.v, a.v)), 1e-12)
+           * greatest(sqrt(list_dot_product(b.v, b.v)), 1e-12)) >= 0.45
 """,
 )
 def d5(spark, sf_dir):
@@ -255,8 +255,8 @@ WITH e AS (
 ), scored AS (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         list_dot_product(q.v, c.v)
-            / (sqrt(list_dot_product(q.v, q.v))
-               * sqrt(list_dot_product(c.v, c.v))) AS cosine
+            / (greatest(sqrt(list_dot_product(q.v, q.v)), 1e-12)
+               * greatest(sqrt(list_dot_product(c.v, c.v)), 1e-12)) AS cosine
     FROM e c CROSS JOIN q
     WHERE c.vec_id <> q.vec_id
 )
@@ -325,8 +325,8 @@ WITH e AS (
 ), scored AS (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         list_dot_product(q.v, c.v)
-            / (sqrt(list_dot_product(q.v, q.v))
-               * sqrt(list_dot_product(c.v, c.v))) AS cosine
+            / (greatest(sqrt(list_dot_product(q.v, q.v)), 1e-12)
+               * greatest(sqrt(list_dot_product(c.v, c.v)), 1e-12)) AS cosine
     FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
 )
 SELECT query_id, neighbor_id, ROUND(cosine, 4) AS cosine, rank FROM (
@@ -413,8 +413,8 @@ WITH e AS (
 ), scored AS (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         list_dot_product(q.v, c.v)
-            / (sqrt(list_dot_product(q.v, q.v))
-               * sqrt(list_dot_product(c.v, c.v))) AS cosine
+            / (greatest(sqrt(list_dot_product(q.v, q.v)), 1e-12)
+               * greatest(sqrt(list_dot_product(c.v, c.v)), 1e-12)) AS cosine
     FROM e c CROSS JOIN q
     WHERE c.vec_id <> q.vec_id
 ), ranked AS (
@@ -662,8 +662,8 @@ WITH raw AS (
 ), scored AS (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         list_dot_product(q.v, c.v)
-            / (sqrt(list_dot_product(q.v, q.v))
-               * sqrt(list_dot_product(c.v, c.v))) AS cosine
+            / (greatest(sqrt(list_dot_product(q.v, q.v)), 1e-12)
+               * greatest(sqrt(list_dot_product(c.v, c.v)), 1e-12)) AS cosine
     FROM emb c CROSS JOIN q
     WHERE c.vec_id <> q.vec_id
 )
@@ -1390,12 +1390,19 @@ WITH toks AS (
     SELECT b.doc_id, b.block_id, b.bt, (o.bt IS NOT NULL) AS is_b
     FROM blocks b LEFT JOIN boiler o USING (bt)
 )
-SELECT doc_id,
-    COALESCE(string_agg(CASE WHEN NOT is_b THEN bt END, ' '
-                        ORDER BY block_id), '') AS clean_text,
-    COUNT(*) FILTER (NOT is_b) AS n_blocks_kept,
-    COUNT(*) FILTER (is_b) AS n_blocks_removed
-FROM flagged GROUP BY 1
+, agg AS (
+    SELECT doc_id,
+        COALESCE(string_agg(CASE WHEN NOT is_b THEN bt END, ' '
+                            ORDER BY block_id), '') AS clean_text,
+        COUNT(*) FILTER (NOT is_b) AS n_blocks_kept,
+        COUNT(*) FILTER (is_b) AS n_blocks_removed
+    FROM flagged GROUP BY 1
+)
+SELECT d.doc_id,
+    COALESCE(a.clean_text, '') AS clean_text,
+    COALESCE(a.n_blocks_kept, 0) AS n_blocks_kept,
+    COALESCE(a.n_blocks_removed, 0) AS n_blocks_removed
+FROM documents d LEFT JOIN agg a USING (doc_id)
 """,
 )
 def d10(spark, sf_dir):
@@ -1741,9 +1748,9 @@ WITH ex AS (
 ), scored AS (
     SELECT e.vec_id, e.label AS true_label, c.label AS assigned_label,
         ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
-              / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-                                       CAST(e.embedding AS DOUBLE[])))
-                 * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS cosine
+              / (greatest(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[]))), 1e-12)
+                 * greatest(sqrt(list_dot_product(c.cvec, c.cvec)), 1e-12)), 6) AS cosine
     FROM embeddings e CROSS JOIN carr c
 ), ranked AS (
     SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -1821,18 +1828,21 @@ def _x22_sql() -> str:
     acceptance rates, the identical md5 uniform, doc-level output."""
     u = md5_uniform_sql("doc_id", seed=5)
     return f"""
-WITH w AS (
-    SELECT source,
-        SUM(CAST(len(list_filter(string_split_regex(text, '\\s+'),
-                                 x -> x <> '')) AS BIGINT)) AS tw
-    FROM documents GROUP BY 1
-), m AS (SELECT MIN(tw) AS mw FROM w),
+WITH dw AS (
+    SELECT doc_id, source,
+        CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '')) AS BIGINT) AS w
+    FROM documents
+), eligible AS (SELECT * FROM dw WHERE w > 0),
+wsum AS (
+    SELECT source, SUM(w) AS tw FROM eligible GROUP BY 1
+), m AS (SELECT MIN(tw) AS mw FROM wsum),
 rates AS (
-    SELECT w.source, CAST(m.mw AS DOUBLE) / CAST(w.tw AS DOUBLE) AS rate
-    FROM w CROSS JOIN m
+    SELECT wsum.source, CAST(m.mw AS DOUBLE) / CAST(wsum.tw AS DOUBLE) AS rate
+    FROM wsum CROSS JOIN m
 )
-SELECT d.doc_id, d.source
-FROM documents d JOIN rates r ON d.source = r.source
+SELECT e.doc_id, e.source
+FROM eligible e JOIN rates r ON e.source = r.source
 WHERE {u} <= r.rate
 """
 

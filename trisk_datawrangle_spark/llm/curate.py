@@ -158,13 +158,19 @@ def curate_to_splits(
     kept = curate(
         df, text_col, id_col, min_quality, langs, near_dup_jaccard
     ).cache()
+    # curate()'s output id column is always named "doc_id"; df's may
+    # not be — join on the caller's id_col explicitly
+    kept_ids = kept.select("doc_id")
+    survivors = df.join(
+        kept_ids, df[id_col] == kept_ids["doc_id"], "left_semi"
+    )
     contaminated = contamination_overlap(
-        df.join(kept.select("doc_id"), "doc_id", "left_semi"),
+        survivors,
         benchmark,
         text_col,
         id_col,
         n=contamination_ngram,
-    ).select("doc_id")
+    ).select(F.col(id_col).alias("doc_id"))
     clean = kept.join(contaminated, "doc_id", "left_anti")
     split = deterministic_split(clean, "doc_id", fractions, seed)
     return split.groupBy("split").agg(

@@ -228,6 +228,14 @@ def _banded_table(
     table — each band's slice of the signature hashed to one bucket
     key. Narrow by construction: the join stages only ever carry
     these three columns, never the K-element signature arrays."""
+    if num_hashes % bands != 0:
+        # silent truncation would band only the first
+        # bands*(num_hashes//bands) positions — a much flatter
+        # candidate-probability curve than the caller tuned for,
+        # plus wasted signature aggregation
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
     rows_per_band = num_hashes // bands
     return sig.select(
         "id",
@@ -828,7 +836,7 @@ def block_dedup(
         "left",
     )
     kept = F.when(F.col("__is_boiler").isNull(), F.col("chunk_text"))
-    return (
+    reassembled = (
         flagged.groupBy(id_col)
         .agg(
             F.array_join(
@@ -848,5 +856,24 @@ def block_dedup(
             F.count_if(F.col("__is_boiler").isNotNull()).alias(
                 "n_blocks_removed"
             ),
+        )
+    )
+    # a doc whose text yields ZERO chunks (empty/whitespace text) has
+    # no rows in the block table — without the join-back it would
+    # vanish from the output, breaking the every-doc-survives
+    # contract; it surfaces as (empty, 0, 0) like the all-boilerplate
+    # case
+    return (
+        df.select(id_col)
+        .join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_blocks_kept"), F.lit(0).cast("long")).alias(
+                "n_blocks_kept"
+            ),
+            F.coalesce(
+                F.col("n_blocks_removed"), F.lit(0).cast("long")
+            ).alias("n_blocks_removed"),
         )
     )

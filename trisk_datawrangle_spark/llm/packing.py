@@ -33,8 +33,14 @@ def pack_sequences(
     """Add ``pack_id`` (per-shard) and ``pack_cum_tokens`` to ``df``.
 
     ``order_col`` pins the accumulation order (ties are not allowed to
-    matter: use a unique id). Documents longer than ``budget`` get a
-    pack of their own (the floor still isolates them)."""
+    matter: use a unique id). ``pack_id = floor(cum_before / budget)``
+    — greedy sequential packing: a document is assigned to the pack
+    its FIRST token lands in, so a document longer than ``budget``
+    shares its pack with whatever preceded it in that pack and then
+    occupies the skipped pack ids its overflow spans (pack ids stay
+    monotone but not contiguous). Callers needing oversized docs
+    isolated should split or truncate them first
+    (:func:`chunk_documents`)."""
     if budget <= 0:
         raise ValueError("budget must be positive")
     w = (
@@ -78,6 +84,14 @@ def chunk_documents(
     parallel and scan-bound."""
     if window <= 0 or stride <= 0:
         raise ValueError("window and stride must be positive")
+    if stride > window:
+        # the chunk-count formula assumes overlapping or exact tiling;
+        # a gap (stride > window) silently drops the words between
+        # windows AND emits a phantom empty trailing chunk
+        raise ValueError(
+            f"stride ({stride}) > window ({window}) leaves words "
+            "uncovered — use stride <= window"
+        )
     words = F.array_remove(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), ""
     )

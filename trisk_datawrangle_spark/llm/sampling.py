@@ -221,11 +221,19 @@ def balance_sources(
     the sampled mixture is identical across reruns, partitionings
     and engines, and the EXPECTED kept weight is equal per source.
 
+    Rows with NULL or non-positive weight are never sampled (the
+    :func:`weighted_take` convention), and sources with no positive
+    weight contribute nothing — without the guard a zero-weight
+    source is a ``0/0`` under ANSI (job kill) AND, as the global min,
+    would silently zero every other source's rate.
+
     Scale shape: one group aggregate (source-cardinality rows) + a
     broadcast of the rates back onto the scan — no extra shuffle of
     the fact side."""
-    weights = df.groupBy(group_col).agg(
-        F.sum(F.col(weight_col).cast("long")).alias("__w")
+    w_col = F.col(weight_col).cast("long")
+    eligible = df.filter(w_col > 0)
+    weights = eligible.groupBy(group_col).agg(
+        F.sum(w_col).alias("__w")
     )
     m = weights.agg(F.min("__w").alias("__m"))
     rates = weights.crossJoin(F.broadcast(m)).select(
@@ -235,7 +243,7 @@ def balance_sources(
         ),
     )
     return (
-        df.join(F.broadcast(rates), group_col)
+        eligible.join(F.broadcast(rates), group_col)
         .filter(md5_uniform(id_col, seed) <= F.col("__rate"))
         .drop("__rate")
     )

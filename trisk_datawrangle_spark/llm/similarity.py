@@ -29,12 +29,18 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def _norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(
-            _c(a),
-            F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"),
-        )
+    # clamped like every numpy path below (np.maximum(norm, 1e-12)):
+    # a zero-norm vector (failed extraction / padded row) must score
+    # cosine ~0, not kill the job with ANSI DIVIDE_BY_ZERO
+    return F.greatest(
+        F.sqrt(
+            F.aggregate(
+                _c(a),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ),
+        F.lit(1e-12),
     )
 
 
@@ -512,7 +518,18 @@ def cosine_topk_vectorized(
                 if len(cand_idx) == 0:
                     continue
                 take = min(k, len(cand_idx))
-                top = cand_idx[np.argpartition(-col[cand_idx], take - 1)[:take]]
+                # lexsort pins the local take-boundary tiebreak to
+                # (cosine desc, neighbor_id asc) — argpartition alone
+                # keeps an ARBITRARY one of several equal-cosine rows
+                # at the boundary, so the surviving candidate (and
+                # the final top-k) would vary with partition layout.
+                # Full sort of the batch column is O(n log n) vs
+                # argpartition's O(n); the batch is partition-local
+                # and the determinism contract wins.
+                order = np.lexsort(
+                    (c_ids[cand_idx], -col[cand_idx])
+                )
+                top = cand_idx[order[:take]]
                 out_q.extend([ids[j]] * len(top))
                 out_n.extend(c_ids[top])
                 out_c.extend(col[top])
@@ -865,11 +882,13 @@ def nearest_centroid(
         F.lit(0.0),
         lambda a, x: a + x,
     )
-    nv = F.sqrt(
-        F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)
+    nv = F.greatest(
+        F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)),
+        F.lit(1e-12),
     )
-    nc = F.sqrt(
-        F.aggregate("cvec", F.lit(0.0), lambda a, x: a + x * x)
+    nc = F.greatest(
+        F.sqrt(F.aggregate("cvec", F.lit(0.0), lambda a, x: a + x * x)),
+        F.lit(1e-12),
     )
     scored = joined.select(
         "vec_id",
