@@ -235,3 +235,26 @@ def test_zscore_survives_large_mean_small_spread(spark):
     assert math.isclose(z[1], -1.224745, abs_tol=1e-5), z
     assert math.isclose(z[3], 1.224745, abs_tol=1e-5), z
     assert math.isclose(z[2], 0.0, abs_tol=1e-5), z
+
+
+def test_nan_values_treated_as_missing(spark):
+    """NaN must behave like NULL (found in review: an unguarded
+    round(NaN*100).cast(long) scored NaN as $0.00 non-ANSI and threw
+    CAST_OVERFLOW under ANSI)."""
+    from trisk_datawrangle_spark.operators.mlprep import (
+        group_zscore,
+        quantile_bins,
+        winsorize,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "a", float("nan"))],
+        "id long, g string, v double",
+    )
+    z = {r.id: r.zscore for r in group_zscore(df, "v", ["g"], "id").collect()}
+    assert z[3] is None
+    assert z[1] is not None and abs(z[1] + 1.0) < 1e-6  # mean 15, sd 5
+    b = {r.id: r.bin for r in quantile_bins(df, "v", 2, ["g"], "id").collect()}
+    assert b[3] is None and b[1] == 1 and b[2] == 2
+    w = {r.id: r.clipped for r in winsorize(df, "v", ["g"], "id", 0.0, 1.0).collect()}
+    assert w[3] is None and w[1] == 10.0 and w[2] == 20.0

@@ -254,3 +254,34 @@ def test_asof_duplicate_right_ts_tie_rule_direction_invariant(spark):
         for d in ("backward", "forward", "nearest")
     }
     assert picks == {"backward": "c", "forward": "c", "nearest": "c"}
+
+
+def test_asof_null_timestamps_never_match(spark):
+    """NULL timestamps carry no as-of meaning (found in review):
+    NULL-ts right rows must never be fabricated as matches in ANY
+    direction, and NULL-ts left rows keep NULLs."""
+    import datetime as dt
+
+    from trisk_datawrangle_spark.operators.temporal import join_asof
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, t(1), "L1"), (1, None, "Lnull")],
+        "k long, ts timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, t(5), "R5"), (1, None, "Rnull")],
+        "k long, ts timestamp, rv string",
+    )
+    for direction, want in [
+        ("backward", {"L1": None, "Lnull": None}),
+        ("forward", {"L1": "R5", "Lnull": None}),
+        ("nearest", {"L1": "R5", "Lnull": None}),
+    ]:
+        got = {
+            r.lv: r.rv_asof
+            for r in join_asof(
+                left, right, ["k"], right_cols=["rv"], direction=direction
+            ).collect()
+        }
+        assert got == want, (direction, got)

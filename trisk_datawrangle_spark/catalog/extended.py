@@ -1048,6 +1048,11 @@ WITH binned AS (
                         ORDER BY o_totalprice, o_orderkey) AS bin,
         o_totalprice
     FROM orders
+    WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+    UNION ALL
+    SELECT o_orderpriority, CAST(NULL AS INTEGER) AS bin, o_totalprice
+    FROM orders
+    WHERE o_totalprice IS NULL OR isnan(o_totalprice)
 )
 SELECT o_orderpriority, bin, COUNT(*) AS n,
        MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
@@ -1077,7 +1082,8 @@ def x18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH c AS (
     SELECT o_orderkey, o_orderpriority,
-        CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        CASE WHEN o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+             THEN CAST(round(o_totalprice * 100) AS BIGINT) END AS c
     FROM orders
 ), stats AS (
     SELECT o_orderpriority, COUNT(c) AS n, SUM(c) AS s, MIN(c) AS m,
@@ -1118,14 +1124,17 @@ def x19(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "x21_rolling_stats",
     """
+WITH c AS (
+    SELECT *, CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                   THEN CAST(round(value * 100) AS BIGINT) END AS cents
+    FROM events
+)
 SELECT event_id, user_id,
-    CAST(COUNT(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
-        AS roll_n,
-    CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100.0
-        AS roll_sum,
-    ROUND(CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE)
-          / CAST(COUNT(*) OVER w AS DOUBLE) / 100.0, 6) AS roll_mean
-FROM events
+    CAST(COUNT(cents) OVER w AS BIGINT) AS roll_n,
+    CAST(SUM(cents) OVER w AS DOUBLE) / 100.0 AS roll_sum,
+    ROUND(CAST(SUM(cents) OVER w AS DOUBLE)
+          / CAST(COUNT(cents) OVER w AS DOUBLE) / 100.0, 6) AS roll_mean
+FROM c
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """,
@@ -1149,17 +1158,22 @@ def x21(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "x23_winsorize",
     """
-WITH bounds AS (
+WITH v AS (
+    SELECT o_orderkey, o_orderpriority,
+        CASE WHEN o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+             THEN o_totalprice END AS v
+    FROM orders
+), bounds AS (
     SELECT o_orderpriority,
-        quantile_cont(o_totalprice, 0.05) AS lo,
-        quantile_cont(o_totalprice, 0.95) AS hi
-    FROM orders GROUP BY 1
+        quantile_cont(v, 0.05) AS lo,
+        quantile_cont(v, 0.95) AS hi
+    FROM v GROUP BY 1
 )
 SELECT o.o_orderkey, o.o_orderpriority,
-    CASE WHEN o.o_totalprice IS NOT NULL
-    THEN ROUND(least(greatest(o.o_totalprice, b.lo), b.hi), 6)
+    CASE WHEN o.v IS NOT NULL
+    THEN ROUND(least(greatest(o.v, b.lo), b.hi), 6)
     END AS clipped
-FROM orders o JOIN bounds b
+FROM v o JOIN bounds b
   ON o.o_orderpriority IS NOT DISTINCT FROM b.o_orderpriority
 """,
 )

@@ -17,10 +17,12 @@ pure function of the data:
   money-column exact-cents trick (SURVEY §7.4) extended to second
   moments.
 
-NULL policy (uniform across the module): NULL values are never
-fabricated into numbers — a NULL input value yields a NULL feature
-(bin / zscore / clipped), and aggregate denominators count only the
-rows that contributed to the numerator. NULL GROUP KEYS form their
+NULL/NaN policy (uniform across the module): missing values are
+never fabricated into numbers — a NULL or NaN input value yields a
+NULL feature (bin / zscore / clipped; an unguarded
+``round(NaN*100).cast(long)`` would score NaN as $0.00 non-ANSI and
+crash with CAST_OVERFLOW under ANSI), and aggregate denominators
+count only the rows that contributed to the numerator. NULL GROUP KEYS form their
 own group (joins are null-safe), so dirty rows are standardized
 against each other instead of silently vanishing from the output.
 
@@ -33,6 +35,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _present(value_col: str):
+    """The value as double where it is an actual number; NULL for
+    NULL and NaN (both mean "missing" here)."""
+    v = F.col(value_col).cast("double")
+    return F.when(v.isNotNull() & ~F.isnan(v), v)
+
+
+def _cents(value_col: str):
+    """Exact integer cents, NULL for NULL/NaN inputs."""
+    return F.round(_present(value_col) * 100).cast("long")
 
 
 def _null_safe_join(left: DataFrame, right: DataFrame, keys) -> DataFrame:
@@ -81,11 +95,12 @@ def quantile_bins(
     w = (
         Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
     ).orderBy(*order)
-    v = F.col(value_col)
-    binned = df.filter(v.isNotNull()).withColumn(
+    v = F.col(value_col).cast("double")
+    present = v.isNotNull() & ~F.isnan(v)
+    binned = df.filter(present).withColumn(
         out_col, F.ntile(n_bins).over(w)
     )
-    missing = df.filter(v.isNull()).withColumn(
+    missing = df.filter(~F.coalesce(present, F.lit(False))).withColumn(
         out_col, F.lit(None).cast("int")
     )
     return binned.unionByName(missing)
@@ -116,7 +131,7 @@ def group_zscore(
     double's 2⁻⁵² resolution).
 
     Returns ``(id_col, *group_cols, out_col)``."""
-    cents = F.round(F.col(value_col) * 100).cast("long")
+    cents = _cents(value_col)
     stats = (
         df.select(*group_cols, cents.alias("__c"))
         .groupBy(*group_cols)
@@ -185,7 +200,7 @@ def rolling_stats(
         .orderBy(*[F.col(c).asc() for c in order_cols])
         .rowsBetween(-(window_rows - 1), 0)
     )
-    cents = F.round(F.col(value_col) * 100).cast("long")
+    cents = _cents(value_col)
     n = F.count(cents).over(w)
     s = F.sum(cents).over(w)
     return (
@@ -227,11 +242,11 @@ def winsorize(
     is fine, swap the bounds to ``percentile_approx`` (the a13
     sketch path) — same plan shape, bounded memory."""
     bounds = df.groupBy(*group_cols).agg(
-        F.percentile(value_col, F.lit(lower_q)).alias("__lo"),
-        F.percentile(value_col, F.lit(upper_q)).alias("__hi"),
+        F.percentile(_present(value_col), F.lit(lower_q)).alias("__lo"),
+        F.percentile(_present(value_col), F.lit(upper_q)).alias("__hi"),
     )
     joined = _null_safe_join(
-        df.select(id_col, *group_cols, F.col(value_col).alias("__v")),
+        df.select(id_col, *group_cols, _present(value_col).alias("__v")),
         F.broadcast(bounds),
         list(group_cols),
     )

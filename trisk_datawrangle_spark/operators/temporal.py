@@ -68,7 +68,11 @@ def join_asof(
       resolve to the backward match)
 
     Left rows with no match (or none within ``tolerance_seconds``)
-    keep NULLs.
+    keep NULLs. NULL timestamps carry no as-of meaning: NULL-ts RIGHT
+    rows are excluded (they can never be "before"/"after" anything —
+    unexcluded, the window scan would fabricate them as matches), and
+    NULL-ts LEFT rows are kept with a NULL match (pandas merge_asof
+    rejects NaT keys outright; DuckDB ASOF skips them).
 
     Plan shape: tag sides, union, then ``last(..., ignorenulls)`` over
     a (key)-partitioned window ordered by (ts, side) — right rows sort
@@ -115,7 +119,7 @@ def join_asof(
     r_struct = F.struct(
         F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols]
     )
-    rt = right.select(
+    rt = right.filter(F.col(right_ts).isNotNull()).select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
@@ -197,6 +201,13 @@ def join_asof(
             .when(df_ < db, F.col("__mf"))
             .otherwise(F.col("__mb")),
         )
+    # a NULL-ts left row must never match: the desc (forward) scan
+    # orders NULLs last, so the running last-right would otherwise
+    # hand it the smallest-ts right row as a fabricated "forward"
+    # match (and nearest would inherit it)
+    matched = matched.withColumn(
+        "__m", F.when(F.col("__ts").isNotNull(), F.col("__m"))
+    )
 
     out = [F.col(c) for c in left.columns]
     out.append(F.col("__m.__rts").alias(f"{right_ts}{suffix}"))

@@ -94,6 +94,7 @@ def filter_countries_coverage(
     country_filter: Sequence[str] = (),
     filter_hqs: bool = False,
     filter_assets: bool = False,
+    hqs: DataFrame | None = None,
 ) -> DataFrame:
     """Optional country scoping of Asset-Impact data
     (R/prepare_asset_impact_data.R:156-195,
@@ -115,23 +116,36 @@ def filter_countries_coverage(
     if not country_filter or not (filter_hqs or filter_assets):
         return ar_data
     if filter_hqs:
-        if company_informations is None:
-            raise ValueError(
-                "filter_hqs=True needs company_informations "
-                "(company_id, ald_location, is_ultimate_parent)"
-            )
-        hqs = (
-            company_informations.filter(
-                F.col("ald_location").isin(*country_filter)
-                & F.col("is_ultimate_parent")
-            )
-            .select("company_id")
-            .distinct()
-        )
+        if hqs is None:
+            if company_informations is None:
+                raise ValueError(
+                    "filter_hqs=True needs company_informations "
+                    "(company_id, ald_location, is_ultimate_parent)"
+                )
+            hqs = hq_company_ids(company_informations, country_filter)
         ar_data = ar_data.join(F.broadcast(hqs), "company_id", "left_semi")
     if filter_assets:
         ar_data = ar_data.filter(F.col("ald_location").isin(*country_filter))
     return ar_data
+
+
+def hq_company_ids(
+    company_informations: DataFrame, country_filter: Sequence[str]
+) -> DataFrame:
+    """Distinct ultimate-parent company ids headquartered in
+    ``country_filter`` — the HQ dimension both the production and the
+    emissions branch semi-join. Callers applying the filter to
+    several frames should build this ONCE (and cache it) and pass it
+    via ``filter_countries_coverage(hqs=...)`` so the distinct
+    aggregate and broadcast are not replanned per frame."""
+    return (
+        company_informations.filter(
+            F.col("ald_location").isin(*list(country_filter))
+            & F.col("is_ultimate_parent")
+        )
+        .select("company_id")
+        .distinct()
+    )
 
 
 def prepare_abcd_data(
@@ -159,11 +173,19 @@ def prepare_abcd_data(
     emis = prepare_asset_impact_data(emissions_wide, "plan_emissions").filter(
         F.col("activity_unit").isin("tCO2", "tCO2e")
     )
+    # the HQ dimension is identical for both branches — build (and
+    # cache) it once instead of replanning the distinct + broadcast
+    # per frame
+    hqs = None
+    if filter_hqs and country_filter and company_informations is not None:
+        hqs = hq_company_ids(company_informations, country_filter).cache()
     prod = filter_countries_coverage(
-        prod, company_informations, country_filter, filter_hqs, filter_assets
+        prod, company_informations, country_filter, filter_hqs,
+        filter_assets, hqs=hqs,
     )
     emis = filter_countries_coverage(
-        emis, company_informations, country_filter, filter_hqs, filter_assets
+        emis, company_informations, country_filter, filter_hqs,
+        filter_assets, hqs=hqs,
     )
 
     # emissions⋈production on the natural keys (J3,

@@ -186,9 +186,13 @@ def late_data_report(
     the key."""
     from pyspark.sql import Window
 
+    from trisk_datawrangle_spark.operators.temporal import _epoch_micros
+
     if isinstance(arrival_cols, str):
         arrival_cols = [arrival_cols]
-    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # shared NTZ-safe epoch helper (operators/temporal.py) — the
+    # Spark-4 TIMESTAMP_NTZ cast workaround lives in ONE place
+    us = _epoch_micros(F.col(ts_col))
     w = (
         Window.partitionBy(*key_cols)
         .orderBy(*[F.col(c).asc() for c in arrival_cols])
