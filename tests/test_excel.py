@@ -42,3 +42,48 @@ def test_read_excel_sheet_into_spark(spark, tmp_path):
     df2 = read_excel_sheet(spark, p, "dim")
     assert df2.columns == ["k", "label"]
     assert dict(df2.dtypes)["k"] == "string"
+
+
+def test_reader_handles_rless_and_error_cells(tmp_path):
+    """Spec edge cases (found in review): cells without the optional
+    r= attribute imply sequential placement, and formula error cells
+    (t="e") read as None instead of crashing the sheet."""
+    import zipfile
+
+    from trisk_datawrangle_spark.sources.excel import (
+        read_xlsx_rows,
+        write_minimal_xlsx,
+    )
+
+    path = str(tmp_path / "edge.xlsx")
+    write_minimal_xlsx(path, "s", ["a", "b"], [[1, 2]])
+    # surgically rewrite the sheet with an r-less cell and an error cell
+    with zipfile.ZipFile(path) as z:
+        names = {n: z.read(n) for n in z.namelist()}
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    names["xl/worksheets/sheet1.xml"] = (
+        f'<?xml version="1.0"?><worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1"><c t="inlineStr"><is><t>a</t></is></c>'
+        '<c t="inlineStr"><is><t>b</t></is></c></row>'
+        '<row r="2"><c><v>7</v></c><c t="e"><v>#DIV/0!</v></c></row>'
+        "</sheetData></worksheet>"
+    ).encode()
+    with zipfile.ZipFile(path, "w") as z:
+        for n, b in names.items():
+            z.writestr(n, b)
+    header, rows = read_xlsx_rows(path, "s")
+    assert header == ["a", "b"]
+    assert rows == [[7, None]]
+
+
+def test_writer_escapes_sheet_name(tmp_path):
+    from trisk_datawrangle_spark.sources.excel import (
+        read_xlsx_rows,
+        write_minimal_xlsx,
+    )
+
+    path = str(tmp_path / "esc.xlsx")
+    name = 'P&L "2024" <v1>'
+    write_minimal_xlsx(path, name, ["x"], [[1]])
+    header, rows = read_xlsx_rows(path, name)
+    assert header == ["x"] and rows == [[1]]

@@ -197,3 +197,82 @@ def test_merge_by_key_random_batches_match_dict_semantics(spark, tmp_path_factor
             for r in spark.read.parquet(path).select("id", "day", "v").collect()
         }
         assert got == state
+
+
+def test_merge_with_date_inferred_partition_types(spark, tmp_path_factory):
+    """Partition values written as strings re-infer as DateType on
+    read; string-normalized bookkeeping must not mis-compare the
+    tuples (the old code deleted the partition it had just written)."""
+    path = str(tmp_path_factory.mktemp("inc_date")) + "/t"
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (2, "2024-01-02", 20.0)],
+        "id long, day string, v double",
+    )
+    write_partitioned(base, path, ["day"])
+    updates = spark.createDataFrame(
+        [(1, "2024-01-01", 11.0)], "id long, day string, v double"
+    )
+    merge_by_key(spark, updates, path, keys=["id"], partition_by=["day"])
+    got = {
+        (r.id, str(r.day)): r.v for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(1, "2024-01-01"): 11.0, (2, "2024-01-02"): 20.0}
+
+
+def test_merge_key_overlapping_partition_column(spark, tmp_path_factory):
+    """A key column that is also a partition column must not make the
+    old-partition probe ambiguous."""
+    path = str(tmp_path_factory.mktemp("inc_overlap")) + "/t"
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id long, day string, v double"
+    )
+    write_partitioned(base, path, ["day"])
+    updates = spark.createDataFrame(
+        [(1, "a", 99.0)], "id long, day string, v double"
+    )
+    merge_by_key(
+        spark, updates, path, keys=["id", "day"], partition_by=["day"]
+    )
+    got = {(r.id, r.day): r.v for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"): 99.0, (2, "b"): 20.0}
+
+
+def test_merge_null_keys_upsert_not_duplicate(spark, tmp_path_factory):
+    """A NULL-keyed update must REPLACE the existing NULL-keyed row
+    (null-safe key join), not append a duplicate."""
+    path = str(tmp_path_factory.mktemp("inc_nullkey")) + "/t"
+    base = spark.createDataFrame(
+        [(None, "a", 1.0), (2, "a", 2.0)], "id long, day string, v double"
+    )
+    write_partitioned(base, path, ["day"])
+    updates = spark.createDataFrame(
+        [(None, "a", 9.0)], "id long, day string, v double"
+    )
+    merge_by_key(spark, updates, path, keys=["id"], partition_by=["day"])
+    rows = spark.read.parquet(path).collect()
+    assert len(rows) == 2
+    got = {r.id: r.v for r in rows}
+    assert got[None] == 9.0 and got[2] == 2.0
+
+
+def test_merge_drains_escaped_partition_dirs(spark, tmp_path_factory):
+    """A key move out of a partition whose value needs Hive path
+    escaping (':' -> %3A) must still delete the drained directory —
+    the old Python str() path never matched the escaped name, so the
+    stale rows resurrected."""
+    path = str(tmp_path_factory.mktemp("inc_escape")) + "/t"
+    base = spark.createDataFrame(
+        [(1, "a:b", 1.0), (2, "plain", 2.0)], "id long, day string, v double"
+    )
+    write_partitioned(base, path, ["day"])
+    # id=1 moves out of the 'a:b' partition entirely
+    updates = spark.createDataFrame(
+        [(1, "plain", 9.0)], "id long, day string, v double"
+    )
+    merge_by_key(spark, updates, path, keys=["id"], partition_by=["day"])
+    rows = spark.read.parquet(path).collect()
+    got = {r.id: (r.day, r.v) for r in rows}
+    assert got == {1: ("plain", 9.0), 2: ("plain", 2.0)}
+    import os
+
+    assert not any("a%3Ab" in d for d in os.listdir(path)), os.listdir(path)

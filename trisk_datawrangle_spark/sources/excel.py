@@ -62,7 +62,10 @@ def read_xlsx_rows(path: str, sheet: str) -> tuple[list[str], list[list]]:
         for row in ws.iter(f"{_NS}row"):
             out: list = []
             for c in row.iter(f"{_NS}c"):
-                ci = _col_index(c.get("r"))
+                ref = c.get("r")
+                # the r= attribute is optional in the spec — writers
+                # omitting it imply sequential placement
+                ci = _col_index(ref) if ref is not None else len(out)
                 while len(out) < ci:
                     out.append(None)
                 t = c.get("t")
@@ -80,6 +83,11 @@ def read_xlsx_rows(path: str, sheet: str) -> tuple[list[str], list[list]]:
                     out.append(shared[int(v.text)])
                 elif t == "str":
                     out.append(v.text)
+                elif t == "e":
+                    # formula error cells (#DIV/0!, #N/A, ...) — a
+                    # hand-maintained sheet's bad cell reads as None,
+                    # not a reader crash
+                    out.append(None)
                 else:
                     num = float(v.text)
                     out.append(int(num) if num.is_integer() else num)
@@ -90,6 +98,19 @@ def read_xlsx_rows(path: str, sheet: str) -> tuple[list[str], list[list]]:
     width = len(header)
     data = [r[:width] + [None] * (width - len(r)) for r in rows[1:]]
     return header, data
+
+
+def _xml_attr(v: str) -> str:
+    """Escape a string for use inside a double-quoted XML attribute
+    (cell TEXT is escaped where it is written; attribute values need
+    the quote entity too or the workbook is ill-formed XML)."""
+    return (
+        str(v)
+        .replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace('"', "&quot;")
+    )
 
 
 def write_minimal_xlsx(path: str, sheet: str, header: list[str], rows: list[list]) -> None:
@@ -134,7 +155,8 @@ def write_minimal_xlsx(path: str, sheet: str, header: list[str], rows: list[list
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
         'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
-        f'<sheets><sheet name="{sheet}" sheetId="1" r:id="rId1"/></sheets></workbook>'
+        f'<sheets><sheet name="{_xml_attr(sheet)}" sheetId="1" '
+        'r:id="rId1"/></sheets></workbook>'
     )
     rels_xml = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'

@@ -10,6 +10,18 @@ the written frame; ``merge_by_key`` builds those partitions' new
 content as updates ⊕ (existing ∖ updates-by-key) — an upsert — while
 every other partition's files are never read or written.
 
+Partition bookkeeping is STRING-normalized end to end: collected
+partition values are always ``cast("string")`` (None stays None), so
+a table whose partition column re-infers to a different type than
+the update batch (string day written, DateType read back) can never
+mis-compare tuples — the failure mode where the drained-partition
+sweep deletes the directory it just wrote. Key joins are NULL-SAFE:
+a NULL-keyed existing row is replaced by a NULL-keyed update, not
+duplicated. Drained-partition cleanup never reconstructs Hive paths
+in Python (escaping of ':', ' ', '%' etc. differs from ``str()``) —
+it walks the table's real partition directories and unescapes their
+names with Spark's own codec.
+
 No table format (Delta/Iceberg) ships in this environment; this is
 the same merge shape those formats implement, expressed on the plain
 parquet layout the corpus uses. Swap the writer for a MERGE INTO when
@@ -23,6 +35,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
 def write_partitioned(
@@ -76,6 +90,10 @@ def stream_upsert(
     """
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        # the merge evaluates the batch several times (emptiness
+        # probe, key joins, the merged materialization) — pin it once
+        # so the micro-batch source is scanned once, not ~4 times
+        batch_df = batch_df.localCheckpoint(eager=True)
         if not batch_df.head(1):
             return
         if _table_exists(batch_df.sparkSession, path):
@@ -93,17 +111,49 @@ def stream_upsert(
     )
 
 
-def _partition_filter(parts, partition_by: Sequence[str]):
-    """OR-of-ANDs partition predicate, NULL-safe: ``== lit(None)``
-    evaluates to NULL and silently drops existing rows from a NULL
-    partition (which dynamic overwrite then deletes)."""
+def _partition_filter(part_tuples, partition_by: Sequence[str]):
+    """OR-of-ANDs partition predicate from STRING-normalized tuples,
+    NULL-safe: ``== lit(None)`` evaluates to NULL and silently drops
+    existing rows from a NULL partition (which dynamic overwrite then
+    deletes). Literals stay strings — Spark coerces them to the
+    partition column's type, so pruning survives regardless of which
+    type the table's scan inferred."""
     cond = F.lit(False)
-    for p in parts:
+    for t in part_tuples:
         clause = F.lit(True)
-        for c in partition_by:
-            clause = clause & F.col(c).eqNullSafe(F.lit(p[c]))
+        for c, v in zip(partition_by, t):
+            clause = clause & F.col(c).eqNullSafe(F.lit(v))
         cond = cond | clause
     return cond
+
+
+def _collect_part_tuples(df: DataFrame, partition_by: Sequence[str]):
+    """Distinct partition tuples with every value cast to string
+    (None preserved) — ONE normalization for old/new/written sets so
+    type drift between the update batch and the re-inferred table
+    schema cannot make identical partitions compare unequal."""
+    rows = (
+        df.select(
+            *[F.col(c).cast("string").alias(c) for c in partition_by]
+        )
+        .distinct()
+        .collect()
+    )
+    return {tuple(r[c] for c in partition_by) for r in rows}
+
+
+def _walk_partition_dirs(fs, jvm, root, depth: int):
+    """Leaf partition directories exactly ``depth`` levels below
+    ``root`` (Hive layout: one level per partition column)."""
+    level = [jvm.org.apache.hadoop.fs.Path(root)]
+    for _ in range(depth):
+        nxt = []
+        for d in level:
+            for st in fs.listStatus(d):
+                if st.isDirectory():
+                    nxt.append(st.getPath())
+        level = nxt
+    return level
 
 
 def merge_by_key(
@@ -114,64 +164,80 @@ def merge_by_key(
     partition_by: Sequence[str],
 ) -> None:
     """Upsert ``updates`` into the table at ``path``: rows matching on
-    ``keys`` are replaced (wherever they currently live), new rows
-    appended, and only affected partitions are rewritten.
+    ``keys`` are replaced (wherever they currently live; NULL key
+    values match NULL — an upsert must not duplicate NULL-keyed
+    rows), new rows appended, and only affected partitions are
+    rewritten.
 
     Affected partitions = partitions named by the update batch ∪
     partitions currently holding an updated key (a key may move
     between partitions; finding its old home is one column-pruned
     semi-join over (keys, partition cols) — no data columns read).
     The existing-side read filters to those partitions, drops rows
-    whose key reappears in the batch (left-anti join over just those
-    partitions' rows), and the union is written with dynamic
-    partition overwrite. A partition whose every row moved away is
-    deleted explicitly (dynamic overwrite cannot write an empty
-    partition).
+    whose key reappears in the batch (null-safe left-anti join over
+    just those partitions' rows), and the union is written with
+    dynamic partition overwrite. A partition whose every row moved
+    away is deleted explicitly (dynamic overwrite cannot write an
+    empty partition); the delete matches the table's REAL directory
+    names (walk + Spark's own unescape codec), never a Python-built
+    path whose escaping could silently miss.
     """
     keys = list(keys)
     partition_by = list(partition_by)
     upd_keys = updates.select(*keys).distinct()
     table = spark.read.parquet(path)
-    # partitions that currently hold any updated key (key moves)
-    old_parts = (
-        table.select(*keys, *partition_by)
-        .join(upd_keys, keys, "left_semi")
-        .select(*partition_by)
-        .distinct()
-        .collect()
+
+    def key_cond(left: DataFrame, right: DataFrame):
+        cond = None
+        for k in keys:
+            c = left[k].eqNullSafe(right[k])
+            cond = c if cond is None else cond & c
+        return cond
+
+    # partitions that currently hold any updated key (key moves);
+    # dict.fromkeys dedups key∩partition columns (selecting a column
+    # twice makes the join reference ambiguous)
+    probe_cols = list(dict.fromkeys([*keys, *partition_by]))
+    probe = table.select(*probe_cols)
+    old_parts = _collect_part_tuples(
+        probe.join(upd_keys, key_cond(probe, upd_keys), "left_semi"),
+        partition_by,
     )
-    new_parts = updates.select(*partition_by).distinct().collect()
-    seen, parts = set(), []
-    for p in [*new_parts, *old_parts]:
-        t = tuple(p[c] for c in partition_by)
-        if t not in seen:
-            seen.add(t)
-            parts.append(p)
+    new_parts = _collect_part_tuples(updates, partition_by)
+    parts = new_parts | old_parts
     if not parts:
         return
-    cond = _partition_filter(parts, partition_by)
-    existing = table.filter(cond)
-    kept = existing.join(upd_keys, keys, "left_anti")
+    existing = table.filter(_partition_filter(parts, partition_by))
+    kept = existing.join(upd_keys, key_cond(existing, upd_keys), "left_anti")
     merged = updates.select(*existing.columns).unionByName(kept)
     # the merged frame re-reads `path` while overwrite is rewriting it
     # → materialize before the write (localCheckpoint severs lineage)
     merged = merged.localCheckpoint(eager=True)
+    written = _collect_part_tuples(merged, partition_by)
     upsert_partitions(merged, path, partition_by)
     # partitions fully drained by key moves: dynamic overwrite wrote
     # no rows there, so the stale files must be removed explicitly
-    written = {
-        tuple(r[c] for c in partition_by)
-        for r in merged.select(*partition_by).distinct().collect()
-    }
-    drained = [p for p in parts if tuple(p[c] for c in partition_by) not in written]
+    drained = parts - written
     if drained:
         jvm = spark.sparkContext._jvm
         hconf = spark.sparkContext._jsc.hadoopConfiguration()
-        for p in drained:
-            leaf = "/".join(
-                f"{c}={'__HIVE_DEFAULT_PARTITION__' if p[c] is None else p[c]}"
-                for c in partition_by
-            )
-            hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{leaf}")
-            fs = hpath.getFileSystem(hconf)
-            fs.delete(hpath, True)
+        root = jvm.org.apache.hadoop.fs.Path(path)
+        fs = root.getFileSystem(hconf)
+        unescape = (
+            jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName
+        )
+        for leaf in _walk_partition_dirs(fs, jvm, path, len(partition_by)):
+            # decode each `col=value` level back to the string-
+            # normalized tuple the bookkeeping uses
+            segs = []
+            p = leaf
+            for _ in range(len(partition_by)):
+                name = p.getName()
+                val = name.split("=", 1)[1] if "=" in name else name
+                val = unescape(val)
+                segs.append(None if val == _HIVE_NULL else val)
+                p = p.getParent()
+            t = tuple(reversed(segs))
+            if t in drained:
+                fs.delete(leaf, True)

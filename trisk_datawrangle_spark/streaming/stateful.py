@@ -60,7 +60,9 @@ def running_totals(
         # out_schema declares keys as string — convert explicitly: the
         # batch path casts, but raw-typed (e.g. bigint) keys here would
         # fail Arrow conversion and kill every micro-batch
-        skey = tuple(str(k) for k in key)
+        # NULL keys stay NULL — str(None) would mint the literal
+        # string 'None', diverging from the batch path's cast("string")
+        skey = tuple(str(k) if k is not None else None for k in key)
         if state.hasTimedOut:
             n, total = state.get
             state.remove()

@@ -114,22 +114,24 @@ def stream_dedup(
     streaming OOM); in batch it degrades to a plain dropDuplicates."""
     keys = list(key_cols)
     if df.isStreaming:
-        if (ts_col is None) != (watermark is None):
+        if ts_col is None or watermark is None:
+            # one given or NEITHER: both fall back to unbounded-state
+            # dropDuplicates on a stream — the exact OOM this guard
+            # exists to prevent
             raise ValueError(
                 "stream_dedup on a stream needs BOTH ts_col and watermark "
-                "(got one) — a silent fallback to dropDuplicates would "
-                "accumulate per-key state forever"
+                "— a silent fallback to dropDuplicates would accumulate "
+                "per-key state forever"
             )
-        if ts_col is not None:
-            from trisk_datawrangle_spark.operators.temporal import (
-                _with_ts_watermarkable,
-            )
+        from trisk_datawrangle_spark.operators.temporal import (
+            _with_ts_watermarkable,
+        )
 
-            return (
-                _with_ts_watermarkable(df, ts_col)
-                .withWatermark(ts_col, watermark)
-                .dropDuplicatesWithinWatermark(keys)
-            )
+        return (
+            _with_ts_watermarkable(df, ts_col)
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(keys)
+        )
     return df.dropDuplicates(keys)
 
 
