@@ -276,3 +276,51 @@ def test_merge_drains_escaped_partition_dirs(spark, tmp_path_factory):
     import os
 
     assert not any("a%3Ab" in d for d in os.listdir(path)), os.listdir(path)
+
+
+def test_numeric_partition_filter_stays_bare_and_prunes(spark, tmp_path_factory):
+    """On an int-partitioned table the existing-side filter must keep
+    the partition column BARE (literal cast to the column type, not
+    the column coerced to the literal's) — a cast-wrapped column
+    defeats pruning and lets >2^53 longs alias through double. Both
+    the plan shape and the files-untouched contract are asserted."""
+    from trisk_datawrangle_spark.sources.incremental import (
+        _partition_filter,
+        merge_by_key,
+    )
+
+    path = str(tmp_path_factory.mktemp("inc_num")) + "/t"
+    base = spark.createDataFrame(
+        [(1, 10, 1.0), (2, 20, 2.0), (3, 30, 3.0)],
+        "id long, bucket int, v double",
+    )
+    write_partitioned(base, path, ["bucket"])
+    table = spark.read.parquet(path)
+    flt = table.filter(
+        _partition_filter({("10",)}, ["bucket"], table.schema)
+    )
+    plan = flt._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cast(bucket" not in pf[0].lower().replace(" ", ""), plan
+    assert flt.count() == 1
+
+    def mtimes(b):
+        d = os.path.join(path, f"bucket={b}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before = mtimes(30)
+    updates = spark.createDataFrame(
+        [(1, 10, 9.0)], "id long, bucket int, v double"
+    )
+    merge_by_key(spark, updates, path, keys=["id"], partition_by=["bucket"])
+    assert mtimes(30) == before  # untouched partition never rewritten
+    got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: 9.0, 2: 2.0, 3: 3.0}

@@ -130,3 +130,39 @@ def test_weighted_take_properties(spark):
         for r in weighted_take(df, ["g"], 5, "w", "doc_id", seed=2).collect()
     }
     assert again == first
+
+
+def test_balance_sources_null_group_is_own_source(spark):
+    """A NULL source forms its own mixture group (repo-wide
+    NULL-keys-group-together policy): its rows must be sampled
+    against each other via the null-safe rate join, not silently
+    dropped, and its weight participates in the min-budget."""
+    from trisk_datawrangle_spark.llm.sampling import balance_sources
+
+    df = spark.createDataFrame(
+        [(i, "big", 10) for i in range(200)]
+        + [(1000 + i, None, 10) for i in range(20)],
+        "doc_id long, source string, w long",
+    )
+    out = balance_sources(df, "source", "w", "doc_id", seed=3)
+    by_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # NULL is the smallest source -> rate 1.0 -> all 20 rows kept
+    assert by_src.get(None) == 20, by_src
+    # and the big source is downsampled toward the NULL source's budget
+    assert 0 < by_src["big"] < 200, by_src
+
+
+def test_token_topk_accepts_text_only_frame(spark):
+    """token_topk's gram-builder rewrite must not break the public
+    contract that a bare text column is enough — a frame without
+    doc_id gets a constant id injected."""
+    from trisk_datawrangle_spark.llm.text import token_topk
+
+    df = spark.createDataFrame(
+        [("alpha beta beta",), ("beta gamma",)], "text string"
+    )
+    top = token_topk(df, "text", k=2).collect()
+    assert [(r.token, r.n) for r in top] == [("beta", 3), ("alpha", 1)]

@@ -210,3 +210,25 @@ def test_ivf_pq_with_rescore_recovers_recall(spark):
     for r in refined_rows:
         if (r.query_id, r.neighbor_id) in true_cos:
             assert abs(r.cosine - true_cos[(r.query_id, r.neighbor_id)]) < 1e-9
+
+
+def test_vectorized_pairs_reject_oversized_corpus(spark):
+    """The broadcast verifier must refuse a corpus above max_rows
+    with an actionable error (naming the collect-free replacement)
+    instead of collecting it to the driver — the keyless-as-of
+    rejection pattern applied to the one function a naive user could
+    point at a full corpus."""
+    import pytest as _pytest
+
+    from trisk_datawrangle_spark.llm.similarity import (
+        cosine_pairs_vectorized,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    with _pytest.raises(ValueError, match="cosine_pairs_blocked"):
+        cosine_pairs_vectorized(e, threshold=0.45, max_rows=3).collect()
+    # and the explicit-override escape hatch still works
+    small = e.limit(4)
+    assert cosine_pairs_vectorized(small, threshold=-1.0, max_rows=4).count() > 0

@@ -1842,7 +1842,7 @@ rates AS (
     FROM wsum CROSS JOIN m
 )
 SELECT e.doc_id, e.source
-FROM eligible e JOIN rates r ON e.source = r.source
+FROM eligible e JOIN rates r ON e.source IS NOT DISTINCT FROM r.source
 WHERE {u} <= r.rate
 """
 

@@ -225,7 +225,12 @@ def balance_sources(
     :func:`weighted_take` convention), and sources with no positive
     weight contribute nothing — without the guard a zero-weight
     source is a ``0/0`` under ANSI (job kill) AND, as the global min,
-    would silently zero every other source's rate.
+    would silently zero every other source's rate. A NULL
+    ``group_col`` forms its own source (the repo-wide NULL-keys-
+    form-their-own-group policy, cf. ``operators/mlprep.py``):
+    ``groupBy`` already groups NULLs together, and the rate join
+    back is NULL-SAFE so dirty rows are sampled against each other
+    instead of silently vanishing from the mixture.
 
     Scale shape: one group aggregate (source-cardinality rows) + a
     broadcast of the rates back onto the scan — no extra shuffle of
@@ -237,13 +242,16 @@ def balance_sources(
     )
     m = weights.agg(F.min("__w").alias("__m"))
     rates = weights.crossJoin(F.broadcast(m)).select(
-        group_col,
+        F.col(group_col).alias("__g"),
         (F.col("__m").cast("double") / F.col("__w").cast("double")).alias(
             "__rate"
         ),
     )
     return (
-        eligible.join(F.broadcast(rates), group_col)
+        eligible.join(
+            F.broadcast(rates),
+            F.col(group_col).eqNullSafe(F.col("__g")),
+        )
         .filter(md5_uniform(id_col, seed) <= F.col("__rate"))
-        .drop("__rate")
+        .drop("__g", "__rate")
     )

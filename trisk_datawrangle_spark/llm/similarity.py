@@ -178,11 +178,19 @@ def lsh_bucket_topk(
     )
 
 
+#: Hard cap for :func:`cosine_pairs_vectorized`'s driver-side corpus
+#: collect. 2M × 64-dim float64 ≈ 1 GiB broadcast — already generous
+#: for a verifier tier; anything larger must go through the
+#: collect-free :func:`cosine_pairs_blocked`.
+MAX_VECTORIZED_CORPUS_ROWS = 2_000_000
+
+
 def cosine_pairs_vectorized(
     df: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = MAX_VECTORIZED_CORPUS_ROWS,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine ≥ ``threshold`` — the
     GEMM formulation of brute-force near-dup detection.
@@ -194,10 +202,23 @@ def cosine_pairs_vectorized(
     The broadcast bounds this at driver-memory corpus sizes — beyond
     that, bucket first (LSH, :func:`lsh_bucket_topk`) or shard the
     GEMM with :func:`ivf_topk`-style cells; this is the verifier, not
-    the candidate generator, at 100 TB."""
+    the candidate generator, at 100 TB. Corpora above ``max_rows``
+    are REJECTED up front (the keyless-as-of pattern,
+    ``operators/temporal.py``) instead of OOMing the driver mid-
+    collect — the error names the scale-safe replacement."""
     import numpy as np
     import pandas as pd
 
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"cosine_pairs_vectorized: corpus has {n} rows > max_rows="
+            f"{max_rows}; this verifier collects the whole corpus to "
+            "the driver and would OOM at that size — use "
+            "cosine_pairs_blocked (same pairs, no driver collect) for "
+            "large corpora, or raise max_rows explicitly if the "
+            "driver really has the memory"
+        )
     rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[id_col] for r in rows])
     mat = np.array([r[vec_col] for r in rows], dtype=np.float64)

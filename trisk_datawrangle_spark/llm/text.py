@@ -194,7 +194,14 @@ def token_topk(df, text_col: str = "text", k: int = 50, id_col: str = "doc_id"):
     the ONE shuffle) → ``orderBy().limit(k)``, which Spark executes
     as TakeOrdered — a per-partition top-k + a k-row merge on the
     driver, never a global sort. The vocabulary, not the corpus, is
-    the shuffle volume."""
+    the shuffle volume.
+
+    ``id_col`` is only needed by the gram builder's row bookkeeping;
+    a frame that has just a text column (the pre-gram-builder
+    contract of this helper) gets a constant id injected — the
+    counts do not depend on it."""
+    if id_col not in df.columns:
+        df = df.withColumn(id_col, F.lit(0))
     counts = (
         word_gram_table(df, text_col=text_col, id_col=id_col, n=1)
         .groupBy(F.col("gram").alias("token"))

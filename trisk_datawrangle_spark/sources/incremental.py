@@ -111,18 +111,23 @@ def stream_upsert(
     )
 
 
-def _partition_filter(part_tuples, partition_by: Sequence[str]):
+def _partition_filter(part_tuples, partition_by: Sequence[str], schema):
     """OR-of-ANDs partition predicate from STRING-normalized tuples,
     NULL-safe: ``== lit(None)`` evaluates to NULL and silently drops
     existing rows from a NULL partition (which dynamic overwrite then
-    deletes). Literals stay strings — Spark coerces them to the
-    partition column's type, so pruning survives regardless of which
-    type the table's scan inferred."""
+    deletes). Each string literal is cast to the TABLE's column type
+    (constant-folded at plan time) so the column side stays bare:
+    relying on implicit coercion instead would wrap a numeric
+    partition column in a cast (string-vs-int compares through
+    double), defeating parquet partition pruning — and longs beyond
+    2^53 would alias, sweeping extra partitions into the rewrite."""
+    types = {f.name: f.dataType for f in schema.fields}
     cond = F.lit(False)
     for t in part_tuples:
         clause = F.lit(True)
         for c, v in zip(partition_by, t):
-            clause = clause & F.col(c).eqNullSafe(F.lit(v))
+            lit = F.lit(v) if v is None else F.lit(v).cast(types[c])
+            clause = clause & F.col(c).eqNullSafe(lit)
         cond = cond | clause
     return cond
 
@@ -207,7 +212,7 @@ def merge_by_key(
     parts = new_parts | old_parts
     if not parts:
         return
-    existing = table.filter(_partition_filter(parts, partition_by))
+    existing = table.filter(_partition_filter(parts, partition_by, table.schema))
     kept = existing.join(upd_keys, key_cond(existing, upd_keys), "left_anti")
     merged = updates.select(*existing.columns).unionByName(kept)
     # the merged frame re-reads `path` while overwrite is rewriting it
@@ -223,10 +228,36 @@ def merge_by_key(
         hconf = spark.sparkContext._jsc.hadoopConfiguration()
         root = jvm.org.apache.hadoop.fs.Path(path)
         fs = root.getFileSystem(hconf)
-        unescape = (
-            jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .unescapePathName
-        )
+        utils = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        # Fast path: build each drained leaf's expected path with
+        # Spark's OWN escape codec (the exact inverse of the
+        # unescape the fallback walk uses) and delete just those —
+        # O(|drained|) filesystem RPCs instead of one listStatus per
+        # directory per level over the whole table, which is a
+        # driver hotspot on a many-partition table. If any expected
+        # path is absent (layout drift, a codec mismatch on some
+        # exotic filesystem) fall back to the exhaustive walk so the
+        # stale files are still found by their real names.
+        missing = False
+        for t in drained:
+            segs = [
+                "%s=%s"
+                % (
+                    utils.escapePathName(c),
+                    _HIVE_NULL if v is None else utils.escapePathName(v),
+                )
+                for c, v in zip(partition_by, t)
+            ]
+            leaf = jvm.org.apache.hadoop.fs.Path(
+                path.rstrip("/") + "/" + "/".join(segs)
+            )
+            if fs.exists(leaf):
+                fs.delete(leaf, True)
+            else:
+                missing = True
+        if not missing:
+            return
+        unescape = utils.unescapePathName
         for leaf in _walk_partition_dirs(fs, jvm, path, len(partition_by)):
             # decode each `col=value` level back to the string-
             # normalized tuple the bookkeeping uses
