@@ -190,6 +190,17 @@ def test_full_workflow(spark, staged_dirs):
         "carbon_tax"
     ] == pytest.approx(20.0)
 
+    # dbml FK gate on the closed-source pair (outputs_structure.dbml:
+    # 97-107, abcd is the many/child side of every Ref): every
+    # production company has a financial row, and abcd's scenario
+    # keys all resolve against Scenarios_AnalysisInput
+    from trisk_datawrangle_spark.operators.quality import assert_fk
+
+    assert_fk(abcd, fin, ["company_id"])
+    assert_fk(abcd, scen, {"year": "year"})
+    assert_fk(abcd, scen, {"ald_sector": "ald_sector"})
+    assert_fk(abcd, scen, {"ald_business_unit": "ald_business_unit"})
+
 
 def test_cli_arg_validation():
     from trisk_datawrangle_spark.run_workflow import main

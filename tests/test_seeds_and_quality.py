@@ -66,3 +66,53 @@ def test_seed_loads_are_broadcast_sized(spark):
     # every seed is dimension-sized; guard against accidental bloat
     for name in SEED_NAMES:
         assert load_seed(spark, name).count() < 1000
+
+
+def test_fk_orphans_match_simple_semantics(spark):
+    """fk_orphans: composite-key orphans reported with row counts,
+    any-NULL child tuples exempt (SQL MATCH SIMPLE), cross-named
+    keys aliased; assert_fk raises with the worst offenders named."""
+    from trisk_datawrangle_spark.operators.quality import (
+        DataQualityError,
+        assert_fk,
+        fk_orphans,
+    )
+
+    child = spark.createDataFrame(
+        [
+            ("a", 1, 1.0),
+            ("a", 1, 2.0),
+            ("b", 2, 3.0),
+            ("zz", 9, 4.0),   # orphan, two rows
+            ("zz", 9, 5.0),
+            (None, 1, 6.0),   # NULL in tuple -> exempt
+            ("a", None, 7.0),
+        ],
+        "k1 string, k2 int, v double",
+    )
+    parent = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "p1 string, p2 int"
+    )
+    got = {
+        (r.k1, r.k2): r.orphan_rows
+        for r in fk_orphans(child, parent, {"k1": "p1", "k2": "p2"}).collect()
+    }
+    assert got == {("zz", 9): 2}
+    with pytest.raises(DataQualityError, match="zz"):
+        assert_fk(child, parent, {"k1": "p1", "k2": "p2"})
+    # clean child passes through unchanged
+    clean = child.filter(F.col("k1") != "zz")
+    assert assert_fk(clean, parent, {"k1": "p1", "k2": "p2"}) is clean
+
+
+def test_fk_orphans_shared_names_and_empty_child(spark):
+    from trisk_datawrangle_spark.operators.quality import fk_orphans
+
+    child = spark.createDataFrame([(1,), (3,)], "id int")
+    parent = spark.createDataFrame([(1,), (2,)], "id int")
+    assert [
+        (r.id, r.orphan_rows)
+        for r in fk_orphans(child, parent, ["id"]).collect()
+    ] == [(3, 1)]
+    empty = child.filter(F.lit(False))
+    assert fk_orphans(empty, parent, ["id"]).count() == 0

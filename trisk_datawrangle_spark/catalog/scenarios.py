@@ -1657,9 +1657,11 @@ def cf5(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------------ #
 
 
-@q(
-    "w0_run_workflow_e2e",
-    """
+#: Shared CTE block replaying the w0 workflow's stage outputs in SQL
+#: (scenarios_out / cf_out / price_out / price_aligned / carbon_red /
+#: price_dim). Reused by the w0 end-to-end oracle AND the q9 FK-audit
+#: oracle so the two entries gate the same dataflow.
+_W0_CTES = """
 WITH ti AS (SELECT * FROM (VALUES (0), (1)) AS t(ti)),
 yr2 AS (SELECT * FROM (VALUES (2025), (2027)) AS t(year)),
 yr3 AS (SELECT * FROM (VALUES (2025), (2026), (2027)) AS t(year)),
@@ -1774,7 +1776,12 @@ price_aligned AS (
 price_dim AS (
     SELECT DISTINCT scenario, sector AS ald_sector, year, price
     FROM price_aligned
-)
+)"""
+
+
+_W0_FINAL_SQL = (
+    _W0_CTES
+    + """
 SELECT s.scenario, s.scenario_geography, s.ald_sector,
     s.ald_business_unit, s.units, s.year, s.direction,
     s.fair_share_perc, s.scenario_type, cf.capacity_factor, p.price,
@@ -1793,21 +1800,18 @@ LEFT JOIN carbon_red cb
     ON cb.scenario = s.scenario
    AND cb.scenario_geography = s.scenario_geography
    AND cb.year = s.year
-""",
+"""
 )
-def w0(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end workflow oracle (run_workflow.R:104-268 composed
-    with every upstream stage): deterministic nation-derived fixtures
-    flow through prepare_scenarios_analysis_input →
-    prepare_capacity_factors → prepare_price_data_long →
-    prepare_ngfs_carbon_price → align_to_common_scenarios →
-    assemble_scenarios_data, and the ORACLE replays the whole
-    dataflow in SQL — the composed pipeline is hash-gated, not just
-    its stages.
 
-    Determinism: integer-valued inputs, gap-year interpolation lands
-    on exact binary halves, and means/shares are single identical
-    IEEE divisions on both engines."""
+
+def _w0_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """The w0 workflow's PRE-alignment stage outputs (the published
+    quintet minus the closed-source pair): deterministic
+    nation-derived fixtures flowed through
+    prepare_scenarios_analysis_input → prepare_capacity_factors →
+    prepare_price_data_long → prepare_ngfs_carbon_price. Shared by
+    the w0 end-to-end entry and the q9 FK audit so both gate the
+    identical dataflow (mirroring ``_W0_CTES`` on the oracle side)."""
     from trisk_datawrangle_spark.plans.capacity_factors import (
         clone_missing_technologies,
         prepare_capacity_factors,
@@ -1820,10 +1824,6 @@ def w0(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trisk_datawrangle_spark.plans.scenarios import (
         assert_all_classified,
         prepare_scenarios_analysis_input,
-    )
-    from trisk_datawrangle_spark.plans.trisk_v2 import (
-        align_to_common_scenarios,
-        assemble_scenarios_data,
     )
 
     n = _nation(spark, sf_dir)
@@ -1939,9 +1939,30 @@ def w0(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Unit string, `2025` double, `2026` double, `2027` double",
     )
     carbon = prepare_ngfs_carbon_price(carbon_raw)
+    return {"scen": scen, "cf": cf, "prices": prices, "carbon": carbon}
 
-    scen, prices, cf = align_to_common_scenarios(scen, prices, cf)
-    out = assemble_scenarios_data(scen, cf, prices, carbon)
+
+@q("w0_run_workflow_e2e", _W0_FINAL_SQL)
+def w0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end workflow oracle (run_workflow.R:104-268 composed
+    with every upstream stage): the :func:`_w0_stage_frames` fixtures
+    flow through align_to_common_scenarios → assemble_scenarios_data,
+    and the ORACLE replays the whole dataflow in SQL — the composed
+    pipeline is hash-gated, not just its stages.
+
+    Determinism: integer-valued inputs, gap-year interpolation lands
+    on exact binary halves, and means/shares are single identical
+    IEEE divisions on both engines."""
+    from trisk_datawrangle_spark.plans.trisk_v2 import (
+        align_to_common_scenarios,
+        assemble_scenarios_data,
+    )
+
+    fr = _w0_stage_frames(spark, sf_dir)
+    scen, prices, cf = align_to_common_scenarios(
+        fr["scen"], fr["prices"], fr["cf"]
+    )
+    out = assemble_scenarios_data(scen, cf, prices, fr["carbon"])
     return out.select(
         "scenario",
         "scenario_geography",
@@ -1957,6 +1978,134 @@ def w0(spark: SparkSession, sf_dir: str) -> DataFrame:
         "carbon_tax",
         "scenario_provider",
     )
+
+
+# ------------------------------------------------------------------ #
+# q9 — referential-integrity audit across the workflow outputs        #
+# (data-raw/outputs_structure.dbml:69-107)                            #
+# ------------------------------------------------------------------ #
+
+#: The dbml's single-column Ref lines instantiable on the w0 stage
+#: outputs. dbml ``Ref: A.col < B.col`` is one-to-many with B the
+#: MANY (child/FK) side, so Scenarios_AnalysisInput is the child of
+#: the three lookup tables its assembly joins against: each tuple is
+#: (child_column, parent table, SQL CTE name, parent column).
+#: Skipped refs, with cause: scen.ald_business_unit →
+#: price_data_long.ald_business_unit (the fixture price table is
+#: sector-grain — no such column), and the six abcd-side refs
+#: (closed-source stage; gated by the assert_fk calls in
+#: tests/test_run_workflow.py on the synthetic workflow outputs).
+_Q9_REFS = [
+    ("year", "price_data_long", "price_out", "year"),
+    ("scenario_geography", "price_data_long", "price_out",
+     "scenario_geography"),
+    ("scenario", "price_data_long", "price_out", "scenario"),
+    ("ald_sector", "price_data_long", "price_out", "sector"),
+    ("units", "price_data_long", "price_out", "unit"),
+    ("year", "ngfs_carbon_price", "carbon_pub", "year"),
+    ("scenario", "ngfs_carbon_price", "carbon_pub", "scenario"),
+    ("scenario_geography", "ngfs_carbon_price", "carbon_pub",
+     "scenario_geography"),
+    ("scenario_geography", "prewrangled_capacity_factors", "cf_out",
+     "scenario_geography"),
+    ("ald_business_unit", "prewrangled_capacity_factors", "cf_out",
+     "ald_business_unit"),
+    ("scenario", "prewrangled_capacity_factors", "cf_out", "scenario"),
+    ("year", "prewrangled_capacity_factors", "cf_out", "year"),
+]
+
+
+def _q9_sql() -> str:
+    """FK-audit oracle: per dbml Ref line, count the child's distinct
+    non-NULL values absent from the parent column plus the child rows
+    carrying them. ``carbon_pub`` is the PUBLISHED (pre-model-mean)
+    carbon table the dbml describes — carbon_red is the reduced form
+    assemble consumes."""
+    carbon = """,
+carbon_pub AS (
+    SELECT model, scenario, 'World' AS scenario_geography, year,
+           carbon_tax
+    FROM (VALUES
+        ('GCAM', 'WEO2023_NZE', 2025, 40.0),
+        ('GCAM', 'WEO2023_NZE', 2026, 60.0),
+        ('GCAM', 'WEO2023_NZE', 2027, 80.0),
+        ('REMIND', 'WEO2023_NZE', 2025, 50.0),
+        ('REMIND', 'WEO2023_NZE', 2026, 70.0),
+        ('REMIND', 'WEO2023_NZE', 2027, 90.0),
+        ('GCAM', 'WEO2023_STEPS', 2025, 10.0),
+        ('GCAM', 'WEO2023_STEPS', 2026, 12.0),
+        ('GCAM', 'WEO2023_STEPS', 2027, 14.0),
+        ('REMIND', 'WEO2023_STEPS', 2025, 20.0),
+        ('REMIND', 'WEO2023_STEPS', 2026, 22.0),
+        ('REMIND', 'WEO2023_STEPS', 2027, 24.0)
+    ) AS t(model, scenario, year, carbon_tax)
+)"""
+    blocks = []
+    for ccol, ptbl, pcte, pcol in _Q9_REFS:
+        blocks.append(
+            f"""
+SELECT '{ccol}' AS child_column, '{ptbl}' AS parent_table,
+       '{pcol}' AS parent_column,
+       COUNT(*) AS orphan_keys,
+       CAST(COALESCE(SUM(n), 0) AS BIGINT) AS orphan_rows
+FROM (SELECT {ccol} AS v, COUNT(*) AS n FROM scenarios_out
+      WHERE {ccol} IS NOT NULL GROUP BY 1) c
+WHERE NOT EXISTS (SELECT 1 FROM {pcte} p WHERE p.{pcol} = c.v)"""
+        )
+    return _W0_CTES + carbon + "\nUNION ALL".join(blocks)
+
+
+@q("q9_fk_integrity", _q9_sql())
+def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity gate across the workflow outputs: every
+    dbml-declared FK (outputs_structure.dbml:69-95) audited with
+    :func:`~trisk_datawrangle_spark.operators.quality.fk_orphans` on
+    the SAME stage frames w0 hash-gates, reported as one row per Ref
+    line (orphan key count + orphan row count). On these fixtures the
+    units ref (scen 'GW' vs price 'usd/tonne') and the carbon
+    geography ref (carbon publishes 'World' pre-reduction) are
+    genuinely violated, so the audit's non-zero path is hash-gated
+    too, not just the all-clear.
+
+    Scale shape per audit: child pre-aggregated to distinct values
+    (map-side combine), parent column-pruned + distinct, one
+    broadcast-sized anti-join — never a fact-table shuffle."""
+    from trisk_datawrangle_spark.operators.quality import fk_orphans
+
+    fr = _w0_stage_frames(spark, sf_dir)
+    # 12 audit subtrees share the four stage frames; eager
+    # localCheckpoint computes each interpolation/share chain exactly
+    # once instead of once per subtree (plain .cache() still plans 12
+    # copies of the chain into the single union job)
+    parents = {
+        "price_data_long": fr["prices"].localCheckpoint(eager=True),
+        "ngfs_carbon_price": fr["carbon"].localCheckpoint(eager=True),
+        "prewrangled_capacity_factors": fr["cf"].localCheckpoint(
+            eager=True
+        ),
+    }
+    scen = fr["scen"].localCheckpoint(eager=True)
+    reports = []
+    for ccol, ptbl, _, pcol in _Q9_REFS:
+        orphans = fk_orphans(scen, parents[ptbl], {ccol: pcol})
+        reports.append(
+            orphans.agg(
+                F.count(F.lit(1)).alias("orphan_keys"),
+                F.coalesce(F.sum("orphan_rows"), F.lit(0))
+                .cast("long")
+                .alias("orphan_rows"),
+            ).select(
+                F.lit(ccol).alias("child_column"),
+                F.lit(ptbl).alias("parent_table"),
+                F.lit(pcol).alias("parent_column"),
+                "orphan_keys",
+                "orphan_rows",
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
 
 
 # ------------------------------------------------------------------ #

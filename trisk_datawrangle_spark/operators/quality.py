@@ -133,3 +133,67 @@ def incomplete_groups(
         "left_anti",
     )
     return probe.select(*group_cols).distinct()
+
+
+def _fk_pairs(keys) -> list[tuple[str, str]]:
+    """Normalize ``keys`` to (child_col, parent_col) pairs: accepts a
+    dict {child: parent}, a list of such pairs, or a list of shared
+    column names."""
+    if isinstance(keys, dict):
+        return list(keys.items())
+    out = []
+    for k in keys:
+        out.append((k, k) if isinstance(k, str) else (k[0], k[1]))
+    return out
+
+
+def fk_orphans(child: DataFrame, parent: DataFrame, keys) -> DataFrame:
+    """Referential-integrity audit (Q9): distinct child FK tuples
+    with no matching parent row, plus how many child rows carry each
+    (the reference declares these FKs between its six canonical
+    outputs in data-raw/outputs_structure.dbml:69-107 but never
+    checks them; a publisher of the quintet wants the audit the dbml
+    promises).
+
+    SQL MATCH SIMPLE semantics: a child tuple containing any NULL is
+    exempt (it references nothing). Scale shape: the child side is
+    pre-aggregated to its DISTINCT key tuples (map-side combine — the
+    shuffle carries key-cardinality rows, never the fact table), the
+    parent side is column-pruned to its distinct keys, and the
+    left-anti join is the only cross-table exchange; AQE broadcasts
+    the parent side when it is dimension-sized.
+
+    Output: one row per orphan key tuple — the child columns plus
+    ``orphan_rows`` (child rows carrying that tuple).
+    """
+    pairs = _fk_pairs(keys)
+    ccols = [c for c, _ in pairs]
+    not_null = F.lit(True)
+    for c in ccols:
+        not_null = not_null & F.col(c).isNotNull()
+    child_keys = (
+        child.select(*ccols)
+        .filter(not_null)
+        .groupBy(*ccols)
+        .agg(F.count(F.lit(1)).alias("orphan_rows"))
+    )
+    parent_keys = parent.select(
+        *[F.col(p).alias(c) for c, p in pairs]
+    ).distinct()
+    return child_keys.join(parent_keys, ccols, "left_anti")
+
+
+def assert_fk(child: DataFrame, parent: DataFrame, keys) -> DataFrame:
+    """FK assert: raises :class:`DataQualityError` naming the worst
+    orphan tuples when any child key has no parent; returns ``child``
+    unchanged otherwise (chainable like the other Q asserts)."""
+    pairs = _fk_pairs(keys)
+    sample = fk_orphans(child, parent, keys).orderBy(
+        F.col("orphan_rows").desc(), *[c for c, _ in pairs]
+    ).take(5)
+    if sample:
+        raise DataQualityError(
+            f"FK violation on {pairs}: orphan keys (top by rows) = "
+            + ", ".join(str(tuple(r)) for r in sample)
+        )
+    return child
