@@ -1,0 +1,123 @@
+"""Persisted LSH index lifecycle: bootstrap → probe must equal the
+inline incremental derivation exactly; probes must partition-prune
+both stored tables; appends must be idempotent merges."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from trisk_datawrangle_spark.llm.dedup import (
+    minhash_lsh_incremental_pairs,
+)
+from trisk_datawrangle_spark.llm.lsh_index import (
+    lsh_index_append,
+    minhash_lsh_index_pairs,
+    read_index_meta,
+    write_lsh_index,
+)
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+def _split(docs):
+    existing = docs.filter(F.col("doc_id") % 10 != 0)
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    return existing, incoming
+
+
+def test_index_probe_matches_inline_incremental(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("lshidx")) + "/idx"
+    docs = _docs(spark)
+    existing, incoming = _split(docs)
+    write_lsh_index(existing, path, num_hashes=64, bands=32)
+    assert read_index_meta(spark, path)["bands"] == 32
+
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_index_pairs(
+            spark, path, incoming, threshold=0.5
+        ).collect()
+    }
+    ref = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_incremental_pairs(
+            existing, incoming, num_hashes=64, bands=32, threshold=0.5
+        ).collect()
+    }
+    assert ref, "fixture must produce cross-set near-dup pairs"
+    assert set(got) == set(ref)
+    for k, j in got.items():
+        assert abs(j - ref[k]) < 1e-12, k
+
+
+def test_index_probe_prunes_partitions(spark, tmp_path_factory):
+    """The probe's index reads must show PartitionFilters on the
+    shard columns (the tests/test_plans.py pruning-assert pattern) —
+    an unpruned probe would rescan the full corpus index per batch."""
+    from trisk_datawrangle_spark.llm.lsh_index import _pruned_bands_read
+    from trisk_datawrangle_spark.llm.dedup import (
+        _banded_table,
+        _signatures_from_shingles,
+        shingle_hashes,
+    )
+
+    path = str(tmp_path_factory.mktemp("lshidx_prune")) + "/idx"
+    docs = _docs(spark)
+    existing, incoming = _split(docs)
+    write_lsh_index(existing, path, num_hashes=64, bands=16, n_shards=8)
+    meta = read_index_meta(spark, path)
+
+    one_doc = incoming.orderBy("doc_id").limit(1)
+    sh = shingle_hashes(one_doc, "text", "doc_id", meta["ngram"], True)
+    banded = _banded_table(
+        _signatures_from_shingles(sh, meta["num_hashes"]),
+        meta["num_hashes"],
+        meta["bands"],
+    ).withColumn("bshard", F.pmod(F.col("bucket"), F.lit(meta["n_shards"])))
+    pruned = _pruned_bands_read(spark, path, banded)
+    plan = pruned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "band" in pf[0] and "bshard" in pf[0], plan
+    # a one-doc probe touches at most `bands` partitions; the full
+    # layout has bands × n_shards — the read must be a strict subset
+    n_read = pruned.select("band", "bshard").distinct().count()
+    assert 0 < n_read <= meta["bands"]
+
+
+def test_index_append_idempotent_and_probe_sees_new_docs(
+    spark, tmp_path_factory
+):
+    path = str(tmp_path_factory.mktemp("lshidx_app")) + "/idx"
+    docs = _docs(spark)
+    existing, incoming = _split(docs)
+    batch1 = incoming.filter(F.col("doc_id") % 20 == 0)
+    write_lsh_index(existing, path, num_hashes=64, bands=32)
+
+    before = spark.read.parquet(f"{path}/shingles").count()
+    lsh_index_append(batch1, path)
+    after1 = spark.read.parquet(f"{path}/shingles").count()
+    assert after1 > before
+    lsh_index_append(batch1, path)  # retry: replace, never duplicate
+    assert spark.read.parquet(f"{path}/shingles").count() == after1
+    bands_tbl = spark.read.parquet(f"{path}/bands")
+    assert (
+        bands_tbl.groupBy("id", "band").count().filter("count > 1").count()
+        == 0
+    )
+
+    # a second batch now collides with batch1 docs through the index
+    batch2 = batch1.withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    pairs = minhash_lsh_index_pairs(spark, path, batch2, threshold=0.9)
+    ids_a = {r.id_a for r in pairs.collect()}
+    assert any(a % 20 == 0 and a < 1000000 for a in ids_a)

@@ -33,7 +33,67 @@ def test_decode_metadata_real_fields(spark, payloads):
     assert out[3].byte_len == 0
     # utf-8 payload: é is 2 bytes
     assert out[4].byte_len == 6
-    assert all(r.ok and r.width >= 16 and r.height >= 16 for r in out.values())
+    # text bytes are not an image: stub dims, fmt unknown, ok False
+    assert all(
+        (not r.ok) and r.fmt == "unknown" and r.width >= 16 and r.height >= 16
+        for r in out.values()
+    )
+
+
+def test_parse_image_dims_real_headers():
+    """The header parser reads genuine PNG/JPEG/GIF bytes — spec
+    structures built by hand, no media lib involved."""
+    from trisk_datawrangle_spark.llm.multimodal import (
+        PNG_SIG,
+        parse_image_dims,
+    )
+
+    png = (
+        PNG_SIG
+        + (13).to_bytes(4, "big")
+        + b"IHDR"
+        + (640).to_bytes(4, "big")
+        + (480).to_bytes(4, "big")
+        + b"\x08\x06\x00\x00\x00"
+        + b"\x00\x00\x00\x00"
+    )
+    assert parse_image_dims(png) == (640, 480, "png")
+
+    # JPEG: SOI, APP0 (JFIF stanza), SOF0 with height=333 width=222
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + (17).to_bytes(2, "big")
+        + b"\x08" + (333).to_bytes(2, "big") + (222).to_bytes(2, "big")
+        + b"\x03" + b"\x00" * 9
+    )
+    assert parse_image_dims(jpeg) == (222, 333, "jpeg")
+
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00" * 4
+    assert parse_image_dims(gif) == (320, 200, "gif")
+
+    assert parse_image_dims(b"plain text") is None
+    assert parse_image_dims(b"") is None
+    assert parse_image_dims(PNG_SIG + b"\x00\x00") is None  # truncated
+
+
+def test_png_payload_roundtrips_through_decoder(spark):
+    """png_payload builds bytes parse_image_dims reads back — the
+    construct/parse pair must agree on the wire format."""
+    from trisk_datawrangle_spark.llm.multimodal import (
+        parse_image_dims,
+        png_payload,
+        with_binary_payload,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "body", 700, 25)], "doc_id long, text string, w int, h int"
+    ).withColumn("payload", png_payload("text", "w", "h"))
+    raw = bytes(df.select("payload").head()["payload"])
+    assert parse_image_dims(raw) == (700, 25, "png")
+    assert raw.endswith(b"body")
+    meta = decode_metadata(df, "doc_id", "payload").head()
+    assert (meta.width, meta.height, meta.fmt, meta.ok) == (700, 25, "png", True)
 
 
 def test_resize_truncates_and_pads_exactly(spark, payloads):

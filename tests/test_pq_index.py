@@ -1,0 +1,79 @@
+"""Persisted IVF-PQ index: probe-from-disk must equal the inline
+probe exactly for the same trained model, and the codes read must be
+partition-pruned to the probed cells."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from trisk_datawrangle_spark.llm.pq_index import (
+    ivf_pq_index_topk,
+    load_ivf_pq_model,
+    write_ivf_pq_index,
+)
+from trisk_datawrangle_spark.llm.similarity import (
+    ivf_pq_topk,
+    train_ivf_centroids,
+    train_pq_codebooks,
+)
+
+
+def _embs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+
+def test_persisted_probe_equals_inline_probe(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pqidx")) + "/idx"
+    e = _embs(spark)
+    q = e.filter(F.col("vec_id") < 10)
+    cent = train_ivf_centroids(e, n_cells=16)
+    books = train_pq_codebooks(e, m=8)
+    write_ivf_pq_index(e, path, centroids=cent, codebooks=books)
+
+    inline = {
+        (r.query_id, r.rank): (r.neighbor_id, round(r.cosine, 9))
+        for r in ivf_pq_topk(
+            e, q, k=5, n_probe=4, centroids=cent, codebooks=books
+        ).collect()
+    }
+    persisted = {
+        (r.query_id, r.rank): (r.neighbor_id, round(r.cosine, 9))
+        for r in ivf_pq_index_topk(spark, path, q, k=5, n_probe=4).collect()
+    }
+    assert inline and persisted == inline
+
+    # model round-trips bit-exact through the parquet tables
+    import numpy as np
+
+    c2, b2 = load_ivf_pq_model(spark, path)
+    assert np.array_equal(np.asarray(cent, dtype=np.float64), c2)
+    assert np.array_equal(np.asarray(books, dtype=np.float64), b2)
+
+
+def test_persisted_probe_prunes_cells(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pqidx_prune")) + "/idx"
+    e = _embs(spark)
+    q = e.filter(F.col("vec_id") < 3)
+    write_ivf_pq_index(e, path, n_cells=16)
+    res = ivf_pq_index_topk(spark, path, q, k=3, n_probe=2)
+    plan = res._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "__cell" in pf[0], plan
+    # 3 queries × 2 probes touch at most 6 of the 16 cell partitions
+    cells = {
+        r["__cell"]
+        for r in spark.read.parquet(f"{path}/codes")
+        .filter(F.lit(True))
+        .select("__cell")
+        .distinct()
+        .collect()
+    }
+    assert len(cells) > 6, "fixture must have more cells than the probe set"
+    assert res.count() > 0

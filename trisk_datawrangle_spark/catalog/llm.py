@@ -475,6 +475,41 @@ def s6(spark, sf_dir):
     )
 
 
+@q(
+    "s7_ivf_pq_persisted",
+    ORACLES["s1_cosine_topk"],
+)
+def s7_pq(spark, sf_dir):
+    """Persisted-index ANN lifecycle (llm/pq_index.py): train + encode
+    + WRITE the IVF-PQ index to disk (codes partitioned by cell, model
+    as parquet tables), then serve the query batch from the STORED
+    index with cell-pruned reads — the s5 exact-recovery drive
+    (full probe + exact rescore) through the persisted path, so the
+    whole write→load→probe lifecycle must reproduce s1's brute-force
+    oracle bit-for-bit at 4 decimals."""
+    import tempfile
+
+    from trisk_datawrangle_spark.llm.pq_index import (
+        ivf_pq_index_topk,
+        write_ivf_pq_index,
+    )
+
+    e = _embs(spark, sf_dir)
+    qd = e.filter(F.col("vec_id") < 10)
+    path = tempfile.mkdtemp(prefix="pq_index_") + "/idx"
+    write_ivf_pq_index(e, path, n_cells=16, m=8)
+    cand = ivf_pq_index_topk(
+        spark, path, qd, k=2_000_000_000, n_probe=16
+    )
+    res = rescore_topk(cand, e, qd, k=5)
+    return res.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 # ---------------------------------------------------------------- #
 # text analysis                                                     #
 # ---------------------------------------------------------------- #
@@ -600,18 +635,55 @@ def x4(spark, sf_dir):
 @q(
     "m1_multimodal_decode",
     """
-SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
-       sha256(text) AS sha256
-FROM documents
+WITH p AS (
+    SELECT doc_id,
+        unhex('89504E470D0A1A0A' || '0000000D49484452'
+              || lpad(to_hex(16 + doc_id % 512), 8, '0')
+              || lpad(to_hex(16 + doc_id % 256), 8, '0')
+              || '0806000000' || '00000000') || encode(text) AS payload,
+        CAST(16 + doc_id % 512 AS INTEGER) AS width,
+        CAST(16 + doc_id % 256 AS INTEGER) AS height
+    FROM documents
+)
+SELECT p.doc_id, CAST(octet_length(p.payload) AS INTEGER) AS byte_len,
+       sha256(d.text) AS sha256, p.width, p.height, 'png' AS fmt
+FROM p JOIN documents d USING (doc_id)
 """,
 )
 def m1(spark, sf_dir):
     """Binary-payload metadata extraction via mapInPandas — the real
-    Arrow plumbing; sha/length are oracle-checkable, the stubbed
-    decode fields (width/height) are covered by unit tests."""
-    d = with_binary_payload(_docs(spark, sf_dir), "text", "payload")
+    Arrow plumbing over REAL image headers: each doc's text is
+    wrapped in a genuine PNG byte stream (llm/multimodal.py
+    png_payload, dims a pure function of doc_id), and the decode's
+    width/height/fmt come from parsing the actual IHDR chunk
+    (parse_image_dims), not a stub — so the oracle gates header
+    parse and byte accounting together. The sha column hashes the
+    text part (DuckDB 1.0 has no BLOB sha256; the mapInPandas
+    full-payload sha stays unit-tested); the full-decode stub path
+    (unrecognized bytes) is unit-tested too."""
+    from trisk_datawrangle_spark.llm.multimodal import png_payload
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        (F.lit(16) + F.col("doc_id") % 512).cast("int").alias("__w"),
+        (F.lit(16) + F.col("doc_id") % 256).cast("int").alias("__h"),
+    )
+    d = d.withColumn("payload", png_payload("text", "__w", "__h"))
     meta = decode_metadata(d, "doc_id", "payload")
-    return meta.select("doc_id", "byte_len", "sha256")
+    return meta.join(
+        d.select("doc_id", F.sha2(F.encode("text", "utf-8"), 256).alias(
+            "sha256_text"
+        )),
+        "doc_id",
+    ).select(
+        "doc_id",
+        "byte_len",
+        F.col("sha256_text").alias("sha256"),
+        "width",
+        "height",
+        "fmt",
+    )
 
 
 @q(
@@ -1653,6 +1725,44 @@ def d11(spark, sf_dir):
         docs.filter(F.col("doc_id") % 2 == 1),
         num_hashes=64,
         bands=32,
+        threshold=0.5,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@q("d13_persisted_index_dedup", _d11_sql())
+def d13(spark, sf_dir):
+    """Persisted-index dedup — the full production lifecycle of
+    d11's continual-ingestion shape (llm/lsh_index.py): the corpus
+    side's shingle + banded tables are WRITTEN to disk (partitioned
+    by collision shard) and the batch probes the STORED index with
+    partition-pruned reads, never re-shingling the corpus. Same
+    even/odd split and hard oracle as d11 — the lifecycle must
+    reproduce the inline derivation bit-for-bit."""
+    import tempfile
+
+    from trisk_datawrangle_spark.llm.lsh_index import (
+        minhash_lsh_index_pairs,
+        write_lsh_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="lsh_index_") + "/idx"
+    # 8 shards keep the fixture's leaf-directory count filesystem-
+    # friendly; production defaults to 64 (llm/lsh_index.py)
+    write_lsh_index(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        path,
+        num_hashes=64,
+        bands=32,
+        n_shards=8,
+    )
+    pairs = minhash_lsh_index_pairs(
+        spark,
+        path,
+        docs.filter(F.col("doc_id") % 2 == 1),
         threshold=0.5,
     )
     return pairs.select(

@@ -1,0 +1,302 @@
+"""Persisted MinHash-LSH index lifecycle — the continual-ingestion
+shape :func:`~trisk_datawrangle_spark.llm.dedup.
+minhash_lsh_incremental_pairs` documents but derives inline.
+
+At 100 TB the corpus's shingle and banded tables are precomputed
+ONCE and stored; every ingestion batch then probes the stored index
+(delta-bands ⋈ index-bands) instead of re-shingling the corpus. This
+module materializes exactly those two tables on plain parquet:
+
+``{path}/bands``
+    (id, bucket) partitioned by ``(band, bshard)`` where
+    ``bshard = pmod(bucket, n_shards)``. A probe's delta touches a
+    bounded set of (band, bshard) partitions — at most
+    ``bands × n_shards`` — so the index read is PARTITION-PRUNED to
+    the delta's collision neighborhoods; untouched shards are never
+    scanned (asserted by plan test, tests/test_lsh_index.py).
+
+``{path}/shingles``
+    (id, h) distinct shingle hashes partitioned by
+    ``ishard = pmod(xxhash64(id), n_shards)``. Exact-Jaccard
+    verification needs only the CANDIDATE existing docs' shingles;
+    their ishard set (again bounded by ``n_shards``) prunes the
+    scan, and an id-level semi-join trims the surviving shards to
+    the candidate rows.
+
+``{path}/meta.json``
+    the (num_hashes, bands, ngram, n_shards) the index was built
+    with — probes read it so a mis-parameterized probe is
+    structurally impossible.
+
+Appends go through :func:`~trisk_datawrangle_spark.sources.
+incremental.merge_by_key` keyed on the doc id, so re-ingesting a
+batch (stream retry, backfill overlap) REPLACES the doc's index rows
+instead of duplicating them — and only the touched (band, bshard) /
+ishard partitions are rewritten.
+
+Reference parity: the reference has no index lifecycle (it is a
+single-node batch tool); this is the scale path for the dedup ladder
+(SURVEY.md LLM-ops section), cf. R/prepare_abcd_stress_test_input.R's
+run-from-scratch shape.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trisk_datawrangle_spark.llm.dedup import (
+    _banded_table,
+    _signatures_from_shingles,
+    _verify_candidates,
+    shingle_hashes,
+)
+
+#: Default shard count for both partition layouts. 64 keeps the
+#: directory fan-out tame (bands × 64 leaf dirs) while making a
+#: small-delta probe read ~1/64 of each touched band.
+DEFAULT_SHARDS = 64
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, hpath, hpath.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+
+
+def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
+    """meta.json via the Hadoop FS API (works on s3://, hdfs://, …;
+    a driver-local open() would not)."""
+    jvm, hpath, fs = _fs(spark, f"{path}/meta.json")
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(json.dumps(meta, sort_keys=True).encode()))
+    finally:
+        out.close()
+
+
+def read_index_meta(spark: SparkSession, path: str) -> dict:
+    jvm, hpath, fs = _fs(spark, f"{path}/meta.json")
+    stream = fs.open(hpath)
+    try:
+        data = bytearray()
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            data.append(b)
+    finally:
+        stream.close()
+    return json.loads(bytes(data).decode())
+
+
+def _index_frames(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    ngram: int,
+    n_shards: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(bands_frame, shingles_frame) with shard columns attached.
+    One cached distinct shingle table feeds both (signatures are
+    duplicate-insensitive, verification needs the dedup anyway)."""
+    sh = shingle_hashes(df, text_col, id_col, ngram, distinct=True).cache()
+    banded = _banded_table(
+        _signatures_from_shingles(sh, num_hashes), num_hashes, bands
+    ).withColumn("bshard", F.pmod(F.col("bucket"), F.lit(n_shards)))
+    shingles = sh.withColumn(
+        "ishard", F.pmod(F.xxhash64(F.col("id")), F.lit(n_shards))
+    )
+    return banded, shingles
+
+
+def write_lsh_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    n_shards: int = DEFAULT_SHARDS,
+) -> None:
+    """Bootstrap the persisted index from a corpus frame: one
+    shingling pass feeds both tables; each table is one shuffle-free
+    write (the partitionBy columns are derived projections)."""
+    banded, shingles = _index_frames(
+        df, text_col, id_col, num_hashes, bands, ngram, n_shards
+    )
+    # repartition on the layout columns so each leaf directory is
+    # written by one task (≤1 file per leaf instead of one per
+    # (task × leaf) — thousands of KB-sized files otherwise); within
+    # a leaf, rows sorted by the probe key for row-group stats
+    (
+        banded.repartition("band", "bshard")
+        .sortWithinPartitions("bucket")
+        .write.mode("overwrite")
+        .partitionBy("band", "bshard")
+        .parquet(f"{path}/bands")
+    )
+    (
+        shingles.repartition("ishard")
+        .sortWithinPartitions("id")
+        .write.mode("overwrite")
+        .partitionBy("ishard")
+        .parquet(f"{path}/shingles")
+    )
+    _write_meta(
+        spark=df.sparkSession,
+        path=path,
+        meta={
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "ngram": ngram,
+            "n_shards": n_shards,
+            "id_col": id_col,
+        },
+    )
+
+
+def lsh_index_append(
+    incoming: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Merge a batch's docs INTO the index (the ingestion step after
+    a probe accepts them). Keyed on the doc id via merge_by_key, so
+    re-running a batch replaces its rows (idempotent retry) and only
+    the touched partitions are rewritten — never the whole index."""
+    from trisk_datawrangle_spark.sources.incremental import merge_by_key
+
+    spark = incoming.sparkSession
+    meta = read_index_meta(spark, path)
+    banded, shingles = _index_frames(
+        incoming,
+        text_col,
+        id_col,
+        meta["num_hashes"],
+        meta["bands"],
+        meta["ngram"],
+        meta["n_shards"],
+    )
+    merge_by_key(
+        spark,
+        banded.select("id", "bucket", "band", "bshard"),
+        f"{path}/bands",
+        keys=["id"],
+        partition_by=["band", "bshard"],
+    )
+    merge_by_key(
+        spark,
+        shingles.select("id", "h", "ishard"),
+        f"{path}/shingles",
+        keys=["id"],
+        partition_by=["ishard"],
+    )
+
+
+def _pruned_bands_read(
+    spark: SparkSession, path: str, probe_banded: DataFrame
+) -> DataFrame:
+    """Index bands restricted to the partitions the probe can collide
+    in. The collected set is (band, bshard) tuples — bounded by
+    bands × n_shards regardless of delta size — grouped into one
+    ``band = b AND bshard IN (...)`` clause per band so the whole
+    predicate is partition-column-only and prunes at planning."""
+    touched: dict[int, set[int]] = {}
+    for r in probe_banded.select("band", "bshard").distinct().collect():
+        touched.setdefault(int(r["band"]), set()).add(int(r["bshard"]))
+    index = spark.read.parquet(f"{path}/bands")
+    cond = F.lit(False)
+    for band, shards in sorted(touched.items()):
+        cond = cond | (
+            (F.col("band") == F.lit(band))
+            & F.col("bshard").isin(*sorted(shards))
+        )
+    return index.filter(cond)
+
+
+def minhash_lsh_index_pairs(
+    spark: SparkSession,
+    path: str,
+    incoming: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Dedup an ingestion batch against the PERSISTED index: same
+    contract as :func:`~trisk_datawrangle_spark.llm.dedup.
+    minhash_lsh_incremental_pairs` — exact-verified cross-set pairs
+    ``(id_a existing, id_b incoming, jaccard ≥ threshold)``, ids
+    disjoint between batch and corpus — but the existing side comes
+    from the stored tables with partition-pruned reads instead of
+    being re-derived from the corpus frame.
+
+    Eager plan (two bounded driver collects, each ≤ n_shards-sized):
+    1. shingle+band the delta inline (one cached pass);
+    2. read index bands pruned to the delta's (band, bshard) set,
+       join on (band, bucket) → candidate pairs (cached — reused for
+       shard discovery and verification);
+    3. read index shingles pruned to the candidates' ishard set,
+       semi-joined to candidate ids, union the delta's shingles,
+       exact-verify.
+
+    A delta with no collisions reads ZERO shingle partitions and
+    returns empty without a verification join."""
+    meta = read_index_meta(spark, path)
+    n_shards = meta["n_shards"]
+    sh_in = shingle_hashes(
+        incoming, text_col, id_col, meta["ngram"], distinct=True
+    ).cache()
+    banded_in = (
+        _banded_table(
+            _signatures_from_shingles(sh_in, meta["num_hashes"]),
+            meta["num_hashes"],
+            meta["bands"],
+        )
+        .withColumn("bshard", F.pmod(F.col("bucket"), F.lit(n_shards)))
+        .cache()  # used for shard discovery AND the candidate join
+    )
+
+    index_bands = _pruned_bands_read(spark, path, banded_in)
+    cand = (
+        index_bands.select(F.col("id").alias("id_a"), "band", "bucket")
+        .join(
+            banded_in.select(F.col("id").alias("id_b"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .cache()
+    )
+    shard_rows = (
+        cand.select(
+            F.pmod(F.xxhash64(F.col("id_a")), F.lit(n_shards)).alias(
+                "ishard"
+            )
+        )
+        .distinct()
+        .collect()
+    )
+    if not shard_rows:
+        return cand.withColumn("jaccard", F.lit(0.0)).limit(0)
+    shards = sorted(int(r["ishard"]) for r in shard_rows)
+    sh_ex = (
+        spark.read.parquet(f"{path}/shingles")
+        .filter(F.col("ishard").isin(*shards))
+        .join(
+            cand.select(F.col("id_a").alias("id")).distinct(),
+            "id",
+            "left_semi",
+        )
+        .select("id", "h")
+    )
+    return _verify_candidates(sh_ex.union(sh_in).distinct(), cand, threshold)

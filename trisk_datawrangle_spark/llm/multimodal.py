@@ -23,8 +23,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DECODED_SCHEMA = (
-    "doc_id long, byte_len int, sha256 string, width int, height int, ok boolean"
+    "doc_id long, byte_len int, sha256 string, width int, height int, "
+    "fmt string, ok boolean"
 )
+
+#: PNG file signature (public spec, RFC 2083 §12.11).
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def with_binary_payload(df: DataFrame, src_col: str, out_col: str = "payload") -> DataFrame:
@@ -34,32 +38,110 @@ def with_binary_payload(df: DataFrame, src_col: str, out_col: str = "payload") -
     return df.withColumn(out_col, F.encode(F.col(src_col), "utf-8"))
 
 
-def _decode_stub(payload: bytes) -> tuple[int, int, bool]:
-    """STUB for media decoding. Returns deterministic fake
-    (width, height, ok). A real implementation would decode the image
-    header; no media libs ship in this container, so the fake derives
-    dimensions from the payload hash — stable, testable plumbing."""
+def png_payload(
+    text_col: str, width_col, height_col
+) -> "F.Column":
+    """A REAL PNG byte stream as a Column: signature + IHDR chunk
+    (big-endian dims, 8-bit RGBA, zeroed CRC — parsed, not
+    validated) followed by the text bytes as stand-in pixel data.
+    Built entirely from JVM expressions (hex assembly → to_binary),
+    so test fixtures get genuinely parseable image headers without
+    any media library — and a SQL oracle can reconstruct the exact
+    bytes (unhex of the same hex assembly)."""
+    def be32(c) -> "F.Column":
+        return F.lpad(F.hex(F.col(c) if isinstance(c, str) else c), 8, "0")
+
+    header_hex = F.concat(
+        F.lit(PNG_SIG.hex().upper()),   # signature
+        F.lit("0000000D49484452"),      # IHDR length=13 + type
+        be32(width_col),
+        be32(height_col),
+        F.lit("0806000000"),            # bit depth 8, color 6, c/f/i
+        F.lit("00000000"),              # CRC (unchecked by parsers)
+    )
+    return F.concat(
+        F.to_binary(header_hex, F.lit("hex")),
+        F.encode(F.col(text_col), "utf-8"),
+    )
+
+
+def parse_image_dims(payload: bytes) -> tuple[int, int, str] | None:
+    """Pure-Python image header parse — REAL metadata, no media
+    libs: PNG IHDR (spec §11.2.2), JPEG SOF0-SOF3 frame headers
+    (ITU T.81 §B.2.2), GIF87a/89a logical screen descriptor.
+    Returns (width, height, fmt), or None for unrecognized bytes."""
+    if (
+        len(payload) >= 24
+        and payload[:8] == PNG_SIG
+        and payload[12:16] == b"IHDR"
+    ):
+        return (
+            int.from_bytes(payload[16:20], "big"),
+            int.from_bytes(payload[20:24], "big"),
+            "png",
+        )
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 <= len(payload) and payload[i] == 0xFF:
+            marker = payload[i + 1]
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
+                i += 2  # standalone markers carry no length
+                continue
+            seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if seglen < 2:
+                break
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3):
+                return (
+                    int.from_bytes(payload[i + 7 : i + 9], "big"),
+                    int.from_bytes(payload[i + 5 : i + 7], "big"),
+                    "jpeg",
+                )
+            i += 2 + seglen
+        return None
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        return (
+            int.from_bytes(payload[6:8], "little"),
+            int.from_bytes(payload[8:10], "little"),
+            "gif",
+        )
+    return None
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int]:
+    """Fallback for payloads :func:`parse_image_dims` does not
+    recognize (this container ships no full decoders): deterministic
+    fake dimensions from the payload hash — stable, testable
+    plumbing a real decoder (PIL / pyav) would replace."""
     h = hashlib.sha256(payload).digest()
-    return 16 + h[0] % 1024, 16 + h[1] % 1024, True
+    return 16 + h[0] % 1024, 16 + h[1] % 1024
 
 
 def decode_metadata(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
     """Decode/feature-extract over Arrow batches (``mapInPandas``).
 
-    Emits (id, byte_len, sha256, width, height, ok). The sha256 and
-    byte_len are real; width/height come from the decode stub."""
+    Emits (id, byte_len, sha256, width, height, fmt, ok). byte_len
+    and sha256 are real; width/height/fmt come from the REAL header
+    parse (:func:`parse_image_dims`) when the payload is a
+    recognized image — ``ok`` is True exactly then — and fall back
+    to the deterministic stub with ``fmt='unknown'`` otherwise."""
     import pandas as pd
 
     # fat binary rows + per-row Python decode: parallelism must come
     # from partitioning, not file splits (media files are few & large)
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
 
+    def meta(b: bytes) -> tuple[int, int, str, bool]:
+        parsed = parse_image_dims(b)
+        if parsed is not None:
+            return (*parsed, True)
+        return (*_decode_stub(b), "unknown", False)
+
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             # columnar (Series.map) rather than a python row loop:
             # per-row DataFrame indexing dominates at wide batches
             payloads = pdf[payload_col].map(bytes)
-            dims = payloads.map(_decode_stub)
+            dims = payloads.map(meta)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
@@ -69,7 +151,8 @@ def decode_metadata(df: DataFrame, id_col: str = "doc_id", payload_col: str = "p
                     ),
                     "width": dims.map(lambda t: t[0]).astype("int32"),
                     "height": dims.map(lambda t: t[1]).astype("int32"),
-                    "ok": dims.map(lambda t: t[2]),
+                    "fmt": dims.map(lambda t: t[2]),
+                    "ok": dims.map(lambda t: t[3]),
                 }
             )
 

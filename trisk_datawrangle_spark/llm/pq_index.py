@@ -1,0 +1,156 @@
+"""Persisted IVF-PQ index lifecycle — the production ANN serving
+shape. :func:`~trisk_datawrangle_spark.llm.similarity.ivf_pq_topk`
+trains and encodes inline per call; a real deployment trains ONCE,
+stores the model + codes, and serves every query batch from the
+stored index. This module materializes that lifecycle on plain
+parquet:
+
+``{path}/codes``
+    the compressed inverted lists ``(neighbor_id, __codes)``
+    partitioned by ``__cell`` — 8 B of PQ codes per vector, no float
+    payload. A probe at ``n_probe`` reads exactly its probed cells'
+    partitions (partition-pruned; asserted by plan test) — at
+    n_probe=4 of 256 cells, ~1.6 % of the index is scanned per
+    batch.
+
+``{path}/centroids`` / ``{path}/codebooks``
+    the coarse quantizer (n_cells × dim) and the PQ codebooks
+    (m × k_codes × dim/m) as tiny parquet tables — KBs, loaded to
+    the driver and broadcast at probe time.
+
+``{path}/meta.json``
+    (n_cells, m, k_codes, dim) so probes can't mis-parameterize.
+
+Probing reuses the exact
+:func:`~trisk_datawrangle_spark.llm.similarity.adc_topk` stage the
+inline operator uses, so persisted-probe == inline-probe is a
+structural identity (property-tested in tests/test_pq_index.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trisk_datawrangle_spark.llm.lsh_index import (
+    _write_meta,
+    read_index_meta,
+)
+from trisk_datawrangle_spark.llm.similarity import (
+    adc_topk,
+    encode_pq_index,
+    train_ivf_centroids,
+    train_pq_codebooks,
+)
+
+
+def write_ivf_pq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m: int = 8,
+    k_codes: int = 256,
+    centroids=None,
+    codebooks=None,
+) -> None:
+    """Train (unless a model is passed), encode, persist. The codes
+    write is one shuffle on the cell id (repartition so each cell
+    directory is written by one task); the model tables are
+    driver-sized."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, n_cells, id_col, vec_col)
+    if codebooks is None:
+        codebooks = train_pq_codebooks(corpus, m, k_codes, id_col, vec_col)
+    centroids = np.asarray(centroids, dtype=np.float64)
+    codebooks = np.asarray(codebooks, dtype=np.float64)
+
+    codes = encode_pq_index(corpus, centroids, codebooks, id_col, vec_col)
+    (
+        codes.repartition("__cell")
+        .sortWithinPartitions("neighbor_id")
+        .write.mode("overwrite")
+        .partitionBy("__cell")
+        .parquet(f"{path}/codes")
+    )
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(centroids)],
+        "cell int, c array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [
+            (int(j), int(code), [float(x) for x in codebooks[j, code]])
+            for j in range(codebooks.shape[0])
+            for code in range(codebooks.shape[1])
+        ],
+        "j int, code int, c array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    _write_meta(
+        spark,
+        path,
+        {
+            "n_cells": int(centroids.shape[0]),
+            "m": int(codebooks.shape[0]),
+            "k_codes": int(codebooks.shape[1]),
+            "dim": int(centroids.shape[1]),
+            "id_col": id_col,
+        },
+    )
+
+
+def load_ivf_pq_model(spark: SparkSession, path: str):
+    """(centroids, codebooks) ndarrays from the stored model tables —
+    a bounded driver collect (n_cells + m·k_codes rows of short
+    arrays)."""
+    import numpy as np
+
+    meta = read_index_meta(spark, path)
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cent = np.empty((meta["n_cells"], meta["dim"]))
+    for r in cent_rows:
+        cent[r["cell"]] = r["c"]
+    book_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    dsub = meta["dim"] // meta["m"]
+    books = np.empty((meta["m"], meta["k_codes"], dsub))
+    for r in book_rows:
+        books[r["j"], r["code"]] = r["c"]
+    return cent, books
+
+
+def ivf_pq_index_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve a query batch from the persisted index: load + broadcast
+    the model, compute the batch's probed cells DRIVER-SIDE (a
+    |queries| × n_cells GEMM on the collected query batch is the
+    serving norm — the batch is request-sized, not corpus-sized),
+    read ONLY those cells' partitions from the codes table, then the
+    shared :func:`adc_topk` probe/score/rank stage."""
+    import numpy as np
+
+    cent, books = load_ivf_pq_model(spark, path)
+    n_probe = min(n_probe, len(cent))
+    qrows = queries.select(id_col, vec_col).collect()
+    qmat = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    probed = np.argsort(-(qmat @ cent.T), kind="stable", axis=1)[:, :n_probe]
+    cells = sorted({int(c) for row in probed for c in row})
+
+    codes = (
+        spark.read.parquet(f"{path}/codes")
+        .filter(F.col("__cell").isin(*cells))
+        .select("neighbor_id", "__cell", "__codes")
+    )
+    return adc_topk(
+        codes, queries, cent, books, k, n_probe, id_col, vec_col
+    )

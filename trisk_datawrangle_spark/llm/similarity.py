@@ -661,17 +661,33 @@ def ivf_pq_topk(
     Output contract matches :func:`cosine_topk` with ``cosine``
     holding the ADC approximation.
     """
-    import numpy as np
-    import pandas as pd
-
     if centroids is None:
         centroids = train_ivf_centroids(corpus, n_cells, id_col, vec_col)
     if codebooks is None:
         codebooks = train_pq_codebooks(
             corpus, m, k_codes, id_col, vec_col
         )
-    n_cells = len(centroids)
-    n_probe = min(n_probe, n_cells)
+    index = encode_pq_index(corpus, centroids, codebooks, id_col, vec_col)
+    return adc_topk(
+        index, queries, centroids, codebooks, k, n_probe, id_col, vec_col
+    )
+
+
+def encode_pq_index(
+    corpus: DataFrame,
+    centroids,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The compressed IVF-PQ index frame: ``(neighbor_id, __cell,
+    __codes)`` — one vectorized encode pass (GEMM per Arrow batch, no
+    shuffle), no float payload. Shared by the inline
+    :func:`ivf_pq_topk` and the persisted lifecycle
+    (``llm/pq_index.py``) so both produce the identical index."""
+    import numpy as np
+    import pandas as pd
+
     m = codebooks.shape[0]
     dsub = codebooks.shape[2]
     sc = corpus.sparkSession.sparkContext
@@ -702,9 +718,38 @@ def ivf_pq_topk(
             )
 
     # the compressed index: (id, cell, codes) — no float payload
-    index = corpus.select(id_col, vec_col).mapInPandas(
+    return corpus.select(id_col, vec_col).mapInPandas(
         encode, "neighbor_id long, __cell int, __codes array<long>"
     )
+
+
+def adc_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids,
+    codebooks,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe + asymmetric-distance scoring + top-k over a prebuilt
+    ``(neighbor_id, __cell, __codes)`` index frame (from
+    :func:`encode_pq_index` or read back from a persisted index).
+    Per query, one ``m × k_codes`` LUT of subspace dot products
+    against the broadcast codebooks; each candidate's approximate
+    cosine is the sum of ``m`` lookups — no float vectors move at
+    query time."""
+    import numpy as np
+    import pandas as pd
+
+    n_cells = len(centroids)
+    n_probe = min(n_probe, n_cells)
+    m = codebooks.shape[0]
+    dsub = codebooks.shape[2]
+    sc = queries.sparkSession.sparkContext
+    bc_cent = sc.broadcast(np.asarray(centroids, dtype=np.float64))
+    bc_books = sc.broadcast(np.asarray(codebooks, dtype=np.float64))
 
     def probe(batches):
         cent = bc_cent.value

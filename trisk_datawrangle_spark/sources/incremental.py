@@ -111,25 +111,59 @@ def stream_upsert(
     )
 
 
+def _balanced_or(conds):
+    """Pairwise OR reduction: a linear ``a | b | c | …`` chain nests
+    one level per term and blows the JVM stack past a few hundred
+    partitions; the balanced tree is log-depth for any tuple count."""
+    while len(conds) > 1:
+        conds = [
+            conds[i] if i + 1 >= len(conds) else conds[i] | conds[i + 1]
+            for i in range(0, len(conds), 2)
+        ]
+    return conds[0] if conds else F.lit(False)
+
+
 def _partition_filter(part_tuples, partition_by: Sequence[str], schema):
-    """OR-of-ANDs partition predicate from STRING-normalized tuples,
-    NULL-safe: ``== lit(None)`` evaluates to NULL and silently drops
-    existing rows from a NULL partition (which dynamic overwrite then
+    """Partition predicate from STRING-normalized tuples, NULL-safe:
+    ``== lit(None)`` evaluates to NULL and silently drops existing
+    rows from a NULL partition (which dynamic overwrite then
     deletes). Each string literal is cast to the TABLE's column type
     (constant-folded at plan time) so the column side stays bare:
     relying on implicit coercion instead would wrap a numeric
     partition column in a cast (string-vs-int compares through
     double), defeating parquet partition pruning — and longs beyond
-    2^53 would alias, sweeping extra partitions into the rewrite."""
+    2^53 would alias, sweeping extra partitions into the rewrite.
+
+    Shape: tuples sharing a prefix on all-but-the-last column
+    collapse into one ``prefix AND last IN (...)`` clause, and the
+    clauses combine through a BALANCED or-tree — a many-partition
+    merge (a banded-index append touches thousands of leaves) stays
+    both prunable and stack-safe."""
     types = {f.name: f.dataType for f in schema.fields}
-    cond = F.lit(False)
+
+    def lit(c, v):
+        return F.lit(None) if v is None else F.lit(v).cast(types[c])
+
+    groups: dict = {}
     for t in part_tuples:
+        groups.setdefault(tuple(t[:-1]), []).append(t[-1])
+    last = partition_by[-1]
+    conds = []
+    for prefix in sorted(
+        groups, key=lambda p: tuple("" if x is None else str(x) for x in p)
+    ):
         clause = F.lit(True)
-        for c, v in zip(partition_by, t):
-            lit = F.lit(v) if v is None else F.lit(v).cast(types[c])
-            clause = clause & F.col(c).eqNullSafe(lit)
-        cond = cond | clause
-    return cond
+        for c, v in zip(partition_by[:-1], prefix):
+            clause = clause & F.col(c).eqNullSafe(lit(c, v))
+        vals = groups[prefix]
+        non_null = sorted(v for v in vals if v is not None)
+        tail = F.lit(False)
+        if non_null:
+            tail = F.col(last).isin(*[lit(last, v) for v in non_null])
+        if any(v is None for v in vals):
+            tail = tail | F.col(last).isNull()
+        conds.append(clause & tail)
+    return _balanced_or(conds)
 
 
 def _collect_part_tuples(df: DataFrame, partition_by: Sequence[str]):
