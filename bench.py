@@ -99,8 +99,63 @@ def calibrate() -> float:
     return round(time.perf_counter() - t0, 4)
 
 
-def main() -> None:
+def parse_args(argv):
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="headline bench; default sf dir from "
+        "$SPARK_GRAFT_SF_DIR"
+    )
+    ap.add_argument(
+        "--sf",
+        default=None,
+        help="scale factor: uses /root/testdata/sf{X}, falling back "
+        "to scripts/make_scaled_corpus.py's .scratch/sf{X} output "
+        "for factors the driver does not ship (e.g. 1)",
+    )
+    ap.add_argument(
+        "--sf-dir", default=None, help="explicit data dir (wins over --sf)"
+    )
+    ap.add_argument(
+        "--compare",
+        default=None,
+        metavar="BENCH_JSON",
+        help="path to a prior bench JSON from a SMALLER scale: emit "
+        "per-query warm/cold time ratios against it and flag "
+        "super-linear queries",
+    )
+    ap.add_argument(
+        "--scale-factor",
+        type=float,
+        default=None,
+        help="row-count ratio between this run and --compare's "
+        "(default: ratio of the two sf fields); a query whose cold "
+        "AND warm ratios exceed it is flagged super_linear",
+    )
+    return ap.parse_args(argv)
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv if argv is not None else sys.argv[1:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if args.sf is not None:
+        cand = f"/root/testdata/sf{args.sf}"
+        if not os.path.isdir(cand):
+            cand = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                ".scratch",
+                f"sf{args.sf}",
+            )
+        if not os.path.isdir(cand):
+            print(
+                f"bench: no data for sf{args.sf} (run "
+                "scripts/make_scaled_corpus.py first)",
+                file=sys.stderr,
+            )
+            raise SystemExit(2)
+        sf_dir = cand
+    if args.sf_dir is not None:
+        sf_dir = args.sf_dir
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -212,25 +267,56 @@ def main() -> None:
 
     complete = not errors and len(times) == len(HEADLINE)
     total = round(sum(times.values()), 3) if complete else None
-    print(
-        json.dumps(
-            {
-                "metric": "suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "queries_warm": warm,
-                "queries_spread": spread,
-                "warm_value": round(sum(warm.values()), 3) if complete else None,
-                "warm_passes": WARM_PASSES,
-                "complete": complete,
-                "errors": errors,
-                "loadavg": {"start": load_start, "end": load_end},
-                "calibration_sec": {"before": calib_before, "after": calib_after},
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "queries_warm": warm,
+        "queries_spread": spread,
+        "warm_value": round(sum(warm.values()), 3) if complete else None,
+        "warm_passes": WARM_PASSES,
+        "complete": complete,
+        "errors": errors,
+        "loadavg": {"start": load_start, "end": load_end},
+        "calibration_sec": {"before": calib_before, "after": calib_after},
+        "sf": sf,
+    }
+    if args.compare:
+        with open(args.compare) as fh:
+            base = json.load(fh)
+        if "parsed" in base:  # driver-recorded BENCH_r*.json wrapper
+            base = base["parsed"]
+        factor = args.scale_factor
+        if factor is None and sf and base.get("sf"):
+            factor = sf / base["sf"]
+        ratios: dict[str, dict[str, float]] = {}
+        super_linear: list[str] = []
+        for name in times:
+            b_cold = base.get("queries", {}).get(name)
+            b_warm = base.get("queries_warm", {}).get(name)
+            r = {}
+            if b_cold:
+                r["cold"] = round(times[name] / b_cold, 2)
+            if b_warm and name in warm:
+                r["warm"] = round(warm[name] / b_warm, 2)
+            ratios[name] = r
+            # flagged only when BOTH samples exceed linear — one
+            # noisy reading must not cry wolf (the r4 lesson), and a
+            # genuinely super-linear plan shows up in both
+            if (
+                factor
+                and r.get("cold", 0) > factor
+                and r.get("warm", 0) > factor
+            ):
+                super_linear.append(name)
+        out["compare"] = {
+            "base_sf": base.get("sf"),
+            "scale_factor": factor,
+            "ratios": ratios,
+            "super_linear": sorted(super_linear),
+        }
+    print(json.dumps(out))
     spark.stop()
     # always exit 0: the JSON line (with its "errors" field) IS the
     # signal — a nonzero rc would make harnesses drop the parsed

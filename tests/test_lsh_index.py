@@ -121,3 +121,56 @@ def test_index_append_idempotent_and_probe_sees_new_docs(
     pairs = minhash_lsh_index_pairs(spark, path, batch2, threshold=0.9)
     ids_a = {r.id_a for r in pairs.collect()}
     assert any(a % 20 == 0 and a < 1000000 for a in ids_a)
+
+
+def test_stream_dedup_ingest_loop(spark, tmp_path_factory):
+    """The full continual-ingestion loop: batches flow through
+    probe → pairs sink → index append; later batches dedup against
+    earlier ones, and the streaming result equals the batch-derived
+    ground truth."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from trisk_datawrangle_spark.llm.lsh_index import stream_dedup_ingest
+
+    base = str(tmp_path_factory.mktemp("lsh_stream"))
+    idx, pairs_out, ckpt, src = (
+        f"{base}/idx", f"{base}/pairs", f"{base}/ckpt", f"{base}/src"
+    )
+    docs = _docs(spark)
+    existing = docs.filter(F.col("doc_id") % 10 != 0)
+    write_lsh_index(existing, idx, num_hashes=64, bands=32, n_shards=8)
+
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    incoming.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(incoming.schema).parquet(src)
+    q = stream_dedup_ingest(
+        stream, idx, pairs_out, ckpt, threshold=0.5
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(pairs_out).collect()
+    }
+    ref = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_incremental_pairs(
+            existing, incoming, num_hashes=64, bands=32, threshold=0.5
+        ).collect()
+    }
+    # every batch-mode cross-set pair is found; the stream may also
+    # legitimately find incoming-vs-incoming pairs across micro-
+    # batches (docs appended to the index before later batches)
+    assert ref and ref <= got
+    inc_ids = {r.doc_id for r in incoming.select("doc_id").collect()}
+    assert all(b in inc_ids for _, b in got)
+    # the batch's docs are now IN the index
+    idx_ids = {
+        r.id
+        for r in spark.read.parquet(f"{idx}/shingles")
+        .select("id").distinct().collect()
+    }
+    assert inc_ids <= idx_ids
+    assert os.path.isdir(ckpt)

@@ -36,18 +36,67 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 
 # Registration-order priority. The per-round correctness driver samples
 # the FIRST N catalog entries (N=50), so ordering decides which entries
-# get driver-verified each round. Round-5 window (disjoint from r4's,
-# per the rotation design): (1) every entry ADDED or renamed this round
-# — the opening half's cp1/w3/s5/s6/e9/st1/x11-x14/d9/d10/a13 and the
-# closing half's w4 corpus-build composite, x15-x21 curation/feature
-# ops, e10/e11 streaming, s10 ORC, m4 frame sampling, d11 incremental
-# dedup, v1/v2 centroid ops, k2 salted join — all need first driver
-# proof; (2) the relational primitives whose last driver proof is r1
-# (p*/j*/a*/w1). Everything displaced past position 50 (w4_row_number
-# onward, sc/cf/pr/lc cohorts, the r4-window entries) stays covered by
-# the builder's full-catalog emulation (159+/159+ green this round)
-# and rotates into later driver windows.
+# get driver-verified each round. Round-6 window (per the r5 verdict's
+# rotation ask): (1) entries ADDED this round (q9 FK audit, d13
+# persisted-LSH lifecycle, s7 persisted-IVF-PQ) or whose oracle
+# CHANGED (m1 real header parse, x22 null-safe mixture join); (2) the
+# 23 entries whose only driver proof was round 1 (u*/f*/a*/r*/t*/q5/
+# q6/w1/w4/w6 relational primitives); (3) the oldest round-3 cohorts
+# (sc/cf/pr/lc source pipelines, d1/d2/d5). The displaced r4/r5-proof
+# entries stay covered by the builder's full-catalog emulation
+# (167/167 green this round) and rotate into the r7 window along with
+# the remaining r3 cohort (d6/d7, e1/e2/e5, s1/s3/s4, x1-x8).
 _PRIORITY = [
+    "q9_fk_integrity",
+    "d13_persisted_index_dedup",
+    "s7_ivf_pq_persisted",
+    "m1_multimodal_decode",
+    "x22_mixture_sample",
+    "u1_union_by_name",
+    "u2_clone_recode",
+    "u3_union_precedence",
+    "f1_recode",
+    "f10_unit_convert",
+    "f11_f12_null_gates",
+    "f14_safe_div",
+    "a5_a12_counts",
+    "a8_minmax",
+    "a9_bool_reduce",
+    "a10_collect_sorted",
+    "a11_first_by_order",
+    "r3_pivot_wider",
+    "r4_r5_strings",
+    "r6_one_hot",
+    "r8_fan_out",
+    "t3_missing_combinations",
+    "t5_zero_after_last",
+    "q5_missings_report",
+    "q6_duplicates_report",
+    "w1_baseline_index",
+    "w4_row_number",
+    "w6_group_max_ratio",
+    "sc1_weo_geco_wrangle",
+    "sc2_weo23_wrangle",
+    "sc3_ngfs_wrangle",
+    "sc4_ipr_wrangle",
+    "sc5_oxford_wrangle",
+    "sc6_steel_wrangle",
+    "cf1_ngfs_capacity_factors",
+    "cf2_ipr_capacity_factors",
+    "cf3_weo2023_capacity_factors",
+    "cf4_gem_steel_capacity_factors",
+    "pr1_weo2021_prices",
+    "pr2_ngfs_prices",
+    "pr3_ipr_prices",
+    "pr4_oxford_prices",
+    "pr5_ipr_baseline_prices",
+    "pr6_automotive_prices",
+    "lc1_mp_steel_lc_prices",
+    "lc2_ipr_lcoe_prices",
+    "lc3_oxford_lcoe_ngfs_prices",
+    "d1_exact_dedup",
+    "d2_ngram_jaccard",
+    "d5_embedding_dups",
     "w4_curation_e2e",
     "x15_cluster_safe_split",
     "x16_source_cap",
@@ -65,7 +114,6 @@ _PRIORITY = [
     "x21_rolling_stats",
     "k2_salted_join",
     "d12_edit_distance_verify",
-    "x22_mixture_sample",
     "e12_late_data_report",
     "x23_winsorize",
     "cp1_ngfs_carbon_price",
@@ -98,50 +146,9 @@ _PRIORITY = [
     "j10_majority_pick",
     "a2_sum_or_null",
     "a3_mean",
-    "a5_a12_counts",
-    "a8_minmax",
-    "a9_bool_reduce",
-    "a10_collect_sorted",
-    "a11_first_by_order",
-    "w1_baseline_index",
-    "w4_row_number",
-    "w6_group_max_ratio",
-    "t3_missing_combinations",
-    "t5_zero_after_last",
-    "r3_pivot_wider",
-    "r4_r5_strings",
-    "r6_one_hot",
-    "r8_fan_out",
-    "u1_union_by_name",
-    "u2_clone_recode",
-    "u3_union_precedence",
-    "f10_unit_convert",
-    "f11_f12_null_gates",
-    "sc1_weo_geco_wrangle",
-    "sc2_weo23_wrangle",
-    "sc3_ngfs_wrangle",
-    "sc4_ipr_wrangle",
-    "sc5_oxford_wrangle",
-    "sc6_steel_wrangle",
-    "cf1_ngfs_capacity_factors",
-    "cf2_ipr_capacity_factors",
-    "cf3_weo2023_capacity_factors",
-    "cf4_gem_steel_capacity_factors",
-    "pr1_weo2021_prices",
-    "pr2_ngfs_prices",
-    "pr3_ipr_prices",
-    "pr4_oxford_prices",
-    "pr5_ipr_baseline_prices",
-    "pr6_automotive_prices",
-    "lc1_mp_steel_lc_prices",
-    "lc2_ipr_lcoe_prices",
-    "lc3_oxford_lcoe_ngfs_prices",
     "g3_standardize_names",
     "q7_row_diff_report",
     "s7_seed_datasets",
-    "d1_exact_dedup",
-    "d2_ngram_jaccard",
-    "d5_embedding_dups",
     "d6_contamination",
     "d7_dedup_clusters",
     "s1_cosine_topk",
@@ -173,7 +180,6 @@ _PRIORITY = [
     "q8_incomplete_groups",
     "g1_containment_pairs",
     "g2_regroup_rename",
-    "m1_multimodal_decode",
     "m2_multimodal_resize",
     "m3_multimodal_features",
     "c1_curate_exact",
@@ -208,10 +214,6 @@ _PRIORITY = [
     "w7_locf_fill",
     "r1_melt",
     "t2_complete_cross",
-    "f1_recode",
-    "f14_safe_div",
-    "q5_missings_report",
-    "q6_duplicates_report",
 ]
 
 _ordered = [n for n in _PRIORITY if n in _ALL_QUERIES]

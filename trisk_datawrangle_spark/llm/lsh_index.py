@@ -300,3 +300,55 @@ def minhash_lsh_index_pairs(
         .select("id", "h")
     )
     return _verify_candidates(sh_ex.union(sh_in).distinct(), cand, threshold)
+
+
+def stream_dedup_ingest(
+    stream_df: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+):
+    """The full continual-ingestion dedup loop as one streaming
+    query: per micro-batch, (1) probe the persisted index for
+    near-dup pairs against the existing corpus
+    (:func:`minhash_lsh_index_pairs` — partition-pruned, delta cost),
+    (2) append the verdicts to ``pairs_path``, (3) merge the batch's
+    docs INTO the index (:func:`lsh_index_append`) so later batches
+    dedup against them too.
+
+    Exactly-once discipline: the checkpoint makes batch replay
+    possible, and both effects are replay-safe — the append is a
+    keyed merge (replaces, never duplicates) and the pairs write
+    goes through a per-batch overwrite directory
+    (``batch_id=N`` partition), so a replayed batch rewrites its own
+    partition instead of appending duplicates.
+
+    Returns the started StreamingQuery (availableNow trigger — batch
+    backfills and continuous runs share the path)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        if not batch_df.head(1):
+            return
+        spark = batch_df.sparkSession
+        pairs = minhash_lsh_index_pairs(
+            spark, index_path, batch_df, text_col, id_col, threshold
+        )
+        (
+            pairs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(pairs_path)
+        )
+        lsh_index_append(batch_df, index_path, text_col, id_col)
+
+    return (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
