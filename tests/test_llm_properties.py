@@ -202,3 +202,26 @@ def test_balance_sources_zero_weight_source(spark):
     srcs = {r.source for r in kept}
     assert "b" not in srcs          # nothing eligible there
     assert {"a", "c"} & srcs        # other sources still sampled
+
+
+def test_pii_scrub_masks_and_ordering(spark):
+    """pii_scrub masks URL/email/IP/phone; a dotted quad is masked as
+    <IP>, never half-eaten by the phone pattern (order contract)."""
+    from trisk_datawrangle_spark.llm.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "visit https://x.io/a?b=1 now"),
+            (2, "mail a.b+c@ex-ample.org please"),
+            (3, "host 192.168.001.200 down"),
+            (4, "call +1 (555) 010-4477 today"),
+            (5, "server  10.0.0.1   and\tphone 555.123.4567 end"),
+        ],
+        "id long, t string",
+    )
+    got = {r.id: r.c for r in df.select("id", pii_scrub("t").alias("c")).collect()}
+    assert got[1] == "visit <URL> now"
+    assert got[2] == "mail <EMAIL> please"
+    assert got[3] == "host <IP> down"
+    assert got[4] == "call <PHONE> today"
+    assert got[5] == "server <IP> and phone <PHONE> end"

@@ -28,7 +28,9 @@ from trisk_datawrangle_spark.llm.similarity import (
 )
 from trisk_datawrangle_spark.llm.text import (
     EMAIL_RX,
+    IPV4_RX,
     LANG_MARKERS,
+    PHONE_RX,
     SPACE_RX,
     URL_RX,
     lang_id,
@@ -945,6 +947,60 @@ def x9(spark, sf_dir):
         normalize_text("text").alias("clean"),
         F.length("text").alias("raw_len"),
     )
+
+
+@q(
+    "x24_pii_scrub",
+    f"""
+WITH aug AS (
+    SELECT doc_id,
+        text || ' ip 10.0.' || CAST(doc_id % 200 AS VARCHAR)
+             || '.7 call +1 (555) 01' || CAST(doc_id % 10 AS VARCHAR)
+             || '-4477 or 192.168.' || CAST(doc_id % 250 AS VARCHAR)
+             || '.9 mail u' || CAST(doc_id AS VARCHAR)
+             || '@example.com see https://ex.com/p/'
+             || CAST(doc_id AS VARCHAR) AS t
+    FROM documents
+)
+SELECT doc_id,
+    trim(regexp_replace(
+        regexp_replace(
+            regexp_replace(
+                regexp_replace(
+                    regexp_replace(t, '{URL_RX}', '<URL>', 'g'),
+                    '{EMAIL_RX}', '<EMAIL>', 'g'),
+                '{IPV4_RX}', '<IP>', 'g'),
+            '{PHONE_RX}', '<PHONE>', 'g'),
+        '{SPACE_RX}', ' ', 'g')) AS clean
+FROM aug
+""",
+)
+def x24(spark, sf_dir):
+    """Corpus-release PII scrub (llm/text.py pii_scrub): URL, email,
+    IPv4 and phone masking as one JVM regexp chain over documents
+    augmented with deterministic doc_id-derived PII (so every mask
+    kind fires on every row and the full masked string is
+    hash-gated, not just a passthrough). Pattern order is the
+    contract — IPs are masked before the phone pattern could eat a
+    dotted quad — and both engines run the literally-identical
+    Java-RE2-portable regexes."""
+    from trisk_datawrangle_spark.llm.text import pii_scrub
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" ip 10.0."), (did % 200).cast("string"),
+            F.lit(".7 call +1 (555) 01"), (did % 10).cast("string"),
+            F.lit("-4477 or 192.168."), (did % 250).cast("string"),
+            F.lit(".9 mail u"), did.cast("string"),
+            F.lit("@example.com see https://ex.com/p/"),
+            did.cast("string"),
+        ).alias("t"),
+    )
+    return aug.select("doc_id", pii_scrub("t").alias("clean"))
 
 
 @q(

@@ -165,6 +165,13 @@ def repetition_table(df, text_col: str = "text", id_col: str = "doc_id", n: int 
 URL_RX = "https?://\\S+"
 EMAIL_RX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 SPACE_RX = "\\s+"
+#: IPv4 before PHONE: a dotted quad is digits+dots and would
+#: otherwise be eaten by the phone pattern
+IPV4_RX = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+#: international-ish phone: leading + or digit, ≥7 phone chars
+#: between digit anchors (both ends digits so trailing punctuation
+#: survives). Stays in the Java∩RE2 syntax subset.
+PHONE_RX = "\\+?[0-9][0-9()\\. -]{6,}[0-9]"
 
 
 def normalize_text(col: str | Column) -> Column:
@@ -179,6 +186,24 @@ def normalize_text(col: str | Column) -> Column:
     c = _c(col)
     c = F.regexp_replace(c, URL_RX, "<URL>")
     c = F.regexp_replace(c, EMAIL_RX, "<EMAIL>")
+    c = F.regexp_replace(c, SPACE_RX, " ")
+    return F.trim(c)
+
+
+def pii_scrub(col: str | Column) -> Column:
+    """Full PII masking pass for corpus publication: everything
+    :func:`normalize_text` masks (URLs, emails) plus IPv4 addresses
+    and phone numbers — the redaction set a released training corpus
+    needs. Same pure-JVM regexp chain, same Java∩RE2 pattern subset
+    so the DuckDB oracle replays it literally. Order matters and is
+    part of the contract: URL → EMAIL → IPV4 → PHONE → whitespace
+    (an IP inside a URL is already gone; a dotted quad must be
+    masked before the phone pattern could eat it)."""
+    c = _c(col)
+    c = F.regexp_replace(c, URL_RX, "<URL>")
+    c = F.regexp_replace(c, EMAIL_RX, "<EMAIL>")
+    c = F.regexp_replace(c, IPV4_RX, "<IP>")
+    c = F.regexp_replace(c, PHONE_RX, "<PHONE>")
     c = F.regexp_replace(c, SPACE_RX, " ")
     return F.trim(c)
 

@@ -369,8 +369,32 @@ def wrangle_ipr(data: DataFrame, start_year: int) -> DataFrame:
         .when(F.col("Sector") == "Transport", F.col("Sub_variable_class_2"))
         .otherwise(F.col("Sub_variable_class_1"))
     )
-    tech = recode(raw_tech, IPR_TECH_RECODE, default=F.lit(None))
-    sector = recode(tech, IPR_SECTOR_FROM_TECH, default=F.lit(None))
+    # The two vocabulary recodes are BROADCAST-JOINED mapping tables,
+    # not CASE chains: recode(recode(raw)) inlines the 16-branch tech
+    # CASE into every branch of the 16-branch sector CASE — and
+    # predicate pushdown re-substitutes the whole nest into the
+    # NULL-sector filter even when the recodes are staged as named
+    # projections — a multiplicative expression blowup that
+    # overflowed whole-stage codegen's 64 KB method limit and
+    # dropped the stage to interpreted execution. As tiny dimension
+    # joins (left join ≡ recode with default NULL) the stage stays
+    # in codegen, and at 100 TB a vocabulary lives in a table, not
+    # in code, anyway.
+    spark = data.sparkSession
+    tech_map = spark.createDataFrame(
+        list(IPR_TECH_RECODE.items()),
+        "__raw_tech string, __technology string",
+    )
+    sector_map = spark.createDataFrame(
+        list(IPR_SECTOR_FROM_TECH.items()),
+        "__technology string, __sector string",
+    )
+    staged = (
+        data.withColumn("__raw_tech", raw_tech)
+        .join(F.broadcast(tech_map), "__raw_tech", "left")
+        .join(F.broadcast(sector_map), "__technology", "left")
+    )
+    sector = F.col("__sector")
     scenario = (
         F.when(F.col("Scenario") == "RPS", F.lit("IPR2023_RPS"))
         .when(
@@ -382,13 +406,13 @@ def wrangle_ipr(data: DataFrame, start_year: int) -> DataFrame:
             F.lit("IPR2023Automotive_FPS"),
         )
     )
-    shaped = data.select(
+    shaped = staged.select(
         scenario.alias("scenario"),
         F.when(F.col("Region") == "WORLD", F.lit("Global"))
         .otherwise(F.col("Region"))
         .alias("scenario_geography"),
         sector.alias("ald_sector"),
-        tech.alias("technology"),
+        F.col("__technology").alias("technology"),
         F.col("Units").alias("units"),
         F.col("year").cast("int").alias("year"),
         "value",
