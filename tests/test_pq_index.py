@@ -77,3 +77,29 @@ def test_persisted_probe_prunes_cells(spark, tmp_path_factory):
     }
     assert len(cells) > 6, "fixture must have more cells than the probe set"
     assert res.count() > 0
+
+
+def test_empty_query_batch_and_empty_probe(spark, tmp_path_factory):
+    """An empty request batch returns a typed empty frame without
+    reading the index; an LSH-index probe with an empty delta is
+    likewise empty (no verification join planned)."""
+    path = str(tmp_path_factory.mktemp("pqidx_empty")) + "/idx"
+    e = _embs(spark)
+    write_ivf_pq_index(e, path, n_cells=8)
+    empty_q = e.filter(F.lit(False))
+    out = ivf_pq_index_topk(spark, path, empty_q, k=3)
+    assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+    assert out.count() == 0
+
+    from trisk_datawrangle_spark.llm.lsh_index import (
+        minhash_lsh_index_pairs,
+        write_lsh_index,
+    )
+
+    lpath = str(tmp_path_factory.mktemp("lsh_empty")) + "/idx"
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    write_lsh_index(docs, lpath, n_shards=4)
+    empty_docs = docs.filter(F.lit(False))
+    assert minhash_lsh_index_pairs(spark, lpath, empty_docs).count() == 0

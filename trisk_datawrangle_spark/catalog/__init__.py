@@ -39,19 +39,22 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 # get driver-verified each round. Round-6 window (per the r5 verdict's
 # rotation ask): (1) entries ADDED this round (q9 FK audit, d13
 # persisted-LSH lifecycle, s7 persisted-IVF-PQ) or whose oracle
-# CHANGED (m1 real header parse, x22 null-safe mixture join); (2) the
+# CHANGED (m1 real header parse, x22 null-safe mixture join, plus
+# the new x24 PII scrub); (2) the
 # 23 entries whose only driver proof was round 1 (u*/f*/a*/r*/t*/q5/
 # q6/w1/w4/w6 relational primitives); (3) the oldest round-3 cohorts
 # (sc/cf/pr/lc source pipelines, d1/d2/d5). The displaced r4/r5-proof
 # entries stay covered by the builder's full-catalog emulation
-# (167/167 green this round) and rotate into the r7 window along with
-# the remaining r3 cohort (d6/d7, e1/e2/e5, s1/s3/s4, x1-x8).
+# (168/168 green this round) and rotate into the r7 window along with
+# the remaining r3 cohort (d5 — displaced to position 51 by x24 —
+# d6/d7, e1/e2/e5, s1/s3/s4, x1-x8): put those FIRST in r7.
 _PRIORITY = [
     "q9_fk_integrity",
     "d13_persisted_index_dedup",
     "s7_ivf_pq_persisted",
     "m1_multimodal_decode",
     "x22_mixture_sample",
+    "x24_pii_scrub",
     "u1_union_by_name",
     "u2_clone_recode",
     "u3_union_precedence",

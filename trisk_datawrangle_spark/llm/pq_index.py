@@ -141,6 +141,12 @@ def ivf_pq_index_topk(
     cent, books = load_ivf_pq_model(spark, path)
     n_probe = min(n_probe, len(cent))
     qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        # empty request batch: typed empty result, no index read (the
+        # numpy probe below would die on a zero-row matrix)
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
     qmat = np.array([r[vec_col] for r in qrows], dtype=np.float64)
     qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
     probed = np.argsort(-(qmat @ cent.T), kind="stable", axis=1)[:, :n_probe]

@@ -170,7 +170,10 @@ SPACE_RX = "\\s+"
 IPV4_RX = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 #: international-ish phone: leading + or digit, ≥7 phone chars
 #: between digit anchors (both ends digits so trailing punctuation
-#: survives). Stays in the Java∩RE2 syntax subset.
+#: survives). Stays in the Java∩RE2 syntax subset. RECALL over
+#: precision by design (redaction must not leak): any long digit run
+#: matches, so "2018 2019 2020" masks as one <PHONE> — tighten the
+#: pattern per-corpus if that loss matters more than leaked numbers.
 PHONE_RX = "\\+?[0-9][0-9()\\. -]{6,}[0-9]"
 
 
