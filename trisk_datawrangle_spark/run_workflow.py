@@ -49,6 +49,7 @@ ALL_STAGES = (
     "abcd",
     "financial",
     "trisk_v2",
+    "verify_fk",
 )
 
 
@@ -205,6 +206,59 @@ def run_stage(
             "scenarios_data",
             partition_by=["scenario"],
         )
+    elif stage == "verify_fk":
+        # The referential-integrity gate the reference's dbml declares
+        # but never runs (data-raw/outputs_structure.dbml:69-107).
+        # HARD gates (raise) on the join-safety invariants the
+        # assembly relies on; AUDIT lines (orphan counts to stderr)
+        # for the lookup-coverage Refs, which legitimately report
+        # gaps when a source ships partial coverage.
+        from trisk_datawrangle_spark.operators.quality import (
+            assert_fk,
+            fk_orphans,
+        )
+
+        scen = _read(spark, output_dir, "Scenarios_AnalysisInput")
+        abcd = _read(spark, output_dir, "abcd_stress_test_input")
+        fin = _read(
+            spark, output_dir, "prewrangled_financial_data_stress_test"
+        )
+        prices = _read(spark, output_dir, "price_data_long")
+        carbon = _read(spark, output_dir, "ngfs_carbon_price")
+        cf = _read(spark, output_dir, "prewrangled_capacity_factors")
+
+        assert_fk(abcd, fin, ["company_id"])
+        for ccol, pcol in (
+            ("year", "year"),
+            ("ald_sector", "ald_sector"),
+            ("ald_business_unit", "ald_business_unit"),
+        ):
+            assert_fk(abcd, scen, {ccol: pcol})
+
+        audits = [
+            ("abcd", abcd, "scen", scen,
+             [("ald_production_unit", "units"),
+              ("scenario_geography", "scenario_geography")]),
+            ("scen", scen, "price_data_long", prices,
+             [("year", "year"), ("scenario", "scenario"),
+              ("scenario_geography", "scenario_geography"),
+              ("ald_sector", "sector"), ("units", "unit")]),
+            ("scen", scen, "ngfs_carbon_price", carbon,
+             [("year", "year"), ("scenario", "scenario"),
+              ("scenario_geography", "scenario_geography")]),
+            ("scen", scen, "prewrangled_capacity_factors", cf,
+             [("year", "year"), ("scenario", "scenario"),
+              ("scenario_geography", "scenario_geography"),
+              ("ald_business_unit", "ald_business_unit")]),
+        ]
+        for cname, child, pname, parent, refs in audits:
+            for ccol, pcol in refs:
+                n = fk_orphans(child, parent, {ccol: pcol}).count()
+                print(
+                    f"[verify_fk] {cname}.{ccol} -> {pname}.{pcol}: "
+                    f"{n} orphan keys",
+                    file=sys.stderr,
+                )
     else:
         raise ValueError(f"unknown stage {stage!r}")
 
