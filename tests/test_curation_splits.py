@@ -240,3 +240,52 @@ def test_incremental_overlapping_id_does_not_inflate(spark, docs):
     }
     assert (x, x) not in got
     assert got == base
+
+
+def test_curriculum_order_monotone_quality_and_stable(spark):
+    """Tier 1 holds the highest-quality docs, positions are dense
+    per (tier, shard), and the whole schedule is partition-layout
+    independent."""
+    from trisk_datawrangle_spark.llm.sampling import curriculum_order
+
+    rows = [(i, float((i * 37) % 100)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, q double")
+    out = curriculum_order(df, "q", n_tiers=4, n_shards=4, seed=1).cache()
+    tiers = {
+        r["tier"]: (r["lo"], r["hi"])
+        for r in out.groupBy("tier")
+        .agg(F.min("q").alias("lo"), F.max("q").alias("hi"))
+        .collect()
+    }
+    assert set(tiers) == {1, 2, 3, 4}
+    # monotone: tier t's min quality >= tier t+1's max (boundary ties aside)
+    for t in (1, 2, 3):
+        assert tiers[t][0] >= tiers[t + 1][1] - 1e-9, tiers
+    # dense positions within each (tier, shard)
+    for r in (
+        out.groupBy("tier", "shard")
+        .agg(F.count("*").alias("n"), F.max("position").alias("mx"))
+        .collect()
+    ):
+        assert r["n"] == r["mx"]
+    # layout-independent schedule
+    again = curriculum_order(
+        df.repartition(13), "q", n_tiers=4, n_shards=4, seed=1
+    )
+    a = {(r.doc_id): (r.tier, r.shard, r.position) for r in out.collect()}
+    b = {(r.doc_id): (r.tier, r.shard, r.position) for r in again.collect()}
+    assert a == b
+
+
+def test_bpe_pair_stats_counts(spark):
+    """Pair counts are word-frequency weighted: 'aba aba ab' has
+    'ab' in 3 words (2+2... 'aba' twice -> ab,ba each twice... plus
+    'ab' once) -> ab:3, ba:2; single-char words contribute nothing."""
+    from trisk_datawrangle_spark.llm.text import bpe_pair_stats
+
+    df = spark.createDataFrame(
+        [(1, "aba aba ab"), (2, "x y aba")], "doc_id long, text string"
+    )
+    got = {r.pair: r.n for r in bpe_pair_stats(df, "text", k=10).collect()}
+    # vocabulary: aba (n=3), ab (n=1); x/y too short
+    assert got == {"ab": 4, "ba": 3}

@@ -609,6 +609,89 @@ def x3(spark, sf_dir):
     )
 
 
+def _x25_sql() -> str:
+    from trisk_datawrangle_spark.llm.sampling import md5_uniform_sql
+
+    u_pos = md5_uniform_sql("doc_id", seed=3)
+    u_shard = md5_uniform_sql("doc_id", seed=4)
+    return f"""
+WITH q AS ({_QUALITY_SQL}),
+b AS (SELECT quantile_cont(quality, [0.25, 0.5, 0.75]) AS bs FROM q),
+t AS (
+    SELECT q.doc_id,
+        CAST(4 - ((CASE WHEN q.quality >= bs[1] THEN 1 ELSE 0 END)
+             + (CASE WHEN q.quality >= bs[2] THEN 1 ELSE 0 END)
+             + (CASE WHEN q.quality >= bs[3] THEN 1 ELSE 0 END))
+            AS INTEGER) AS tier
+    FROM q CROSS JOIN b
+),
+s AS (
+    SELECT doc_id, tier,
+        CAST(LEAST(CAST(floor(({u_shard}) * 8) AS INTEGER), 7)
+            AS INTEGER) AS shard,
+        {u_pos} AS u
+    FROM t
+)
+SELECT doc_id, tier, shard,
+    CAST(row_number() OVER (PARTITION BY tier, shard
+        ORDER BY u, doc_id) AS INTEGER) AS position
+FROM s
+"""
+
+
+@q("x25_curriculum_order", _x25_sql())
+def x25(spark, sf_dir):
+    """Curriculum data ordering (llm/sampling.py curriculum_order):
+    quality tiers from ONE exact-percentile aggregate (no global-sort
+    NTILE — the quantile_bins single-task hazard), md5-derived shard,
+    deterministic within-(tier, shard) position — the tier-by-tier
+    schedule a distributed dataloader streams, easy data first. The
+    full (tier, shard, position) assignment is hash-gated; percentile
+    bounds ride the a4/x23 Spark⇄DuckDB exactness contract."""
+    from trisk_datawrangle_spark.llm.sampling import curriculum_order
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.round(quality_score("text"), 6).alias("quality")
+    )
+    out = curriculum_order(
+        d, "quality", n_tiers=4, id_col="doc_id", seed=3, n_shards=8
+    )
+    return out.select("doc_id", "tier", "shard", "position")
+
+
+@q(
+    "x26_bpe_pair_stats",
+    """
+WITH words AS (
+    SELECT w, COUNT(*) AS n FROM (
+        SELECT unnest(list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'),
+            x -> x <> '')) AS w
+        FROM documents) GROUP BY w
+),
+fw AS (SELECT * FROM words WHERE length(w) >= 2),
+pairs AS (
+    SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, n
+    FROM fw, unnest(range(1, length(w))) AS t(i)
+)
+SELECT pair, CAST(SUM(n) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair ASC LIMIT 50
+""",
+)
+def x26(spark, sf_dir):
+    """BPE tokenizer-training inner step (llm/text.py
+    bpe_pair_stats): top-50 adjacent character pairs weighted by word
+    frequency — the statistic each byte-pair-encoding merge round
+    maximizes. Corpus collapses to its distinct-word vocabulary
+    first (map-side combine), so the pair fan-out runs over the
+    vocabulary, never the corpus; explode(sequence)+substring keeps
+    it in codegen; top-k is TakeOrdered with a pinned tiebreak."""
+    from trisk_datawrangle_spark.llm.text import bpe_pair_stats
+
+    return bpe_pair_stats(_docs(spark, sf_dir), "text", k=50)
+
+
 @q(
     "x4_fingerprint",
     """

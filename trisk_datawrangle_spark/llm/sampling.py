@@ -255,3 +255,68 @@ def balance_sources(
         .filter(md5_uniform(id_col, seed) <= F.col("__rate"))
         .drop("__g", "__rate")
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    quality_col: str,
+    n_tiers: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Curriculum data ordering: every document gets a quality
+    ``tier`` (1 = highest), a ``shard``, and a deterministic
+    ``position`` within its (tier, shard) — the schedule a
+    distributed dataloader streams tier-by-tier (shards interleaved
+    freely within a tier): easy/high-quality data first, the
+    standard curriculum / annealing ordering for pretraining.
+
+    Scale shape — deliberately NOT a global-sort NTILE (the
+    single-task hazard :func:`~trisk_datawrangle_spark.operators.
+    mlprep.quantile_bins` documents): tier boundaries come from ONE
+    exact-percentile aggregate (n_tiers-1 cut points, a bounded
+    driver value) applied back as a projection, and the position
+    window is partitioned by (tier, shard) — corpus/(tiers·shards)
+    rows per task, sized by ``n_shards``. Boundary ties share a tier
+    (counts are near-equal, not exactly equal — a schedule wants
+    monotone quality, not perfect card-counts).
+
+    Determinism: within-shard order is :func:`md5_uniform` of
+    (id, seed) with the id as tiebreak; the shard is the
+    :func:`md5_uniform` of (id, seed+1) scaled to ``n_shards`` (md5,
+    not xxhash, so the DuckDB oracle assigns identical shards) — the
+    whole schedule is a pure function of the data. NULL/NaN quality
+    lands in the LAST tier (consumed last), documented rather than
+    silently first (Spark's nulls-first sort order)."""
+    from pyspark.sql import Window
+
+    probs = [i / n_tiers for i in range(1, n_tiers)]
+    q = F.col(quality_col).cast("double")
+    present = q.isNotNull() & ~F.isnan(q)
+    bounds_row = df.agg(
+        F.expr(
+            f"percentile({quality_col}, array({', '.join(map(repr, probs))}))"
+        ).alias("b")
+    ).head()
+    bounds = bounds_row["b"] if bounds_row else None
+    tier = F.lit(n_tiers)
+    if bounds is not None:
+        above = None
+        for b in bounds:
+            t = F.when(q >= F.lit(float(b)), 1).otherwise(0)
+            above = t if above is None else above + t
+        tier = F.when(present, F.lit(n_tiers) - above).otherwise(
+            F.lit(n_tiers)
+        )
+    shard = F.least(
+        F.floor(md5_uniform(id_col, seed + 1) * n_shards),
+        F.lit(n_shards - 1),
+    )
+    out = df.withColumn("tier", tier.cast("int")).withColumn(
+        "shard", shard.cast("int")
+    )
+    pos_w = Window.partitionBy("tier", "shard").orderBy(
+        md5_uniform(id_col, seed).asc(), F.col(id_col).asc()
+    )
+    return out.withColumn("position", F.row_number().over(pos_w))

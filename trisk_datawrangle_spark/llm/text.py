@@ -236,3 +236,35 @@ def token_topk(df, text_col: str = "text", k: int = 50, id_col: str = "doc_id"):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
+
+
+def bpe_pair_stats(
+    df, text_col: str = "text", k: int = 50, id_col: str = "doc_id"
+):
+    """The inner step of BPE tokenizer training at corpus scale: the
+    ``k`` most frequent ADJACENT character pairs, weighted by word
+    frequency — the statistic each merge round of byte-pair encoding
+    maximizes.
+
+    Scale shape (the standard BPE corpus reduction): the corpus is
+    first collapsed to its DISTINCT words with counts (one
+    vocabulary-sized shuffle with map-side combine — the fan-out
+    below runs over the vocabulary, never the corpus), then each
+    word explodes into its ``len-1`` adjacent pairs via
+    ``explode(sequence) + substring`` — pure codegen, no interpreted
+    array HOFs — and pair counts aggregate weighted by the word
+    count. Top-k executes as TakeOrdered (per-partition top-k + a
+    k-row driver merge), ties broken by pair text."""
+    words = (
+        df.select(F.explode(tokenize(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        "n",
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        F.col("w"),
+    ).select(F.expr("substring(w, i, 2)").alias("pair"), "n")
+    counts = pairs.groupBy("pair").agg(F.sum("n").alias("n"))
+    return counts.orderBy(F.col("n").desc(), F.col("pair").asc()).limit(k)
