@@ -324,3 +324,50 @@ def test_numeric_partition_filter_stays_bare_and_prunes(spark, tmp_path_factory)
     assert mtimes(30) == before  # untouched partition never rewritten
     got = {r.id: r.v for r in spark.read.parquet(path).collect()}
     assert got == {1: 9.0, 2: 2.0, 3: 3.0}
+
+
+def test_merge_schema_evolution_explicit_not_silent(spark, tmp_path_factory):
+    """A batch with a NEW column is rejected by default (silent drop
+    would lose the column's first day); with evolve_schema=True the
+    table widens additively — old rows read NULL for the new column,
+    the batch's rows carry it, and later default merges still work."""
+    import pytest as _pytest
+
+    from trisk_datawrangle_spark.sources.incremental import merge_by_key
+
+    path = str(tmp_path_factory.mktemp("inc_evo")) + "/t"
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id long, day string, v double"
+    )
+    write_partitioned(base, path, ["day"])
+
+    upd = spark.createDataFrame(
+        [(1, "a", 9.0, "tag1")], "id long, day string, v double, tag string"
+    )
+    with _pytest.raises(ValueError, match="evolve_schema"):
+        merge_by_key(spark, upd, path, keys=["id"], partition_by=["day"])
+
+    merge_by_key(
+        spark, upd, path, keys=["id"], partition_by=["day"],
+        evolve_schema=True,
+    )
+    got = {
+        r.id: (r.day, r.v, r.tag)
+        for r in spark.read.option("mergeSchema", "true").parquet(path).collect()
+    }
+    assert got == {1: ("a", 9.0, "tag1"), 2: ("b", 2.0, None)}
+
+    # subsequent merge WITHOUT the new column: evolve reads see the
+    # widened schema; rows pad NULL
+    upd2 = spark.createDataFrame(
+        [(3, "b", 3.0)], "id long, day string, v double"
+    )
+    merge_by_key(
+        spark, upd2, path, keys=["id"], partition_by=["day"],
+        evolve_schema=True,
+    )
+    got = {
+        r.id: r.tag
+        for r in spark.read.option("mergeSchema", "true").parquet(path).collect()
+    }
+    assert got == {1: "tag1", 2: None, 3: None}

@@ -201,12 +201,27 @@ def merge_by_key(
     path: str,
     keys: Sequence[str],
     partition_by: Sequence[str],
+    evolve_schema: bool = False,
 ) -> None:
     """Upsert ``updates`` into the table at ``path``: rows matching on
     ``keys`` are replaced (wherever they currently live; NULL key
     values match NULL — an upsert must not duplicate NULL-keyed
     rows), new rows appended, and only affected partitions are
     rewritten.
+
+    Schema contract: by default an update batch carrying a column the
+    table lacks is REJECTED (an explicit error, not the silent drop a
+    plain ``select(existing.columns)`` would do — losing a column of
+    a daily feed on the day it first appears is the worst possible
+    default). With ``evolve_schema=True`` the merge widens instead:
+    the table is read with ``mergeSchema`` (so earlier widenings are
+    seen), new columns are appended to the layout, and rows from the
+    other side get NULL for columns they don't carry — additive
+    evolution only, the same contract Delta's ``mergeSchema`` gives;
+    columns can never be dropped or retyped here. NOTE: unevolved
+    partitions' old files simply lack the new column — readers must
+    use ``mergeSchema=true`` (or a declared schema) on this table
+    from then on.
 
     Affected partitions = partitions named by the update batch ∪
     partitions currently holding an updated key (a key may move
@@ -224,7 +239,18 @@ def merge_by_key(
     keys = list(keys)
     partition_by = list(partition_by)
     upd_keys = updates.select(*keys).distinct()
-    table = spark.read.parquet(path)
+    reader = spark.read
+    if evolve_schema:
+        reader = reader.option("mergeSchema", "true")
+    table = reader.parquet(path)
+    extra = [c for c in updates.columns if c not in table.columns]
+    if extra and not evolve_schema:
+        raise ValueError(
+            f"merge_by_key: update batch carries columns {extra} the "
+            "table lacks; pass evolve_schema=True to widen the table "
+            "(silently dropping them would lose the column's first "
+            "day of data)"
+        )
 
     def key_cond(left: DataFrame, right: DataFrame):
         cond = None
@@ -248,7 +274,17 @@ def merge_by_key(
         return
     existing = table.filter(_partition_filter(parts, partition_by, table.schema))
     kept = existing.join(upd_keys, key_cond(existing, upd_keys), "left_anti")
-    merged = updates.select(*existing.columns).unionByName(kept)
+    if evolve_schema:
+        # widening union pads BOTH sides' gaps: a batch adding a
+        # column widens the table; a later batch NOT carrying an
+        # already-widened column pads NULL for it
+        merged = updates.unionByName(kept, allowMissingColumns=True)
+        # keep partition columns LAST (the parquet layout convention
+        # write_partitioned produces) regardless of update order
+        data_cols = [c for c in merged.columns if c not in partition_by]
+        merged = merged.select(*data_cols, *partition_by)
+    else:
+        merged = updates.select(*existing.columns).unionByName(kept)
     # the merged frame re-reads `path` while overwrite is rewriting it
     # → materialize before the write (localCheckpoint severs lineage)
     merged = merged.localCheckpoint(eager=True)
