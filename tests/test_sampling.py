@@ -166,3 +166,32 @@ def test_token_topk_accepts_text_only_frame(spark):
     )
     top = token_topk(df, "text", k=2).collect()
     assert [(r.token, r.n) for r in top] == [("beta", 3), ("alpha", 1)]
+
+
+def test_balance_sources_temperature_interpolates(spark):
+    """alpha=1 keeps everything, alpha=0 equals the default full
+    balance, alpha=0.5 keeps strictly more of the big source than
+    full balance (rates are sqrt-compressed toward 1)."""
+    from trisk_datawrangle_spark.llm.sampling import balance_sources
+
+    df = spark.createDataFrame(
+        [(i, "big", 10) for i in range(400)]
+        + [(10_000 + i, "small", 10) for i in range(20)],
+        "doc_id long, source string, w long",
+    )
+
+    def kept(alpha):
+        out = balance_sources(df, "source", "w", "doc_id", seed=7, alpha=alpha)
+        return {
+            r["source"]: r["n"]
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+
+    full = kept(0.0)
+    sq = kept(0.5)
+    none = kept(1.0)
+    assert none == {"big": 400, "small": 20}
+    assert full["small"] == 20 and sq["small"] == 20  # anchor source whole
+    # expected rates: full 0.05 -> ~20 of 400; sqrt(0.05)~0.224 -> ~89
+    assert full["big"] < sq["big"] < none["big"]
+    assert 5 <= full["big"] <= 45 and 60 <= sq["big"] <= 125

@@ -242,6 +242,62 @@ def d5(spark, sf_dir):
     )
 
 
+def _d14_sql() -> str:
+    """SemDeDup oracle: the d5 exact pair set collapsed to
+    components (recursive CTE, min-label) with a min-id canonical
+    per semantic cluster."""
+    return f"""
+WITH RECURSIVE pairs AS ({ORACLES['d5_embedding_dups']}),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+),
+lbl(node, comp) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT e.u, l.comp FROM edges e JOIN lbl l ON e.v = l.node
+),
+comp AS (SELECT node, MIN(comp) AS comp FROM lbl GROUP BY node),
+clusters AS (
+    SELECT e.vec_id, COALESCE(c.comp, e.vec_id) AS cluster_id
+    FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node
+)
+SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+    CAST(vec_id = MIN(vec_id) OVER (PARTITION BY cluster_id)
+        AS BOOLEAN) AS keep
+FROM clusters
+"""
+
+
+@q("d14_semantic_dedup", _d14_sql())
+def d14(spark, sf_dir):
+    """Semantic dedup end-to-end (the SemDeDup shape: ICLR'24
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", public preprint): exact embedding-cosine pairs
+    from the collect-free blocked GEMM (d5) collapsed to connected
+    components, keeping one representative per semantic cluster
+    (min id — swap a quality argmax per c3 for curated corpora).
+    Every vector gets (cluster_id, keep) — the keep-list IS the
+    deduplicated corpus. At 100 TB the pair stage swaps to the
+    IVF/LSH-bucketed candidate tiers (s2/s4/s5) with this exact tier
+    as the verifier — the same hand-off contract as d2/d3."""
+    from trisk_datawrangle_spark.llm.components import dedup_clusters
+    from trisk_datawrangle_spark.llm.similarity import (
+        cosine_pairs_blocked,
+    )
+    from pyspark.sql import Window
+
+    e = _embs(spark, sf_dir).select("vec_id", "embedding")
+    pairs = cosine_pairs_blocked(e, threshold=0.45)
+    clusters = dedup_clusters(e, pairs, id_col="vec_id")
+    w = Window.partitionBy("cluster_id")
+    return clusters.select(
+        "vec_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        (F.col("vec_id") == F.min("vec_id").over(w)).alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------- #
 # similarity search                                                 #
 # ---------------------------------------------------------------- #
@@ -2094,6 +2150,52 @@ SELECT e.doc_id, e.source
 FROM eligible e JOIN rates r ON e.source IS NOT DISTINCT FROM r.source
 WHERE {u} <= r.rate
 """
+
+
+def _x27_sql() -> str:
+    """Temperature-mixture oracle: sqrt((min/w)) acceptance rates —
+    alpha=0.5, the sqrt/division/min-only arithmetic both engines
+    round identically (general pow() is libm-specific)."""
+    u = md5_uniform_sql("doc_id", seed=6)
+    return f"""
+WITH dw AS (
+    SELECT doc_id, source,
+        CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '')) AS BIGINT) AS w
+    FROM documents
+), eligible AS (SELECT * FROM dw WHERE w > 0),
+wsum AS (
+    SELECT source, SUM(w) AS tw FROM eligible GROUP BY 1
+), m AS (SELECT MIN(tw) AS mw FROM wsum),
+rates AS (
+    SELECT wsum.source,
+        sqrt(CAST(m.mw AS DOUBLE) / CAST(wsum.tw AS DOUBLE)) AS rate
+    FROM wsum CROSS JOIN m
+)
+SELECT e.doc_id, e.source
+FROM eligible e JOIN rates r ON e.source IS NOT DISTINCT FROM r.source
+WHERE {u} <= r.rate
+"""
+
+
+@q("x27_temperature_mixture", _x27_sql())
+def x27(spark, sf_dir):
+    """Temperature-based mixture sampling (llm/sampling.py
+    balance_sources with alpha=0.5): acceptance rate
+    (min_weight/weight)^(1-alpha) — the multilingual temperature-
+    sampling curve between full balance (alpha=0, x22) and no
+    resampling (alpha=1), anchored at the smallest source so no
+    cross-source float sum exists to go order-dependent. The sqrt
+    exponent path is ulp-identical across engines, so every keep/
+    drop decision hash-gates."""
+    from trisk_datawrangle_spark.llm.sampling import balance_sources
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", token_count("text", "ws").alias("__t")
+    )
+    return balance_sources(
+        d, "source", "__t", "doc_id", seed=6, alpha=0.5
+    ).select("doc_id", "source")
 
 
 @q("x22_mixture_sample", _x22_sql())

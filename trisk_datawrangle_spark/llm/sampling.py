@@ -210,12 +210,18 @@ def balance_sources(
     weight_col: str,
     id_col: str = "doc_id",
     seed: int = 0,
+    alpha: float = 0.0,
 ) -> DataFrame:
     """Source-balanced mixture sampling — the data-mixing step of a
     pretraining corpus build: downsample every source to the token
     budget of the SMALLEST source, so no domain dominates the
     mixture. Each source's acceptance rate is
-    ``min_source_weight / source_weight`` (weights summed from
+    ``(min_source_weight / source_weight) ** (1 - alpha)`` —
+    ``alpha=0`` (default) is the full balance (rate m/w),
+    ``alpha=1`` keeps every source whole, and intermediate
+    temperatures interpolate (the standard multilingual
+    temperature-sampling curve, anchored at the smallest source so
+    small domains are never starved). Weights are summed from
     ``weight_col``, e.g. token counts), and a row is kept when its
     :func:`md5_uniform` ≤ rate — a pure function of (id, seed), so
     the sampled mixture is identical across reruns, partitionings
@@ -241,11 +247,27 @@ def balance_sources(
         F.sum(w_col).alias("__w")
     )
     m = weights.agg(F.min("__w").alias("__m"))
+    # temperature generalization (multilingual alpha-sampling,
+    # normalized against the SMALLEST source so no cross-source
+    # float sum exists to go order-dependent): rate = (min/w)^(1-a).
+    # alpha=0 is the full balance above; alpha=1 keeps everything.
+    # Exponents 0 / 0.5 / 1 use exact IEEE ops (lit / sqrt /
+    # division) so the DuckDB oracle reproduces the rates to the
+    # ulp; other exponents go through pow(), whose libm rounding is
+    # engine-specific — fine for production, not for hash oracles.
+    ratio = F.col("__m").cast("double") / F.col("__w").cast("double")
+    e = 1.0 - alpha
+    if e == 1.0:
+        rate = ratio
+    elif e == 0.5:
+        rate = F.sqrt(ratio)
+    elif e == 0.0:
+        rate = F.lit(1.0)
+    else:
+        rate = F.pow(ratio, F.lit(e))
     rates = weights.crossJoin(F.broadcast(m)).select(
         F.col(group_col).alias("__g"),
-        (F.col("__m").cast("double") / F.col("__w").cast("double")).alias(
-            "__rate"
-        ),
+        rate.alias("__rate"),
     )
     return (
         eligible.join(
