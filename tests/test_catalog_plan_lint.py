@@ -1,0 +1,58 @@
+"""Catalog-wide physical-plan lint: no entry may plan a shuffled
+CartesianProduct — every cross-table combination must be an equi-join
+(hash/sort-merge), a broadcast, or an explicitly-bounded
+broadcast-nested-loop (the 1-row-scalar pattern). A CartesianProduct
+is the plan shape that turns a 100 TB query into |A|·|B| work; this
+sweep catches one introduced anywhere in the 170+ entries, not just
+where a reviewer happens to look."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR as SF_DIR_SMALL
+
+
+def _physical(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_cartesian_product_anywhere(spark):
+    from trisk_datawrangle_spark.catalog import QUERIES
+
+    offenders: dict[str, str] = {}
+    errors: dict[str, str] = {}
+    for name, fn in QUERIES.items():
+        try:
+            plan = _physical(fn(spark, SF_DIR_SMALL))
+        except Exception as ex:  # noqa: BLE001 — lint must see every entry
+            errors[name] = str(ex).splitlines()[0][:160]
+            continue
+        if "CartesianProduct" in plan:
+            offenders[name] = next(
+                ln.strip()
+                for ln in plan.splitlines()
+                if "CartesianProduct" in ln
+            )
+    assert not errors, f"entries failed to plan: {errors}"
+    assert not offenders, (
+        "shuffled cartesian products planned (use an equi-join key, "
+        f"broadcast, or bounded BNLJ): {offenders}"
+    )
+
+
+@pytest.mark.parametrize("probe", ["flagship_market_share", "q3_shipping_priority"])
+def test_lint_catches_what_it_should(spark, probe):
+    """Sanity: the lint string really is absent from known-good plans
+    and present in a deliberately cartesian one."""
+    from pyspark.sql import functions as F
+
+    from trisk_datawrangle_spark.catalog import QUERIES
+
+    good = _physical(QUERIES[probe](spark, SF_DIR_SMALL))
+    assert "CartesianProduct" not in good
+
+    a = spark.range(100_000).withColumn("x", F.col("id") % 7)
+    b = spark.range(100_000).withColumn("y", F.col("id") % 5)
+    bad = _physical(a.crossJoin(b))
+    assert "CartesianProduct" in bad or "BroadcastNestedLoopJoin" in bad

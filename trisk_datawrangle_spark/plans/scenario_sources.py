@@ -632,10 +632,15 @@ def wrangle_steel(
         .withColumn("year", F.col("year").cast("int"))
     )
     # tidyr::complete(scenario, technology, year = start:max): the
-    # full cube, built distributed (explode of a literal sequence)
+    # full cube, built distributed (explode of a literal sequence).
+    # The technology side is BROADCAST (the operators/spine.py cube
+    # convention): both sides are tiny distinct aggregates, but an
+    # unhinted cross join plans a SHUFFLED CartesianProduct — the
+    # tests/test_catalog_plan_lint.py anti-shape — while the
+    # broadcast form is a bounded nested loop over dimension rows
     combos = (
         base.select("scenario").distinct()
-        .crossJoin(base.select("technology").distinct())
+        .crossJoin(F.broadcast(base.select("technology").distinct()))
         .withColumn(
             "year",
             F.explode(F.sequence(F.lit(start_year), F.lit(max_year))),
