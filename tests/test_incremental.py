@@ -371,3 +371,44 @@ def test_merge_schema_evolution_explicit_not_silent(spark, tmp_path_factory):
         for r in spark.read.option("mergeSchema", "true").parquet(path).collect()
     }
     assert got == {1: "tag1", 2: None, 3: None}
+
+
+def test_default_merge_on_widened_table_rejects_narrow_batch(
+    spark, tmp_path_factory
+):
+    """After a widening, a DEFAULT merge with a pre-widening batch
+    must error, not silently rewrite kept rows without the widened
+    column (the single-footer-schema data-loss hazard)."""
+    import pytest as _pytest
+
+    from trisk_datawrangle_spark.sources.incremental import merge_by_key
+
+    path = str(tmp_path_factory.mktemp("inc_evo2")) + "/t"
+    base = spark.createDataFrame(
+        [(1, "a", 1.0)], "id long, day string, v double"
+    )
+    write_partitioned(base, path, ["day"])
+    widened = spark.createDataFrame(
+        [(2, "a", 2.0, "t2")], "id long, day string, v double, tag string"
+    )
+    merge_by_key(
+        spark, widened, path, keys=["id"], partition_by=["day"],
+        evolve_schema=True,
+    )
+    narrow = spark.createDataFrame(
+        [(1, "a", 9.0)], "id long, day string, v double"
+    )
+    with _pytest.raises(ValueError, match="missing \\['tag'\\]"):
+        merge_by_key(spark, narrow, path, keys=["id"], partition_by=["day"])
+    # evolve mode pads instead, and the widened column SURVIVES on
+    # the untouched row
+    merge_by_key(
+        spark, narrow, path, keys=["id"], partition_by=["day"],
+        evolve_schema=True,
+    )
+    got = {
+        r.id: (r.v, r.tag)
+        for r in spark.read.option("mergeSchema", "true")
+        .parquet(path).collect()
+    }
+    assert got == {1: (9.0, None), 2: (2.0, "t2")}

@@ -103,3 +103,14 @@ def test_empty_query_batch_and_empty_probe(spark, tmp_path_factory):
     write_lsh_index(docs, lpath, n_shards=4)
     empty_docs = docs.filter(F.lit(False))
     assert minhash_lsh_index_pairs(spark, lpath, empty_docs).count() == 0
+
+
+def test_empty_bootstrap_rejected(spark, tmp_path_factory):
+    from trisk_datawrangle_spark.llm.lsh_index import write_lsh_index
+
+    e = _embs(spark).filter(F.lit(False))
+    with __import__("pytest").raises(ValueError, match="bootstrap"):
+        write_ivf_pq_index(e, str(tmp_path_factory.mktemp("pq_e")) + "/i")
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    with __import__("pytest").raises(ValueError, match="bootstrap"):
+        write_lsh_index(docs, str(tmp_path_factory.mktemp("lsh_e")) + "/i")

@@ -132,6 +132,15 @@ def write_lsh_index(
     banded, shingles = _index_frames(
         df, text_col, id_col, num_hashes, bands, ngram, n_shards
     )
+    if not banded.head(1):
+        # a zero-shingle bootstrap writes NO parquet files under the
+        # partitioned layout, so the first probe's read dies on
+        # schema inference — refuse up front with the actual fix
+        raise ValueError(
+            "write_lsh_index: corpus produced no shingles (empty "
+            "frame, or every text shorter than the n-gram); bootstrap "
+            "the index from the first non-empty batch instead"
+        )
     # repartition on the layout columns so each leaf directory is
     # written by one task (≤1 file per leaf instead of one per
     # (task × leaf) — thousands of KB-sized files otherwise); within

@@ -62,6 +62,14 @@ def write_ivf_pq_index(
     import numpy as np
 
     spark = corpus.sparkSession
+    if not corpus.head(1):
+        # an empty bootstrap would die obscurely in the numpy
+        # trainer (or leave a file-less partitioned layout probes
+        # cannot schema-infer) — refuse up front with the fix
+        raise ValueError(
+            "write_ivf_pq_index: corpus is empty; bootstrap the index "
+            "from the first non-empty batch instead"
+        )
     if centroids is None:
         centroids = train_ivf_centroids(corpus, n_cells, id_col, vec_col)
     if codebooks is None:

@@ -239,18 +239,23 @@ def merge_by_key(
     keys = list(keys)
     partition_by = list(partition_by)
     upd_keys = updates.select(*keys).distinct()
-    reader = spark.read
-    if evolve_schema:
-        reader = reader.option("mergeSchema", "true")
-    table = reader.parquet(path)
+    # ALWAYS mergeSchema: on a previously-widened table a
+    # single-footer schema pick can miss the widened column — the
+    # kept-rows rewrite would then silently drop that column from
+    # every partition it touches. Footer-merge planning cost is the
+    # price; a declared catalog schema is the production escape.
+    table = spark.read.option("mergeSchema", "true").parquet(path)
     extra = [c for c in updates.columns if c not in table.columns]
-    if extra and not evolve_schema:
-        raise ValueError(
-            f"merge_by_key: update batch carries columns {extra} the "
-            "table lacks; pass evolve_schema=True to widen the table "
-            "(silently dropping them would lose the column's first "
-            "day of data)"
-        )
+    if not evolve_schema:
+        missing = [c for c in table.columns if c not in updates.columns]
+        if extra or missing:
+            raise ValueError(
+                "merge_by_key: update batch schema differs from the "
+                f"table (extra columns {extra}, missing {missing}); "
+                "pass evolve_schema=True to widen the table / pad "
+                "NULLs (silently dropping a column would lose its "
+                "first day of data)"
+            )
 
     def key_cond(left: DataFrame, right: DataFrame):
         cond = None
