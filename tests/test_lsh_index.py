@@ -174,3 +174,39 @@ def test_stream_dedup_ingest_loop(spark, tmp_path_factory):
     }
     assert inc_ids <= idx_ids
     assert os.path.isdir(ckpt)
+
+
+def test_publish_index_swaps_and_rolls(spark, tmp_path_factory):
+    """Retrain-and-swap: probes against the live path serve the OLD
+    index until publish, the NEW one after; first publish (no live
+    yet) works; the retired copy is gone."""
+    import os
+
+    from trisk_datawrangle_spark.llm.lsh_index import publish_index
+
+    base = str(tmp_path_factory.mktemp("lsh_pub"))
+    docs = _docs(spark)
+    existing, incoming = _split(docs)
+    live = f"{base}/live"
+
+    write_lsh_index(existing, f"{base}/v1", num_hashes=64, bands=32,
+                    n_shards=8)
+    publish_index(spark, f"{base}/v1", live)  # first publish: no live yet
+    n1 = minhash_lsh_index_pairs(spark, live, incoming, threshold=0.5).count()
+    assert n1 > 0
+
+    # retrain on a shrunk corpus, stage, publish
+    write_lsh_index(
+        existing.limit(50), f"{base}/v2", num_hashes=64, bands=32,
+        n_shards=8,
+    )
+    publish_index(spark, f"{base}/v2", live)
+    n2 = minhash_lsh_index_pairs(spark, live, incoming, threshold=0.5).count()
+    assert n2 <= n1
+    assert not os.path.exists(f"{base}/v2")        # staged moved
+    assert not os.path.exists(f"{live}.retired")   # old deleted
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="absent"):
+        publish_index(spark, f"{base}/nope", live)

@@ -361,3 +361,37 @@ def stream_dedup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def publish_index(spark: SparkSession, staged_path: str, live_path: str) -> None:
+    """Swap a freshly-built index into its serving location: the
+    retrain-and-swap step of the index lifecycle (build to a staging
+    directory with :func:`write_lsh_index` /
+    ``pq_index.write_ivf_pq_index``, validate, then publish).
+
+    On HDFS-like filesystems both renames are atomic metadata ops, so
+    a reader planning against ``live_path`` sees the old index or the
+    new one, never a mix; the retired directory is deleted only after
+    the swap lands. Object stores (S3) rename by copy — there, point
+    readers at a versioned path (``.../v=N``) and flip a pointer
+    file instead; this helper still works but loses the atomicity.
+    """
+    jvm, live, fs = _fs(spark, live_path)
+    staged = jvm.org.apache.hadoop.fs.Path(staged_path)
+    if not fs.exists(staged):
+        raise ValueError(f"publish_index: staged index {staged_path} absent")
+    retired = jvm.org.apache.hadoop.fs.Path(live_path + ".retired")
+    if fs.exists(retired):
+        fs.delete(retired, True)
+    had_live = fs.exists(live)
+    if had_live and not fs.rename(live, retired):
+        raise IOError(f"publish_index: could not retire {live_path}")
+    if not fs.rename(staged, live):
+        # roll back so the live path never ends up missing
+        if had_live:
+            fs.rename(retired, live)
+        raise IOError(
+            f"publish_index: could not publish {staged_path} -> {live_path}"
+        )
+    if had_live:
+        fs.delete(retired, True)
