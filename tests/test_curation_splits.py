@@ -289,3 +289,29 @@ def test_bpe_pair_stats_counts(spark):
     got = {r.pair: r.n for r in bpe_pair_stats(df, "text", k=10).collect()}
     # vocabulary: aba (n=3), ab (n=1); x/y too short
     assert got == {"ab": 4, "ba": 3}
+
+
+def test_curriculum_order_edges(spark):
+    """n_tiers=1 (no cut points), all-NULL quality, and bad params."""
+    import pytest as _pytest
+
+    from trisk_datawrangle_spark.llm.sampling import curriculum_order
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 9.0)], "doc_id long, q double"
+    )
+    one = curriculum_order(df, "q", n_tiers=1, n_shards=2)
+    assert {r.tier for r in one.collect()} == {1}
+
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id long, q double"
+    )
+    out = curriculum_order(nulls, "q", n_tiers=3, n_shards=2)
+    assert {r.tier for r in out.collect()} == {3}  # last tier: consumed last
+
+    mixed = curriculum_order(df, "q", n_tiers=2, n_shards=2)
+    got = {r.doc_id: r.tier for r in mixed.collect()}
+    assert got[3] == 1 and got[2] == 2  # best first, NULL last
+
+    with _pytest.raises(ValueError, match="n_tiers"):
+        curriculum_order(df, "q", n_tiers=0, n_shards=2)

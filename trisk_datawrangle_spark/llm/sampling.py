@@ -313,21 +313,29 @@ def curriculum_order(
     silently first (Spark's nulls-first sort order)."""
     from pyspark.sql import Window
 
+    if n_tiers < 1 or n_shards < 1:
+        raise ValueError(
+            f"curriculum_order: n_tiers ({n_tiers}) and n_shards "
+            f"({n_shards}) must be >= 1"
+        )
     probs = [i / n_tiers for i in range(1, n_tiers)]
     q = F.col(quality_col).cast("double")
     present = q.isNotNull() & ~F.isnan(q)
-    bounds_row = df.agg(
-        F.expr(
-            f"percentile({quality_col}, array({', '.join(map(repr, probs))}))"
-        ).alias("b")
-    ).head()
-    bounds = bounds_row["b"] if bounds_row else None
+    bounds = None
+    if probs:  # n_tiers=1 has no cut points — everything is tier 1
+        bounds_row = df.agg(
+            F.expr(
+                "percentile({}, array({}))".format(
+                    quality_col, ", ".join(map(repr, probs))
+                )
+            ).alias("b")
+        ).head()
+        bounds = bounds_row["b"] if bounds_row else None
     tier = F.lit(n_tiers)
     if bounds is not None:
-        above = None
+        above = F.lit(0)
         for b in bounds:
-            t = F.when(q >= F.lit(float(b)), 1).otherwise(0)
-            above = t if above is None else above + t
+            above = above + F.when(q >= F.lit(float(b)), 1).otherwise(0)
         tier = F.when(present, F.lit(n_tiers) - above).otherwise(
             F.lit(n_tiers)
         )
