@@ -87,3 +87,18 @@ def test_dedup_clusters_composition(spark):
     sp = {r.doc_id: r.split for r in split.collect()}
     for r in p:
         assert sp[r.id_a] == sp[r.id_b]
+
+
+def test_long_path_converges_within_budget(spark):
+    """A 300-node path has diameter 299 — plain min-label propagation
+    needs ~300 rounds; pointer jumping must land it well inside the
+    default 20-round budget with the correct single component."""
+    from trisk_datawrangle_spark.llm.components import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(299)], "id_a long, id_b long"
+    )
+    comp = connected_components(pairs)
+    rows = comp.collect()
+    assert len(rows) == 300
+    assert {r.comp for r in rows} == {0}

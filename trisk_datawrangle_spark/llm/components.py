@@ -5,14 +5,17 @@ The dedup ladder emits *pairs* (a ~ b); downstream consumers need
 selection and leakage-safe splits (``deterministic_split`` on the
 cluster id keeps a whole near-dup family in one split).
 
-Components are computed by iterative min-label propagation: every
-node starts as its own label; each round, a node adopts the smallest
-label among itself and its neighbors; fixpoint = components labeled
-by their minimum member id. Rounds = graph diameter (near-dup
-clusters are shallow — a handful of rounds), each round one
-join+aggregate over the edge list. ``localCheckpoint`` truncates the
-growing lineage every round — without it the plan doubles per
-iteration and the job dies on plan size long before data size.
+Components are computed by iterative min-label propagation with
+POINTER JUMPING: every node starts as its own label; each round a
+node adopts the smallest label among itself and its neighbors, and
+then the label OF its label (labels are themselves node ids, so one
+extra self-join squares the propagation distance — path-shaped
+components converge in O(log diameter) rounds instead of
+O(diameter), which a 10× corpus's denser pair graphs actually hit).
+Each round is one join+aggregate over the edge list plus one label
+self-join. ``localCheckpoint`` truncates the growing lineage every
+round — without it the plan doubles per iteration and the job dies
+on plan size long before data size.
 
 This is the documented non-SQL-expressible island: iteration needs a
 driver loop (Pregel-style), though each step is plain DataFrame ops.
@@ -52,12 +55,28 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("comp").alias("nmin"))
         )
+        propagated = labels.join(
+            neighbor_min, labels.node == neighbor_min.u, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+            ).alias("comp"),
+        )
+        # pointer jump: my label is a node id whose own row may carry
+        # a smaller label — adopting it squares the hop distance per
+        # round (O(log diameter) total), keeping long path-shaped
+        # components inside the iteration budget
+        hop = propagated.select(
+            F.col("node").alias("c_node"), F.col("comp").alias("c_comp")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            propagated.join(hop, propagated.comp == hop.c_node, "left")
             .select(
                 "node",
                 F.least(
-                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+                    F.col("comp"),
+                    F.coalesce(F.col("c_comp"), F.col("comp")),
                 ).alias("comp"),
             )
             .localCheckpoint(eager=True)
