@@ -195,3 +195,22 @@ def test_balance_sources_temperature_interpolates(spark):
     # expected rates: full 0.05 -> ~20 of 400; sqrt(0.05)~0.224 -> ~89
     assert full["big"] < sq["big"] < none["big"]
     assert 5 <= full["big"] <= 45 and 60 <= sq["big"] <= 125
+
+
+def test_global_take_takeordered_and_stable(spark, docs):
+    """global_take plans TakeOrderedAndProject (never a single-task
+    global-sort window) and picks the identical subset on any
+    partition layout."""
+    from trisk_datawrangle_spark.llm.sampling import global_take
+
+    out = global_take(docs.select("doc_id"), 50, seed=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(
+        r.doc_id
+        for r in global_take(
+            docs.select("doc_id").repartition(17), 50, seed=2
+        ).collect()
+    )
+    assert len(a) == 50 and a == b

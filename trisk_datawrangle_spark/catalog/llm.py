@@ -695,6 +695,29 @@ FROM s
 """
 
 
+def _x28_sql() -> str:
+    from trisk_datawrangle_spark.llm.sampling import md5_uniform_sql
+
+    u = md5_uniform_sql("doc_id", seed=9)
+    return f"""
+SELECT doc_id, source FROM documents
+ORDER BY {u} ASC, doc_id ASC LIMIT 100
+"""
+
+
+@q("x28_global_sample", _x28_sql())
+def x28(spark, sf_dir):
+    """Deterministic corpus-wide eval sample (llm/sampling.py
+    global_take): the 100 smallest md5-uniform rows — a pure
+    function of (id, seed), executed as TakeOrderedAndProject
+    (per-partition top-k + k-row driver merge; plan-asserted in
+    tests), never a single-task global sort."""
+    from trisk_datawrangle_spark.llm.sampling import global_take
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    return global_take(d, 100, "doc_id", seed=9)
+
+
 @q("x25_curriculum_order", _x25_sql())
 def x25(spark, sf_dir):
     """Curriculum data ordering (llm/sampling.py curriculum_order):

@@ -350,3 +350,20 @@ def curriculum_order(
         md5_uniform(id_col, seed).asc(), F.col(id_col).asc()
     )
     return out.withColumn("position", F.row_number().over(pos_w))
+
+
+def global_take(
+    df: DataFrame, k: int, id_col: str = "doc_id", seed: int = 0
+) -> DataFrame:
+    """Deterministic corpus-wide sample of exactly ``min(k, n)``
+    rows: the ``k`` smallest :func:`md5_uniform` values (id
+    tiebreak). The hash order is an unbiased shuffle, but — unlike
+    ``DataFrame.sample`` — the chosen rows are a pure function of
+    (id, seed), and unlike ``stratified_take`` with one giant group
+    (an unpartitioned window = single-task global sort), this
+    executes as TakeOrderedAndProject: a per-partition top-k plus a
+    k-row driver merge — the eval-subset selection that still works
+    on a 100 TB corpus. Keep ``k`` driver-merge-sized (≲10^6)."""
+    return df.orderBy(
+        md5_uniform(id_col, seed).asc(), F.col(id_col).asc()
+    ).limit(k)
