@@ -39,7 +39,8 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 # get driver-verified each round. Round-6 window (per the r5 verdict's
 # rotation ask): (1) entries ADDED this round (q9 FK audit, d13
 # persisted-LSH lifecycle, s7 persisted-IVF-PQ) or whose oracle
-# CHANGED (m1 real header parse, x22 null-safe mixture join, plus
+# CHANGED (m1/m2 real header parse + source-dims flow, x22
+# null-safe mixture join, plus
 # the new x24 PII scrub, x25 curriculum order, x26 BPE pair stats,
 # x27 temperature mixture, d14 semantic dedup, x28 global sample);
 # (2) the
@@ -48,7 +49,7 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 # (sc/cf/pr/lc source pipelines, d1/d2/d5). The displaced r4/r5-proof
 # entries stay covered by the builder's full-catalog emulation
 # (168/168 green this round) and rotate into the r7 window along with
-# the remaining r3 cohort (lc1/lc2/lc3/d1/d2/d5 — displaced past
+# the remaining r3 cohort (pr6/lc1/lc2/lc3/d1/d2/d5 — displaced past
 # position 50 by the new entries — d6/d7, e1/e2/e5, s1/s3/s4,
 # x1-x8): put those FIRST in r7.
 _PRIORITY = [
@@ -56,6 +57,7 @@ _PRIORITY = [
     "d13_persisted_index_dedup",
     "s7_ivf_pq_persisted",
     "m1_multimodal_decode",
+    "m2_multimodal_resize",
     "x22_mixture_sample",
     "x24_pii_scrub",
     "x25_curriculum_order",
@@ -191,7 +193,6 @@ _PRIORITY = [
     "q8_incomplete_groups",
     "g1_containment_pairs",
     "g2_regroup_rename",
-    "m2_multimodal_resize",
     "m3_multimodal_features",
     "c1_curate_exact",
     "c2_curate_near_dedup",

@@ -853,18 +853,33 @@ def m1(spark, sf_dir):
 @q(
     "m2_multimodal_resize",
     """
-SELECT doc_id, 32 AS width, 32 AS height, 1024 AS byte_len
+SELECT doc_id, 32 AS width, 32 AS height, 1024 AS byte_len,
+       CAST(16 + doc_id % 512 AS INTEGER) AS src_width,
+       CAST(16 + doc_id % 256 AS INTEGER) AS src_height
 FROM documents
 """,
 )
 def m2(spark, sf_dir):
-    """Resize plumbing (binary-in/binary-out mapInPandas): the oracle
-    checks every document flowed through and got the target
-    dimensions; exact payload semantics (truncate / zero-pad) are
+    """Resize plumbing (binary-in/binary-out mapInPandas) over REAL
+    PNG payloads: every document flows through with the target
+    dimensions AND the source geometry parsed from its actual IHDR
+    header (the m1 fixture dims) — a resample needs the source
+    dims, so the oracle gates that they flow through the Arrow
+    boundary. Exact payload semantics (truncate / zero-pad) stay
     unit-tested where bytes can be compared directly."""
-    d = with_binary_payload(_docs(spark, sf_dir), "text", "payload")
+    from trisk_datawrangle_spark.llm.multimodal import png_payload
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        (F.lit(16) + F.col("doc_id") % 512).cast("int").alias("__w"),
+        (F.lit(16) + F.col("doc_id") % 256).cast("int").alias("__h"),
+    )
+    d = d.withColumn("payload", png_payload("text", "__w", "__h"))
     resized = resize_media(d, width=32, height=32)
-    return resized.select("doc_id", "width", "height", "byte_len")
+    return resized.select(
+        "doc_id", "width", "height", "byte_len", "src_width", "src_height"
+    )
 
 
 def _m3_sql() -> str:

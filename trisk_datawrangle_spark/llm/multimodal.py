@@ -174,7 +174,11 @@ def resize_media(
     over Arrow batches, output rows fatter or thinner than input by a
     known factor — so downstream partition sizing can be planned
     (``target_bytes = rows × width × height``). Keeps the input id
-    for joining resized payloads back to source metadata."""
+    for joining resized payloads back to source metadata, and
+    carries the SOURCE dimensions parsed from the real image header
+    (:func:`parse_image_dims`; NULL when the payload is not a
+    recognized image) — a resample needs the source geometry, so the
+    plumbing must prove it flows through."""
     import pandas as pd
 
     target = width * height
@@ -182,6 +186,7 @@ def resize_media(
     def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             payloads = pdf[payload_col].map(bytes)
+            src = payloads.map(parse_image_dims)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
@@ -191,10 +196,19 @@ def resize_media(
                     "width": width,
                     "height": height,
                     "byte_len": target,
+                    "src_width": src.map(
+                        lambda t: t[0] if t else None
+                    ).astype("Int32"),
+                    "src_height": src.map(
+                        lambda t: t[1] if t else None
+                    ).astype("Int32"),
                 }
             )
 
-    out_schema = "doc_id long, payload binary, width int, height int, byte_len int"
+    out_schema = (
+        "doc_id long, payload binary, width int, height int, "
+        "byte_len int, src_width int, src_height int"
+    )
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     return df.select(id_col, payload_col).mapInPandas(resize, out_schema)
 
