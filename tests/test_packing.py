@@ -92,3 +92,44 @@ def test_pack_invariants_on_random_inputs(spark):
             totals.setdefault(r.pack_id, []).append(r.n_tok)
         for pid, toks in totals.items():
             assert sum(toks) < 512 + max(toks), (shard, pid)
+
+
+def test_cdc_chunks_shift_resistant(spark):
+    """The CDC property fixed chunking lacks: prepending words to a
+    document changes ONLY the leading chunk's fingerprint — every
+    chunk from the first content-defined boundary on re-aligns
+    byte-for-byte."""
+    from pyspark.sql import functions as F
+
+    from trisk_datawrangle_spark.llm.packing import cdc_chunk_table
+
+    base_text = " ".join(f"w{(i * 37) % 97}" for i in range(400))
+    a = spark.createDataFrame([(1, base_text)], "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(1, "inserted words up front " + base_text)],
+        "doc_id long, text string",
+    )
+    ha = [r.chunk_hash for r in cdc_chunk_table(a, avg_words=10)
+          .orderBy("chunk_idx").collect()]
+    hb = [r.chunk_hash for r in cdc_chunk_table(b, avg_words=10)
+          .orderBy("chunk_idx").collect()]
+    assert len(ha) > 5
+    # all but the leading chunk(s) re-align: compare the tails
+    n = min(len(ha), len(hb)) - 1
+    assert ha[-n:] == hb[-n:]
+    # word coverage is exact: chunk word counts sum to the doc's words
+    total = sum(
+        r.n_words
+        for r in cdc_chunk_table(a, avg_words=10).collect()
+    )
+    assert total == 400
+    # determinism across partition layouts
+    many = spark.createDataFrame(
+        [(i, base_text) for i in range(20)], "doc_id long, text string"
+    ).repartition(7)
+    out = cdc_chunk_table(many, avg_words=10)
+    per_doc = {
+        r.doc_id: r.n
+        for r in out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert len(set(per_doc.values())) == 1  # identical docs, identical chunking

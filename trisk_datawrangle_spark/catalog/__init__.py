@@ -42,14 +42,15 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 # CHANGED (m1/m2 real header parse + source-dims flow, x22
 # null-safe mixture join, plus
 # the new x24 PII scrub, x25 curriculum order, x26 BPE pair stats,
-# x27 temperature mixture, d14 semantic dedup, x28 global sample);
+# x27 temperature mixture, d14 semantic dedup, x28 global sample,
+# x29 CDC chunking);
 # (2) the
 # 23 entries whose only driver proof was round 1 (u*/f*/a*/r*/t*/q5/
 # q6/w1/w4/w6 relational primitives); (3) the oldest round-3 cohorts
 # (sc/cf/pr/lc source pipelines, d1/d2/d5). The displaced r4/r5-proof
 # entries stay covered by the builder's full-catalog emulation
 # (168/168 green this round) and rotate into the r7 window along with
-# the remaining r3 cohort (pr6/lc1/lc2/lc3/d1/d2/d5 — displaced past
+# the remaining r3 cohort (pr5/pr6/lc1/lc2/lc3/d1/d2/d5 — displaced past
 # position 50 by the new entries — d6/d7, e1/e2/e5, s1/s3/s4,
 # x1-x8): put those FIRST in r7.
 _PRIORITY = [
@@ -65,6 +66,7 @@ _PRIORITY = [
     "x27_temperature_mixture",
     "d14_semantic_dedup",
     "x28_global_sample",
+    "x29_cdc_chunks",
     "u1_union_by_name",
     "u2_clone_recode",
     "u3_union_precedence",

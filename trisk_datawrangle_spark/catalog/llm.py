@@ -718,6 +718,64 @@ def x28(spark, sf_dir):
     return global_take(d, 100, "doc_id", seed=9)
 
 
+def _x29_sql() -> str:
+    """CDC oracle: identical md5-derived word values (the 13-hex
+    integer parse, exact in BIGINT), cumulative boundary window,
+    order-pinned reassembly."""
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(w), {i + 1}, 1)) - 1) "
+        f"* {16 ** (12 - i)}"
+        for i in range(13)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+        unnest(list_filter(
+            list_transform(string_split_regex(lower(text), '[^a-z0-9]+'),
+                (x, i) -> struct_pack(w := x, pos := i)),
+            s -> s.w <> '')) AS s
+    FROM documents
+), words AS (
+    SELECT doc_id, s.w AS w, s.pos AS pos FROM toks
+), marked AS (
+    SELECT doc_id, pos, w,
+        CASE WHEN CAST(({digits}) AS BIGINT) % 20 = 0
+             THEN 1 ELSE 0 END AS b
+    FROM words
+), chunked AS (
+    SELECT doc_id, pos, w,
+        SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS UNBOUNDED PRECEDING) AS chunk_idx
+    FROM marked
+), rebuilt AS (
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        CAST(COUNT(*) AS BIGINT) AS n_words,
+        string_agg(w, ' ' ORDER BY pos) AS chunk_text
+    FROM chunked GROUP BY doc_id, chunk_idx
+)
+SELECT doc_id, chunk_idx, n_words, md5(chunk_text) AS chunk_hash,
+       chunk_text
+FROM rebuilt
+"""
+
+
+@q("x29_cdc_chunks", _x29_sql())
+def x29(spark, sf_dir):
+    """Content-defined chunking (llm/packing.py cdc_chunk_table —
+    the FastCDC idea at word granularity): chunk boundaries are a
+    pure function of word content, so edits re-chunk only their
+    neighborhood while every downstream block-dedup fingerprint
+    re-aligns — the shift-resistant production variant of d10's
+    fixed chunking. Full fingerprint table (chunk text + md5)
+    hash-gated; the portable md5 boundary mode keeps both engines
+    bit-identical (xxhash64 mode is the JVM fast path)."""
+    from trisk_datawrangle_spark.llm.packing import cdc_chunk_table
+
+    return cdc_chunk_table(
+        _docs(spark, sf_dir), avg_words=20, portable_hash=True
+    )
+
+
 @q("x25_curriculum_order", _x25_sql())
 def x25(spark, sf_dir):
     """Curriculum data ordering (llm/sampling.py curriculum_order):

@@ -124,3 +124,85 @@ def chunk_documents(
         )
     )
     return out
+
+
+def cdc_chunk_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    avg_words: int = 20,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Content-defined chunking (the FastCDC idea at word
+    granularity): a word STARTS a new chunk when a hash of the word
+    itself hits ``1/avg_words`` of the hash space — boundaries are a
+    pure function of content, so inserting or deleting words only
+    re-chunks the affected neighborhood while every downstream chunk
+    re-aligns (fixed-size chunking shifts EVERY later boundary: one
+    edit near the front invalidates a whole document's block-dedup
+    fingerprints; d10's fixed chunks are the contrast case).
+
+    Output: (id, chunk_idx, n_words, chunk_hash, chunk_text) — the
+    block-dedup fingerprint table; expected chunk length is
+    ``avg_words`` words, and identical word runs anywhere in any
+    document produce identical chunk hashes.
+
+    Plan shape: the shared gram builder at n=1 (codegen posexplode),
+    one cumulative-boundary window per doc, one (id, chunk) hash
+    aggregate with sort_array reassembly (the d10 trick — order
+    recovered from carried positions, never from collect order).
+    Two shuffles total, both on the doc id.
+
+    ``portable_hash`` switches the boundary/fingerprint hash from
+    xxhash64 (fast, JVM) to an md5-derived value (bit-identical in
+    DuckDB — what the catalog oracle uses); boundary STATISTICS are
+    identical, exact boundaries differ between the two modes."""
+    from pyspark.sql import Window
+
+    if avg_words <= 0:
+        raise ValueError(f"avg_words must be positive, got {avg_words}")
+
+    # positions carried from the split (the shared gram builder drops
+    # them) — they key both the boundary window and the reassembly
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+        ).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    if portable_hash:
+        hx = F.md5(F.col("w"))
+        wval = F.conv(F.substring(hx, 1, 13), 16, 10).cast("long")
+    else:
+        wval = F.xxhash64(F.col("w"))
+    boundary = (F.pmod(wval, F.lit(avg_words)) == 0).cast("int")
+    win = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunked = words.select(
+        "id", "pos", "w", F.sum(boundary).over(win).alias("chunk_idx")
+    )
+    rebuilt = (
+        chunked.groupBy("id", "chunk_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "w"))
+                    ),
+                    lambda s: s["w"],
+                ),
+            ).alias("chunk_text"),
+        )
+    )
+    return rebuilt.select(
+        F.col("id").alias(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "n_words",
+        F.md5(F.col("chunk_text")).alias("chunk_hash"),
+        "chunk_text",
+    )
