@@ -36,24 +36,144 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 
 # Registration-order priority. The per-round correctness driver samples
 # the FIRST N catalog entries (N=50), so ordering decides which entries
-# get driver-verified each round. Round-6 window (per the r5 verdict's
-# rotation ask): (1) entries ADDED this round (q9 FK audit, d13
-# persisted-LSH lifecycle, s7 persisted-IVF-PQ) or whose oracle
-# CHANGED (m1/m2 real header parse + source-dims flow, x22
-# null-safe mixture join, plus
-# the new x24 PII scrub, x25 curriculum order, x26 BPE pair stats,
-# x27 temperature mixture, d14 semantic dedup, x28 global sample,
-# x29 CDC chunking);
-# (2) the
-# 23 entries whose only driver proof was round 1 (u*/f*/a*/r*/t*/q5/
-# q6/w1/w4/w6 relational primitives); (3) the oldest round-3 cohorts
-# (sc/cf/pr/lc source pipelines, d1/d2/d5). The displaced r4/r5-proof
-# entries stay covered by the builder's full-catalog emulation
-# (168/168 green this round) and rotate into the r7 window along with
-# the remaining r3 cohort (pr5/pr6/lc1/lc2/lc3/d1/d2/d5 — displaced past
-# position 50 by the new entries — d6/d7, e1/e2/e5, s1/s3/s4,
-# x1-x8): put those FIRST in r7.
+# get driver-verified each round. Round-7 window (per the r6 verdict's
+# rotation ask #1): (1) the 27 entries whose latest driver proof was
+# round 3 (pr5/pr6, lc1-lc3, d1/d2/d5/d6/d7, g3, q7, s7_seed,
+# s1/s3/s4 similarity, e1/e2/e5, x1-x8); (2) new/changed entries this
+# round are inserted right after them as they land; (3) 23 of the
+# stalest round-4-proof entries (flagship/w0/a1/a4/j2/w7-w9/r1/t2/
+# d3/d4/e3/e4/csv-excel-glob sources/a6_a7/f2_f9/f13/t4/t6). The
+# displaced entries keep builder full-catalog emulation coverage and
+# the remaining r4/r5/r6-proof cohort rotates forward in r8: next-up
+# are the rest of the r4 cohort (fin_layered, q1_q4, q8, g1/g2, m3,
+# c1-c3, e6, k1, q3/q5 TPC-H, cf5, r7_explode, x9, s2_lsh, w2, e7,
+# e8, d8, x10, w1_assets, j3, w4_curation, s9_jsonl, a13, d9, d10),
+# listed immediately after position 50 below in stalest-first order.
 _PRIORITY = [
+    "pr5_ipr_baseline_prices",
+    "pr6_automotive_prices",
+    "lc1_mp_steel_lc_prices",
+    "lc2_ipr_lcoe_prices",
+    "lc3_oxford_lcoe_ngfs_prices",
+    "d1_exact_dedup",
+    "d2_ngram_jaccard",
+    "d5_embedding_dups",
+    "d6_contamination",
+    "d7_dedup_clusters",
+    "g3_standardize_names",
+    "q7_row_diff_report",
+    "s7_seed_datasets",
+    "s1_cosine_topk",
+    "s3_cosine_topk_vectorized",
+    "s4_ivf_topk",
+    "e1_tumbling_window",
+    "e2_json_extract",
+    "e5_rollup_range",
+    "x1_lang_id",
+    "x2_token_stats",
+    "x3_quality_score",
+    "x4_fingerprint",
+    "x5_deterministic_split",
+    "x6_stratified_take",
+    "x7_repetition_score",
+    "x8_sequence_pack",
+    "flagship_market_share",
+    "w0_run_workflow_e2e",
+    "a1_pricing_summary",
+    "a4_median",
+    "j2_inner_join_revenue",
+    "w7_locf_fill",
+    "w8_interpolate_keep_edges",
+    "w9_lm_extrapolate",
+    "r1_melt",
+    "t2_complete_cross",
+    "d3_minhash_lsh",
+    "d4_simhash",
+    "e3_asof_join",
+    "e4_interval_join",
+    "s1_s6_csv_roundtrip",
+    "s2_semicolon_csv",
+    "s3_excel_roundtrip",
+    "s8_glob_union",
+    "a6_a7_wide_year_sums",
+    "f2_f9_scalar_bundle",
+    "f13_row_sum",
+    "t4_extend_years_constant",
+    "t6_backfill_from_year",
+    "w4_curation_e2e",
+    "x15_cluster_safe_split",
+    "x16_source_cap",
+    "x17_lm_score",
+    "e10_stream_static_join",
+    "s10_orc_roundtrip",
+    "x18_quantile_bins",
+    "x19_group_zscore",
+    "m4_frame_sample",
+    "d11_incremental_dedup",
+    "v1_label_centroids",
+    "v2_nearest_centroid",
+    "x20_tfidf_keywords",
+    "e11_stream_dedup",
+    "x21_rolling_stats",
+    "k2_salted_join",
+    "d12_edit_distance_verify",
+    "e12_late_data_report",
+    "x23_winsorize",
+    "cp1_ngfs_carbon_price",
+    "w3_datalake_e2e",
+    "s5_ivf_pq_topk",
+    "s6_pq_recall",
+    "e9_sliding_window",
+    "st1_stateful_running_totals",
+    "x11_token_topk",
+    "x12_cms_freq_gate",
+    "x13_doc_chunking",
+    "x14_bm25",
+    "d9_bloom_decontamination",
+    "d10_block_dedup",
+    "a13_approx_median_gate",
+    "p1_project_rename",
+    "p3_filter_isin",
+    "p4_filter_regex",
+    "p6_filter_any_null",
+    "p7_distinct",
+    "p8_distinct_keep_first",
+    "p9_first_year_positive",
+    "j1_left_join",
+    "j4_anti_join",
+    "j5_semi_join",
+    "j6_right_join",
+    "j7_cross_join",
+    "j8_global_share",
+    "j9_closest_parent",
+    "j10_majority_pick",
+    "a2_sum_or_null",
+    "a3_mean",
+    "s9_jsonl_roundtrip",
+    "fin_layered_median_cascade",
+    "q1_q4_assert_summary",
+    "q8_incomplete_groups",
+    "g1_containment_pairs",
+    "g2_regroup_rename",
+    "m3_multimodal_features",
+    "c1_curate_exact",
+    "c2_curate_near_dedup",
+    "c3_cluster_canonical",
+    "e6_hll_distinct_rollup",
+    "k1_salted_count_distinct",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "cf5_oxford_capacity_factors",
+    "r7_explode_words",
+    "x9_normalize_text",
+    "s2_lsh_bucket_topk",
+    "w2_asset_country_filters",
+    "e7_asof_forward",
+    "e8_session_window",
+    "d8_normalized_dedup",
+    "x10_weighted_take",
+    "w1_assets_e2e",
+    "j3_full_outer_natural",
     "q9_fk_integrity",
     "d13_persisted_index_dedup",
     "s7_ivf_pq_persisted",
@@ -104,130 +224,6 @@ _PRIORITY = [
     "pr2_ngfs_prices",
     "pr3_ipr_prices",
     "pr4_oxford_prices",
-    "pr5_ipr_baseline_prices",
-    "pr6_automotive_prices",
-    "lc1_mp_steel_lc_prices",
-    "lc2_ipr_lcoe_prices",
-    "lc3_oxford_lcoe_ngfs_prices",
-    "d1_exact_dedup",
-    "d2_ngram_jaccard",
-    "d5_embedding_dups",
-    "w4_curation_e2e",
-    "x15_cluster_safe_split",
-    "x16_source_cap",
-    "x17_lm_score",
-    "e10_stream_static_join",
-    "s10_orc_roundtrip",
-    "x18_quantile_bins",
-    "x19_group_zscore",
-    "m4_frame_sample",
-    "d11_incremental_dedup",
-    "v1_label_centroids",
-    "v2_nearest_centroid",
-    "x20_tfidf_keywords",
-    "e11_stream_dedup",
-    "x21_rolling_stats",
-    "k2_salted_join",
-    "d12_edit_distance_verify",
-    "e12_late_data_report",
-    "x23_winsorize",
-    "cp1_ngfs_carbon_price",
-    "w3_datalake_e2e",
-    "s5_ivf_pq_topk",
-    "s6_pq_recall",
-    "e9_sliding_window",
-    "st1_stateful_running_totals",
-    "x11_token_topk",
-    "x12_cms_freq_gate",
-    "x13_doc_chunking",
-    "x14_bm25",
-    "d9_bloom_decontamination",
-    "d10_block_dedup",
-    "a13_approx_median_gate",
-    "p1_project_rename",
-    "p3_filter_isin",
-    "p4_filter_regex",
-    "p6_filter_any_null",
-    "p7_distinct",
-    "p8_distinct_keep_first",
-    "p9_first_year_positive",
-    "j1_left_join",
-    "j4_anti_join",
-    "j5_semi_join",
-    "j6_right_join",
-    "j7_cross_join",
-    "j8_global_share",
-    "j9_closest_parent",
-    "j10_majority_pick",
-    "a2_sum_or_null",
-    "a3_mean",
-    "g3_standardize_names",
-    "q7_row_diff_report",
-    "s7_seed_datasets",
-    "d6_contamination",
-    "d7_dedup_clusters",
-    "s1_cosine_topk",
-    "s3_cosine_topk_vectorized",
-    "s4_ivf_topk",
-    "e1_tumbling_window",
-    "e2_json_extract",
-    "e5_rollup_range",
-    "x1_lang_id",
-    "x2_token_stats",
-    "x3_quality_score",
-    "x4_fingerprint",
-    "x5_deterministic_split",
-    "x6_stratified_take",
-    "x7_repetition_score",
-    "x8_sequence_pack",
-    "s1_s6_csv_roundtrip",
-    "s2_semicolon_csv",
-    "s3_excel_roundtrip",
-    "s8_glob_union",
-    "s9_jsonl_roundtrip",
-    "a6_a7_wide_year_sums",
-    "f2_f9_scalar_bundle",
-    "f13_row_sum",
-    "fin_layered_median_cascade",
-    "t4_extend_years_constant",
-    "t6_backfill_from_year",
-    "q1_q4_assert_summary",
-    "q8_incomplete_groups",
-    "g1_containment_pairs",
-    "g2_regroup_rename",
-    "m3_multimodal_features",
-    "c1_curate_exact",
-    "c2_curate_near_dedup",
-    "c3_cluster_canonical",
-    "e6_hll_distinct_rollup",
-    "k1_salted_count_distinct",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "cf5_oxford_capacity_factors",
-    "r7_explode_words",
-    "x9_normalize_text",
-    "e3_asof_join",
-    "e4_interval_join",
-    "d3_minhash_lsh",
-    "d4_simhash",
-    "s2_lsh_bucket_topk",
-    "w2_asset_country_filters",
-    "e7_asof_forward",
-    "e8_session_window",
-    "d8_normalized_dedup",
-    "x10_weighted_take",
-    "flagship_market_share",
-    "w0_run_workflow_e2e",
-    "w1_assets_e2e",
-    "j3_full_outer_natural",
-    "a1_pricing_summary",
-    "a4_median",
-    "j2_inner_join_revenue",
-    "w8_interpolate_keep_edges",
-    "w9_lm_extrapolate",
-    "w7_locf_fill",
-    "r1_melt",
-    "t2_complete_cross",
 ]
 
 _ordered = [n for n in _PRIORITY if n in _ALL_QUERIES]
