@@ -51,6 +51,7 @@ from trisk_datawrangle_spark.llm.dedup import (
     _banded_table,
     _signatures_from_shingles,
     _verify_candidates,
+    minhash_lsh_dedup_pairs,
     shingle_hashes,
 )
 
@@ -94,6 +95,19 @@ def read_index_meta(spark: SparkSession, path: str) -> dict:
     return json.loads(bytes(data).decode())
 
 
+def _check_id_col(meta: dict, id_col: str, op: str) -> None:
+    """meta.json records the id column the index was keyed on; an
+    append or probe with a DIFFERENT id column would silently corrupt
+    the keying (merge_by_key replaces on the wrong key) — refuse."""
+    built_with = meta.get("id_col")
+    if built_with is not None and built_with != id_col:
+        raise ValueError(
+            f"{op}: index was built with id_col={built_with!r} but the "
+            f"caller passed id_col={id_col!r}; pass the index's id "
+            "column (or rebuild the index) — mixing keys corrupts it"
+        )
+
+
 def _index_frames(
     df: DataFrame,
     text_col: str,
@@ -102,10 +116,13 @@ def _index_frames(
     bands: int,
     ngram: int,
     n_shards: int,
-) -> tuple[DataFrame, DataFrame]:
-    """(bands_frame, shingles_frame) with shard columns attached.
-    One cached distinct shingle table feeds both (signatures are
-    duplicate-insensitive, verification needs the dedup anyway)."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(bands_frame, shingles_frame, cached_shingle_base) with shard
+    columns attached. One cached distinct shingle table feeds both
+    (signatures are duplicate-insensitive, verification needs the
+    dedup anyway). The third element is the cached base — callers
+    MUST ``unpersist()`` it once their writes land, or a long-running
+    ingest loop leaks one cached RDD per micro-batch until GC."""
     sh = shingle_hashes(df, text_col, id_col, ngram, distinct=True).cache()
     banded = _banded_table(
         _signatures_from_shingles(sh, num_hashes), num_hashes, bands
@@ -113,7 +130,7 @@ def _index_frames(
     shingles = sh.withColumn(
         "ishard", F.pmod(F.xxhash64(F.col("id")), F.lit(n_shards))
     )
-    return banded, shingles
+    return banded, shingles, sh
 
 
 def write_lsh_index(
@@ -129,13 +146,14 @@ def write_lsh_index(
     """Bootstrap the persisted index from a corpus frame: one
     shingling pass feeds both tables; each table is one shuffle-free
     write (the partitionBy columns are derived projections)."""
-    banded, shingles = _index_frames(
+    banded, shingles, sh = _index_frames(
         df, text_col, id_col, num_hashes, bands, ngram, n_shards
     )
     if not banded.head(1):
         # a zero-shingle bootstrap writes NO parquet files under the
         # partitioned layout, so the first probe's read dies on
         # schema inference — refuse up front with the actual fix
+        sh.unpersist()
         raise ValueError(
             "write_lsh_index: corpus produced no shingles (empty "
             "frame, or every text shorter than the n-gram); bootstrap "
@@ -145,20 +163,23 @@ def write_lsh_index(
     # written by one task (≤1 file per leaf instead of one per
     # (task × leaf) — thousands of KB-sized files otherwise); within
     # a leaf, rows sorted by the probe key for row-group stats
-    (
-        banded.repartition("band", "bshard")
-        .sortWithinPartitions("bucket")
-        .write.mode("overwrite")
-        .partitionBy("band", "bshard")
-        .parquet(f"{path}/bands")
-    )
-    (
-        shingles.repartition("ishard")
-        .sortWithinPartitions("id")
-        .write.mode("overwrite")
-        .partitionBy("ishard")
-        .parquet(f"{path}/shingles")
-    )
+    try:
+        (
+            banded.repartition("band", "bshard")
+            .sortWithinPartitions("bucket")
+            .write.mode("overwrite")
+            .partitionBy("band", "bshard")
+            .parquet(f"{path}/bands")
+        )
+        (
+            shingles.repartition("ishard")
+            .sortWithinPartitions("id")
+            .write.mode("overwrite")
+            .partitionBy("ishard")
+            .parquet(f"{path}/shingles")
+        )
+    finally:
+        sh.unpersist()
     _write_meta(
         spark=df.sparkSession,
         path=path,
@@ -185,8 +206,10 @@ def lsh_index_append(
     from trisk_datawrangle_spark.sources.incremental import merge_by_key
 
     spark = incoming.sparkSession
+    path = resolve_index_path(spark, path)
     meta = read_index_meta(spark, path)
-    banded, shingles = _index_frames(
+    _check_id_col(meta, id_col, "lsh_index_append")
+    banded, shingles, sh = _index_frames(
         incoming,
         text_col,
         id_col,
@@ -195,20 +218,23 @@ def lsh_index_append(
         meta["ngram"],
         meta["n_shards"],
     )
-    merge_by_key(
-        spark,
-        banded.select("id", "bucket", "band", "bshard"),
-        f"{path}/bands",
-        keys=["id"],
-        partition_by=["band", "bshard"],
-    )
-    merge_by_key(
-        spark,
-        shingles.select("id", "h", "ishard"),
-        f"{path}/shingles",
-        keys=["id"],
-        partition_by=["ishard"],
-    )
+    try:
+        merge_by_key(
+            spark,
+            banded.select("id", "bucket", "band", "bshard"),
+            f"{path}/bands",
+            keys=["id"],
+            partition_by=["band", "bshard"],
+        )
+        merge_by_key(
+            spark,
+            shingles.select("id", "h", "ishard"),
+            f"{path}/shingles",
+            keys=["id"],
+            partition_by=["ishard"],
+        )
+    finally:
+        sh.unpersist()
 
 
 def _pruned_bands_read(
@@ -248,18 +274,32 @@ def minhash_lsh_index_pairs(
     from the stored tables with partition-pruned reads instead of
     being re-derived from the corpus frame.
 
+    Replay safety: the index side is ANTI-JOINED against the
+    incoming id set, so if the batch's own docs are already IN the
+    index (a checkpoint replay after the append landed but before
+    the stream committed), the probe still sees index-minus-batch
+    and reproduces the original run's pairs exactly — the id-disjoint
+    output contract holds even when the inputs overlap.
+
     Eager plan (two bounded driver collects, each ≤ n_shards-sized):
     1. shingle+band the delta inline (one cached pass);
     2. read index bands pruned to the delta's (band, bshard) set,
-       join on (band, bucket) → candidate pairs (cached — reused for
-       shard discovery and verification);
+       drop rows keyed by an incoming id (broadcast anti-join on the
+       delta's small id set), join on (band, bucket) → candidate
+       pairs (cached — reused for shard discovery and verification);
     3. read index shingles pruned to the candidates' ishard set,
        semi-joined to candidate ids, union the delta's shingles,
        exact-verify.
 
+    The returned frame is locally checkpointed (self-contained), so
+    the per-call caches are unpersisted before returning — a
+    long-running ingest loop holds no storage across batches.
+
     A delta with no collisions reads ZERO shingle partitions and
     returns empty without a verification join."""
+    path = resolve_index_path(spark, path)
     meta = read_index_meta(spark, path)
+    _check_id_col(meta, id_col, "minhash_lsh_index_pairs")
     n_shards = meta["n_shards"]
     sh_in = shingle_hashes(
         incoming, text_col, id_col, meta["ngram"], distinct=True
@@ -274,7 +314,9 @@ def minhash_lsh_index_pairs(
         .cache()  # used for shard discovery AND the candidate join
     )
 
-    index_bands = _pruned_bands_read(spark, path, banded_in)
+    index_bands = _pruned_bands_read(spark, path, banded_in).join(
+        F.broadcast(banded_in.select("id").distinct()), "id", "left_anti"
+    )
     cand = (
         index_bands.select(F.col("id").alias("id_a"), "band", "bucket")
         .join(
@@ -286,29 +328,38 @@ def minhash_lsh_index_pairs(
         .distinct()
         .cache()
     )
-    shard_rows = (
-        cand.select(
-            F.pmod(F.xxhash64(F.col("id_a")), F.lit(n_shards)).alias(
-                "ishard"
+    try:
+        shard_rows = (
+            cand.select(
+                F.pmod(F.xxhash64(F.col("id_a")), F.lit(n_shards)).alias(
+                    "ishard"
+                )
             )
+            .distinct()
+            .collect()
         )
-        .distinct()
-        .collect()
-    )
-    if not shard_rows:
-        return cand.withColumn("jaccard", F.lit(0.0)).limit(0)
-    shards = sorted(int(r["ishard"]) for r in shard_rows)
-    sh_ex = (
-        spark.read.parquet(f"{path}/shingles")
-        .filter(F.col("ishard").isin(*shards))
-        .join(
-            cand.select(F.col("id_a").alias("id")).distinct(),
-            "id",
-            "left_semi",
+        if not shard_rows:
+            return cand.withColumn("jaccard", F.lit(0.0)).limit(
+                0
+            ).localCheckpoint(eager=True)
+        shards = sorted(int(r["ishard"]) for r in shard_rows)
+        sh_ex = (
+            spark.read.parquet(f"{path}/shingles")
+            .filter(F.col("ishard").isin(*shards))
+            .join(
+                cand.select(F.col("id_a").alias("id")).distinct(),
+                "id",
+                "left_semi",
+            )
+            .select("id", "h")
         )
-        .select("id", "h")
-    )
-    return _verify_candidates(sh_ex.union(sh_in).distinct(), cand, threshold)
+        return _verify_candidates(
+            sh_ex.union(sh_in).distinct(), cand, threshold
+        ).localCheckpoint(eager=True)
+    finally:
+        sh_in.unpersist()
+        banded_in.unpersist()
+        cand.unpersist()
 
 
 def stream_dedup_ingest(
@@ -323,17 +374,32 @@ def stream_dedup_ingest(
     """The full continual-ingestion dedup loop as one streaming
     query: per micro-batch, (1) probe the persisted index for
     near-dup pairs against the existing corpus
-    (:func:`minhash_lsh_index_pairs` — partition-pruned, delta cost),
-    (2) append the verdicts to ``pairs_path``, (3) merge the batch's
-    docs INTO the index (:func:`lsh_index_append`) so later batches
-    dedup against them too.
+    (:func:`minhash_lsh_index_pairs` — partition-pruned, delta cost,
+    ``scope='cross'``), (2) find near-dup pairs WITHIN the batch
+    itself (:func:`~trisk_datawrangle_spark.llm.dedup.
+    minhash_lsh_dedup_pairs` on the batch alone, ``scope='batch'`` —
+    two dup docs arriving together must not both pass silently),
+    (3) append both verdict sets to ``pairs_path``, (4) merge the
+    batch's docs INTO the index (:func:`lsh_index_append`) so later
+    batches dedup against them too.
 
     Exactly-once discipline: the checkpoint makes batch replay
-    possible, and both effects are replay-safe — the append is a
-    keyed merge (replaces, never duplicates) and the pairs write
-    goes through a per-batch overwrite directory
-    (``batch_id=N`` partition), so a replayed batch rewrites its own
-    partition instead of appending duplicates.
+    possible, and every effect is replay-safe — the append is a
+    keyed merge (replaces, never duplicates), the pairs write goes
+    through a per-batch overwrite directory (``batch_id=N``
+    partition, a replayed batch rewrites its own partition), and the
+    probe anti-joins the index against the batch's own ids, so a
+    replay AFTER the append landed reproduces the identical pairs
+    (the within-batch pairs come from the batch frame alone and are
+    deterministic).
+
+    Single-writer discipline: each batch takes an exclusive lease
+    (``_ingest.lock`` under the index, created with
+    ``FileSystem.create(overwrite=false)`` — atomic on HDFS-like
+    stores) and releases it when the batch's effects land. Two
+    concurrent ingest loops on one index would interleave
+    read-modify-write merges and corrupt it; the second writer now
+    fails loudly instead (see :func:`acquire_index_lease`).
 
     Returns the started StreamingQuery (availableNow trigger — batch
     backfills and continuous runs share the path)."""
@@ -343,17 +409,38 @@ def stream_dedup_ingest(
         if not batch_df.head(1):
             return
         spark = batch_df.sparkSession
-        pairs = minhash_lsh_index_pairs(
-            spark, index_path, batch_df, text_col, id_col, threshold
+        lease = acquire_index_lease(
+            spark, index_path, owner=f"stream_dedup_ingest batch={batch_id}"
         )
-        (
-            pairs.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(pairs_path)
-        )
-        lsh_index_append(batch_df, index_path, text_col, id_col)
+        try:
+            cross = minhash_lsh_index_pairs(
+                spark, index_path, batch_df, text_col, id_col, threshold
+            )
+            meta = read_index_meta(
+                spark, resolve_index_path(spark, index_path)
+            )
+            within = minhash_lsh_dedup_pairs(
+                batch_df,
+                text_col,
+                id_col,
+                num_hashes=meta["num_hashes"],
+                bands=meta["bands"],
+                ngram=meta["ngram"],
+                threshold=threshold,
+            )
+            pairs = cross.withColumn("scope", F.lit("cross")).unionByName(
+                within.withColumn("scope", F.lit("batch"))
+            )
+            (
+                pairs.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(pairs_path)
+            )
+            lsh_index_append(batch_df, index_path, text_col, id_col)
+        finally:
+            release_index_lease(spark, index_path, lease)
 
     return (
         stream_df.writeStream.foreachBatch(handle)
@@ -361,6 +448,60 @@ def stream_dedup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def acquire_index_lease(
+    spark: SparkSession, index_path: str, owner: str = "unknown"
+) -> str:
+    """Take the index's exclusive writer lease: atomically create
+    ``{index_path}/_ingest.lock`` with ``overwrite=false`` — the
+    Hadoop FS primitive that fails (instead of clobbering) when the
+    file already exists, on HDFS and local FS alike. Raises a loud,
+    actionable error on contention.
+
+    The lock file records its owner so the error can say WHO holds
+    it. A crashed writer leaves a stale lock by design (safer than a
+    TTL silently letting two writers in); the error message says how
+    to clear it after confirming the other writer is dead.
+
+    Returns the lock path (pass it to :func:`release_index_lease`)."""
+    lock_path = f"{index_path.rstrip('/')}/_ingest.lock"
+    jvm, hpath, fs = _fs(spark, lock_path)
+    try:
+        out = fs.create(hpath, False)  # overwrite=False: atomic claim
+    except Exception:
+        holder = "unknown"
+        try:
+            stream = fs.open(hpath)
+            try:
+                data = bytearray()
+                while True:
+                    b = stream.read()
+                    if b < 0:
+                        break
+                    data.append(b)
+                holder = bytes(data).decode(errors="replace") or holder
+            finally:
+                stream.close()
+        except Exception:
+            pass
+        raise RuntimeError(
+            f"acquire_index_lease: {lock_path} is held (owner: "
+            f"{holder}). One writer per index — stop the other ingest "
+            "loop, or if it crashed, delete the lock file and retry."
+        ) from None
+    try:
+        out.write(bytearray(owner.encode()))
+    finally:
+        out.close()
+    return lock_path
+
+
+def release_index_lease(
+    spark: SparkSession, index_path: str, lock_path: str
+) -> None:
+    jvm, hpath, fs = _fs(spark, lock_path)
+    fs.delete(hpath, False)
 
 
 def publish_index(spark: SparkSession, staged_path: str, live_path: str) -> None:
@@ -372,9 +513,10 @@ def publish_index(spark: SparkSession, staged_path: str, live_path: str) -> None
     On HDFS-like filesystems both renames are atomic metadata ops, so
     a reader planning against ``live_path`` sees the old index or the
     new one, never a mix; the retired directory is deleted only after
-    the swap lands. Object stores (S3) rename by copy — there, point
-    readers at a versioned path (``.../v=N``) and flip a pointer
-    file instead; this helper still works but loses the atomicity.
+    the swap lands. Object stores (S3) rename by copy — there, use
+    :func:`publish_index_versioned` instead: it writes to a versioned
+    path and flips a tiny pointer file, so readers never observe a
+    half-copied directory.
     """
     jvm, live, fs = _fs(spark, live_path)
     staged = jvm.org.apache.hadoop.fs.Path(staged_path)
@@ -395,3 +537,141 @@ def publish_index(spark: SparkSession, staged_path: str, live_path: str) -> None
         )
     if had_live:
         fs.delete(retired, True)
+
+
+#: Name of the pointer file a versioned index root carries. The file
+#: body is the current version's directory name (``v=N``) — one tiny
+#: object whose replacement is the only "publish" step readers can
+#: observe, so the flip is atomic even where directory renames are
+#: copies (S3-style object stores).
+CURRENT_POINTER = "CURRENT"
+
+
+def resolve_index_path(spark: SparkSession, path: str) -> str:
+    """Follow a versioned root's pointer file to the current version
+    directory; a plain (non-versioned) index path passes through
+    unchanged, so every probe/append entrypoint can call this
+    unconditionally."""
+    pointer = f"{path.rstrip('/')}/{CURRENT_POINTER}"
+    jvm, hpath, fs = _fs(spark, pointer)
+    if not fs.exists(hpath):
+        return path
+    stream = fs.open(hpath)
+    try:
+        data = bytearray()
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            data.append(b)
+    finally:
+        stream.close()
+    version = bytes(data).decode().strip()
+    if not version or "/" in version or version.startswith("."):
+        raise ValueError(
+            f"resolve_index_path: corrupt pointer {pointer!r} -> "
+            f"{version!r}; expected a bare version directory name "
+            "like 'v=3'"
+        )
+    return f"{path.rstrip('/')}/{version}"
+
+
+def _list_versions(fs, jvm, root: str) -> list[int]:
+    rpath = jvm.org.apache.hadoop.fs.Path(root)
+    if not fs.exists(rpath):
+        return []
+    out = []
+    for st in fs.listStatus(rpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v="):
+            try:
+                out.append(int(name[2:]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def publish_index_versioned(
+    spark: SparkSession, staged_path: str, root_path: str
+) -> str:
+    """Object-store-safe retrain-and-swap: move the staged index into
+    ``{root_path}/v=N`` (N = one past the newest existing version),
+    then atomically flip ``{root_path}/CURRENT`` to name it. Readers
+    resolve through :func:`resolve_index_path` (every probe/append in
+    this module and ``pq_index`` does), so they see the OLD complete
+    version until the pointer lands and the NEW complete version
+    after — never a mix, even on stores where the directory move is
+    a non-atomic copy: the in-flight ``v=N`` is invisible until the
+    one-object pointer write, and already-planned reads keep their
+    resolved ``v=N-1`` path, which publish never mutates.
+
+    The staged directory must carry a ``meta.json`` (i.e. be a
+    complete index produced by :func:`write_lsh_index` or
+    ``pq_index.write_ivf_pq_index``) — validated BEFORE the pointer
+    flips, so a botched build can't be published.
+
+    Returns the published version path (``{root_path}/v=N``)."""
+    jvm, _, fs = _fs(spark, root_path)
+    staged = jvm.org.apache.hadoop.fs.Path(staged_path)
+    if not fs.exists(staged):
+        raise ValueError(
+            f"publish_index_versioned: staged index {staged_path} absent"
+        )
+    if not fs.exists(
+        jvm.org.apache.hadoop.fs.Path(f"{staged_path.rstrip('/')}/meta.json")
+    ):
+        raise ValueError(
+            f"publish_index_versioned: {staged_path} has no meta.json — "
+            "not a complete index; refusing to publish"
+        )
+    root = root_path.rstrip("/")
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(root))
+    versions = _list_versions(fs, jvm, root)
+    n = (versions[-1] + 1) if versions else 1
+    vdir = f"{root}/v={n}"
+    if not fs.rename(staged, jvm.org.apache.hadoop.fs.Path(vdir)):
+        raise IOError(
+            f"publish_index_versioned: could not move {staged_path} "
+            f"-> {vdir}"
+        )
+    # flip the pointer: write CURRENT.tmp fully, then one rename. On
+    # HDFS the rename is atomic metadata; on an object store it is a
+    # single small-object copy+delete — either way a reader sees the
+    # complete old pointer or the complete new one.
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{root}/{CURRENT_POINTER}.tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(f"v={n}".encode()))
+    finally:
+        out.close()
+    cur = jvm.org.apache.hadoop.fs.Path(f"{root}/{CURRENT_POINTER}")
+    if fs.exists(cur):
+        fs.delete(cur, False)
+    if not fs.rename(tmp, cur):
+        raise IOError(
+            f"publish_index_versioned: could not flip {root}/"
+            f"{CURRENT_POINTER} to v={n}"
+        )
+    return vdir
+
+
+def gc_index_versions(
+    spark: SparkSession, root_path: str, keep: int = 2
+) -> list[str]:
+    """Delete versions older than the newest ``keep`` (the current
+    version is always within the newest ``keep``, and in-flight
+    readers of the previous version get a grace window as long as
+    ``keep >= 2``). Returns the deleted version paths."""
+    if keep < 1:
+        raise ValueError("gc_index_versions: keep must be >= 1")
+    jvm, _, fs = _fs(spark, root_path)
+    root = root_path.rstrip("/")
+    current = resolve_index_path(spark, root)
+    deleted = []
+    for v in _list_versions(fs, jvm, root)[:-keep]:
+        vdir = f"{root}/v={v}"
+        if vdir == current:
+            continue  # never delete what the pointer names
+        fs.delete(jvm.org.apache.hadoop.fs.Path(vdir), True)
+        deleted.append(vdir)
+    return deleted

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from trisk_datawrangle_spark.llm.lsh_index import (
     _write_meta,
     read_index_meta,
+    resolve_index_path,
 )
 from trisk_datawrangle_spark.llm.similarity import (
     adc_topk,
@@ -113,9 +114,12 @@ def write_ivf_pq_index(
 def load_ivf_pq_model(spark: SparkSession, path: str):
     """(centroids, codebooks) ndarrays from the stored model tables —
     a bounded driver collect (n_cells + m·k_codes rows of short
-    arrays)."""
+    arrays). ``path`` may be a versioned root (``CURRENT`` pointer,
+    see :func:`~trisk_datawrangle_spark.llm.lsh_index.
+    publish_index_versioned`) — it resolves to the current version."""
     import numpy as np
 
+    path = resolve_index_path(spark, path)
     meta = read_index_meta(spark, path)
     cent_rows = spark.read.parquet(f"{path}/centroids").collect()
     cent = np.empty((meta["n_cells"], meta["dim"]))
@@ -143,9 +147,13 @@ def ivf_pq_index_topk(
     |queries| × n_cells GEMM on the collected query batch is the
     serving norm — the batch is request-sized, not corpus-sized),
     read ONLY those cells' partitions from the codes table, then the
-    shared :func:`adc_topk` probe/score/rank stage."""
+    shared :func:`adc_topk` probe/score/rank stage. ``path`` may be a
+    versioned root — resolved ONCE up front so the model and the
+    codes read come from the same version even if a publish lands
+    mid-call."""
     import numpy as np
 
+    path = resolve_index_path(spark, path)
     cent, books = load_ivf_pq_model(spark, path)
     n_probe = min(n_probe, len(cent))
     qrows = queries.select(id_col, vec_col).collect()
