@@ -58,6 +58,13 @@ HEADLINE = [
     "e3_asof_join",           # union+LOCF as-of (one shuffle)
     "s4_ivf_topk",            # IVF ANN: train + assign + full probe
     "q3_shipping_priority",   # fact-fact shuffled joins + top-k
+    # index SERVING latency: build is memoized per process, so the
+    # cold pass absorbs it and warm passes measure probe-only — the
+    # number a deployment serves queries at (write-lifecycle cost
+    # stays visible in the catalog's d13/s7 entries, measured by the
+    # sf-scaling sweep)
+    "d13_probe_serving",
+    "s7_probe_serving",
 ]
 
 WARM_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))

@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Generate a zipfian-key variant of a corpus's orders table.
+
+Usage:
+    python scripts/make_skewed_corpus.py [SRC_DIR] [OUT_DIR]
+
+Defaults: SRC=.scratch/sf1, OUT=.scratch/sf1zipf.
+
+The salted-join / skew tooling (operators/skew.py, catalog k1/k2) was
+validated only on the shipped corpora, whose foreign keys are
+near-uniform — the one key distribution where skew tools are pure
+overhead. This script rewrites ``orders.o_custkey`` to follow a
+Zipf(s=1) law over the EXISTING customer keys so the skew claims get a
+measured datapoint (scripts/bench_skew.py) instead of an argument:
+
+  * rank sampling uses the inverse-CDF trick for s=1 —
+    ``rank = ceil(exp(u * ln(N)))`` gives P(rank=r) ∝ 1/r exactly in
+    the continuous limit; the hottest customer absorbs ~1/ln(N) of all
+    orders (~8–9% at N=150k — a single reducer task holding ~125k of
+    1.5M rows at sf1, the shape AQE-less plans die on);
+  * u is a deterministic per-order uniform from xxhash-style integer
+    mixing of o_orderkey — reruns are bit-identical, no RNG state;
+  * ranks map to real customer keys via a dense row_number over
+    customer, so referential integrity holds and the aggregate
+    results stay oracle-checkable (the join output changes, but
+    plain-join == salted-join must STILL hold — that invariant is the
+    bench's correctness gate);
+  * every other column of orders, and every other table, is copied
+    through unchanged (same schema, same row count).
+
+Only ``orders`` and ``customer`` are written — the skew bench joins
+exactly these two; keeping the output minimal makes the corpus cheap
+to regenerate.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+# Knuth multiplicative hash constant (public domain, TAOCP §6.4) —
+# spreads sequential orderkeys uniformly over 31 bits.
+MIX = 2654435761
+MOD = 2**31
+
+
+def main() -> None:
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        here, ".scratch", "sf1")
+    out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        here, ".scratch", "sf1zipf")
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+
+    n_cust = con.sql(
+        f"SELECT count(*) FROM '{src}/customer.parquet'").fetchone()[0]
+
+    con.sql(
+        f"COPY (SELECT * FROM '{src}/customer.parquet') "
+        f"TO '{out}/customer.parquet' (FORMAT PARQUET)"
+    )
+
+    cols = [r[0] for r in con.sql(
+        f"DESCRIBE SELECT * FROM '{src}/orders.parquet'").fetchall()]
+    passthrough = ", ".join(f"o.{c}" for c in cols if c != "o_custkey")
+
+    # rank r in [1, N] with P(r) ∝ 1/r: r = ceil(exp(u * ln(N)))
+    con.sql(
+        f"""
+COPY (
+  WITH ranked AS (
+    SELECT c_custkey,
+           row_number() OVER (ORDER BY c_custkey) AS rk
+    FROM '{src}/customer.parquet'
+  ),
+  skewed AS (
+    SELECT {passthrough},
+      LEAST({n_cust}, GREATEST(1, CAST(ceil(exp(
+        ((o.o_orderkey * {MIX}) % {MOD}) / {MOD}.0 * ln({n_cust})
+      )) AS BIGINT))) AS rk
+    FROM '{src}/orders.parquet' o
+  )
+  SELECT {passthrough.replace('o.', 's.')},
+         r.c_custkey AS o_custkey
+  FROM skewed s JOIN ranked r USING (rk)
+) TO '{out}/orders.parquet' (FORMAT PARQUET)
+"""
+    )
+
+    top = con.sql(
+        f"""
+SELECT o_custkey, count(*) AS n,
+       round(100.0 * count(*) / (SELECT count(*)
+           FROM '{out}/orders.parquet'), 2) AS pct
+FROM '{out}/orders.parquet' GROUP BY 1 ORDER BY n DESC LIMIT 5
+"""
+    ).fetchall()
+    n = con.sql(
+        f"SELECT count(*) FROM '{out}/orders.parquet'").fetchone()[0]
+    print(f"wrote {out}: {n} orders over {n_cust} customers")
+    for k, c, p in top:
+        print(f"  hot key {k}: {c} rows ({p}%)")
+
+
+if __name__ == "__main__":
+    main()

@@ -52,7 +52,16 @@ def test_lint_catches_what_it_should(spark, probe):
     good = _physical(QUERIES[probe](spark, SF_DIR_SMALL))
     assert "CartesianProduct" not in good
 
-    a = spark.range(100_000).withColumn("x", F.col("id") % 7)
-    b = spark.range(100_000).withColumn("y", F.col("id") % 5)
-    bad = _physical(a.crossJoin(b))
-    assert "CartesianProduct" in bad or "BroadcastNestedLoopJoin" in bad
+    # positive control: with auto-broadcast disabled the deliberately
+    # cartesian plan must show the EXACT string the lint greps for —
+    # accepting BroadcastNestedLoopJoin here would leave the lint
+    # unvalidated (a 100k-row side is typically auto-broadcast)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(100_000).withColumn("x", F.col("id") % 7)
+        b = spark.range(100_000).withColumn("y", F.col("id") % 5)
+        bad = _physical(a.crossJoin(b))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "CartesianProduct" in bad

@@ -77,6 +77,11 @@ _PRIORITY = [
     "x6_stratified_take",
     "x7_repetition_score",
     "x8_sequence_pack",
+    # new in r7 (per the rotation plan above: new/changed entries
+    # insert here): probe-only index-serving entries, same hard
+    # oracles as d13/s7 but measuring the pruned probe path alone
+    "d13_probe_serving",
+    "s7_probe_serving",
     "flagship_market_share",
     "w0_run_workflow_e2e",
     "a1_pricing_summary",

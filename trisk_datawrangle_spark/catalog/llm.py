@@ -2061,6 +2061,106 @@ def d13(spark, sf_dir):
     )
 
 
+# Probe-only serving entries: d13/s7 charge a full index WRITE
+# (build + persist + re-read) to every run, which hides the number a
+# production deployment actually cares about — the latency of serving
+# a query batch against an index that already exists. These two
+# entries memoize the build per (index kind, sf_dir) so only the
+# FIRST run of a process pays it; in bench.py the cold pass absorbs
+# the build and every warm pass measures the partition-pruned probe
+# path alone. Same hard oracles as the lifecycle entries — the probe
+# against a cached index must reproduce the inline derivation
+# bit-for-bit, so a stale/corrupt cache can never pass silently.
+_SERVING_INDEX_CACHE: dict = {}
+
+
+def _served_index_path(kind: str, sf_dir, build) -> str:
+    import os
+
+    key = (kind, str(os.path.abspath(str(sf_dir))))
+    path = _SERVING_INDEX_CACHE.get(key)
+    if path is None or not os.path.isdir(path):
+        path = build()
+        _SERVING_INDEX_CACHE[key] = path
+    return path
+
+
+@q("d13_probe_serving", _d11_sql())
+def d13_probe(spark, sf_dir):
+    """LSH index SERVING latency — d13's probe stage alone: the
+    even-half index is built once per process (memoized on sf_dir)
+    and each run probes the stored bands/shingles with
+    partition-pruned reads (llm/lsh_index.py minhash_lsh_index_pairs).
+    This is the steady-state continual-ingestion cost: at 100 TB the
+    corpus index is built once and amortized over every incoming
+    batch, so the per-batch number is probe, not build."""
+    from trisk_datawrangle_spark.llm.lsh_index import (
+        minhash_lsh_index_pairs,
+        write_lsh_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+
+    def build() -> str:
+        import tempfile
+
+        p = tempfile.mkdtemp(prefix="lsh_serving_") + "/idx"
+        write_lsh_index(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            p,
+            num_hashes=64,
+            bands=32,
+            n_shards=8,
+        )
+        return p
+
+    path = _served_index_path("lsh", sf_dir, build)
+    pairs = minhash_lsh_index_pairs(
+        spark,
+        path,
+        docs.filter(F.col("doc_id") % 2 == 1),
+        threshold=0.5,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@q("s7_probe_serving", ORACLES["s1_cosine_topk"])
+def s7_probe(spark, sf_dir):
+    """IVF-PQ index SERVING latency — s7's probe stage alone: the
+    index is trained/encoded/persisted once per process (memoized on
+    sf_dir) and each run serves the query batch from the stored codes
+    with cell-pruned reads + exact rescore (llm/pq_index.py
+    ivf_pq_index_topk). Full-probe + rescore recovers s1's
+    brute-force oracle exactly, so the serving path stays hash-gated
+    while the bench records query latency, not build cost."""
+    from trisk_datawrangle_spark.llm.pq_index import (
+        ivf_pq_index_topk,
+        write_ivf_pq_index,
+    )
+
+    e = _embs(spark, sf_dir)
+    qd = e.filter(F.col("vec_id") < 10)
+
+    def build() -> str:
+        import tempfile
+
+        p = tempfile.mkdtemp(prefix="pq_serving_") + "/idx"
+        write_ivf_pq_index(e, p, n_cells=16, m=8)
+        return p
+
+    path = _served_index_path("ivf_pq", sf_dir, build)
+    cand = ivf_pq_index_topk(spark, path, qd, k=2_000_000_000, n_probe=16)
+    res = rescore_topk(cand, e, qd, k=5)
+    return res.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 @q(
     "v1_label_centroids",
     """

@@ -323,13 +323,21 @@ def curriculum_order(
     present = q.isNotNull() & ~F.isnan(q)
     bounds = None
     if probs:  # n_tiers=1 has no cut points — everything is tier 1
-        bounds_row = df.agg(
-            F.expr(
-                "percentile({}, array({}))".format(
-                    quality_col, ", ".join(map(repr, probs))
-                )
-            ).alias("b")
-        ).head()
+        # project the quality column to a fixed alias first: the
+        # F.expr SQL string then never embeds a caller-supplied name
+        # (a column needing backticks — dots, spaces — would fail to
+        # parse, and a string splice is an injection surface)
+        bounds_row = (
+            df.select(F.col(quality_col).alias("__q"))
+            .agg(
+                F.expr(
+                    "percentile(__q, array({}))".format(
+                        ", ".join(map(repr, probs))
+                    )
+                ).alias("b")
+            )
+            .head()
+        )
         bounds = bounds_row["b"] if bounds_row else None
     tier = F.lit(n_tiers)
     if bounds is not None:

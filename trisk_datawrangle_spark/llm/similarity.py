@@ -308,7 +308,7 @@ def cosine_pairs_blocked(
         .alias("__role"),
     )
 
-    def gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def gemm(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         p1, p2 = key
         empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
             {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
