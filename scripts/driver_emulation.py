@@ -38,7 +38,14 @@ def main() -> int:
     from __spark_entry__ import oracle_sql, queries
 
     q, o = queries(), oracle_sql()
-    names = list(q) if "--all" in sys.argv else list(q)[:50]
+    picked = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if picked:  # targeted re-verify: entry names or prefixes
+        names = [
+            n for n in q
+            if any(n == p or n.startswith(p) for p in picked)
+        ]
+    else:
+        names = list(q) if "--all" in sys.argv else list(q)[:50]
     con = oh.duck_connection(sf_dir)
     bad = 0
     t00 = time.perf_counter()

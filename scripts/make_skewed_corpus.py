@@ -2,22 +2,27 @@
 """Generate a zipfian-key variant of a corpus's orders table.
 
 Usage:
-    python scripts/make_skewed_corpus.py [SRC_DIR] [OUT_DIR]
+    python scripts/make_skewed_corpus.py [SRC_DIR] [OUT_DIR] [S]
 
-Defaults: SRC=.scratch/sf1, OUT=.scratch/sf1zipf.
+Defaults: SRC=.scratch/sf1, OUT=.scratch/sf1zipf, S=1.0 (the Zipf
+exponent; raise it to concentrate — s=2 puts ~50% of all orders on
+the single hottest customer, the "null-key / default-value" shape
+that actually kills shuffles in production).
 
 The salted-join / skew tooling (operators/skew.py, catalog k1/k2) was
 validated only on the shipped corpora, whose foreign keys are
 near-uniform — the one key distribution where skew tools are pure
 overhead. This script rewrites ``orders.o_custkey`` to follow a
-Zipf(s=1) law over the EXISTING customer keys so the skew claims get a
+Zipf(s) law over the EXISTING customer keys so the skew claims get a
 measured datapoint (scripts/bench_skew.py) instead of an argument:
 
-  * rank sampling uses the inverse-CDF trick for s=1 —
-    ``rank = ceil(exp(u * ln(N)))`` gives P(rank=r) ∝ 1/r exactly in
-    the continuous limit; the hottest customer absorbs ~1/ln(N) of all
-    orders (~8–9% at N=150k — a single reducer task holding ~125k of
-    1.5M rows at sf1, the shape AQE-less plans die on);
+  * rank sampling is inverse-CDF on the continuous truncated-Zipf
+    density r^-s over [1, N+1): for s=1,
+    ``rank = floor(exp(u * ln(N)))`` gives P(rank=r) ∝ ln(1+1/r) ≈
+    1/r (hottest key ~1/ln(N) ≈ 6% of orders at N=150k); for s≠1,
+    ``rank = floor((1 + u*(N^(1-s) - 1))^(1/(1-s)))`` — at s=2 the
+    hottest key absorbs ~half of ALL orders, so one sort-merge task
+    owns half the fact table, the shape AQE-less plans die on;
   * u is a deterministic per-order uniform from xxhash-style integer
     mixing of o_orderkey — reruns are bit-identical, no RNG state;
   * ranks map to real customer keys via a dense row_number over
@@ -52,6 +57,7 @@ def main() -> None:
         here, ".scratch", "sf1")
     out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
         here, ".scratch", "sf1zipf")
+    s = float(sys.argv[3]) if len(sys.argv) > 3 else 1.0
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
 
@@ -67,7 +73,15 @@ def main() -> None:
         f"DESCRIBE SELECT * FROM '{src}/orders.parquet'").fetchall()]
     passthrough = ", ".join(f"o.{c}" for c in cols if c != "o_custkey")
 
-    # rank r in [1, N] with P(r) ∝ 1/r: r = ceil(exp(u * ln(N)))
+    # HUGEINT: replica-offset orderkeys reach ~1e10; ×MIX overflows INT64
+    u = f"(((o.o_orderkey::HUGEINT * {MIX}) % {MOD}) / {MOD}.0)"
+    if abs(s - 1.0) < 1e-9:
+        rank = f"exp({u} * ln({n_cust}))"
+    else:
+        rank = (
+            f"pow(1.0 + {u} * (pow({n_cust}, {1.0 - s}) - 1.0), "
+            f"{1.0 / (1.0 - s)})"
+        )
     con.sql(
         f"""
 COPY (
@@ -78,9 +92,8 @@ COPY (
   ),
   skewed AS (
     SELECT {passthrough},
-      LEAST({n_cust}, GREATEST(1, CAST(ceil(exp(
-        ((o.o_orderkey * {MIX}) % {MOD}) / {MOD}.0 * ln({n_cust})
-      )) AS BIGINT))) AS rk
+      LEAST({n_cust}, GREATEST(1,
+        CAST(floor({rank}) AS BIGINT))) AS rk
     FROM '{src}/orders.parquet' o
   )
   SELECT {passthrough.replace('o.', 's.')},

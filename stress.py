@@ -8,8 +8,11 @@ every entry still *executes sanely* one order of magnitude up — the
 check that caught d5's 33s interpreted-HOF pair join. Run it after
 adding operators:
 
-    python stress.py            # sf0.1
+    python stress.py            # sf0.1, full catalog
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python stress.py
+    python stress.py c1 c3 d7   # only the named entries (prefix ok) —
+                                # for targeted high-SF probes of one
+                                # family without paying the whole sweep
 """
 
 from __future__ import annotations
@@ -27,19 +30,33 @@ def main() -> None:
     from trisk_datawrangle_spark import get_spark
     from trisk_datawrangle_spark.catalog import QUERIES
 
+    # shuffle partitions must scale with the DATA, not the core count
+    # (session.py's 128-256MB/partition rule): at sf10 a fixed 32
+    # leaves each partition 10x oversized and the sort/join tiers
+    # exhaust the heap before they can spill — seen, not hypothesized
+    # (BASELINE.md round-7 sf10 section)
+    shuffle = os.environ.get(
+        "SPARK_GRAFT_SHUFFLE", cpus if cpus.isdigit() else "32"
+    )
     spark = get_spark(
         app_name="trisk-stress",
         master=f"local[{cpus}]",
-        shuffle_partitions=int(cpus) if cpus.isdigit() else 32,
+        shuffle_partitions=int(shuffle),
     )
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(10000).repartition(8).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    wanted = sys.argv[1:]
+    names = sorted(
+        n for n in QUERIES
+        if not wanted or any(n == w or n.startswith(w + "_") or
+                             n.startswith(w) for w in wanted)
+    )
     times: dict[str, float] = {}
     failed: dict[str, str] = {}
-    for name in sorted(QUERIES):
+    for name in names:
         t0 = time.perf_counter()
         try:
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
@@ -57,7 +74,7 @@ def main() -> None:
             {
                 "metric": "stress_catalog",
                 "sf_dir": sf_dir,
-                "n_queries": len(QUERIES),
+                "n_queries": len(names),
                 "n_failed": len(failed),
                 "failed": failed,
                 "total_sec": round(sum(times.values()), 1),

@@ -226,7 +226,7 @@ def cosine_pairs_vectorized(
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast((ids, mat, norm))
 
-    def pairs(batches):
+    def pairs(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         c_ids, c_mat, c_norm = bc.value
         for pdf in batches:
             b_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
@@ -433,7 +433,7 @@ def ivf_topk(
     sc = corpus.sparkSession.sparkContext
     bc = sc.broadcast(np.asarray(centroids, dtype=np.float64))
 
-    def assign_cells(batches):
+    def assign_cells(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         cent = bc.value
         for pdf in batches:
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
@@ -453,7 +453,7 @@ def ivf_topk(
         "neighbor_id long, __cv array<float>, __cn double, __cell int",
     )
 
-    def probe_cells(batches):
+    def probe_cells(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         cent = bc.value
         for pdf in batches:
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
@@ -519,7 +519,7 @@ def cosine_topk_vectorized(
     sc = corpus.sparkSession.sparkContext
     bq = sc.broadcast((q_ids, q_mat, q_norm))
 
-    def topk_partition(batches):
+    def topk_partition(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         ids, mat, norms = bq.value
         for pdf in batches:
             c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
@@ -694,7 +694,7 @@ def encode_pq_index(
     bc_cent = sc.broadcast(np.asarray(centroids, dtype=np.float64))
     bc_books = sc.broadcast(np.asarray(codebooks, dtype=np.float64))
 
-    def encode(batches):
+    def encode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         cent, books = bc_cent.value, bc_books.value
         for pdf in batches:
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
@@ -751,7 +751,7 @@ def adc_topk(
     bc_cent = sc.broadcast(np.asarray(centroids, dtype=np.float64))
     bc_books = sc.broadcast(np.asarray(codebooks, dtype=np.float64))
 
-    def probe(batches):
+    def probe(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         cent = bc_cent.value
         for pdf in batches:
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
@@ -775,7 +775,7 @@ def adc_topk(
         F.col("neighbor_id") != F.col("query_id")
     )
 
-    def adc_score(batches):
+    def adc_score(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         books = bc_books.value
         for pdf in batches:
             if not len(pdf):
