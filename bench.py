@@ -169,6 +169,9 @@ def main(argv=None) -> None:
 
     from trisk_datawrangle_spark import get_spark
     from trisk_datawrangle_spark.catalog import QUERIES
+    from trisk_datawrangle_spark.operators.persist import (
+        unpersist_all_rdds,
+    )
 
     load_start = wait_for_idle(max_wait=120.0, label="suite start")
     calib_before = calibrate()
@@ -228,7 +231,11 @@ def main(argv=None) -> None:
         # re-sampled — gate it on box idleness instead (bounded wait)
         # and drain accumulated JVM garbage first so a full-GC pause
         # from the PREVIOUS query's shuffles never lands inside this
-        # query's single cold sample
+        # query's single cold sample. localCheckpoint blocks from the
+        # previous query are freed explicitly first — clearCache
+        # can't reach them and they'd otherwise pin storage until GC
+        # (operators/persist.py)
+        unpersist_all_rdds(spark)
         jvm_gc()
         wait_for_idle(max_wait=30.0, label=name)
         cold = run(name)
@@ -249,6 +256,7 @@ def main(argv=None) -> None:
             # drop stage-boundary caches so each warm pass re-does the
             # compute (steady-state), not a cache lookup (overstated)
             spark.catalog.clearCache()
+            unpersist_all_rdds(spark)
             w = run(name)
             if w is None:
                 break

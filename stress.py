@@ -29,6 +29,9 @@ def main() -> None:
 
     from trisk_datawrangle_spark import get_spark
     from trisk_datawrangle_spark.catalog import QUERIES
+    from trisk_datawrangle_spark.operators.persist import (
+        unpersist_all_rdds,
+    )
 
     # shuffle partitions must scale with the DATA, not the core count
     # (session.py's 128-256MB/partition rule): at sf10 a fixed 32
@@ -65,7 +68,13 @@ def main() -> None:
             times[name] = round(time.perf_counter() - t0, 2)
         except Exception as ex:  # noqa: BLE001 — report, don't abort the sweep
             failed[name] = (str(ex).splitlines() or ["<no message>"])[0][:200]
+        # full storage reset between entries: clearCache drops cached
+        # plans but NOT localCheckpoint blocks — those pinned the heap
+        # across entries until the sf10 probe OOMed on storage owned
+        # by already-finished entries (operators/persist.py)
         spark.catalog.clearCache()
+        unpersist_all_rdds(spark)
+        spark.sparkContext._jvm.System.gc()
         print(f"  {name}: {times.get(name, 'FAILED')}", file=sys.stderr)
 
     slowest = sorted(times.items(), key=lambda kv: -kv[1])[:8]

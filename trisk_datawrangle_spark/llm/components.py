@@ -26,6 +26,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from trisk_datawrangle_spark.operators.persist import (
+    tracked_local_checkpoint,
+    unpersist_ids,
+)
+
 
 def connected_components(
     pairs: DataFrame,
@@ -36,18 +41,25 @@ def connected_components(
     """(node, component) for every node appearing in ``pairs``; the
     component id is the minimum node id in the group. Raises if the
     fixpoint is not reached within ``max_iter`` rounds (disconnected
-    near-dup graphs converge in a few)."""
-    edges = (
+    near-dup graphs converge in a few).
+
+    Checkpoint hygiene: every round's frame is checkpointed DISK_ONLY
+    and the superseded round's blocks are unpersisted as soon as the
+    convergence check has consumed them — without this the storage of
+    ALL rounds stays pinned until driver GC, and the sf10 probe OOMed
+    the executor heap on exactly that accumulation (the blocks belong
+    to the internal RDD, so ``DataFrame.unpersist`` can't reach them;
+    see :mod:`trisk_datawrangle_spark.operators.persist`)."""
+    spark = pairs.sparkSession
+    edges, edge_ids = tracked_local_checkpoint(
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels, label_ids = tracked_local_checkpoint(
         edges.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -70,7 +82,7 @@ def connected_components(
         hop = propagated.select(
             F.col("node").alias("c_node"), F.col("comp").alias("c_comp")
         )
-        new_labels = (
+        new_labels, new_ids = tracked_local_checkpoint(
             propagated.join(hop, propagated.comp == hop.c_node, "left")
             .select(
                 "node",
@@ -79,7 +91,6 @@ def connected_components(
                     F.coalesce(F.col("c_comp"), F.col("comp")),
                 ).alias("comp"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -88,9 +99,14 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = new_labels
+        # the convergence check above was the old round's last reader
+        unpersist_ids(spark, label_ids)
+        labels, label_ids = new_labels, new_ids
         if changed == 0:
+            unpersist_ids(spark, edge_ids)
             return labels
+    unpersist_ids(spark, edge_ids)
+    unpersist_ids(spark, label_ids)
     raise RuntimeError(f"not converged after {max_iter} rounds")
 
 

@@ -204,21 +204,23 @@ def _signatures_from_shingles(
     tables yield identical signatures — callers that also need exact
     verification can share one cached distinct table across both
     stages."""
-    p = F.lit(_MERSENNE_31)
+    p = _MERSENNE_31
     # h31 materialized as a projected column so the shared mod-p fold
     # is provably evaluated once per row (not K times via
     # subexpression elimination luck)
-    proj = hashes.select("id", F.pmod(F.col("h"), p).alias("h31"))
-    h31 = F.col("h31")
-    mins = proj.groupBy("id").agg(
-        *[
-            F.min(F.pmod(h31 * F.lit(a) + F.lit(b), p)).alias(f"__m{k}")
-            for k, (a, b) in enumerate(_affine_params(num_hashes))
-        ]
+    proj = hashes.select("id", F.pmod(F.col("h"), F.lit(p)).alias("h31"))
+    # the K min-aggregates are assembled as ONE SQL string parsed
+    # server-side: building them as K Column-object chains costs
+    # ~5 py4j roundtrips per permutation (~1.3s of driver latency at
+    # K=64, measured — it dominated d3's warm time), while one
+    # F.expr is a single roundtrip to the same resolved plan.
+    # array-of-aggregates is legal in an agg context, so the array
+    # assembly rides the same expression.
+    mins_sql = ", ".join(
+        f"min(pmod(h31 * {a}L + {b}L, {p}L))"
+        for a, b in _affine_params(num_hashes)
     )
-    return mins.select(
-        "id", F.array(*[f"__m{k}" for k in range(num_hashes)]).alias("sig")
-    )
+    return proj.groupBy("id").agg(F.expr(f"array({mins_sql}) AS sig"))
 
 
 def _banded_table(
@@ -237,25 +239,21 @@ def _banded_table(
             f"bands ({bands}) must divide num_hashes ({num_hashes})"
         )
     rows_per_band = num_hashes // bands
-    return sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bnd).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("sig")[bnd * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for bnd in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    # one selectExpr roundtrip instead of bands*(rows_per_band+2)
+    # Column-object py4j calls (same resolved plan; see
+    # _signatures_from_shingles for the measured build-time cost);
+    # inline() is explode-into-columns for an array<struct>
+    structs = ", ".join(
+        "struct({bnd} AS band, xxhash64({slices}) AS bucket)".format(
+            bnd=bnd,
+            slices=", ".join(
+                f"sig[{bnd * rows_per_band + r}]"
+                for r in range(rows_per_band)
+            ),
+        )
+        for bnd in range(bands)
+    )
+    return sig.selectExpr("id", f"inline(array({structs}))")
 
 
 def _lsh_candidate_pairs(
@@ -495,29 +493,22 @@ def simhash_band_pairs(
     the caller can share one cached shingle table between signature
     and verification stages."""
     width = 64 // bands
-    mask = F.lit((1 << width) - 1)
+    mask = (1 << width) - 1
     st = (
         _simhash_from_features(feats)
         if feats is not None
         else simhash_table(df, text_col, id_col, ngram)
     ).cache()
-    banded = st.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bnd).alias("band"),
-                        F.shiftright("simhash", bnd * width)
-                        .bitwiseAND(mask)
-                        .alias("bucket"),
-                    )
-                    for bnd in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "simhash", "bb.band", "bb.bucket")
+    # one selectExpr roundtrip instead of per-band Column chains
+    # (same resolved plan; see _signatures_from_shingles)
+    structs = ", ".join(
+        f"struct({bnd} AS band, "
+        f"shiftright(simhash, {bnd * width}) & {mask}L AS bucket)"
+        for bnd in range(bands)
+    )
+    banded = st.selectExpr(
+        "id", "simhash", f"inline(array({structs}))"
+    )
     a = banded.select(
         F.col("id").alias("id_a"), F.col("simhash").alias("__sa"),
         "band", "bucket",
@@ -586,21 +577,24 @@ def simhash_table(
 def _simhash_from_features(feats: DataFrame) -> DataFrame:
     """(id, simhash) from a distinct (id, h) feature-hash table —
     shareable with the verification stage's shingle table."""
-    counted = feats.groupBy("id").agg(
-        F.count(F.lit(1)).alias("__n"),
-        *[
-            F.sum(F.shiftright("h", bit).bitwiseAND(F.lit(1))).alias(f"__b{bit}")
-            for bit in range(64)
-        ],
+    # both stages assembled as single SQL strings: 64 per-bit
+    # Column-object chains cost ~700 py4j roundtrips of driver
+    # latency per plan build (see _signatures_from_shingles); one
+    # F.expr parses server-side to the identical resolved plan
+    sums_sql = ", ".join(
+        f"sum(shiftright(h, {bit}) & 1L)" for bit in range(64)
     )
-    total = None
-    for bit in range(64):
-        one = F.when(F.col(f"__b{bit}") * 2 > F.col("__n"), F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = one * F.lit(2 ** bit).cast("long") if bit < 63 else F.shiftleft(one, 63)
-        total = term if total is None else total + term
-    return counted.select("id", total.alias("simhash"))
+    counted = feats.groupBy("id").agg(
+        F.expr("count(1) AS __n"), F.expr(f"array({sums_sql}) AS __b")
+    )
+    terms = " + ".join(
+        f"if(__b[{bit}] * 2 > __n, {1 << bit}L, 0L)"
+        if bit < 63
+        # avoid the 2**63 long-literal overflow: shift the sign bit
+        else f"shiftleft(if(__b[{bit}] * 2 > __n, 1L, 0L), 63)"
+        for bit in range(64)
+    )
+    return counted.selectExpr("id", f"({terms}) AS simhash")
 
 
 def simhash64(col: str | Column, ngram: int = 1) -> Column:

@@ -47,6 +47,11 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from trisk_datawrangle_spark.operators.persist import (
+    _persistent_ids,
+    tracked_local_checkpoint,
+    unpersist_ids,
+)
 from trisk_datawrangle_spark.llm.dedup import (
     _banded_table,
     _signatures_from_shingles,
@@ -405,13 +410,24 @@ def stream_dedup_ingest(
     backfills and continuous runs share the path)."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.localCheckpoint(eager=True)
-        if not batch_df.head(1):
-            return
+        # tracked checkpoint: a long-running stream would otherwise
+        # pin one batch's worth of checkpoint blocks per micro-batch
+        # until driver GC (operators/persist.py)
+        batch_df, ckpt_ids = tracked_local_checkpoint(batch_df)
         spark = batch_df.sparkSession
+        if not batch_df.head(1):
+            unpersist_ids(spark, ckpt_ids)
+            return
         lease = acquire_index_lease(
             spark, index_path, owner=f"stream_dedup_ingest batch={batch_id}"
         )
+        # everything persisted while this batch runs (the pairs
+        # frames come back localCheckpointed) is batch-scoped: free
+        # it when the batch's effects have landed. Snapshot-diff
+        # attribution — single writer per index is already enforced
+        # by the lease, and persist.py documents the single-driver-
+        # loop assumption.
+        scope_before = _persistent_ids(spark)
         try:
             cross = minhash_lsh_index_pairs(
                 spark, index_path, batch_df, text_col, id_col, threshold
@@ -440,6 +456,10 @@ def stream_dedup_ingest(
             )
             lsh_index_append(batch_df, index_path, text_col, id_col)
         finally:
+            unpersist_ids(
+                spark, _persistent_ids(spark) - scope_before
+            )
+            unpersist_ids(spark, ckpt_ids)
             release_index_lease(spark, index_path, lease)
 
     return (

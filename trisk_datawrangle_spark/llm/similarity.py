@@ -139,29 +139,37 @@ def lsh_bucket_topk(
         dim = probe["d"]
     planes = _hyperplanes(dim, n_planes)
 
-    def bucket(vec: Column) -> Column:
+    def bucket(vec: str) -> Column:
+        # one F.expr roundtrip instead of n_planes*(dim+4) py4j
+        # Column calls per call site (~1100 for 8 planes x 64 dims
+        # over both sides — measured driver latency, not compute;
+        # same resolved plan). Plane weights ride as CAST-from-string
+        # literals: repr() round-trips doubles exactly and avoids the
+        # decimal-literal default of bare SQL numerics.
         bits = []
         for plane in planes:
-            lit = F.array(*[F.lit(x) for x in plane])
-            proj = F.aggregate(
-                F.zip_with(vec, lit, lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+            arr = ", ".join(
+                f"CAST('{x!r}' AS DOUBLE)" for x in plane
             )
-            bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-        return F.concat(*bits)
+            proj = (
+                f"aggregate(zip_with(`{vec}`, array({arr}), "
+                f"(x, y) -> CAST(x AS DOUBLE) * y), "
+                f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            )
+            bits.append(f"if({proj} >= 0, '1', '0')")
+        return F.expr("concat(" + ", ".join(bits) + ")")
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         _norm(vec_col).alias("__cn"),
-        bucket(_c(vec_col)).alias("__bucket"),
+        bucket(vec_col).alias("__bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         _norm(vec_col).alias("__qn"),
-        bucket(_c(vec_col)).alias("__bucket"),
+        bucket(vec_col).alias("__bucket"),
     )
     pairs = c.join(F.broadcast(q), "__bucket").filter(
         F.col("neighbor_id") != F.col("query_id")
