@@ -1,0 +1,130 @@
+"""kmeans_embeddings correctness: against a pure-python reference of
+the same integer-exact Lloyd's contract, plus determinism, the
+empty-cluster keep rule, and argument validation."""
+
+from __future__ import annotations
+
+import pytest
+
+from trisk_datawrangle_spark.llm.clustering import (
+    _requantize_center,
+    kmeans_embeddings,
+)
+
+_SCALE = 1_000_000
+
+
+def _py_kmeans(vecs: dict[int, list[float]], k: int, n_iter: int):
+    """Reference implementation of the exact contract (quantize,
+    argmin with (dist, j) tiebreak, integer re-quantized centers,
+    empty cluster keeps its center)."""
+    q = {
+        i: [
+            int(_round_half_away(x * _SCALE)) for x in v
+        ]
+        for i, v in vecs.items()
+    }
+    centers = [q[i] for i in sorted(q)[:k]]
+
+    def assign():
+        out = {}
+        for i, v in q.items():
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(v, c)), j)
+                for j, c in enumerate(centers)
+            )
+            out[i] = best  # (dist, j)
+        return out
+
+    for _ in range(n_iter - 1):
+        a = assign()
+        sums: dict[int, list[int]] = {}
+        counts: dict[int, int] = {}
+        for i, (_, j) in a.items():
+            counts[j] = counts.get(j, 0) + 1
+            s = sums.setdefault(j, [0] * len(q[i]))
+            for d, x in enumerate(q[i]):
+                s[d] += x
+        centers = [
+            [_requantize_center(sums[j][d], counts[j])
+             for d in range(len(centers[j]))]
+            if j in counts
+            else centers[j]
+            for j in range(k)
+        ]
+    return {i: (j, dist) for i, (dist, j) in assign().items()}
+
+
+def _round_half_away(x: float) -> int:
+    import math
+
+    return int(math.floor(x + 0.5)) if x >= 0 else -int(
+        math.floor(-x + 0.5)
+    )
+
+
+@pytest.fixture(scope="module")
+def small(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-0.5, 0.5) for _ in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, embedding array<float>")
+    return df, {i: v for i, v in rows}
+
+
+def test_matches_python_reference(spark, small):
+    df, vecs = small
+    got = {
+        r["id"]: (r["cluster"], r["dist_sq"])
+        for r in kmeans_embeddings(df, "embedding", "id", k=3, n_iter=3)
+        .collect()
+    }
+    # the DataFrame column is array<float>: round-trip the reference
+    # inputs through float32 so both sides quantize the same value
+    # (exact .5 scaled ties don't occur with uniform random floats)
+    import struct
+
+    f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]  # noqa: E731
+    want = _py_kmeans(
+        {i: [f32(x) for x in v] for i, v in vecs.items()}, 3, 3
+    )
+    assert got == want
+
+
+def test_deterministic_across_runs(spark, small):
+    df, _ = small
+    a = sorted(
+        kmeans_embeddings(df, "embedding", "id", k=4, n_iter=2).collect()
+    )
+    b = sorted(
+        kmeans_embeddings(df, "embedding", "id", k=4, n_iter=2).collect()
+    )
+    assert a == b
+
+
+def test_empty_cluster_keeps_center(spark):
+    # two tight groups, k=3: the third seed (id 2) is inside group A,
+    # loses all members after one update, and must keep its center
+    # (the run must not error and must still output 3 or fewer ids)
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [0.001, 0.0]),
+        (2, [0.002, 0.0]),
+        (3, [0.4, 0.4]),
+        (4, [0.401, 0.4]),
+    ]
+    df = spark.createDataFrame(rows, "id long, embedding array<float>")
+    out = kmeans_embeddings(df, "embedding", "id", k=3, n_iter=4).collect()
+    assert len(out) == 5
+    assert {r["cluster"] for r in out} <= {0, 1, 2}
+
+
+def test_validation(spark, small):
+    df, _ = small
+    with pytest.raises(ValueError, match="k"):
+        kmeans_embeddings(df, "embedding", "id", k=0)
+    with pytest.raises(ValueError, match="exceeds"):
+        kmeans_embeddings(df, "embedding", "id", k=100)

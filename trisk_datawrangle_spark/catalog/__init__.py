@@ -82,6 +82,7 @@ _PRIORITY = [
     # oracles as d13/s7 but measuring the pruned probe path alone
     "d13_probe_serving",
     "s7_probe_serving",
+    "x30_kmeans_clusters",
     "flagship_market_share",
     "w0_run_workflow_e2e",
     "a1_pricing_summary",

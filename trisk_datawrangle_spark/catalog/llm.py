@@ -2410,3 +2410,95 @@ def x22(spark, sf_dir):
     return balance_sources(d, "source", "__t", "doc_id", seed=5).select(
         "doc_id", "source"
     )
+
+
+def _x30_sql(k: int = 4, n_iter: int = 3, dim: int = 64) -> str:
+    """Unrolled integer-exact Lloyd's k-means (llm/clustering.py
+    contract): quantize once, then every iteration is an exact-BIGINT
+    distance argmin + an exact integer center re-quantization — no
+    float aggregate anywhere, so the assignment is bit-identical
+    across engines by construction."""
+    rq = ("CASE WHEN s >= 0 THEN (2*s + n) // (2*n) "
+          "ELSE -((2*(-s) + n) // (2*n)) END")
+    parts = [f"""
+WITH q AS (
+    SELECT vec_id AS id,
+        list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+        ) AS qv
+    FROM embeddings
+),
+c0 AS (
+    SELECT rn - 1 AS j, qv AS cv
+    FROM (SELECT qv, row_number() OVER (ORDER BY id) AS rn FROM q)
+    WHERE rn <= {k}
+)"""]
+    for it in range(1, n_iter):
+        prev = f"c{it - 1}"
+        parts.append(f""",
+d{it} AS (
+    SELECT q.id, c.j,
+        SUM((q.qv[t.i] - c.cv[t.i]) * (q.qv[t.i] - c.cv[t.i])) AS d
+    FROM q CROSS JOIN {prev} c, unnest(generate_series(1, {dim})) AS t(i)
+    GROUP BY q.id, c.j
+),
+a{it} AS (
+    SELECT id, j FROM (
+        SELECT id, j,
+            row_number() OVER (PARTITION BY id ORDER BY d, j) AS rn
+        FROM d{it}) WHERE rn = 1
+),
+s{it} AS (
+    SELECT a.j, t.i, SUM(q.qv[t.i]) AS s, COUNT(*) AS n
+    FROM a{it} a JOIN q USING (id),
+        unnest(generate_series(1, {dim})) AS t(i)
+    GROUP BY a.j, t.i
+),
+c{it}n AS (
+    SELECT j, list({rq} ORDER BY i) AS cv FROM s{it} GROUP BY j
+),
+c{it} AS (
+    SELECT p.j, coalesce(cn.cv, p.cv) AS cv
+    FROM {prev} p LEFT JOIN c{it}n cn ON p.j = cn.j
+)""")
+    last = f"c{n_iter - 1}"
+    parts.append(f""",
+df AS (
+    SELECT q.id, c.j,
+        SUM((q.qv[t.i] - c.cv[t.i]) * (q.qv[t.i] - c.cv[t.i])) AS d
+    FROM q CROSS JOIN {last} c, unnest(generate_series(1, {dim})) AS t(i)
+    GROUP BY q.id, c.j
+)
+SELECT id AS vec_id, CAST(j AS INTEGER) AS cluster,
+    CAST(d AS BIGINT) AS dist_sq
+FROM (
+    SELECT id, j, d,
+        row_number() OVER (PARTITION BY id ORDER BY d, j) AS rn
+    FROM df) WHERE rn = 1
+""")
+    return "".join(parts)
+
+
+@q("x30_kmeans_clusters", _x30_sql())
+def x30(spark, sf_dir):
+    """Deterministic k-means clustering of the embedding table
+    (llm/clustering.py kmeans_embeddings): classic distributed
+    Lloyd's — per iteration one codegen argmin pass over the corpus
+    plus one k-row map-side-combinable aggregate; the k·dim centers
+    are driver-bounded literals in the next iteration's plan.
+    Embeddings quantized to exact integers up front so distances,
+    sums, and re-quantized centers are pure integer arithmetic —
+    every assignment hash-gates across engines bit-for-bit (the
+    training-data mixture/SemDeDup clustering stage, reproducible
+    by construction). No reference counterpart (LLM-pipeline
+    surface)."""
+    from trisk_datawrangle_spark.llm.clustering import kmeans_embeddings
+
+    out = kmeans_embeddings(
+        _embs(spark, sf_dir), "embedding", "vec_id", k=4, n_iter=3
+    )
+    return out.select(
+        F.col("id").alias("vec_id"),
+        F.col("cluster").cast("int").alias("cluster"),
+        "dist_sq",
+    )

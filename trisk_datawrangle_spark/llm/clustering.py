@@ -1,0 +1,139 @@
+"""Deterministic distributed k-means over embedding columns.
+
+Topic/quality clustering of an embedding table is a standard
+training-data-pipeline stage (mixture balancing, SemDeDup-style
+cluster-then-dedup, curriculum grouping). The scalable shape is
+classic Lloyd's on Spark: the corpus is scanned once per iteration
+with a narrow codegen projection (assign each vector to its nearest
+center), the per-cluster mean reduces through a map-side-combinable
+aggregate of width k·dim, and the centers themselves — k·dim numbers
+— live on the driver and ride into the next iteration's plan as
+literals. Nothing driver-side ever scales with the data; at 100 TB
+each iteration is one pass + one k·dim-wide shuffle.
+
+Cross-engine exactness (the DuckDB-oracle contract): floating-point
+k-means is not reproducible across engines because mean() is
+order-dependent. This implementation quantizes the embedding to
+integers once (``round(x · 10^6)``, exact — both engines round ties
+half-away-from-zero), and from then on EVERY quantity is integer
+arithmetic: squared distances are exact BIGINTs (bounded by
+dim · (2·10^6)² ≈ 2.6e14 ≪ 2^63), cluster sums/counts are exact, and
+the re-quantized center is ``round_half_away(s/n)`` computed purely
+with integer ops (``(2·|s| + n) intdiv (2n)``, sign restored) so no
+engine's division or summation order can perturb a single bit. Ties
+in the argmin break on the lower cluster id in both engines.
+
+Determinism of the result: fixed iteration count (no convergence
+test), centers initialized from the k lowest-id vectors — the whole
+run is a pure function of the data. An empty cluster keeps its
+previous center (both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SCALE = 1_000_000
+
+
+def _quantize(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """(id, qv array<bigint>) — embeddings scaled to exact integers."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"transform(`{vec_col}`, x -> "
+            f"CAST(round(CAST(x AS DOUBLE) * {_SCALE}, 0) AS BIGINT))"
+        ).alias("qv"),
+    )
+
+
+def _requantize_center(s: int, n: int) -> int:
+    """round-half-away-from-zero(s / n) in pure integer arithmetic —
+    bit-identical in any engine (mirrors the oracle's
+    ``(2*abs(s) + n) // (2*n)`` with the sign restored)."""
+    mag = (2 * abs(s) + n) // (2 * n)
+    return -mag if s < 0 else mag
+
+
+def _assign_expr(centers: list[list[int]]) -> str:
+    """SQL expression choosing the nearest center as a
+    (dist_sq, cluster) struct — min over an array of structs compares
+    lexicographically, so equal distances break on the LOWER cluster
+    id, same as the oracle's ``ORDER BY d, j``. One server-parsed
+    expression (k·dim terms), not k·dim Column-object roundtrips."""
+    structs = []
+    for j, c in enumerate(centers):
+        dist = " + ".join(
+            f"(qv[{d}] - {v}L) * (qv[{d}] - {v}L)" for d, v in enumerate(c)
+        )
+        structs.append(f"named_struct('d', {dist}, 'j', {j})")
+    return f"array_min(array({', '.join(structs)}))"
+
+
+def kmeans_embeddings(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 4,
+    n_iter: int = 3,
+) -> DataFrame:
+    """(id, cluster, dist_sq) after ``n_iter`` assignment passes of
+    integer-exact Lloyd's k-means (``n_iter - 1`` center updates; the
+    returned assignment and its squared quantized distance come from
+    the final pass).
+
+    Scale notes: the quantized table is cached (scanned 2·n_iter
+    times); each center update is ONE aggregate of k rows × dim sum
+    columns (map-side combine — the shuffle moves k·dim longs per
+    partition, never data); the per-iteration ``collect()`` is k rows
+    of dim integers — bounded driver state, the same contract as
+    MLlib's KMeans. Reference parity: the reference has no clustering
+    operator; this extends the LLM-pipeline surface
+    (SemDeDup-style cluster-then-dedup needs exactly this stage).
+    """
+    if k < 1 or n_iter < 1:
+        raise ValueError(f"k ({k}) and n_iter ({n_iter}) must be >= 1")
+    q = _quantize(df, vec_col, id_col).cache()
+    try:
+        # deterministic init: the k lowest-id vectors, cluster = rank
+        seed_rows = q.orderBy("id").limit(k).collect()
+        if len(seed_rows) < k:
+            raise ValueError(
+                f"k ({k}) exceeds the corpus size ({len(seed_rows)})"
+            )
+        centers = [list(r["qv"]) for r in seed_rows]
+        dim = len(centers[0])
+
+        sums = ", ".join(f"sum(qv[{d}])" for d in range(dim))
+        for _ in range(n_iter - 1):
+            assigned = q.selectExpr(
+                "id", "qv", f"{_assign_expr(centers)}.j AS cluster"
+            )
+            # one k-row exact-integer aggregate (dim sums + count,
+            # assembled as a single server-parsed expression)
+            stats = assigned.groupBy("cluster").agg(
+                F.expr(f"count(1) AS n"),
+                F.expr(f"array({sums}) AS s"),
+            ).collect()
+            new_centers = list(centers)  # empty cluster keeps its center
+            for r in stats:
+                j, n = r["cluster"], r["n"]
+                new_centers[j] = [
+                    _requantize_center(s, n) for s in r["s"]
+                ]
+            centers = new_centers
+        final = q.selectExpr(
+            "id", f"{_assign_expr(centers)} AS __a"
+        ).selectExpr(
+            "id", "__a.j AS cluster", "__a.d AS dist_sq"
+        )
+        # materialization happens downstream; the cache above lives for
+        # the driver-side loop only — the final frame re-reads it once
+        return final
+    finally:
+        # the final frame still references q lazily; unpersisting here
+        # only drops the storage hint for FUTURE scans (blocks already
+        # computed served the loop). Callers running the returned frame
+        # recompute q once — one quantization pass, codegen-cheap.
+        q.unpersist()
