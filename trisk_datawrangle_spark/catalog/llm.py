@@ -2412,7 +2412,7 @@ def x22(spark, sf_dir):
     )
 
 
-def _x30_sql(k: int = 4, n_iter: int = 3, dim: int = 64) -> str:
+def _kmeans_ctes_sql(k: int, n_iter: int, dim: int = 64) -> str:
     """Unrolled integer-exact Lloyd's k-means (llm/clustering.py
     contract): quantize once, then every iteration is an exact-BIGINT
     distance argmin + an exact integer center re-quantization — no
@@ -2468,15 +2468,46 @@ df AS (
         SUM((q.qv[t.i] - c.cv[t.i]) * (q.qv[t.i] - c.cv[t.i])) AS d
     FROM q CROSS JOIN {last} c, unnest(generate_series(1, {dim})) AS t(i)
     GROUP BY q.id, c.j
-)
+),
+kfin AS (
+    SELECT id, j, d FROM (
+        SELECT id, j, d,
+            row_number() OVER (PARTITION BY id ORDER BY d, j) AS rn
+        FROM df) WHERE rn = 1
+)""")
+    return "".join(parts)
+
+
+def _x30_sql(k: int = 4, n_iter: int = 3, dim: int = 64) -> str:
+    return _kmeans_ctes_sql(k, n_iter, dim) + """
 SELECT id AS vec_id, CAST(j AS INTEGER) AS cluster,
     CAST(d AS BIGINT) AS dist_sq
-FROM (
-    SELECT id, j, d,
-        row_number() OVER (PARTITION BY id ORDER BY d, j) AS rn
-    FROM df) WHERE rn = 1
-""")
-    return "".join(parts)
+FROM kfin
+"""
+
+
+def _x31_sql(k: int = 8, n_iter: int = 2, threshold: float = 0.45) -> str:
+    return _kmeans_ctes_sql(k, n_iter) + f""",
+ev AS (
+    SELECT vec_id AS id,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+nv AS (
+    SELECT ev.id, v,
+        greatest(sqrt(list_dot_product(v, v)), 1e-12) AS n,
+        kfin.j AS cluster
+    FROM ev JOIN kfin ON ev.id = kfin.id
+),
+dups AS (
+    SELECT DISTINCT b.id
+    FROM nv a JOIN nv b ON a.cluster = b.cluster AND a.id < b.id
+    WHERE list_dot_product(a.v, b.v) / (a.n * b.n) >= {threshold}
+)
+SELECT w.id AS vec_id, CAST(w.cluster AS INTEGER) AS cluster,
+    (d.id IS NOT NULL) AS is_dup
+FROM nv w LEFT JOIN dups d ON w.id = d.id
+"""
 
 
 @q("x30_kmeans_clusters", _x30_sql())
@@ -2501,4 +2532,26 @@ def x30(spark, sf_dir):
         F.col("id").alias("vec_id"),
         F.col("cluster").cast("int").alias("cluster"),
         "dist_sq",
+    )
+
+
+@q("x31_semdedup_clustered", _x31_sql())
+def x31(spark, sf_dir):
+    """SemDeDup proper (llm/clustering.py semdedup, arXiv:2303.09540):
+    integer-exact k-means clusters bound the quadratic cosine tier —
+    near-dup pairs are sought only WITHIN a cluster, so pair volume
+    scales with cluster size, not corpus size (the 100 TB hand-off
+    d14's all-pairs tier documents). Assignment is bit-identical
+    across engines; the cosine gate rides the d5 margin contract.
+    Output: full (vec_id, cluster, is_dup) verdict table."""
+    from trisk_datawrangle_spark.llm.clustering import semdedup
+
+    out = semdedup(
+        _embs(spark, sf_dir), "embedding", "vec_id",
+        k=8, n_iter=2, threshold=0.45,
+    )
+    return out.select(
+        F.col("id").alias("vec_id"),
+        F.col("cluster").cast("int").alias("cluster"),
+        "is_dup",
     )

@@ -137,3 +137,78 @@ def kmeans_embeddings(
         # computed served the loop). Callers running the returned frame
         # recompute q once — one quantization pass, codegen-cheap.
         q.unpersist()
+
+
+def semdedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) proper:
+    (id, cluster, is_dup) where ``is_dup`` marks a vector that has an
+    in-cluster neighbor with LOWER id and cosine ≥ ``threshold`` —
+    cluster first, then dedup only within clusters, so the quadratic
+    pair work is bounded by the cluster size, never the corpus. This
+    is the documented 100 TB hand-off for the all-pairs semantic
+    dedup tier (catalog d14): ``k`` scales with the corpus
+    (k ≈ N/expected_cluster_size), keeping per-cluster pair volume
+    flat while the clustering pass stays one codegen scan per
+    iteration (:func:`kmeans_embeddings`).
+
+    Determinism: the cluster assignment is integer-exact
+    (bit-identical across engines); the cosine gate is the same
+    per-pair left-to-right double fold both engines evaluate, so only
+    pairs within float-noise of ``threshold`` could flip — callers
+    pick thresholds with margin (the d5 contract)."""
+    assign = kmeans_embeddings(df, vec_col, id_col, k, n_iter).select(
+        "id", "cluster"
+    )
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
+        ).alias("v"),
+    ).join(assign, "id")
+    v = v.withColumn(
+        "n",
+        F.expr(
+            "greatest(sqrt(aggregate(v, CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + x * x)), 1e-12)"
+        ),
+    )
+    a = v.select(
+        F.col("id").alias("id_a"), F.col("cluster").alias("cluster_a"),
+        F.col("v").alias("va"), F.col("n").alias("na"),
+    )
+    b = v.select(
+        F.col("id").alias("id_b"), F.col("cluster").alias("cluster_b"),
+        F.col("v").alias("vb"), F.col("n").alias("nb"),
+    )
+    dup_ids = (
+        a.join(
+            b,
+            (F.col("cluster_a") == F.col("cluster_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(
+            F.expr(
+                "aggregate(zip_with(va, vb, (x, y) -> x * y),"
+                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            )
+            / (F.col("na") * F.col("nb"))
+            >= F.lit(threshold)
+        )
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return (
+        v.join(dup_ids.withColumn("__dup", F.lit(True)), "id", "left")
+        .select(
+            "id",
+            "cluster",
+            F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
+        )
+    )
