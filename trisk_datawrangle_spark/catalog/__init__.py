@@ -84,6 +84,7 @@ _PRIORITY = [
     "s7_probe_serving",
     "x30_kmeans_clusters",
     "x31_semdedup_clustered",
+    "d15_dedup_clusters_scale",
     "flagship_market_share",
     "w0_run_workflow_e2e",
     "a1_pricing_summary",

@@ -2555,3 +2555,47 @@ def x31(spark, sf_dir):
         F.col("cluster").cast("int").alias("cluster"),
         "is_dup",
     )
+
+
+def _d15_sql() -> str:
+    """d7's recursive min-label component oracle, but over the exact
+    0.8-Jaccard pair set — the pair tier minhash_lsh_dedup_pairs
+    verifies against exactly."""
+    return f"""
+WITH RECURSIVE pairs AS ({_jaccard_pairs_sql(0.8)}),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+),
+lbl(node, comp) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT e.u, l.comp FROM edges e JOIN lbl l ON e.v = l.node
+),
+comp AS (SELECT node, MIN(comp) AS comp FROM lbl GROUP BY node)
+SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+"""
+
+
+@q("d15_dedup_clusters_scale", _d15_sql())
+def d15(spark, sf_dir):
+    """Near-dup clustering through the SCALE pair tier: MinHash-LSH
+    candidates + exact verification (d3's machinery, threshold 0.8)
+    feeding pointer-jumped connected components — the composition a
+    100 TB corpus actually runs. d7/c3 deliberately compose the
+    quadratic exact tier (d2) for oracle strength; this entry proves
+    the identical cluster table arrives via the subquadratic path
+    (banded buckets -> candidate-only verify -> O(log diameter)
+    label propagation), so the documented d2->d3 hand-off is
+    executable, not narrative. Exact verification makes the Spark
+    pair set equal the oracle's exact-Jaccard pairs (recall-1 banding
+    at 0.8 — the d3 contract, wider margin here)."""
+    from trisk_datawrangle_spark.llm.components import dedup_clusters
+    from trisk_datawrangle_spark.llm.dedup import minhash_lsh_dedup_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_dedup_pairs(
+        docs, "text", "doc_id", num_hashes=64, bands=16, threshold=0.8
+    )
+    return dedup_clusters(docs, pairs)
