@@ -171,3 +171,20 @@ def test_semdedup_cluster_scoping(spark):
     # sends them ALL to cluster 0, so 1 and 2 are dups of 0
     vals = {r["id"]: (r["cluster"], r["is_dup"]) for r in got.collect()}
     assert vals == {0: (0, False), 1: (0, True), 2: (0, True)}
+
+
+def test_pandas_argmin_path_matches_literal(spark, small, monkeypatch):
+    # force the vectorized numpy argmin (the large-k path) and assert
+    # bit-identical output to the codegen literal path — both are
+    # exact int64 arithmetic with a first-minimum (low-j) tiebreak
+    import trisk_datawrangle_spark.llm.clustering as cl
+
+    df, _ = small
+    lit = sorted(
+        kmeans_embeddings(df, "embedding", "id", k=3, n_iter=3).collect()
+    )
+    monkeypatch.setattr(cl, "_LITERAL_ARGMIN_MAX_TERMS", 0)
+    pnd = sorted(
+        kmeans_embeddings(df, "embedding", "id", k=3, n_iter=3).collect()
+    )
+    assert lit == pnd

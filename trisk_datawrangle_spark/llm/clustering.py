@@ -71,6 +71,70 @@ def _assign_expr(centers: list[list[int]]) -> str:
     return f"array_min(array({', '.join(structs)}))"
 
 
+# above this many unrolled multiply-adds the literal argmin expression
+# risks the 64 KB JVM method bytecode ceiling (whole-stage codegen
+# falls back to interpreted — the sc4 failure mode); switch to the
+# vectorized numpy path, which is also simply faster once k is large
+_LITERAL_ARGMIN_MAX_TERMS = 4096
+
+
+def _assign(q: DataFrame, centers: list[list[int]]) -> DataFrame:
+    """(id, cluster, dist_sq) — nearest center per vector, exact
+    int64 arithmetic on either path so both produce bit-identical
+    assignments:
+
+    * k·dim small: the unrolled literal expression above (pure
+      whole-stage codegen, zero Python in the pass);
+    * k·dim large (production k in the hundreds+): Arrow-batched
+      ``mapInPandas`` computing all k distances per batch with one
+      int64 GEMM expansion ``|x|² − 2xCᵀ + |c|²`` (numpy int64 is
+      exact here: quantized values ≤ 1e6 bound every term well under
+      2^63) and ``argmin`` — numpy returns the FIRST minimum, which
+      is the lower-j tiebreak the oracle specifies. Centers ride the
+      task closure (k·dim ints — broadcast-sized by construction)."""
+    k, dim = len(centers), len(centers[0])
+    if k * dim <= _LITERAL_ARGMIN_MAX_TERMS:
+        return q.selectExpr(
+            "id", "qv", f"{_assign_expr(centers)} AS __a"
+        ).selectExpr(
+            "id", "qv", "__a.j AS cluster", "__a.d AS dist_sq"
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    c_arr = np.asarray(centers, dtype=np.int64)          # (k, dim)
+    c_norms = np.einsum("kd,kd->k", c_arr, c_arr)        # (k,)
+
+    def nearest(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.int64) for v in pdf["qv"]],
+                dtype=np.int64,
+            ).reshape(len(pdf), dim)
+            # (n, k) exact int64 squared distances
+            d = (
+                np.einsum("nd,nd->n", x, x)[:, None]
+                - 2 * (x @ c_arr.T)
+                + c_norms[None, :]
+            )
+            j = d.argmin(axis=1)                          # first min = low j
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "qv": pdf["qv"],
+                    "cluster": j.astype(np.int32),
+                    "dist_sq": d[np.arange(len(pdf)), j],
+                }
+            )
+
+    return q.mapInPandas(
+        nearest, "id long, qv array<long>, cluster int, dist_sq long"
+    )
+
+
 def kmeans_embeddings(
     df: DataFrame,
     vec_col: str,
@@ -88,7 +152,10 @@ def kmeans_embeddings(
     columns (map-side combine — the shuffle moves k·dim longs per
     partition, never data); the per-iteration ``collect()`` is k rows
     of dim integers — bounded driver state, the same contract as
-    MLlib's KMeans. Reference parity: the reference has no clustering
+    MLlib's KMeans. The assignment pass auto-selects its engine by
+    k·dim (:func:`_assign`): pure whole-stage codegen for small k,
+    Arrow-batched exact-int64 numpy GEMM for production k in the
+    hundreds+ — both bit-identical. Reference parity: the reference has no clustering
     operator; this extends the LLM-pipeline surface
     (SemDeDup-style cluster-then-dedup needs exactly this stage).
     """
@@ -107,9 +174,7 @@ def kmeans_embeddings(
 
         sums = ", ".join(f"sum(qv[{d}])" for d in range(dim))
         for _ in range(n_iter - 1):
-            assigned = q.selectExpr(
-                "id", "qv", f"{_assign_expr(centers)}.j AS cluster"
-            )
+            assigned = _assign(q, centers)
             # one k-row exact-integer aggregate (dim sums + count,
             # assembled as a single server-parsed expression)
             stats = assigned.groupBy("cluster").agg(
@@ -123,11 +188,7 @@ def kmeans_embeddings(
                     _requantize_center(s, n) for s in r["s"]
                 ]
             centers = new_centers
-        final = q.selectExpr(
-            "id", f"{_assign_expr(centers)} AS __a"
-        ).selectExpr(
-            "id", "__a.j AS cluster", "__a.d AS dist_sq"
-        )
+        final = _assign(q, centers).select("id", "cluster", "dist_sq")
         # materialization happens downstream; the cache above lives for
         # the driver-side loop only — the final frame re-reads it once
         return final
