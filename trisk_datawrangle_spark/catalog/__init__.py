@@ -85,6 +85,8 @@ _PRIORITY = [
     "x30_kmeans_clusters",
     "x31_semdedup_clustered",
     "d15_dedup_clusters_scale",
+    "x32_source_vocab_overlap",
+    "x33_length_profile",
     "flagship_market_share",
     "w0_run_workflow_e2e",
     "a1_pricing_summary",

@@ -2599,3 +2599,103 @@ def d15(spark, sf_dir):
         docs, "text", "doc_id", num_hashes=64, bands=16, threshold=0.8
     )
     return dedup_clusters(docs, pairs)
+
+
+_X32_SQL = """
+WITH vocab AS (
+    SELECT DISTINCT source, w FROM (
+        SELECT source,
+            unnest(list_filter(
+                string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '')) AS w
+        FROM documents)
+),
+sizes AS (SELECT source, COUNT(*) AS n FROM vocab GROUP BY source),
+common AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+        CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM vocab a JOIN vocab b
+        ON a.w = b.w AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT c.source_a, c.source_b, c.n_common,
+    ROUND(c.n_common / (sa.n + sb.n - c.n_common), 6) AS jaccard
+FROM common c
+JOIN sizes sa ON c.source_a = sa.source
+JOIN sizes sb ON c.source_b = sb.source
+"""
+
+
+@q("x32_source_vocab_overlap", _X32_SQL)
+def x32(spark, sf_dir):
+    """Corpus mixture analysis: pairwise vocabulary Jaccard between
+    sources — the redundancy/domain-shift diagnostic a mixture build
+    reads before setting sampling weights. Per-source DISTINCT
+    vocabulary first (map-side combine collapses the corpus to its
+    vocabulary), then a token-equijoin of the k(k-1)/2 source pairs —
+    the shuffle is vocabulary-sized, never corpus-sized. Ratio
+    rounded to 6 decimals (O(1)-scale ratio contract)."""
+    docs = _docs(spark, sf_dir)
+    vocab = docs.select(
+        "source", F.explode(tokenize("text")).alias("w")
+    ).distinct()
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = vocab.select(F.col("source").alias("source_a"), "w")
+    b = vocab.select(F.col("source").alias("source_b"), "w")
+    common = (
+        a.join(b, "w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        common.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+_X33_SQL = """
+WITH t AS (
+    SELECT source,
+        len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+            AS n_tok
+    FROM documents
+)
+SELECT source,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    ROUND(quantile_cont(n_tok, 0.1), 6) AS p10,
+    ROUND(quantile_cont(n_tok, 0.5), 6) AS p50,
+    ROUND(quantile_cont(n_tok, 0.9), 6) AS p90
+FROM t GROUP BY source
+"""
+
+
+@q("x33_length_profile", _X33_SQL)
+def x33(spark, sf_dir):
+    """Per-source document-length profile: exact p10/p50/p90 of
+    whitespace token counts — the corpus report that decides chunking
+    budgets and length filters per source. ONE group-aggregate (exact
+    percentile rides the a4/x25 Spark⇄DuckDB exactness contract);
+    no window, no global sort."""
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "source", token_count("text", "ws").alias("n_tok")
+    )
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("percentile(n_tok, 0.1)"), 6).alias("p10"),
+        F.round(F.expr("percentile(n_tok, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n_tok, 0.9)"), 6).alias("p90"),
+    )
