@@ -1,0 +1,78 @@
+"""Targeted properties for the round-7 curation trio: Gopher rules
+(x34), DSIR importance weights (x35), duplicate spans (x36). Oracle
+parity for the catalog entries rides test_oracle_parity.py; these
+pin the semantic contracts the oracle can't express.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trisk_datawrangle_spark.llm.sampling import dsir_importance_weights
+from trisk_datawrangle_spark.llm.text import (
+    duplicate_spans,
+    gopher_quality_table,
+)
+
+
+def test_gopher_rules_discriminate(spark):
+    good = " ".join(
+        ["the quick brown fox jumps over and rests with care that day"] * 5
+    )  # 60 words, mean len ~4, all alpha, stopwords present
+    too_short = "the cat sat"
+    symbol_heavy = " ".join(["the of and that have with be to"] * 7) + (
+        " " + "# " * 20
+    )
+    no_stopwords = " ".join(f"word{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, good), (2, too_short), (3, symbol_heavy), (4, no_stopwords),
+         (5, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_quality_table(df).collect()}
+    assert out[1].passes_gopher
+    assert not out[2].passes_gopher  # word count < 50
+    assert not out[3].passes_gopher  # symbol ratio > 0.1
+    assert not out[4].passes_gopher  # 0 stopwords
+    assert not out[5].passes_gopher and out[5].n_words == 0
+
+
+def test_dsir_weights_favor_target_lookalikes(spark):
+    target_text = "climate risk scenario pathway transition energy policy"
+    other_text = "football match goal score league player season referee"
+    rows = [(i, target_text, "tgt") for i in range(10)]
+    rows += [(100 + i, other_text, "raw") for i in range(10)]
+    # a raw-source doc that LOOKS like the target domain must outscore
+    # raw-source docs that don't
+    rows.append((200, target_text, "raw"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r.doc_id: r.logweight
+        for r in dsir_importance_weights(
+            df, F.col("source") == "tgt", buckets=64
+        ).collect()
+    }
+    assert out[200] > out[100]
+    assert abs(out[200] - out[0]) < 1e-9  # identical text, identical score
+
+
+def test_duplicate_spans_find_planted_boilerplate(spark):
+    license_blk = "this work is licensed under the creative commons license"
+    rows = [
+        (i, f"unique preamble {i} alpha beta {license_blk} tail {i * 3}")
+        for i in range(5)
+    ]
+    rows.append((99, "entirely novel content with no repeated eight gram "
+                     "runs anywhere in this sentence at all"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicate_spans(df, n=8, min_count=2).collect()
+    ids = {r.doc_id for r in out}
+    assert ids == set(range(5))  # the novel doc is never flagged
+    # every planted doc flags the same license span hash at least once
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, set()).add(r.span_hash)
+    shared = set.intersection(*by_doc.values())
+    assert shared  # the license block's grams repeat in all five
+    # positions are 1-based word indexes into the filtered word list
+    assert all(r.start >= 1 for r in out)

@@ -163,6 +163,25 @@ def d2(spark, sf_dir):
     )
 
 
+@q("d16_prefix_filter_jaccard", _jaccard_pairs_sql(0.5))
+def d16(spark, sf_dir):
+    """PPJoin-style prefix-filtered EXACT Jaccard pairs — same oracle
+    as d3 (threshold 0.5) because prefix + size filtering is lossless;
+    unlike d2's all-co-shingle join, the join side only carries each
+    document's rarest ``|A| - ceil(t·|A|) + 1`` shingles, so the
+    boilerplate-shingle k² blowup that makes d2 a labeled quadratic
+    tier never happens. This is the exact-tier scale path at 100 TB
+    when MinHash recall bounds aren't acceptable."""
+    from trisk_datawrangle_spark.llm.dedup import ngram_jaccard_prefix_pairs
+
+    pairs = ngram_jaccard_prefix_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", n=3, threshold=0.5
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 @q("d3_minhash_lsh", _jaccard_pairs_sql(0.5))
 def d3(spark, sf_dir):
     """MinHash-LSH candidates + exact-Jaccard verification: the
@@ -663,6 +682,146 @@ def x3(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", F.round(quality_score("text"), 6).alias("quality")
     )
+
+
+_GOPHER_STOP_SQL = "'the','be','to','of','and','that','have','with'"
+
+_GOPHER_SQL = f"""
+WITH w AS (
+    SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '') AS words,
+        length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+            AS alnum_chars,
+        (length(text) - length(replace(text, '#', '')))
+          + (length(text) - length(replace(text, '...', ''))) // 3
+            AS n_sym
+    FROM documents
+), m AS (
+    SELECT doc_id, len(words) AS n_words, alnum_chars, n_sym,
+        len(list_filter(words, x -> regexp_matches(x, '[a-z]')))
+            AS n_alpha,
+        len(list_filter(words,
+            x -> list_contains([{_GOPHER_STOP_SQL}], x))) AS n_stop
+    FROM w
+)
+SELECT doc_id, n_words,
+    ROUND(CASE WHEN n_words > 0 THEN alnum_chars / n_words
+          ELSE 0.0 END, 6) AS mean_word_len,
+    ROUND(CASE WHEN n_words > 0 THEN n_alpha / n_words
+          ELSE 0.0 END, 6) AS frac_alpha,
+    n_stop,
+    ROUND(CASE WHEN n_words > 0 THEN n_sym / n_words
+          ELSE 0.0 END, 6) AS symbol_ratio,
+    (n_words BETWEEN 50 AND 100000
+     AND (CASE WHEN n_words > 0 THEN alnum_chars / n_words ELSE 0.0 END)
+         BETWEEN 3.0 AND 10.0
+     AND (CASE WHEN n_words > 0 THEN n_sym / n_words ELSE 0.0 END) <= 0.1
+     AND (CASE WHEN n_words > 0 THEN n_alpha / n_words ELSE 0.0 END) >= 0.8
+     AND n_stop >= 2) AS passes_gopher
+FROM m
+"""
+
+
+_X36_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '') AS words
+    FROM documents
+), grams AS (
+    SELECT doc_id, i AS start,
+        md5(array_to_string(words[i:i+7], ' ')) AS span_hash
+    FROM (SELECT doc_id, words,
+            unnest(generate_series(1, greatest(len(words) - 7, 0))) AS i
+          FROM toks)
+), rep AS (
+    SELECT span_hash, COUNT(*) AS n_dups
+    FROM grams GROUP BY 1 HAVING COUNT(*) >= 2
+)
+SELECT g.doc_id, g.start, g.span_hash, r.n_dups
+FROM grams g JOIN rep r USING (span_hash)
+"""
+
+
+@q("x36_duplicate_spans", _X36_SQL)
+def x36(spark, sf_dir):
+    """Exact duplicate-span positions (word-8-gram occurrences seen
+    2+ times corpus-wide) — the span-level dedup primitive from Lee
+    et al. 2022, re-expressed as two keyed shuffles; see
+    ``llm/text.py:duplicate_spans``."""
+    from trisk_datawrangle_spark.llm.text import duplicate_spans
+
+    return duplicate_spans(
+        _docs(spark, sf_dir), "text", "doc_id", n=8, min_count=2
+    )
+
+
+def _x35_sql() -> str:
+    from trisk_datawrangle_spark.llm.sampling import md5_bucket_sql
+
+    bucket = md5_bucket_sql("gram", 512, seed=0)
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '') AS words
+    FROM documents
+), grams AS (
+    SELECT doc_id, array_to_string(words[i:i+1], ' ') AS gram
+    FROM (SELECT doc_id, words,
+            unnest(generate_series(1, greatest(len(words) - 1, 0))) AS i
+          FROM toks)
+), gb AS (
+    SELECT g.doc_id, {bucket} AS b,
+        CASE WHEN d.source = 'src0' THEN 1 ELSE 0 END AS t
+    FROM grams g JOIN documents d USING (doc_id)
+), stats AS (
+    SELECT b, COUNT(*) AS c_r, SUM(t) AS c_t FROM gb GROUP BY 1
+), tot AS (
+    SELECT SUM(c_r) AS n_r, SUM(c_t) AS n_t FROM stats
+), per AS (
+    SELECT gb.doc_id,
+        SUM(ln((c_t + 1.0) / (c_r + 1.0))) AS s,
+        COUNT(*) AS n_grams
+    FROM gb JOIN stats USING (b) GROUP BY 1
+)
+SELECT d.doc_id,
+    COALESCE(per.n_grams, 0) AS n_grams,
+    ROUND(COALESCE(
+        per.s + per.n_grams * ln((tot.n_r + 512.0) / (tot.n_t + 512.0)),
+        0.0), 6) AS logweight
+FROM documents d LEFT JOIN per USING (doc_id) CROSS JOIN tot
+"""
+
+
+@q("x35_dsir_weights", _x35_sql())
+def x35(spark, sf_dir):
+    """DSIR-style hashed-bigram importance weights against the
+    'src0' target domain — the data-selection scoring pass; see
+    ``llm/sampling.py:dsir_importance_weights`` for the scale shape
+    (bucket-count aggregate + broadcast totals, no driver state)."""
+    from trisk_datawrangle_spark.llm.sampling import dsir_importance_weights
+
+    docs = _docs(spark, sf_dir)
+    out = dsir_importance_weights(
+        docs, F.col("source") == "src0", "text", "doc_id",
+        n=2, buckets=512, seed=0,
+    )
+    return out.select(
+        "doc_id", "n_grams", F.round("logweight", 6).alias("logweight")
+    )
+
+
+@q("x34_gopher_rules", _GOPHER_SQL)
+def x34(spark, sf_dir):
+    """Gopher quality-rule gate (Rae et al. 2021 public filter set)
+    over the documents table — per-word metrics via ONE keyed
+    aggregate on the shared gram builder, scalar symbol counts as
+    plain expressions; see ``llm/text.py:gopher_quality_table``."""
+    from trisk_datawrangle_spark.llm.text import gopher_quality_table
+
+    return gopher_quality_table(_docs(spark, sf_dir), "text", "doc_id")
 
 
 def _x25_sql() -> str:

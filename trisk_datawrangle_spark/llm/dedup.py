@@ -147,6 +147,88 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_prefix_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs via PPJoin-style prefix filtering
+    (Xiao et al., WWW'08 — public algorithm) — the lossless scale
+    path that replaces :func:`ngram_jaccard_pairs`' all-co-shingle
+    join for thresholds high enough to prune.
+
+    Why it scales where the plain co-shingle join doesn't: a shingle
+    shared by k documents contributes k² rows to the plain join no
+    matter how common it is. Prefix filtering orders each document's
+    shingles by GLOBAL document frequency (rarest first) and joins
+    only the first ``p = |A| - ceil(t·|A|) + 1`` shingles of each
+    document — two documents with Jaccard ≥ t MUST share at least one
+    prefix shingle (pigeonhole on the ``ceil(t·|A|)`` overlap the
+    threshold implies), so no qualifying pair is lost, while the
+    boilerplate (high-df) shingles that cause the k² blowup are
+    exactly the ones pushed OUT of the prefix. A size filter
+    (``t·|A| ≤ |B| ≤ |A|/t``) prunes further. Survivors are verified
+    with an exact intersection count, so the output is identical to
+    the exhaustive join — at t=0.5 the prefix is half each document.
+
+    Shuffles: shingle distinct, one df aggregate, one window sort per
+    doc (keyed by id — no global sort), the prefix self-join (on
+    rare-by-construction keys), and the verify join. All keyed,
+    all AQE-skew-splittable.
+    """
+    shingled = shingle_hashes(df, text_col, id_col, n, distinct=True).cache()
+    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    doc_freq = shingled.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
+    # Canonical global shingle order: ascending document frequency,
+    # hash as the tiebreak — every doc ranks its shingles identically.
+    ranked = (
+        shingled.join(doc_freq, "h")
+        .withColumn(
+            "__pos",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("__df", "h")
+            ),
+        )
+        .join(sizes, "id")
+    )
+    t = float(threshold)
+    prefix_len = F.col("n_grams") - F.ceil(F.lit(t) * F.col("n_grams")) + 1
+    prefix = ranked.filter(F.col("__pos") <= prefix_len).select("id", "h", "n_grams")
+    pa = prefix.select(
+        F.col("id").alias("id_a"), "h", F.col("n_grams").alias("n_a")
+    )
+    pb = prefix.select(
+        F.col("id").alias("id_b"), "h", F.col("n_grams").alias("n_b")
+    )
+    cand = (
+        pa.join(pb, "h")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("n_b") >= F.ceil(F.lit(t) * F.col("n_a")))
+            & (F.col("n_a") >= F.ceil(F.lit(t) * F.col("n_b")))
+        )
+        .select("id_a", "id_b", "n_a", "n_b")
+        .distinct()
+    )
+    # Exact verify: count the true intersection for survivors only.
+    ga = shingled.select(F.col("id").alias("id_a"), "h")
+    gb = shingled.select(F.col("id").alias("id_b"), "h")
+    common = (
+        cand.join(ga, "id_a")
+        .join(gb, ["id_b", "h"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= t)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 #: Mersenne prime 2^31 - 1 — modulus of the Carter-Wegman family.
 _MERSENNE_31 = 2147483647
 

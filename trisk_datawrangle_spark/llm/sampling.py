@@ -360,6 +360,100 @@ def curriculum_order(
     return out.withColumn("position", F.row_number().over(pos_w))
 
 
+def md5_bucket(col: str | Column, buckets: int, seed: int = 0) -> Column:
+    """Deterministic feature-hash bucket in [0, buckets): the first 8
+    hex digits of ``md5(value ':' seed)`` (32 bits — exactly
+    representable, no cross-engine rounding) mod ``buckets``."""
+    c = F.col(col) if isinstance(col, str) else col
+    hx = F.md5(F.concat(c.cast("string"), F.lit(f":{seed}")))
+    return F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % F.lit(
+        int(buckets)
+    )
+
+
+def md5_bucket_sql(expr: str, buckets: int, seed: int = 0) -> str:
+    """The identical bucket as DuckDB SQL (strpos polynomial over the
+    8 hex digits — every intermediate < 2^32, exact)."""
+    h = f"md5(CAST({expr} AS VARCHAR) || ':{seed}')"
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1) "
+        f"* {16 ** (7 - i)}.0"
+        for i in range(8)
+    )
+    return f"(CAST(({terms}) AS BIGINT) % {int(buckets)})"
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    buckets: int = 512,
+    seed: int = 0,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, public): score
+    every document by how much its hashed word-``n``-gram feature
+    distribution looks like the ``target`` subset vs the raw corpus —
+    ``logweight(doc) = Σ_grams ln(p̂_target(bucket)/p̂_raw(bucket))``
+    with add-one smoothing over ``buckets`` hashed features. The
+    standard data-selection step before pretraining: resample the raw
+    corpus ∝ exp(logweight) to shift it toward the target domain.
+
+    Scale shape: one gram pass (shared relational gram builder), the
+    feature distributions are ONE map-side-combinable aggregate over
+    at most ``buckets`` keys (conditional sum — target and raw counts
+    in the same pass, no second scan), the totals row is a broadcast
+    cross join, and the per-doc reduce is keyed by id. Nothing is
+    driver-sized except the ``buckets``-row stats frame. Documents
+    with fewer than ``n`` words get logweight 0.0 via the left join.
+
+    Determinism: buckets come from :func:`md5_bucket` (engine-exact);
+    the ``ln`` sums are floats — consumers should round for
+    cross-engine comparison (the catalog entry rounds to 1e-6).
+    """
+    from trisk_datawrangle_spark.llm.text import word_gram_table
+
+    grams = word_gram_table(df, text_col, id_col, n)
+    tagged = grams.select(
+        "id", md5_bucket("gram", buckets, seed).alias("b")
+    )
+    flags = df.select(
+        F.col(id_col).alias("id"), target.cast("int").alias("__t")
+    )
+    gb = tagged.join(flags, "id")
+    stats = gb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_r"), F.sum("__t").alias("c_t")
+    )
+    totals = stats.agg(
+        F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t")
+    )
+    per_doc = (
+        gb.join(stats, "b")
+        .groupBy("id")
+        .agg(
+            F.sum(
+                F.log((F.col("c_t") + 1.0) / (F.col("c_r") + 1.0))
+            ).alias("__s"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+    )
+    bb = float(buckets)
+    const = F.log((F.col("n_r") + bb) / (F.col("n_t") + bb))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce(
+                F.col("__s") + F.col("n_grams") * const, F.lit(0.0)
+            ).alias("logweight"),
+        )
+    )
+
+
 def global_take(
     df: DataFrame, k: int, id_col: str = "doc_id", seed: int = 0
 ) -> DataFrame:

@@ -43,6 +43,77 @@ def word_gram_table(df, text_col="text", id_col="doc_id", n=3, distinct=False):
     )
     return grams.distinct() if distinct else grams
 
+def word_gram_table_pos(df, text_col="text", id_col="doc_id", n=3):
+    """(id, start, gram) long table of word ``n``-grams WITH the
+    1-based word position of each gram's first word — the positional
+    sibling of :func:`word_gram_table` for span-level operators
+    (duplicate-span dedup needs to say WHERE a repeated span sits).
+
+    ``start`` counts non-empty words (empties from the split are
+    filtered before numbering), so it matches an oracle that indexes
+    a filtered word list. Same relational/codegen shape: posexplode,
+    row_number renumber, lead windows, tail-gram filter."""
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+        ).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    win = Window.partitionBy("id").orderBy("pos")
+    numbered = words.withColumn("start", F.row_number().over(win))
+    parts = [F.col("w")] + [F.lead("w", k).over(win) for k in range(1, n)]
+    return (
+        numbered.select(
+            "id",
+            "start",
+            F.concat_ws(" ", *parts).alias("gram"),
+            parts[-1].alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .select("id", "start", "gram")
+    )
+
+
+def duplicate_spans(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_count: int = 2,
+):
+    """Exact duplicate-span detection (the word-level shape of Lee et
+    al. 2022's 'Deduplicating Training Data Makes Language Models
+    Better' substring dedup — public): every position where a word
+    ``n``-gram occurs ``min_count``+ times corpus-wide, with the
+    occurrence count. Downstream removal can cut exactly those spans
+    instead of whole documents — the precision win over document-level
+    near-dedup for boilerplate (headers, licenses, templates).
+
+    Where the paper builds a suffix array (inherently sequential),
+    this is two keyed shuffles that Spark does well at 100 TB: a
+    gram-count aggregate (map-side combinable; the gram key is hashed
+    to a compact span id via md5 so the shuffle carries no long
+    strings beyond the first aggregate) and a semi-join of positions
+    against the repeated grams. Fixed ``n`` trades the paper's
+    maximal-match lengths for full distribution; adjacent flagged
+    positions reconstruct longer matches (a run of k flagged starts =
+    one duplicated span of k+n-1 words)."""
+    pos = word_gram_table_pos(df, text_col, id_col, n)
+    keyed = pos.select(
+        "id", "start", F.md5(F.col("gram")).alias("span_hash")
+    )
+    repeated = (
+        keyed.groupBy("span_hash")
+        .agg(F.count(F.lit(1)).alias("n_dups"))
+        .filter(F.col("n_dups") >= int(min_count))
+    )
+    return keyed.join(repeated, "span_hash").select(
+        F.col("id").alias(id_col), "start", "span_hash", "n_dups"
+    )
+
+
 # Tiny per-language stopword markers for the n-gram language heuristic.
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of"],
@@ -157,6 +228,76 @@ def repetition_table(df, text_col: str = "text", id_col: str = "doc_id", n: int 
                 F.when(F.col("__total") > 0, ratio), F.lit(0.0)
             ).alias("rep_ratio"),
         )
+    )
+
+
+#: Gopher rules stopword list (Rae et al. 2021, Table A1 — public).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_table(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style document quality gate (Rae et al. 2021, public
+    filter set): word-count band [50, 100k], mean word length in
+    [3, 10], symbol-to-word ratio (# / ellipsis) ≤ 0.1, ≥ 80% of
+    words containing a letter, ≥ 2 stopwords from the Gopher list.
+
+    Relational/codegen form: the per-word metrics ride
+    :func:`word_gram_table` (n=1) into ONE map-side-combinable
+    aggregate keyed by doc id — no interpreted array HOFs in the
+    per-word path; the per-document scalars (# and ellipsis counts)
+    are plain length expressions. Zero-word documents survive via the
+    left join and fail the gate with zeroed metrics.
+
+    Rule comparisons happen on the UNROUNDED doubles (integer/integer
+    divisions — bit-exact across engines); the reported ratio columns
+    are rounded for display/hashing only.
+    """
+    stop = F.array([F.lit(w) for w in GOPHER_STOPWORDS])
+    words = word_gram_table(df, text_col, id_col, n=1)
+    per_word = words.groupBy(F.col("id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("__n_words"),
+        F.sum(F.length("gram")).alias("__alnum_chars"),
+        F.sum(
+            F.when(F.col("gram").rlike("[a-z]"), 1).otherwise(0)
+        ).alias("__n_alpha"),
+        F.sum(
+            F.when(F.array_contains(stop, F.col("gram")), 1).otherwise(0)
+        ).alias("__n_stop"),
+    )
+    t = F.col(text_col)
+    n_sym = (
+        (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit(""))))
+        + (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    ).cast("long")
+    base = df.select(id_col, n_sym.alias("__n_sym")).join(
+        per_word, id_col, "left"
+    )
+    n_words = F.coalesce(F.col("__n_words"), F.lit(0))
+    mean_len = F.when(
+        n_words > 0, F.col("__alnum_chars") / n_words
+    ).otherwise(F.lit(0.0))
+    frac_alpha = F.when(
+        n_words > 0, F.col("__n_alpha") / n_words
+    ).otherwise(F.lit(0.0))
+    sym_ratio = F.when(
+        n_words > 0, F.col("__n_sym") / n_words
+    ).otherwise(F.lit(0.0))
+    n_stop = F.coalesce(F.col("__n_stop"), F.lit(0))
+    passes = (
+        n_words.between(50, 100000)
+        & mean_len.between(3.0, 10.0)
+        & (sym_ratio <= 0.1)
+        & (frac_alpha >= 0.8)
+        & (n_stop >= 2)
+    )
+    return base.select(
+        id_col,
+        n_words.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(frac_alpha, 6).alias("frac_alpha"),
+        n_stop.alias("n_stop"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        passes.alias("passes_gopher"),
     )
 
 
