@@ -2321,6 +2321,49 @@ def s7_probe(spark, sf_dir):
 
 
 @q(
+    "v3_embedding_covariance",
+    """
+WITH dims AS (
+    SELECT vec_id, i,
+        CAST(embedding[i] AS DOUBLE) AS x
+    FROM (SELECT vec_id, embedding,
+            unnest(generate_series(1, len(embedding))) AS i
+          FROM embeddings)
+), prods AS (
+    SELECT a.i AS i, b.i AS j,
+        SUM(CAST(ROUND(a.x * b.x * 100000000.0, 0) AS BIGINT)) AS sxy_q,
+        COUNT(*) AS n
+    FROM dims a JOIN dims b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2
+), means AS (
+    SELECT i, SUM(CAST(ROUND(x * 1000000.0, 0) AS BIGINT)) AS sx_q
+    FROM dims GROUP BY 1
+)
+SELECT p.i, p.j,
+    ROUND((p.sxy_q / 100000000.0
+           - (ma.sx_q / 1000000.0) * (mb.sx_q / 1000000.0) / p.n)
+          / (p.n - 1), 9) AS cov
+FROM prods p
+JOIN means ma ON p.i = ma.i
+JOIN means mb ON p.j = mb.i
+""",
+)
+def v3(spark, sf_dir):
+    """Upper-triangle sample covariance of the embedding column —
+    the distributed-gramian correctness gate (order-independent
+    integer-quantized sums; see ``llm/decomposition.py``). The
+    throughput twin (``gramian_map_reduce``: Arrow-batch XᵀX
+    partials, d² floats per partition) and the PCA stack on top are
+    property-tested equal in tests/test_decomposition.py."""
+    from trisk_datawrangle_spark.llm.decomposition import (
+        embedding_covariance,
+    )
+
+    cov = embedding_covariance(_embs(spark, sf_dir))
+    return cov.select("i", "j", F.round("cov", 9).alias("cov"))
+
+
+@q(
     "v1_label_centroids",
     """
 WITH ex AS (
