@@ -76,3 +76,41 @@ def test_duplicate_spans_find_planted_boilerplate(spark):
     assert shared  # the license block's grams repeat in all five
     # positions are 1-based word indexes into the filtered word list
     assert all(r.start >= 1 for r in out)
+
+
+def test_bpe_encode_matches_pair_walk(spark):
+    """The replace-chain encoding must equal the reference greedy
+    pair-walk (exhaustive leftmost application per merge rank) —
+    including adjacent merge sites and repeated symbols."""
+    from trisk_datawrangle_spark.llm.text import BPE_MERGES, bpe_encode_stats
+
+    def pair_walk(word):
+        seq = list(word)
+        for a, b in BPE_MERGES:
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seq = out
+        return len(seq)
+
+    docs = [
+        (1, "erer inin stow stat"),        # adjacent merge chains
+        (2, "joinjoin partner lulu"),      # multi-rank cascades (j oin, pa r)
+        (3, "aaa ststst merer"),           # repeated symbols
+        (4, "zzz qqq"),                    # no merges fire
+        (5, ""),                           # empty doc
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in bpe_encode_stats(df).collect()}
+    import re
+
+    for doc_id, text in docs:
+        words = [w for w in re.split("[^a-z0-9]+", text.lower()) if w]
+        expect = sum(pair_walk(w) for w in words)
+        assert got[doc_id].n_bpe_tokens == expect, (doc_id, expect)
+        assert got[doc_id].n_words == len(words)

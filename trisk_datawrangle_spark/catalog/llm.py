@@ -723,6 +723,49 @@ FROM m
 """
 
 
+def _x37_sql() -> str:
+    from trisk_datawrangle_spark.llm.text import BPE_MERGES
+
+    s = "',,' || regexp_replace(gram, '(.)', '\\1,,', 'g')"
+    for a, b in BPE_MERGES:
+        s = f"replace({s}, ',{a},,{b},', ',{a}{b},')"
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+        unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '')) AS gram
+    FROM documents
+), enc AS (
+    SELECT doc_id, length(gram) AS n_chars,
+        (length({s}) - length(replace({s}, ',,', ''))) // 2 - 1 AS n_toks
+    FROM toks
+), per AS (
+    SELECT doc_id, COUNT(*) AS n_words,
+        CAST(SUM(n_toks) AS BIGINT) AS n_bpe_tokens,
+        CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM enc GROUP BY 1
+)
+SELECT d.doc_id,
+    COALESCE(per.n_words, 0) AS n_words,
+    COALESCE(per.n_bpe_tokens, 0) AS n_bpe_tokens,
+    ROUND(CASE WHEN per.n_bpe_tokens > 0
+          THEN per.n_chars / per.n_bpe_tokens ELSE 0.0 END, 6)
+        AS chars_per_token
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+@q("x37_bpe_encode", _x37_sql())
+def x37(spark, sf_dir):
+    """BPE merge application (ranked merge list → per-doc token
+    stats) — pure codegen replace-chain encoding; see
+    ``llm/text.py:bpe_encode_stats`` for the boundary-scheme proof.
+    Pairs with x26 (the distributed merge LEARNER)."""
+    from trisk_datawrangle_spark.llm.text import bpe_encode_stats
+
+    return bpe_encode_stats(_docs(spark, sf_dir))
+
+
 _X36_SQL = """
 WITH toks AS (
     SELECT doc_id,

@@ -231,6 +231,82 @@ def repetition_table(df, text_col: str = "text", id_col: str = "doc_id", n: int 
     )
 
 
+#: Default ranked BPE merge list for :func:`bpe_encode_stats` —
+#: learned offline from the documents corpus with the standard greedy
+#: pair-count algorithm (an input parameter, like s2's hyperplanes;
+#: x26_bpe_pair_stats is the distributed learner for refreshing it).
+BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("p", "a"), ("pa", "r"),
+    ("o", "in"), ("j", "oin"),
+]
+
+
+def bpe_encode_stats(
+    df,
+    merges: list[tuple[str, str]] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Apply a ranked BPE merge list and report per-document token
+    statistics — the tokenizer-application step of a training
+    pipeline (token budgeting, packing length estimates) as a PURE
+    whole-stage-codegen expression chain: no UDF, no Python loop over
+    rows, fully oracle-expressible.
+
+    Encoding trick: each word becomes a ``,,``-delimited symbol
+    string (``ab`` → ``,,a,,b,,``) and merge rank r rewrites
+    ``,a,,b,`` → ``,ab,`` with plain ``replace`` — the double-comma
+    boundary means (1) a pattern can never match across symbol or
+    word boundaries or inside a longer symbol, and (2) a replacement
+    consumes one comma from each side, leaving the neighbor's
+    delimiter intact, so adjacent merge sites chain left-to-right in
+    one pass — exactly the exhaustive leftmost-first application of
+    standard BPE, one ``replace`` per merge rank. ``replace``'s
+    leftmost non-overlapping scan is identical in Spark and DuckDB,
+    so the result is engine-exact.
+
+    Scale: per-word map (codegen) + one keyed aggregate. The merge
+    list is a literal in the plan — keep it to O(100) ranks per
+    expression tree (JVM 64KB method limit; chunk via multiple
+    selects beyond that, the sc4 lesson)."""
+    merges = BPE_MERGES if merges is None else merges
+    words = word_gram_table(df, text_col, id_col, n=1)
+    s = F.concat(
+        F.lit(",,"),
+        F.regexp_replace(F.col("gram"), "(.)", "$1,,"),
+    )
+    for a, b in merges:
+        s = F.replace(s, F.lit(f",{a},,{b},"), F.lit(f",{a}{b},"))
+    # symbols are separated (and wrapped) by exactly ',,': k symbols
+    # ⇒ k+1 separators ⇒ token count = separator count − 1, a pure
+    # string-length expression (no interpreted array HOF)
+    n_toks = (
+        F.length(s) - F.length(F.replace(s, F.lit(",,"), F.lit("")))
+    ) / 2 - 1
+    per_doc = words.groupBy(F.col("id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(n_toks.cast("long")).alias("n_bpe_tokens"),
+        F.sum(F.length("gram")).alias("__chars"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_bpe_tokens", F.lit(0)).alias("n_bpe_tokens"),
+            F.round(
+                F.when(
+                    F.col("n_bpe_tokens") > 0,
+                    F.col("__chars") / F.col("n_bpe_tokens"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("chars_per_token"),
+        )
+    )
+
+
 #: Gopher rules stopword list (Rae et al. 2021, Table A1 — public).
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
