@@ -114,3 +114,35 @@ def test_bpe_encode_matches_pair_walk(spark):
         expect = sum(pair_walk(w) for w in words)
         assert got[doc_id].n_bpe_tokens == expect, (doc_id, expect)
         assert got[doc_id].n_words == len(words)
+
+
+def test_scrub_spans_keeps_first_occurrence_only(spark):
+    from trisk_datawrangle_spark.llm.text import scrub_duplicate_spans
+
+    license_blk = ("this work is licensed under the creative commons "
+                   "attribution license")
+    rows = [
+        (i, f"unique preamble number {i * 11} alpha beta {license_blk}")
+        for i in range(4)
+    ]
+    rows.append((99, "entirely novel content with no repeated eight gram "
+                     "runs anywhere in this sentence at all"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in scrub_duplicate_spans(df, n=8).collect()}
+    # doc 0 is the corpus-wide first occurrence: untouched
+    assert out[0].n_removed == 0
+    assert "creative commons" in out[0].scrubbed_text
+    # later docs lose the license words but keep their unique preamble
+    for i in (1, 2, 3):
+        assert out[i].n_removed >= 8
+        assert "creative commons" not in out[i].scrubbed_text
+        assert f"number {i * 11}" in out[i].scrubbed_text
+    # the novel doc is untouched
+    assert out[99].n_removed == 0
+    # surviving words are a subsequence of the original token stream
+    import re
+    for doc_id, text in rows:
+        orig = [w for w in re.split("[^a-z0-9]+", text.lower()) if w]
+        kept = out[doc_id].scrubbed_text.split()
+        it = iter(orig)
+        assert all(any(w == o for o in it) for w in kept), doc_id

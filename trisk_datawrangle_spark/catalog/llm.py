@@ -787,6 +787,68 @@ FROM grams g JOIN rep r USING (span_hash)
 """
 
 
+_X39_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '') AS words
+    FROM documents
+), numbered AS (
+    SELECT doc_id, i AS p, words[i] AS w
+    FROM (SELECT doc_id, words,
+            unnest(generate_series(1, len(words))) AS i
+          FROM toks)
+), grams AS (
+    SELECT doc_id, i AS start,
+        md5(array_to_string(words[i:i+7], ' ')) AS span_hash
+    FROM (SELECT doc_id, words,
+            unnest(generate_series(1, greatest(len(words) - 7, 0))) AS i
+          FROM toks)
+), rep AS (
+    SELECT span_hash FROM grams GROUP BY 1 HAVING COUNT(*) >= 2
+), occ AS (
+    SELECT g.doc_id, g.start, g.span_hash,
+        row_number() OVER (PARTITION BY g.span_hash
+                           ORDER BY g.doc_id, g.start) AS rk
+    FROM grams g JOIN rep USING (span_hash)
+), covered AS (
+    SELECT DISTINCT doc_id, unnest(generate_series(start, start + 7)) AS p
+    FROM occ WHERE rk > 1
+), kept AS (
+    SELECT n.doc_id, n.p, n.w
+    FROM numbered n ANTI JOIN covered c
+      ON n.doc_id = c.doc_id AND n.p = c.p
+), rebuilt AS (
+    SELECT doc_id,
+        string_agg(w, ' ' ORDER BY p) AS scrubbed_text,
+        COUNT(*) AS n_kept
+    FROM kept GROUP BY 1
+), totals AS (
+    SELECT doc_id, COUNT(*) AS total FROM numbered GROUP BY 1
+)
+SELECT d.doc_id,
+    COALESCE(r.scrubbed_text, '') AS scrubbed_text,
+    COALESCE(r.n_kept, 0) AS n_kept,
+    COALESCE(t.total, 0) - COALESCE(r.n_kept, 0) AS n_removed
+FROM documents d
+LEFT JOIN totals t USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+@q("x39_scrub_spans", _X39_SQL)
+def x39(spark, sf_dir):
+    """Span-level dedup REWRITE: duplicated word-8-grams removed,
+    corpus-wide first occurrence kept (Lee et al. 2022 policy) —
+    the action step over x36's report; see
+    ``llm/text.py:scrub_duplicate_spans``."""
+    from trisk_datawrangle_spark.llm.text import scrub_duplicate_spans
+
+    return scrub_duplicate_spans(
+        _docs(spark, sf_dir), "text", "doc_id", n=8, min_count=2
+    )
+
+
 @q("x36_duplicate_spans", _X36_SQL)
 def x36(spark, sf_dir):
     """Exact duplicate-span positions (word-8-gram occurrences seen
@@ -854,6 +916,82 @@ def x35(spark, sf_dir):
     return out.select(
         "doc_id", "n_grams", F.round("logweight", 6).alias("logweight")
     )
+
+
+def _x38_sql() -> str:
+    from trisk_datawrangle_spark.llm.sampling import (
+        md5_bucket_sql,
+        md5_uniform_sql,
+    )
+
+    bucket = md5_bucket_sql("gram", 512, seed=0)
+    u = md5_uniform_sql("doc_id", seed=11)
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '') AS words
+    FROM documents
+), grams AS (
+    SELECT doc_id, array_to_string(words[i:i+1], ' ') AS gram
+    FROM (SELECT doc_id, words,
+            unnest(generate_series(1, greatest(len(words) - 1, 0))) AS i
+          FROM toks)
+), gb AS (
+    SELECT g.doc_id, {bucket} AS b,
+        CASE WHEN d.source = 'src0' THEN 1 ELSE 0 END AS t
+    FROM grams g JOIN documents d USING (doc_id)
+), stats AS (
+    SELECT b, COUNT(*) AS c_r, SUM(t) AS c_t FROM gb GROUP BY 1
+), tot AS (
+    SELECT SUM(c_r) AS n_r, SUM(c_t) AS n_t FROM stats
+), per AS (
+    SELECT gb.doc_id,
+        SUM(ln((c_t + 1.0) / (c_r + 1.0))) AS s,
+        COUNT(*) AS n_grams
+    FROM gb JOIN stats USING (b) GROUP BY 1
+), lw AS (
+    SELECT d.doc_id, d.source,
+        COALESCE(per.s + per.n_grams
+                 * ln((tot.n_r + 512.0) / (tot.n_t + 512.0)), 0.0)
+            AS logweight
+    FROM documents d LEFT JOIN per USING (doc_id) CROSS JOIN tot
+)
+SELECT source, doc_id FROM (
+    SELECT source, doc_id,
+        row_number() OVER (
+            PARTITION BY source
+            ORDER BY ln(-ln({u})) - logweight ASC, doc_id
+        ) AS rk
+    FROM lw
+) WHERE rk <= 5
+"""
+
+
+@q("x38_dsir_resample", _x38_sql())
+def x38(spark, sf_dir):
+    """DSIR selection end-to-end: hashed-bigram importance weights →
+    log-domain Efraimidis–Spirakis resample (5 docs per source,
+    inclusion ∝ exp(logweight)) — the executable composition of x35
+    with ``weighted_take_log``; the pipeline a 100 TB target-domain
+    selection actually runs."""
+    from trisk_datawrangle_spark.llm.sampling import (
+        dsir_importance_weights,
+        weighted_take_log,
+    )
+
+    docs = _docs(spark, sf_dir)
+    lw = dsir_importance_weights(
+        docs, F.col("source") == "src0", "text", "doc_id",
+        n=2, buckets=512, seed=0,
+    )
+    joined = docs.select("doc_id", "source").join(
+        lw.select("doc_id", "logweight"), "doc_id"
+    )
+    took = weighted_take_log(
+        joined, ["source"], 5, "logweight", "doc_id", seed=11
+    )
+    return took.select("source", "doc_id")
 
 
 @q("x34_gopher_rules", _GOPHER_SQL)

@@ -360,6 +360,34 @@ def curriculum_order(
     return out.withColumn("position", F.row_number().over(pos_w))
 
 
+def weighted_take_log(
+    df: DataFrame,
+    group_cols,
+    k: int,
+    logweight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """:func:`weighted_take` for LOG-domain weights (inclusion
+    probability ∝ exp(logweight) — the DSIR resampling step, where
+    weights arrive as log-ratios and exponentiating would over/underflow
+    for extreme docs). Efraimidis–Spirakis key rewritten monotonically:
+    maximizing ``ln(u)/exp(lw)`` ⟺ minimizing ``ln(−ln u) − lw``, so
+    the whole selection happens in the log domain. Deterministic in
+    (id, seed); one keyed window shuffle."""
+    key = F.log(-F.log(md5_uniform(id_col, seed))) - F.col(logweight_col)
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(*group_cols).orderBy(
+        key.asc(), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(win))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def md5_bucket(col: str | Column, buckets: int, seed: int = 0) -> Column:
     """Deterministic feature-hash bucket in [0, buckets): the first 8
     hex digits of ``md5(value ':' seed)`` (32 bits — exactly

@@ -114,6 +114,91 @@ def duplicate_spans(
     )
 
 
+def scrub_duplicate_spans(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_count: int = 2,
+):
+    """Rewrite documents with duplicated spans REMOVED, keeping the
+    corpus-wide first occurrence (min (doc, start)) of each span —
+    the action step on :func:`duplicate_spans`' report, matching Lee
+    et al. 2022's remove-all-but-one policy at word granularity.
+
+    Pipeline (all keyed shuffles): positional grams → repeated span
+    hashes → first-occurrence exclusion (one min-aggregate) → flagged
+    starts explode to covered word indexes (n rows per flagged start,
+    distinct) → anti-join against the word table → per-doc ordered
+    reassembly (sort_array over (pos, word) structs — no global
+    sort). Word positions are 1-based over the filtered word list;
+    ``scrubbed_text`` is the surviving words joined by single spaces
+    (original inter-word whitespace is not preserved — span dedup
+    operates on the normalized token stream)."""
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+        ).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    win = Window.partitionBy("id").orderBy("pos")
+    numbered = words.select(
+        "id", F.row_number().over(win).alias("p"), "w"
+    )
+    occ = duplicate_spans(df, text_col, id_col, n, min_count).select(
+        F.col(id_col).alias("id"), "start", "span_hash"
+    )
+    first = occ.groupBy("span_hash").agg(
+        F.min(F.struct("id", "start")).alias("__f")
+    )
+    flagged = (
+        occ.join(first, "span_hash")
+        .filter(
+            ~(
+                (F.col("id") == F.col("__f.id"))
+                & (F.col("start") == F.col("__f.start"))
+            )
+        )
+        .select("id", "start")
+    )
+    covered = flagged.select(
+        "id",
+        F.explode(
+            F.sequence(F.col("start"), F.col("start") + (n - 1))
+        ).alias("p"),
+    ).distinct()
+    kept = numbered.join(covered, ["id", "p"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("scrubbed_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = numbered.groupBy("id").agg(
+        F.count(F.lit(1)).alias("__total")
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(totals, "id", "left")
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("scrubbed_text", F.lit("")).alias("scrubbed_text"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (
+                F.coalesce("__total", F.lit(0))
+                - F.coalesce("n_kept", F.lit(0))
+            ).alias("n_removed"),
+        )
+    )
+
+
 # Tiny per-language stopword markers for the n-gram language heuristic.
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of"],
