@@ -163,19 +163,20 @@ def d2(spark, sf_dir):
     )
 
 
-@q("d16_prefix_filter_jaccard", _jaccard_pairs_sql(0.5))
+@q("d16_prefix_filter_jaccard", _jaccard_pairs_sql(0.8))
 def d16(spark, sf_dir):
-    """PPJoin-style prefix-filtered EXACT Jaccard pairs — same oracle
-    as d3 (threshold 0.5) because prefix + size filtering is lossless;
-    unlike d2's all-co-shingle join, the join side only carries each
-    document's rarest ``|A| - ceil(t·|A|) + 1`` shingles, so the
-    boilerplate-shingle k² blowup that makes d2 a labeled quadratic
-    tier never happens. This is the exact-tier scale path at 100 TB
-    when MinHash recall bounds aren't acceptable."""
+    """PPJoin-style prefix+positional-filtered EXACT Jaccard pairs at
+    the standard near-dup threshold t=0.8 — lossless (oracle = the
+    exhaustive pair SQL at 0.8), with candidate volume bounded by the
+    filters instead of the co-shingle k² blowup that makes d2 a
+    labeled quadratic tier. The exact-tier scale path at 100 TB when
+    MinHash recall bounds aren't acceptable; for t ≤ ~0.5 use d3
+    (see the threshold-guidance note in
+    ``llm/dedup.py:ngram_jaccard_prefix_pairs``)."""
     from trisk_datawrangle_spark.llm.dedup import ngram_jaccard_prefix_pairs
 
     pairs = ngram_jaccard_prefix_pairs(
-        _docs(spark, sf_dir), "text", "doc_id", n=3, threshold=0.5
+        _docs(spark, sf_dir), "text", "doc_id", n=3, threshold=0.8
     )
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")

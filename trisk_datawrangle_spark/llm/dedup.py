@@ -152,31 +152,43 @@ def ngram_jaccard_prefix_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
-    threshold: float = 0.5,
+    threshold: float = 0.8,
 ) -> DataFrame:
-    """EXACT n-gram Jaccard pairs via PPJoin-style prefix filtering
-    (Xiao et al., WWW'08 — public algorithm) — the lossless scale
-    path that replaces :func:`ngram_jaccard_pairs`' all-co-shingle
-    join for thresholds high enough to prune.
+    """EXACT n-gram Jaccard pairs via PPJoin-style prefix + positional
+    filtering (Xiao et al., WWW'08 — public algorithm) — the lossless
+    HIGH-threshold exact tier: at the standard near-dup threshold
+    t=0.8 each document joins only its ``|A| - ceil(t·|A|) + 1``
+    rarest shingles (~20%), so the k² blowup a boilerplate shingle
+    causes in :func:`ngram_jaccard_pairs`' all-co-shingle join never
+    happens.
 
-    Why it scales where the plain co-shingle join doesn't: a shingle
-    shared by k documents contributes k² rows to the plain join no
-    matter how common it is. Prefix filtering orders each document's
-    shingles by GLOBAL document frequency (rarest first) and joins
-    only the first ``p = |A| - ceil(t·|A|) + 1`` shingles of each
-    document — two documents with Jaccard ≥ t MUST share at least one
-    prefix shingle (pigeonhole on the ``ceil(t·|A|)`` overlap the
-    threshold implies), so no qualifying pair is lost, while the
-    boilerplate (high-df) shingles that cause the k² blowup are
-    exactly the ones pushed OUT of the prefix. A size filter
-    (``t·|A| ≤ |B| ≤ |A|/t``) prunes further. Survivors are verified
-    with an exact intersection count, so the output is identical to
-    the exhaustive join — at t=0.5 the prefix is half each document.
+    Three lossless filters, in order:
 
-    Shuffles: shingle distinct, one df aggregate, one window sort per
-    doc (keyed by id — no global sort), the prefix self-join (on
-    rare-by-construction keys), and the verify join. All keyed,
-    all AQE-skew-splittable.
+    - prefix: order each doc's shingles by GLOBAL document frequency
+      (rarest first); two docs with Jaccard ≥ t MUST share a prefix
+      shingle (pigeonhole on the implied ``ceil(t·|A|)`` overlap).
+    - size: ``t·|A| ≤ |B| ≤ |A|/t``.
+    - positional: a match at prefix positions (pa, pb) bounds the
+      total overlap by ``1 + min(|A|−pa, |B|−pb)``; require it to
+      reach ``ceil(t/(1+t)·(|A|+|B|))`` (the overlap Jaccard ≥ t
+      implies).
+
+    Survivors are verified EXACTLY by intersecting the two docs'
+    sorted shingle-hash arrays — candidate-bounded work (one row per
+    pair, never |pair|×|doc| join rows), the same hand-off contract
+    as d3's LSH verify. Output identical to the exhaustive join.
+
+    Threshold guidance (measured on the uniform-vocabulary test
+    corpus at sf1): prefix filtering is designed for HIGH t — at
+    t=0.8 candidates collapse to ~the true-pair neighborhood; at
+    t≤0.5 on a corpus where no shingle is rare the prefix is half the
+    doc and candidates approach all-pairs — use
+    :func:`minhash_lsh_dedup_pairs` (bounded candidates by
+    construction) or the co-shingle count join there.
+
+    Shuffles: shingle distinct, one df aggregate, one per-doc window
+    (keyed by id — no global sort), the prefix self-join, and two
+    id-keyed array fetches for verify. All keyed, AQE-splittable.
     """
     shingled = shingle_hashes(df, text_col, id_col, n, distinct=True).cache()
     sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
@@ -195,31 +207,57 @@ def ngram_jaccard_prefix_pairs(
     )
     t = float(threshold)
     prefix_len = F.col("n_grams") - F.ceil(F.lit(t) * F.col("n_grams")) + 1
-    prefix = ranked.filter(F.col("__pos") <= prefix_len).select("id", "h", "n_grams")
+    prefix = ranked.filter(F.col("__pos") <= prefix_len).select(
+        "id", "h", "n_grams", "__pos"
+    )
     pa = prefix.select(
-        F.col("id").alias("id_a"), "h", F.col("n_grams").alias("n_a")
+        F.col("id").alias("id_a"),
+        "h",
+        F.col("n_grams").alias("n_a"),
+        F.col("__pos").alias("pa"),
     )
     pb = prefix.select(
-        F.col("id").alias("id_b"), "h", F.col("n_grams").alias("n_b")
+        F.col("id").alias("id_b"),
+        "h",
+        F.col("n_grams").alias("n_b"),
+        F.col("__pos").alias("pb"),
     )
+    min_overlap = F.ceil(F.lit(t / (1.0 + t)) * (F.col("n_a") + F.col("n_b")))
     cand = (
         pa.join(pb, "h")
         .filter(
             (F.col("id_a") < F.col("id_b"))
             & (F.col("n_b") >= F.ceil(F.lit(t) * F.col("n_a")))
             & (F.col("n_a") >= F.ceil(F.lit(t) * F.col("n_b")))
+            & (
+                1
+                + F.least(
+                    F.col("n_a") - F.col("pa"), F.col("n_b") - F.col("pb")
+                )
+                >= min_overlap
+            )
         )
         .select("id_a", "id_b", "n_a", "n_b")
         .distinct()
     )
-    # Exact verify: count the true intersection for survivors only.
-    ga = shingled.select(F.col("id").alias("id_a"), "h")
-    gb = shingled.select(F.col("id").alias("id_b"), "h")
+    # Exact verify on candidate-bounded rows: per-doc sorted hash
+    # arrays (|doc| longs each), intersection size per pair.
+    arrays = shingled.groupBy("id").agg(
+        F.sort_array(F.collect_list("h")).alias("hs")
+    )
     common = (
-        cand.join(ga, "id_a")
-        .join(gb, ["id_b", "h"])
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        cand.join(
+            arrays.select(F.col("id").alias("id_a"), F.col("hs").alias("ha")),
+            "id_a",
+        )
+        .join(
+            arrays.select(F.col("id").alias("id_b"), F.col("hs").alias("hb")),
+            "id_b",
+        )
+        .withColumn(
+            "n_common", F.size(F.array_intersect("ha", "hb"))
+        )
+        .drop("ha", "hb")
     )
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
