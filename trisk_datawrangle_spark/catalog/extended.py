@@ -1189,3 +1189,50 @@ def x23(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorize(
         o, "o_totalprice", ["o_orderpriority"], "o_orderkey", 0.05, 0.95
     )
+
+
+def _x40_sql() -> str:
+    terms = " + ".join(
+        "COALESCE(lag(clean, {j}) OVER w, 0.0) * {c!r}".format(
+            j=j, c=0.3 * 0.7 ** j
+        )
+        for j in range(16)
+    )
+    return f"""
+WITH c AS (
+    SELECT event_id, user_id, ts,
+        CASE WHEN value IS NULL OR isnan(value) THEN 0.0
+             ELSE value END AS clean
+    FROM events
+)
+SELECT event_id, user_id, ROUND({terms}, 6) AS ewma
+FROM c
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@q("x40_ewma", _x40_sql())
+def x40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated EWMA per user over event time (α=0.3, 16 lags —
+    operators/mlprep.py ewma_bounded): the recursive smoother
+    re-expressed as a fixed lag chain so it parallelizes (one keyed
+    window, no sequential state) and sums in a fixed expression
+    order (bit-exact cross-engine, no float tolerance needed).
+    NULL/NaN values contribute 0, the truncated-EWMA warmup
+    convention."""
+    from trisk_datawrangle_spark.operators.mlprep import ewma_bounded
+
+    (ev,) = load_tables(spark, sf_dir, ["events"]).values()
+    clean = ev.withColumn(
+        "clean",
+        F.when(
+            F.col("value").isNull() | F.isnan("value"), F.lit(0.0)
+        ).otherwise(F.col("value")),
+    )
+    r = ewma_bounded(
+        clean, "clean", ["ts", "event_id"], ["user_id"],
+        alpha=0.3, lags=16,
+    )
+    return r.select(
+        "event_id", "user_id", F.round("ewma", 6).alias("ewma")
+    )

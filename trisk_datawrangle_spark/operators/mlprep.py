@@ -263,3 +263,35 @@ def winsorize(
             ),
         ).alias(out_col),
     )
+
+
+def ewma_bounded(
+    df: DataFrame,
+    value_col: str,
+    order_cols,
+    partition_cols,
+    alpha: float = 0.3,
+    lags: int = 16,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average with a bounded lookback:
+    ``ewma_t = Σ_{j=0}^{lags-1} α(1−α)^j · x_{t−j}`` (missing lags
+    contribute 0 — the head of each series warms up, the standard
+    truncated-EWMA convention).
+
+    Why bounded + explicit: the textbook recursive form needs
+    sequential per-row state (no parallel window evaluates it), and
+    an unbounded weight trick ``(1−α)^{−i}`` overflows. A FIXED lag
+    chain is one window per partition key (keyed shuffle only), whole
+    -stage codegen, and — because the weighted terms are summed in a
+    fixed expression order with literal coefficients — bit-exact
+    across engines and partitionings, so it can be oracle-gated
+    without float tolerance. Truncation error is bounded by
+    ``(1−α)^lags`` (0.7¹⁶ ≈ 0.3%% of a stationary signal)."""
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    terms = None
+    for j in range(lags):
+        coef = alpha * (1.0 - alpha) ** j
+        t = F.coalesce(F.lag(value_col, j).over(w), F.lit(0.0)) * F.lit(coef)
+        terms = t if terms is None else terms + t
+    return df.withColumn(out_col, terms)
