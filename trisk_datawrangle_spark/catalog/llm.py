@@ -734,6 +734,39 @@ def x3(spark, sf_dir):
     )
 
 
+@q(
+    "x41_zipf_spectrum",
+    """
+WITH toks AS (
+    SELECT unnest(list_filter(
+        string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))
+        AS w
+    FROM documents
+), tf AS (
+    SELECT w, COUNT(*) AS freq FROM toks GROUP BY 1
+)
+SELECT freq, COUNT(*) AS n_types,
+    CAST(freq * COUNT(*) AS BIGINT) AS n_tokens
+FROM tf GROUP BY 1
+""",
+)
+def x41(spark, sf_dir):
+    """Token frequency-of-frequencies (the Zipf/Heaps spectrum): how
+    many word types occur exactly ``freq`` times — the standard
+    corpus-health diagnostic (singleton mass = OCR noise / junk,
+    head mass = boilerplate). Two map-side-combinable aggregates,
+    vocabulary-sized then spectrum-sized shuffles — nothing scales
+    with corpus rows."""
+    from trisk_datawrangle_spark.llm.text import word_gram_table
+
+    toks = word_gram_table(_docs(spark, sf_dir), "text", "doc_id", n=1)
+    tf = toks.groupBy("gram").agg(F.count(F.lit(1)).alias("freq"))
+    return tf.groupBy("freq").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        (F.col("freq") * F.count(F.lit(1))).alias("n_tokens"),
+    )
+
+
 _GOPHER_STOP_SQL = "'the','be','to','of','and','that','have','with'"
 
 _GOPHER_SQL = f"""
