@@ -1,0 +1,147 @@
+"""Z-order (Morton-curve) clustering for multi-dimensional data
+skipping — the public technique behind Delta Lake's OPTIMIZE ZORDER
+and ClickHouse/Iceberg sort-key layouts.
+
+Why: parquet scans prune FILES (and row groups) by per-column
+min/max stats. A table sorted by one column skips beautifully on
+that column and not at all on any other. Interleaving the bits of
+several columns' rank-space positions puts rows that are close in
+EVERY dimension into the same files, so a selective predicate on ANY
+of the z-ordered columns shrinks each file's min/max box and prunes.
+
+Scale shape: one approx-quantile pass per column (driver holds
+``2^bits`` cut points per column — KBs), a pure-expression Morton
+key (no UDF), then ``repartitionByRange`` on the key (sampled range
+exchange — the only shuffle) + ``sortWithinPartitions``. No global
+single-task sort anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket_expr(col: str, cuts: list[float]) -> Column:
+    """Rank-space bucket id in [0, len(cuts)]: count of cut points
+    ≤ value, an array fold over the quantile cuts — equi-populated
+    buckets regardless of value skew. The fold is an interpreted HOF
+    (~2^bits comparisons per row): acceptable on a one-time layout
+    WRITE, which is the only place this runs; lower ``bits`` if the
+    rewrite is hot."""
+    # cuts ascend
+    arr = F.array(*[F.lit(float(c)) for c in cuts])
+    v = F.col(col).cast("double")
+    # number of cut points <= v == bucket index (0..len(cuts))
+    return F.coalesce(
+        F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, c: acc + F.when(v >= c, 1).otherwise(0),
+        ),
+        F.lit(0),
+    )
+
+
+def zorder_key(
+    df: DataFrame, cols: Sequence[str], bits: int = 8
+) -> Column:
+    """Morton-interleaved key over ``cols`` (each mapped to its
+    ``2^bits`` rank-space bucket by approx quantiles computed from
+    ``df``). Pure integer expression — interleaving is a fixed chain
+    of shifts and masks, whole-stage codegen."""
+    n = 1 << bits
+    qs = [i / n for i in range(1, n)]
+    buckets = []
+    for c in cols:
+        cuts = df.approxQuantile(c, qs, 0.001)
+        # dedupe ties (low-cardinality columns) keeping order
+        uniq: list[float] = []
+        for v in cuts:
+            if not uniq or v > uniq[-1]:
+                uniq.append(v)
+        buckets.append(_bucket_expr(c, uniq))
+    d = len(buckets)
+    key = F.lit(0).cast("long")
+    for j in range(bits):
+        for i, b in enumerate(buckets):
+            bit = F.shiftright(b.cast("long"), j).bitwiseAND(F.lit(1))
+            key = key + F.shiftleft(bit, j * d + i)
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    n_files: int = 16,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files clustered on the
+    z-order curve of ``cols``: range-partition by the Morton key
+    (sampled exchange), sort within each partition, write. Every
+    file's min/max box is then tight in all ``cols`` — the layout
+    data-skipping needs."""
+    key = zorder_key(df, cols, bits)
+    (
+        df.withColumn("__z", key)
+        .repartitionByRange(int(n_files), "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def file_minmax_boxes(path: str, cols: Sequence[str]) -> list[dict]:
+    """Per-file min/max boxes from parquet footer statistics (via
+    pyarrow — metadata only, no data read). The observable that
+    data-skipping effectiveness is measured by."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        box: dict = {"file": name}
+        idx = {
+            md.schema.column(i).name: i for i in range(md.num_columns)
+        }
+        for c in cols:
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    lo, hi = None, None
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            box[c] = (lo, hi)
+        out.append(box)
+    return out
+
+
+def files_pruned(
+    boxes: list[dict], predicates: dict[str, tuple]
+) -> tuple[int, int]:
+    """(files that survive pruning, total files) for a conjunction of
+    per-column range predicates — the skip arithmetic a reader's
+    planner performs against the footer stats."""
+    total = len(boxes)
+    hit = 0
+    for b in boxes:
+        ok = True
+        for c, (lo, hi) in predicates.items():
+            blo, bhi = b[c]
+            if blo is None or bhi < lo or blo > hi:
+                ok = False
+                break
+        if ok:
+            hit += 1
+    return hit, total
