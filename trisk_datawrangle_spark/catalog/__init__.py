@@ -87,6 +87,20 @@ _PRIORITY = [
     "d15_dedup_clusters_scale",
     "x32_source_vocab_overlap",
     "x33_length_profile",
+    # new in r7, second batch (curation/decomposition/ANN additions —
+    # never driver-proofed, so they outrank re-proof rotation): the
+    # displaced r4-proof cohort (w7 onward) rotates into r8's window
+    "d16_prefix_filter_jaccard",
+    "v3_embedding_covariance",
+    "s8_pca_ivf_recall",
+    "x34_gopher_rules",
+    "x35_dsir_weights",
+    "x36_duplicate_spans",
+    "x37_bpe_encode",
+    "x38_dsir_resample",
+    "x39_scrub_spans",
+    "x40_ewma",
+    "x41_zipf_spectrum",
     "flagship_market_share",
     "w0_run_workflow_e2e",
     "a1_pricing_summary",
