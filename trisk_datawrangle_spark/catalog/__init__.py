@@ -101,6 +101,7 @@ _PRIORITY = [
     "x39_scrub_spans",
     "x40_ewma",
     "x41_zipf_spectrum",
+    "x42_novelty_rate",
     "flagship_market_share",
     "w0_run_workflow_e2e",
     "a1_pricing_summary",

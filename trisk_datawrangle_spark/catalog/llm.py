@@ -735,6 +735,78 @@ def x3(spark, sf_dir):
 
 
 @q(
+    "x42_novelty_rate",
+    """
+WITH toks AS (
+    SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '') AS words
+    FROM documents
+), grams AS (
+    SELECT DISTINCT doc_id,
+        md5(array_to_string(words[i:i+7], ' ')) AS span_hash
+    FROM (SELECT doc_id, words,
+            unnest(generate_series(1, greatest(len(words) - 7, 0))) AS i
+          FROM toks)
+), firsts AS (
+    SELECT span_hash, MIN(doc_id) AS first_id FROM grams GROUP BY 1
+), per AS (
+    SELECT g.doc_id, COUNT(*) AS n_spans,
+        SUM(CASE WHEN f.first_id = g.doc_id THEN 1 ELSE 0 END) AS n_new
+    FROM grams g JOIN firsts f USING (span_hash)
+    GROUP BY 1
+)
+SELECT d.doc_id,
+    COALESCE(per.n_spans, 0) AS n_spans,
+    ROUND(CASE WHEN per.n_spans > 0
+          THEN per.n_new / per.n_spans ELSE 1.0 END, 6) AS novelty
+FROM documents d LEFT JOIN per USING (doc_id)
+""",
+)
+def x42(spark, sf_dir):
+    """Span novelty rate: fraction of each document's distinct word-
+    8-grams whose corpus-wide FIRST occurrence (min doc id) is this
+    document — ~1 for fresh content, ~0 for re-hashes of earlier
+    docs. The streaming-ingest freshness signal, batch form: one
+    min-aggregate over span hashes + one id-keyed reduce; zero-span
+    docs default to novelty 1.0 (nothing copied)."""
+    from trisk_datawrangle_spark.llm.text import word_gram_table
+
+    docs = _docs(spark, sf_dir)
+    grams = (
+        word_gram_table(docs, "text", "doc_id", n=8)
+        .select("id", F.md5("gram").alias("span_hash"))
+        .distinct()
+    )
+    firsts = grams.groupBy("span_hash").agg(F.min("id").alias("first_id"))
+    per = (
+        grams.join(firsts, "span_hash")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                F.when(F.col("first_id") == F.col("id"), 1).otherwise(0)
+            ).alias("n_new"),
+        )
+    )
+    return (
+        docs.select(F.col("doc_id").alias("id"))
+        .join(per, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.round(
+                F.when(
+                    F.col("n_spans") > 0,
+                    F.col("n_new") / F.col("n_spans"),
+                ).otherwise(F.lit(1.0)),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+@q(
     "x41_zipf_spectrum",
     """
 WITH toks AS (
