@@ -84,3 +84,21 @@ def test_prefix_actually_prunes(spark):
     # sanity: the exhaustive co-shingle join is much larger than the
     # true pair count — the filter had something real to prune
     assert full_join_rows > 10 * len(out)
+
+
+def test_prefix_pairs_edge_cases(spark):
+    """Empty corpus, singleton doc, and sub-n-word docs must not
+    error and must return no pairs."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert ngram_jaccard_prefix_pairs(empty).count() == 0
+    tiny = spark.createDataFrame(
+        [(1, "only two"), (2, "one"), (3, "")],
+        "doc_id long, text string",
+    )
+    # all docs have < 3 words -> zero shingles -> zero pairs
+    assert ngram_jaccard_prefix_pairs(tiny, n=3).count() == 0
+    single = spark.createDataFrame(
+        [(1, "a full sentence with enough words to shingle")],
+        "doc_id long, text string",
+    )
+    assert ngram_jaccard_prefix_pairs(single, n=3).count() == 0
