@@ -102,6 +102,7 @@ _PRIORITY = [
     "x40_ewma",
     "x41_zipf_spectrum",
     "x42_novelty_rate",
+    "x43_source_copy_matrix",
     "flagship_market_share",
     "w0_run_workflow_e2e",
     "a1_pricing_summary",

@@ -735,6 +735,65 @@ def x3(spark, sf_dir):
 
 
 @q(
+    "x43_source_copy_matrix",
+    """
+WITH toks AS (
+    SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '') AS words
+    FROM documents
+), grams AS (
+    SELECT DISTINCT doc_id,
+        md5(array_to_string(words[i:i+7], ' ')) AS span_hash
+    FROM (SELECT doc_id, words,
+            unnest(generate_series(1, greatest(len(words) - 7, 0))) AS i
+          FROM toks)
+), sg AS (
+    SELECT DISTINCT d.source, g.span_hash
+    FROM grams g JOIN documents d USING (doc_id)
+)
+SELECT a.source AS source_a, b.source AS source_b,
+    COUNT(*) AS shared_spans
+FROM sg a JOIN sg b
+  ON a.span_hash = b.span_hash AND a.source < b.source
+GROUP BY 1, 2
+""",
+)
+def x43(spark, sf_dir):
+    """Cross-source span-copy matrix: for every source pair, how many
+    distinct word-8-grams they share — the 'who copies whom'
+    diagnostic that decides which source pairs need pairwise dedup
+    before mixing. Shape: distinct (source, span) projection
+    (source-count-bounded per span) then a span-keyed self-join —
+    the k² term is per-SPAN source count (≤ #sources), never doc
+    count, so the matrix costs one spans-sized shuffle at any corpus
+    size."""
+    from trisk_datawrangle_spark.llm.text import word_gram_table
+
+    docs = _docs(spark, sf_dir)
+    grams = (
+        word_gram_table(docs, "text", "doc_id", n=8)
+        .select("id", F.md5("gram").alias("span_hash"))
+        .distinct()
+    )
+    sg = (
+        grams.join(
+            docs.select(F.col("doc_id").alias("id"), "source"), "id"
+        )
+        .select("source", "span_hash")
+        .distinct()
+    )
+    a = sg.select(F.col("source").alias("source_a"), "span_hash")
+    b = sg.select(F.col("source").alias("source_b"), "span_hash")
+    return (
+        a.join(b, "span_hash")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_spans"))
+    )
+
+
+@q(
     "x42_novelty_rate",
     """
 WITH toks AS (
