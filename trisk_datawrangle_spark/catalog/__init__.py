@@ -93,6 +93,7 @@ _PRIORITY = [
     "d16_prefix_filter_jaccard",
     "v3_embedding_covariance",
     "s8_pca_ivf_recall",
+    "s9_sq8_recall",
     "x34_gopher_rules",
     "x35_dsir_weights",
     "x36_duplicate_spans",

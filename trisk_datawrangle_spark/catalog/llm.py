@@ -553,6 +553,51 @@ def s6(spark, sf_dir):
     )
 
 
+@q("s9_sq8_recall", ORACLES["s6_pq_recall"])
+def s9_sq8(spark, sf_dir):
+    """int8 scalar-quantized ANN: candidates scored on the 4×-
+    compressed reconstruction, exact rescore on the originals — the
+    quantize→route→rescore serving contract at the cheapest codec
+    tier (see ``llm/decomposition.py:scalar_quantize_roundtrip``).
+    Same recall-gate oracle as s6; int8 reconstruction error is tiny
+    relative to cosine gaps, so recall@5 is near-1 at every sf."""
+    from trisk_datawrangle_spark.llm.decomposition import (
+        scalar_quantize_roundtrip,
+    )
+
+    e = _embs(spark, sf_dir)
+    sq = scalar_quantize_roundtrip(e, "embedding", "sq", bits=8)
+    approx_space = sq.select(
+        "vec_id", F.col("sq").alias("embedding")
+    )
+    qd_sq = approx_space.filter(F.col("vec_id") < 10)
+    qd = e.filter(F.col("vec_id") < 10)
+    cand = cosine_topk(approx_space, qd_sq, k=40)
+    approx = rescore_topk(
+        cand.select("query_id", "neighbor_id"), e, qd, k=5
+    )
+    truth = cosine_topk(e, qd, k=5)
+    scored = truth.join(
+        approx.select("query_id", "neighbor_id").withColumn(
+            "__hit", F.lit(1)
+        ),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return scored.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.sum(
+            F.when(F.col("rank") == 1, F.col("neighbor_id")).otherwise(
+                F.lit(0)
+            )
+        ).alias("true_top1_sum"),
+        (
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            >= 0.5 * F.count(F.lit(1))
+        ).alias("recall_ok"),
+    )
+
+
 @q("s8_pca_ivf_recall", ORACLES["s6_pq_recall"])
 def s8_pca(spark, sf_dir):
     """Dim-reduced ANN: PCA 64→16 (distributed gramian → driver

@@ -151,6 +151,64 @@ def pca_components(
     return mean, comps, vals[order]
 
 
+def scalar_quantize_stats(df: DataFrame, vec_col: str = "embedding"):
+    """Per-dimension (min, max) over an array<float> column — the
+    scalar-quantization codebook. One posexplode + d-row aggregate
+    (map-side combinable); the collected result is d pairs (KBs)."""
+    dims = _dims(df.select(vec_col), vec_col)
+    rows = (
+        dims.groupBy("i")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .orderBy("i")
+        .collect()
+    )
+    return (
+        [float(r.lo) for r in rows],
+        [float(r.hi) for r in rows],
+    )
+
+
+def scalar_quantize_roundtrip(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "sq",
+    bits: int = 8,
+    stats=None,
+) -> DataFrame:
+    """Append the int-``bits`` scalar-quantized-then-dequantized
+    reconstruction of ``vec_col`` — the vector a serving tier that
+    stores int8 codes actually scores with (4× smaller than float32,
+    16× smaller than float64; per-dim affine codec
+    ``code = round((x−lo)/(hi−lo)·(2^bits−1))``). Deterministic: the
+    codebook is exact min/max, codes are exact integers, and the
+    reconstruction is the same float expression everywhere. The
+    round-trip form (rather than raw codes) keeps the downstream
+    scorer unchanged — candidate generation runs on ``out_col``,
+    exact rescoring on the original vectors, the same
+    quantize→route→rescore contract as IVF-PQ (s5/s6/s7)."""
+    lo, hi = stats if stats is not None else scalar_quantize_stats(
+        df, vec_col
+    )
+    levels = float((1 << bits) - 1)
+    los = F.array(*[F.lit(v) for v in lo])
+    spans = F.array(
+        *[F.lit((h - l) if h > l else 1.0) for l, h in zip(lo, hi)]
+    )
+    code = F.zip_with(
+        F.col(vec_col),
+        los,
+        lambda x, l: x.cast("double") - l,
+    )
+    code = F.zip_with(
+        code, spans, lambda d, s: F.round(d / s * levels, 0)
+    )
+    recon = F.zip_with(
+        code, spans, lambda c, s: c / levels * s
+    )
+    recon = F.zip_with(recon, los, lambda d, l: d + l)
+    return df.withColumn(out_col, recon)
+
+
 def pca_project(
     df: DataFrame,
     k: int,
