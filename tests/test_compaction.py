@@ -66,26 +66,67 @@ def test_compaction_preserves_rows_and_skips_healthy(spark, tmp_path):
     # healthy partition: same file names, untouched
     assert _files(f"{path}/part=b") == healthy_before
     # no residue
-    assert not os.path.exists(f"{path}/part=a/.compact-tmp")
-    assert not os.path.exists(f"{path}/part=a/.compact-trash")
+    assert not os.path.exists(f"{path}/.compact-tmp-part=a")
+    assert not os.path.exists(f"{path}/.compact-trash-part=a")
 
 
-def test_compaction_recovers_from_stale_dirs(spark, tmp_path):
+def test_recovery_crash_after_tmp_write(spark, tmp_path):
+    """Crash window 1: tmp written, swap not started — originals are
+    the truth; recovery abandons the tmp."""
+    import shutil
+
     path = str(tmp_path / "tbl2")
     _mk_table(spark, path)
-    before = spark.read.parquet(path).count()
-    # simulate an interrupted previous run
-    os.makedirs(f"{path}/part=a/.compact-tmp", exist_ok=True)
-    os.makedirs(f"{path}/part=a/.compact-trash", exist_ok=True)
-    with open(f"{path}/part=a/.compact-trash/junk.parquet", "w") as fh:
-        fh.write("x")
+    before = {(r.id, r.part, r.v) for r in spark.read.parquet(path).collect()}
+    spark.read.parquet(f"{path}/part=a").coalesce(1).write.parquet(
+        f"{path}/.compact-tmp-part=a"
+    )
     rep = compact_partitions(
         spark, path, ["part"], target_bytes=10**9, max_files=4
     )
-    assert rep["compacted"] == 1
-    assert spark.read.parquet(path).count() == before
-    assert not os.path.exists(f"{path}/part=a/.compact-tmp")
-    assert not os.path.exists(f"{path}/part=a/.compact-trash")
+    assert rep["recovered"] == 1 and rep["compacted"] == 1
+    after = {(r.id, r.part, r.v) for r in spark.read.parquet(path).collect()}
+    assert after == before
+    assert not os.path.exists(f"{path}/.compact-tmp-part=a")
+
+
+def test_recovery_crash_between_renames(spark, tmp_path):
+    """Crash window 2: leaf renamed to trash, tmp not yet promoted —
+    recovery promotes the complete tmp. No rows lost."""
+    path = str(tmp_path / "tbl3")
+    _mk_table(spark, path)
+    before = {(r.id, r.part, r.v) for r in spark.read.parquet(path).collect()}
+    # simulate: full tmp write + leaf->trash rename, then 'crash'
+    spark.read.parquet(f"{path}/part=a").coalesce(1).write.parquet(
+        f"{path}/.compact-tmp-part=a"
+    )
+    os.rename(f"{path}/part=a", f"{path}/.compact-trash-part=a")
+    rep = compact_partitions(
+        spark, path, ["part"], target_bytes=10**9, max_files=4
+    )
+    assert rep["recovered"] == 1
+    after = {(r.id, r.part, r.v) for r in spark.read.parquet(path).collect()}
+    assert after == before
+    assert not os.path.exists(f"{path}/.compact-trash-part=a")
+    assert not os.path.exists(f"{path}/.compact-tmp-part=a")
+
+
+def test_recovery_crash_before_trash_delete(spark, tmp_path):
+    """Crash window 3: promotion done, trash not deleted — recovery
+    just drops the trash."""
+    import shutil
+
+    path = str(tmp_path / "tbl4")
+    _mk_table(spark, path)
+    before = {(r.id, r.part, r.v) for r in spark.read.parquet(path).collect()}
+    shutil.copytree(f"{path}/part=b", f"{path}/.compact-trash-part=b")
+    rep = compact_partitions(
+        spark, path, ["part"], target_bytes=10**9, max_files=4
+    )
+    assert rep["recovered"] == 1
+    after = {(r.id, r.part, r.v) for r in spark.read.parquet(path).collect()}
+    assert after == before
+    assert not os.path.exists(f"{path}/.compact-trash-part=b")
 
 
 def test_compaction_respects_target_bytes(spark, tmp_path):

@@ -7,21 +7,38 @@ one task + one open per file, the driver pays listing and footer
 reads, and shuffles inherit the tiny-split skew. Compaction is the
 janitor: rewrite ONLY the offending partitions into ~target-sized
 files, leave healthy partitions' files untouched (so their cache/
-mtime survive), and swap atomically enough that a concurrent reader
-never sees a partially-compacted partition.
+mtime survive), and swap so that a crash at ANY point never loses a
+row.
 
-Swap protocol per partition (documented, not hidden): write to
-``<leaf>/.compact-tmp`` inside the partition (hidden from Spark
-scans: dot-prefixed), then move the old files to
-``<leaf>/.compact-trash``, promote the tmp files, delete the trash.
-A crash can leave a ``.compact-trash``/``.compact-tmp`` directory
-behind (both invisible to readers — dot-dirs are skipped by the
-parquet scanner) and at worst the partition keeps its ORIGINAL
-files; promotion only happens after the tmp write fully succeeds.
-``compact_partitions`` re-entered after a crash cleans both up.
+Swap protocol per partition — whole-directory renames, each atomic
+on local/HDFS filesystems, with a decidable recovery rule:
 
-This is single-writer maintenance (like ``merge_by_key``): do not
-run it concurrently with a writer on the same partitions.
+1. write the compacted files to a SIBLING dir
+   ``<parent>/.compact-tmp-<leafname>`` (dot-prefixed: invisible to
+   Spark's partition discovery, and outside the leaf so a concurrent
+   leaf read never lists half-written files);
+2. rename ``<leaf>`` → ``<parent>/.compact-trash-<leafname>``;
+3. rename tmp → ``<leaf>``;
+4. delete trash.
+
+Crash windows and their recovery (run automatically on re-entry):
+
+- tmp exists, trash absent → crashed during/after (1): originals
+  are intact in the leaf; delete tmp.
+- trash exists, leaf exists → crashed between (3) and (4): the
+  promotion completed; delete trash.
+- trash exists, leaf absent → crashed between (2) and (3): tmp is
+  complete by construction (trash is only created after the tmp
+  write fully succeeds); promote tmp, then delete trash.
+
+The only reader-visible anomaly is a missing-partition window
+between (2) and (3) — never a partial or mixed file set. On object
+stores without atomic dir rename (S3), pair this with the
+versioned-path + pointer pattern ``llm/lsh_index.py:publish_index``
+implements, or run it against a real filesystem layer (HDFS,
+OneZone, EFS). This is single-writer maintenance (like
+``merge_by_key``): do not run it concurrently with a writer on the
+same partitions.
 """
 
 from __future__ import annotations
@@ -33,6 +50,33 @@ from pyspark.sql import SparkSession
 from trisk_datawrangle_spark.sources.incremental import (
     _walk_partition_dirs,
 )
+
+
+def _sibling(jvm, leaf_str: str, prefix: str):
+    parent, name = leaf_str.rstrip("/").rsplit("/", 1)
+    return jvm.org.apache.hadoop.fs.Path(f"{parent}/{prefix}{name}")
+
+
+def recover_partition(spark: SparkSession, leaf_str: str) -> str | None:
+    """Apply the module-docstring recovery rule for one leaf. Returns
+    the action taken (None if there was nothing to recover)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    leaf = jvm.org.apache.hadoop.fs.Path(leaf_str)
+    fs = leaf.getFileSystem(hconf)
+    tmp = _sibling(jvm, leaf_str, ".compact-tmp-")
+    trash = _sibling(jvm, leaf_str, ".compact-trash-")
+    if fs.exists(trash):
+        if fs.exists(leaf):
+            fs.delete(trash, True)  # promotion completed, janitor died
+            return "deleted-trash"
+        fs.rename(tmp, leaf)  # tmp is complete once trash exists
+        fs.delete(trash, True)
+        return "promoted-tmp"
+    if fs.exists(tmp):
+        fs.delete(tmp, True)  # originals intact; abandon the attempt
+        return "deleted-tmp"
+    return None
 
 
 def partition_file_stats(
@@ -47,6 +91,8 @@ def partition_file_stats(
     fs = root.getFileSystem(hconf)
     out = []
     for leaf in _walk_partition_dirs(fs, jvm, path, len(partition_by)):
+        if leaf.getName().startswith((".", "_")):
+            continue
         files = [
             st
             for st in fs.listStatus(leaf)
@@ -75,9 +121,11 @@ def compact_partitions(
 ) -> dict:
     """Compact every partition of the parquet table at ``path`` whose
     file count exceeds ``max_files`` into ``ceil(bytes/target_bytes)``
-    files. Healthy partitions are not read, not rewritten, not
-    touched. Returns a report dict: partitions examined / compacted,
-    files before / after.
+    files, via the crash-safe directory-swap protocol in the module
+    docstring (interrupted runs are recovered before the census, so
+    re-entering after a crash is always safe). Healthy partitions are
+    not read, not rewritten, not touched. Returns a report dict:
+    partitions examined / compacted / recovered, files before/after.
 
     Scale notes: the decision pass is FS metadata only (one listStatus
     per leaf — no data read); each compacted partition is one
@@ -92,10 +140,30 @@ def compact_partitions(
     root = jvm.org.apache.hadoop.fs.Path(path)
     fs = root.getFileSystem(hconf)
 
+    # recovery sweep BEFORE the census: an interrupted swap may have
+    # left a leaf renamed away (trash-sibling present, leaf absent) —
+    # walk the parent levels for compact markers and repair first
+    recovered = 0
+    depth = len(partition_by)
+    parents = (
+        [jvm.org.apache.hadoop.fs.Path(path)]
+        if depth == 1
+        else _walk_partition_dirs(fs, jvm, path, depth - 1)
+    )
+    for parent in parents:
+        for st in fs.listStatus(parent):
+            name = st.getPath().getName()
+            for pref in (".compact-trash-", ".compact-tmp-"):
+                if name.startswith(pref):
+                    leaf_str = f"{parent.toString()}/{name[len(pref):]}"
+                    if recover_partition(spark, leaf_str):
+                        recovered += 1
+
     stats = partition_file_stats(spark, path, partition_by)
     report = {
         "examined": len(stats),
         "compacted": 0,
+        "recovered": recovered,
         "files_before": 0,
         "files_after": 0,
     }
@@ -105,12 +173,8 @@ def compact_partitions(
             report["files_after"] += s["n_files"]
             continue
         leaf = jvm.org.apache.hadoop.fs.Path(s["leaf"])
-        tmp = jvm.org.apache.hadoop.fs.Path(s["leaf"] + "/.compact-tmp")
-        trash = jvm.org.apache.hadoop.fs.Path(s["leaf"] + "/.compact-trash")
-        # crash-recovery: stale dirs from an interrupted run
-        for stale in (tmp, trash):
-            if fs.exists(stale):
-                fs.delete(stale, True)
+        tmp = _sibling(jvm, s["leaf"], ".compact-tmp-")
+        trash = _sibling(jvm, s["leaf"], ".compact-trash-")
         n_out = max(1, math.ceil(s["bytes"] / float(target_bytes)))
         # partition-column values live in the directory name, not the
         # files — read the leaf dir directly (no partition discovery)
@@ -118,31 +182,18 @@ def compact_partitions(
         df.coalesce(n_out).write.mode("overwrite").parquet(
             tmp.toString()
         )
-        new_files = [
-            st.getPath()
-            for st in fs.listStatus(tmp)
-            if st.isFile() and not st.getPath().getName().startswith((".", "_"))
-        ]
-        # move originals to trash, promote, clean
-        fs.mkdirs(trash)
-        for st in fs.listStatus(leaf):
-            name = st.getPath().getName()
-            if st.isFile() and not name.startswith((".", "_")):
-                fs.rename(
-                    st.getPath(),
-                    jvm.org.apache.hadoop.fs.Path(
-                        trash.toString() + "/" + name
-                    ),
-                )
-        for p in new_files:
-            fs.rename(
-                p,
-                jvm.org.apache.hadoop.fs.Path(
-                    s["leaf"] + "/" + p.getName()
-                ),
-            )
-        fs.delete(tmp, True)
+        n_new = len(
+            [
+                st
+                for st in fs.listStatus(tmp)
+                if st.isFile()
+                and not st.getPath().getName().startswith((".", "_"))
+            ]
+        )
+        # atomic swap: leaf -> trash, tmp -> leaf, drop trash
+        fs.rename(leaf, trash)
+        fs.rename(tmp, leaf)
         fs.delete(trash, True)
         report["compacted"] += 1
-        report["files_after"] += len(new_files)
+        report["files_after"] += n_new
     return report
