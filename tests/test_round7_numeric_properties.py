@@ -1,0 +1,91 @@
+"""Property tests for round-7 numeric operators: EWMA lag chain vs a
+reference fold, int8 quantization error bound, DSIR weight identity.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from trisk_datawrangle_spark.llm.decomposition import (
+    scalar_quantize_roundtrip,
+)
+from trisk_datawrangle_spark.operators.mlprep import ewma_bounded
+
+_series = st.lists(
+    st.floats(
+        min_value=-1e6, max_value=1e6,
+        allow_nan=False, allow_infinity=False,
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(_series)
+def test_ewma_matches_reference_fold(spark, xs):
+    alpha, lags = 0.3, 16
+    rows = [(i, float(x)) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "i long, v double").withColumn(
+        "g", F.lit(1)
+    )
+    out = {
+        r.i: r.ewma
+        for r in ewma_bounded(
+            df, "v", ["i"], ["g"], alpha=alpha, lags=lags
+        ).collect()
+    }
+    for t in range(len(xs)):
+        ref = sum(
+            alpha * (1 - alpha) ** j * xs[t - j]
+            for j in range(min(lags, t + 1))
+        )
+        assert abs(out[t] - ref) <= 1e-6 * max(1.0, abs(ref)), t
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100, max_value=100,
+                allow_nan=False, allow_infinity=False,
+                width=32,
+            ),
+            min_size=4, max_size=4,
+        ),
+        min_size=2, max_size=20,
+    )
+)
+def test_sq8_error_bound(spark, vecs):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    out = scalar_quantize_roundtrip(df, bits=8).collect()
+    # per-dim reconstruction error <= half a quantization step
+    spans = [
+        max(v[d] for v in vecs) - min(v[d] for v in vecs)
+        for d in range(4)
+    ]
+    for r in out:
+        orig = vecs[r.vec_id]
+        for d in range(4):
+            step = (spans[d] if spans[d] > 0 else 1.0) / 255.0
+            assert abs(r.sq[d] - orig[d]) <= step / 2 + 1e-6, (
+                r.vec_id, d, r.sq[d], orig[d], step,
+            )
+
+
+def test_dsir_identical_docs_identical_weights(spark):
+    from trisk_datawrangle_spark.llm.sampling import dsir_importance_weights
+
+    rows = [(i, "alpha beta gamma delta", "t" if i < 3 else "r")
+            for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = dsir_importance_weights(
+        df, F.col("source") == "t", buckets=32
+    ).collect()
+    ws = {r.logweight for r in out}
+    assert len(ws) == 1  # identical text => identical weight, any source
