@@ -55,7 +55,7 @@ from trisk_datawrangle_spark.operators.persist import (
 from trisk_datawrangle_spark.llm.dedup import (
     _banded_table,
     _signatures_from_shingles,
-    _verify_candidates,
+    _verify_candidates_arrays,
     minhash_lsh_dedup_pairs,
     shingle_hashes,
 )
@@ -358,7 +358,7 @@ def minhash_lsh_index_pairs(
             )
             .select("id", "h")
         )
-        return _verify_candidates(
+        return _verify_candidates_arrays(
             sh_ex.union(sh_in).distinct(), cand, threshold
         ).localCheckpoint(eager=True)
     finally:
