@@ -89,3 +89,48 @@ def test_dsir_identical_docs_identical_weights(spark):
     ).collect()
     ws = {r.logweight for r in out}
     assert len(ws) == 1  # identical text => identical weight, any source
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=4, max_size=14),
+    st.integers(min_value=0, max_value=1000),
+)
+def test_verify_row_and_array_forms_agree(spark, sizes, seed):
+    """Both exact-verification strategies must produce identical
+    pairs on arbitrary corpora (clones, shared prefixes, disjoint
+    docs) and arbitrary candidate sets."""
+    import random
+
+    from trisk_datawrangle_spark.llm.dedup import (
+        _verify_candidates,
+        _verify_candidates_arrays,
+        shingle_hashes,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"w{k}" for k in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(6 + n)))
+        for i, n in enumerate(sizes)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingle_hashes(df, "text", "doc_id", 3, distinct=True).cache()
+    ids = [r[0] for r in rows]
+    cand_rows = [
+        (a, b) for a in ids for b in ids if a < b and rng.random() < 0.6
+    ]
+    if not cand_rows:
+        cand_rows = [(ids[0], ids[-1])]
+    cand = spark.createDataFrame(cand_rows, "id_a long, id_b long")
+    for t in (0.1, 0.5, 0.9):
+        rowf = {
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in _verify_candidates(sh, cand, t).collect()
+        }
+        arrf = {
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in _verify_candidates_arrays(sh, cand, t).collect()
+        }
+        assert rowf == arrf, (t, rowf ^ arrf)
+    sh.unpersist()
