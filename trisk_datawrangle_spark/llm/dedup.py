@@ -488,6 +488,12 @@ def _verify_candidates_arrays(
             F.col("n_grams").alias("n_b"),
         ),
         "id_b",
+    ).filter(
+        # lossless size gate before the intersect: jaccard ≥ t forces
+        # t·|A| ≤ |B| ≤ |A|/t — on size-diverse corpora this skips
+        # the per-pair intersection for candidates that cannot qualify
+        (F.col("n_b") >= F.ceil(F.lit(threshold) * F.col("n_a")))
+        & (F.col("n_a") >= F.ceil(F.lit(threshold) * F.col("n_b")))
     )
     n_common = F.size(F.array_intersect("ha", "hb"))
     jac = n_common / (F.col("n_a") + F.col("n_b") - n_common)
