@@ -134,3 +134,22 @@ def test_verify_row_and_array_forms_agree(spark, sizes, seed):
         }
         assert rowf == arrf, (t, rowf ^ arrf)
     sh.unpersist()
+
+
+def test_psi_detects_shift_and_null_case(spark):
+    from trisk_datawrangle_spark.operators.quality import psi_drift
+
+    a = spark.range(0, 4000).select(
+        (F.col("id") % 100).cast("double").alias("v")
+    )
+    same = spark.range(0, 4000).select(
+        (F.col("id") % 100).cast("double").alias("v")
+    )
+    shifted = spark.range(0, 4000).select(
+        ((F.col("id") % 100) + 60).cast("double").alias("v")
+    )
+    edges = [20.0, 40.0, 60.0, 80.0, 100.0, 120.0]
+    psi_same = psi_drift(a, same, "v", edges).select("psi").first().psi
+    psi_shift = psi_drift(a, shifted, "v", edges).select("psi").first().psi
+    assert abs(psi_same) < 1e-6
+    assert psi_shift > 0.25  # the standard 'shifted' threshold

@@ -104,6 +104,7 @@ _PRIORITY = [
     "x41_zipf_spectrum",
     "x42_novelty_rate",
     "x43_source_copy_matrix",
+    "x44_psi_drift",
     "flagship_market_share",
     "w0_run_workflow_e2e",
     "a1_pricing_summary",

@@ -1236,3 +1236,68 @@ def x40(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(
         "event_id", "user_id", F.round("ewma", 6).alias("ewma")
     )
+
+
+_X44_EDGES = [50000.0, 100000.0, 150000.0, 200000.0, 250000.0, 300000.0]
+
+
+def _x44_sql() -> str:
+    n_bins = len(_X44_EDGES) + 1
+    b = " + ".join(
+        f"(CASE WHEN CAST(o_totalprice AS DOUBLE) >= {e!r} "
+        "THEN 1 ELSE 0 END)"
+        for e in _X44_EDGES
+    )
+    return f"""
+WITH a AS (
+    SELECT ({b}) AS bin, COUNT(*) AS n_a FROM orders
+    WHERE o_orderpriority = '1-URGENT' AND o_totalprice IS NOT NULL
+      AND NOT isnan(o_totalprice)
+    GROUP BY 1
+), bq AS (
+    SELECT ({b}) AS bin, COUNT(*) AS n_b FROM orders
+    WHERE o_orderpriority <> '1-URGENT' AND o_totalprice IS NOT NULL
+      AND NOT isnan(o_totalprice)
+    GROUP BY 1
+), bins AS (
+    SELECT CAST(unnest(generate_series(0, {n_bins - 1})) AS INTEGER)
+        AS bin
+), counts AS (
+    SELECT bins.bin, COALESCE(a.n_a, 0) AS n_a, COALESCE(bq.n_b, 0) AS n_b
+    FROM bins LEFT JOIN a USING (bin) LEFT JOIN bq USING (bin)
+), tot AS (
+    SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM counts
+), per AS (
+    SELECT bin, n_a, n_b,
+        ((n_a + 1.0) / (ta + {float(n_bins)!r})
+         - (n_b + 1.0) / (tb + {float(n_bins)!r}))
+        * ln(((n_a + 1.0) / (ta + {float(n_bins)!r}))
+             / ((n_b + 1.0) / (tb + {float(n_bins)!r})))
+            AS contribution
+    FROM counts CROSS JOIN tot
+)
+SELECT bin, n_a, n_b,
+    ROUND(contribution, 9) AS contribution,
+    ROUND(SUM(contribution) OVER (), 9) AS psi
+FROM per
+"""
+
+
+@q("x44_psi_drift", _x44_sql())
+def x44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift gate between two table versions (operators/
+    quality.py psi_drift): per-bin contributions + the total index,
+    frozen literal bin edges, add-one smoothing — the production
+    distribution-shift monitor as two bins-sized aggregates and
+    broadcast joins. Here: URGENT orders vs the rest over
+    o_totalprice (a deliberately similar pair — PSI ≈ 0, proving the
+    null case; a shifted pair is property-tested)."""
+    from trisk_datawrangle_spark.operators.quality import psi_drift
+
+    (o,) = load_tables(spark, sf_dir, ["orders"]).values()
+    return psi_drift(
+        o.filter(F.col("o_orderpriority") == "1-URGENT"),
+        o.filter(F.col("o_orderpriority") != "1-URGENT"),
+        "o_totalprice",
+        _X44_EDGES,
+    )

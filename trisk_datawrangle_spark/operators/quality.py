@@ -197,3 +197,72 @@ def assert_fk(child: DataFrame, parent: DataFrame, keys) -> DataFrame:
             + ", ".join(str(tuple(r)) for r in sample)
         )
     return child
+
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    edges: Sequence[float],
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Population Stability Index between two table versions over one
+    numeric column — THE standard production drift gate (PSI < 0.1
+    stable, 0.1-0.25 drifting, > 0.25 shifted). Binning uses CALLER-
+    SUPPLIED literal edges (freeze them from the reference period's
+    quantiles) so the measure is reproducible across runs and
+    engines; bin 0 is the underflow bin, bin len(edges) the overflow
+    bin, NULL/NaN rows are excluded from both sides.
+
+    ``psi = Σ_bins (p_i − q_i)·ln(p_i/q_i)`` with add-``smoothing``
+    counts so an empty bin never produces ±inf.
+
+    Scale shape: one bins-sized aggregate per side (map-side
+    combinable, shuffle carries ≤ len(edges)+1 rows each), a
+    broadcast-sized join on bin id. Returns one row per bin
+    (n_a, n_b, contribution) plus the total under ``psi`` on every
+    row — consumers gate on ``first(psi)``."""
+    n_bins = len(edges) + 1
+
+    def bucket(df: DataFrame, name: str) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        b = F.lit(0)
+        for e in edges:
+            b = b + F.when(v >= F.lit(float(e)), 1).otherwise(0)
+        return (
+            df.filter(v.isNotNull() & ~F.isnan(v))
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    bins = df_a.sparkSession.range(0, n_bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    counts = (
+        bins.join(F.broadcast(bucket(df_a, "n_a")), "bin", "left")
+        .join(F.broadcast(bucket(df_b, "n_b")), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    s = float(smoothing)
+    p = (F.col("n_a") + s) / (F.col("ta") + s * n_bins)
+    q = (F.col("n_b") + s) / (F.col("tb") + s * n_bins)
+    contrib = (p - q) * F.log(p / q)
+    per_bin = counts.crossJoin(F.broadcast(tot)).select(
+        "bin", "n_a", "n_b", contrib.alias("contribution")
+    )
+    total = per_bin.agg(F.sum("contribution").alias("psi"))
+    return per_bin.crossJoin(F.broadcast(total)).select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round("contribution", 9).alias("contribution"),
+        F.round("psi", 9).alias("psi"),
+    )
