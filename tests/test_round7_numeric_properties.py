@@ -153,3 +153,23 @@ def test_psi_detects_shift_and_null_case(spark):
     psi_shift = psi_drift(a, shifted, "v", edges).select("psi").first().psi
     assert abs(psi_same) < 1e-6
     assert psi_shift > 0.25  # the standard 'shifted' threshold
+
+
+def test_schema_drift_report(spark):
+    from trisk_datawrangle_spark.operators.quality import (
+        schema_drift_report,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "x", 1.0), (2, None, 2.0)], "id long, s string, v double"
+    )
+    b = spark.createDataFrame(
+        [(1, 5, True), (2, 6, None)], "id long, v int, flag boolean"
+    )
+    rep = {r.column: r for r in schema_drift_report(a, b).collect()}
+    assert rep["s"].status == "dropped"
+    assert rep["flag"].status == "added"
+    assert rep["v"].status == "retyped"
+    assert rep["id"].status == "unchanged"
+    assert rep["s"].null_rate_a == 0.5 and rep["s"].null_rate_b is None
+    assert rep["flag"].null_rate_b == 0.5

@@ -266,3 +266,53 @@ def psi_drift(
         F.round("contribution", 9).alias("contribution"),
         F.round("psi", 9).alias("psi"),
     )
+
+
+def schema_drift_report(df_a: DataFrame, df_b: DataFrame) -> DataFrame:
+    """Column-level drift between two table versions: added / dropped
+    / retyped columns plus per-column null-rate on each side — the
+    metadata sibling of :func:`psi_drift` (run this first; PSI the
+    surviving numeric columns). One aggregate row per side (null
+    counts are map-side combinable); the report itself is
+    columns-sized, built on the driver."""
+    spark = df_a.sparkSession
+    ta = {f.name: f.dataType.simpleString() for f in df_a.schema.fields}
+    tb = {f.name: f.dataType.simpleString() for f in df_b.schema.fields}
+
+    def null_rates(df: DataFrame, names) -> dict:
+        if not names:
+            return {}
+        row = df.agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.sum(
+                    F.when(F.col(c).isNull(), 1).otherwise(0)
+                ).alias(c)
+                for c in names
+            ],
+        ).first()
+        n = row["__n"] or 0
+        return {
+            c: (round(row[c] / n, 6) if n else None) for c in names
+        }
+
+    ra = null_rates(df_a, list(ta))
+    rb = null_rates(df_b, list(tb))
+    rows = []
+    for c in sorted(set(ta) | set(tb)):
+        if c not in tb:
+            status = "dropped"
+        elif c not in ta:
+            status = "added"
+        elif ta[c] != tb[c]:
+            status = "retyped"
+        else:
+            status = "unchanged"
+        rows.append(
+            (c, status, ta.get(c), tb.get(c), ra.get(c), rb.get(c))
+        )
+    return spark.createDataFrame(
+        rows,
+        "column string, status string, type_a string, type_b string, "
+        "null_rate_a double, null_rate_b double",
+    )
