@@ -139,7 +139,10 @@ def files_pruned(
         ok = True
         for c, (lo, hi) in predicates.items():
             blo, bhi = b[c]
-            if blo is None or bhi < lo or blo > hi:
+            if blo is None:
+                # no stats -> the planner cannot prune; file is read
+                continue
+            if bhi < lo or blo > hi:
                 ok = False
                 break
         if ok:
