@@ -146,3 +146,30 @@ def test_scrub_spans_keeps_first_occurrence_only(spark):
         kept = out[doc_id].scrubbed_text.split()
         it = iter(orig)
         assert all(any(w == o for o in it) for w in kept), doc_id
+
+
+def test_maximal_spans_reconstruct_planted_length(spark):
+    """A planted 14-word duplicated block must reconstruct as ONE
+    maximal span of exactly 14 words (7 consecutive 8-gram starts)."""
+    from trisk_datawrangle_spark.catalog.llm import QUERIES as _Q  # noqa: F401
+    from pyspark.sql import Window
+    from trisk_datawrangle_spark.llm.text import duplicate_spans
+    from pyspark.sql import functions as F2
+
+    blk = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+           "juliet kilo lima mike november")  # 14 words
+    rows = [
+        (1, f"unique one {blk} tail one"),
+        (2, f"other prefix two {blk} different tail"),
+        (3, "no duplicated content in this document at all nine ten"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n = 8
+    flagged = duplicate_spans(df, n=n).select("doc_id", "start").distinct()
+    w = Window.partitionBy("doc_id").orderBy("start")
+    runs = flagged.withColumn("grp", F2.col("start") - F2.row_number().over(w))
+    spans = runs.groupBy("doc_id", "grp").agg(
+        (F2.count(F2.lit(1)) + (n - 1)).alias("span_words")
+    )
+    out = {r.doc_id: r.span_words for r in spans.collect()}
+    assert out == {1: 14, 2: 14}

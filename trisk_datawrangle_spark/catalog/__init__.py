@@ -105,6 +105,7 @@ _PRIORITY = [
     "x42_novelty_rate",
     "x43_source_copy_matrix",
     "x44_psi_drift",
+    "x45_maximal_spans",
     "flagship_market_share",
     "w0_run_workflow_e2e",
     "a1_pricing_summary",

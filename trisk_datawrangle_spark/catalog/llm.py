@@ -1025,6 +1025,72 @@ def x37(spark, sf_dir):
     return bpe_encode_stats(_docs(spark, sf_dir))
 
 
+_X45_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '') AS words
+    FROM documents
+), grams AS (
+    SELECT doc_id, i AS start,
+        md5(array_to_string(words[i:i+7], ' ')) AS span_hash
+    FROM (SELECT doc_id, words,
+            unnest(generate_series(1, greatest(len(words) - 7, 0))) AS i
+          FROM toks)
+), rep AS (
+    SELECT span_hash FROM grams GROUP BY 1 HAVING COUNT(*) >= 2
+), flagged AS (
+    SELECT DISTINCT g.doc_id, g.start
+    FROM grams g JOIN rep USING (span_hash)
+), runs AS (
+    SELECT doc_id, start,
+        start - row_number() OVER (PARTITION BY doc_id ORDER BY start)
+            AS grp
+    FROM flagged
+), spans AS (
+    SELECT doc_id, COUNT(*) + 7 AS span_words
+    FROM runs GROUP BY doc_id, grp
+)
+SELECT doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_max_spans,
+    CAST(MAX(span_words) AS BIGINT) AS longest_span_words
+FROM spans GROUP BY 1
+"""
+
+
+@q("x45_maximal_spans", _X45_SQL)
+def x45(spark, sf_dir):
+    """MAXIMAL duplicated spans per document: consecutive flagged
+    word-8-gram starts merge into one span of ``run + 7`` words
+    (islands-and-gaps: ``start − row_number`` is constant within a
+    consecutive run) — recovering the maximal-match lengths the
+    suffix-array formulation of Lee et al. 2022 reports, from the
+    fixed-n distributed form (x36). One extra keyed window + two
+    aggregates on the flagged-start table; docs with no duplicated
+    spans are absent (inner semantics, matching the oracle)."""
+    from pyspark.sql import Window
+
+    from trisk_datawrangle_spark.llm.text import duplicate_spans
+
+    n = 8
+    flagged = (
+        duplicate_spans(_docs(spark, sf_dir), "text", "doc_id", n=n)
+        .select("doc_id", "start")
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("start")
+    runs = flagged.withColumn(
+        "grp", F.col("start") - F.row_number().over(w)
+    )
+    spans = runs.groupBy("doc_id", "grp").agg(
+        (F.count(F.lit(1)) + (n - 1)).alias("span_words")
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_max_spans"),
+        F.max("span_words").alias("longest_span_words"),
+    )
+
+
 _X36_SQL = """
 WITH toks AS (
     SELECT doc_id,
