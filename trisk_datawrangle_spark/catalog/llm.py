@@ -1025,6 +1025,92 @@ def x37(spark, sf_dir):
     return bpe_encode_stats(_docs(spark, sf_dir))
 
 
+def _c4_sql() -> str:
+    # quality gate (x3's exact scoring) -> duplicate-span scrub among
+    # the SURVIVORS only (x39's islands logic, gated relation) ->
+    # per-source integer accounting. All-integer outputs: engine-exact.
+    return f"""
+WITH q AS ({_QUALITY_SQL}),
+gated AS (
+    SELECT d.doc_id, d.source, d.text
+    FROM documents d JOIN q USING (doc_id)
+    WHERE q.quality >= 0.8
+), toks AS (
+    SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '') AS words
+    FROM gated
+), numbered AS (
+    SELECT doc_id, i AS p
+    FROM (SELECT doc_id, words,
+            unnest(generate_series(1, len(words))) AS i
+          FROM toks)
+), grams AS (
+    SELECT doc_id, i AS start,
+        md5(array_to_string(words[i:i+7], ' ')) AS span_hash
+    FROM (SELECT doc_id, words,
+            unnest(generate_series(1, greatest(len(words) - 7, 0))) AS i
+          FROM toks)
+), rep AS (
+    SELECT span_hash FROM grams GROUP BY 1 HAVING COUNT(*) >= 2
+), occ AS (
+    SELECT g.doc_id, g.start,
+        row_number() OVER (PARTITION BY g.span_hash
+                           ORDER BY g.doc_id, g.start) AS rk
+    FROM grams g JOIN rep USING (span_hash)
+), covered AS (
+    SELECT DISTINCT doc_id, unnest(generate_series(start, start + 7)) AS p
+    FROM occ WHERE rk > 1
+), removed AS (
+    SELECT doc_id, COUNT(*) AS n_removed
+    FROM covered GROUP BY 1
+), per_doc AS (
+    SELECT n.doc_id, COUNT(*) AS total,
+        COALESCE(MAX(r.n_removed), 0) AS n_removed
+    FROM numbered n LEFT JOIN removed r USING (doc_id)
+    GROUP BY 1
+)
+SELECT g.source,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(p.n_removed) AS BIGINT) AS words_removed,
+    CAST(SUM(p.total - p.n_removed) AS BIGINT) AS words_kept
+FROM gated g JOIN per_doc p USING (doc_id)
+GROUP BY 1
+"""
+
+
+@q("c4_curate_v2", _c4_sql())
+def c4(spark, sf_dir):
+    """Round-7 curation surface chained end-to-end in ONE plan:
+    quality gate (x3 scoring, ≥ 0.8) → duplicate-span scrub among the
+    survivors (x39's first-occurrence-keep policy, scoped to the
+    gated subset so the span statistics reflect the corpus that will
+    actually train) → per-source accounting. All-integer outputs, so
+    the composition is engine-exact end-to-end. The executable
+    composite of this round's additions, the way c1/c2 compose the
+    earlier dedup tiers."""
+    from trisk_datawrangle_spark.llm.text import (
+        quality_score,
+        scrub_duplicate_spans,
+    )
+
+    docs = _docs(spark, sf_dir)
+    gated = docs.withColumn(
+        "__q", F.round(quality_score("text"), 6)
+    ).filter(F.col("__q") >= 0.8).drop("__q")
+    scrubbed = scrub_duplicate_spans(gated, "text", "doc_id", n=8)
+    return (
+        gated.select("doc_id", "source")
+        .join(scrubbed, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_removed").alias("words_removed"),
+            F.sum("n_kept").alias("words_kept"),
+        )
+    )
+
+
 _X45_SQL = """
 WITH toks AS (
     SELECT doc_id,
