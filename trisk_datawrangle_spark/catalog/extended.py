@@ -1301,3 +1301,116 @@ def x44(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         _X44_EDGES,
     )
+
+
+_E13_EDGES = [10.0, 25.0, 45.0, 80.0, 150.0]
+
+
+def _e13_sql() -> str:
+    n_bins = len(_E13_EDGES) + 1
+    b = " + ".join(
+        f"(CASE WHEN CAST(value AS DOUBLE) >= {e!r} THEN 1 ELSE 0 END)"
+        for e in _E13_EDGES
+    )
+    return f"""
+WITH clean AS (
+    SELECT date_trunc('hour', ts) AS window_start,
+        ({b}) AS bin
+    FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+), ref AS (
+    SELECT bin, COUNT(*) AS n_ref FROM clean GROUP BY 1
+), tot_ref AS (SELECT SUM(n_ref) AS tr FROM ref),
+wins AS (SELECT DISTINCT window_start FROM clean),
+bins AS (
+    SELECT CAST(unnest(generate_series(0, {n_bins - 1})) AS INTEGER)
+        AS bin
+), grid AS (
+    SELECT w.window_start, b.bin FROM wins w CROSS JOIN bins b
+), wc AS (
+    SELECT window_start, bin, COUNT(*) AS n_w
+    FROM clean GROUP BY 1, 2
+), counts AS (
+    SELECT g.window_start, g.bin,
+        COALESCE(wc.n_w, 0) AS n_w, COALESCE(r.n_ref, 0) AS n_ref
+    FROM grid g
+    LEFT JOIN wc ON g.window_start = wc.window_start AND g.bin = wc.bin
+    LEFT JOIN ref r ON g.bin = r.bin
+), tw AS (
+    SELECT window_start, SUM(n_w) AS t_w FROM counts GROUP BY 1
+), per AS (
+    SELECT c.window_start,
+        ((c.n_w + 1.0) / (tw.t_w + {float(n_bins)!r})
+         - (c.n_ref + 1.0) / (tot_ref.tr + {float(n_bins)!r}))
+        * ln(((c.n_w + 1.0) / (tw.t_w + {float(n_bins)!r}))
+             / ((c.n_ref + 1.0) / (tot_ref.tr + {float(n_bins)!r})))
+            AS contribution
+    FROM counts c
+    JOIN tw USING (window_start) CROSS JOIN tot_ref
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+    ROUND(SUM(contribution), 9) AS psi
+FROM per GROUP BY 1
+"""
+
+
+@q("e13_windowed_psi", _e13_sql())
+def e13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window PSI drift monitor: each 1-hour tumbling window's
+    value distribution scored against the full-stream reference
+    (frozen literal bin edges, add-one smoothing — the x44 gate
+    rolled along event time). Batch semantics of the streaming
+    monitor (the e-family contract: batch == stream for tumbling
+    aggregates, parity-tested for the window machinery); counts are
+    integers so every window's PSI is engine-exact. Shape: one
+    bins×windows aggregate + a bins-sized reference broadcast —
+    nothing scales with raw event rows except the first combinable
+    count."""
+    (ev,) = load_tables(spark, sf_dir, ["events"]).values()
+    n_bins = len(_E13_EDGES) + 1
+    v = F.col("value").cast("double")
+    b = F.lit(0)
+    for e in _E13_EDGES:
+        b = b + F.when(v >= F.lit(float(e)), 1).otherwise(0)
+    clean = ev.filter(v.isNotNull() & ~F.isnan(v)).select(
+        F.date_trunc("hour", "ts").alias("window_start"),
+        b.alias("bin"),
+    )
+    ref = clean.groupBy("bin").agg(F.count(F.lit(1)).alias("n_ref"))
+    tot_ref = ref.agg(F.sum("n_ref").alias("tr"))
+    wins = clean.select("window_start").distinct()
+    bins = spark.range(0, n_bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    grid = wins.crossJoin(F.broadcast(bins))
+    wc = clean.groupBy("window_start", "bin").agg(
+        F.count(F.lit(1)).alias("n_w")
+    )
+    counts = (
+        grid.join(wc, ["window_start", "bin"], "left")
+        .join(F.broadcast(ref), "bin", "left")
+        .select(
+            "window_start",
+            "bin",
+            F.coalesce("n_w", F.lit(0)).alias("n_w"),
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        )
+    )
+    tw = counts.groupBy("window_start").agg(F.sum("n_w").alias("t_w"))
+    s = float(n_bins)
+    joined = counts.join(tw, "window_start").crossJoin(
+        F.broadcast(tot_ref)
+    )
+    p = (F.col("n_w") + 1.0) / (F.col("t_w") + s)
+    q_ = (F.col("n_ref") + 1.0) / (F.col("tr") + s)
+    contrib = (p - q_) * F.log(p / q_)
+    return (
+        joined.select("window_start", contrib.alias("c"))
+        .groupBy("window_start")
+        .agg(F.round(F.sum("c"), 9).alias("psi"))
+        .select(
+            F.date_format(
+                "window_start", "yyyy-MM-dd HH:mm:ss"
+            ).alias("window_start"),
+            "psi",
+        )
+    )
