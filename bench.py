@@ -136,8 +136,10 @@ def parse_args(argv):
         type=float,
         default=None,
         help="row-count ratio between this run and --compare's "
-        "(default: ratio of the two sf fields); a query whose cold "
-        "AND warm ratios exceed it is flagged super_linear",
+        "(default: ratio of the two sf fields); a query whose WARM "
+        "ratio exceeds it is flagged super_linear (warm is the "
+        "truer compute signal — cold amortizes fixed codegen/setup); "
+        "cold-only exceedances land in super_linear_cold_only",
     )
     return ap.parse_args(argv)
 
@@ -320,6 +322,7 @@ def main(argv=None) -> None:
             factor = sf / base["sf"]
         ratios: dict[str, dict[str, float]] = {}
         super_linear: list[str] = []
+        cold_only: list[str] = []
         for name in times:
             b_cold = base.get("queries", {}).get(name)
             b_warm = base.get("queries_warm", {}).get(name)
@@ -329,20 +332,31 @@ def main(argv=None) -> None:
             if b_warm and name in warm:
                 r["warm"] = round(warm[name] / b_warm, 2)
             ratios[name] = r
-            # flagged only when BOTH samples exceed linear — one
-            # noisy reading must not cry wolf (the r4 lesson), and a
-            # genuinely super-linear plan shows up in both
-            if (
-                factor
-                and r.get("cold", 0) > factor
-                and r.get("warm", 0) > factor
-            ):
-                super_linear.append(name)
+            # The WARM ratio alone flags super-linear: warm is the
+            # truer compute signal (cold amortizes fixed codegen and
+            # scan setup, which can mask a quadratic core — the r7
+            # lesson: d2's warm 13.7× at 10× data hid behind a cold
+            # 8.3×). When a query has no warm sample, cold decides.
+            # Cold-only exceedances are still recorded separately so
+            # a noisy cold reading can't cry wolf in the main list.
+            if factor:
+                w_ratio = r.get("warm")
+                c_ratio = r.get("cold")
+                primary = w_ratio if w_ratio is not None else c_ratio
+                if primary is not None and primary > factor:
+                    super_linear.append(name)
+                elif (
+                    w_ratio is not None
+                    and c_ratio is not None
+                    and c_ratio > factor
+                ):
+                    cold_only.append(name)
         out["compare"] = {
             "base_sf": base.get("sf"),
             "scale_factor": factor,
             "ratios": ratios,
             "super_linear": sorted(super_linear),
+            "super_linear_cold_only": sorted(cold_only),
         }
     print(json.dumps(out))
     spark.stop()

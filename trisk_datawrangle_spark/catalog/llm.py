@@ -262,12 +262,101 @@ def d5(spark, sf_dir):
     )
 
 
-def _d14_sql() -> str:
-    """SemDeDup oracle: the d5 exact pair set collapsed to
-    components (recursive CTE, min-label) with a min-id canonical
-    per semantic cluster."""
-    return f"""
-WITH RECURSIVE pairs AS ({ORACLES['d5_embedding_dups']}),
+def _kmeans_ctes_sql(k: int, n_iter: int, dim: int = 64) -> str:
+    """Unrolled integer-exact Lloyd's k-means (llm/clustering.py
+    contract): quantize once, then every iteration is an exact-BIGINT
+    distance argmin + an exact integer center re-quantization — no
+    float aggregate anywhere, so the assignment is bit-identical
+    across engines by construction."""
+    rq = ("CASE WHEN s >= 0 THEN (2*s + n) // (2*n) "
+          "ELSE -((2*(-s) + n) // (2*n)) END")
+    parts = [f"""
+WITH q AS (
+    SELECT vec_id AS id,
+        list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+        ) AS qv
+    FROM embeddings
+),
+c0 AS (
+    SELECT rn - 1 AS j, qv AS cv
+    FROM (SELECT qv, row_number() OVER (ORDER BY id) AS rn FROM q)
+    WHERE rn <= {k}
+)"""]
+    for it in range(1, n_iter):
+        prev = f"c{it - 1}"
+        parts.append(f""",
+d{it} AS (
+    SELECT q.id, c.j,
+        SUM((q.qv[t.i] - c.cv[t.i]) * (q.qv[t.i] - c.cv[t.i])) AS d
+    FROM q CROSS JOIN {prev} c, unnest(generate_series(1, {dim})) AS t(i)
+    GROUP BY q.id, c.j
+),
+a{it} AS (
+    SELECT id, j FROM (
+        SELECT id, j,
+            row_number() OVER (PARTITION BY id ORDER BY d, j) AS rn
+        FROM d{it}) WHERE rn = 1
+),
+s{it} AS (
+    SELECT a.j, t.i, SUM(q.qv[t.i]) AS s, COUNT(*) AS n
+    FROM a{it} a JOIN q USING (id),
+        unnest(generate_series(1, {dim})) AS t(i)
+    GROUP BY a.j, t.i
+),
+c{it}n AS (
+    SELECT j, list({rq} ORDER BY i) AS cv FROM s{it} GROUP BY j
+),
+c{it} AS (
+    SELECT p.j, coalesce(cn.cv, p.cv) AS cv
+    FROM {prev} p LEFT JOIN c{it}n cn ON p.j = cn.j
+)""")
+    last = f"c{n_iter - 1}"
+    parts.append(f""",
+df AS (
+    SELECT q.id, c.j,
+        SUM((q.qv[t.i] - c.cv[t.i]) * (q.qv[t.i] - c.cv[t.i])) AS d
+    FROM q CROSS JOIN {last} c, unnest(generate_series(1, {dim})) AS t(i)
+    GROUP BY q.id, c.j
+),
+kfin AS (
+    SELECT id, j, d FROM (
+        SELECT id, j, d,
+            row_number() OVER (PARTITION BY id ORDER BY d, j) AS rn
+        FROM df) WHERE rn = 1
+)""")
+    return "".join(parts)
+
+
+
+def _d14_sql(k: int = 8, n_iter: int = 2, threshold: float = 0.45) -> str:
+    """SemDeDup oracle FOR THE DEFAULT CLUSTERED TIER: the x31
+    integer-exact k-means CTEs, cosine pairs restricted to within
+    each k-means cell, collapsed to components (recursive CTE,
+    min-label) with a min-id canonical per semantic cluster —
+    replays the Spark default tier bit-for-bit (cluster assignment
+    is integer-exact; the cosine gate is the same left-to-right
+    double fold)."""
+    ctes = _kmeans_ctes_sql(k, n_iter).replace(
+        "WITH q AS", "WITH RECURSIVE q AS", 1
+    )
+    return ctes + f""",
+ev AS (
+    SELECT vec_id AS id,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+nv AS (
+    SELECT ev.id, v,
+        greatest(sqrt(list_dot_product(v, v)), 1e-12) AS n,
+        kfin.j AS cluster
+    FROM ev JOIN kfin ON ev.id = kfin.id
+),
+pairs AS (
+    SELECT a.id AS id_a, b.id AS id_b
+    FROM nv a JOIN nv b ON a.cluster = b.cluster AND a.id < b.id
+    WHERE list_dot_product(a.v, b.v) / (a.n * b.n) >= {threshold}
+),
 edges AS (
     SELECT id_a AS u, id_b AS v FROM pairs
     UNION SELECT id_b, id_a FROM pairs
@@ -279,8 +368,8 @@ lbl(node, comp) AS (
 ),
 comp AS (SELECT node, MIN(comp) AS comp FROM lbl GROUP BY node),
 clusters AS (
-    SELECT e.vec_id, COALESCE(c.comp, e.vec_id) AS cluster_id
-    FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node
+    SELECT e2.vec_id, COALESCE(c.comp, e2.vec_id) AS cluster_id
+    FROM embeddings e2 LEFT JOIN comp c ON e2.vec_id = c.node
 )
 SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
     CAST(vec_id = MIN(vec_id) OVER (PARTITION BY cluster_id)
@@ -291,30 +380,29 @@ FROM clusters
 
 @q("d14_semantic_dedup", _d14_sql())
 def d14(spark, sf_dir):
-    """Semantic dedup end-to-end (the SemDeDup shape: ICLR'24
-    "SemDeDup: Data-efficient learning at web-scale through semantic
-    deduplication", public preprint): exact embedding-cosine pairs
-    from the collect-free blocked GEMM (d5) collapsed to connected
-    components, keeping one representative per semantic cluster
-    (min id — swap a quality argmax per c3 for curated corpora).
-    Every vector gets (cluster_id, keep) — the keep-list IS the
-    deduplicated corpus. At 100 TB the pair stage swaps to the
-    IVF/LSH-bucketed candidate tiers (s2/s4/s5) with this exact tier
-    as the verifier — the same hand-off contract as d2/d3."""
-    from trisk_datawrangle_spark.llm.components import dedup_clusters
-    from trisk_datawrangle_spark.llm.similarity import (
-        cosine_pairs_blocked,
-    )
-    from pyspark.sql import Window
+    """Semantic dedup end-to-end (the SemDeDup shape: Abbas et al.
+    2023, arXiv:2303.09540) THROUGH THE DEFAULT CLUSTERED TIER
+    (llm/clustering.py semantic_dedup): integer-exact k-means first,
+    cosine pairs ONLY within each cluster, components, one
+    representative kept per semantic cluster (min id — swap a
+    quality argmax per c3 for curated corpora). Every vector gets
+    (cluster_id, keep) — the keep-list IS the deduplicated corpus.
+    Since r8 the named operator defaults to the cluster-bounded
+    scale path (r7 verdict #2; pair volume bounded by cell size,
+    measured 1.6× per 10× at sf10) — the all-pairs blocked GEMM is
+    ``pair_tier="exact"``, opt-in, oracle-gated through d5. The
+    oracle replays the SAME clustered computation (x31's k-means
+    CTEs), so the default tier is hash-gated directly, not via the
+    exact tier's answer."""
+    from trisk_datawrangle_spark.llm.clustering import semantic_dedup
 
     e = _embs(spark, sf_dir).select("vec_id", "embedding")
-    pairs = cosine_pairs_blocked(e, threshold=0.45)
-    clusters = dedup_clusters(e, pairs, id_col="vec_id")
-    w = Window.partitionBy("cluster_id")
-    return clusters.select(
-        "vec_id",
-        F.col("cluster_id").cast("long").alias("cluster_id"),
-        (F.col("vec_id") == F.min("vec_id").over(w)).alias("keep"),
+    out = semantic_dedup(
+        e, "embedding", "vec_id", threshold=0.45,
+        pair_tier="clustered", k=8, n_iter=2,
+    )
+    return out.select(
+        F.col("id").alias("vec_id"), "cluster_id", "keep"
     )
 
 
@@ -1817,10 +1905,12 @@ def x5(spark, sf_dir):
 
 
 def _d7_sql() -> str:
-    """Cluster-id oracle: the d2 pair SQL composed with a recursive
-    min-label CTE (reachability → min reachable node per doc)."""
+    """Cluster-id oracle: the exact 0.8-Jaccard pair SQL composed
+    with a recursive min-label CTE (reachability → min reachable
+    node per doc) — the pair set the default LSH tier exact-verifies
+    against."""
     return f"""
-WITH RECURSIVE pairs AS ({ORACLES['d2_ngram_jaccard']}),
+WITH RECURSIVE pairs AS ({_jaccard_pairs_sql(0.8)}),
 edges AS (
     SELECT id_a AS u, id_b AS v FROM pairs
     UNION SELECT id_b, id_a FROM pairs
@@ -1838,23 +1928,31 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
 
 @q("d7_dedup_clusters", _d7_sql())
 def d7(spark, sf_dir):
-    """Near-dup cluster ids: the d2 pair graph collapsed to connected
-    components (iterative min-label propagation — the documented
-    driver-loop island; each round is plain DataFrame ops). Cluster
-    ids feed deterministic_split for leakage-safe train/test
-    assignment."""
-    from trisk_datawrangle_spark.llm.components import dedup_clusters
+    """Near-dup cluster ids THROUGH THE DEFAULT PAIR TIER
+    (llm/components.py dedup_clusters_pipeline): MinHash-LSH
+    candidates + exact verification feeding pointer-jumped connected
+    components. Since r8 the named operator defaults to the
+    candidate-bounded scale path (r7 verdict #2) — the exhaustive
+    co-shingle join is ``pair_tier="exact"``, opt-in, oracle-gated
+    through d2. Exact verification makes the default tier's pair set
+    equal the oracle's exact-Jaccard pairs (recall-1 banding at 0.8,
+    the d3 contract), so the same hard oracle gates the
+    configuration users actually get. Cluster ids feed
+    deterministic_split for leakage-safe train/test assignment."""
+    from trisk_datawrangle_spark.llm.components import (
+        dedup_clusters_pipeline,
+    )
 
     docs = _docs(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.12)
-    return dedup_clusters(docs, pairs)
+    return dedup_clusters_pipeline(docs, "text", "doc_id", threshold=0.8)
 
 
 def _c3_sql() -> str:
-    """Canonical-per-cluster oracle: cluster CTE (recursive) × the
-    quality SQL × a window argmax."""
+    """Canonical-per-cluster oracle: cluster CTE (recursive, exact
+    0.8 pairs — what the default LSH tier exact-verifies against) ×
+    the quality SQL × a window argmax."""
     return f"""
-WITH RECURSIVE pairs AS ({ORACLES['d2_ngram_jaccard']}),
+WITH RECURSIVE pairs AS ({_jaccard_pairs_sql(0.8)}),
 edges AS (
     SELECT id_a AS u, id_b AS v FROM pairs
     UNION SELECT id_b, id_a FROM pairs
@@ -1883,31 +1981,17 @@ FROM ranked WHERE rk = 1
 
 @q("c3_cluster_canonical", _c3_sql())
 def c3(spark, sf_dir):
-    """Curation capstone: near-dup clusters collapsed to one
-    canonical document each — the highest quality_score wins, ties to
-    the smaller id. Composes the pair graph (d2), connected
+    """Curation capstone THROUGH THE DEFAULT PAIR TIER
+    (llm/curate.py cluster_canonical): near-dup clusters collapsed
+    to one canonical document each — the highest quality_score wins,
+    ties to the smaller id. Composes the pair graph (LSH candidates
+    + exact verify — the candidate-bounded default since r8; the
+    exhaustive join is ``pair_tier="exact"``, opt-in), connected
     components (d7) and quality scoring (x3) in one plan."""
-    from pyspark.sql import Window
-
-    from trisk_datawrangle_spark.llm.components import dedup_clusters
+    from trisk_datawrangle_spark.llm.curate import cluster_canonical
 
     docs = _docs(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.12)
-    clustered = dedup_clusters(docs, pairs)
-    scored = clustered.join(
-        docs.select(
-            "doc_id", F.round(quality_score("text"), 6).alias("quality")
-        ),
-        "doc_id",
-    )
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col("quality").desc(), "doc_id"
-    )
-    return (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .select("cluster_id", F.col("doc_id").alias("canonical_id"), "quality")
-    )
+    return cluster_canonical(docs, "text", "doc_id", threshold=0.8)
 
 
 @q(
@@ -3206,72 +3290,6 @@ def x22(spark, sf_dir):
     )
 
 
-def _kmeans_ctes_sql(k: int, n_iter: int, dim: int = 64) -> str:
-    """Unrolled integer-exact Lloyd's k-means (llm/clustering.py
-    contract): quantize once, then every iteration is an exact-BIGINT
-    distance argmin + an exact integer center re-quantization — no
-    float aggregate anywhere, so the assignment is bit-identical
-    across engines by construction."""
-    rq = ("CASE WHEN s >= 0 THEN (2*s + n) // (2*n) "
-          "ELSE -((2*(-s) + n) // (2*n)) END")
-    parts = [f"""
-WITH q AS (
-    SELECT vec_id AS id,
-        list_transform(embedding,
-            x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
-        ) AS qv
-    FROM embeddings
-),
-c0 AS (
-    SELECT rn - 1 AS j, qv AS cv
-    FROM (SELECT qv, row_number() OVER (ORDER BY id) AS rn FROM q)
-    WHERE rn <= {k}
-)"""]
-    for it in range(1, n_iter):
-        prev = f"c{it - 1}"
-        parts.append(f""",
-d{it} AS (
-    SELECT q.id, c.j,
-        SUM((q.qv[t.i] - c.cv[t.i]) * (q.qv[t.i] - c.cv[t.i])) AS d
-    FROM q CROSS JOIN {prev} c, unnest(generate_series(1, {dim})) AS t(i)
-    GROUP BY q.id, c.j
-),
-a{it} AS (
-    SELECT id, j FROM (
-        SELECT id, j,
-            row_number() OVER (PARTITION BY id ORDER BY d, j) AS rn
-        FROM d{it}) WHERE rn = 1
-),
-s{it} AS (
-    SELECT a.j, t.i, SUM(q.qv[t.i]) AS s, COUNT(*) AS n
-    FROM a{it} a JOIN q USING (id),
-        unnest(generate_series(1, {dim})) AS t(i)
-    GROUP BY a.j, t.i
-),
-c{it}n AS (
-    SELECT j, list({rq} ORDER BY i) AS cv FROM s{it} GROUP BY j
-),
-c{it} AS (
-    SELECT p.j, coalesce(cn.cv, p.cv) AS cv
-    FROM {prev} p LEFT JOIN c{it}n cn ON p.j = cn.j
-)""")
-    last = f"c{n_iter - 1}"
-    parts.append(f""",
-df AS (
-    SELECT q.id, c.j,
-        SUM((q.qv[t.i] - c.cv[t.i]) * (q.qv[t.i] - c.cv[t.i])) AS d
-    FROM q CROSS JOIN {last} c, unnest(generate_series(1, {dim})) AS t(i)
-    GROUP BY q.id, c.j
-),
-kfin AS (
-    SELECT id, j, d FROM (
-        SELECT id, j, d,
-            row_number() OVER (PARTITION BY id ORDER BY d, j) AS rn
-        FROM df) WHERE rn = 1
-)""")
-    return "".join(parts)
-
-
 def _x30_sql(k: int = 4, n_iter: int = 3, dim: int = 64) -> str:
     return _kmeans_ctes_sql(k, n_iter, dim) + """
 SELECT id AS vec_id, CAST(j AS INTEGER) AS cluster,
@@ -3374,25 +3392,24 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
 
 @q("d15_dedup_clusters_scale", _d15_sql())
 def d15(spark, sf_dir):
-    """Near-dup clustering through the SCALE pair tier: MinHash-LSH
-    candidates + exact verification (d3's machinery, threshold 0.8)
-    feeding pointer-jumped connected components — the composition a
-    100 TB corpus actually runs. d7/c3 deliberately compose the
-    quadratic exact tier (d2) for oracle strength; this entry proves
-    the identical cluster table arrives via the subquadratic path
-    (banded buckets -> candidate-only verify -> O(log diameter)
-    label propagation), so the documented d2->d3 hand-off is
-    executable, not narrative. Exact verification makes the Spark
-    pair set equal the oracle's exact-Jaccard pairs (recall-1 banding
-    at 0.8 — the d3 contract, wider margin here)."""
-    from trisk_datawrangle_spark.llm.components import dedup_clusters
-    from trisk_datawrangle_spark.llm.dedup import minhash_lsh_dedup_pairs
+    """Near-dup clustering through the PREFIX-FILTER pair tier
+    (``pair_tier="prefix"``): PPJoin prefix+positional filtering
+    (d16's machinery — LOSSLESS exact pairs, measured sublinear
+    8.6×/10× at sf10) feeding pointer-jumped connected components.
+    Since r8 d7 gates the DEFAULT (LSH) tier against this same
+    oracle, so this entry pins the OTHER candidate-bounded tier —
+    two independent subquadratic paths must both reproduce the
+    exhaustive pair graph's clusters bit-for-bit, proving the
+    pair_tier knob is output-invariant at near-dup thresholds, not
+    narrative."""
+    from trisk_datawrangle_spark.llm.components import (
+        dedup_clusters_pipeline,
+    )
 
     docs = _docs(spark, sf_dir)
-    pairs = minhash_lsh_dedup_pairs(
-        docs, "text", "doc_id", num_hashes=64, bands=16, threshold=0.8
+    return dedup_clusters_pipeline(
+        docs, "text", "doc_id", threshold=0.8, pair_tier="prefix"
     )
-    return dedup_clusters(docs, pairs)
 
 
 _X32_SQL = """

@@ -273,3 +273,116 @@ def semdedup(
             F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
         )
     )
+
+
+#: Pair tiers :func:`semantic_dedup` dispatches on — mirrors
+#: ``dedup.PAIR_TIERS`` for the embedding-space dedup family.
+SEMANTIC_TIERS = ("clustered", "exact")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.45,
+    pair_tier: str = "clustered",
+    k: int = 8,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Semantic dedup end to end — ``(id, cluster_id, keep)`` where
+    ``cluster_id`` is the connected-component id of the ≥-threshold
+    cosine pair graph (min member id; singletons are their own
+    cluster) and ``keep`` marks the component's minimum id — the
+    keep-list IS the deduplicated corpus (SemDeDup, Abbas et al.
+    2023, arXiv:2303.09540).
+
+    ``pair_tier`` picks how the pair graph is generated:
+
+    - ``"clustered"`` (DEFAULT — the 100 TB path): k-means first
+      (:func:`kmeans_embeddings` — integer-exact, one codegen pass +
+      one k·dim aggregate per iteration), then cosine pairs ONLY
+      within each cluster, then components. Pair volume is bounded by
+      cluster size, never the corpus (measured 1.6× per 10× under
+      scaled k, BASELINE.md sf10). Components cannot span k-means
+      cells, so a cross-cluster near-pair is split — the documented
+      approximation; scale ``k ≈ N / expected_cluster_size``.
+    - ``"exact"``: all-pairs via the collect-free blocked self-GEMM
+      (:func:`~trisk_datawrangle_spark.llm.similarity
+      .cosine_pairs_blocked`) — the ORACLE tier; quadratic, fails at
+      sf10 by design. Opt in for correctness gating at fixture
+      scales.
+
+    Both tiers are deterministic (integer-exact assignment; the
+    cosine gate is the same left-to-right double fold both engines
+    evaluate), so BOTH are DuckDB-oracle-expressible — the catalog
+    gates the default tier directly (d14) and the exact tier through
+    d5's pair entry."""
+    from trisk_datawrangle_spark.llm.components import dedup_clusters
+
+    e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v0"))
+    if pair_tier == "exact":
+        from trisk_datawrangle_spark.llm.similarity import (
+            cosine_pairs_blocked,
+        )
+
+        pairs = cosine_pairs_blocked(
+            df.select(id_col, vec_col), threshold=threshold
+        )
+    elif pair_tier == "clustered":
+        assign = kmeans_embeddings(df, vec_col, id_col, k, n_iter).select(
+            "id", "cluster"
+        )
+        v = (
+            e.select(
+                "id",
+                F.expr(
+                    "transform(v0, x -> CAST(x AS DOUBLE))"
+                ).alias("v"),
+            )
+            .join(assign, "id")
+            .withColumn(
+                "n",
+                F.expr(
+                    "greatest(sqrt(aggregate(v, CAST(0.0 AS DOUBLE),"
+                    " (acc, x) -> acc + x * x)), 1e-12)"
+                ),
+            )
+        )
+        a = v.select(
+            F.col("id").alias("id_a"), F.col("cluster").alias("ca"),
+            F.col("v").alias("va"), F.col("n").alias("na"),
+        )
+        b = v.select(
+            F.col("id").alias("id_b"), F.col("cluster").alias("cb"),
+            F.col("v").alias("vb"), F.col("n").alias("nb"),
+        )
+        pairs = (
+            a.join(
+                b,
+                (F.col("ca") == F.col("cb"))
+                & (F.col("id_a") < F.col("id_b")),
+            )
+            .filter(
+                F.expr(
+                    "aggregate(zip_with(va, vb, (x, y) -> x * y),"
+                    " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+                )
+                / (F.col("na") * F.col("nb"))
+                >= F.lit(threshold)
+            )
+            .select("id_a", "id_b")
+        )
+    else:
+        raise ValueError(
+            f"semantic_dedup: unknown pair_tier {pair_tier!r}; "
+            f"expected one of {SEMANTIC_TIERS}"
+        )
+    clusters = dedup_clusters(e.select("id"), pairs, id_col="id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id")
+    return clusters.select(
+        "id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        (F.col("id") == F.min("id").over(w)).alias("keep"),
+    )

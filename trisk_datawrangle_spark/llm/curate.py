@@ -87,6 +87,54 @@ def curate(
     return kept.join(drop, "doc_id", "left_anti")
 
 
+def cluster_canonical(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    pair_tier: str = "lsh",
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Collapse near-dup clusters to one canonical document each —
+    the highest ``quality_score`` wins, ties to the smaller id.
+    Returns ``(cluster_id, canonical_id, quality)``.
+
+    ``pair_tier`` (default ``"lsh"``, the candidate-bounded 100 TB
+    path — see :func:`~trisk_datawrangle_spark.llm.dedup
+    .near_dup_pairs`) picks the pair-graph strategy; the exhaustive
+    quadratic join is ``pair_tier="exact"``, opt-in for oracle
+    gating (r7 verdict #2: the scale-killer must not be the named
+    default)."""
+    from pyspark.sql import Window
+
+    from trisk_datawrangle_spark.llm.components import (
+        dedup_clusters_pipeline,
+    )
+
+    clustered = dedup_clusters_pipeline(
+        df, text_col, id_col, n=n, threshold=threshold,
+        pair_tier=pair_tier, num_hashes=num_hashes, bands=bands,
+    )
+    scored = clustered.join(
+        df.select(
+            id_col, F.round(quality_score(text_col), 6).alias("quality")
+        ),
+        id_col,
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), id_col
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "cluster_id", F.col(id_col).alias("canonical_id"), "quality"
+        )
+    )
+
+
 def cluster_safe_split(
     docs: DataFrame,
     pairs: DataFrame,

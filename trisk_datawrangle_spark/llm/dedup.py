@@ -567,6 +567,74 @@ def minhash_lsh_dedup_pairs(
     return _verify_candidates_arrays(shingled, cand, threshold)
 
 
+#: Pair tiers :func:`near_dup_pairs` dispatches on. Ordered from the
+#: scale default to the oracle tier; every composite that consumes a
+#: pair graph (dedup clusters, cluster-canonical curation) exposes
+#: the same ``pair_tier`` knob and defaults to the candidate-bounded
+#: tier so the configuration that cannot scale is opt-in, not the
+#: name users reach for.
+PAIR_TIERS = ("lsh", "prefix", "exact")
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    pair_tier: str = "lsh",
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pair graph ``(id_a, id_b, jaccard)`` with the
+    pair-generation strategy as an explicit, defaulted knob:
+
+    - ``"lsh"`` (DEFAULT — the 100 TB path): MinHash-LSH banded
+      candidates + exact verification
+      (:func:`minhash_lsh_dedup_pairs`). Candidate volume is bounded
+      by band-bucket collisions, never the corpus squared; measured
+      6.5× per 10× data (BASELINE.md sf1). Recall-1 at near-dup
+      thresholds (≥ ~0.7 with the default 64×16 banding); the exact
+      verify means any banding miss surfaces as a result diff, not
+      silently.
+    - ``"prefix"``: PPJoin-style prefix+positional filtering
+      (:func:`ngram_jaccard_prefix_pairs`) — LOSSLESS exact output,
+      sublinear measured (8.6× per 10×, BASELINE.md sf10), the right
+      tier when exact equality to the exhaustive join is required at
+      scale and the threshold is high (≥ ~0.7).
+    - ``"exact"``: the exhaustive co-shingle join
+      (:func:`ngram_jaccard_pairs`) — quadratic in per-shingle
+      co-occurrence; the ORACLE tier for correctness gating and the
+      only tier usable at low thresholds (< ~0.5, where prefix/LSH
+      filtering has no leverage). Fails at sf10 by design
+      (BASELINE.md r7); opt in knowingly.
+
+    All three tiers emit identical schemas, and at near-dup
+    thresholds identical ROWS (property-tested equality) — so a
+    pipeline can gate correctness on ``"exact"`` at fixture scale
+    and deploy ``"lsh"``/``"prefix"`` unchanged."""
+    if pair_tier == "lsh":
+        return minhash_lsh_dedup_pairs(
+            df, text_col, id_col,
+            num_hashes=num_hashes, bands=bands, ngram=n,
+            threshold=threshold,
+        )
+    if pair_tier == "prefix":
+        return ngram_jaccard_prefix_pairs(
+            df, text_col, id_col, n=n, threshold=threshold
+        )
+    if pair_tier == "exact":
+        return ngram_jaccard_pairs(
+            df, text_col, id_col, n=n, threshold=threshold,
+            max_doc_freq=max_doc_freq,
+        )
+    raise ValueError(
+        f"near_dup_pairs: unknown pair_tier {pair_tier!r}; "
+        f"expected one of {PAIR_TIERS}"
+    )
+
+
 def minhash_lsh_incremental_pairs(
     existing: DataFrame,
     incoming: DataFrame,
