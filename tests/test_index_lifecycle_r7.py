@@ -345,3 +345,83 @@ def test_incremental_parity_still_holds_after_hardening(
         ).collect()
     }
     assert got == ref and got
+
+
+def test_corrupt_pointer_fails_loudly(spark, tmp_path_factory):
+    """A corrupt/partial CURRENT pointer must raise, never fall back
+    to some version silently — the read-side guard of the
+    retrain-and-swap lifecycle (r7 verdict #5)."""
+    base = str(tmp_path_factory.mktemp("lsh_corrupt_ptr"))
+    root = f"{base}/live"
+    docs = _docs(spark)
+    existing, incoming = _split(docs)
+    write_lsh_index(existing, f"{base}/stage1", num_hashes=64, bands=32,
+                    n_shards=8)
+    publish_index_versioned(spark, f"{base}/stage1", root)
+
+    def _scribble(content: str) -> None:
+        # out-of-band corruption: drop the Hadoop local-FS checksum
+        # sidecar so the read itself succeeds and resolve's OWN
+        # validation is what fires (the object-store case, where no
+        # CRC sidecar exists)
+        crc = f"{root}/.CURRENT.crc"
+        if os.path.exists(crc):
+            os.remove(crc)
+        with open(f"{root}/CURRENT", "w") as fh:
+            fh.write(content)
+
+    for bad in ("", "../evil", ".hidden", "v=1/extra"):
+        _scribble(bad)
+        with pytest.raises(ValueError, match="corrupt pointer"):
+            resolve_index_path(spark, root)
+        # the probe path goes through the same resolve — loud too
+        with pytest.raises(ValueError, match="corrupt pointer"):
+            minhash_lsh_index_pairs(
+                spark, root, incoming, threshold=0.5
+            ).count()
+    # a torn write on a checksummed FS (stale CRC sidecar) is loud
+    # as well — just via the filesystem's own integrity error
+    with open(f"{root}/CURRENT", "w") as fh:
+        fh.write("v=9999")
+    if os.path.exists(f"{root}/.CURRENT.crc"):
+        with pytest.raises(Exception):
+            resolve_index_path(spark, root)
+    # restoring the pointer restores service
+    _scribble("v=1")
+    assert resolve_index_path(spark, root).endswith("/v=1")
+
+
+def test_serving_entries_publish_versioned_root(spark, tmp_path, monkeypatch):
+    """The catalog serving entries build through
+    publish_index_versioned into a stable root and probe via the
+    CURRENT pointer: first call publishes v=1, a fresh process
+    (cleared memo) REUSES it instead of rebuilding, and the probe
+    keeps serving across a pointer re-publish."""
+    import trisk_datawrangle_spark.catalog.llm as cat
+
+    monkeypatch.setenv("SPARK_GRAFT_SERVING_DIR", str(tmp_path))
+    monkeypatch.setattr(cat, "_SERVING_INDEX_CACHE", {})
+
+    builds = []
+
+    def build(staged):
+        builds.append(staged)
+        docs = _docs(spark)
+        write_lsh_index(docs.filter(F.col("doc_id") % 2 == 0), staged,
+                        num_hashes=64, bands=32, n_shards=8)
+
+    root = cat._served_index_path(spark, "lsh", SF_DIR, build)
+    assert len(builds) == 1
+    assert os.path.exists(os.path.join(root, "CURRENT"))
+    assert resolve_index_path(spark, root).endswith("/v=1")
+
+    # fresh memo = new process: must find the published version
+    monkeypatch.setattr(cat, "_SERVING_INDEX_CACHE", {})
+    root2 = cat._served_index_path(spark, "lsh", SF_DIR, build)
+    assert root2 == root and len(builds) == 1
+
+    docs = _docs(spark)
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    n1 = minhash_lsh_index_pairs(spark, root, incoming,
+                                 threshold=0.5).count()
+    assert n1 > 0

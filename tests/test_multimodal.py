@@ -143,3 +143,145 @@ def test_frame_sample_fanout(spark, payloads):
     assert counts[1] == 2
     assert counts[2] == 400
     assert 3 not in counts
+
+
+# ------------------------------------------------------- real pixels
+
+
+def _pattern(w, h, ch, seed=0):
+    return bytes(
+        (seed + 3 * x + 5 * y + 7 * c) % 256
+        for y in range(h) for x in range(w) for c in range(ch)
+    )
+
+
+def test_png_encode_decode_roundtrip_all_color_types():
+    from trisk_datawrangle_spark.llm.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    for ch in (1, 2, 3, 4):
+        for w, h in ((1, 1), (3, 2), (16, 9), (40, 7)):
+            px = _pattern(w, h, ch, seed=w * h)
+            got = decode_png(encode_png(w, h, ch, px))
+            assert got == (w, h, ch, px), (w, h, ch)
+
+
+def test_png_decode_reverses_every_filter_type():
+    """encode_png writes filter 0 only, so build streams with
+    filters 1-4 by hand (filter forward per spec §9) and require the
+    decoder to reverse each exactly."""
+    import struct
+    import zlib
+
+    from trisk_datawrangle_spark.llm.multimodal import (
+        PNG_SIG,
+        decode_png,
+    )
+
+    w, h, ch = 5, 4, 3
+    px = _pattern(w, h, ch, seed=9)
+    stride = w * ch
+
+    def filt(ftype, line, prev):
+        out = bytearray([ftype])
+        for i in range(stride):
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c
+                )
+            out.append((line[i] - pred) & 0xFF)
+        return bytes(out)
+
+    for ftypes in ([1, 2, 3, 4], [4, 3, 2, 1], [0, 4, 0, 4]):
+        raw = bytearray()
+        prev = bytearray(stride)
+        for y, ftype in zip(range(h), ftypes):
+            line = px[y * stride:(y + 1) * stride]
+            raw += filt(ftype, line, prev)
+            prev = line
+
+        def chunk(tag, body):
+            return (
+                struct.pack(">I", len(body)) + tag + body
+                + struct.pack(
+                    ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+                )
+            )
+
+        payload = (
+            PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+        assert decode_png(payload) == (w, h, ch, px), ftypes
+
+
+def test_png_decode_rejects_non_decodable():
+    from trisk_datawrangle_spark.llm.multimodal import (
+        PNG_SIG,
+        decode_png,
+    )
+
+    assert decode_png(b"junk") is None
+    # the header-only fixture (text as pixel bytes) is NOT silently
+    # decoded — zlib fails, the caller falls back
+    fixture = (
+        PNG_SIG + b"\x00\x00\x00\x0dIHDR"
+        + (16).to_bytes(4, "big") + (16).to_bytes(4, "big")
+        + b"\x08\x06\x00\x00\x00" + b"\x00\x00\x00\x00"
+        + b"some text pixels"
+    )
+    assert decode_png(fixture) is None
+
+
+def test_resample_nearest_identity_and_downscale():
+    from trisk_datawrangle_spark.llm.multimodal import resample_nearest
+
+    w, h, ch = 6, 4, 2
+    px = _pattern(w, h, ch)
+    assert resample_nearest(w, h, ch, px, w, h) == px
+    # 2x downscale picks every other pixel (floor division index)
+    small = resample_nearest(w, h, ch, px, 3, 2)
+    for oy in range(2):
+        for ox in range(3):
+            for c in range(ch):
+                assert small[(oy * 3 + ox) * ch + c] == px[
+                    ((oy * 2) * w + ox * 2) * ch + c
+                ]
+
+
+def test_resize_media_really_resamples_valid_png(spark):
+    from trisk_datawrangle_spark.llm.multimodal import (
+        encode_png,
+        resample_nearest,
+        resize_media,
+    )
+
+    w, h, ch = 10, 6, 4
+    px = _pattern(w, h, ch, seed=3)
+    payload = encode_png(w, h, ch, px)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    out = resize_media(df, width=4, height=4).collect()[0]
+    assert (out.src_width, out.src_height) == (w, h)
+    assert out.byte_len == 4 * 4 * ch
+    assert bytes(out.payload) == resample_nearest(
+        w, h, ch, px, 4, 4
+    )

@@ -1779,6 +1779,115 @@ def m2(spark, sf_dir):
     )
 
 
+def _m5_sql() -> str:
+    """Oracle for the REAL pixel path: every stage is a pure integer
+    function of doc_id, so DuckDB replays the whole
+    encode→decode→resample chain without any image code — source
+    pixel (x, y, c) carries byte (doc_id + 3x + 5y + 7c) % 256, the
+    8×8 nearest-neighbor pick is the same floor-division index
+    arithmetic resample_nearest does, and the sums are exact
+    BIGINTs."""
+    return """
+WITH g AS (
+    SELECT doc_id,
+        CAST(4 + doc_id % 13 AS INTEGER) AS w,
+        CAST(3 + doc_id % 7 AS INTEGER) AS h
+    FROM documents
+),
+src AS (
+    SELECT g.doc_id, g.w, g.h,
+        SUM((g.doc_id + 3 * x.i + 5 * y.i + 7 * c.i) % 256)
+            AS sum_src
+    FROM g,
+        unnest(generate_series(0, g.w - 1)) AS x(i),
+        unnest(generate_series(0, g.h - 1)) AS y(i),
+        unnest(generate_series(0, 3)) AS c(i)
+    GROUP BY 1, 2, 3
+),
+rs AS (
+    SELECT g.doc_id,
+        SUM((g.doc_id
+             + 3 * least((ox.i * g.w) // 8, g.w - 1)
+             + 5 * least((oy.i * g.h) // 8, g.h - 1)
+             + 7 * c.i) % 256) AS sum_resampled
+    FROM g,
+        unnest(generate_series(0, 7)) AS ox(i),
+        unnest(generate_series(0, 7)) AS oy(i),
+        unnest(generate_series(0, 3)) AS c(i)
+    GROUP BY 1
+)
+SELECT s.doc_id, s.w AS width, s.h AS height,
+    CAST(s.sum_src AS BIGINT) AS sum_src,
+    CAST(r.sum_resampled AS BIGINT) AS sum_resampled
+FROM src s JOIN rs r USING (doc_id)
+"""
+
+
+@q("m5_pixel_stats", _m5_sql())
+def m5(spark, sf_dir):
+    """REAL PNG pixel decode, driver-gated end to end (r7 verdict
+    #7): per document a spec-valid RGBA PNG is ENCODED (encode_png —
+    zlib IDAT, true CRCs) from a position-dependent pixel pattern,
+    DECODED back (decode_png — real inflate + unfilter), 8×8
+    nearest-neighbor RESAMPLED (resample_nearest), and the exact
+    integer pixel sums of both stages are returned. The oracle
+    replays every byte as integer arithmetic — a wrong filter
+    reverse, stride, or index floor anywhere in the chain flips the
+    hash. Runs as one Arrow-batched mapInPandas kernel (the media
+    tier where per-byte Python IS the task); geometry varies per doc
+    so the kernel is exercised across strides."""
+    import pandas as pd
+
+    from trisk_datawrangle_spark.llm.multimodal import (
+        decode_png,
+        encode_png,
+        resample_nearest,
+    )
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                doc_id = int(doc_id)
+                w, h = 4 + doc_id % 13, 3 + doc_id % 7
+                px = bytes(
+                    (doc_id + 3 * x + 5 * y + 7 * c) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(4)
+                )
+                payload = encode_png(w, h, 4, px)
+                decoded = decode_png(payload)
+                if decoded is None:
+                    raise AssertionError(
+                        f"m5: roundtrip decode failed for doc {doc_id}"
+                    )
+                dw, dh, ch, raw = decoded
+                if (dw, dh, ch, raw) != (w, h, 4, px):
+                    raise AssertionError(
+                        f"m5: decode mismatch for doc {doc_id}"
+                    )
+                rs = resample_nearest(w, h, 4, raw, 8, 8)
+                rows.append(
+                    (doc_id, w, h, sum(raw), sum(rs))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "sum_src",
+                    "sum_resampled",
+                ],
+            )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
+    return d.mapInPandas(
+        stats,
+        "doc_id long, width int, height int, sum_src long, "
+        "sum_resampled long",
+    )
+
+
 def _m3_sql() -> str:
     """Oracle for the multimodal feature stack: the stub embedding is
     a pure function of sha256(payload) (llm/multimodal.py
@@ -2899,36 +3008,71 @@ def d13(spark, sf_dir):
 # Probe-only serving entries: d13/s7 charge a full index WRITE
 # (build + persist + re-read) to every run, which hides the number a
 # production deployment actually cares about — the latency of serving
-# a query batch against an index that already exists. These two
-# entries memoize the build per (index kind, sf_dir) so only the
-# FIRST run of a process pays it; in bench.py the cold pass absorbs
-# the build and every warm pass measures the partition-pruned probe
-# path alone. Same hard oracles as the lifecycle entries — the probe
-# against a cached index must reproduce the inline derivation
-# bit-for-bit, so a stale/corrupt cache can never pass silently.
+# a query batch against an index that already exists. Since r8 (r7
+# verdict #5) the build publishes through the PRODUCTION lifecycle:
+# staged build -> publish_index_versioned into a STABLE versioned
+# root -> probes resolve the root's CURRENT pointer
+# (llm/lsh_index.py resolve_index_path — every probe entrypoint
+# calls it), so a SECOND process finds the published version instead
+# of rebuilding into a private tmpdir, and the serving entries
+# exercise the versioned-pointer read path end-to-end on every run.
+# In bench.py the cold pass absorbs the one-time build and every
+# warm pass measures the partition-pruned probe alone. Same hard
+# oracles as the lifecycle entries — the probe against a published
+# index must reproduce the inline derivation bit-for-bit, so a
+# stale/corrupt version can never pass silently.
 _SERVING_INDEX_CACHE: dict = {}
 
 
-def _served_index_path(kind: str, sf_dir, build) -> str:
+def _served_index_path(spark, kind: str, sf_dir, build) -> str:
+    """Return the stable versioned ROOT for (kind, sf_dir) —
+    probes resolve its CURRENT pointer — building and publishing
+    v=1 if no version is published yet. The staging directory lives
+    UNDER the root (same filesystem), so the publish rename is a
+    metadata move, never a copy."""
     import os
 
+    from trisk_datawrangle_spark.llm.lsh_index import (
+        CURRENT_POINTER,
+        publish_index_versioned,
+    )
+
+    sf_tag = os.path.basename(os.path.abspath(str(sf_dir))) or "sf"
+    base = os.environ.get(
+        "SPARK_GRAFT_SERVING_DIR",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+            ".scratch", "serving",
+        ),
+    )
+    root = os.path.join(base, f"{kind}-{sf_tag}")
     key = (kind, str(os.path.abspath(str(sf_dir))))
-    path = _SERVING_INDEX_CACHE.get(key)
-    if path is None or not os.path.isdir(path):
-        path = build()
-        _SERVING_INDEX_CACHE[key] = path
-    return path
+    if _SERVING_INDEX_CACHE.get(key) == root:
+        return root
+    if not os.path.exists(os.path.join(root, CURRENT_POINTER)):
+        os.makedirs(root, exist_ok=True)
+        staged = os.path.join(root, f".staging-{os.getpid()}")
+        build(staged)
+        publish_index_versioned(spark, staged, root)
+    _SERVING_INDEX_CACHE[key] = root
+    return root
 
 
 @q("d13_probe_serving", _d11_sql())
 def d13_probe(spark, sf_dir):
     """LSH index SERVING latency — d13's probe stage alone: the
-    even-half index is built once per process (memoized on sf_dir)
-    and each run probes the stored bands/shingles with
-    partition-pruned reads (llm/lsh_index.py minhash_lsh_index_pairs).
-    This is the steady-state continual-ingestion cost: at 100 TB the
-    corpus index is built once and amortized over every incoming
-    batch, so the per-batch number is probe, not build."""
+    even-half index is built once and PUBLISHED through the
+    versioned lifecycle (publish_index_versioned into a stable root;
+    a second process finds the published version rather than
+    rebuilding), and each run resolves the root's CURRENT pointer
+    and probes the stored bands/shingles with partition-pruned reads
+    (llm/lsh_index.py minhash_lsh_index_pairs). This is the
+    steady-state continual-ingestion cost: at 100 TB the corpus
+    index is built once and amortized over every incoming batch, so
+    the per-batch number is probe, not build — and the probe
+    exercises the atomic-pointer read path a retrain-and-swap
+    deployment serves through."""
     from trisk_datawrangle_spark.llm.lsh_index import (
         minhash_lsh_index_pairs,
         write_lsh_index,
@@ -2936,20 +3080,16 @@ def d13_probe(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
 
-    def build() -> str:
-        import tempfile
-
-        p = tempfile.mkdtemp(prefix="lsh_serving_") + "/idx"
+    def build(staged: str) -> None:
         write_lsh_index(
             docs.filter(F.col("doc_id") % 2 == 0),
-            p,
+            staged,
             num_hashes=64,
             bands=32,
             n_shards=8,
         )
-        return p
 
-    path = _served_index_path("lsh", sf_dir, build)
+    path = _served_index_path(spark, "lsh", sf_dir, build)
     pairs = minhash_lsh_index_pairs(
         spark,
         path,
@@ -2964,12 +3104,16 @@ def d13_probe(spark, sf_dir):
 @q("s7_probe_serving", ORACLES["s1_cosine_topk"])
 def s7_probe(spark, sf_dir):
     """IVF-PQ index SERVING latency — s7's probe stage alone: the
-    index is trained/encoded/persisted once per process (memoized on
-    sf_dir) and each run serves the query batch from the stored codes
-    with cell-pruned reads + exact rescore (llm/pq_index.py
+    index is trained/encoded once and PUBLISHED through the
+    versioned lifecycle (publish_index_versioned into a stable root;
+    a second process finds the published version rather than
+    rebuilding), and each run resolves the root's CURRENT pointer
+    and serves the query batch from the stored codes with
+    cell-pruned reads + exact rescore (llm/pq_index.py
     ivf_pq_index_topk). Full-probe + rescore recovers s1's
-    brute-force oracle exactly, so the serving path stays hash-gated
-    while the bench records query latency, not build cost."""
+    brute-force oracle exactly, so the versioned-pointer serving
+    path stays hash-gated while the bench records query latency,
+    not build cost."""
     from trisk_datawrangle_spark.llm.pq_index import (
         ivf_pq_index_topk,
         write_ivf_pq_index,
@@ -2978,14 +3122,10 @@ def s7_probe(spark, sf_dir):
     e = _embs(spark, sf_dir)
     qd = e.filter(F.col("vec_id") < 10)
 
-    def build() -> str:
-        import tempfile
+    def build(staged: str) -> None:
+        write_ivf_pq_index(e, staged, n_cells=16, m=8)
 
-        p = tempfile.mkdtemp(prefix="pq_serving_") + "/idx"
-        write_ivf_pq_index(e, p, n_cells=16, m=8)
-        return p
-
-    path = _served_index_path("ivf_pq", sf_dir, build)
+    path = _served_index_path(spark, "ivf_pq", sf_dir, build)
     cand = ivf_pq_index_topk(spark, path, qd, k=2_000_000_000, n_probe=16)
     res = rescore_topk(cand, e, qd, k=5)
     return res.select(

@@ -2,10 +2,15 @@
 columns with typed metadata.
 
 The Spark-side contract is real and tested — schema, Arrow batch
-shape, partition sizing — while the actual media decode is stubbed
-(this environment ships no image/audio libraries). Swap
-``_decode_stub`` for a real decoder (PIL / torchaudio / pyav) without
-touching the plan.
+shape, partition sizing. Since r8 the PNG path is REAL end to end,
+stdlib-only: :func:`decode_png` inflates IDAT (zlib) and reverses
+all five scanline filters (spec §9, incl. Paeth), :func:`encode_png`
+writes a spec-valid stream with true CRCs, and :func:`resize_media`
+genuinely resamples (nearest-neighbor) any payload
+:func:`decode_png` accepts. Only NON-PNG media (JPEG/GIF pixel
+decode, audio, video) remain header-parse + labeled fallbacks —
+swap in PIL / torchaudio / pyav for those without touching the
+plan.
 
 Scale notes: media rows are fat (MBs) — ``mapInPandas`` streams Arrow
 batches so memory stays bounded by batch size, not partition size;
@@ -63,6 +68,155 @@ def png_payload(
         F.to_binary(header_hex, F.lit("hex")),
         F.encode(F.col(text_col), "utf-8"),
     )
+
+
+#: Bytes per pixel for the PNG color types the real decoder handles
+#: (spec §11.2.2: 0=gray, 2=RGB, 4=gray+alpha, 6=RGBA; 8-bit only).
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, bytes] | None:
+    """REAL PNG pixel decode, stdlib-only (PNG spec / RFC 2083):
+    walk the chunk stream, concatenate IDAT, ``zlib.decompress``,
+    then reverse the per-scanline filter (types 0 None / 1 Sub /
+    2 Up / 3 Average / 4 Paeth — spec §9). Returns
+    ``(width, height, channels, raw_pixels)`` with ``raw_pixels``
+    row-major, ``channels`` bytes per pixel, or None when the
+    payload is not a decodable 8-bit non-interlaced PNG (bad
+    signature, non-zlib pixel data — e.g. the header-only test
+    fixtures — 16-bit, palette, or interlaced streams).
+
+    Driver-side cost note: this is a per-row Python kernel — it runs
+    ONLY inside Arrow-batched ``mapInPandas`` workers on fat media
+    rows where per-byte Python work is the task anyway (same tier as
+    a PIL call), never in a row-at-a-time Spark UDF."""
+    import zlib
+
+    if len(payload) < 45 or payload[:8] != PNG_SIG:
+        return None
+    pos, width, height, depth, ctype, interlace = 8, 0, 0, 0, 0, 0
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        clen = int.from_bytes(payload[pos:pos + 4], "big")
+        ctag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + clen]
+        if len(body) < clen:
+            return None
+        if ctag == b"IHDR":
+            if clen != 13:
+                return None
+            width = int.from_bytes(body[0:4], "big")
+            height = int.from_bytes(body[4:8], "big")
+            depth, ctype = body[8], body[9]
+            interlace = body[12]
+        elif ctag == b"IDAT":
+            idat += body
+        elif ctag == b"IEND":
+            break
+        pos += 12 + clen  # len + tag + body + crc
+    if (
+        not width or not height or depth != 8 or interlace != 0
+        or ctype not in _PNG_CHANNELS or not idat
+    ):
+        return None
+    ch = _PNG_CHANNELS[ctype]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = width * ch
+    if len(raw) != (stride + 1) * height:
+        return None
+    out = bytearray(stride * height)
+    prev = bytearray(stride)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        if f == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c
+                )
+                line[i] = (line[i] + pred) & 0xFF
+        elif f != 0:
+            return None
+        out[y * stride:(y + 1) * stride] = line
+        prev = line
+    return width, height, ch, bytes(out)
+
+
+def encode_png(
+    width: int, height: int, channels: int, pixels: bytes
+) -> bytes:
+    """Spec-valid PNG encode, stdlib-only: filter 0 scanlines,
+    one zlib IDAT, REAL crc32 on every chunk — the exact inverse of
+    :func:`decode_png` (roundtrip property-tested). ``channels``
+    picks the color type (1 gray / 2 gray+alpha / 3 RGB / 4 RGBA)."""
+    import struct
+    import zlib
+
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    if len(pixels) != stride * height:
+        raise ValueError(
+            f"encode_png: {len(pixels)} pixel bytes != "
+            f"{stride}*{height}"
+        )
+    raw = b"".join(
+        b"\x00" + pixels[y * stride:(y + 1) * stride]
+        for y in range(height)
+    )
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resample_nearest(
+    width: int, height: int, channels: int, pixels: bytes,
+    new_w: int, new_h: int,
+) -> bytes:
+    """Nearest-neighbor resample of raw row-major pixels — the real
+    kernel :func:`resize_media` applies to decodable payloads.
+    Pure-python but O(out_pixels); vectorize with numpy if media
+    resizing ever becomes the hot stage (the Arrow batch boundary
+    does not change)."""
+    out = bytearray(new_w * new_h * channels)
+    for oy in range(new_h):
+        sy = min(oy * height // new_h, height - 1)
+        src_row = sy * width * channels
+        dst_row = oy * new_w * channels
+        for ox in range(new_w):
+            sx = min(ox * width // new_w, width - 1)
+            s = src_row + sx * channels
+            d = dst_row + ox * channels
+            out[d:d + channels] = pixels[s:s + channels]
+    return bytes(out)
 
 
 def parse_image_dims(payload: bytes) -> tuple[int, int, str] | None:
@@ -166,36 +320,53 @@ def resize_media(
     id_col: str = "doc_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """Resize plumbing: emit a payload of exactly ``width*height``
-    bytes per row (truncate or zero-pad — the STUB for a real
-    bilinear/ffmpeg resample), plus typed dimensions.
+    """Resize over Arrow batches — REAL where the payload is real:
+    a payload :func:`decode_png` accepts is genuinely decoded,
+    nearest-neighbor resampled to (width, height)
+    (:func:`resample_nearest`) and emitted as raw row-major pixels
+    (``byte_len = width*height*channels``); anything else (non-PNG
+    media, header-only fixtures) takes the LABELED fallback — a
+    payload of exactly ``width*height`` bytes (truncate / zero-pad),
+    keeping the batch-shape contract testable without decoders for
+    those formats.
 
-    The Spark-side contract is the real part: binary-in/binary-out
-    over Arrow batches, output rows fatter or thinner than input by a
-    known factor — so downstream partition sizing can be planned
-    (``target_bytes = rows × width × height``). Keeps the input id
-    for joining resized payloads back to source metadata, and
-    carries the SOURCE dimensions parsed from the real image header
-    (:func:`parse_image_dims`; NULL when the payload is not a
+    The Spark-side contract holds for both paths: binary-in/
+    binary-out, output rows fatter or thinner than input by a known
+    factor — so downstream partition sizing can be planned
+    (``target_bytes ≈ rows × width × height × channels``). Keeps the
+    input id for joining resized payloads back to source metadata,
+    and carries the SOURCE dimensions parsed from the real image
+    header (:func:`parse_image_dims`; NULL when the payload is not a
     recognized image) — a resample needs the source geometry, so the
     plumbing must prove it flows through."""
     import pandas as pd
 
     target = width * height
 
+    def one(b: bytes) -> tuple[bytes, int]:
+        px = decode_png(b)
+        if px is not None:
+            sw, sh, ch, raw = px
+            return (
+                resample_nearest(sw, sh, ch, raw, width, height),
+                width * height * ch,
+            )
+        return b[:target].ljust(target, b"\0"), target
+
     def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             payloads = pdf[payload_col].map(bytes)
             src = payloads.map(parse_image_dims)
+            done = payloads.map(one)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
-                    "payload": payloads.map(
-                        lambda b: b[:target].ljust(target, b"\0")
-                    ),
+                    "payload": done.map(lambda t: t[0]),
                     "width": width,
                     "height": height,
-                    "byte_len": target,
+                    "byte_len": done.map(lambda t: t[1]).astype(
+                        "int32"
+                    ),
                     "src_width": src.map(
                         lambda t: t[0] if t else None
                     ).astype("Int32"),
