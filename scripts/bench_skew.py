@@ -53,7 +53,16 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
 UNIFORM = os.path.join(HERE, ".scratch", "sf10")
-ZIPF = os.path.join(HERE, ".scratch", "sf10zipf")
+#: Two skew exponents (r7 verdict #8): s=2 concentrates ~50% of all
+#: orders on the single hottest customer (the null-key/default-value
+#: disaster shape) but its tail is thin, which flatters salting;
+#: s=1.3 has a smaller hot key AND a fat tail of warm keys — the
+#: harder, more production-like distribution where per-task balance
+#: must come from spreading MANY moderately hot keys, not one.
+ZIPFS = {
+    "zipf_s2.0": (os.path.join(HERE, ".scratch", "sf10zipf"), "2.0"),
+    "zipf_s1.3": (os.path.join(HERE, ".scratch", "sf10zipf13"), "1.3"),
+}
 
 
 def _ensure_corpora() -> None:
@@ -64,13 +73,14 @@ def _ensure_corpora() -> None:
              "100", "/root/testdata/sf0.1", UNIFORM],
             check=True,
         )
-    if not os.path.exists(os.path.join(ZIPF, "orders.parquet")):
-        subprocess.run(
-            [sys.executable,
-             os.path.join(HERE, "scripts", "make_skewed_corpus.py"),
-             UNIFORM, ZIPF, "2.0"],
-            check=True,
-        )
+    for zdir, exponent in ZIPFS.values():
+        if not os.path.exists(os.path.join(zdir, "orders.parquet")):
+            subprocess.run(
+                [sys.executable,
+                 os.path.join(HERE, "scripts", "make_skewed_corpus.py"),
+                 UNIFORM, zdir, exponent],
+                check=True,
+            )
 
 
 def main() -> None:
@@ -146,7 +156,8 @@ def main() -> None:
         return dt, key
 
     variants = ["plain_default", "plain_smj", "salted_8", "salted_16"]
-    corpora = {"uniform": UNIFORM, "zipf": ZIPF}
+    corpora = {"uniform": UNIFORM}
+    corpora.update({name: zdir for name, (zdir, _) in ZIPFS.items()})
     times: dict[str, dict[str, float]] = {v: {} for v in variants}
     for cname, cdir in corpora.items():
         answers = set()
@@ -164,27 +175,33 @@ def main() -> None:
                 f"({len(answers)} distinct aggregates)"
             )
 
+    zipf_names = list(ZIPFS)
     ratios = {
-        v: round(times[v]["zipf"] / times[v]["uniform"], 2)
+        v: {
+            z: round(times[v][z] / times[v]["uniform"], 2)
+            for z in zipf_names
+        }
         for v in variants
     }
+    # earns its keep when, at EVERY tested exponent, (a) some salting
+    # keeps the skewed run within the ~1.5x band plain plans blow
+    # through, and (b) the best salted ABSOLUTE time on the skewed
+    # corpus beats the plain sort-merge join there
+    earns = all(
+        min(ratios["salted_8"][z], ratios["salted_16"][z]) <= 1.5
+        and min(times["salted_8"][z], times["salted_16"][z])
+        < times["plain_smj"][z]
+        for z in zipf_names
+    )
     out = {
         "metric": "skew_join_seconds",
         "unit": "sec",
         "passes": args.passes,
         "corpus_uniform": UNIFORM,
-        "corpus_zipf": ZIPF,
+        "corpora_zipf": {z: ZIPFS[z][0] for z in zipf_names},
         "times": times,
         "zipf_over_uniform": ratios,
-        # earns its keep when (a) some salting keeps the skewed run
-        # within the ~1.5x band plain plans blow through, and (b) the
-        # best salted ABSOLUTE time on the skewed corpus beats the
-        # plain sort-merge join there
-        "salted_earns_keep": (
-            min(ratios["salted_8"], ratios["salted_16"]) <= 1.5
-            and min(times["salted_8"]["zipf"], times["salted_16"]["zipf"])
-            < times["plain_smj"]["zipf"]
-        ),
+        "salted_earns_keep": earns,
     }
     line = json.dumps(out)
     print(line)
