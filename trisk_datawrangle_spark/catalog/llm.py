@@ -1757,13 +1757,15 @@ FROM documents
 """,
 )
 def m2(spark, sf_dir):
-    """Resize plumbing (binary-in/binary-out mapInPandas) over REAL
-    PNG payloads: every document flows through with the target
-    dimensions AND the source geometry parsed from its actual IHDR
-    header (the m1 fixture dims) — a resample needs the source
+    """Resize plumbing (binary-in/binary-out mapInPandas) over the
+    header-only PNG fixtures: every document flows through with the
+    target dimensions AND the source geometry parsed from its actual
+    IHDR header (the m1 fixture dims) — a resample needs the source
     dims, so the oracle gates that they flow through the Arrow
-    boundary. Exact payload semantics (truncate / zero-pad) stay
-    unit-tested where bytes can be compared directly."""
+    boundary. These fixtures carry text, not a zlib stream, so they
+    take resize_media's LABELED truncate/pad fallback; the REAL
+    pixel path (decode_png → resample_nearest) is driver-gated by
+    m5_pixel_stats and byte-compared in tests/test_multimodal.py."""
     from trisk_datawrangle_spark.llm.multimodal import png_payload
 
     d = _docs(spark, sf_dir).select(

@@ -329,48 +329,47 @@ def semantic_dedup(
             df.select(id_col, vec_col), threshold=threshold
         )
     elif pair_tier == "clustered":
+        # Per-cluster pair stage as ONE numpy GEMM per k-means cell
+        # (applyInPandas keyed by cluster) — the same vectorized
+        # kernel and float-margin contract as similarity.py
+        # cosine_pairs_blocked (the d5 oracle idiom: float64 GEMM vs
+        # the oracle's per-pair fold agree under the documented
+        # threshold margin). An expression-level self-join here costs
+        # one interpreted 64-element fold per CANDIDATE pair —
+        # measured 10×+ slower than the GEMM at sf10 — while each
+        # cell's matrix is ~(n/k)·dim doubles, bounded by the
+        # operator's own k knob.
+        import numpy as np
+        import pandas as pd
+
         assign = kmeans_embeddings(df, vec_col, id_col, k, n_iter).select(
             "id", "cluster"
         )
-        v = (
-            e.select(
-                "id",
-                F.expr(
-                    "transform(v0, x -> CAST(x AS DOUBLE))"
-                ).alias("v"),
+        v = e.select("id", "v0").join(assign, "id")
+
+        def cell_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            empty = pd.DataFrame(
+                {"id_a": [], "id_b": []}
+            ).astype({"id_a": "int64", "id_b": "int64"})
+            if len(pdf) < 2:
+                return empty
+            ids = pdf["id"].to_numpy()
+            mat = np.array(list(pdf["v0"]), dtype=np.float64)
+            mat /= np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
             )
-            .join(assign, "id")
-            .withColumn(
-                "n",
-                F.expr(
-                    "greatest(sqrt(aggregate(v, CAST(0.0 AS DOUBLE),"
-                    " (acc, x) -> acc + x * x)), 1e-12)"
-                ),
+            sims = mat @ mat.T
+            xi, yj = np.nonzero(np.triu(sims >= threshold, k=1))
+            if not len(xi):
+                return empty
+            ia, ib = ids[xi], ids[yj]
+            lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+            return pd.DataFrame(
+                {"id_a": lo.astype("int64"), "id_b": hi.astype("int64")}
             )
-        )
-        a = v.select(
-            F.col("id").alias("id_a"), F.col("cluster").alias("ca"),
-            F.col("v").alias("va"), F.col("n").alias("na"),
-        )
-        b = v.select(
-            F.col("id").alias("id_b"), F.col("cluster").alias("cb"),
-            F.col("v").alias("vb"), F.col("n").alias("nb"),
-        )
-        pairs = (
-            a.join(
-                b,
-                (F.col("ca") == F.col("cb"))
-                & (F.col("id_a") < F.col("id_b")),
-            )
-            .filter(
-                F.expr(
-                    "aggregate(zip_with(va, vb, (x, y) -> x * y),"
-                    " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-                )
-                / (F.col("na") * F.col("nb"))
-                >= F.lit(threshold)
-            )
-            .select("id_a", "id_b")
+
+        pairs = v.groupBy("cluster").applyInPandas(
+            lambda key, pdf: cell_pairs(pdf), "id_a long, id_b long"
         )
     else:
         raise ValueError(
