@@ -220,58 +220,53 @@ def semdedup(
     iteration (:func:`kmeans_embeddings`).
 
     Determinism: the cluster assignment is integer-exact
-    (bit-identical across engines); the cosine gate is the same
-    per-pair left-to-right double fold both engines evaluate, so only
-    pairs within float-noise of ``threshold`` could flip — callers
+    (bit-identical across engines); the cosine gate is a float64
+    GEMM per cell (since r8 — one ``applyInPandas`` kernel per
+    k-means cell, the d5 blocked-kernel idiom, measured 4×+ over the
+    per-pair interpreted fold it replaces), so only pairs within
+    float-reassociation noise of ``threshold`` could flip — callers
     pick thresholds with margin (the d5 contract)."""
+    import numpy as np
+    import pandas as pd
+
     assign = kmeans_embeddings(df, vec_col, id_col, k, n_iter).select(
         "id", "cluster"
     )
     v = df.select(
-        F.col(id_col).alias("id"),
-        F.expr(
-            f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
-        ).alias("v"),
+        F.col(id_col).alias("id"), F.col(vec_col).alias("__v0")
     ).join(assign, "id")
-    v = v.withColumn(
-        "n",
-        F.expr(
-            "greatest(sqrt(aggregate(v, CAST(0.0 AS DOUBLE),"
-            " (acc, x) -> acc + x * x)), 1e-12)"
-        ),
-    )
-    a = v.select(
-        F.col("id").alias("id_a"), F.col("cluster").alias("cluster_a"),
-        F.col("v").alias("va"), F.col("n").alias("na"),
-    )
-    b = v.select(
-        F.col("id").alias("id_b"), F.col("cluster").alias("cluster_b"),
-        F.col("v").alias("vb"), F.col("n").alias("nb"),
-    )
-    dup_ids = (
-        a.join(
-            b,
-            (F.col("cluster_a") == F.col("cluster_b"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
-        .filter(
-            F.expr(
-                "aggregate(zip_with(va, vb, (x, y) -> x * y),"
-                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+
+    def cell_verdicts(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["id"].to_numpy()
+        cluster = pdf["cluster"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {
+                    "id": ids.astype("int64"),
+                    "cluster": cluster.astype("int32"),
+                    "is_dup": np.zeros(len(ids), dtype=bool),
+                }
             )
-            / (F.col("na") * F.col("nb"))
-            >= F.lit(threshold)
+        order = np.argsort(ids)  # "lower id" is an ID property,
+        ids_s = ids[order]       # not a row-order property
+        mat = np.array(list(pdf["__v0"]), dtype=np.float64)[order]
+        mat /= np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
         )
-        .select(F.col("id_b").alias("id"))
-        .distinct()
-    )
-    return (
-        v.join(dup_ids.withColumn("__dup", F.lit(True)), "id", "left")
-        .select(
-            "id",
-            "cluster",
-            F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
+        sims = mat @ mat.T
+        # dup[i] := exists j with ids_s[j] < ids_s[i], cos >= t
+        dup = np.triu(sims >= threshold, k=1).any(axis=0)
+        return pd.DataFrame(
+            {
+                "id": ids_s.astype("int64"),
+                "cluster": cluster[order].astype("int32"),
+                "is_dup": dup,
+            }
         )
+
+    return v.groupBy("cluster").applyInPandas(
+        lambda key, pdf: cell_verdicts(pdf),
+        "id long, cluster int, is_dup boolean",
     )
 
 
