@@ -285,3 +285,186 @@ def test_resize_media_really_resamples_valid_png(spark):
     assert bytes(out.payload) == resample_nearest(
         w, h, ch, px, 4, 4
     )
+
+
+# ----------------------------------------------------------- GIF LZW
+
+
+def _lzw_encode_literal(indices, min_code_size):
+    """Minimal spec-valid LZW stream: emit every pixel as a LITERAL
+    code at width min_code_size+1, with a CLEAR before the table
+    would force a width change — decoders must handle the resets."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    width = min_code_size + 1
+    bits = []
+
+    def emit(code):
+        for i in range(width):
+            bits.append((code >> i) & 1)
+
+    emit(clear)
+    next_code = eoi + 1
+    for ix in indices:
+        emit(ix)
+        # each literal-after-prev adds one table entry on the
+        # decoder side; reset before the decoder's width would grow
+        next_code += 1
+        if next_code >= (1 << width) - 1:
+            emit(clear)
+            next_code = eoi + 1
+    emit(eoi)
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, b in enumerate(bits[i:i + 8]):
+            byte |= b << j
+        data.append(byte)
+    return bytes(data)
+
+
+def _gif_payload(w, h, palette, indices, interlaced=False,
+                 min_code_size=None):
+    import math
+
+    n = len(palette) // 3
+    gct_bits = max(1, math.ceil(math.log2(n)))
+    mcs = min_code_size or max(2, gct_bits)
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (gct_bits - 1), 0, 0])
+    out += palette + b"\x00" * (3 * ((1 << gct_bits) - n))
+    # a comment extension block — decoders must skip it
+    out += b"\x21\xfe\x05hello\x00"
+    out += b"\x2c" + b"\x00\x00\x00\x00"
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x40 if interlaced else 0])
+    out += bytes([mcs])
+    data = _lzw_encode_literal(indices, mcs)
+    for i in range(0, len(data), 255):
+        block = data[i:i + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_decode_palette_and_skip_extension():
+    from trisk_datawrangle_spark.llm.multimodal import decode_gif
+
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    w, h = 5, 3
+    indices = [(x + y) % 4 for y in range(h) for x in range(w)]
+    got = decode_gif(_gif_payload(w, h, palette, indices))
+    assert got is not None
+    gw, gh, ch, px = got
+    assert (gw, gh, ch) == (w, h, 3)
+    for i, ix in enumerate(indices):
+        assert px[i * 3:i * 3 + 3] == palette[ix * 3:ix * 3 + 3]
+
+
+def test_gif_decode_interlaced_deweave():
+    from trisk_datawrangle_spark.llm.multimodal import decode_gif
+
+    palette = bytes(
+        b for v in range(8) for b in (v * 30, 255 - v * 30, v)
+    )
+    w, h = 4, 11  # >8 rows so all four interlace passes occur
+    indices = [(3 * x + y) % 8 for y in range(h) for x in range(w)]
+    # interlaced storage order: rows 0,8 / 4 / 2,6,10 / 1,3,5,7,9
+    order = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    stored = []
+    for y in order:
+        stored.extend(indices[y * w:(y + 1) * w])
+    got = decode_gif(
+        _gif_payload(w, h, palette, stored, interlaced=True)
+    )
+    assert got is not None
+    gw, gh, ch, px = got
+    assert (gw, gh, ch) == (w, h, 3)
+    for i, ix in enumerate(indices):
+        assert px[i * 3:i * 3 + 3] == palette[ix * 3:ix * 3 + 3]
+
+
+def test_gif_decode_rejects_truncated_and_header_only():
+    from trisk_datawrangle_spark.llm.multimodal import decode_gif
+
+    palette = bytes([1, 2, 3, 4, 5, 6])
+    good = _gif_payload(3, 2, palette, [0, 1, 0, 1, 0, 1])
+    assert decode_gif(good) is not None
+    assert decode_gif(good[:20]) is None
+    assert decode_gif(b"GIF89a" + b"\x03\x00\x02\x00\x00\x00\x00") is None
+
+
+def test_resize_media_resamples_gif_too(spark):
+    from trisk_datawrangle_spark.llm.multimodal import (
+        decode_gif,
+        resample_nearest,
+        resize_media,
+    )
+
+    palette = bytes([250, 0, 0, 0, 250, 0, 0, 0, 250, 120, 120, 120])
+    w, h = 8, 6
+    indices = [(x // 2 + y // 3) % 4 for y in range(h) for x in range(w)]
+    payload = _gif_payload(w, h, palette, indices)
+    _, _, _, px = decode_gif(payload)
+    df = spark.createDataFrame(
+        [(7, bytearray(payload))], "doc_id long, payload binary"
+    )
+    out = resize_media(df, width=4, height=3).collect()[0]
+    assert (out.src_width, out.src_height) == (w, h)
+    assert out.byte_len == 4 * 3 * 3
+    assert bytes(out.payload) == resample_nearest(w, h, 3, px, 4, 3)
+
+
+def test_gif_decode_code_width_growth():
+    """A literal stream with NO mid-stream clears forces the decoder
+    to grow the code width in lockstep with its table — the variable-
+    width path the clear-heavy encoder never exercises."""
+    from trisk_datawrangle_spark.llm.multimodal import decode_gif
+
+    palette = bytes([10, 0, 0, 0, 10, 0, 0, 0, 10, 7, 7, 7])
+    w, h = 10, 6  # 60 pixels: table passes 8 and 16 -> width 3->4->5
+    indices = [(x * 3 + y) % 4 for y in range(h) for x in range(w)]
+    mcs, clear, eoi = 2, 4, 5
+    width, bits = mcs + 1, []
+
+    def emit(code):
+        nonlocal width
+        for i in range(width):
+            bits.append((code >> i) & 1)
+
+    emit(clear)
+    next_code = eoi + 1
+    first = True
+    for ix in indices:
+        emit(ix)
+        if first:
+            first = False
+        else:
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+    emit(eoi)
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, b in enumerate(bits[i:i + 8]):
+            byte |= b << j
+        data.append(byte)
+    out = bytearray(b"GIF89a" + w.to_bytes(2, "little")
+                    + h.to_bytes(2, "little") + bytes([0x81, 0, 0])
+                    + palette + b"\x2c" + b"\x00\x00\x00\x00"
+                    + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+                    + b"\x00" + bytes([mcs]))
+    for i in range(0, len(data), 255):
+        block = data[i:i + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"
+    got = decode_gif(bytes(out))
+    assert got is not None
+    gw, gh, ch, px = got
+    assert (gw, gh, ch) == (w, h, 3)
+    for i, ix in enumerate(indices):
+        assert px[i * 3:i * 3 + 3] == palette[ix * 3:ix * 3 + 3]

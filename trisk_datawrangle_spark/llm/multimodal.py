@@ -2,15 +2,17 @@
 columns with typed metadata.
 
 The Spark-side contract is real and tested — schema, Arrow batch
-shape, partition sizing. Since r8 the PNG path is REAL end to end,
-stdlib-only: :func:`decode_png` inflates IDAT (zlib) and reverses
-all five scanline filters (spec §9, incl. Paeth), :func:`encode_png`
-writes a spec-valid stream with true CRCs, and :func:`resize_media`
-genuinely resamples (nearest-neighbor) any payload
-:func:`decode_png` accepts. Only NON-PNG media (JPEG/GIF pixel
-decode, audio, video) remain header-parse + labeled fallbacks —
-swap in PIL / torchaudio / pyav for those without touching the
-plan.
+shape, partition sizing. Since r8 the PNG and GIF paths are REAL
+end to end, stdlib-only: :func:`decode_png` inflates IDAT (zlib)
+and reverses all five scanline filters (spec §9, incl. Paeth),
+:func:`encode_png` writes a spec-valid stream with true CRCs,
+:func:`decode_gif` LZW-decodes the first frame (variable code
+width, interlace de-weave, palette lookup), and
+:func:`resize_media` genuinely resamples (nearest-neighbor) any
+payload :func:`decode_pixels` accepts. Only JPEG pixel decode,
+audio, and video remain header-parse + labeled fallbacks — swap in
+PIL / torchaudio / pyav at the same call sites without touching
+the plan.
 
 Scale notes: media rows are fat (MBs) — ``mapInPandas`` streams Arrow
 batches so memory stays bounded by batch size, not partition size;
@@ -197,6 +199,155 @@ def encode_png(
     )
 
 
+def decode_gif(payload: bytes) -> tuple[int, int, int, bytes] | None:
+    """REAL GIF pixel decode, stdlib-only (GIF89a spec): logical
+    screen descriptor, global/local color table, LZW-decompressed
+    index stream of the FIRST image, palette lookup to RGB,
+    interlace de-weave when flagged. Returns
+    ``(width, height, 3, rgb_pixels)`` row-major, or None when the
+    payload is not a decodable GIF (bad signature, missing color
+    table, truncated/invalid LZW). Same cost tier as
+    :func:`decode_png` — per-row Python for Arrow-batched media
+    kernels only."""
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    flags = payload[10]
+    gct_size = 2 << (flags & 0x07)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        gct = payload[pos:pos + 3 * gct_size]
+        if len(gct) < 3 * gct_size:
+            return None
+        pos += 3 * gct_size
+    # skip extension blocks to the first image descriptor
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x2C:  # image descriptor
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x3B:  # trailer before any image
+            return None
+        else:
+            return None
+    if pos + 10 > len(payload) or payload[pos] != 0x2C:
+        return None
+    iw = int.from_bytes(payload[pos + 5:pos + 7], "little")
+    ih = int.from_bytes(payload[pos + 7:pos + 9], "little")
+    iflags = payload[pos + 9]
+    pos += 10
+    table = gct
+    if iflags & 0x80:  # local color table
+        lct_size = 2 << (iflags & 0x07)
+        table = payload[pos:pos + 3 * lct_size]
+        if len(table) < 3 * lct_size:
+            return None
+        pos += 3 * lct_size
+    if table is None or not iw or not ih:
+        return None
+    interlaced = bool(iflags & 0x40)
+    if pos >= len(payload):
+        return None
+    min_code_size = payload[pos]
+    pos += 1
+    if not 2 <= min_code_size <= 11:
+        return None
+    data = bytearray()
+    while pos < len(payload) and payload[pos]:
+        n = payload[pos]
+        data += payload[pos + 1:pos + 1 + n]
+        pos += 1 + n
+    # LZW decode (spec appendix F): variable code width, CLEAR
+    # resets the table, EOI ends the stream
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out: list[int] = []
+    bitpos = 0
+    nbits = len(data) * 8
+
+    def read_code(width: int) -> int | None:
+        nonlocal bitpos
+        if bitpos + width > nbits:
+            return None
+        v = 0
+        for i in range(width):
+            byte = data[(bitpos + i) >> 3]
+            v |= ((byte >> ((bitpos + i) & 7)) & 1) << i
+        bitpos += width
+        return v
+
+    def fresh_table():
+        return {i: bytes([i]) for i in range(clear)}
+
+    table_d = fresh_table()
+    width = min_code_size + 1
+    prev: bytes | None = None
+    next_code = eoi + 1
+    need = iw * ih
+    while len(out) < need:
+        code = read_code(width)
+        if code is None:
+            return None
+        if code == clear:
+            table_d = fresh_table()
+            width = min_code_size + 1
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table_d.get(code)
+            if entry is None:
+                return None
+        elif code in table_d:
+            entry = table_d[code]
+            table_d[next_code] = prev + entry[:1]
+            next_code += 1
+        elif code == next_code:
+            entry = prev + prev[:1]
+            table_d[next_code] = entry
+            next_code += 1
+        else:
+            return None
+        out.extend(entry)
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    if len(out) < need:
+        return None
+    idx = out[:need]
+    if interlaced:
+        rows = [idx[y * iw:(y + 1) * iw] for y in range(ih)]
+        wove: list[list[int]] = [[] for _ in range(ih)]
+        order = (
+            list(range(0, ih, 8)) + list(range(4, ih, 8))
+            + list(range(2, ih, 4)) + list(range(1, ih, 2))
+        )
+        for src_row, dst_y in enumerate(order):
+            wove[dst_y] = rows[src_row]
+        idx = [p for row in wove for p in row]
+    n_colors = len(table) // 3
+    px = bytearray(iw * ih * 3)
+    for i, ci in enumerate(idx):
+        if ci >= n_colors:
+            return None
+        px[i * 3:i * 3 + 3] = table[ci * 3:ci * 3 + 3]
+    return iw, ih, 3, bytes(px)
+
+
+def decode_pixels(payload: bytes) -> tuple[int, int, int, bytes] | None:
+    """Dispatch to the real pixel decoders this engine ships —
+    PNG (:func:`decode_png`), GIF (:func:`decode_gif`) — returning
+    ``(width, height, channels, raw_pixels)`` or None for formats
+    without a shipped pixel decoder (JPEG: header geometry only —
+    swap in PIL at the same call site)."""
+    return decode_png(payload) or decode_gif(payload)
+
+
 def resample_nearest(
     width: int, height: int, channels: int, pixels: bytes,
     new_w: int, new_h: int,
@@ -321,11 +472,12 @@ def resize_media(
     payload_col: str = "payload",
 ) -> DataFrame:
     """Resize over Arrow batches — REAL where the payload is real:
-    a payload :func:`decode_png` accepts is genuinely decoded,
+    a payload :func:`decode_pixels` accepts (PNG, GIF) is genuinely
+    decoded,
     nearest-neighbor resampled to (width, height)
     (:func:`resample_nearest`) and emitted as raw row-major pixels
-    (``byte_len = width*height*channels``); anything else (non-PNG
-    media, header-only fixtures) takes the LABELED fallback — a
+    (``byte_len = width*height*channels``); anything else (JPEG/
+    audio/video, header-only fixtures) takes the LABELED fallback — a
     payload of exactly ``width*height`` bytes (truncate / zero-pad),
     keeping the batch-shape contract testable without decoders for
     those formats.
@@ -344,7 +496,7 @@ def resize_media(
     target = width * height
 
     def one(b: bytes) -> tuple[bytes, int]:
-        px = decode_png(b)
+        px = decode_pixels(b)
         if px is not None:
             sw, sh, ch, raw = px
             return (
