@@ -2,17 +2,19 @@
 columns with typed metadata.
 
 The Spark-side contract is real and tested — schema, Arrow batch
-shape, partition sizing. Since r8 the PNG and GIF paths are REAL
-end to end, stdlib-only: :func:`decode_png` inflates IDAT (zlib)
-and reverses all five scanline filters (spec §9, incl. Paeth),
-:func:`encode_png` writes a spec-valid stream with true CRCs,
-:func:`decode_gif` LZW-decodes the first frame (variable code
-width, interlace de-weave, palette lookup), and
-:func:`resize_media` genuinely resamples (nearest-neighbor) any
-payload :func:`decode_pixels` accepts. Only JPEG pixel decode,
-audio, and video remain header-parse + labeled fallbacks — swap in
-PIL / torchaudio / pyav at the same call sites without touching
-the plan.
+shape, partition sizing. Since r8 ALL THREE image formats decode
+real pixels, stdlib(+numpy)-only: :func:`decode_png` inflates IDAT
+(zlib) and reverses all five scanline filters (spec §9, incl.
+Paeth) with :func:`encode_png` writing spec-valid streams (true
+CRCs); :func:`decode_gif` LZW-decodes the first frame (variable
+code width, interlace de-weave, palette lookup); ``llm/jpeg.py``
+decodes baseline JPEG (Huffman + vectorized IDCT, 4:4:4/4:2:0/
+4:2:2, restart markers, byte unstuffing) and encodes it for
+roundtrip testing. :func:`resize_media` genuinely resamples
+(nearest-neighbor) any payload :func:`decode_pixels` accepts. Only
+progressive JPEG, audio, and video remain header-parse + labeled
+fallbacks — swap in PIL / torchaudio / pyav at the same call sites
+without touching the plan.
 
 Scale notes: media rows are fat (MBs) — ``mapInPandas`` streams Arrow
 batches so memory stays bounded by batch size, not partition size;
@@ -340,12 +342,21 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, bytes] | None:
 
 
 def decode_pixels(payload: bytes) -> tuple[int, int, int, bytes] | None:
-    """Dispatch to the real pixel decoders this engine ships —
-    PNG (:func:`decode_png`), GIF (:func:`decode_gif`) — returning
-    ``(width, height, channels, raw_pixels)`` or None for formats
-    without a shipped pixel decoder (JPEG: header geometry only —
-    swap in PIL at the same call site)."""
-    return decode_png(payload) or decode_gif(payload)
+    """Dispatch to the real pixel decoders this engine ships — PNG
+    (:func:`decode_png`), GIF (:func:`decode_gif`), baseline JPEG
+    (``llm/jpeg.py`` — stdlib+numpy Huffman/DCT, 4:4:4/4:2:0,
+    restart markers) — returning ``(width, height, channels,
+    raw_pixels)`` or None for payloads none of them accept
+    (progressive JPEG, audio, video — swap in PIL / pyav at this one
+    call site)."""
+    got = decode_png(payload) or decode_gif(payload)
+    if got is not None:
+        return got
+    if len(payload) >= 2 and payload[:2] == b"\xff\xd8":
+        from trisk_datawrangle_spark.llm.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    return None
 
 
 def resample_nearest(
