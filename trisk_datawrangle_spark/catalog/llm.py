@@ -1781,6 +1781,119 @@ def m2(spark, sf_dir):
     )
 
 
+def _m6_sql() -> str:
+    """Oracle for the REAL audio path: the per-doc PCM samples are a
+    pure integer function of (doc_id, frame, channel), so DuckDB
+    replays the encode→decode→stats chain as arithmetic — sums and
+    peaks exactly; zero-crossings as consecutive non-zero sign flips
+    along channel 0 (zeros carry the previous sign, which dropping
+    the zero rows reproduces exactly)."""
+    return """
+WITH g AS (
+    SELECT doc_id,
+        CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        CAST(50 + doc_id % 97 AS INTEGER) AS n_frames
+    FROM documents
+),
+s AS (
+    SELECT g.doc_id, g.channels, g.n_frames, i.i, c.i AS c,
+        ((g.doc_id * 7 + i.i * 13 + c.i * 5) % 2001) - 1000 AS v
+    FROM g,
+        unnest(generate_series(0, g.n_frames - 1)) AS i(i),
+        unnest(generate_series(0, g.channels - 1)) AS c(i)
+),
+agg AS (
+    SELECT doc_id, channels, n_frames,
+        SUM(ABS(v)) AS sum_abs, MAX(ABS(v)) AS peak
+    FROM s GROUP BY 1, 2, 3
+),
+nz AS (
+    SELECT doc_id, i,
+        CASE WHEN v > 0 THEN 1 ELSE -1 END AS sg
+    FROM s WHERE c = 0 AND v <> 0
+),
+zc AS (
+    SELECT doc_id, COUNT(*) AS zero_crossings FROM (
+        SELECT doc_id, sg,
+            lag(sg) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM nz)
+    WHERE prev IS NOT NULL AND sg <> prev
+    GROUP BY 1
+)
+SELECT a.doc_id, a.channels,
+    CAST(a.n_frames AS BIGINT) AS n_samples,
+    CAST((a.n_frames * 1000) // 8000 AS BIGINT) AS duration_ms,
+    CAST(a.sum_abs AS BIGINT) AS sum_abs,
+    CAST(a.peak AS BIGINT) AS peak,
+    CAST(COALESCE(z.zero_crossings, 0) AS BIGINT) AS zero_crossings
+FROM agg a LEFT JOIN zc z USING (doc_id)
+"""
+
+
+@q("m6_audio_stats", _m6_sql())
+def m6(spark, sf_dir):
+    """REAL WAV audio path, driver-gated end to end (the m5 idiom
+    for audio): per document a spec-valid RIFF/PCM stream is
+    ENCODED (llm/audio.py encode_wav — 16-bit, mono/stereo varying
+    per doc) from a deterministic sample pattern, DECODED back
+    (decode_wav — real chunk walk + PCM slicing), and exact integer
+    statistics (sum |sample|, peak, channel-0 zero crossings,
+    duration) returned. The oracle replays every sample as SQL
+    integer arithmetic — a wrong chunk offset, endianness, channel
+    de-interleave, or sign convention flips the hash. One
+    Arrow-batched mapInPandas kernel; geometry varies per doc."""
+    import pandas as pd
+
+    from trisk_datawrangle_spark.llm.audio import (
+        encode_wav,
+        wav_stats,
+    )
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                doc_id = int(doc_id)
+                channels = 1 + doc_id % 2
+                n_frames = 50 + doc_id % 97
+                samples = [
+                    ((doc_id * 7 + i * 13 + c * 5) % 2001) - 1000
+                    for i in range(n_frames)
+                    for c in range(channels)
+                ]
+                st = wav_stats(
+                    encode_wav(8000, channels, 16, samples)
+                )
+                if st is None or st["n_samples"] != n_frames:
+                    raise AssertionError(
+                        f"m6: roundtrip failed for doc {doc_id}"
+                    )
+                rows.append(
+                    (
+                        doc_id, channels, st["n_samples"],
+                        st["duration_ms"], st["sum_abs"],
+                        st["peak"], st["zero_crossings"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "channels", "n_samples",
+                    "duration_ms", "sum_abs", "peak",
+                    "zero_crossings",
+                ],
+            )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
+    return d.mapInPandas(
+        stats,
+        "doc_id long, channels int, n_samples long, "
+        "duration_ms long, sum_abs long, peak long, "
+        "zero_crossings long",
+    )
+
+
 def _m5_sql() -> str:
     """Oracle for the REAL pixel path: every stage is a pure integer
     function of doc_id, so DuckDB replays the whole
