@@ -1894,6 +1894,80 @@ def m6(spark, sf_dir):
     )
 
 
+_M7_SQL = """
+WITH g AS (
+    SELECT doc_id, CAST(2 + doc_id % 6 AS INTEGER) AS n_frames
+    FROM documents
+)
+SELECT g.doc_id, CAST(i.i AS INTEGER) AS frame_idx,
+    16 AS width, 8 AS height, CAST(384 AS BIGINT) AS n_pixels
+FROM g, unnest(generate_series(0, g.n_frames - 1)) AS i(i)
+WHERE i.i % 2 = 0
+"""
+
+
+@q("m7_video_frame_sample", _M7_SQL)
+def m7(spark, sf_dir):
+    """REAL video frame sampling, driver-gated: per document an
+    MJPEG AVI container is built (llm/video.py encode_avi_mjpeg —
+    RIFF hdrl/movi/idx1, each frame a genuine baseline JPEG from
+    llm/jpeg.py), the container is parsed back and every 2nd frame
+    is DECODED through the real JPEG path (sample_frames). The entry
+    emits one row per sampled frame with its index, geometry, and
+    decoded pixel count — the oracle replays the sampling arithmetic
+    per doc, so a wrong chunk walk, off-by-one frame index, or a
+    frame that fails to decode (sample_frames returns None and the
+    kernel raises) breaks the hash. This is the m4 fan-out made
+    real: the plumbing AND the codec run, not a stub index. One
+    Arrow-batched mapInPandas kernel; frame count varies per doc."""
+    import numpy as np
+    import pandas as pd
+
+    from trisk_datawrangle_spark.llm.jpeg import encode_jpeg
+    from trisk_datawrangle_spark.llm.video import (
+        encode_avi_mjpeg,
+        sample_frames,
+    )
+
+    def frames_of(doc_id: int) -> list[bytes]:
+        out = []
+        for f in range(2 + doc_id % 6):
+            g = (doc_id * 31 + f * 17) % 256
+            img = np.full((8, 16, 3), g, np.uint8)
+            out.append(encode_jpeg(16, 8, 3, img.tobytes(), quality=90))
+        return out
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                doc_id = int(doc_id)
+                avi = encode_avi_mjpeg(16, 8, 10, frames_of(doc_id))
+                sampled = sample_frames(avi, every_n=2)
+                if sampled is None:
+                    raise AssertionError(
+                        f"m7: container/frame decode failed for "
+                        f"doc {doc_id}"
+                    )
+                for idx, w, h, px in sampled:
+                    rows.append((doc_id, idx, w, h, len(px)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "width", "height",
+                    "n_pixels",
+                ],
+            )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
+    return d.mapInPandas(
+        stats,
+        "doc_id long, frame_idx int, width int, height int, "
+        "n_pixels long",
+    )
+
+
 def _m5_sql() -> str:
     """Oracle for the REAL pixel path: every stage is a pure integer
     function of doc_id, so DuckDB replays the whole
