@@ -1,0 +1,133 @@
+"""Randomized codec properties (hypothesis): the lossless codecs
+(PNG, GIF container-level, WAV, AVI) must roundtrip BIT-EXACTLY on
+arbitrary content; the lossy one (JPEG) must stay inside a
+quantization-derived tolerance and never crash or mis-shape. These
+complement the hand-built vectors in test_multimodal/test_jpeg/
+test_audio/test_video with adversarial shapes a human wouldn't
+write."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from trisk_datawrangle_spark.llm.audio import decode_wav, encode_wav
+from trisk_datawrangle_spark.llm.jpeg import decode_jpeg, encode_jpeg
+from trisk_datawrangle_spark.llm.multimodal import (
+    decode_png,
+    encode_png,
+    resample_nearest,
+)
+from trisk_datawrangle_spark.llm.video import (
+    decode_avi_frames,
+    encode_avi_mjpeg,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 24),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_random(w, h, ch, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=w * h * ch, dtype=np.uint8).tobytes()
+    assert decode_png(encode_png(w, h, ch, px)) == (w, h, ch, px)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 32),
+    h=st.integers(1, 20),
+    ch=st.sampled_from([1, 3]),
+    nw=st.integers(1, 16),
+    nh=st.integers(1, 16),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_resample_nearest_pixel_provenance(w, h, ch, nw, nh, seed):
+    """Every output pixel is an exact copy of the floor-division
+    source pixel — nothing interpolated, nothing out of range."""
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=w * h * ch, dtype=np.uint8).tobytes()
+    out = resample_nearest(w, h, ch, px, nw, nh)
+    assert len(out) == nw * nh * ch
+    for oy in range(nh):
+        for ox in range(nw):
+            sx = min(ox * w // nw, w - 1)
+            sy = min(oy * h // nh, h - 1)
+            got = out[(oy * nw + ox) * ch:(oy * nw + ox + 1) * ch]
+            want = px[(sy * w + sx) * ch:(sy * w + sx + 1) * ch]
+            assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(1, 48),
+    h=st.integers(1, 32),
+    ch=st.sampled_from([1, 3]),
+    quality=st.integers(55, 97),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_never_crashes_and_bounds_error(w, h, ch, quality, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    payload = encode_jpeg(w, h, ch, img.tobytes(), quality=quality)
+    got = decode_jpeg(payload)
+    assert got is not None
+    gw, gh, gch, px = got
+    assert (gw, gh, gch) == (w, h, ch)
+    dec = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+    err = np.abs(dec.astype(int) - img.astype(int)).max()
+    # worst case: full-range noise at the lowest tested quality.
+    # Annex-K q55 coarsest AC step ~ 121*s/100 ≈ 110; a decoder bug
+    # (wrong zigzag / predictor / Huffman) produces errors ~256.
+    assert err <= 200, err
+    if quality >= 90:
+        assert err <= 35, err
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    rate=st.sampled_from([8000, 16000, 44100]),
+    channels=st.integers(1, 3),
+    bits=st.sampled_from([8, 16]),
+    n=st.integers(0, 300),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_random(rate, channels, bits, n, seed):
+    rng = np.random.default_rng(seed)
+    if bits == 8:
+        samples = [int(v) for v in rng.integers(0, 256, n * channels)]
+    else:
+        samples = [
+            int(v) for v in rng.integers(-32768, 32768, n * channels)
+        ]
+    payload = encode_wav(rate, channels, bits, samples)
+    assert decode_wav(payload) == (rate, channels, bits, samples)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n_frames=st.integers(0, 8),
+    fps=st.integers(1, 60),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_avi_container_roundtrip_random(n_frames, fps, seed):
+    """Container transparency on ARBITRARY frame bytes (not even
+    valid JPEGs — the container must not care), including odd
+    lengths and empty frames."""
+    rng = np.random.default_rng(seed)
+    frames = [
+        rng.integers(0, 256, int(ln), dtype=np.uint8).tobytes()
+        for ln in rng.integers(0, 64, n_frames)
+    ]
+    avi = encode_avi_mjpeg(16, 8, fps, frames)
+    got = decode_avi_frames(avi)
+    assert got is not None
+    w, h, gfps, fr = got
+    assert (w, h) == (16, 8)
+    assert gfps == 1_000_000 // (1_000_000 // fps)
+    assert fr == frames
