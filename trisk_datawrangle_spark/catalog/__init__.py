@@ -37,20 +37,23 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 # Registration-order priority. The per-round correctness driver samples
 # the FIRST N catalog entries (N=50), so ordering decides which entries
 # get driver-verified each round. Round-8 window (r7 verdict #1):
-# (1) the five entries with NO driver row yet — the two that landed
-# after the r7 window ran (c4, e13) plus this round's new z1/b1
-# layout gates and the m5 real-pixel gate; (2) the six entries whose
+# (1) the entries with NO driver row yet — the two that landed after
+# the r7 window ran (c4, e13) plus this round's new surface: the
+# z1/b1/y1/u4/q10 layout-and-maintenance gates and the m5/m6/m7
+# real-codec multimodal gates; (2) the six entries whose
 # implementation CHANGED this round (d7/c3/d14 re-pointed at the
 # candidate-bounded default pair tier, d15 moved to the prefix tier,
 # d13/s7 serving re-wired through the versioned pointer) — changed
-# code invalidates the old proof; (3) 39 of the 47 remaining
-# round-4-proof entries, stalest-first. Adding five new entries means
-# eight r4-proof entries (each with its machinery gated by an
-# in-window sibling: q3/q5 share j2/a1's join-agg plans, s2/s8 share
-# s1_s6's csv reader, x9 shares x24's regex chain, f13 shares f2_f9,
-# a6_a7 shares the cf wide-sum family, r7 shares the explode family)
-# wait at positions 51-58 — they lead the r9 window; full catch-up
-# completes there. Rename note (r7 verdict #3): e3_sliding_window
+# code invalidates the old proof; (3) the stalest round-4-proof
+# entries, stalest-first, filling the remaining slots. Adding nine
+# new entries means some r4-proof entries wait at positions 51+ and
+# lead the r9 window — each deferred one's machinery is gated
+# meanwhile by an in-window sibling (w2 by the w0 e2e chain; t4/t6
+# by w7/w8/w9/t2; e7 by e3; d8 by the in-window dedup ladder; q3/q5
+# share j2/a1's join-agg plans; s2/s8 share s1_s6's csv reader; x9
+# shares x24's regex chain; f13 shares f2_f9; a6_a7 shares the cf
+# wide-sum family; r7 shares the explode family; x10 shares x38's
+# E-S sampling). Rename note (r7 verdict #3): e3_sliding_window
 # became e9_sliding_window in r5 — recorded in COVERAGE.md.
 _PRIORITY = [
     "z1_zorder_scan",
@@ -58,6 +61,9 @@ _PRIORITY = [
     "m5_pixel_stats",
     "m6_audio_stats",
     "m7_video_frame_sample",
+    "u4_incremental_upsert",
+    "q10_schema_drift",
+    "y1_compaction_roundtrip",
     "c4_curate_v2",
     "e13_windowed_psi",
     "d7_dedup_clusters",
@@ -73,11 +79,9 @@ _PRIORITY = [
     "cf5_oxford_capacity_factors",
     "d3_minhash_lsh",
     "d4_simhash",
-    "d8_normalized_dedup",
     "e3_asof_join",
     "e4_interval_join",
     "e6_hll_distinct_rollup",
-    "e7_asof_forward",
     "e8_session_window",
     "f2_f9_scalar_bundle",
     "fin_layered_median_cascade",
@@ -96,7 +100,6 @@ _PRIORITY = [
     "s3_excel_roundtrip",
     "s9_jsonl_roundtrip",
     "t2_complete_cross",
-    "t6_backfill_from_year",
     "w0_run_workflow_e2e",
     "w1_assets_e2e",
     "w7_locf_fill",
@@ -104,6 +107,9 @@ _PRIORITY = [
     "w9_lm_extrapolate",
     "x10_weighted_take",
     "w2_asset_country_filters",
+    "t6_backfill_from_year",
+    "e7_asof_forward",
+    "d8_normalized_dedup",
     "t4_extend_years_constant",
     "q3_shipping_priority",
     "q5_local_supplier_volume",

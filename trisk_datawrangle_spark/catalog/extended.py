@@ -1563,3 +1563,206 @@ def b1(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
          / 100.0).alias("revenue"),
     )
+
+
+@q(
+    "u4_incremental_upsert",
+    """
+WITH base AS (
+    SELECT o_orderkey, o_custkey % 4 AS pbucket,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders WHERE o_orderkey % 3 <> 0
+),
+upd AS (
+    SELECT o_orderkey, o_custkey % 4 AS pbucket,
+        CAST(round(o_totalprice * 2 * 100) AS BIGINT) AS price_cents
+    FROM orders WHERE o_orderkey % 5 = 0
+)
+SELECT * FROM upd
+UNION ALL
+SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+""",
+)
+def u4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental upsert, driver-gated (r7 verdict missing #4):
+    a partitioned base table is written, an update batch (changed
+    prices + brand-new keys) merged through sources/incremental.py
+    merge_by_key — matched keys replaced wherever they live, new
+    rows appended, ONLY affected partitions rewritten — and the
+    merged table read back whole. The oracle states upsert semantics
+    as SQL (updates win, non-updated base survives), so a dropped
+    partition, duplicated key, or lost new-key row flips the hash.
+    Rebuilds base each run (the merge mutates state; the entry must
+    be idempotent)."""
+    import shutil
+    import tempfile
+
+    from trisk_datawrangle_spark.sources.incremental import (
+        merge_by_key,
+        write_partitioned,
+    )
+
+    (orders,) = load_tables(spark, sf_dir, ["orders"]).values()
+    keyed = orders.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 4).alias("pbucket"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias(
+            "price_cents"
+        ),
+    )
+    base = keyed.filter(F.col("o_orderkey") % 3 != 0)
+    upd = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        (F.col("o_custkey") % 4).alias("pbucket"),
+        F.round(F.col("o_totalprice") * 2 * 100).cast("long").alias(
+            "price_cents"
+        ),
+    )
+    path = tempfile.mkdtemp(prefix="u4_upsert_") + "/t"
+    try:
+        write_partitioned(base, path, ["pbucket"])
+        merge_by_key(spark, upd, path, ["o_orderkey"], ["pbucket"])
+        out = spark.read.parquet(path).select(
+            "o_orderkey",
+            F.col("pbucket").cast("long").alias("pbucket"),
+            "price_cents",
+        )
+        out = out.localCheckpoint()  # materialize before cleanup
+    finally:
+        shutil.rmtree(path.rsplit("/", 1)[0], ignore_errors=True)
+    return out
+
+
+@q(
+    "q10_schema_drift",
+    """
+WITH nr AS (
+    SELECT
+        ROUND(AVG(CASE WHEN o_orderstatus = 'F'
+                       THEN 1.0 ELSE 0.0 END), 6) AS status_b
+    FROM orders
+)
+SELECT * FROM (
+    SELECT 'o_orderkey' AS "column", 'unchanged' AS status,
+        'bigint' AS type_a, 'bigint' AS type_b,
+        CAST(0.0 AS DOUBLE) AS null_rate_a,
+        CAST(0.0 AS DOUBLE) AS null_rate_b
+    UNION ALL
+    SELECT 'o_orderpriority', 'dropped', 'string', NULL,
+        CAST(0.0 AS DOUBLE), NULL
+    UNION ALL
+    SELECT 'o_orderstatus', 'unchanged', 'string', 'string',
+        CAST(0.0 AS DOUBLE), (SELECT status_b FROM nr)
+    UNION ALL
+    SELECT 'o_totalprice', 'retyped', 'double', 'string',
+        CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+    UNION ALL
+    SELECT 'price_band', 'added', NULL, 'string',
+        NULL, CAST(0.0 AS DOUBLE)
+)
+""",
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift report, driver-gated: two versions of the orders
+    table — v2 drops a column, retypes another, adds one, and nulls
+    a specific clerk value — run through operators/quality.py
+    schema_drift_report (added / dropped / retyped / unchanged +
+    per-side null rates). The oracle pins the full expected report
+    including the data-dependent null rate, so a wrong status
+    classification or null-count aggregation flips the hash."""
+    from trisk_datawrangle_spark.operators.quality import (
+        schema_drift_report,
+    )
+
+    (orders,) = load_tables(spark, sf_dir, ["orders"]).values()
+    v1 = orders.select(
+        "o_orderkey", "o_totalprice", "o_orderstatus",
+        "o_orderpriority",
+    )
+    v2 = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("string").alias("o_totalprice"),
+        F.nullif(F.col("o_orderstatus"), F.lit("F")).alias(
+            "o_orderstatus"
+        ),
+        F.when(F.col("o_totalprice") > 100000, F.lit("high"))
+        .otherwise(F.lit("low"))
+        .alias("price_band"),
+    )
+    return schema_drift_report(v1, v2)
+
+
+@q(
+    "y1_compaction_roundtrip",
+    """
+SELECT o_custkey % 4 AS pbucket,
+    COUNT(*) AS n,
+    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        AS cents
+FROM orders
+GROUP BY 1
+""",
+)
+def y1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction, driver-gated (z1's pattern for the
+    janitor): orders is written FRAGMENTED (each of 4 partitions
+    shattered into 16 files — the incremental-writer pathology),
+    sources/compaction.py compact_partitions rewrites every
+    over-fragmented partition via the crash-safe swap, the entry
+    ASSERTS the file count actually collapsed (raises into the
+    correctness window otherwise), and returns the compacted
+    table's content aggregate — the oracle answers from the
+    ORIGINAL table, so compaction must be content-preserving to the
+    cent. Rebuilds the fragmented table each run (idempotent)."""
+    import shutil
+    import tempfile
+
+    from trisk_datawrangle_spark.sources.compaction import (
+        compact_partitions,
+        partition_file_stats,
+    )
+
+    (orders,) = load_tables(spark, sf_dir, ["orders"]).values()
+    keyed = orders.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 4).alias("pbucket"),
+        "o_totalprice",
+    )
+    path = tempfile.mkdtemp(prefix="y1_compact_") + "/t"
+    try:
+        (
+            keyed.repartition(16, "o_orderkey")
+            .write.partitionBy("pbucket")
+            .mode("overwrite")
+            .parquet(path)
+        )
+        before = sum(
+            s["n_files"]
+            for s in partition_file_stats(spark, path, ["pbucket"])
+        )
+        report = compact_partitions(
+            spark, path, ["pbucket"], max_files=4
+        )
+        after = sum(
+            s["n_files"]
+            for s in partition_file_stats(spark, path, ["pbucket"])
+        )
+        if report["compacted"] == 0 or after >= before:
+            raise AssertionError(
+                f"y1: compaction did nothing ({before} -> {after} "
+                f"files, report {report})"
+            )
+        out = (
+            spark.read.parquet(path)
+            .groupBy(F.col("pbucket").cast("long").alias("pbucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                ).alias("cents"),
+            )
+        )
+        out = out.localCheckpoint()
+    finally:
+        shutil.rmtree(path.rsplit("/", 1)[0], ignore_errors=True)
+    return out
