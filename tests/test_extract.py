@@ -1,0 +1,101 @@
+"""Crawl front-end correctness (llm/extract.py): WARC record
+slicing (plain + gzip members), HTTP body splitting, and the
+HTML-strip chain's Spark/DuckDB parity on hostile markup."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from trisk_datawrangle_spark.llm.extract import (
+    http_body,
+    strip_html_expr,
+    strip_html_sql,
+    warc_build,
+    warc_records,
+)
+
+
+def _mk_records():
+    html = b"<p>Hello <b>world</b> &amp; co</p>"
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Length: " + str(len(html)).encode() + b"\r\n\r\n"
+        + html
+    )
+    return [
+        ({"WARC-Type": "warcinfo"}, b"software: t\r\n"),
+        ({"WARC-Type": "response",
+          "WARC-Target-URI": "http://e.com/"}, http),
+        ({"WARC-Type": "request"}, b"GET / HTTP/1.1\r\n"),
+    ], html
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_warc_roundtrip(gz):
+    records, html = _mk_records()
+    payload = warc_build(records, gzip_members=gz)
+    parsed = warc_records(payload)
+    assert parsed is not None and len(parsed) == 3
+    for (h0, b0), (h1, b1) in zip(records, parsed):
+        assert b0 == b1
+        for k, v in h0.items():
+            assert h1[k] == v
+        assert h1["Content-Length"] == str(len(b0))
+    assert http_body(parsed[1][1]) == html
+
+
+def test_warc_content_length_driven_slicing():
+    # a body containing WARC/1.0 and \r\n\r\n must NOT confuse the
+    # parser — Content-Length decides, not delimiters
+    tricky = b"WARC/1.0\r\n\r\nfake-nested\r\n\r\n"
+    payload = warc_build([({"WARC-Type": "resource"}, tricky)])
+    parsed = warc_records(payload)
+    assert parsed is not None and parsed[0][1] == tricky
+
+
+def test_warc_rejects_malformed():
+    assert warc_records(b"not a warc") is None
+    records, _ = _mk_records()
+    good = warc_build(records)
+    assert warc_records(good[: len(good) - 10]) is None  # truncated
+    # header without Content-Length
+    assert warc_records(b"WARC/1.0\r\nA: b\r\n\r\nxx\r\n\r\n") is None
+
+
+def test_http_body_edges():
+    assert http_body(b"nonsense") is None
+    assert http_body(
+        b"HTTP/1.1 200\r\nTransfer-Encoding: chunked\r\n\r\nx"
+    ) is None
+    assert http_body(b"HTTP/1.1 204\r\nX: y\r\n\r\n") == b""
+
+
+def test_strip_html_spark_duckdb_parity(spark):
+    cases = [
+        "<html><HEAD><STYLE>b{}</STYLE></head><p>one</p><p>2 &amp; 3</p>",
+        "a<script>\nf()\n</script>b<!-- c\nd -->e<br>f<LI>g",
+        "&lt;kept&gt; &quot;q&quot; &#39;s&#39;&nbsp;x",
+        "<div>A</div>\t<div>B</div>\n\n\nC <b>D</b><unclosed",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "id long, t string"
+    )
+    got = {
+        r.id: r.c
+        for r in df.select(
+            "id", strip_html_expr("t").alias("c")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, c in enumerate(cases):
+        lit = (
+            "'"
+            + c.replace("'", "''").replace("\n", "' || chr(10) || '")
+            + "'"
+        )
+        want = con.execute(
+            f"SELECT {strip_html_sql(lit)}"
+        ).fetchone()[0]
+        assert got[i] == want, (i, got[i], want)

@@ -64,6 +64,8 @@ _PRIORITY = [
     "u4_incremental_upsert",
     "q10_schema_drift",
     "y1_compaction_roundtrip",
+    "x46_html_extract",
+    "s11_warc_extract",
     "c4_curate_v2",
     "e13_windowed_psi",
     "d7_dedup_clusters",
@@ -82,7 +84,6 @@ _PRIORITY = [
     "e3_asof_join",
     "e4_interval_join",
     "e6_hll_distinct_rollup",
-    "e8_session_window",
     "f2_f9_scalar_bundle",
     "fin_layered_median_cascade",
     "flagship_market_share",
@@ -91,7 +92,6 @@ _PRIORITY = [
     "j2_inner_join_revenue",
     "j3_full_outer_natural",
     "k1_salted_count_distinct",
-    "m3_multimodal_features",
     "q1_q4_assert_summary",
     "q8_incomplete_groups",
     "r1_melt",
@@ -107,6 +107,8 @@ _PRIORITY = [
     "w9_lm_extrapolate",
     "x10_weighted_take",
     "w2_asset_country_filters",
+    "m3_multimodal_features",
+    "e8_session_window",
     "t6_backfill_from_year",
     "e7_asof_forward",
     "d8_normalized_dedup",

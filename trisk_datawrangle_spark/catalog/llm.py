@@ -3839,3 +3839,161 @@ def x33(spark, sf_dir):
         F.round(F.expr("percentile(n_tok, 0.5)"), 6).alias("p50"),
         F.round(F.expr("percentile(n_tok, 0.9)"), 6).alias("p90"),
     )
+
+
+# ---------------------------------------------------------------- #
+# crawl front end (r8): WARC ingestion + HTML -> text extraction    #
+# ---------------------------------------------------------------- #
+
+from trisk_datawrangle_spark.llm.extract import (  # noqa: E402
+    strip_html_expr,
+    strip_html_sql,
+)
+
+_X46_HTML_SPARK = (
+    "concat('<html><head><title>Doc ', CAST(doc_id AS STRING), "
+    "'</title><style>p{margin:0}</style></head><body>"
+    "<script>track(', CAST(doc_id AS STRING), ');</script>"
+    "<h1>Doc ', CAST(doc_id AS STRING), '</h1><p>', text, "
+    "'</p><div>tail &amp; &lt;entities&gt;</div></body></html>')"
+)
+_X46_HTML_DUCK = (
+    "('<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || "
+    "'</title><style>p{margin:0}</style></head><body>"
+    "<script>track(' || CAST(doc_id AS VARCHAR) || ');</script>"
+    "<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || "
+    "'</p><div>tail &amp; &lt;entities&gt;</div></body></html>')"
+)
+
+
+@q(
+    "x46_html_extract",
+    f"""
+SELECT doc_id,
+    {strip_html_sql(_X46_HTML_DUCK)} AS clean,
+    CAST(length({strip_html_sql(_X46_HTML_DUCK)}) AS INTEGER)
+        AS n_chars
+FROM documents
+""",
+)
+def x46(spark, sf_dir):
+    """HTML → text extraction (the crawl pipeline's first content
+    stage) as a PURE JVM regexp chain (llm/extract.py
+    strip_html_expr): script/style bodies swallowed, comments
+    dropped, block tags to newlines, remaining tags stripped,
+    entities decoded, whitespace normalized. The chain's ordered
+    (pattern, replacement) list is shared VERBATIM with the oracle's
+    SQL builder (strip_html_sql), so both engines run the literally
+    identical passes over identically constructed HTML — parity by
+    shared data. Scale shape: fuses into the scan (zero Python, zero
+    shuffle) — at 100 TB this runs at I/O speed like x9/x24."""
+    d = _docs(spark, sf_dir)
+    html = F.expr(_X46_HTML_SPARK)
+    clean = strip_html_expr(html)
+    return d.select(
+        "doc_id",
+        clean.alias("clean"),
+        F.length(clean).cast("int").alias("n_chars"),
+    )
+
+
+@q(
+    "s11_warc_extract",
+    f"""
+WITH h AS (
+    SELECT doc_id, {_X46_HTML_DUCK} AS html FROM documents
+)
+SELECT doc_id, 2 AS n_records,
+    CAST(length(html) AS BIGINT) AS body_len,
+    {strip_html_sql("html")} AS clean
+FROM h
+""",
+)
+def s11(spark, sf_dir):
+    """WARC crawl-archive ingestion end to end (ISO 28500): per doc
+    a gzip-membered WARC (warcinfo + HTTP response record carrying
+    the x46 HTML) is BUILT (llm/extract.py warc_build), PARSED back
+    (warc_records — Content-Length-driven slicing, per-member
+    inflate), the HTTP body split out (http_body), and the
+    recovered HTML pushed through the SAME JVM strip chain as x46 —
+    kernel does bytes, Catalyst does text. The oracle replays the
+    construction arithmetic + the shared strip chain, so a wrong
+    record boundary, gzip member handling, header split, or length
+    flips the hash. This is the actual front door of a web-scale
+    corpus: .warc.gz in, clean text out."""
+    import pandas as pd
+
+    from trisk_datawrangle_spark.llm.extract import (
+        http_body,
+        warc_build,
+        warc_records,
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            ids, nrecs, bodies = [], [], []
+            for doc_id, text in zip(
+                pdf["doc_id"].astype("int64"), pdf["text"]
+            ):
+                doc_id = int(doc_id)
+                html = (
+                    f"<html><head><title>Doc {doc_id}</title>"
+                    "<style>p{margin:0}</style></head><body>"
+                    f"<script>track({doc_id});</script>"
+                    f"<h1>Doc {doc_id}</h1><p>{text}</p>"
+                    "<div>tail &amp; &lt;entities&gt;</div>"
+                    "</body></html>"
+                ).encode()
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    + b"Content-Length: "
+                    + str(len(html)).encode()
+                    + b"\r\n\r\n"
+                    + html
+                )
+                payload = warc_build(
+                    [
+                        ({"WARC-Type": "warcinfo"}, b"software: x\r\n"),
+                        (
+                            {
+                                "WARC-Type": "response",
+                                "WARC-Target-URI":
+                                    f"http://ex.com/{doc_id}",
+                            },
+                            http,
+                        ),
+                    ],
+                    gzip_members=True,
+                )
+                recs = warc_records(payload)
+                if recs is None or len(recs) != 2:
+                    raise AssertionError(
+                        f"s11: WARC roundtrip failed for doc {doc_id}"
+                    )
+                body = http_body(recs[1][1])
+                if body != html:
+                    raise AssertionError(
+                        f"s11: HTTP body mismatch for doc {doc_id}"
+                    )
+                ids.append(doc_id)
+                nrecs.append(len(recs))
+                bodies.append(body.decode())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_records": nrecs,
+                    "html": bodies,
+                }
+            )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
+    parsed = d.mapInPandas(
+        extract, "doc_id long, n_records int, html string"
+    )
+    return parsed.select(
+        "doc_id",
+        "n_records",
+        F.length("html").cast("long").alias("body_len"),
+        strip_html_expr("html").alias("clean"),
+    )
