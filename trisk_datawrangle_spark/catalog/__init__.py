@@ -66,6 +66,7 @@ _PRIORITY = [
     "y1_compaction_roundtrip",
     "x46_html_extract",
     "s11_warc_extract",
+    "x48_line_dedup",
     "c4_curate_v2",
     "e13_windowed_psi",
     "d7_dedup_clusters",
@@ -76,7 +77,6 @@ _PRIORITY = [
     "s7_probe_serving",
     "a1_pricing_summary",
     "a4_median",
-    "c1_curate_exact",
     "c2_curate_near_dedup",
     "cf5_oxford_capacity_factors",
     "d3_minhash_lsh",
@@ -107,6 +107,7 @@ _PRIORITY = [
     "w9_lm_extrapolate",
     "x10_weighted_take",
     "w2_asset_country_filters",
+    "c1_curate_exact",
     "m3_multimodal_features",
     "e8_session_window",
     "t6_backfill_from_year",

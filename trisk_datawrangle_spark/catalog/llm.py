@@ -3997,3 +3997,118 @@ def s11(spark, sf_dir):
         F.length("html").cast("long").alias("body_len"),
         strip_html_expr("html").alias("clean"),
     )
+
+
+_X48_SEG = 3          # words per "line" segment
+_X48_MAX_DF = 2       # segments seen in more docs than this are
+                      # boilerplate and get scrubbed
+
+
+@q(
+    "x48_line_dedup",
+    f"""
+WITH toks AS (
+    SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '') AS words
+    FROM documents
+),
+segs AS (
+    SELECT doc_id, i.i AS seg_idx,
+        array_to_string(
+            words[i.i * {_X48_SEG} + 1 : i.i * {_X48_SEG} + {_X48_SEG}],
+            ' ') AS seg
+    FROM toks,
+        unnest(generate_series(
+            0, CAST(ceil(len(words) / {_X48_SEG}.0) AS BIGINT) - 1
+        )) AS i(i)
+),
+df AS (
+    SELECT seg, COUNT(DISTINCT doc_id) AS n_docs
+    FROM segs GROUP BY seg
+),
+kept AS (
+    SELECT s.doc_id, s.seg_idx, s.seg
+    FROM segs s JOIN df USING (seg)
+    WHERE df.n_docs <= {_X48_MAX_DF}
+)
+SELECT t.doc_id,
+    COALESCE(k.clean, '') AS clean,
+    CAST(COALESCE(k.n_kept, 0) AS INTEGER) AS n_kept,
+    CAST((SELECT CAST(ceil(len(t2.words) / {_X48_SEG}.0) AS BIGINT)
+          FROM toks t2 WHERE t2.doc_id = t.doc_id) AS INTEGER)
+        AS n_segments
+FROM toks t
+LEFT JOIN (
+    SELECT doc_id,
+        string_agg(seg, ' ' ORDER BY seg_idx) AS clean,
+        COUNT(*) AS n_kept
+    FROM kept GROUP BY doc_id
+) k USING (doc_id)
+""",
+)
+def x48(spark, sf_dir):
+    """Cross-document line dedup (the CCNet boilerplate scrub,
+    Wenzek et al. 2020 — public method, segment-granular here since
+    the fixture has no newlines): each doc is cut into fixed 3-word
+    segments, a corpus-wide document-frequency pass finds segments
+    appearing in more than {max_df} docs (navigation chrome,
+    licenses, injected templates), those are dropped EVERYWHERE, and
+    each doc is reassembled from its surviving segments in order.
+    Scale shape: one explode + one segment-keyed aggregate (map-side
+    combinable) + one semi-join back + one per-doc sort_array
+    reassembly — the x36/x39 span-scrub idiom at line granularity;
+    nothing driver-side, nothing quadratic. The oracle replays the
+    identical segmentation arithmetic, df gate, and ordered
+    reassembly."""
+    d = _docs(spark, sf_dir)
+    words = tokenize("text")
+    n_segs = F.ceil(F.size(words) / F.lit(float(_X48_SEG))).cast("int")
+    toks = d.select("doc_id", words.alias("words"),
+                    n_segs.alias("n_segments"))
+    segs = toks.select(
+        "doc_id",
+        "n_segments",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_segments") - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("words"), i * _X48_SEG + 1, _X48_SEG),
+                    " ",
+                ),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    df_counts = segs.groupBy("seg").agg(
+        F.countDistinct("doc_id").alias("__df")
+    )
+    kept = (
+        segs.join(
+            df_counts.filter(F.col("__df") <= _X48_MAX_DF).select("seg"),
+            "seg",
+            "left_semi",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("seg_idx", "seg"))
+                    ),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("clean"),
+            F.count(F.lit(1)).cast("int").alias("n_kept"),
+        )
+    )
+    return (
+        toks.select("doc_id", "n_segments")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean", F.lit("")).alias("clean"),
+            F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+            "n_segments",
+        )
+    )
