@@ -225,3 +225,31 @@ def test_pii_scrub_masks_and_ordering(spark):
     assert got[3] == "host <IP> down"
     assert got[4] == "call <PHONE> today"
     assert got[5] == "server <IP> and phone <PHONE> end"
+
+
+def test_bpe_train_learns_expected_first_merge(spark):
+    """Hand-checkable corpus: 'ab' x3 + 'abc' x2 -> pair (a,b) count
+    5 wins round 1; round 2 sees symbols [ab] and c: merge (ab, c)
+    count 2."""
+    from trisk_datawrangle_spark.llm.text import bpe_train
+
+    rows = [(i, "ab ab ab abc abc") for i in range(1)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.rank, r.lhs, r.rhs, r.merged, r.n)
+        for r in bpe_train(df, n_merges=2).orderBy("rank").collect()
+    ]
+    assert got == [(1, "a", "b", "ab", 5), (2, "ab", "c", "abc", 2)]
+
+
+def test_bpe_train_deterministic_tiebreak(spark):
+    """Equal counts break on (lhs, rhs) text — 'ab' vs 'ba' both
+    appear twice in 'abab'? No: craft true tie: 'ab' x2 and 'cd' x2
+    -> (a,b) and (c,d) both 2; (a,b) must win rank 1."""
+    from trisk_datawrangle_spark.llm.text import bpe_train
+
+    df = spark.createDataFrame(
+        [(0, "ab ab cd cd")], "doc_id long, text string"
+    )
+    got = bpe_train(df, n_merges=1).collect()[0]
+    assert (got.lhs, got.rhs, got.n) == ("a", "b", 2)

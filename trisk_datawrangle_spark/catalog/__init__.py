@@ -67,6 +67,7 @@ _PRIORITY = [
     "x46_html_extract",
     "s11_warc_extract",
     "x48_line_dedup",
+    "x49_bpe_train",
     "c4_curate_v2",
     "e13_windowed_psi",
     "d7_dedup_clusters",
@@ -96,7 +97,6 @@ _PRIORITY = [
     "q8_incomplete_groups",
     "r1_melt",
     "s1_s6_csv_roundtrip",
-    "s2_lsh_bucket_topk",
     "s3_excel_roundtrip",
     "s9_jsonl_roundtrip",
     "t2_complete_cross",
@@ -107,6 +107,7 @@ _PRIORITY = [
     "w9_lm_extrapolate",
     "x10_weighted_take",
     "w2_asset_country_filters",
+    "s2_lsh_bucket_topk",
     "c1_curate_exact",
     "m3_multimodal_features",
     "e8_session_window",

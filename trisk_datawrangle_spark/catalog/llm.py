@@ -4112,3 +4112,65 @@ def x48(spark, sf_dir):
             "n_segments",
         )
     )
+
+
+def _x49_sql(n_merges: int = 4) -> str:
+    """Unrolled BPE-training oracle (the x30 k-means idiom): one
+    (pairs -> argmax -> rewrite) CTE trio per merge rank, the argmax
+    feeding the next round's rewrite through a 1-row cross join —
+    DuckDB replays the exact training loop, tiebreaks included."""
+    parts = ["""
+WITH v0 AS (
+    SELECT ',,' || regexp_replace(w, '(.)', '\\1,,', 'g') AS s, n
+    FROM (
+        SELECT w, COUNT(*) AS n FROM (
+            SELECT unnest(list_filter(
+                string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '')) AS w
+            FROM documents)
+        GROUP BY w)
+)"""]
+    for r in range(1, n_merges + 1):
+        prev = f"v{r - 1}"
+        parts.append(f""",
+p{r} AS (
+    SELECT sy[i.i] AS a, sy[i.i + 1] AS b, SUM(n) AS cnt
+    FROM (
+        SELECT list_filter(string_split(s, ',,'), x -> x <> '') AS sy,
+               n
+        FROM {prev}) t,
+        unnest(generate_series(1, len(sy) - 1)) AS i(i)
+    WHERE len(sy) >= 2
+    GROUP BY 1, 2
+),
+m{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+v{r} AS (
+    SELECT replace({prev}.s,
+                   ',' || m{r}.a || ',,' || m{r}.b || ',',
+                   ',' || m{r}.a || m{r}.b || ',') AS s, {prev}.n
+    FROM {prev}, m{r}
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {r} AS rank, a AS lhs, b AS rhs, a || b AS merged, "
+        f"CAST(cnt AS BIGINT) AS n FROM m{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "".join(parts) + "\n" + sel
+
+
+@q("x49_bpe_train", _x49_sql())
+def x49(spark, sf_dir):
+    """BPE tokenizer TRAINING (Sennrich et al. 2016, public): learn
+    the top-4 merges from the corpus — each round one vocab-sized
+    pair aggregate, a 1-row argmax, and a codegen vocabulary rewrite
+    (llm/text.py bpe_train; the x26 statistic iterated, feeding the
+    x37 applier). The oracle unrolls the identical loop as SQL CTEs
+    (x30's k-means pattern) — a wrong pair count, tiebreak, or
+    rewrite in ANY round cascades into every later round's argmax
+    and flips the hash. The learned (rank, lhs, rhs, merged, n)
+    table IS the tokenizer artifact a packing/budgeting pipeline
+    consumes via bpe_encode_stats."""
+    from trisk_datawrangle_spark.llm.text import bpe_train
+
+    d = _docs(spark, sf_dir)
+    return bpe_train(d, n_merges=4)

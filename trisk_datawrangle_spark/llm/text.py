@@ -540,6 +540,91 @@ def token_topk(df, text_col: str = "text", k: int = 50, id_col: str = "doc_id"):
     return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
 
 
+def bpe_train(
+    df,
+    n_merges: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """LEARN a BPE merge list from the corpus — the tokenizer
+    TRAINING loop (Sennrich et al. 2016, public algorithm), not just
+    its inner statistic (:func:`bpe_pair_stats`) or its application
+    (:func:`bpe_encode_stats`). Returns one row per learned merge:
+    ``(rank, lhs, rhs, merged, n)`` with ``n`` the
+    word-frequency-weighted count the merge won with.
+
+    Shape per round (the standard corpus reduction): the corpus is
+    collapsed ONCE to its distinct words + counts (vocabulary-sized,
+    cached); each round explodes the current symbol strings into
+    adjacent symbol pairs (codegen split + element_at — no
+    interpreted fold), aggregates weighted counts, takes the argmax
+    (1 driver row — ties break on count desc, then left, then right
+    text, both engines), and rewrites the vocabulary with the x37
+    double-comma ``replace`` trick. This is a documented driver-loop
+    island like k-means: ``n_merges`` rounds, each one vocab-sized
+    aggregate; nothing driver-side scales with the corpus.
+
+    Determinism: integer counts, total tiebreak order, and
+    ``replace``'s leftmost non-overlapping scan — the whole training
+    run is a pure function of the data, replayed by the catalog
+    oracle as unrolled SQL CTEs (x30's k-means idiom)."""
+    vocab = (
+        df.select(F.explode(tokenize(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.concat(
+                F.lit(",,"),
+                F.regexp_replace(F.col("w"), "(.)", "$1,,"),
+            ).alias("s"),
+            "n",
+        )
+        .cache()
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    cur = vocab
+    for rank in range(1, int(n_merges) + 1):
+        syms = F.filter(F.split(F.col("s"), ",,"), lambda x: x != "")
+        pairs = (
+            cur.select("n", syms.alias("sy"))
+            .filter(F.size("sy") >= 2)
+            .select(
+                "n",
+                F.explode(
+                    F.sequence(F.lit(1), F.size("sy") - 1)
+                ).alias("i"),
+                "sy",
+            )
+            .select(
+                F.element_at("sy", F.col("i")).alias("a"),
+                F.element_at("sy", F.col("i") + 1).alias("b"),
+                "n",
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        top = pairs.orderBy(
+            F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc()
+        ).limit(1).collect()
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((rank, a, b, a + b, cnt))
+        cur = cur.select(
+            F.replace(
+                F.col("s"), F.lit(f",{a},,{b},"), F.lit(f",{a}{b},")
+            ).alias("s"),
+            "n",
+        )
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, "
+                "merged string, n long"
+    )
+    vocab.unpersist()
+    return out
+
+
 def bpe_pair_stats(
     df, text_col: str = "text", k: int = 50, id_col: str = "doc_id"
 ):
