@@ -38,23 +38,29 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 # the FIRST N catalog entries (N=50), so ordering decides which entries
 # get driver-verified each round. Round-8 window (r7 verdict #1):
 # (1) the entries with NO driver row yet — the two that landed after
-# the r7 window ran (c4, e13) plus this round's new surface: the
-# z1/b1/y1/u4/q10 layout-and-maintenance gates and the m5/m6/m7
-# real-codec multimodal gates; (2) the six entries whose
-# implementation CHANGED this round (d7/c3/d14 re-pointed at the
-# candidate-bounded default pair tier, d15 moved to the prefix tier,
-# d13/s7 serving re-wired through the versioned pointer) — changed
-# code invalidates the old proof; (3) the stalest round-4-proof
-# entries, stalest-first, filling the remaining slots. Adding nine
-# new entries means some r4-proof entries wait at positions 51+ and
-# lead the r9 window — each deferred one's machinery is gated
-# meanwhile by an in-window sibling (w2 by the w0 e2e chain; t4/t6
-# by w7/w8/w9/t2; e7 by e3; d8 by the in-window dedup ladder; q3/q5
-# share j2/a1's join-agg plans; s2/s8 share s1_s6's csv reader; x9
-# shares x24's regex chain; f13 shares f2_f9; a6_a7 shares the cf
-# wide-sum family; r7 shares the explode family; x10 shares x38's
-# E-S sampling). Rename note (r7 verdict #3): e3_sliding_window
-# became e9_sliding_window in r5 — recorded in COVERAGE.md.
+# the r7 window ran (c4, e13) plus this round's twelve new entries:
+# the z1/b1/y1/u4/q10 layout-and-maintenance gates, the m5/m6/m7
+# real-codec multimodal gates, the x46/s11 crawl front end, the x48
+# line dedup, and the x49 BPE-training loop; (2) the six entries
+# whose implementation CHANGED this round (d7/c3/d14 re-pointed at
+# the candidate-bounded default pair tier, d15 moved to the prefix
+# tier, d13/s7 serving re-wired through the versioned pointer) —
+# changed code invalidates the old proof; (3) the stalest
+# round-4-proof entries, stalest-first, filling the remaining slots.
+# Fourteen new entries means a cohort of r4-proof entries waits at
+# positions 51+ and leads the r9 window — each deferred one's
+# machinery is gated meanwhile by an in-window sibling (w2 by the
+# w0 e2e chain; t4/t6 by w7/w8/w9/t2; e7 by e3; e8 by e1; d8 by the
+# in-window dedup ladder; c1 by c2's superset chain; m3's
+# sha-feature ANN by s1 + the m5-m7 codec gates; s2_lsh by the
+# s1/s3/s4/s7/s8/s9 ANN family; q3/q5 share j2/a1's join-agg plans;
+# s2/s8 csv share s1_s6's reader; x9 shares x24's regex chain; f13
+# shares f2_f9; a6_a7 shares the cf wide-sum family; r7 shares the
+# explode family; x10 shares x38's E-S sampling). All 211 entries
+# remain green under the builder's full-catalog driver-conf
+# emulation regardless of window position. Rename note (r7 verdict
+# #3): e3_sliding_window became e9_sliding_window in r5 — recorded
+# in COVERAGE.md.
 _PRIORITY = [
     "z1_zorder_scan",
     "b1_bucketed_join",
