@@ -65,3 +65,15 @@ def test_lint_catches_what_it_should(spark, probe):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "CartesianProduct" in bad
+
+
+def test_html_extract_fuses_into_scan(spark):
+    """x46's strip chain claims to fuse into the scan (zero
+    Python, zero shuffle) — pin it: the plan must contain no
+    Exchange and no Python/Arrow eval node."""
+    from trisk_datawrangle_spark.catalog import QUERIES
+
+    df = QUERIES["x46_html_extract"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
