@@ -1538,20 +1538,10 @@ def b1(spark: SparkSession, sf_dir: str) -> DataFrame:
         name = f"{db}.{side}_b"
         names[side] = name
         if not spark.catalog.tableExists(name):
-            # a PREVIOUS process may have left the table's data under
-            # the warehouse dir while this process's in-memory
-            # catalog has no entry — Spark refuses to create over an
-            # existing location, so clear the orphaned directory
-            # first (bucket METADATA lives in the catalog, so
-            # adopting the files without it would silently lose the
-            # bucketing this entry exists to assert)
-            import shutil
-
-            wh = spark.conf.get("spark.sql.warehouse.dir")
-            wh = wh.removeprefix("file:")
-            loc = os.path.join(wh, f"{db}.db", f"{side}_b")
-            if os.path.exists(loc):
-                shutil.rmtree(loc)
+            # write_bucketed recovers a previous process's orphaned
+            # warehouse directory itself (scheme-agnostic, via the
+            # Hadoop FS API) — the entry only decides WHETHER to
+            # rebuild, never how to clean storage
             write_bucketed(keyed, name, ["custkey"], 8,
                            sort_cols=["custkey"])
     joined = spark.table(names["orders"]).join(

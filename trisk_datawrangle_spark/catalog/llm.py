@@ -3216,9 +3216,16 @@ _SERVING_INDEX_CACHE: dict = {}
 def _served_index_path(spark, kind: str, sf_dir, build) -> str:
     """Return the stable versioned ROOT for (kind, sf_dir) —
     probes resolve its CURRENT pointer — building and publishing
-    v=1 if no version is published yet. The staging directory lives
+    v=1 if no version is published yet. The root name carries a
+    hash of the corpus's FULL absolute path (the _scratch rule):
+    two different corpora that happen to share a directory basename
+    must never share a published index. The staging directory lives
     UNDER the root (same filesystem), so the publish rename is a
-    metadata move, never a copy."""
+    metadata move, never a copy. The memo is only a fast path — the
+    pointer's existence is re-checked every call, so an externally
+    wiped root rebuilds transparently instead of failing on a
+    dangling CURRENT."""
+    import hashlib
     import os
 
     from trisk_datawrangle_spark.llm.lsh_index import (
@@ -3226,7 +3233,9 @@ def _served_index_path(spark, kind: str, sf_dir, build) -> str:
         publish_index_versioned,
     )
 
-    sf_tag = os.path.basename(os.path.abspath(str(sf_dir))) or "sf"
+    full = os.path.abspath(os.path.normpath(str(sf_dir)))
+    sf_tag = os.path.basename(full) or "sf"
+    corpus = hashlib.sha256(full.encode()).hexdigest()[:12]
     base = os.environ.get(
         "SPARK_GRAFT_SERVING_DIR",
         os.path.join(
@@ -3235,16 +3244,13 @@ def _served_index_path(spark, kind: str, sf_dir, build) -> str:
             ".scratch", "serving",
         ),
     )
-    root = os.path.join(base, f"{kind}-{sf_tag}")
-    key = (kind, str(os.path.abspath(str(sf_dir))))
-    if _SERVING_INDEX_CACHE.get(key) == root:
-        return root
+    root = os.path.join(base, f"{kind}-{sf_tag}-{corpus}")
     if not os.path.exists(os.path.join(root, CURRENT_POINTER)):
         os.makedirs(root, exist_ok=True)
         staged = os.path.join(root, f".staging-{os.getpid()}")
         build(staged)
         publish_index_versioned(spark, staged, root)
-    _SERVING_INDEX_CACHE[key] = root
+    _SERVING_INDEX_CACHE[(kind, full)] = root
     return root
 
 
@@ -3850,19 +3856,53 @@ from trisk_datawrangle_spark.llm.extract import (  # noqa: E402
     strip_html_sql,
 )
 
-_X46_HTML_SPARK = (
-    "concat('<html><head><title>Doc ', CAST(doc_id AS STRING), "
-    "'</title><style>p{margin:0}</style></head><body>"
-    "<script>track(', CAST(doc_id AS STRING), ');</script>"
-    "<h1>Doc ', CAST(doc_id AS STRING), '</h1><p>', text, "
-    "'</p><div>tail &amp; &lt;entities&gt;</div></body></html>')"
+#: The x46/s11 fixture HTML as ONE alternating literal/placeholder
+#: parts list — the Spark expression, the DuckDB oracle expression,
+#: AND s11's Python kernel all derive from it, so the template
+#: cannot drift between the three (the strip_html_sql shared-data
+#: idiom applied to the fixture itself).
+_X46_PARTS: list[tuple[str, str]] = [
+    ("lit", "<html><head><title>Doc "),
+    ("id", ""),
+    ("lit", "</title><style>p{margin:0}</style></head><body>"
+            "<script>track("),
+    ("id", ""),
+    ("lit", ");</script><h1>Doc "),
+    ("id", ""),
+    ("lit", "</h1><p>"),
+    ("text", ""),
+    ("lit", "</p><div>tail &amp; &lt;entities&gt;</div>"
+            "</body></html>"),
+]
+
+
+def _x46_sql_expr(id_expr: str, text_expr: str, joiner: str) -> str:
+    terms = []
+    for kind, lit in _X46_PARTS:
+        if kind == "lit":
+            terms.append("'" + lit.replace("'", "''") + "'")
+        elif kind == "id":
+            terms.append(id_expr)
+        else:
+            terms.append(text_expr)
+    return "(" + joiner.join(terms) + ")"
+
+
+def _x46_html_py(doc_id: int, text: str) -> str:
+    out = []
+    for kind, lit in _X46_PARTS:
+        out.append(
+            lit if kind == "lit"
+            else (str(doc_id) if kind == "id" else text)
+        )
+    return "".join(out)
+
+
+_X46_HTML_SPARK = "concat" + _x46_sql_expr(
+    "CAST(doc_id AS STRING)", "text", ", "
 )
-_X46_HTML_DUCK = (
-    "('<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || "
-    "'</title><style>p{margin:0}</style></head><body>"
-    "<script>track(' || CAST(doc_id AS VARCHAR) || ');</script>"
-    "<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || "
-    "'</p><div>tail &amp; &lt;entities&gt;</div></body></html>')"
+_X46_HTML_DUCK = _x46_sql_expr(
+    "CAST(doc_id AS VARCHAR)", "text", " || "
 )
 
 
@@ -3936,14 +3976,7 @@ def s11(spark, sf_dir):
                 pdf["doc_id"].astype("int64"), pdf["text"]
             ):
                 doc_id = int(doc_id)
-                html = (
-                    f"<html><head><title>Doc {doc_id}</title>"
-                    "<style>p{margin:0}</style></head><body>"
-                    f"<script>track({doc_id});</script>"
-                    f"<h1>Doc {doc_id}</h1><p>{text}</p>"
-                    "<div>tail &amp; &lt;entities&gt;</div>"
-                    "</body></html>"
-                ).encode()
+                html = _x46_html_py(doc_id, text).encode()
                 http = (
                     b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
                     + b"Content-Length: "
@@ -4066,18 +4099,24 @@ def x48(spark, sf_dir):
     n_segs = F.ceil(F.size(words) / F.lit(float(_X48_SEG))).cast("int")
     toks = d.select("doc_id", words.alias("words"),
                     n_segs.alias("n_segments"))
+    # guard the zero-segment case explicitly: Spark's
+    # sequence(0, -1) auto-steps DOWN and yields [0, -1] — two
+    # phantom empty segments a token-less document must not get
+    # (the DuckDB oracle's generate_series(0, -1) is empty)
+    seg_array = F.when(
+        F.col("n_segments") > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_segments") - 1),
+            lambda i: F.array_join(
+                F.slice(F.col("words"), i * _X48_SEG + 1, _X48_SEG),
+                " ",
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     segs = toks.select(
         "doc_id",
         "n_segments",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.col("n_segments") - 1),
-                lambda i: F.array_join(
-                    F.slice(F.col("words"), i * _X48_SEG + 1, _X48_SEG),
-                    " ",
-                ),
-            )
-        ).alias("seg_idx", "seg"),
+        F.posexplode(seg_array).alias("seg_idx", "seg"),
     )
     df_counts = segs.groupBy("seg").agg(
         F.countDistinct("doc_id").alias("__df")

@@ -200,6 +200,40 @@ def kmeans_embeddings(
         q.unpersist()
 
 
+#: Norm clamp shared by every in-package cosine GEMM kernel
+#: (matches ``similarity.cosine_pairs_blocked``) — one constant so
+#: the tiers cannot silently diverge on the epsilon.
+_NORM_EPS = 1e-12
+
+
+def _cell_cosine_hits(pdf, vec_key: str, threshold: float):
+    """THE per-cell cosine kernel every clustered dedup tier shares
+    (semdedup verdicts, semantic_dedup pairs): sort rows by id so
+    "lower id" is an ID property rather than a row-order property,
+    unit-normalize in float64 (clamp :data:`_NORM_EPS`), one GEMM,
+    strict-upper-triangle threshold hits. Returns
+    ``(ids_sorted, xi, yj)`` with ``ids_sorted[xi] < ids_sorted[yj]``
+    for every hit. Float contract: the GEMM reassociates sums vs the
+    oracle's per-pair fold — only pairs within reassociation noise
+    of ``threshold`` can flip, so callers pick thresholds with
+    margin (the d5 contract)."""
+    import numpy as np
+
+    ids = pdf["id"].to_numpy()
+    order = np.argsort(ids)
+    ids_s = ids[order]
+    if len(ids_s) < 2:
+        z = np.zeros(0, dtype=np.int64)
+        return ids_s, z, z
+    mat = np.array(list(pdf[vec_key]), dtype=np.float64)[order]
+    mat /= np.maximum(
+        np.linalg.norm(mat, axis=1, keepdims=True), _NORM_EPS
+    )
+    sims = mat @ mat.T
+    xi, yj = np.nonzero(np.triu(sims >= threshold, k=1))
+    return ids_s, xi, yj
+
+
 def semdedup(
     df: DataFrame,
     vec_col: str,
@@ -220,12 +254,14 @@ def semdedup(
     iteration (:func:`kmeans_embeddings`).
 
     Determinism: the cluster assignment is integer-exact
-    (bit-identical across engines); the cosine gate is a float64
-    GEMM per cell (since r8 — one ``applyInPandas`` kernel per
-    k-means cell, the d5 blocked-kernel idiom, measured 4×+ over the
-    per-pair interpreted fold it replaces), so only pairs within
-    float-reassociation noise of ``threshold`` could flip — callers
-    pick thresholds with margin (the d5 contract)."""
+    (bit-identical across engines); the cosine gate is the shared
+    per-cell float64 GEMM kernel (:func:`_cell_cosine_hits` — one
+    ``applyInPandas`` call per k-means cell, the d5 blocked-kernel
+    idiom, measured 4×+ over the per-pair interpreted fold it
+    replaced in r8). The GEMM reassociates sums relative to an
+    engine's per-pair fold, so only pairs within float-reassociation
+    noise of ``threshold`` could flip — callers pick thresholds with
+    margin (the d5 contract the oracle entries rely on)."""
     import numpy as np
     import pandas as pd
 
@@ -237,29 +273,14 @@ def semdedup(
     ).join(assign, "id")
 
     def cell_verdicts(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        ids = pdf["id"].to_numpy()
-        cluster = pdf["cluster"].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {
-                    "id": ids.astype("int64"),
-                    "cluster": cluster.astype("int32"),
-                    "is_dup": np.zeros(len(ids), dtype=bool),
-                }
-            )
-        order = np.argsort(ids)  # "lower id" is an ID property,
-        ids_s = ids[order]       # not a row-order property
-        mat = np.array(list(pdf["__v0"]), dtype=np.float64)[order]
-        mat /= np.maximum(
-            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
-        )
-        sims = mat @ mat.T
-        # dup[i] := exists j with ids_s[j] < ids_s[i], cos >= t
-        dup = np.triu(sims >= threshold, k=1).any(axis=0)
+        cluster = int(pdf["cluster"].iloc[0]) if len(pdf) else 0
+        ids_s, _, yj = _cell_cosine_hits(pdf, "__v0", threshold)
+        dup = np.zeros(len(ids_s), dtype=bool)
+        dup[yj] = True  # hit (xi, yj) ⇒ ids_s[yj] has a lower-id dup
         return pd.DataFrame(
             {
                 "id": ids_s.astype("int64"),
-                "cluster": cluster[order].astype("int32"),
+                "cluster": np.full(len(ids_s), cluster, dtype="int32"),
                 "is_dup": dup,
             }
         )
@@ -307,11 +328,15 @@ def semantic_dedup(
       sf10 by design. Opt in for correctness gating at fixture
       scales.
 
-    Both tiers are deterministic (integer-exact assignment; the
-    cosine gate is the same left-to-right double fold both engines
-    evaluate), so BOTH are DuckDB-oracle-expressible — the catalog
-    gates the default tier directly (d14) and the exact tier through
-    d5's pair entry."""
+    Both tiers are deterministic given the d5 margin contract: the
+    cluster assignment is integer-exact, and BOTH pair stages are
+    float64 GEMM kernels (per-cell here, blocked all-pairs in the
+    exact tier) whose sum reassociation can flip only pairs within
+    float noise of ``threshold`` — callers pick thresholds with
+    margin, exactly as the d5/d14/x31 oracle entries document. Both
+    tiers are DuckDB-oracle-expressible under that contract — the
+    catalog gates the default tier directly (d14) and the exact tier
+    through d5's pair entry."""
     from trisk_datawrangle_spark.llm.components import dedup_clusters
 
     e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v0"))
@@ -321,20 +346,21 @@ def semantic_dedup(
         )
 
         pairs = cosine_pairs_blocked(
-            df.select(id_col, vec_col), threshold=threshold
+            df.select(id_col, vec_col),
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
         )
     elif pair_tier == "clustered":
-        # Per-cluster pair stage as ONE numpy GEMM per k-means cell
-        # (applyInPandas keyed by cluster) — the same vectorized
-        # kernel and float-margin contract as similarity.py
-        # cosine_pairs_blocked (the d5 oracle idiom: float64 GEMM vs
-        # the oracle's per-pair fold agree under the documented
-        # threshold margin). An expression-level self-join here costs
-        # one interpreted 64-element fold per CANDIDATE pair —
-        # measured 10×+ slower than the GEMM at sf10 — while each
-        # cell's matrix is ~(n/k)·dim doubles, bounded by the
-        # operator's own k knob.
-        import numpy as np
+        # Per-cluster pair stage through the SHARED per-cell GEMM
+        # kernel (_cell_cosine_hits — one applyInPandas per k-means
+        # cell; semdedup's verdict stage uses the identical kernel,
+        # so the tiers cannot drift on epsilon/dtype/triu
+        # semantics). An expression-level self-join here costs one
+        # interpreted 64-element fold per CANDIDATE pair — measured
+        # 10×+ slower than the GEMM at sf10 — while each cell's
+        # matrix is ~(n/k)·dim doubles, bounded by the operator's
+        # own k knob.
         import pandas as pd
 
         assign = kmeans_embeddings(df, vec_col, id_col, k, n_iter).select(
@@ -343,24 +369,13 @@ def semantic_dedup(
         v = e.select("id", "v0").join(assign, "id")
 
         def cell_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
-            empty = pd.DataFrame(
-                {"id_a": [], "id_b": []}
-            ).astype({"id_a": "int64", "id_b": "int64"})
-            if len(pdf) < 2:
-                return empty
-            ids = pdf["id"].to_numpy()
-            mat = np.array(list(pdf["v0"]), dtype=np.float64)
-            mat /= np.maximum(
-                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
-            )
-            sims = mat @ mat.T
-            xi, yj = np.nonzero(np.triu(sims >= threshold, k=1))
-            if not len(xi):
-                return empty
-            ia, ib = ids[xi], ids[yj]
-            lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+            ids_s, xi, yj = _cell_cosine_hits(pdf, "v0", threshold)
+            # hits are in sorted-id order: ids_s[xi] < ids_s[yj]
             return pd.DataFrame(
-                {"id_a": lo.astype("int64"), "id_b": hi.astype("int64")}
+                {
+                    "id_a": ids_s[xi].astype("int64"),
+                    "id_b": ids_s[yj].astype("int64"),
+                }
             )
 
         pairs = v.groupBy("cluster").applyInPandas(

@@ -157,12 +157,17 @@ def warc_records(payload: bytes) -> list[tuple[dict, bytes]] | None:
 def http_body(record_content: bytes) -> bytes | None:
     """Split an HTTP response record's content into headers + body
     and return the body. Chunked transfer encoding is refused
-    (None) — the builder always writes Content-Length responses, and
-    a real crawl normalizes encodings at fetch time."""
+    (None) regardless of header spelling — HTTP allows no space,
+    extra spaces, or mixed case around the colon, and returning a
+    chunked body raw would feed chunk-size lines to the text
+    pipeline. The builder always writes Content-Length responses; a
+    real crawl normalizes encodings at fetch time."""
+    import re
+
     sep = record_content.find(b"\r\n\r\n")
     if sep < 0 or not record_content.startswith(b"HTTP/"):
         return None
     head = record_content[:sep].lower()
-    if b"transfer-encoding: chunked" in head:
+    if re.search(rb"transfer-encoding[ \t]*:[^\r\n]*chunked", head):
         return None
     return record_content[sep + 4:]

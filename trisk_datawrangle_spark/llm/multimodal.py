@@ -483,12 +483,13 @@ def resize_media(
     payload_col: str = "payload",
 ) -> DataFrame:
     """Resize over Arrow batches — REAL where the payload is real:
-    a payload :func:`decode_pixels` accepts (PNG, GIF) is genuinely
-    decoded,
+    a payload :func:`decode_pixels` accepts (PNG, GIF, baseline
+    JPEG) is genuinely decoded,
     nearest-neighbor resampled to (width, height)
     (:func:`resample_nearest`) and emitted as raw row-major pixels
-    (``byte_len = width*height*channels``); anything else (JPEG/
-    audio/video, header-only fixtures) takes the LABELED fallback — a
+    (``byte_len = width*height*channels``); anything else
+    (progressive JPEG, audio/video, header-only fixtures) takes the
+    LABELED fallback — a
     payload of exactly ``width*height`` bytes (truncate / zero-pad),
     keeping the batch-shape contract testable without decoders for
     those formats.

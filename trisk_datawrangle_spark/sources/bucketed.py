@@ -42,7 +42,31 @@ def write_bucketed(
     LARGER table fits an executor's task comfortably (bucket count is
     fixed at write time — plan for the table's growth, not its
     current size; Spark joins tables whose bucket counts differ by
-    an integer factor without reshuffling the finer side)."""
+    an integer factor without reshuffling the finer side).
+
+    Orphan recovery: with ``mode="overwrite"``, if the table is NOT
+    in this session's catalog but a previous process left its data
+    directory under the warehouse, Spark refuses to create over the
+    existing location — so the orphaned directory is deleted first
+    (through the Hadoop FileSystem API, so any warehouse scheme
+    works, not just ``file:``). Bucket METADATA lives in the
+    catalog; adopting orphaned files without it would silently lose
+    the bucketing this module exists to guarantee, so a rebuild is
+    the only correct recovery."""
+    spark = df.sparkSession
+    if mode == "overwrite" and not spark.catalog.tableExists(table):
+        jvm = spark.sparkContext._jvm
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        name = table.split(".")
+        rel = (
+            f"{name[0]}.db/{name[1]}" if len(name) == 2 else name[0]
+        )
+        loc = jvm.org.apache.hadoop.fs.Path(wh.rstrip("/") + "/" + rel)
+        fs = loc.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        if fs.exists(loc):
+            fs.delete(loc, True)
     w = df.write.format("parquet").mode(mode).bucketBy(
         int(n_buckets), *bucket_cols
     )
