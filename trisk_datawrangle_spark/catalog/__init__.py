@@ -74,6 +74,7 @@ _PRIORITY = [
     "s11_warc_extract",
     "x48_line_dedup",
     "x49_bpe_train",
+    "c5_corpus_datasheet",
     "c4_curate_v2",
     "e13_windowed_psi",
     "d7_dedup_clusters",
@@ -101,7 +102,6 @@ _PRIORITY = [
     "k1_salted_count_distinct",
     "q1_q4_assert_summary",
     "q8_incomplete_groups",
-    "r1_melt",
     "s1_s6_csv_roundtrip",
     "s3_excel_roundtrip",
     "s9_jsonl_roundtrip",
@@ -113,6 +113,7 @@ _PRIORITY = [
     "w9_lm_extrapolate",
     "x10_weighted_take",
     "w2_asset_country_filters",
+    "r1_melt",
     "s2_lsh_bucket_topk",
     "c1_curate_exact",
     "m3_multimodal_features",

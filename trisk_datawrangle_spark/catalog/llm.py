@@ -4213,3 +4213,88 @@ def x49(spark, sf_dir):
 
     d = _docs(spark, sf_dir)
     return bpe_train(d, n_merges=4)
+
+
+def _c5_sql() -> str:
+    """Datasheet oracle composed from the shared building blocks:
+    the x1 language CTE, the x3 quality CTE (micros-summed for an
+    order-independent mean), ws token counts, within-source exact
+    dup counts, and the a4 exact-percentile contract."""
+    return f"""
+WITH lang AS ({_LANG_SQL}),
+q AS ({_QUALITY_SQL}),
+tok AS (
+    SELECT doc_id, source,
+        CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '')) AS BIGINT) AS n_ws,
+        text
+    FROM documents
+),
+dup AS (
+    SELECT t.doc_id, t.source,
+        COUNT(*) OVER (PARTITION BY t.source, t.text) AS n_same
+    FROM tok t
+)
+SELECT t.source,
+    COUNT(*) AS n_docs,
+    CAST(SUM(CASE WHEN d.n_same > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_exact_dup_docs,
+    CAST(SUM(t.n_ws) AS BIGINT) AS total_ws_tokens,
+    CAST(SUM(CASE WHEN l.lang_pred = 'en' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_english,
+    ROUND(CAST(SUM(CAST(round(q.quality * 1000000) AS BIGINT))
+               AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS mean_quality,
+    ROUND(quantile_cont(t.n_ws, 0.5), 1) AS p50_ws_tokens
+FROM tok t
+JOIN lang l USING (doc_id)
+JOIN q USING (doc_id)
+JOIN dup d ON t.doc_id = d.doc_id
+GROUP BY t.source
+"""
+
+
+@q("c5_corpus_datasheet", _c5_sql())
+def c5(spark, sf_dir):
+    """Corpus DATASHEET — the per-source accounting table a corpus
+    release ships (Gebru et al. 'Datasheets for Datasets', public):
+    doc counts, within-source exact-dup counts, whitespace-token
+    totals, English share, order-independent mean quality (summed
+    as exact integer micros — the money-sum idiom applied to a
+    score), and the exact p50 token count — SIX operator families
+    (lang-id, quality, token stats, dedup, median, aggregation)
+    composed into ONE plan: two window functions + one grouped
+    aggregate over a single scan, every intermediate a column, no
+    collect. The oracle assembles the SAME numbers from the shared
+    x1/x3 SQL blocks, so a drift in any constituent flips the
+    datasheet's hash."""
+    from pyspark.sql import Window
+
+    from trisk_datawrangle_spark.functions.aggregates import median
+
+    d = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    w_dup = Window.partitionBy("source", "text")
+    scored = d.select(
+        "doc_id",
+        "source",
+        lang_id("text").alias("lang_pred"),
+        F.round(quality_score("text"), 6).alias("quality"),
+        token_count("text", mode="ws").cast("long").alias("n_ws"),
+        (F.count(F.lit(1)).over(w_dup) > 1).alias("is_dup"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_exact_dup_docs"),
+        F.sum("n_ws").alias("total_ws_tokens"),
+        F.sum(
+            (F.col("lang_pred") == "en").cast("long")
+        ).alias("n_english"),
+        F.round(
+            F.sum(
+                F.round(F.col("quality") * 1000000).cast("long")
+            ).cast("double")
+            / F.count(F.lit(1))
+            / 1000000.0,
+            6,
+        ).alias("mean_quality"),
+        F.round(median("n_ws"), 1).alias("p50_ws_tokens"),
+    )
