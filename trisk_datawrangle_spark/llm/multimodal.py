@@ -10,11 +10,13 @@ CRCs); :func:`decode_gif` LZW-decodes the first frame (variable
 code width, interlace de-weave, palette lookup); ``llm/jpeg.py``
 decodes baseline JPEG (Huffman + vectorized IDCT, 4:4:4/4:2:0/
 4:2:2, restart markers, byte unstuffing) and encodes it for
-roundtrip testing. :func:`resize_media` genuinely resamples
+roundtrip testing. Audio and video are real too, in their own
+modules: ``llm/audio.py`` (RIFF/PCM WAV codec, m6-gated) and
+``llm/video.py`` (AVI/MJPEG container walk + per-frame JPEG
+decode, m7-gated). :func:`resize_media` genuinely resamples
 (nearest-neighbor) any payload :func:`decode_pixels` accepts. Only
-progressive JPEG, audio, and video remain header-parse + labeled
-fallbacks — swap in PIL / torchaudio / pyav at the same call sites
-without touching the plan.
+progressive JPEG remains a labeled fallback — swap in PIL at the
+same call site without touching the plan.
 
 Scale notes: media rows are fat (MBs) — ``mapInPandas`` streams Arrow
 batches so memory stays bounded by batch size, not partition size;
