@@ -9,6 +9,8 @@ import pytest
 
 from trisk_datawrangle_spark.llm.extract import (
     http_body,
+    http_body_chunks,
+    http_chunk_encode,
     strip_html_expr,
     strip_html_sql,
     warc_build,
@@ -65,10 +67,59 @@ def test_warc_rejects_malformed():
 
 def test_http_body_edges():
     assert http_body(b"nonsense") is None
+    # chunked header but a body that is not valid chunk framing:
+    # refused (decoded now, never passed through raw)
     assert http_body(
         b"HTTP/1.1 200\r\nTransfer-Encoding: chunked\r\n\r\nx"
     ) is None
     assert http_body(b"HTTP/1.1 204\r\nX: y\r\n\r\n") == b""
+
+
+def _chunked_resp(raw: bytes) -> bytes:
+    return (
+        b"HTTP/1.1 200 OK\r\ntransfer-encoding :  Chunked\r\n\r\n"
+        + raw
+    )
+
+
+@pytest.mark.parametrize("size", [1, 3, 7, 37, 1000])
+@pytest.mark.parametrize(
+    "body", [b"", b"a", b"hello world " * 40, bytes(range(256))]
+)
+def test_http_chunked_roundtrip(size, body):
+    enc = http_chunk_encode(body, size)
+    got = http_body_chunks(_chunked_resp(enc))
+    assert got is not None
+    decoded, n_chunks = got
+    assert decoded == body
+    assert n_chunks == -(-len(body) // size)  # ceil; 0 for empty
+    assert http_body(_chunked_resp(enc)) == body
+
+
+def test_http_chunked_strict_grammar():
+    ok = http_chunk_encode(b"abcdef", 4)
+    assert http_body(_chunked_resp(ok)) == b"abcdef"
+    bad = [
+        ok[:-2],                       # missing final trailer CRLF
+        ok + b"junk",                  # bytes after the terminator
+        ok.replace(b"4\r\n", b"4;ext=1\r\n", 1),  # chunk extension
+        ok.replace(b"0\r\n\r\n", b"0\r\nX-T: v\r\n\r\n"),  # trailer
+        ok.replace(b"4\r\n", b"g\r\n", 1),        # non-hex size
+        ok.replace(b"4\r\n", b"\r\n", 1),         # empty size line
+        ok.replace(b"4\r\nabcd\r\n", b"4\r\nabcdXX", 1),  # no CRLF
+        b"5\r\nabc",                   # truncated data
+        ok.replace(b"4\r\n", b"-4\r\n", 1),       # negative size
+    ]
+    for raw in bad:
+        assert http_body(_chunked_resp(raw)) is None, raw
+
+
+def test_http_chunked_exact_multiple():
+    # body length an exact multiple of chunk size: no empty data
+    # chunk is emitted (0-size means terminator)
+    enc = http_chunk_encode(b"12345678", 4)
+    body, n = http_body_chunks(_chunked_resp(enc))
+    assert body == b"12345678" and n == 2
 
 
 def test_strip_html_spark_duckdb_parity(spark):

@@ -3937,46 +3937,78 @@ def x46(spark, sf_dir):
     )
 
 
+_S11_ARCHIVE = 50   # response records per archive (plus 1 warcinfo)
+_S11_CHUNK = 37     # data-chunk size for the chunked-encoded third
+
+
 @q(
     "s11_warc_extract",
     f"""
 WITH h AS (
-    SELECT doc_id, {_X46_HTML_DUCK} AS html FROM documents
+    SELECT doc_id, doc_id // {_S11_ARCHIVE} AS archive_id,
+        {_X46_HTML_DUCK} AS html
+    FROM documents
 )
-SELECT doc_id, 2 AS n_records,
+SELECT doc_id,
+    CAST(COUNT(*) OVER (PARTITION BY archive_id) + 1 AS INTEGER)
+        AS n_records,
+    CAST(CASE WHEN doc_id % 3 = 0
+         THEN ceil(octet_length(encode(html)) / {_S11_CHUNK}.0)
+         ELSE 0 END AS INTEGER) AS n_chunks,
     CAST(length(html) AS BIGINT) AS body_len,
     {strip_html_sql("html")} AS clean
 FROM h
 """,
 )
 def s11(spark, sf_dir):
-    """WARC crawl-archive ingestion end to end (ISO 28500): per doc
-    a gzip-membered WARC (warcinfo + HTTP response record carrying
-    the x46 HTML) is BUILT (llm/extract.py warc_build), PARSED back
-    (warc_records — Content-Length-driven slicing, per-member
-    inflate), the HTTP body split out (http_body), and the
-    recovered HTML pushed through the SAME JVM strip chain as x46 —
-    kernel does bytes, Catalyst does text. The oracle replays the
-    construction arithmetic + the shared strip chain, so a wrong
-    record boundary, gzip member handling, header split, or length
-    flips the hash. This is the actual front door of a web-scale
-    corpus: .warc.gz in, clean text out."""
+    """WARC crawl-archive ingestion end to end (ISO 28500), at the
+    REAL ingest shape: docs are packed _S11_ARCHIVE=50 to an archive
+    (few huge .warc.gz files, not one blob per doc — what an actual
+    crawl delivers at 100 TB), each archive BUILT as a gzip-membered
+    WARC (warc_build: 1 warcinfo + 50 HTTP responses),
+    PARSED back (warc_records — Content-Length-driven slicing,
+    per-member inflate) and EXPLODED to per-document rows, doc
+    identity recovered from the WARC-Target-URI header. Every third
+    response uses chunked transfer encoding (http_chunk_encode →
+    http_body_chunks' strict dechunk walk); the rest are plain
+    Content-Length. The recovered HTML goes through the SAME JVM
+    strip chain as x46 — kernels do bytes, Catalyst does text. The
+    oracle replays the archive-size window count, the chunk-count
+    arithmetic, and the shared strip chain, so a wrong record
+    boundary, gzip member, header split, chunk frame, or URI parse
+    flips the hash.
+
+    Task balance at scale: parallelism is bounded by BYTES, not
+    archive count — the archive table is repartitioned before the
+    parse kernel, records-per-task = archives-per-task ×
+    archive size, and a production reader sizes splits with
+    spark.sql.files.maxPartitionBytes over the .warc.gz objects
+    (records never span gzip members, so member boundaries are
+    resumable split points)."""
     import pandas as pd
 
     from trisk_datawrangle_spark.llm.extract import (
-        http_body,
+        http_body_chunks,
+        http_chunk_encode,
         warc_build,
         warc_records,
     )
 
-    def extract(batches):
-        for pdf in batches:
-            ids, nrecs, bodies = [], [], []
-            for doc_id, text in zip(
-                pdf["doc_id"].astype("int64"), pdf["text"]
-            ):
-                doc_id = int(doc_id)
-                html = _x46_html_py(doc_id, text).encode()
+    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        records = [({"WARC-Type": "warcinfo"}, b"software: x\r\n")]
+        for doc_id, text in zip(
+            pdf["doc_id"].astype("int64"), pdf["text"]
+        ):
+            doc_id = int(doc_id)
+            html = _x46_html_py(doc_id, text).encode()
+            if doc_id % 3 == 0:
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    b"Transfer-Encoding: chunked\r\n\r\n"
+                    + http_chunk_encode(html, _S11_CHUNK)
+                )
+            else:
                 http = (
                     b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
                     + b"Content-Length: "
@@ -3984,49 +4016,72 @@ def s11(spark, sf_dir):
                     + b"\r\n\r\n"
                     + html
                 )
-                payload = warc_build(
-                    [
-                        ({"WARC-Type": "warcinfo"}, b"software: x\r\n"),
-                        (
-                            {
-                                "WARC-Type": "response",
-                                "WARC-Target-URI":
-                                    f"http://ex.com/{doc_id}",
-                            },
-                            http,
-                        ),
-                    ],
-                    gzip_members=True,
+            records.append(
+                (
+                    {
+                        "WARC-Type": "response",
+                        "WARC-Target-URI": f"http://ex.com/{doc_id}",
+                    },
+                    http,
                 )
-                recs = warc_records(payload)
-                if recs is None or len(recs) != 2:
-                    raise AssertionError(
-                        f"s11: WARC roundtrip failed for doc {doc_id}"
-                    )
-                body = http_body(recs[1][1])
-                if body != html:
-                    raise AssertionError(
-                        f"s11: HTTP body mismatch for doc {doc_id}"
-                    )
-                ids.append(doc_id)
-                nrecs.append(len(recs))
-                bodies.append(body.decode())
+            )
+        return pd.DataFrame(
+            {
+                "archive_id": [int(pdf["archive_id"].iloc[0])],
+                "payload": [warc_build(records, gzip_members=True)],
+            }
+        )
+
+    def extract(batches):
+        for pdf in batches:
+            ids, nrecs, nchunks, bodies = [], [], [], []
+            for payload in pdf["payload"]:
+                recs = warc_records(bytes(payload))
+                if recs is None or len(recs) < 2:
+                    raise AssertionError("s11: archive parse failed")
+                for headers, content in recs:
+                    if headers.get("WARC-Type") != "response":
+                        continue
+                    uri = headers["WARC-Target-URI"]
+                    doc_id = int(uri.rsplit("/", 1)[1])
+                    got = http_body_chunks(content)
+                    if got is None:
+                        raise AssertionError(
+                            f"s11: HTTP parse failed for doc {doc_id}"
+                        )
+                    body, n_chunks = got
+                    ids.append(doc_id)
+                    nrecs.append(len(recs))
+                    nchunks.append(n_chunks)
+                    bodies.append(body.decode())
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
                     "n_records": nrecs,
+                    "n_chunks": nchunks,
                     "html": bodies,
                 }
             )
 
-    d = _docs(spark, sf_dir).select("doc_id", "text")
-    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
-    parsed = d.mapInPandas(
-        extract, "doc_id long, n_records int, html string"
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        F.floor(F.col("doc_id") / _S11_ARCHIVE).alias("archive_id"),
+    )
+    archives = d.groupBy("archive_id").applyInPandas(
+        build, "archive_id long, payload binary"
+    )
+    archives = archives.repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    parsed = archives.mapInPandas(
+        extract,
+        "doc_id long, n_records int, n_chunks int, html string",
     )
     return parsed.select(
         "doc_id",
         "n_records",
+        "n_chunks",
         F.length("html").cast("long").alias("body_len"),
         strip_html_expr("html").alias("clean"),
     )

@@ -16,9 +16,11 @@ WARC (ISO 28500) parsing is bytes-level record slicing —
 the Arrow-batched ``mapInPandas`` media tier like the image/audio
 codecs. Gzip-member WARCs (the common ``.warc.gz`` layout: one gzip
 member per record) are handled via stdlib zlib. This is a REAL
-parser for the real format; only the transfer-encoding long tail
-(chunked HTTP bodies) is normalized away by the builder and rejected
-loudly by the parser.
+parser for the real format, including chunked transfer encoding
+(RFC 9112 §7.1): :func:`http_body` dechunks via a deterministic
+size-line walk. Chunk extensions and non-empty trailers — rare,
+and a place where permissive parsing invites smuggling bugs — are
+refused loudly (None), as is any malformed framing.
 """
 
 from __future__ import annotations
@@ -154,20 +156,87 @@ def warc_records(payload: bytes) -> list[tuple[dict, bytes]] | None:
     return records
 
 
-def http_body(record_content: bytes) -> bytes | None:
-    """Split an HTTP response record's content into headers + body
-    and return the body. Chunked transfer encoding is refused
-    (None) regardless of header spelling — HTTP allows no space,
-    extra spaces, or mixed case around the colon, and returning a
-    chunked body raw would feed chunk-size lines to the text
-    pipeline. The builder always writes Content-Length responses; a
-    real crawl normalizes encodings at fetch time."""
+def http_chunk_encode(body: bytes, chunk_size: int) -> bytes:
+    """Encode ``body`` with HTTP/1.1 chunked transfer encoding
+    (RFC 9112 §7.1): ``chunk_size``-byte data chunks (last one
+    shorter), lowercase-hex size lines, the zero-size terminal
+    chunk, no extensions, empty trailer section. The exact inverse
+    of the dechunker in :func:`http_body` (roundtrip-tested)."""
+    if chunk_size < 1:
+        raise ValueError("http_chunk_encode: chunk_size must be >= 1")
+    out = bytearray()
+    for pos in range(0, len(body), chunk_size):
+        piece = body[pos:pos + chunk_size]
+        out += format(len(piece), "x").encode() + b"\r\n"
+        out += piece + b"\r\n"
+    out += b"0\r\n\r\n"
+    return bytes(out)
+
+
+def _dechunk(body: bytes) -> tuple[bytes, int] | None:
+    """Deterministic chunked-body walk → (decoded bytes, number of
+    data chunks), or None on anything outside the strict grammar:
+    non-hex size line, chunk extension (``;`` in the size line),
+    missing CRLF after a chunk, truncation, bytes after the
+    terminator, or a non-empty trailer section. Refusing the long
+    tail loudly beats guessing — a mis-framed chunk feeds size lines
+    into the text pipeline downstream."""
+    out = bytearray()
+    pos = 0
+    n_chunks = 0
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            return None
+        size_line = body[pos:eol]
+        if not size_line or b";" in size_line:
+            return None  # empty size line / chunk extension: refused
+        try:
+            size = int(size_line, 16)
+        except ValueError:
+            return None
+        if size < 0:  # int('-f', 16) parses; the grammar forbids it
+            return None
+        pos = eol + 2
+        if size == 0:
+            # terminal chunk: the ONLY accepted tail is the empty
+            # trailer section's CRLF, ending the body exactly.
+            if body[pos:] != b"\r\n":
+                return None
+            return bytes(out), n_chunks
+        if pos + size + 2 > len(body):
+            return None
+        out += body[pos:pos + size]
+        if body[pos + size:pos + size + 2] != b"\r\n":
+            return None
+        pos += size + 2
+        n_chunks += 1
+
+
+def http_body_chunks(record_content: bytes) -> tuple[bytes, int] | None:
+    """Split an HTTP response record's content into headers + body,
+    dechunking when the headers declare ``Transfer-Encoding:
+    chunked`` (any case/whitespace spelling — HTTP allows no space,
+    extra spaces, or mixed case around the colon). Returns
+    ``(body, n_data_chunks)`` — 0 chunks for a plain Content-Length
+    body — or None for non-HTTP content or a body violating the
+    strict chunk grammar (see :func:`_dechunk`)."""
     import re
 
     sep = record_content.find(b"\r\n\r\n")
     if sep < 0 or not record_content.startswith(b"HTTP/"):
         return None
     head = record_content[:sep].lower()
+    raw = record_content[sep + 4:]
     if re.search(rb"transfer-encoding[ \t]*:[^\r\n]*chunked", head):
-        return None
-    return record_content[sep + 4:]
+        return _dechunk(raw)
+    return raw, 0
+
+
+def http_body(record_content: bytes) -> bytes | None:
+    """The body-only view of :func:`http_body_chunks` — kept as the
+    stable public name; chunked responses are now decoded rather
+    than refused (refusal dropped every chunked capture, and real
+    WARC corpora contain them in volume)."""
+    got = http_body_chunks(record_content)
+    return None if got is None else got[0]
