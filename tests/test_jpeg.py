@@ -146,3 +146,9 @@ def test_resize_media_resamples_jpeg(spark):
     out = resize_media(df, width=4, height=4).collect()[0]
     assert (out.src_width, out.src_height) == (16, 12)
     assert out.byte_len == 4 * 4 * 3
+    # JPEG in, PNG out: the resampled pixels round-trip losslessly
+    from trisk_datawrangle_spark.llm.multimodal import decode_png
+
+    assert out.out_fmt == "png"
+    decoded = decode_png(bytes(out.payload))
+    assert decoded is not None and decoded[:3] == (4, 4, 3)

@@ -99,6 +99,7 @@ def test_png_payload_roundtrips_through_decoder(spark):
 def test_resize_truncates_and_pads_exactly(spark, payloads):
     out = {r.doc_id: r for r in resize_media(payloads, 4, 8).collect()}
     assert all(r.byte_len == 32 and r.width == 4 and r.height == 8 for r in out.values())
+    assert all(r.out_fmt == "raw" for r in out.values())
     # short payload zero-padded, long payload truncated
     assert bytes(out[1].payload) == b"hello world" + b"\0" * 21
     assert bytes(out[2].payload) == b"x" * 32
@@ -282,8 +283,12 @@ def test_resize_media_really_resamples_valid_png(spark):
     out = resize_media(df, width=4, height=4).collect()[0]
     assert (out.src_width, out.src_height) == (w, h)
     assert out.byte_len == 4 * 4 * ch
-    assert bytes(out.payload) == resample_nearest(
-        w, h, ch, px, 4, 4
+    assert out.out_fmt == "png"
+    # output is a spec-valid PNG carrying exactly the resampled pixels
+    from trisk_datawrangle_spark.llm.multimodal import decode_png
+
+    assert decode_png(bytes(out.payload)) == (
+        4, 4, ch, resample_nearest(w, h, ch, px, 4, 4)
     )
 
 
@@ -415,7 +420,12 @@ def test_resize_media_resamples_gif_too(spark):
     out = resize_media(df, width=4, height=3).collect()[0]
     assert (out.src_width, out.src_height) == (w, h)
     assert out.byte_len == 4 * 3 * 3
-    assert bytes(out.payload) == resample_nearest(w, h, 3, px, 4, 3)
+    assert out.out_fmt == "png"
+    from trisk_datawrangle_spark.llm.multimodal import decode_png
+
+    assert decode_png(bytes(out.payload)) == (
+        4, 3, 3, resample_nearest(w, h, 3, px, 4, 3)
+    )
 
 
 def test_gif_decode_code_width_growth():

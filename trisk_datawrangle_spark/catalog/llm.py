@@ -1750,34 +1750,129 @@ def m1(spark, sf_dir):
 @q(
     "m2_multimodal_resize",
     """
-SELECT doc_id, 32 AS width, 32 AS height, 1024 AS byte_len,
-       CAST(16 + doc_id % 512 AS INTEGER) AS src_width,
-       CAST(16 + doc_id % 256 AS INTEGER) AS src_height
-FROM documents
+WITH g AS (
+    SELECT doc_id, doc_id % 4 = 0 AS real,
+        CAST(4 + doc_id % 13 AS INTEGER) AS w,
+        CAST(3 + doc_id % 7 AS INTEGER) AS h
+    FROM documents
+),
+rs AS (
+    SELECT g.doc_id,
+        SUM((g.doc_id
+             + 3 * least((ox.i * g.w) // 32, g.w - 1)
+             + 5 * least((oy.i * g.h) // 32, g.h - 1)
+             + 7 * c.i) % 256) AS sum_resampled
+    FROM g,
+        unnest(generate_series(0, 31)) AS ox(i),
+        unnest(generate_series(0, 31)) AS oy(i),
+        unnest(generate_series(0, 3)) AS c(i)
+    WHERE g.real
+    GROUP BY 1
+)
+SELECT g.doc_id, 32 AS width, 32 AS height,
+    CAST(CASE WHEN g.real THEN 32 * 32 * 4 ELSE 1024 END AS INTEGER)
+        AS byte_len,
+    CAST(CASE WHEN g.real THEN g.w
+         ELSE 16 + g.doc_id % 512 END AS INTEGER) AS src_width,
+    CAST(CASE WHEN g.real THEN g.h
+         ELSE 16 + g.doc_id % 256 END AS INTEGER) AS src_height,
+    CASE WHEN g.real THEN 'png' ELSE 'raw' END AS out_fmt,
+    CAST(r.sum_resampled AS BIGINT) AS sum_resampled
+FROM g LEFT JOIN rs r USING (doc_id)
 """,
 )
 def m2(spark, sf_dir):
-    """Resize plumbing (binary-in/binary-out mapInPandas) over the
-    header-only PNG fixtures: every document flows through with the
-    target dimensions AND the source geometry parsed from its actual
-    IHDR header (the m1 fixture dims) — a resample needs the source
-    dims, so the oracle gates that they flow through the Arrow
-    boundary. These fixtures carry text, not a zlib stream, so they
-    take resize_media's LABELED truncate/pad fallback; the REAL
-    pixel path (decode_png → resample_nearest) is driver-gated by
-    m5_pixel_stats and byte-compared in tests/test_multimodal.py."""
-    from trisk_datawrangle_spark.llm.multimodal import png_payload
+    """Resize (binary-in/binary-out mapInPandas) over a MIXED
+    fixture, gating both paths of resize_media in one entry: every
+    4th document carries a genuinely decodable RGBA PNG (encode_png
+    of the m5 position-dependent pixel pattern, geometry varying per
+    doc) and takes the REAL path — decode_png → resample_nearest to
+    32×32 → encode_png OUT; the rest carry the m1 header-only
+    payloads (valid IHDR, text body) and take the LABELED
+    truncate/pad fallback. The entry then re-DECODES the emitted
+    payloads: real rows must round-trip as 32×32 PNGs whose exact
+    integer pixel sum the oracle replays with the same floor-index
+    arithmetic as resample_nearest (a wrong resample index, channel
+    order, or a non-spec output PNG flips the hash); fallback rows
+    carry the parsed source IHDR dims, proving source geometry flows
+    through the Arrow boundary either way."""
+    import pandas as pd
 
-    d = _docs(spark, sf_dir).select(
-        "doc_id",
-        "text",
-        (F.lit(16) + F.col("doc_id") % 512).cast("int").alias("__w"),
-        (F.lit(16) + F.col("doc_id") % 256).cast("int").alias("__h"),
+    from trisk_datawrangle_spark.llm.multimodal import (
+        PNG_SIG,
+        decode_png,
+        encode_png,
     )
-    d = d.withColumn("payload", png_payload("text", "__w", "__h"))
-    resized = resize_media(d, width=32, height=32)
+
+    def mk_payload(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(
+                pdf["doc_id"].astype("int64"), pdf["text"]
+            ):
+                doc_id = int(doc_id)
+                if doc_id % 4 == 0:
+                    w, h = 4 + doc_id % 13, 3 + doc_id % 7
+                    px = bytes(
+                        (doc_id + 3 * x + 5 * y + 7 * c) % 256
+                        for y in range(h)
+                        for x in range(w)
+                        for c in range(4)
+                    )
+                    payload = encode_png(w, h, 4, px)
+                else:
+                    # the m1 header-only fixture: real IHDR (parsed,
+                    # not decodable), text bytes as the body
+                    w, h = 16 + doc_id % 512, 16 + doc_id % 256
+                    payload = (
+                        PNG_SIG
+                        + b"\x00\x00\x00\x0dIHDR"
+                        + w.to_bytes(4, "big")
+                        + h.to_bytes(4, "big")
+                        + b"\x08\x06\x00\x00\x00"
+                        + b"\x00\x00\x00\x00"
+                        + text.encode()
+                    )
+                ids.append(doc_id)
+                payloads.append(payload)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    def check(batches):
+        for pdf in batches:
+            sums = []
+            for doc_id, fmt, payload in zip(
+                pdf["doc_id"].astype("int64"),
+                pdf["out_fmt"],
+                pdf["payload"],
+            ):
+                if fmt != "png":
+                    sums.append(None)
+                    continue
+                decoded = decode_png(bytes(payload))
+                if decoded is None or decoded[:2] != (32, 32):
+                    raise AssertionError(
+                        f"m2: emitted PNG failed roundtrip for doc "
+                        f"{int(doc_id)}"
+                    )
+                sums.append(sum(decoded[3]))
+            out = pdf.drop(columns=["payload"]).copy()
+            out["sum_resampled"] = pd.array(sums, dtype="Int64")
+            yield out
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    payloads = d.mapInPandas(
+        mk_payload, "doc_id long, payload binary"
+    )
+    resized = resize_media(payloads, width=32, height=32)
     return resized.select(
-        "doc_id", "width", "height", "byte_len", "src_width", "src_height"
+        "doc_id", "width", "height", "byte_len",
+        "src_width", "src_height", "out_fmt", "payload",
+    ).mapInPandas(
+        check,
+        "doc_id long, width int, height int, byte_len int, "
+        "src_width int, src_height int, out_fmt string, "
+        "sum_resampled long",
     )
 
 

@@ -14,9 +14,10 @@ roundtrip testing. Audio and video are real too, in their own
 modules: ``llm/audio.py`` (RIFF/PCM WAV codec, m6-gated) and
 ``llm/video.py`` (AVI/MJPEG container walk + per-frame JPEG
 decode, m7-gated). :func:`resize_media` genuinely resamples
-(nearest-neighbor) any payload :func:`decode_pixels` accepts. Only
-progressive JPEG remains a labeled fallback — swap in PIL at the
-same call site without touching the plan.
+(nearest-neighbor) any payload :func:`decode_pixels` accepts and
+re-encodes the result as a spec-valid PNG. Only progressive JPEG
+remains a labeled fallback — swap in PIL at the same call site
+without touching the plan.
 
 Scale notes: media rows are fat (MBs) — ``mapInPandas`` streams Arrow
 batches so memory stays bounded by batch size, not partition size;
@@ -486,15 +487,18 @@ def resize_media(
 ) -> DataFrame:
     """Resize over Arrow batches — REAL where the payload is real:
     a payload :func:`decode_pixels` accepts (PNG, GIF, baseline
-    JPEG) is genuinely decoded,
-    nearest-neighbor resampled to (width, height)
-    (:func:`resample_nearest`) and emitted as raw row-major pixels
-    (``byte_len = width*height*channels``); anything else
-    (progressive JPEG, audio/video, header-only fixtures) takes the
-    LABELED fallback — a
-    payload of exactly ``width*height`` bytes (truncate / zero-pad),
-    keeping the batch-shape contract testable without decoders for
-    those formats.
+    JPEG) is genuinely decoded, nearest-neighbor resampled to
+    (width, height) (:func:`resample_nearest`) and RE-ENCODED as a
+    spec-valid PNG (:func:`encode_png`) — normalized-format-out, the
+    shape a thumbnail/training-res stage actually emits
+    (``out_fmt='png'``, ``byte_len = width*height*channels`` =
+    the DECODED pixel bytes, the number downstream partition
+    planning uses; the PNG's encoded size varies with content).
+    Anything no shipped decoder accepts (progressive JPEG,
+    audio/video, header-only fixtures) takes the LABELED fallback —
+    ``out_fmt='raw'``, a payload of exactly ``width*height`` bytes
+    (truncate / zero-pad) — keeping the batch-shape contract
+    testable without decoders for those formats.
 
     The Spark-side contract holds for both paths: binary-in/
     binary-out, output rows fatter or thinner than input by a known
@@ -509,15 +513,17 @@ def resize_media(
 
     target = width * height
 
-    def one(b: bytes) -> tuple[bytes, int]:
+    def one(b: bytes) -> tuple[bytes, int, str]:
         px = decode_pixels(b)
         if px is not None:
             sw, sh, ch, raw = px
+            resampled = resample_nearest(sw, sh, ch, raw, width, height)
             return (
-                resample_nearest(sw, sh, ch, raw, width, height),
+                encode_png(width, height, ch, resampled),
                 width * height * ch,
+                "png",
             )
-        return b[:target].ljust(target, b"\0"), target
+        return b[:target].ljust(target, b"\0"), target, "raw"
 
     def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -539,12 +545,13 @@ def resize_media(
                     "src_height": src.map(
                         lambda t: t[1] if t else None
                     ).astype("Int32"),
+                    "out_fmt": done.map(lambda t: t[2]),
                 }
             )
 
     out_schema = (
         "doc_id long, payload binary, width int, height int, "
-        "byte_len int, src_width int, src_height int"
+        "byte_len int, src_width int, src_height int, out_fmt string"
     )
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     return df.select(id_col, payload_col).mapInPandas(resize, out_schema)
