@@ -41,7 +41,9 @@ def test_jaccard_margin_band_is_empty(spark, sf):
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     pairs = (
-        ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+        ngram_jaccard_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.2, exhaustive=True
+        )
         .filter(F.col("jaccard") < 0.75)
         .collect()
     )
@@ -65,7 +67,7 @@ def test_simhash_hamming_within_band_guarantee(spark, sf):
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     qual = ngram_jaccard_pairs(
-        docs, "text", "doc_id", n=3, threshold=0.5
+        docs, "text", "doc_id", n=3, threshold=0.5, exhaustive=True
     ).select("id_a", "id_b")
     st = simhash_table(docs, "text", "doc_id", 3)
     sa = st.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"))

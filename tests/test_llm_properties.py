@@ -111,7 +111,9 @@ def test_ngram_jaccard_max_doc_freq_is_conservative(spark):
     )
     exact = {
         (r.id_a, r.id_b): r.jaccard
-        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.0, exhaustive=True
+        ).collect()
     }
     noop = {
         (r.id_a, r.id_b): r.jaccard

@@ -150,3 +150,33 @@ def test_semantic_dedup_clustered_splits_only_across_cells(spark):
         assert len(exact_ids) == 1, (
             "clustered tier merged ids the exact tier separates"
         )
+
+
+def test_ngram_jaccard_public_name_auto_dispatches(spark):
+    """r8 verdict #3/r9 item 4: the public ngram_jaccard_pairs name
+    must never run the unbounded quadratic co-shingle join without
+    an explicit opt-in — t >= 0.7 silently takes the LOSSLESS prefix
+    tier (identical rows), lower t without a df cap refuses loudly,
+    and exhaustive=True / max_doc_freq remain the two opt-ins."""
+    from trisk_datawrangle_spark.llm.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark)
+    auto = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    exh = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.8, exhaustive=True
+        ).collect()
+    }
+    assert auto == exh and auto
+    with pytest.raises(ValueError, match="prefix-leverage"):
+        ngram_jaccard_pairs(docs, threshold=0.3)
+    # both documented opt-ins still reach a runnable plan at low t
+    assert ngram_jaccard_pairs(
+        docs, threshold=0.3, exhaustive=True
+    ).count() >= ngram_jaccard_pairs(
+        docs, threshold=0.3, max_doc_freq=50
+    ).count()

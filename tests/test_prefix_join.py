@@ -42,7 +42,8 @@ def test_prefix_pairs_equal_exhaustive(spark):
         exact = {
             (r.id_a, r.id_b, round(r.jaccard, 6))
             for r in ngram_jaccard_pairs(
-                df, "text", "doc_id", n=3, threshold=t
+                df, "text", "doc_id", n=3, threshold=t,
+                exhaustive=True,
             ).collect()
         }
         pref = {

@@ -154,9 +154,15 @@ WHERE c.n_common / (sa.n_grams + sb.n_grams - c.n_common) >= 0.12
 """,
 )
 def d2(spark, sf_dir):
-    """Exact word-3-gram Jaccard near-dup pairs (co-shingle join)."""
+    """Exact word-3-gram Jaccard near-dup pairs via the EXHAUSTIVE
+    co-shingle join — the opt-in oracle tier (exhaustive=True; since
+    r9 the public name auto-routes t ≥ 0.7 to the lossless prefix
+    tier and refuses unbounded low-t calls, so this quadratic plan
+    is only reachable knowingly). Kept at t=0.12 precisely because
+    the low-threshold band is the one only this tier serves."""
     pairs = ngram_jaccard_pairs(
-        _docs(spark, sf_dir), "text", "doc_id", n=3, threshold=0.12
+        _docs(spark, sf_dir), "text", "doc_id", n=3, threshold=0.12,
+        exhaustive=True,
     )
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")

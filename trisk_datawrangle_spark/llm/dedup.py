@@ -88,6 +88,12 @@ def shingle_hashes(
     return grams.distinct() if distinct else grams
 
 
+#: Threshold at and above which prefix filtering has real leverage
+#: (prefix length |A|−ceil(t·|A|)+1 shrinks to ~a third of the doc) —
+#: the auto-dispatch line in :func:`ngram_jaccard_pairs`.
+_PREFIX_LEVERAGE_T = 0.7
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -95,23 +101,61 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
+    exhaustive: bool = False,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via a co-shingle join.
+    """Exact n-gram Jaccard near-dup pairs — threshold-aware
+    dispatch, so the PUBLIC name never runs the unbounded quadratic
+    join unless explicitly told to:
 
-    |A∩B| comes from a self-join of the distinct (id, shingle-hash)
-    table on the hash — linear in co-occurrence, not quadratic in
-    docs, and the join key is a long, not the gram string.
-    Common-shingle skew is the scale hazard: a boilerplate shingle in
-    k docs contributes k² join rows. ``max_doc_freq`` implements the
-    mitigation: shingles appearing in more than that many documents
-    are dropped from the JOIN side only (one extra aggregate on the
-    already-cached table); per-doc sizes still count every shingle, so
-    the estimate under-counts |A∩B| by at most the dropped shingles —
-    a conservative (never-inflating) Jaccard. With it unset the result
-    is exact; at 100 TB set it (or move to
-    :func:`minhash_lsh_dedup_pairs`, which bounds candidates by
-    construction).
+    - ``threshold ≥ 0.7`` (the default band, and where every real
+      near-dup pipeline operates): delegates to the LOSSLESS
+      PPJoin-style prefix tier (:func:`ngram_jaccard_prefix_pairs`)
+      — identical rows (property-tested), candidate-bounded work,
+      measured sublinear at sf10. Callers get the scale-safe plan by
+      default just by asking for pairs.
+    - ``max_doc_freq`` set: the co-shingle join with the
+      document-frequency cap — per-shingle blowup bounded by
+      max_doc_freq², i.e. candidate-bounded too (the conservative
+      never-inflating estimate documented below).
+    - ``exhaustive=True``: the raw co-shingle join, quadratic in
+      per-shingle co-occurrence — the ORACLE tier (simplest possible
+      semantics, gates d2) and the only exact option below the
+      prefix-leverage threshold. Opt-in, never reached by default.
+    - ``threshold < 0.7`` without either: refused loudly. There is
+      no sub-quadratic exact algorithm at low thresholds (the prefix
+      is most of the doc, LSH bands have no precision); pick
+      ``exhaustive=True`` knowingly, set ``max_doc_freq``, or use
+      :func:`minhash_lsh_dedup_pairs` and accept approximation.
+
+    The co-shingle join itself: |A∩B| from a self-join of the
+    distinct (id, shingle-hash) table on the hash — linear in
+    co-occurrence, not quadratic in docs, and the join key is a
+    long, not the gram string. Common-shingle skew is the scale
+    hazard: a boilerplate shingle in k docs contributes k² join
+    rows. ``max_doc_freq`` implements the mitigation: shingles
+    appearing in more than that many documents are dropped from the
+    JOIN side only (one extra aggregate on the already-cached
+    table); per-doc sizes still count every shingle, so the estimate
+    under-counts |A∩B| by at most the dropped shingles — a
+    conservative (never-inflating) Jaccard. With it unset the result
+    is exact.
     """
+    if not exhaustive:
+        if max_doc_freq is None and threshold >= _PREFIX_LEVERAGE_T:
+            return ngram_jaccard_prefix_pairs(
+                df, text_col, id_col, n=n, threshold=threshold
+            )
+        if max_doc_freq is None:
+            raise ValueError(
+                f"ngram_jaccard_pairs: threshold={threshold} is below "
+                f"the prefix-leverage band (>= {_PREFIX_LEVERAGE_T}) "
+                "and no max_doc_freq cap is set — the only exact plan "
+                "is the unbounded quadratic co-shingle join. Pass "
+                "exhaustive=True to run it knowingly, set "
+                "max_doc_freq to bound it, or use "
+                "minhash_lsh_dedup_pairs for bounded approximate "
+                "candidates."
+            )
     # stage boundary: the shingle table feeds the size aggregate AND
     # both sides of the co-shingle self-join — uncached, the
     # scan→explode→hash subtree runs three times (measured 2× total
@@ -625,9 +669,11 @@ def near_dup_pairs(
             df, text_col, id_col, n=n, threshold=threshold
         )
     if pair_tier == "exact":
+        # naming the tier IS the opt-in: "exact" means the co-shingle
+        # join (the oracle semantics), never silently re-routed
         return ngram_jaccard_pairs(
             df, text_col, id_col, n=n, threshold=threshold,
-            max_doc_freq=max_doc_freq,
+            max_doc_freq=max_doc_freq, exhaustive=True,
         )
     raise ValueError(
         f"near_dup_pairs: unknown pair_tier {pair_tier!r}; "
