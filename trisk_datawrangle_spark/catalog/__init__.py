@@ -36,32 +36,103 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 
 # Registration-order priority. The per-round correctness driver samples
 # the FIRST N catalog entries (N=50), so ordering decides which entries
-# get driver-verified each round. Round-8 window (r7 verdict #1):
-# (1) the entries with NO driver row yet — the two that landed after
-# the r7 window ran (c4, e13) plus this round's twelve new entries:
-# the z1/b1/y1/u4/q10 layout-and-maintenance gates, the m5/m6/m7
-# real-codec multimodal gates, the x46/s11 crawl front end, the x48
-# line dedup, and the x49 BPE-training loop; (2) the six entries
-# whose implementation CHANGED this round (d7/c3/d14 re-pointed at
-# the candidate-bounded default pair tier, d15 moved to the prefix
-# tier, d13/s7 serving re-wired through the versioned pointer) —
-# changed code invalidates the old proof; (3) the stalest
-# round-4-proof entries, stalest-first, filling the remaining slots.
-# Fourteen new entries means a cohort of r4-proof entries waits at
-# positions 51+ and leads the r9 window — each deferred one's
-# machinery is gated meanwhile by an in-window sibling (w2 by the
-# w0 e2e chain; t4/t6 by w7/w8/w9/t2; e7 by e3; e8 by e1; d8 by the
-# in-window dedup ladder; c1 by c2's superset chain; m3's
-# sha-feature ANN by s1 + the m5-m7 codec gates; s2_lsh by the
-# s1/s3/s4/s7/s8/s9 ANN family; q3/q5 share j2/a1's join-agg plans;
-# s2/s8 csv share s1_s6's reader; x9 shares x24's regex chain; f13
-# shares f2_f9; a6_a7 shares the cf wide-sum family; r7 shares the
-# explode family; x10 shares x38's E-S sampling). All 211 entries
-# remain green under the builder's full-catalog driver-conf
-# emulation regardless of window position. Rename note (r7 verdict
-# #3): e3_sliding_window became e9_sliding_window in r5 — recorded
-# in COVERAGE.md.
+# get driver-verified each round. Round-9 window (r8 verdict #1):
+# (1) the three entries whose implementation CHANGED this round —
+# s11 (multi-record .warc.gz archives + chunked transfer decoding),
+# m2 (mixed real/fallback fixture, PNG-out resize with an exact
+# resample-sum oracle), d2 (explicit exhaustive=True opt-in after the
+# ngram_jaccard_pairs threshold-aware dispatch landed) — changed code
+# invalidates the old proof; (2) the full r4-proof cohort (18
+# entries, staleness computed from CORRECTNESS_r0{1..8}.json, not
+# from memory: w2, r1, s2_lsh, c1, m3, e8, t6, e7, d8, t4, q3, q5,
+# s2_csv, s8, x9, f13, a6_a7, r7); (3) 29 of the 49 r5-proof
+# entries — every one with machinery no in-window sibling covers
+# (the x11-x21 text/sketch family, d9-d12 dedup variants, e9/e12
+# streaming, s5/s6/s10 index+format entries, v1/v2 centroids, k2,
+# m4, st1, w3/w4 e2e chains, cp1, a13). The 20 r5-proof entries
+# deferred to positions 51+ (leading the r10 window) are the thin
+# relational wrappers whose plan shapes run inside in-window
+# composites meanwhile: p1-p9 projections/filters (inside w2 and
+# the flagship chain), j1/j4-j10 joins (the join-agg shape gates
+# via q3/q5, the outer-join machinery via the w0/w1-gated plans at
+# r8), a2/a3 native-agg wrappers (a6_a7 gates the agg family),
+# x23 winsorize (percentile machinery shared with in-window x18),
+# e10/e11 stream entries (e8/e9/e12 gate streaming). All 212
+# entries stay green under the builder's full-catalog driver-conf
+# emulation and test_oracle_parity regardless of window position.
+# Rename note (r7 verdict #3): e3_sliding_window became
+# e9_sliding_window in r5 — recorded in COVERAGE.md.
 _PRIORITY = [
+    "s11_warc_extract",
+    "m2_multimodal_resize",
+    "d2_ngram_jaccard",
+    "w2_asset_country_filters",
+    "r1_melt",
+    "s2_lsh_bucket_topk",
+    "c1_curate_exact",
+    "m3_multimodal_features",
+    "e8_session_window",
+    "t6_backfill_from_year",
+    "e7_asof_forward",
+    "d8_normalized_dedup",
+    "t4_extend_years_constant",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "s2_semicolon_csv",
+    "s8_glob_union",
+    "x9_normalize_text",
+    "f13_row_sum",
+    "a6_a7_wide_year_sums",
+    "r7_explode_words",
+    "w4_curation_e2e",
+    "x15_cluster_safe_split",
+    "x16_source_cap",
+    "x17_lm_score",
+    "s10_orc_roundtrip",
+    "x18_quantile_bins",
+    "x19_group_zscore",
+    "m4_frame_sample",
+    "d11_incremental_dedup",
+    "v1_label_centroids",
+    "v2_nearest_centroid",
+    "x20_tfidf_keywords",
+    "x21_rolling_stats",
+    "k2_salted_join",
+    "d12_edit_distance_verify",
+    "e12_late_data_report",
+    "cp1_ngfs_carbon_price",
+    "w3_datalake_e2e",
+    "s5_ivf_pq_topk",
+    "s6_pq_recall",
+    "e9_sliding_window",
+    "st1_stateful_running_totals",
+    "x11_token_topk",
+    "x12_cms_freq_gate",
+    "x13_doc_chunking",
+    "x14_bm25",
+    "d9_bloom_decontamination",
+    "d10_block_dedup",
+    "a13_approx_median_gate",
+    "p1_project_rename",
+    "p3_filter_isin",
+    "p4_filter_regex",
+    "p6_filter_any_null",
+    "p7_distinct",
+    "p8_distinct_keep_first",
+    "p9_first_year_positive",
+    "j1_left_join",
+    "j4_anti_join",
+    "j5_semi_join",
+    "j6_right_join",
+    "j7_cross_join",
+    "j8_global_share",
+    "j9_closest_parent",
+    "j10_majority_pick",
+    "a2_sum_or_null",
+    "a3_mean",
+    "x23_winsorize",
+    "e10_stream_static_join",
+    "e11_stream_dedup",
     "z1_zorder_scan",
     "b1_bucketed_join",
     "m5_pixel_stats",
@@ -71,7 +142,6 @@ _PRIORITY = [
     "q10_schema_drift",
     "y1_compaction_roundtrip",
     "x46_html_extract",
-    "s11_warc_extract",
     "x48_line_dedup",
     "x49_bpe_train",
     "c5_corpus_datasheet",
@@ -112,31 +182,12 @@ _PRIORITY = [
     "w8_interpolate_keep_edges",
     "w9_lm_extrapolate",
     "x10_weighted_take",
-    "w2_asset_country_filters",
-    "r1_melt",
-    "s2_lsh_bucket_topk",
-    "c1_curate_exact",
-    "m3_multimodal_features",
-    "e8_session_window",
-    "t6_backfill_from_year",
-    "e7_asof_forward",
-    "d8_normalized_dedup",
-    "t4_extend_years_constant",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "s2_semicolon_csv",
-    "s8_glob_union",
-    "x9_normalize_text",
-    "f13_row_sum",
-    "a6_a7_wide_year_sums",
-    "r7_explode_words",
     "pr5_ipr_baseline_prices",
     "pr6_automotive_prices",
     "lc1_mp_steel_lc_prices",
     "lc2_ipr_lcoe_prices",
     "lc3_oxford_lcoe_ngfs_prices",
     "d1_exact_dedup",
-    "d2_ngram_jaccard",
     "d5_embedding_dups",
     "d6_contamination",
     "g3_standardize_names",
@@ -176,60 +227,10 @@ _PRIORITY = [
     "x43_source_copy_matrix",
     "x44_psi_drift",
     "x45_maximal_spans",
-    "w4_curation_e2e",
-    "x15_cluster_safe_split",
-    "x16_source_cap",
-    "x17_lm_score",
-    "e10_stream_static_join",
-    "s10_orc_roundtrip",
-    "x18_quantile_bins",
-    "x19_group_zscore",
-    "m4_frame_sample",
-    "d11_incremental_dedup",
-    "v1_label_centroids",
-    "v2_nearest_centroid",
-    "x20_tfidf_keywords",
-    "e11_stream_dedup",
-    "x21_rolling_stats",
-    "k2_salted_join",
-    "d12_edit_distance_verify",
-    "e12_late_data_report",
-    "x23_winsorize",
-    "cp1_ngfs_carbon_price",
-    "w3_datalake_e2e",
-    "s5_ivf_pq_topk",
-    "s6_pq_recall",
-    "e9_sliding_window",
-    "st1_stateful_running_totals",
-    "x11_token_topk",
-    "x12_cms_freq_gate",
-    "x13_doc_chunking",
-    "x14_bm25",
-    "d9_bloom_decontamination",
-    "d10_block_dedup",
-    "a13_approx_median_gate",
-    "p1_project_rename",
-    "p3_filter_isin",
-    "p4_filter_regex",
-    "p6_filter_any_null",
-    "p7_distinct",
-    "p8_distinct_keep_first",
-    "p9_first_year_positive",
-    "j1_left_join",
-    "j4_anti_join",
-    "j5_semi_join",
-    "j6_right_join",
-    "j7_cross_join",
-    "j8_global_share",
-    "j9_closest_parent",
-    "j10_majority_pick",
-    "a2_sum_or_null",
-    "a3_mean",
     "q9_fk_integrity",
     "d13_persisted_index_dedup",
     "s7_ivf_pq_persisted",
     "m1_multimodal_decode",
-    "m2_multimodal_resize",
     "x22_mixture_sample",
     "x24_pii_scrub",
     "x25_curriculum_order",
