@@ -567,7 +567,17 @@ def bpe_train(
     Determinism: integer counts, total tiebreak order, and
     ``replace``'s leftmost non-overlapping scan — the whole training
     run is a pure function of the data, replayed by the catalog
-    oracle as unrolled SQL CTEs (x30's k-means idiom)."""
+    oracle as unrolled SQL CTEs (x30's k-means idiom).
+
+    Merge-count bound (measured, scripts/probe_bpe_merges.py): on a
+    50k-distinct-word corpus the loop sustains 200 genuine merges at
+    a FLAT ~400 ms/merge on local[32] — the 200-deep replace chain
+    survives codegen (Spark auto-splits oversized methods) and
+    driver-side plan analysis stays negligible. Production
+    tokenizers learn 10k-50k merges; beyond ~500, batch
+    non-overlapping merges per round (and truncate lineage) before
+    trusting this loop — linear per-round cost is measured, but
+    analysis is O(n²) in principle."""
     vocab = (
         df.select(F.explode(tokenize(text_col)).alias("w"))
         .groupBy("w")
