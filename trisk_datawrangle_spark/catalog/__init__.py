@@ -45,14 +45,18 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 # invalidates the old proof; (2) the full r4-proof cohort (18
 # entries, staleness computed from CORRECTNESS_r0{1..8}.json, not
 # from memory: w2, r1, s2_lsh, c1, m3, e8, t6, e7, d8, t4, q3, q5,
-# s2_csv, s8, x9, f13, a6_a7, r7); (3) 29 of the 49 r5-proof
+# s2_csv, s8, x9, f13, a6_a7, r7); (2.5) m8_progressive_decode —
+# NEW this round (the progressive-JPEG gate, no driver row yet), it
+# takes a slot over one more r5 entry; (3) 28 of the 49 r5-proof
 # entries — every one with machinery no in-window sibling covers
-# (the x11-x21 text/sketch family, d9-d12 dedup variants, e9/e12
+# (the x11-x21 text/sketch family minus x19, whose grouped
+# window/percentile shapes run inside in-window x18/x21 — it leads
+# the deferred block instead; d9-d12 dedup variants, e9/e12
 # streaming, s5/s6/s10 index+format entries, v1/v2 centroids, k2,
 # m4, st1, w3/w4 e2e chains, cp1, a13). The 20 r5-proof entries
 # deferred to positions 51+ (leading the r10 window) are the thin
 # relational wrappers whose plan shapes run inside in-window
-# composites meanwhile: p1-p9 projections/filters (inside w2 and
+# composites meanwhile: x19 (x18/x21), p1-p9 projections/filters (inside w2 and
 # the flagship chain), j1/j4-j10 joins (the join-agg shape gates
 # via q3/q5, the outer-join machinery via the w0/w1-gated plans at
 # r8), a2/a3 native-agg wrappers (a6_a7 gates the agg family),
@@ -66,6 +70,7 @@ _PRIORITY = [
     "s11_warc_extract",
     "m2_multimodal_resize",
     "d2_ngram_jaccard",
+    "m8_progressive_decode",
     "w2_asset_country_filters",
     "r1_melt",
     "s2_lsh_bucket_topk",
@@ -90,7 +95,6 @@ _PRIORITY = [
     "x17_lm_score",
     "s10_orc_roundtrip",
     "x18_quantile_bins",
-    "x19_group_zscore",
     "m4_frame_sample",
     "d11_incremental_dedup",
     "v1_label_centroids",
@@ -113,6 +117,7 @@ _PRIORITY = [
     "d9_bloom_decontamination",
     "d10_block_dedup",
     "a13_approx_median_gate",
+    "x19_group_zscore",
     "p1_project_rename",
     "p3_filter_isin",
     "p4_filter_regex",

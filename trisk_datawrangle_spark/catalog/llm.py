@@ -2069,6 +2069,102 @@ def m7(spark, sf_dir):
     )
 
 
+@q(
+    "m8_progressive_decode",
+    """
+SELECT doc_id,
+    CAST(8 + doc_id % 17 AS INTEGER) AS width,
+    CAST(8 + doc_id % 9 AS INTEGER) AS height,
+    CASE WHEN doc_id % 2 = 0 THEN '420' ELSE '444' END
+        AS subsampling,
+    9 AS n_scans,
+    CAST((8 + doc_id % 17) * (8 + doc_id % 9) * 3 AS BIGINT)
+        AS n_pixels,
+    TRUE AS equal_baseline
+FROM documents
+""",
+)
+def m8(spark, sf_dir):
+    """REAL progressive JPEG decode (T.81 Annex G), driver-gated:
+    per document an RGB image (m7-style doc-dependent pattern,
+    geometry and chroma subsampling varying per doc) is encoded BOTH
+    as baseline (SOF0) and progressive (SOF2 — the 9-scan
+    libjpeg-style script: interleaved DC at Al=1, spectral-selection
+    AC bands at Al=1, then DC + per-component AC refinement scans),
+    both streams are decoded, and the kernel RAISES unless the
+    progressive decode is byte-for-byte identical to the baseline
+    decode — the successive-approximation scans must restore every
+    coefficient bit, so any error in band bookkeeping, EOB-run
+    accounting, correction bits, or the DC point transform breaks
+    the entry. The oracle replays the geometry/scan-count arithmetic
+    and pins equal_baseline TRUE (value-level parity is pinned by
+    the raise: lossy DCT output itself is not SQL-replayable, the
+    same idiom as m7). One Arrow-batched mapInPandas kernel — the
+    media tier where per-byte Python is the task."""
+    import numpy as np
+    import pandas as pd
+
+    from trisk_datawrangle_spark.llm.jpeg import (
+        decode_jpeg,
+        decode_jpeg_progressive,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                doc_id = int(doc_id)
+                w, h = 8 + doc_id % 17, 8 + doc_id % 9
+                sub = "420" if doc_id % 2 == 0 else "444"
+                xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+                img = np.stack(
+                    [
+                        (doc_id + 3 * xx + 5 * yy + 41 * c) % 256
+                        for c in range(3)
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                px = img.tobytes()
+                base = decode_jpeg(
+                    encode_jpeg(w, h, 3, px, quality=85,
+                                subsampling=sub)
+                )
+                prog_payload = encode_jpeg_progressive(
+                    w, h, 3, px, quality=85, subsampling=sub
+                )
+                prog = decode_jpeg_progressive(prog_payload)
+                if base is None or prog is None:
+                    raise AssertionError(
+                        f"m8: decode failed for doc {doc_id}"
+                    )
+                if prog != base:
+                    raise AssertionError(
+                        f"m8: progressive != baseline for doc "
+                        f"{doc_id}"
+                    )
+                n_scans = prog_payload.count(b"\xff\xda")
+                rows.append(
+                    (doc_id, w, h, sub, n_scans, len(prog[3]), True)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "subsampling",
+                    "n_scans", "n_pixels", "equal_baseline",
+                ],
+            )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
+    return d.mapInPandas(
+        stats,
+        "doc_id long, width int, height int, subsampling string, "
+        "n_scans int, n_pixels long, equal_baseline boolean",
+    )
+
+
 def _m5_sql() -> str:
     """Oracle for the REAL pixel path: every stage is a pure integer
     function of doc_id, so DuckDB replays the whole

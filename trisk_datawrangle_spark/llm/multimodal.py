@@ -13,11 +13,13 @@ decodes baseline JPEG (Huffman + vectorized IDCT, 4:4:4/4:2:0/
 roundtrip testing. Audio and video are real too, in their own
 modules: ``llm/audio.py`` (RIFF/PCM WAV codec, m6-gated) and
 ``llm/video.py`` (AVI/MJPEG container walk + per-frame JPEG
-decode, m7-gated). :func:`resize_media` genuinely resamples
-(nearest-neighbor) any payload :func:`decode_pixels` accepts and
-re-encodes the result as a spec-valid PNG. Only progressive JPEG
-remains a labeled fallback — swap in PIL at the same call site
-without touching the plan.
+decode, m7-gated). Progressive JPEG (SOF2) decodes for real too
+since r9 (``llm/jpeg.py`` Annex G path, m8-gated).
+:func:`resize_media` genuinely resamples (nearest-neighbor) any
+payload :func:`decode_pixels` accepts and re-encodes the result as
+a spec-valid PNG; the truncate/pad fallback is reserved for
+genuinely undecodable bytes (arithmetic-coded JPEG, 12-bit,
+non-image payloads).
 
 Scale notes: media rows are fat (MBs) — ``mapInPandas`` streams Arrow
 batches so memory stays bounded by batch size, not partition size;
@@ -347,11 +349,12 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, bytes] | None:
 def decode_pixels(payload: bytes) -> tuple[int, int, int, bytes] | None:
     """Dispatch to the real pixel decoders this engine ships — PNG
     (:func:`decode_png`), GIF (:func:`decode_gif`), baseline JPEG
-    (``llm/jpeg.py`` — stdlib+numpy Huffman/DCT, 4:4:4/4:2:0,
-    restart markers) — returning ``(width, height, channels,
-    raw_pixels)`` or None for payloads none of them accept
-    (progressive JPEG, audio, video — swap in PIL / pyav at this one
-    call site)."""
+    and progressive JPEG (``llm/jpeg.py`` — stdlib+numpy
+    Huffman/DCT, 4:4:4/4:2:0, restart markers, Annex G progressive
+    scans) — returning ``(width, height, channels, raw_pixels)`` or
+    None for payloads none of them accept (arithmetic-coded or
+    12-bit JPEG, audio, video — swap in PIL / pyav at this one call
+    site)."""
     got = decode_png(payload) or decode_gif(payload)
     if got is not None:
         return got
@@ -494,7 +497,7 @@ def resize_media(
     (``out_fmt='png'``, ``byte_len = width*height*channels`` =
     the DECODED pixel bytes, the number downstream partition
     planning uses; the PNG's encoded size varies with content).
-    Anything no shipped decoder accepts (progressive JPEG,
+    Anything no shipped decoder accepts (arithmetic-coded JPEG,
     audio/video, header-only fixtures) takes the LABELED fallback —
     ``out_fmt='raw'``, a payload of exactly ``width*height`` bytes
     (truncate / zero-pad) — keeping the batch-shape contract
