@@ -150,3 +150,35 @@ def test_strip_html_spark_duckdb_parity(spark):
             f"SELECT {strip_html_sql(lit)}"
         ).fetchone()[0]
         assert got[i] == want, (i, got[i], want)
+
+
+def test_http_composite_transfer_encoding_refused():
+    """r9 review finding: 'Transfer-Encoding: gzip, chunked' must be
+    REFUSED (None), not passed through still-compressed — zlib bytes
+    flowing into the text pipeline as document text is worse than
+    dropping the record. Bare identity stays accepted."""
+    enc = http_chunk_encode(b"abc", 2)
+    for head in (
+        b"Transfer-Encoding: gzip, chunked",
+        b"Transfer-Encoding: chunked, gzip",
+        b"transfer-encoding: gzip\r\ntransfer-encoding: chunked",
+        b"Transfer-Encoding: deflate",
+        b"Transfer-Encoding: gzip",
+    ):
+        raw = b"HTTP/1.1 200 OK\r\n" + head + b"\r\n\r\n" + enc
+        assert http_body(raw) is None, head
+    ok = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: identity\r\n\r\nhi"
+    assert http_body(ok) == b"hi"
+
+
+def test_http_chunk_size_is_strict_hexdig():
+    """r9 review finding: int(x, 16) alone admits '0x4', '+4', ' 4',
+    '1_0' — non-grammar spellings a strict front end must refuse
+    (RFC 9112 chunk-size is 1*HEXDIG only)."""
+    for size_line in (b"0x4", b"+4", b" 4", b"4 ", b"1_0"):
+        raw = size_line + b"\r\nxxxx\r\n0\r\n\r\n"
+        assert http_body(_chunked_resp(raw)) is None, size_line
+    # uppercase hex digits ARE grammar
+    body = b"x" * 10
+    raw = b"A\r\n" + body + b"\r\n0\r\n\r\n"
+    assert http_body(_chunked_resp(raw)) == body

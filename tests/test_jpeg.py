@@ -277,8 +277,9 @@ def test_progressive_truncated_returns_none():
     payload = encode_jpeg_progressive(16, 16, 3, px)
     assert decode_jpeg(payload[: len(payload) // 2]) is None
     # truncation INSIDE the last entropy segment: scans before it
-    # already accumulated coefficients, but the stream is malformed
-    assert decode_jpeg(payload[:-3]) is None or True  # never raises
+    # already accumulated coefficients; the decoder must refuse (the
+    # refinement scan cannot complete) — and never raise
+    assert decode_jpeg(payload[:-3]) is None
 
 
 def test_progressive_resize_media_real_path(spark):

@@ -181,6 +181,8 @@ def _dechunk(body: bytes) -> tuple[bytes, int] | None:
     terminator, or a non-empty trailer section. Refusing the long
     tail loudly beats guessing — a mis-framed chunk feeds size lines
     into the text pipeline downstream."""
+    import re
+
     out = bytearray()
     pos = 0
     n_chunks = 0
@@ -189,14 +191,14 @@ def _dechunk(body: bytes) -> tuple[bytes, int] | None:
         if eol < 0:
             return None
         size_line = body[pos:eol]
-        if not size_line or b";" in size_line:
-            return None  # empty size line / chunk extension: refused
-        try:
-            size = int(size_line, 16)
-        except ValueError:
-            return None
-        if size < 0:  # int('-f', 16) parses; the grammar forbids it
-            return None
+        # RFC 9112 chunk-size is 1*HEXDIG, nothing else: int(x, 16)
+        # alone would also admit '0x4', '+4', ' 4', '1_0' — exactly
+        # the permissive-parse disagreements smuggling exploits
+        if not size_line or not re.fullmatch(
+            rb"[0-9A-Fa-f]+", size_line
+        ):
+            return None  # empty/extension/non-HEXDIG size: refused
+        size = int(size_line, 16)
         pos = eol + 2
         if size == 0:
             # terminal chunk: the ONLY accepted tail is the empty
@@ -217,10 +219,14 @@ def http_body_chunks(record_content: bytes) -> tuple[bytes, int] | None:
     """Split an HTTP response record's content into headers + body,
     dechunking when the headers declare ``Transfer-Encoding:
     chunked`` (any case/whitespace spelling — HTTP allows no space,
-    extra spaces, or mixed case around the colon). Returns
-    ``(body, n_data_chunks)`` — 0 chunks for a plain Content-Length
-    body — or None for non-HTTP content or a body violating the
-    strict chunk grammar (see :func:`_dechunk`)."""
+    extra spaces, or mixed case around the colon). Composite codings
+    (``gzip, chunked`` — compressed payloads this module cannot
+    undo) are REFUSED, not passed through compressed: feeding zlib
+    bytes to the text pipeline as document text is worse than
+    dropping the record. Returns ``(body, n_data_chunks)`` — 0
+    chunks for a plain Content-Length body — or None for non-HTTP
+    content, a non-identity non-chunked coding, or a body violating
+    the strict chunk grammar (see :func:`_dechunk`)."""
     import re
 
     sep = record_content.find(b"\r\n\r\n")
@@ -228,9 +234,19 @@ def http_body_chunks(record_content: bytes) -> tuple[bytes, int] | None:
         return None
     head = record_content[:sep].lower()
     raw = record_content[sep + 4:]
-    if re.search(rb"transfer-encoding[ \t]*:[^\r\n]*chunked", head):
+    codings = [
+        t.strip()
+        for m in re.finditer(
+            rb"^transfer-encoding[ \t]*:([^\r\n]*)", head, re.M
+        )
+        for t in m.group(1).split(b",")
+        if t.strip()
+    ]
+    if not codings or codings == [b"identity"]:
+        return raw, 0
+    if codings == [b"chunked"]:
         return _dechunk(raw)
-    return raw, 0
+    return None  # gzip/deflate/composite codings: refused loudly
 
 
 def http_body(record_content: bytes) -> bytes | None:

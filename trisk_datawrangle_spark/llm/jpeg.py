@@ -736,7 +736,6 @@ def decode_jpeg_progressive(payload: bytes):
     frame = None
     coefs = None  # per comp: (blocks_y, blocks_x, 64) natural order
     restart_interval = 0
-    eobrun_sink = [0]
     pos = 2
     while pos + 2 <= len(d):
         if d[pos] != 0xFF:
@@ -870,7 +869,7 @@ def decode_jpeg_progressive(payload: bytes):
         pos += 2 + seglen
     if frame is None or coefs is None:
         return None
-    return _progressive_reconstruct(frame, coefs, qt, eobrun_sink)
+    return _progressive_reconstruct(frame, coefs, qt)
 
 
 def _progressive_scan(
@@ -1113,7 +1112,7 @@ def _refine_ac_block(r, actab, blk, ss, se, al, eobrun):
     return eobrun
 
 
-def _progressive_reconstruct(frame, coefs, qt, _sink):
+def _progressive_reconstruct(frame, coefs, qt):
     import numpy as np
 
     w, h = frame["w"], frame["h"]
@@ -1125,11 +1124,18 @@ def _progressive_reconstruct(frame, coefs, qt, _sink):
             return None
         q = qt[c["tq"]]  # natural-order flat 64
         arr = coefs[ci]  # (by, bx, 64) natural order
-        deq = arr.astype(np.float64) * q[None, None, :]
-        blocks = deq.reshape(arr.shape[0], arr.shape[1], 8, 8)
-        px = np.einsum("ik,yxkl,jl->yxij", tmat.T, blocks, tmat.T)
-        by, bx = arr.shape[0], arr.shape[1]
-        plane = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        nby, nbx = arr.shape[0], arr.shape[1]
+        plane = np.zeros((nby * 8, nbx * 8))
+        qm = q.reshape(8, 8)
+        for by in range(nby):
+            for bx in range(nbx):
+                deq = arr[by, bx].astype(np.float64).reshape(8, 8) * qm
+                # the LITERAL baseline-IDCT expression (_decode_scan):
+                # byte-exact m8 parity must be structural, not a bet
+                # on einsum and BLAS rounding identically
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+                    tmat.T @ deq @ tmat
+                )
         plane = plane + 128.0
         ry = frame["vmax"] // c["v"]
         rx = frame["hmax"] // c["h"]
