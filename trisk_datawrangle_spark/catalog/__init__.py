@@ -46,8 +46,9 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 # entries, staleness computed from CORRECTNESS_r0{1..8}.json, not
 # from memory: w2, r1, s2_lsh, c1, m3, e8, t6, e7, d8, t4, q3, q5,
 # s2_csv, s8, x9, f13, a6_a7, r7); (2.5) m8_progressive_decode —
-# NEW this round (the progressive-JPEG gate, no driver row yet), it
-# takes a slot over one more r5 entry; (3) 28 of the 49 r5-proof
+# NEW this round (the progressive-JPEG gate, no driver row yet) and
+# s13_pdf_extract (the PDF crawl-format gate, also new) — each takes
+# a slot over one more r5 entry; (3) 27 of the 49 r5-proof
 # entries — every one with machinery no in-window sibling covers
 # (the x11-x21 text/sketch family minus x19, whose grouped
 # window/percentile shapes run inside in-window x18/x21 — it leads
@@ -56,13 +57,15 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 # m4, st1, w3/w4 e2e chains, cp1, a13). The 20 r5-proof entries
 # deferred to positions 51+ (leading the r10 window) are the thin
 # relational wrappers whose plan shapes run inside in-window
-# composites meanwhile: x19 (x18/x21), p1-p9 projections/filters (inside w2 and
+# composites meanwhile: x19 (x18/x21), m4 stub frame fan-out (the
+# REAL sampling m7 proved r8; in-window m8/m2 gate the media
+# kernels), p1-p9 projections/filters (inside w2 and
 # the flagship chain), j1/j4-j10 joins (the join-agg shape gates
 # via q3/q5, the outer-join machinery via the w0/w1-gated plans at
 # r8), a2/a3 native-agg wrappers (a6_a7 gates the agg family),
 # x23 winsorize (percentile machinery shared with in-window x18),
-# e10/e11 stream entries (e8/e9/e12 gate streaming). All 213
-# entries (212 from r8 + the new m8) stay green under the builder's full-catalog driver-conf
+# e10/e11 stream entries (e8/e9/e12 gate streaming). All 214
+# entries (212 from r8 + the new m8/s13) stay green under the builder's full-catalog driver-conf
 # emulation and test_oracle_parity regardless of window position.
 # Rename note (r7 verdict #3): e3_sliding_window became
 # e9_sliding_window in r5 — recorded in COVERAGE.md.
@@ -71,6 +74,7 @@ _PRIORITY = [
     "m2_multimodal_resize",
     "d2_ngram_jaccard",
     "m8_progressive_decode",
+    "s13_pdf_extract",
     "w2_asset_country_filters",
     "r1_melt",
     "s2_lsh_bucket_topk",
@@ -95,7 +99,6 @@ _PRIORITY = [
     "x17_lm_score",
     "s10_orc_roundtrip",
     "x18_quantile_bins",
-    "m4_frame_sample",
     "d11_incremental_dedup",
     "v1_label_centroids",
     "v2_nearest_centroid",
@@ -118,6 +121,7 @@ _PRIORITY = [
     "d10_block_dedup",
     "a13_approx_median_gate",
     "x19_group_zscore",
+    "m4_frame_sample",
     "p1_project_rename",
     "p3_filter_isin",
     "p4_filter_regex",

@@ -4284,6 +4284,116 @@ def s11(spark, sf_dir):
     )
 
 
+_S13_PAGE = 12  # words per PDF page in the s13 fixture
+
+
+@q(
+    "s13_pdf_extract",
+    f"""
+WITH toks AS (
+    SELECT doc_id,
+        list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+            AS words
+    FROM documents
+),
+pg AS (
+    SELECT doc_id,
+        CAST(greatest(ceil(len(words) / {_S13_PAGE}.0), 1) AS BIGINT)
+            AS n_pages
+    FROM toks
+),
+pages AS (
+    SELECT t.doc_id, i.i AS page_idx,
+        array_to_string(
+            t.words[i.i * {_S13_PAGE} + 1
+                    : i.i * {_S13_PAGE} + {_S13_PAGE}],
+            ' ') AS ptext
+    FROM toks t JOIN pg USING (doc_id),
+        unnest(generate_series(0, pg.n_pages - 1)) AS i(i)
+)
+SELECT p.doc_id,
+    CAST(pg.n_pages AS INTEGER) AS n_pages,
+    CAST(3 + 2 * pg.n_pages AS INTEGER) AS n_objects,
+    string_agg(p.ptext, chr(10) ORDER BY p.page_idx) AS clean
+FROM pages p JOIN pg USING (doc_id)
+GROUP BY p.doc_id, pg.n_pages
+""",
+)
+def s13(spark, sf_dir):
+    """PDF text extraction end to end (llm/pdf.py) — the other
+    front-door crawl format beside WARC/HTML: per document the text
+    is split into 12-word pages, BUILT into a spec-valid PDF 1.4
+    (real xref byte offsets, Flate-compressed per-page content
+    streams, PDF string escaping), then PARSED back xref-first —
+    startxref → offset table → object slicing with
+    declared-object-number validation → /Root → page tree →
+    per-page /Contents → zlib inflate → Tj/TJ text ops with escape
+    handling — and the kernel RAISES unless the recovered pages
+    equal the built ones. The oracle replays the page-chunking
+    arithmetic and object-count formula (3 + 2·pages), so a wrong
+    xref offset, stream length, escape, or page order flips the
+    hash. Scale shape: bytes-level Arrow-batched mapInPandas like
+    s11 — parallelism from partitioning, records never scanned for
+    delimiters (offsets drive every slice)."""
+    import re as _re
+
+    import pandas as pd
+
+    from trisk_datawrangle_spark.llm.pdf import (
+        _parse_xref,
+        pdf_build,
+        pdf_text,
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            ids, npages, nobjs, cleans = [], [], [], []
+            for doc_id, text in zip(
+                pdf["doc_id"].astype("int64"), pdf["text"]
+            ):
+                doc_id = int(doc_id)
+                words = [
+                    w
+                    for w in _re.split(r"[\t\n\x0b\x0c\r ]+", text)
+                    if w
+                ]
+                pages = [
+                    " ".join(words[i:i + _S13_PAGE])
+                    for i in range(0, len(words), _S13_PAGE)
+                ] or [""]
+                payload = pdf_build(pages)
+                got = pdf_text(payload)
+                if got != pages:
+                    raise AssertionError(
+                        f"s13: PDF roundtrip mismatch for doc "
+                        f"{doc_id}"
+                    )
+                table = _parse_xref(payload)
+                if table is None:
+                    raise AssertionError(
+                        f"s13: xref parse failed for doc {doc_id}"
+                    )
+                ids.append(doc_id)
+                npages.append(len(got))
+                nobjs.append(sum(1 for off in table if off >= 0))
+                cleans.append("\n".join(got))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_pages": npages,
+                    "n_objects": nobjs,
+                    "clean": cleans,
+                }
+            )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    return d.mapInPandas(
+        extract,
+        "doc_id long, n_pages int, n_objects int, clean string",
+    )
+
+
 _X48_SEG = 3          # words per "line" segment
 _X48_MAX_DF = 2       # segments seen in more docs than this are
                       # boilerplate and get scrubbed
