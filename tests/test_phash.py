@@ -1,0 +1,104 @@
+"""Perceptual hashing correctness (llm/phash.py): brightness-shift
+invariance (the provable kind — integer luma moves exactly +1),
+content sensitivity, signed-64 wrap, and the undecodable-drop
+contract of the Spark op."""
+
+from __future__ import annotations
+
+import pytest
+
+from trisk_datawrangle_spark.llm.multimodal import encode_png
+from trisk_datawrangle_spark.llm.phash import dhash_bits, gray601
+
+
+def _px(w, h, f):
+    return bytes(
+        f(x, y, c) for y in range(h) for x in range(w) for c in range(4)
+    )
+
+
+def test_brightness_shift_invariance():
+    w, h = 19, 13
+    base = _px(w, h, lambda x, y, c: (37 * x + 23 * y + 5 * c) % 255)
+    plus1 = bytes(v + 1 for v in base)
+    assert dhash_bits(w, h, 4, base) == dhash_bits(w, h, 4, plus1)
+
+
+def test_content_sensitivity():
+    w, h = 16, 16
+    a = _px(w, h, lambda x, y, c: (37 * x + 23 * y) % 255)
+    b = _px(w, h, lambda x, y, c: (37 * (w - 1 - x) + 23 * y) % 255)
+    ha, hb = dhash_bits(w, h, 4, a), dhash_bits(w, h, 4, b)
+    assert ha != hb
+    # mirrored gradient flips (nearly) every comparison
+    assert bin((ha ^ hb) & ((1 << 64) - 1)).count("1") > 32
+
+
+def test_signed_wrap_matches_bigint():
+    # a hash with bit 63 set must come back negative (BIGINT range)
+    w, h = 9, 8
+    # strictly increasing in x everywhere -> all 64 bits set -> -1
+    inc = _px(w, h, lambda x, y, c: x * 20)
+    assert dhash_bits(w, h, 4, inc) == -1
+
+
+def test_gray_is_bt601_integer():
+    assert gray601(255, 255, 255) == 255
+    assert gray601(0, 0, 0) == 0
+    assert gray601(100, 100, 100) == 100
+    # +1 on every channel moves luma by exactly +1 (floor-exact)
+    for r, g, b in [(3, 200, 90), (254, 0, 17), (11, 12, 13)]:
+        assert gray601(r + 1, g + 1, b + 1) == gray601(r, g, b) + 1
+
+
+def test_grayscale_single_channel_path():
+    w, h = 12, 10
+    gray = bytes(
+        (7 * x + 3 * y) % 255 for y in range(h) for x in range(w)
+    )
+    got = dhash_bits(w, h, 1, gray)
+    assert isinstance(got, int)
+    assert -(1 << 63) <= got < (1 << 63)
+
+
+def test_perceptual_hashes_drops_undecodable(spark):
+    from trisk_datawrangle_spark.llm.phash import perceptual_hashes
+
+    good = encode_png(
+        8, 8, 4, _px(8, 8, lambda x, y, c: (31 * x + 17 * y) % 255)
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"not an image"))],
+        "doc_id long, payload binary",
+    )
+    rows = perceptual_hashes(df).collect()
+    assert [r.doc_id for r in rows] == [1]
+
+
+def test_dedup_composes_relationally(spark):
+    """Brightness variants collapse to one hash group via a plain
+    groupBy — the d1 exact-dedup plan on the perceptual key."""
+    from pyspark.sql import functions as F
+
+    from trisk_datawrangle_spark.llm.phash import perceptual_hashes
+
+    rows = []
+    for k in range(6):
+        base = _px(
+            14, 11, lambda x, y, c, k=k: (k * 41 + 13 * x + 29 * y) % 250
+        )
+        rows.append((2 * k, bytearray(encode_png(14, 11, 4, base))))
+        rows.append(
+            (2 * k + 1,
+             bytearray(encode_png(14, 11, 4, bytes(v + 2 for v in base))))
+        )
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    groups = (
+        perceptual_hashes(df)
+        .groupBy("dhash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    # every twin pair shares a hash: no group smaller than 2
+    assert all(g.n >= 2 for g in groups)
+    assert sum(g.n for g in groups) == 12

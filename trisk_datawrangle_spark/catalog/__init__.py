@@ -47,8 +47,9 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 # from memory: w2, r1, s2_lsh, c1, m3, e8, t6, e7, d8, t4, q3, q5,
 # s2_csv, s8, x9, f13, a6_a7, r7); (2.5) m8_progressive_decode —
 # NEW this round (the progressive-JPEG gate, no driver row yet) and
-# s13_pdf_extract (the PDF crawl-format gate, also new) — each takes
-# a slot over one more r5 entry; (3) 27 of the 49 r5-proof
+# s13_pdf_extract (the PDF crawl-format gate) and m9_image_dedup
+# (perceptual dHash dedup over real decoded pixels), all new — each
+# takes a slot over one more r5 entry; (3) 26 of the 49 r5-proof
 # entries — every one with machinery no in-window sibling covers
 # (the x11-x21 text/sketch family minus x19, whose grouped
 # window/percentile shapes run inside in-window x18/x21 — it leads
@@ -59,13 +60,14 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 # relational wrappers whose plan shapes run inside in-window
 # composites meanwhile: x19 (x18/x21), m4 stub frame fan-out (the
 # REAL sampling m7 proved r8; in-window m8/m2 gate the media
-# kernels), p1-p9 projections/filters (inside w2 and
+# kernels), v2 nearest-centroid (in-window v1 gates the centroid
+# aggregate; its broadcast-GEMM classify is the s1/s3 shape), p1-p9 projections/filters (inside w2 and
 # the flagship chain), j1/j4-j10 joins (the join-agg shape gates
 # via q3/q5, the outer-join machinery via the w0/w1-gated plans at
 # r8), a2/a3 native-agg wrappers (a6_a7 gates the agg family),
 # x23 winsorize (percentile machinery shared with in-window x18),
-# e10/e11 stream entries (e8/e9/e12 gate streaming). All 214
-# entries (212 from r8 + the new m8/s13) stay green under the builder's full-catalog driver-conf
+# e10/e11 stream entries (e8/e9/e12 gate streaming). All 215
+# entries (212 from r8 + the new m8/s13/m9) stay green under the builder's full-catalog driver-conf
 # emulation and test_oracle_parity regardless of window position.
 # Rename note (r7 verdict #3): e3_sliding_window became
 # e9_sliding_window in r5 — recorded in COVERAGE.md.
@@ -75,6 +77,7 @@ _PRIORITY = [
     "d2_ngram_jaccard",
     "m8_progressive_decode",
     "s13_pdf_extract",
+    "m9_image_dedup",
     "w2_asset_country_filters",
     "r1_melt",
     "s2_lsh_bucket_topk",
@@ -101,7 +104,6 @@ _PRIORITY = [
     "x18_quantile_bins",
     "d11_incremental_dedup",
     "v1_label_centroids",
-    "v2_nearest_centroid",
     "x20_tfidf_keywords",
     "x21_rolling_stats",
     "k2_salted_join",
@@ -122,6 +124,7 @@ _PRIORITY = [
     "a13_approx_median_gate",
     "x19_group_zscore",
     "m4_frame_sample",
+    "v2_nearest_centroid",
     "p1_project_rename",
     "p3_filter_isin",
     "p4_filter_regex",

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from trisk_datawrangle_spark.llm.dedup import (
     contamination_overlap,
@@ -2162,6 +2163,123 @@ def m8(spark, sf_dir):
         stats,
         "doc_id long, width int, height int, subsampling string, "
         "n_scans int, n_pixels long, equal_baseline boolean",
+    )
+
+
+_M9_SQL = """
+WITH g AS (
+    SELECT doc_id, doc_id // 2 AS k, doc_id % 2 AS shift,
+        CAST(12 + (doc_id // 2) % 9 AS BIGINT) AS w,
+        CAST(10 + (doc_id // 2) % 7 AS BIGINT) AS h
+    FROM documents
+),
+pix AS (
+    SELECT g.doc_id, g.k, g.shift, oy.i AS oy, ox.i AS ox,
+        least(ox.i * g.w // 9, g.w - 1) AS sx,
+        least(oy.i * g.h // 8, g.h - 1) AS sy
+    FROM g,
+        unnest(generate_series(0, 8)) AS ox(i),
+        unnest(generate_series(0, 7)) AS oy(i)
+),
+cells AS (
+    SELECT doc_id, oy, ox,
+        (299 * ((k * 37 + 11 * sx + 23 * sy) % 255 + shift)
+         + 587 * ((k * 37 + 11 * sx + 23 * sy + 5) % 255 + shift)
+         + 114 * ((k * 37 + 11 * sx + 23 * sy + 10) % 255 + shift)
+        ) // 1000 AS gray
+    FROM pix
+),
+bits AS (
+    SELECT a.doc_id,
+        SUM(CASE WHEN b.gray > a.gray
+            THEN 1::HUGEINT << (a.oy * 8 + a.ox)
+            ELSE 0::HUGEINT END) AS raw
+    FROM cells a
+    JOIN cells b
+      ON b.doc_id = a.doc_id AND b.oy = a.oy AND b.ox = a.ox + 1
+    WHERE a.ox < 8
+    GROUP BY a.doc_id
+),
+hashes AS (
+    SELECT doc_id,
+        CAST(CASE WHEN raw >= 9223372036854775808::HUGEINT
+             THEN raw - 18446744073709551616::HUGEINT
+             ELSE raw END AS BIGINT) AS dhash
+    FROM bits
+)
+SELECT h1.doc_id, h1.dhash,
+    CAST(bit_count(xor(h1.dhash, h2.dhash)) AS INTEGER)
+        AS twin_hamming,
+    CAST(COUNT(*) OVER (PARTITION BY h1.dhash) AS INTEGER)
+        AS n_same_hash
+FROM hashes h1
+JOIN hashes h2 ON h2.doc_id = xor(h1.doc_id, 1)
+"""
+
+
+@q("m9_image_dedup", _M9_SQL)
+def m9(spark, sf_dir):
+    """Perceptual image dedup (dHash, llm/phash.py) over REAL
+    decoded pixels, driver-gated end to end: docs come in twin
+    pairs (doc_id XOR 1) — the odd twin is its even sibling with
+    EVERY channel shifted +1 (a brightness edit: different bytes,
+    same content) — each doc is a genuine RGBA PNG, decoded
+    (decode_png), 9×8 nearest-resampled, integer-BT.601 grayscaled,
+    and hashed by horizontal neighbor comparisons into a signed
+    64-bit dHash. The oracle replays the entire chain — resample
+    floor indexing, luma division, bit placement, two's-complement
+    wrap — as SQL integer arithmetic, plus the downstream
+    relational algebra: twin hamming via bit_count(xor) (0 by
+    brightness-shift invariance — the floor-exact +1 luma shift
+    preserves every comparison) and perceptual-group sizes via a
+    hash window count. Scale shape: decode+hash in the Arrow media
+    kernel, then ONE hash-groupBy (the d1 exact-dedup plan) and a
+    key-equi twin join — nothing quadratic; the hamming band for
+    near-misses reuses d4's SimHash banding unchanged."""
+    import pandas as pd
+
+    from trisk_datawrangle_spark.llm.multimodal import encode_png
+    from trisk_datawrangle_spark.llm.phash import perceptual_hashes
+
+    def mk_payload(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                doc_id = int(doc_id)
+                k, shift = doc_id // 2, doc_id % 2
+                w, h = 12 + k % 9, 10 + k % 7
+                px = bytes(
+                    (k * 37 + 11 * x + 23 * y + 5 * c) % 255 + shift
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(4)
+                )
+                ids.append(doc_id)
+                payloads.append(encode_png(w, h, 4, px))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    payloads = d.mapInPandas(
+        mk_payload, "doc_id long, payload binary"
+    )
+    hashes = perceptual_hashes(payloads)
+    twins = hashes.select(
+        F.col("doc_id").alias("twin_id"),
+        F.col("dhash").alias("twin_dhash"),
+    )
+    joined = hashes.join(
+        twins,
+        F.col("doc_id").bitwiseXOR(F.lit(1)) == F.col("twin_id"),
+    )
+    win = Window.partitionBy("dhash")
+    return joined.select(
+        "doc_id",
+        "dhash",
+        F.bit_count(
+            F.col("dhash").bitwiseXOR(F.col("twin_dhash"))
+        ).cast("int").alias("twin_hamming"),
+        F.count(F.lit(1)).over(win).cast("int").alias("n_same_hash"),
     )
 
 
