@@ -131,3 +131,96 @@ def test_avi_container_roundtrip_random(n_frames, fps, seed):
     assert (w, h) == (16, 8)
     assert gfps == 1_000_000 // (1_000_000 // fps)
     assert fr == frames
+
+
+@given(
+    body=st.binary(min_size=0, max_size=600),
+    chunk=st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=60, deadline=None)
+def test_chunked_http_roundtrip_property(body, chunk):
+    """encode -> dechunk is the identity for ANY body bytes and any
+    chunk size, with the chunk count exactly ceil(len/size)."""
+    from trisk_datawrangle_spark.llm.extract import (
+        http_body_chunks,
+        http_chunk_encode,
+    )
+
+    raw = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        + http_chunk_encode(body, chunk)
+    )
+    got = http_body_chunks(raw)
+    assert got is not None
+    assert got[0] == body
+    assert got[1] == -(-len(body) // chunk)
+
+
+@given(
+    pages=st.lists(
+        st.text(
+            alphabet=st.characters(
+                min_codepoint=32, max_codepoint=126
+            ),
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_pdf_roundtrip_property(pages):
+    """pdf_build -> pdf_text is the identity for any printable-ASCII
+    page list — parens, backslashes, brackets included (the escape
+    path is the point)."""
+    from trisk_datawrangle_spark.llm.pdf import pdf_build, pdf_text
+
+    assert pdf_text(pdf_build(pages)) == pages
+
+
+@given(
+    w=st.integers(min_value=2, max_value=40),
+    h=st.integers(min_value=2, max_value=30),
+    seed=st.integers(min_value=0, max_value=10**6),
+    delta=st.integers(min_value=1, max_value=40),
+)
+@settings(max_examples=40, deadline=None)
+def test_dhash_brightness_invariance_property(w, h, seed, delta):
+    """Any uniform +delta on every channel that stays clip-free
+    preserves the dHash exactly (integer luma moves uniformly)."""
+    from trisk_datawrangle_spark.llm.phash import dhash_bits
+
+    base = bytes(
+        (seed + 7 * x + 13 * y + 3 * c) % (256 - delta)
+        for y in range(h)
+        for x in range(w)
+        for c in range(4)
+    )
+    shifted = bytes(v + delta for v in base)
+    assert dhash_bits(w, h, 4, base) == dhash_bits(w, h, 4, shifted)
+
+
+@given(
+    w=st.integers(min_value=8, max_value=24),
+    h=st.integers(min_value=8, max_value=24),
+    seed=st.integers(min_value=0, max_value=10**6),
+    q=st.integers(min_value=50, max_value=95),
+)
+@settings(max_examples=25, deadline=None)
+def test_progressive_equals_baseline_property(w, h, seed, q):
+    """Progressive decode == baseline decode, bit for bit, across
+    random geometry/quality/content (the m8 gate as a property)."""
+    import numpy as np
+
+    from trisk_datawrangle_spark.llm.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(seed % 2**31)
+    px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8).tobytes()
+    base = decode_jpeg(encode_jpeg(w, h, 3, px, quality=q))
+    prog = decode_jpeg(encode_jpeg_progressive(w, h, 3, px, quality=q))
+    assert base is not None and prog is not None
+    assert prog == base
