@@ -7,8 +7,6 @@ from __future__ import annotations
 import re
 import zlib
 
-import pytest
-
 from trisk_datawrangle_spark.llm.pdf import pdf_build, pdf_text
 
 
