@@ -321,7 +321,11 @@ def decode_jpeg(payload: bytes):
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 return None
+            if len(body) < 1:
+                return None
             ns = body[0]
+            if len(body) < 1 + 2 * ns + 3:
+                return None  # selectors + Ss/Se/AhAl must fit
             sel = {}
             for si in range(ns):
                 sel[body[1 + 2 * si]] = (
@@ -836,6 +840,8 @@ def decode_jpeg_progressive(payload: bytes):
             restart_interval = int.from_bytes(body[0:2], "big")
         elif marker == 0xDA:  # SOS — one progressive scan
             if frame is None or coefs is None:
+                return None
+            if len(body) < 1:
                 return None
             ns = body[0]
             if len(body) < 1 + 2 * ns + 3:
