@@ -48,8 +48,10 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 # s2_csv, s8, x9, f13, a6_a7, r7); (2.5) m8_progressive_decode —
 # NEW this round (the progressive-JPEG gate, no driver row yet) and
 # s13_pdf_extract (the PDF crawl-format gate) and m9_image_dedup
-# (perceptual dHash dedup over real decoded pixels), all new — each
-# takes a slot over one more r5 entry; (3) 26 of the 49 r5-proof
+# (perceptual dHash dedup over real decoded pixels) and
+# x50_link_graph (crawl-frontier href extraction + host in-degree),
+# all new — each takes a slot over one more r5 entry; (3) 25 of the
+# 49 r5-proof
 # entries — every one with machinery no in-window sibling covers
 # (the x11-x21 text/sketch family minus x19, whose grouped
 # window/percentile shapes run inside in-window x18/x21 — it leads
@@ -61,13 +63,15 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 # composites meanwhile: x19 (x18/x21), m4 stub frame fan-out (the
 # REAL sampling m7 proved r8; in-window m8/m2 gate the media
 # kernels), v2 nearest-centroid (in-window v1 gates the centroid
-# aggregate; its broadcast-GEMM classify is the s1/s3 shape), p1-p9 projections/filters (inside w2 and
+# aggregate; its broadcast-GEMM classify is the s1/s3 shape), e9
+# sliding window (in-window e8 session + e12 late-data gate the
+# event-window machinery), p1-p9 projections/filters (inside w2 and
 # the flagship chain), j1/j4-j10 joins (the join-agg shape gates
 # via q3/q5, the outer-join machinery via the w0/w1-gated plans at
 # r8), a2/a3 native-agg wrappers (a6_a7 gates the agg family),
 # x23 winsorize (percentile machinery shared with in-window x18),
-# e10/e11 stream entries (e8/e9/e12 gate streaming). All 215
-# entries (212 from r8 + the new m8/s13/m9) stay green under the builder's full-catalog driver-conf
+# e10/e11 stream entries (e8/e12 gate streaming). All 216
+# entries (212 from r8 + the new m8/s13/m9/x50) stay green under the builder's full-catalog driver-conf
 # emulation and test_oracle_parity regardless of window position.
 # Rename note (r7 verdict #3): e3_sliding_window became
 # e9_sliding_window in r5 — recorded in COVERAGE.md.
@@ -78,6 +82,7 @@ _PRIORITY = [
     "m8_progressive_decode",
     "s13_pdf_extract",
     "m9_image_dedup",
+    "x50_link_graph",
     "w2_asset_country_filters",
     "r1_melt",
     "s2_lsh_bucket_topk",
@@ -113,7 +118,6 @@ _PRIORITY = [
     "w3_datalake_e2e",
     "s5_ivf_pq_topk",
     "s6_pq_recall",
-    "e9_sliding_window",
     "st1_stateful_running_totals",
     "x11_token_topk",
     "x12_cms_freq_gate",
@@ -125,6 +129,7 @@ _PRIORITY = [
     "x19_group_zscore",
     "m4_frame_sample",
     "v2_nearest_centroid",
+    "e9_sliding_window",
     "p1_project_rename",
     "p3_filter_isin",
     "p4_filter_regex",

@@ -4512,6 +4512,90 @@ def s13(spark, sf_dir):
     )
 
 
+_X50_RX = 'href="([^"]*)"'
+
+
+@q(
+    "x50_link_graph",
+    """
+WITH links AS (
+    SELECT d.doc_id,
+        'host' || CAST((d.doc_id * 7 + i.i * 13) % 23 AS VARCHAR)
+            || '.example.com' AS host
+    FROM documents d,
+        unnest(generate_series(0, d.doc_id % 4)) AS i(i)
+)
+SELECT host,
+    CAST(COUNT(*) AS BIGINT) AS in_degree,
+    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM links
+GROUP BY host
+""",
+)
+def x50(spark, sf_dir):
+    """Link-graph extraction — the crawl-frontier statistic behind
+    scheduling and link-based quality signals: each doc's HTML
+    carries 1-4 anchor tags (mixed-case scheme/host, query string,
+    fragment — built as ONE JVM concat expression so the fixture is
+    oracle-reconstructible), hrefs are pulled with a case-insensitive
+    JVM regexp_extract_all, normalized (strip fragment, lowercase),
+    the host is sliced out of the URL, and per-host in-degree /
+    distinct-linker counts aggregate. The oracle generates the SAME
+    hosts from the link arithmetic directly, so a mis-parsed href,
+    missed anchor, broken normalization, or wrong host slice changes
+    the counts and flips the hash. Scale shape: extraction fuses
+    into the scan (zero Python, like x46); one explode + one
+    map-side-combinable groupBy on the host key — the plan survives
+    any corpus size; hot hosts (every real link graph has them) are
+    exactly the k1/k2 salting case if the aggregate ever skews."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    html = F.concat(
+        F.lit("<html><body>"),
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.col("doc_id") % 4),
+                lambda i: F.concat(
+                    F.lit('<p>see <a HREF="HTTP://Host'),
+                    ((F.col("doc_id") * 7 + i * 13) % 23).cast(
+                        "string"
+                    ),
+                    F.lit(".Example.com/p/"),
+                    F.col("doc_id").cast("string"),
+                    F.lit('?q=1#frag'),
+                    i.cast("string"),
+                    F.lit('">link</a></p>'),
+                ),
+            ),
+            F.lit(""),
+            lambda acc, x: F.concat(acc, x),
+        ),
+        F.lit("</body></html>"),
+    )
+    hrefs = F.expr(
+        f"regexp_extract_all(html, '(?i){_X50_RX}', 1)"
+    )
+    links = (
+        d.withColumn("html", html)
+        .select("doc_id", F.explode(hrefs).alias("url"))
+        .select(
+            "doc_id",
+            F.lower(
+                F.regexp_replace(F.col("url"), "#.*$", "")
+            ).alias("url"),
+        )
+        .select(
+            "doc_id",
+            F.regexp_extract(
+                F.col("url"), "^[a-z]+://([^/]+)/", 1
+            ).alias("host"),
+        )
+    )
+    return links.groupBy("host").agg(
+        F.count(F.lit(1)).alias("in_degree"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
 _X48_SEG = 3          # words per "line" segment
 _X48_MAX_DF = 2       # segments seen in more docs than this are
                       # boilerplate and get scrubbed
