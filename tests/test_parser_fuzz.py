@@ -9,6 +9,7 @@ the seeds and mutation mix are deterministic so failures reproduce.
 from __future__ import annotations
 
 import random
+import zlib
 
 import numpy as np
 import pytest
@@ -123,7 +124,9 @@ _PARSERS = {
 def test_mutated_payloads_never_raise(name):
     seed = _seeds()[name]
     native = _PARSERS[name]
-    rng = random.Random(hash(name) & 0xFFFF)
+    # crc32, NOT hash(): str hashes are salted per process, which
+    # would make CI failures irreproducible locally (r9 review)
+    rng = random.Random(zlib.crc32(name.encode()))
     for _ in range(N_MUTATIONS):
         m = _mutate(rng, seed)
         # the format's own parser plus the generic front doors every

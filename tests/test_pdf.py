@@ -107,3 +107,122 @@ def test_builder_objects_and_xref_shape():
     x = p[p.rfind(b"\nxref\n"):]
     entries = re.findall(rb"\d{10} \d{5} [nf] \n", x)
     assert len(entries) == 1 + 9
+
+
+def test_unicode_pages_roundtrip_via_utf16be():
+    """Real web text is not latin-1: the builder switches to the
+    spec's BOM-marked UTF-16BE text strings and the parser decodes
+    them — an em dash must not kill the kernel (r9 review)."""
+    pages = [
+        "ascii stays latin-1",
+        "em—dash and ’curly’ quotes",
+        "emoji \U0001f600 too",
+    ]
+    payload = pdf_build(pages)
+    assert pdf_text(payload) == pages
+    # the non-latin-1 page really went out as a BOM-marked UTF-16BE
+    # string (not silently mangled)
+    assert b"\xfe\xff" in zlib.decompress(_nth_stream(payload, 1))
+
+
+def _nth_stream(payload: bytes, n: int) -> bytes:
+    """The n-th (raw, still-compressed) content stream of a built
+    PDF (test helper)."""
+    for i, m in enumerate(
+        re.finditer(
+            rb"<< /Length (\d+) /Filter /FlateDecode >>\nstream\n",
+            payload,
+        )
+    ):
+        if i == n:
+            start = m.end()
+            return payload[start:start + int(m.group(1))]
+    raise AssertionError(f"no stream {n}")
+
+
+def test_non_octal_escape_refused_not_raised():
+    """\\8 and \\9 are not octal: int(x, 8) would raise — the parser
+    must refuse with None instead (r9 review, reproduced crash)."""
+    assert pdf_text(_mini_pdf(b"BT (bad \\8 escape) Tj ET")) is None
+    assert pdf_text(_mini_pdf(b"BT (bad \\9 too) Tj ET")) is None
+    # trailing backslash: refused, never IndexError
+    assert pdf_text(_mini_pdf(b"BT (trailing \\")) is None
+
+
+def test_huge_xref_claim_refused_without_allocation():
+    """A 400-byte PDF claiming a billion-object xref is a memory DoS,
+    not a document (r9 review): refuse before allocating."""
+    good = pdf_build(["x"])
+    assert pdf_text(good) == ["x"]
+    bad = re.sub(
+        rb"xref\n0 (\d+)\n", rb"xref\n999999999 \1\n", good
+    )
+    assert bad != good
+    assert pdf_text(bad) is None
+
+
+def test_flate_bomb_refused():
+    """A content stream inflating past the 8 MB cap is refused, not
+    inflated into executor memory (r9 review)."""
+    bomb = zlib.compress(b"\x00" * (9 * 1024 * 1024), 9)
+    doc = _mini_pdf(b"unused")  # rebuild with the bomb stream
+    # splice: _mini_pdf writes exactly one Flate stream; replace it
+    m = re.search(
+        rb"<< /Length (\d+) /Filter /FlateDecode >>\nstream\n", doc
+    )
+    start, old_len = m.end(), int(m.group(1))
+    patched = (
+        doc[: m.start()]
+        + b"<< /Length " + str(len(bomb)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n"
+        + bomb
+        + doc[start + old_len:]
+    )
+    # xref offsets after the splice are stale -> refusal either way;
+    # the property under test is "returns, quickly, without OOM"
+    assert pdf_text(patched) is None
+
+
+def test_brackets_inside_strings_do_not_corrupt_extraction():
+    """'[' in a Tj string must not open a phantom TJ array that
+    swallows neighboring operands (r9 review, reproduced): the Td
+    operand string here is NOT text-shown and must stay out."""
+    got = pdf_text(
+        _mini_pdf(
+            b"BT (foo [ bar) Tj (SECRET) 0 0 Td [(x)] TJ ET"
+        )
+    )
+    assert got == ["foo [ barx"]
+    # ']' inside a TJ-array string: later strings in the SAME array
+    # still counted
+    got2 = pdf_text(_mini_pdf(b"BT [(a]b) (c)] TJ ET"))
+    assert got2 == ["a]bc"]
+
+
+def test_endobj_bytes_inside_stream_survive():
+    """Flate output can contain the literal bytes 'endobj'; /Length
+    must drive the slice past the stream (r9 review). Forced here by
+    stored (uncompressed) stream content containing 'endobj'."""
+    content = b"BT (real text) Tj ET endobj-lookalike"
+    doc = bytearray(b"%PDF-1.4\n")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        b"<< /Length " + str(len(content)).encode() + b" >>"
+        + b"\nstream\n" + content + b"\nendstream",
+    ]
+    offsets = [0]
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(doc))
+        doc += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(doc)
+    doc += f"xref\n0 {len(objs) + 1}\n".encode()
+    doc += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        doc += f"{off:010d} 00000 n \n".encode()
+    doc += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    assert pdf_text(bytes(doc)) == ["real text"]

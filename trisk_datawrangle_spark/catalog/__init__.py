@@ -57,7 +57,7 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 # window/percentile shapes run inside in-window x18/x21 — it leads
 # the deferred block instead; d9-d12 dedup variants, e9/e12
 # streaming, s5/s6/s10 index+format entries, v1/v2 centroids, k2,
-# m4, st1, w3/w4 e2e chains, cp1, a13). The 20 r5-proof entries
+# m4, st1, w3/w4 e2e chains, cp1, a13). The 24 r5-proof entries
 # deferred to positions 51+ (leading the r10 window) are the thin
 # relational wrappers whose plan shapes run inside in-window
 # composites meanwhile: x19 (x18/x21), m4 stub frame fan-out (the

@@ -2259,11 +2259,14 @@ def m9(spark, sf_dir):
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     d = _docs(spark, sf_dir).select("doc_id")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
     payloads = d.mapInPandas(
         mk_payload, "doc_id long, payload binary"
     )
-    hashes = perceptual_hashes(payloads)
+    # stage boundary: the decode+dHash kernel feeds BOTH branches of
+    # the twin self-join — uncached it would run twice per document
+    # (it dominates this entry's cost); the cached frame is two
+    # longs per row. perceptual_hashes owns the repartition.
+    hashes = perceptual_hashes(payloads).cache()
     twins = hashes.select(
         F.col("doc_id").alias("twin_id"),
         F.col("dhash").alias("twin_dhash"),
@@ -4410,8 +4413,12 @@ _S13_PAGE = 12  # words per PDF page in the s13 fixture
     f"""
 WITH toks AS (
     SELECT doc_id,
-        list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
-            AS words
+        -- explicit class, NOT \\s: RE2's \\s excludes \\v while the
+        -- kernel's Python class includes it — the sets must match
+        list_filter(
+            string_split_regex(text, '[ \\t\\n\\v\\f\\r]+'),
+            x -> x <> ''
+        ) AS words
     FROM documents
 ),
 pg AS (

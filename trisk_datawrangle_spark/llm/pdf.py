@@ -12,9 +12,13 @@ catalog /Pages → page tree → per-page /Contents), FlateDecodes
 content streams (stdlib zlib), and tokenizes the content stream for
 the text-showing operators ``Tj`` and ``TJ`` (with PDF string
 escapes: ``\\(``, ``\\)``, ``\\\\``, octal codes, line
-continuations). Anything outside this subset — encryption, object
-streams (/ObjStm), LZW/ASCII85 filters, UTF-16 strings — returns
-None loudly rather than guessing.
+continuations; both latin-1 and the spec's BOM-marked UTF-16BE
+text strings decode). Anything outside this subset — encryption,
+object streams (/ObjStm), LZW/ASCII85 filters — returns None
+loudly rather than guessing, and hostile shapes (billion-object
+xref claims, Flate decompression bombs, 'endobj' bytes inside
+stream data) are refused or sliced past by declared lengths, never
+scanned into.
 
 The builder (:func:`pdf_build`) writes spec-valid single-font PDFs
 (real xref offsets, Flate-compressed content streams) so the parser
@@ -31,11 +35,24 @@ from __future__ import annotations
 import re
 import zlib
 
-_ESC = {"(": "\\(", ")": "\\)", "\\": "\\\\"}
+_ESC = {0x28: b"\\(", 0x29: b"\\)", 0x5C: b"\\\\"}
+
+#: bounded-inflate cap for content streams (pages are KB-scale; a
+#: stream inflating past this is a decompression bomb, refused).
+_MAX_INFLATE = 8 * 1024 * 1024
 
 
-def _escape_string(s: str) -> str:
-    return "".join(_ESC.get(c, c) for c in s)
+def _escape_string(s: str) -> bytes:
+    """PDF text-string bytes for ``s``: latin-1 when it fits, else
+    the spec's UTF-16BE form (BOM FE FF + utf-16-be) — real web text
+    is not latin-1, and a builder that raises on an em dash kills
+    the kernel it runs in. Delimiter bytes are escaped bytewise
+    (UTF-16 code units legitimately contain 0x28/0x29/0x5C)."""
+    try:
+        raw = s.encode("latin-1")
+    except UnicodeEncodeError:
+        raw = b"\xfe\xff" + s.encode("utf-16-be")
+    return b"".join(_ESC.get(b, bytes([b])) for b in raw)
 
 
 def pdf_build(pages: list[str]) -> bytes:
@@ -60,10 +77,10 @@ def pdf_build(pages: list[str]) -> bytes:
     )
     for i, text in enumerate(pages):
         content = (
-            "BT /F1 12 Tf 72 720 Td ("
+            b"BT /F1 12 Tf 72 720 Td ("
             + _escape_string(text)
-            + ") Tj ET"
-        ).encode("latin-1")
+            + b") Tj ET"
+        )
         flate = zlib.compress(content, 6)
         objects.append(
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
@@ -114,6 +131,11 @@ def _parse_xref(d: bytes) -> list[int] | None:
         if m is None:
             break
         start, count = int(m.group(1)), int(m.group(2))
+        # bound: a real object needs >= ~8 bytes of document; an
+        # xref claiming a billion objects in a 400-byte file is a
+        # memory DoS, not a document — refuse before allocating
+        if start + count > len(d) // 8 + 16:
+            return None
         pos += m.end()
         for i in range(count):
             entry = d[pos:pos + 20]
@@ -136,17 +158,38 @@ def _parse_xref(d: bytes) -> list[int] | None:
 
 def _object_at(d: bytes, num: int, offsets: list[int]) -> bytes | None:
     """Slice object ``num`` at its xref offset; validates the header
-    actually declares that object number (a lying xref is refused)."""
+    actually declares that object number (a lying xref is refused).
+    When the object carries a stream, the declared /Length drives
+    the slice PAST the stream data before ``endobj`` is searched —
+    compressed payloads can legitimately contain the 6-byte
+    sequence 'endobj', so scanning for it inside stream bytes would
+    truncate valid objects (the WARC Content-Length discipline)."""
     if not 0 <= num < len(offsets) or offsets[num] < 0:
         return None
     off = offsets[num]
     m = re.match(rb"(\d+)\s+\d+\s+obj\b", d[off:off + 32])
     if m is None or int(m.group(1)) != num:
         return None
-    end = d.find(b"endobj", off)
+    body_start = off + m.end()
+    search_from = body_start
+    head = _dict_of(d[body_start:body_start + 65536])
+    if head:
+        dict_end = body_start + d[body_start:body_start + 65536].find(
+            b"<<"
+        ) + len(head)
+        lm = re.search(rb"/Length\s+(\d+)", head)
+        sm = re.match(rb"\s*stream", d[dict_end:dict_end + 16])
+        if lm is not None and sm is not None:
+            data_at = dict_end + sm.end()
+            if d[data_at:data_at + 2] == b"\r\n":
+                data_at += 2
+            elif d[data_at:data_at + 1] == b"\n":
+                data_at += 1
+            search_from = data_at + int(lm.group(1))
+    end = d.find(b"endobj", search_from)
     if end < 0:
         return None
-    return d[off + m.end():end]
+    return d[body_start:end]
 
 
 _REF_RX = rb"(\d+)\s+0\s+R"
@@ -194,53 +237,81 @@ def _stream_data(obj: bytes) -> bytes | None:
         if b"/FlateDecode" not in head:
             return None  # LZW/ASCII85/DCT: outside the subset
         try:
-            return zlib.decompress(raw)
+            # bounded inflate: a hostile 1000:1 Flate bomb must not
+            # OOM the Arrow kernel — content streams are page-sized
+            dec = zlib.decompressobj()
+            out = dec.decompress(raw, _MAX_INFLATE)
+            if dec.unconsumed_tail:
+                return None  # refused: inflates past the cap
+            return out
         except zlib.error:
             return None
     return raw
 
 
 def _unescape_string(raw: bytes) -> str | None:
-    out = []
+    """Unescape a string literal's bytes, then decode: BOM FE FF
+    means the spec's UTF-16BE text-string form, anything else is
+    latin-1 (the PDFDocEncoding subset this module emits)."""
+    out = bytearray()
     i = 0
     while i < len(raw):
         c = raw[i:i + 1]
         if c != b"\\":
-            out.append(c.decode("latin-1"))
+            out += c
             i += 1
             continue
         nxt = raw[i + 1:i + 2]
         if nxt in (b"(", b")", b"\\"):
-            out.append(nxt.decode("latin-1"))
+            out += nxt
             i += 2
         elif nxt == b"n":
-            out.append("\n")
+            out += b"\n"
             i += 2
         elif nxt == b"r":
-            out.append("\r")
+            out += b"\r"
             i += 2
         elif nxt == b"t":
-            out.append("\t")
+            out += b"\t"
             i += 2
         elif nxt == b"\n":  # line continuation
             i += 2
-        elif nxt.isdigit():  # octal (1-3 digits)
+        elif nxt and nxt in b"01234567":  # octal (1-3 OCTAL digits
+            # only — b"" is a substring of anything, so the empty
+            # check guards a trailing backslash; \8
+            # and \9 are not octal — int(x, 8) would raise, and a
+            # parser must refuse, never raise)
             j = i + 1
-            while j < len(raw) and j < i + 4 and raw[j:j + 1].isdigit():
+            while (
+                j < len(raw) and j < i + 4
+                and raw[j:j + 1] in b"01234567"
+            ):
                 j += 1
-            out.append(chr(int(raw[i + 1:j], 8) & 0xFF))
+            out.append(int(raw[i + 1:j], 8) & 0xFF)
             i = j
         else:
             return None  # unknown escape: refuse
-    return "".join(out)
+    data = bytes(out)
+    if data[:2] == b"\xfe\xff":
+        try:
+            return data[2:].decode("utf-16-be")
+        except UnicodeDecodeError:
+            return None
+    return data.decode("latin-1")
 
 
 def _content_text(content: bytes) -> str | None:
     """Concatenate the arguments of every Tj / TJ text-showing
     operator, in stream order. TJ arrays interleave strings with
-    kerning numbers (ignored). Strings scan with escape awareness —
-    a ``\\)`` must not terminate the literal."""
+    kerning numbers (ignored). ONE stateful linear scan: string
+    literals are consumed atomically with escape awareness (a
+    ``\\)`` must not terminate the literal, and a ``[``/``]``
+    INSIDE a string must not look like array structure — raw-byte
+    bracket scanning mis-attributed neighboring strings, found in
+    the r9 review), and ``[...]`` groups buffer their strings until
+    the closing bracket reveals whether the operator is TJ."""
     parts: list[str] = []
+    array_buf: list[str] | None = None
     i = 0
     n = len(content)
     while i < n:
@@ -266,32 +337,28 @@ def _content_text(content: bytes) -> str | None:
                 j += 1
             if depth:
                 return None  # unterminated string
-            # is the next operator a text-show?
-            rest = content[j:j + 16].lstrip()
             s = _unescape_string(bytes(buf))
             if s is None:
                 return None
-            if rest.startswith(b"Tj") or _in_tj_array(content, i):
+            if array_buf is not None:
+                array_buf.append(s)
+            elif content[j:j + 16].lstrip().startswith(b"Tj"):
                 parts.append(s)
             i = j
+        elif c == 0x5B:  # "[" — start buffering a candidate TJ array
+            if array_buf is not None:
+                return None  # arrays don't nest in content streams
+            array_buf = []
+            i += 1
+        elif c == 0x5D:  # "]" — commit iff the operator is TJ
+            if array_buf is not None:
+                if content[i + 1:i + 8].lstrip().startswith(b"TJ"):
+                    parts.extend(array_buf)
+                array_buf = None
+            i += 1
         else:
             i += 1
     return "".join(parts)
-
-
-def _in_tj_array(content: bytes, pos: int) -> bool:
-    """True when the string literal at ``pos`` sits inside a [...] TJ
-    array (scan back to the nearest unmatched '[' and forward to its
-    ']' followed by TJ)."""
-    open_at = content.rfind(b"[", 0, pos)
-    if open_at < 0:
-        return False
-    if content.find(b"]", open_at, pos) >= 0:
-        return False  # that array closed before our string
-    close_at = content.find(b"]", pos)
-    if close_at < 0:
-        return False
-    return content[close_at + 1:close_at + 8].lstrip().startswith(b"TJ")
 
 
 def pdf_text(payload: bytes) -> list[str] | None:
