@@ -33,17 +33,34 @@ def test_octal_and_continuation_escapes():
     assert got == ["AA\nBcontinued"]
 
 
-def _mini_pdf(content: bytes) -> bytes:
+def _mini_pdf(
+    content: bytes,
+    raw_stream: bool = False,
+    flate_override: bytes | None = None,
+) -> bytes:
     """One-page PDF around an arbitrary content stream — for
-    exercising operator/escape forms the builder never emits."""
-    flate = zlib.compress(content)
+    exercising operator/escape/stream forms the builder never
+    emits. ``raw_stream`` stores the content uncompressed;
+    ``flate_override`` injects pre-compressed bytes verbatim (with
+    CORRECT xref offsets and /Length, so the parser genuinely
+    reaches the inflate stage)."""
+    if raw_stream:
+        data = content
+        filt = b""
+    else:
+        data = (
+            flate_override
+            if flate_override is not None
+            else zlib.compress(content)
+        )
+        filt = b" /Filter /FlateDecode"
     doc = bytearray(b"%PDF-1.4\n")
     objs = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
         b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
-        b"<< /Length " + str(len(flate)).encode()
-        + b" /Filter /FlateDecode >>\nstream\n" + flate
+        b"<< /Length " + str(len(data)).encode() + filt
+        + b" >>\nstream\n" + data
         + b"\nendstream",
     ]
     offsets = [0]
@@ -163,24 +180,18 @@ def test_huge_xref_claim_refused_without_allocation():
 
 def test_flate_bomb_refused():
     """A content stream inflating past the 8 MB cap is refused, not
-    inflated into executor memory (r9 review)."""
+    inflated into executor memory (r9 review). The document's xref
+    and /Length are CORRECT (flate_override rebuilds offsets), so
+    refusal genuinely happens at the bounded-inflate stage — the
+    first version of this test spliced bytes in, left startxref
+    stale, and never reached _stream_data at all (second review)."""
     bomb = zlib.compress(b"\x00" * (9 * 1024 * 1024), 9)
-    doc = _mini_pdf(b"unused")  # rebuild with the bomb stream
-    # splice: _mini_pdf writes exactly one Flate stream; replace it
-    m = re.search(
-        rb"<< /Length (\d+) /Filter /FlateDecode >>\nstream\n", doc
-    )
-    start, old_len = m.end(), int(m.group(1))
-    patched = (
-        doc[: m.start()]
-        + b"<< /Length " + str(len(bomb)).encode()
-        + b" /Filter /FlateDecode >>\nstream\n"
-        + bomb
-        + doc[start + old_len:]
-    )
-    # xref offsets after the splice are stale -> refusal either way;
-    # the property under test is "returns, quickly, without OOM"
-    assert pdf_text(patched) is None
+    doc = _mini_pdf(b"", flate_override=bomb)
+    assert pdf_text(doc) is None
+    # same construction with an under-cap stream: accepted — so the
+    # refusal above is the cap, not some other guard
+    ok = _mini_pdf(b"", flate_override=zlib.compress(b"BT (x) Tj ET"))
+    assert pdf_text(ok) == ["x"]
 
 
 def test_brackets_inside_strings_do_not_corrupt_extraction():
@@ -200,29 +211,38 @@ def test_brackets_inside_strings_do_not_corrupt_extraction():
 
 
 def test_endobj_bytes_inside_stream_survive():
-    """Flate output can contain the literal bytes 'endobj'; /Length
-    must drive the slice past the stream (r9 review). Forced here by
-    stored (uncompressed) stream content containing 'endobj'."""
-    content = b"BT (real text) Tj ET endobj-lookalike"
-    doc = bytearray(b"%PDF-1.4\n")
-    objs = [
-        b"<< /Type /Catalog /Pages 2 0 R >>",
-        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
-        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
-        b"<< /Length " + str(len(content)).encode() + b" >>"
-        + b"\nstream\n" + content + b"\nendstream",
-    ]
-    offsets = [0]
-    for num, body in enumerate(objs, start=1):
-        offsets.append(len(doc))
-        doc += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
-    xref_at = len(doc)
-    doc += f"xref\n0 {len(objs) + 1}\n".encode()
-    doc += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        doc += f"{off:010d} 00000 n \n".encode()
-    doc += (
-        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
-        f"startxref\n{xref_at}\n%%EOF\n"
-    ).encode()
-    assert pdf_text(bytes(doc)) == ["real text"]
+    """Stream bytes can contain the literal sequence 'endobj';
+    /Length must drive the slice past the stream (r9 review).
+    Forced here by a stored (uncompressed) stream containing it."""
+    got = pdf_text(
+        _mini_pdf(
+            b"BT (real text) Tj ET endobj-lookalike",
+            raw_stream=True,
+        )
+    )
+    assert got == ["real text"]
+
+
+def test_indirect_length_refused():
+    """`/Length 7 0 R` (indirect, common in the wild) is outside the
+    subset: treating the object number as a byte count would
+    mis-slice — refusal, never a wrong decode (second review)."""
+    good = _mini_pdf(b"BT (x) Tj ET", raw_stream=True)
+    bad = good.replace(b"/Length 12 >>", b"/Length 12 0 R >>")
+    # the replace shifts later offsets -> either the indirect-length
+    # refusal or the stale-xref refusal fires; both are None, and
+    # the direct construction below pins the indirect path exactly
+    assert pdf_text(bad) is None
+    from trisk_datawrangle_spark.llm.pdf import _direct_length
+
+    assert _direct_length(b"<< /Length 7 0 R >>") == -2
+    assert _direct_length(b"<< /Length 7 >>") == 7
+    assert _direct_length(b"<< >>") == -1
+
+
+def test_bom_lookalike_latin1_roundtrips():
+    """Latin-1 text that happens to START with U+00FE U+00FF must
+    not be mis-decoded as UTF-16BE on the way back (second review,
+    reproduced silent corruption)."""
+    pages = ["þÿabcd", "þÿab rest of page", "þÿ"]
+    assert pdf_text(pdf_build(pages)) == pages

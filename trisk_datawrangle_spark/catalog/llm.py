@@ -2259,13 +2259,17 @@ def m9(spark, sf_dir):
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     d = _docs(spark, sf_dir).select("doc_id")
+    # this exchange parallelizes mk_payload (per-pixel PNG encode):
+    # perceptual_hashes repartitions ABOVE its input, which is too
+    # late for the payload-build stage below it (r9 review #3)
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     payloads = d.mapInPandas(
         mk_payload, "doc_id long, payload binary"
     )
     # stage boundary: the decode+dHash kernel feeds BOTH branches of
     # the twin self-join — uncached it would run twice per document
     # (it dominates this entry's cost); the cached frame is two
-    # longs per row. perceptual_hashes owns the repartition.
+    # longs per row.
     hashes = perceptual_hashes(payloads).cache()
     twins = hashes.select(
         F.col("doc_id").alias("twin_id"),

@@ -17,8 +17,9 @@ text strings decode). Anything outside this subset — encryption,
 object streams (/ObjStm), LZW/ASCII85 filters — returns None
 loudly rather than guessing, and hostile shapes (billion-object
 xref claims, Flate decompression bombs, 'endobj' bytes inside
-stream data) are refused or sliced past by declared lengths, never
-scanned into.
+stream data) are refused or sliced past by declared DIRECT lengths,
+never scanned into; indirect ``/Length N 0 R`` objects are refused
+loudly rather than mis-sliced.
 
 The builder (:func:`pdf_build`) writes spec-valid single-font PDFs
 (real xref offsets, Flate-compressed content streams) so the parser
@@ -50,6 +51,11 @@ def _escape_string(s: str) -> bytes:
     (UTF-16 code units legitimately contain 0x28/0x29/0x5C)."""
     try:
         raw = s.encode("latin-1")
+        if raw[:2] == b"\xfe\xff":
+            # latin-1 text that HAPPENS to start with the BOM bytes
+            # would be mis-decoded as UTF-16BE on the way back —
+            # emit it in the UTF-16BE form too (always reversible)
+            raw = b"\xfe\xff" + s.encode("utf-16-be")
     except UnicodeEncodeError:
         raw = b"\xfe\xff" + s.encode("utf-16-be")
     return b"".join(_ESC.get(b, bytes([b])) for b in raw)
@@ -172,24 +178,40 @@ def _object_at(d: bytes, num: int, offsets: list[int]) -> bytes | None:
         return None
     body_start = off + m.end()
     search_from = body_start
-    head = _dict_of(d[body_start:body_start + 65536])
+    win = d[body_start:body_start + 65536]
+    head = _dict_of(win)
     if head:
-        dict_end = body_start + d[body_start:body_start + 65536].find(
-            b"<<"
-        ) + len(head)
-        lm = re.search(rb"/Length\s+(\d+)", head)
+        dict_end = body_start + win.find(b"<<") + len(head)
+        lm = _direct_length(head)
+        if lm == -2:
+            return None  # indirect /Length N 0 R: outside the subset
         sm = re.match(rb"\s*stream", d[dict_end:dict_end + 16])
-        if lm is not None and sm is not None:
+        if lm >= 0 and sm is not None:
             data_at = dict_end + sm.end()
             if d[data_at:data_at + 2] == b"\r\n":
                 data_at += 2
             elif d[data_at:data_at + 1] == b"\n":
                 data_at += 1
-            search_from = data_at + int(lm.group(1))
+            search_from = data_at + lm
     end = d.find(b"endobj", search_from)
     if end < 0:
         return None
     return d[body_start:end]
+
+
+def _direct_length(head: bytes) -> int:
+    """The dictionary's direct /Length value, -1 when absent, -2
+    when it is an INDIRECT reference (``/Length 7 0 R``) — common in
+    real crawled PDFs but outside this subset: resolving it would
+    need a second object fetch mid-slice, and treating the object
+    number as a byte count silently truncates streams, so indirect
+    lengths are refused loudly instead."""
+    m = re.search(rb"/Length\s+(\d+)", head)
+    if m is None:
+        return -1
+    if re.match(rb"\s+0\s+R\b", head[m.end():]):
+        return -2
+    return int(m.group(1))
 
 
 _REF_RX = rb"(\d+)\s+0\s+R"
@@ -223,16 +245,16 @@ def _stream_data(obj: bytes) -> bytes | None:
     dictionary says /Filter /FlateDecode (the only filter this
     subset ships); /Length drives the slice."""
     head = _dict_of(obj)
-    m = re.search(rb"/Length\s+(\d+)", head)
+    length = _direct_length(head)
     s = obj.find(b"stream")
-    if m is None or s < 0:
-        return None
+    if length < 0 or s < 0:
+        return None  # absent or indirect /Length: refused
     data_at = s + len(b"stream")
     if obj[data_at:data_at + 2] == b"\r\n":
         data_at += 2
     elif obj[data_at:data_at + 1] == b"\n":
         data_at += 1
-    raw = obj[data_at:data_at + int(m.group(1))]
+    raw = obj[data_at:data_at + length]
     if b"/Filter" in head:
         if b"/FlateDecode" not in head:
             return None  # LZW/ASCII85/DCT: outside the subset
