@@ -80,13 +80,42 @@ def test_jpeg_never_crashes_and_bounds_error(w, h, ch, quality, seed):
     gw, gh, gch, px = got
     assert (gw, gh, gch) == (w, h, ch)
     dec = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
-    err = np.abs(dec.astype(int) - img.astype(int)).max()
-    # worst case: full-range noise at the lowest tested quality.
-    # Annex-K q55 coarsest AC step ~ 121*s/100 ≈ 110; a decoder bug
-    # (wrong zigzag / predictor / Huffman) produces errors ~256.
-    assert err <= 200, err
+    # On full-range NOISE the per-pixel RGB error is NOT bounded by
+    # quantization: 4:2:0 averages chroma over 2x2 blocks, and random
+    # neighbors can shift Cb/Cr by ~190, i.e. ~1.77*190 in B before
+    # clipping — at ANY quality. What quantization does bound is the
+    # LUMA plane, so assert there (a broken zigzag/predictor/Huffman
+    # path still shows up as ~128-256 luma error).
+    if ch == 3:
+        wts = np.array([0.299, 0.587, 0.114])
+        luma_err = np.abs(
+            (dec.astype(float) @ wts) - (img.astype(float) @ wts)
+        ).max()
+    else:
+        luma_err = np.abs(dec.astype(int) - img.astype(int)).max()
+    assert luma_err <= 200, luma_err
     if quality >= 90:
-        assert err <= 35, err
+        assert luma_err <= 35, luma_err
+    if ch == 3:
+        # chroma-SMOOTH image (2x2-constant blocks): subsampling is
+        # exact there, so the full-pixel error IS quantization-bounded
+        # — this keeps the chroma reconstruction path non-vacuously
+        # tested (a swapped Cb/Cr or broken upsample blows this up).
+        half = rng.integers(
+            0, 256, size=((h + 1) // 2, (w + 1) // 2, ch),
+            dtype=np.uint8,
+        )
+        smooth = half.repeat(2, axis=0).repeat(2, axis=1)[:h, :w, :]
+        payload2 = encode_jpeg(
+            w, h, ch, smooth.tobytes(), quality=quality
+        )
+        got2 = decode_jpeg(payload2)
+        assert got2 is not None
+        dec2 = np.frombuffer(got2[3], dtype=np.uint8).reshape(h, w, ch)
+        err2 = np.abs(dec2.astype(int) - smooth.astype(int)).max()
+        assert err2 <= 200, err2
+        if quality >= 90:
+            assert err2 <= 50, err2
 
 
 @settings(max_examples=25, deadline=None)
