@@ -15,6 +15,7 @@ import numpy as np
 import pytest
 
 from trisk_datawrangle_spark.llm.audio import decode_wav, encode_wav
+from trisk_datawrangle_spark.llm.charset import http_decode_text
 from trisk_datawrangle_spark.llm.extract import (
     http_body,
     http_chunk_encode,
@@ -82,8 +83,15 @@ def _seeds() -> dict[str, bytes]:
         b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
         + http_chunk_encode(b"hello world " * 20, 7)
     )
+    http_charset = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=windows-1252\r\n"
+        b"Content-Length: 20\r\n\r\n"
+        + "café http fuzz seed".encode("cp1252")
+    )
     return {
         "png": encode_png(10, 12, 4, px4),
+        "http_charset": http_charset,
         "jpeg": encode_jpeg(10, 12, 3, px3, quality=85),
         "jpeg_progressive": encode_jpeg_progressive(
             10, 12, 3, px3, quality=85
@@ -111,6 +119,7 @@ def _seeds() -> dict[str, bytes]:
 
 _PARSERS = {
     "png": decode_png,
+    "http_charset": http_decode_text,
     "jpeg": decode_jpeg,
     "jpeg_progressive": decode_jpeg,
     "pdf": pdf_text,
@@ -135,4 +144,5 @@ def test_mutated_payloads_never_raise(name):
         decode_pixels(m)
         parse_image_dims(m)
         http_body(m)
+        http_decode_text(m)
         decode_gif(m)

@@ -1,0 +1,253 @@
+"""Unit coverage for the round-9 crawl front-door additions:
+robots.txt parsing/matching (llm/robots.py, RFC 9309) and charset
+sniffing/decoding (llm/charset.py, WHATWG precedence). The catalog
+entries x51/x47 gate the end-to-end plans against DuckDB oracles;
+these tests pin the parser semantics that the fixtures cannot
+exercise exhaustively — group-selection corners, alias folding,
+refusal arms — plus a text-level fuzz loop (the byte-level loop
+lives in test_parser_fuzz.py).
+"""
+
+from __future__ import annotations
+
+import random
+import re
+import zlib
+
+from trisk_datawrangle_spark.llm.charset import (
+    decode_body,
+    http_decode_text,
+    sniff_charset,
+)
+from trisk_datawrangle_spark.llm.robots import (
+    parse_robots,
+    robots_rules,
+    rule_regex,
+)
+
+BODY = """# fixture
+User-agent: otherbot
+Disallow: /
+
+User-agent: trisk-crawler
+Allow: /p/2/ok$
+Disallow: /p/2*
+
+User-agent: *
+Disallow: /q/
+Allow: /q/open
+Crawl-delay: 7
+"""
+
+
+class TestParseRobots:
+    def test_specific_group_overrides_star(self):
+        assert parse_robots(BODY, "trisk-crawler") == [
+            ("allow", "/p/2/ok$"),
+            ("disallow", "/p/2*"),
+        ]
+
+    def test_star_group_when_no_specific_match(self):
+        assert parse_robots(BODY, "somebody") == [
+            ("disallow", "/q/"),
+            ("allow", "/q/open"),
+        ]
+
+    def test_decoy_group_never_leaks(self):
+        for agent in ("trisk-crawler", "somebody"):
+            assert ("disallow", "/") not in parse_robots(BODY, agent)
+
+    def test_case_insensitive_agents_and_directives(self):
+        up = BODY.upper()
+        assert parse_robots(up, "TRISK-CRAWLER") == [
+            ("allow", "/P/2/OK$"),
+            ("disallow", "/P/2*"),
+        ]
+        assert parse_robots(up, "trisk-crawler")[0][0] == "allow"
+
+    def test_crlf_and_bare_cr_line_endings(self):
+        for nl in ("\r\n", "\r"):
+            body = BODY.replace("\n", nl)
+            assert parse_robots(body, "trisk-crawler") == [
+                ("allow", "/p/2/ok$"),
+                ("disallow", "/p/2*"),
+            ]
+
+    def test_stacked_agent_lines_share_group(self):
+        body = "User-agent: a\nUser-agent: b\nDisallow: /x\n"
+        assert parse_robots(body, "a") == [("disallow", "/x")]
+        assert parse_robots(body, "b") == [("disallow", "/x")]
+
+    def test_agent_after_rule_starts_new_group(self):
+        body = (
+            "User-agent: a\nDisallow: /x\n"
+            "User-agent: b\nDisallow: /y\n"
+        )
+        assert parse_robots(body, "a") == [("disallow", "/x")]
+        assert parse_robots(body, "b") == [("disallow", "/y")]
+
+    def test_multiple_matching_groups_merge(self):
+        body = (
+            "User-agent: a\nDisallow: /x\n\n"
+            "User-agent: b\nDisallow: /z\n\n"
+            "User-agent: a\nAllow: /x/y\n"
+        )
+        assert parse_robots(body, "a") == [
+            ("disallow", "/x"),
+            ("allow", "/x/y"),
+        ]
+
+    def test_empty_path_rules_dropped(self):
+        body = "User-agent: *\nDisallow:\nAllow: /a\n"
+        assert parse_robots(body, "x") == [("allow", "/a")]
+
+    def test_rules_before_any_group_ignored(self):
+        body = "Disallow: /pre\nUser-agent: *\nAllow: /a\n"
+        assert parse_robots(body, "x") == [("allow", "/a")]
+
+    def test_unknown_directive_keeps_rule_list_open(self):
+        body = (
+            "User-agent: *\nDisallow: /x\n"
+            "Crawl-delay: 3\nAllow: /x/y\n"
+        )
+        assert parse_robots(body, "x") == [
+            ("disallow", "/x"),
+            ("allow", "/x/y"),
+        ]
+
+    def test_comments_and_malformed_lines_skipped(self):
+        body = (
+            "User-agent: * # trailing\nnot a directive line\n"
+            "Disallow: /q/ # note\n"
+        )
+        assert parse_robots(body, "x") == [("disallow", "/q/")]
+
+    def test_exact_token_match_not_substring(self):
+        # RFC 9309: product token matches exactly, so 'trisk' must
+        # NOT inherit the 'trisk-crawler' group
+        assert parse_robots(BODY, "trisk") == [
+            ("disallow", "/q/"),
+            ("allow", "/q/open"),
+        ]
+
+    def test_no_groups_at_all(self):
+        assert parse_robots("", "x") == []
+        assert parse_robots("# only comments\n", "x") == []
+
+    def test_text_fuzz_never_raises(self):
+        rng = random.Random(zlib.crc32(b"robots-fuzz"))
+        chars = list(BODY) + list("\x00\r\n:#*$ \t")
+        for _ in range(300):
+            n = rng.randrange(0, 200)
+            s = "".join(rng.choice(chars) for _ in range(n))
+            parse_robots(s, "trisk-crawler")  # must not raise
+            robots_rules(s, "*")
+
+
+class TestRuleRegex:
+    def test_wildcard_and_anchor(self):
+        assert re.match(rule_regex("/p/2*"), "/p/2/anything")
+        assert not re.match(rule_regex("/p/2*"), "/q/2")
+        assert re.match(rule_regex("/p/2/ok$"), "/p/2/ok")
+        assert not re.match(rule_regex("/p/2/ok$"), "/p/2/okx")
+
+    def test_internal_wildcard(self):
+        rx = rule_regex("/a/*/c")
+        assert re.match(rx, "/a/b/c") and re.match(rx, "/a/x/y/c")
+        assert not re.match(rx, "/a/b")
+
+    def test_metacharacters_escaped(self):
+        rx = rule_regex("/a.b(c)+[d]")
+        assert re.match(rx, "/a.b(c)+[d]")
+        assert not re.match(rx, "/aXb(c)+[d]")
+
+    def test_specificity_counts_pattern_octets(self):
+        rules = robots_rules(
+            "User-agent: *\nDisallow: /p*\nAllow: /p/ok$\n", "x"
+        )
+        by_path = {p: l for _, p, l, _ in rules}
+        assert by_path == {"/p*": 3, "/p/ok$": 6}
+
+
+class TestCharset:
+    T = "hello café €"  # café €
+
+    def test_bom_beats_lying_header(self):
+        b = b"\xfe\xff" + self.T.encode("utf-16be")
+        assert decode_body("text/html; charset=windows-1252", b) == (
+            "utf-16be",
+            self.T,
+        )
+        b = b"\xff\xfe" + self.T.encode("utf-16le")
+        assert decode_body("text/html; charset=utf-8", b) == (
+            "utf-16le",
+            self.T,
+        )
+        b = b"\xef\xbb\xbf" + self.T.encode("utf-8")
+        assert decode_body("x; charset=windows-1252", b) == (
+            "utf-8",
+            self.T,
+        )
+
+    def test_header_charset_with_aliases_and_quotes(self):
+        raw = self.T.encode("cp1252")
+        for decl in (
+            "iso-8859-1", "ISO-8859-1", "latin-1", "latin1",
+            "cp1252", '"windows-1252"',
+        ):
+            got = decode_body(f"text/html; charset={decl}", raw)
+            assert got == ("windows-1252", self.T), decl
+        assert decode_body(
+            "text/html; charset=UTF8", self.T.encode("utf-8")
+        ) == ("utf-8", self.T)
+
+    def test_meta_prescan_beats_content_sniff(self):
+        # bytes are VALID utf-8, but the meta declares cp1252 —
+        # honoring the prescan changes both label and text
+        body = b'<meta charset="windows-1252">x \xc3\xa9'
+        got = decode_body("text/html", body)
+        assert got is not None
+        label, text = got
+        assert label == "windows-1252"
+        assert text.endswith("Ã©")  # 'Ã©', not 'é'
+
+    def test_meta_prescan_only_first_1024_bytes(self):
+        pad = b"<p>" + b"a" * 1024
+        body = pad + b'<meta charset="windows-1252">'
+        assert sniff_charset(None, body) == "utf-8"  # fallback arm
+
+    def test_content_sniff_fallback(self):
+        assert sniff_charset(None, self.T.encode("utf-8")) == "utf-8"
+        assert (
+            sniff_charset(None, self.T.encode("cp1252"))
+            == "windows-1252"
+        )
+        assert decode_body(None, b"\xe9")[0] == "windows-1252"
+
+    def test_refusals(self):
+        # declared-but-unsupported charset
+        assert decode_body("x; charset=shift-jis", b"abc") is None
+        # lying declaration: declared utf-8, invalid bytes
+        assert decode_body("x; charset=utf-8", b"\xe9\xe9") is None
+        # utf-16 with an odd byte tail
+        assert decode_body(None, b"\xfe\xff\x00a\x00") is None
+
+    def test_http_front_door_plain_and_chunked(self):
+        from trisk_datawrangle_spark.llm.extract import (
+            http_chunk_encode,
+        )
+
+        body = self.T.encode("utf-8")
+        rec = (
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/plain; charset=utf-8\r\n\r\n" + body
+        )
+        assert http_decode_text(rec) == ("utf-8", self.T)
+        rec = (
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/plain; charset=utf-8\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n"
+            + http_chunk_encode(body, 5)
+        )
+        assert http_decode_text(rec) == ("utf-8", self.T)
+        assert http_decode_text(b"not http") is None

@@ -45,12 +45,16 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 # invalidates the old proof; (2) the full r4-proof cohort (18
 # entries, staleness computed from CORRECTNESS_r0{1..8}.json, not
 # from memory: w2, r1, s2_lsh, c1, m3, e8, t6, e7, d8, t4, q3, q5,
-# s2_csv, s8, x9, f13, a6_a7, r7); (2.5) m8_progressive_decode —
-# NEW this round (the progressive-JPEG gate, no driver row yet) and
-# s13_pdf_extract (the PDF crawl-format gate) and m9_image_dedup
-# (perceptual dHash dedup over real decoded pixels) and
-# x50_link_graph (crawl-frontier href extraction + host in-degree),
-# all new — each takes a slot over one more r5 entry; (3) 25 of the
+# s2_csv, s8, x9, f13, a6_a7, r7); (2.5) the NEW-this-round entries
+# (no driver row yet), each taking a slot over one more r5 entry:
+# m8_progressive_decode (the progressive-JPEG gate), s13_pdf_extract
+# (the PDF crawl-format gate), m9_image_dedup (perceptual dHash
+# dedup over real decoded pixels), x50_link_graph (crawl-frontier
+# href extraction + host in-degree), x51_robots_filter (RFC 9309
+# robots.txt parse + longest-match frontier filtering) and
+# x47_charset_sniff (WHATWG charset precedence + strict decode over
+# the s11 HTTP body path) — the last two push d10/a13 to lead the
+# r10 window; (3) 23 of the
 # 49 r5-proof
 # entries — every one with machinery no in-window sibling covers
 # (the x11-x21 text/sketch family minus x19, whose grouped
@@ -79,6 +83,8 @@ _PRIORITY = [
     "s11_warc_extract",
     "m2_multimodal_resize",
     "d2_ngram_jaccard",
+    "x51_robots_filter",
+    "x47_charset_sniff",
     "m8_progressive_decode",
     "s13_pdf_extract",
     "m9_image_dedup",

@@ -4873,3 +4873,342 @@ def c5(spark, sf_dir):
         ).alias("mean_quality"),
         F.round(median("n_ws"), 1).alias("p50_ws_tokens"),
     )
+
+
+# ---------------------------------------------------------------- #
+# crawl politeness + charset front door (round 9)                   #
+# ---------------------------------------------------------------- #
+
+
+@q(
+    "x51_robots_filter",
+    """
+WITH hosts AS (
+    SELECT CAST(i AS BIGINT) AS h FROM generate_series(0, 22) t(i)
+),
+rules AS (
+    SELECT h, 'allow' AS verb,
+        '/p/' || CAST(h % 5 AS VARCHAR) || '/ok$' AS pattern
+    FROM hosts WHERE h % 3 = 0
+    UNION ALL
+    SELECT h, 'disallow',
+        '/p/' || CAST(h % 5 AS VARCHAR) || '*'
+    FROM hosts WHERE h % 3 = 0
+    UNION ALL
+    SELECT h, 'disallow', '/q/' FROM hosts WHERE h % 3 <> 0
+    UNION ALL
+    SELECT h, 'allow', '/q/open' FROM hosts WHERE h % 3 <> 0
+),
+rx AS (
+    SELECT h, verb, pattern,
+        CAST(length(pattern) AS INTEGER) AS plen,
+        CASE WHEN pattern LIKE '%$'
+             THEN '^' || replace(left(pattern, length(pattern) - 1),
+                                 '*', '.*') || '$'
+             ELSE '^' || replace(pattern, '*', '.*') END AS rx
+    FROM rules
+),
+frontier AS (
+    SELECT d.doc_id, d.doc_id % 23 AS h, j.j AS url_idx,
+        CASE j.j
+            WHEN 0 THEN '/p/' || CAST(d.doc_id % 5 AS VARCHAR) || '/x'
+            WHEN 1 THEN '/q/' || CAST(d.doc_id AS VARCHAR)
+            WHEN 2 THEN '/q/open' || CAST(d.doc_id AS VARCHAR)
+            ELSE '/p/' || CAST(d.doc_id % 5 AS VARCHAR) || '/ok'
+        END AS path
+    FROM documents d,
+        unnest(generate_series(0, 2 + d.doc_id % 2)) AS j(j)
+),
+m AS (
+    SELECT f.doc_id, f.url_idx, r.verb, r.pattern,
+        row_number() OVER (
+            PARTITION BY f.doc_id, f.url_idx
+            ORDER BY r.plen DESC, (r.verb = 'allow') DESC,
+                     r.pattern DESC
+        ) AS rn
+    FROM frontier f
+    JOIN rx r ON f.h = r.h AND regexp_matches(f.path, r.rx)
+)
+SELECT f.doc_id, CAST(f.url_idx AS INTEGER) AS url_idx,
+    'host' || CAST(f.h AS VARCHAR) || '.example.com' AS host,
+    f.path,
+    COALESCE(w.verb, 'allow') = 'allow' AS allowed,
+    COALESCE(w.pattern, '') AS rule
+FROM frontier f
+LEFT JOIN (SELECT * FROM m WHERE rn = 1) w
+    ON f.doc_id = w.doc_id AND f.url_idx = w.url_idx
+""",
+)
+def x51(spark, sf_dir):
+    """robots.txt crawl-frontier filtering (RFC 9309, llm/robots.py)
+    — the politeness gate between link discovery (x50) and the fetch
+    queue. Each of 23 hosts gets a REAL robots.txt body (comments,
+    blank lines, case-varied directive spellings, CRLF on odd hosts,
+    an ignored Crawl-delay, the empty-Disallow idiom, and a decoy
+    ``otherbot`` group with ``Disallow: /``); the kernel parses it
+    with full group-selection semantics — hosts with h%3==0 carry a
+    specific ``trisk-crawler`` group that OVERRIDES the ``*`` group,
+    the rest fall to ``*`` — and emits a per-host rule table with the
+    RFC's octet-length specificity and the wildcard/anchor patterns
+    compiled to anchored regexes. Frontier URLs (3-4 per doc) then
+    match JVM-side: broadcast hash join on host, per-row
+    ``regexp_like``, and a map-side-combinable max_by(struct) argmax
+    for longest-match-allow-wins — no window sort, no Python in the
+    match path. The oracle regenerates the RULES from the fixture
+    arithmetic (not by parsing) and replays the matching with its own
+    regex translation + row_number argmax, so a parser bug (group
+    selection, decoy obeyed, case sensitivity, empty-path rule kept),
+    a wrong specificity length, a broken wildcard/anchor translation,
+    or a tie-break flip all change verdicts and flip the hash. Scale
+    shape: rules are a ~KB-per-host dimension (broadcast); the
+    frontier scan never shuffles until the (doc_id,url_idx)-keyed
+    partial aggregate — at 100 TB of frontier this is one broadcast
+    join + one combinable aggregate."""
+    import pandas as pd
+
+    from trisk_datawrangle_spark.llm.robots import robots_rules
+
+    def build_rules(batches):
+        for pdf in batches:
+            hs, verbs, pats, plens, rxs = [], [], [], [], []
+            for h in pdf["id"].astype("int64"):
+                h = int(h)
+                nl = "\r\n" if h % 2 else "\n"
+                ua, dis, al = (
+                    ("USER-AGENT", "DISALLOW", "ALLOW")
+                    if h % 2
+                    else ("User-agent", "Disallow", "Allow")
+                )
+                lines = [
+                    f"# robots fixture, host {h}",
+                    f"{ua}: otherbot",
+                    f"{dis}: /",
+                    "",
+                ]
+                if h % 3 == 0:
+                    lines += [
+                        f"{ua}: trisk-crawler",
+                        f"{al}: /p/{h % 5}/ok$",
+                        f"{dis}: /p/{h % 5}*",
+                        "",
+                    ]
+                lines += [
+                    f"{ua}: *",
+                    f"{dis}: /q/",
+                    f"{dis}:",          # empty path: ignored per RFC
+                    f"{al}: /q/open",
+                    "Crawl-delay: 7",   # unknown directive: ignored
+                ]
+                rules = robots_rules(nl.join(lines), "trisk-crawler")
+                if not rules:
+                    raise AssertionError(
+                        f"x51: empty rule set for host {h}"
+                    )
+                for verb, pattern, plen, rx in rules:
+                    hs.append(h)
+                    verbs.append(verb)
+                    pats.append(pattern)
+                    plens.append(plen)
+                    rxs.append(rx)
+            yield pd.DataFrame(
+                {
+                    "h": hs,
+                    "verb": verbs,
+                    "pattern": pats,
+                    "plen": plens,
+                    "rx": rxs,
+                }
+            )
+
+    rules = spark.range(23).mapInPandas(
+        build_rules,
+        "h long, verb string, pattern string, plen int, rx string",
+    )
+    d = _docs(spark, sf_dir).select("doc_id")
+    paths = F.array(
+        F.concat(F.lit("/p/"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit("/x")),
+        F.concat(F.lit("/q/"), F.col("doc_id").cast("string")),
+        F.concat(F.lit("/q/open"), F.col("doc_id").cast("string")),
+        F.concat(F.lit("/p/"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit("/ok")),
+    )
+    frontier = d.select(
+        "doc_id",
+        (F.col("doc_id") % 23).alias("h"),
+        F.posexplode(
+            F.when(F.col("doc_id") % 2 == 1, paths)
+            .otherwise(F.slice(paths, 1, 3))
+        ).alias("url_idx", "path"),
+    )
+    matched = frontier.join(F.broadcast(rules), "h").where(
+        F.expr("regexp_like(path, rx)")
+    )
+    best = (
+        matched.groupBy("doc_id", "url_idx")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("plen"),
+                    (F.col("verb") == "allow").cast("int")
+                    .alias("verb_pref"),
+                    F.col("pattern"),
+                    F.col("verb"),
+                )
+            ).alias("w")
+        )
+        .select(
+            "doc_id",
+            "url_idx",
+            F.col("w.verb").alias("verb"),
+            F.col("w.pattern").alias("pattern"),
+        )
+    )
+    return frontier.join(best, ["doc_id", "url_idx"], "left").select(
+        "doc_id",
+        F.col("url_idx").cast("int").alias("url_idx"),
+        F.concat(
+            F.lit("host"), F.col("h").cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        "path",
+        (F.coalesce(F.col("verb"), F.lit("allow")) == "allow")
+        .alias("allowed"),
+        F.coalesce(F.col("pattern"), F.lit("")).alias("rule"),
+    )
+
+
+_X47_META = '<meta charset="windows-1252">'
+
+
+@q(
+    "x47_charset_sniff",
+    f"""
+SELECT doc_id,
+    CASE doc_id % 5
+        WHEN 0 THEN 'utf-8'
+        WHEN 1 THEN 'windows-1252'
+        WHEN 2 THEN 'windows-1252'
+        WHEN 3 THEN 'utf-16be'
+        ELSE 'windows-1252' END AS charset,
+    CAST(CASE doc_id % 5
+        WHEN 0 THEN octet_length(encode(text)) + 6
+        WHEN 1 THEN length(text) + 3
+        WHEN 2 THEN {len(_X47_META)} + length(text) + 3
+        WHEN 3 THEN 2 * (length(text) + 2) + 2
+        ELSE length(text) + 2 END AS BIGINT) AS n_bytes,
+    CASE doc_id % 5
+        WHEN 0 THEN text || ' é€'
+        WHEN 1 THEN text || ' é€'
+        WHEN 2 THEN '{_X47_META}' || text || ' Ã©'
+        WHEN 3 THEN text || ' 世'
+        ELSE text || ' é' END AS clean
+FROM documents
+""",
+)
+def x47(spark, sf_dir):
+    """Charset sniffing + decoding for HTTP captures (llm/charset.py)
+    — the step between the WARC reader's raw bytes and every text
+    stage; real crawls are NOT all UTF-8. Five arms by doc_id%5, each
+    wrapping the doc text in a REAL HTTP response and decoding back
+    through the s11 body path + WHATWG precedence:
+
+    0: utf-8 declared in Content-Type, served CHUNKED (ties in the
+       dechunker), non-ASCII 'é€' payload;
+    1: windows-1252 bytes declared as ISO-8859-1 (alias folding —
+       WHATWG maps latin-1 to cp1252);
+    2: NO header charset; a <meta charset="windows-1252"> prescan
+       arm whose payload ends in the utf-8 bytes C3 A9 — VALID
+       utf-8, so a sniffer that skips the meta step decodes 'é'
+       instead of the declared cp1252's 'Ã©' and flips both the
+       label and the text;
+    3: utf-16be with BOM while the header LIES (charset=windows-1252)
+       — BOM precedence, BOM stripped from the text;
+    4: undeclared cp1252 with a lone 0xE9 — invalid utf-8, the
+       content-sniff fallback arm.
+
+    The kernel RAISES unless the decoded text equals the constructed
+    original; the oracle replays label, byte count (utf-8/cp1252/
+    utf-16 length arithmetic over the ASCII doc text), and decoded
+    text per arm. Cost tier: bytes-level Arrow-batched mapInPandas
+    like the media codecs; detection is O(1024) per record."""
+    import pandas as pd
+
+    from trisk_datawrangle_spark.llm.charset import http_decode_text
+    from trisk_datawrangle_spark.llm.extract import http_chunk_encode
+
+    meta = _X47_META
+
+    def build_and_decode(batches):
+        for pdf in batches:
+            ids, labels, nbytes, cleans = [], [], [], []
+            for doc_id, text in zip(
+                pdf["doc_id"].astype("int64"), pdf["text"]
+            ):
+                doc_id = int(doc_id)
+                m = doc_id % 5
+                if m == 0:
+                    body = (text + " é€").encode("utf-8")
+                    ctype = "text/html; charset=utf-8"
+                    expect = text + " é€"
+                elif m == 1:
+                    body = (text + " é€").encode("cp1252")
+                    ctype = "text/html; charset=ISO-8859-1"
+                    expect = text + " é€"
+                elif m == 2:
+                    body = (meta + text + " ").encode(
+                        "ascii"
+                    ) + b"\xc3\xa9"
+                    ctype = "text/html"
+                    expect = meta + text + " Ã©"
+                elif m == 3:
+                    body = b"\xfe\xff" + (text + " 世").encode(
+                        "utf-16be"
+                    )
+                    ctype = "text/html; charset=windows-1252"
+                    expect = text + " 世"
+                else:
+                    body = (text + " é").encode("cp1252")
+                    ctype = "text/html"
+                    expect = text + " é"
+                if m == 0:
+                    rec = (
+                        b"HTTP/1.1 200 OK\r\nContent-Type: "
+                        + ctype.encode()
+                        + b"\r\nTransfer-Encoding: chunked\r\n\r\n"
+                        + http_chunk_encode(body, 37)
+                    )
+                else:
+                    rec = (
+                        b"HTTP/1.1 200 OK\r\nContent-Type: "
+                        + ctype.encode()
+                        + b"\r\nContent-Length: "
+                        + str(len(body)).encode()
+                        + b"\r\n\r\n"
+                        + body
+                    )
+                got = http_decode_text(rec)
+                if got is None or got[1] != expect:
+                    raise AssertionError(
+                        f"x47: decode mismatch for doc {doc_id} "
+                        f"(arm {m})"
+                    )
+                ids.append(doc_id)
+                labels.append(got[0])
+                nbytes.append(len(body))
+                cleans.append(got[1])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "charset": labels,
+                    "n_bytes": nbytes,
+                    "clean": cleans,
+                }
+            )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    return d.mapInPandas(
+        build_and_decode,
+        "doc_id long, charset string, n_bytes long, clean string",
+    )

@@ -1,0 +1,140 @@
+"""Charset sniffing + decoding for crawl HTTP captures — the step
+between the WARC reader's raw body bytes (s11) and every text stage
+downstream. Real crawls are NOT all UTF-8: legacy hosts serve
+windows-1252 with no declaration at all, CMSes declare the charset
+only in a ``<meta>`` tag, and some servers lie in the Content-Type
+header while the payload carries a BOM. Decoding everything as UTF-8
+silently mangles exactly the long-tail text a training corpus wants.
+
+Precedence follows the WHATWG encoding sniffing order (the
+html.spec.whatwg.org algorithm browsers implement — the de-facto
+law of what the bytes MEAN, since authors test against browsers):
+
+1. **BOM** — ``EF BB BF`` → utf-8, ``FE FF`` → utf-16be,
+   ``FF FE`` → utf-16le. The BOM beats everything, including a
+   contradicting Content-Type header.
+2. **Content-Type header** ``charset=`` parameter (case-insensitive,
+   optional quotes).
+3. **<meta> prescan** of the first 1024 body bytes (ASCII-compatible
+   view): ``<meta charset=...>`` or the ``http-equiv`` form.
+4. **Content sniff fallback**: strict-UTF-8 if the bytes validate,
+   else windows-1252 (WHATWG's default for the no-information case;
+   cp1252 decodes every byte, so this arm cannot fail).
+
+Label normalization maps the common aliases (``latin-1``,
+``iso-8859-1`` → windows-1252 per WHATWG; ``utf8`` → utf-8). A
+DECLARED charset outside the supported set, or payload bytes that
+do not decode under the declared charset, returns None — refused
+loudly, the same contract as the WARC/PDF parsers: mis-decoded text
+poisons every downstream gate, so a record we cannot decode
+faithfully is dropped, not guessed at.
+
+Cost tier: per-row Python over bytes — Arrow-batched ``mapInPandas``
+like the media codecs; detection is O(header + 1024 bytes), decode
+O(body).
+"""
+
+from __future__ import annotations
+
+import codecs
+import re
+
+#: WHATWG label → canonical name of the codec we decode with.
+#: iso-8859-1/latin-1 intentionally map to windows-1252: WHATWG
+#: folds them because real-world "latin-1" content uses the 0x80-0x9F
+#: printables (curly quotes, €) that only cp1252 assigns.
+_ALIASES = {
+    "utf-8": "utf-8",
+    "utf8": "utf-8",
+    "utf-16be": "utf-16be",
+    "utf-16le": "utf-16le",
+    "windows-1252": "windows-1252",
+    "cp1252": "windows-1252",
+    "iso-8859-1": "windows-1252",
+    "latin-1": "windows-1252",
+    "latin1": "windows-1252",
+    "us-ascii": "windows-1252",
+}
+
+_CHARSET_PARAM_RX = re.compile(
+    r"charset[ \t]*=[ \t]*\"?([A-Za-z0-9_.:-]+)\"?", re.I
+)
+_META_RX = re.compile(
+    rb"<meta[^>]+charset[ \t]*=[ \t]*[\"']?([A-Za-z0-9_.:-]+)", re.I
+)
+
+
+def _label(raw: str) -> str | None:
+    return _ALIASES.get(raw.strip().lower())
+
+
+def sniff_charset(content_type: str | None, body: bytes) -> str | None:
+    """The detection step alone: the canonical charset label for
+    ``body`` under the WHATWG precedence (BOM > header > meta
+    prescan > UTF-8-validates > windows-1252), or None when a
+    DECLARED label is outside the supported set. Never None for
+    undeclared content — the fallback arm always names a charset."""
+    if body[:3] == b"\xef\xbb\xbf":
+        return "utf-8"
+    if body[:2] == b"\xfe\xff":
+        return "utf-16be"
+    if body[:2] == b"\xff\xfe":
+        return "utf-16le"
+    if content_type:
+        m = _CHARSET_PARAM_RX.search(content_type)
+        if m:
+            return _label(m.group(1))  # declared but unknown: None
+    m = _META_RX.search(body[:1024])
+    if m:
+        return _label(m.group(1).decode("ascii", "replace"))
+    try:
+        body.decode("utf-8", "strict")
+        return "utf-8"
+    except UnicodeDecodeError:
+        return "windows-1252"
+
+
+def decode_body(content_type: str | None, body: bytes) -> tuple[str, str] | None:
+    """Sniff + decode: ``(charset_label, text)`` with the BOM (when
+    the sniff consumed one) stripped from the text, or None when the
+    charset is undeclared-and-unsupported or the bytes do not decode
+    strictly under the sniffed charset (a LYING declaration — utf-16
+    with an odd byte count, declared utf-8 that isn't — is refused,
+    not patched with replacement chars)."""
+    label = sniff_charset(content_type, body)
+    if label is None:
+        return None
+    data = body
+    if label == "utf-8" and data[:3] == codecs.BOM_UTF8:
+        data = data[3:]
+    elif label == "utf-16be" and data[:2] == codecs.BOM_UTF16_BE:
+        data = data[2:]
+    elif label == "utf-16le" and data[:2] == codecs.BOM_UTF16_LE:
+        data = data[2:]
+    try:
+        return label, data.decode(label, "strict")
+    except UnicodeDecodeError:
+        return None
+
+
+_CT_HEADER_RX = re.compile(
+    rb"^content-type[ \t]*:([^\r\n]*)", re.I | re.M
+)
+
+
+def http_decode_text(record_content: bytes) -> tuple[str, str] | None:
+    """The front-door composition: split an HTTP response record into
+    headers + body (via the s11 dechunker, so chunked captures work),
+    pull the Content-Type header, sniff, decode. Returns
+    ``(charset_label, text)`` or None for non-HTTP content, refused
+    transfer codings, or an undecodable body."""
+    from trisk_datawrangle_spark.llm.extract import http_body
+
+    body = http_body(record_content)
+    if body is None:
+        return None
+    sep = record_content.find(b"\r\n\r\n")
+    head = record_content[:sep]
+    m = _CT_HEADER_RX.search(head)
+    ctype = m.group(1).decode("ascii", "replace") if m else None
+    return decode_body(ctype, body)
