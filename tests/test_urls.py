@@ -1,0 +1,109 @@
+"""llm/urls.py — URL canonicalization semantics the x52 fixture
+cannot exercise exhaustively: cross-engine parity on hostile
+spellings, idempotence (canonicalizing a canonical URL is the
+identity — the property frontier dedup keys rely on), and the
+malformed-escape pass-through arms.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from trisk_datawrangle_spark.llm.urls import (
+    DOT_SEGMENT_PASSES,
+    DOT_SEGMENT_STEPS,
+    canonicalize_url_expr,
+    canonicalize_url_sql,
+)
+
+CASES = [
+    # case folding + default port + decode + dot segments + fragment
+    (
+        "HTTP://Host3.Example.COM:80/A/./b5/../c%41/p%2e%7E9"
+        "?x=%41&y=%3a#frag",
+        "http://host3.example.com/A/cA/p.~9?x=A&y=%3A",
+    ),
+    ("https://h.com:443/x", "https://h.com/x"),
+    ("http://h.com:443/x", "http://h.com:443/x"),  # not http's default
+    ("https://h.com:8443/x", "https://h.com:8443/x"),
+    ("http://h.com", "http://h.com/"),
+    ("http://h.com#f", "http://h.com/"),
+    ("http://h.com/a/b/c/../../d/./e/../f%5F", "http://h.com/a/d/f_"),
+    # reserved escapes stay escaped, hex uppercased
+    ("http://h.com/%2fkeep?q=%20sp%25", "http://h.com/%2Fkeep?q=%20sp%25"),
+    # malformed escapes pass through
+    ("http://h.com/a%4/bad%GZ", "http://h.com/a%4/bad%GZ"),
+    ("http://h.com/%", "http://h.com/%"),
+    # %2E decodes to '.' and THEN resolves as a dot segment (RFC
+    # 6.2.2 order)
+    ("http://h.com/a/%2E%2E/b", "http://h.com/b"),
+    ("http://h.com/a/%2E/b", "http://h.com/a/b"),
+    # trailing dot segments
+    ("http://h.com/a/.", "http://h.com/a/"),
+    ("http://h.com/a/b/..", "http://h.com/a/"),
+    # leading ../ cannot climb above root
+    ("http://h.com/../a", "http://h.com/a"),
+    # nesting up to the documented bound resolves
+    ("http://h.com/a/b/c/d/../../../../e", "http://h.com/e"),
+    # non-absolute input -> ''
+    ("not-a-url", ""),
+    ("/relative/path", ""),
+]
+
+
+def test_dot_bound_matches_constant():
+    assert len(DOT_SEGMENT_STEPS) == 5 * DOT_SEGMENT_PASSES
+
+
+def test_duckdb_side_expected_values():
+    con = duckdb.connect()
+    sql = canonicalize_url_sql("u")
+    for raw, want in CASES:
+        got = con.execute(
+            f"SELECT {sql} FROM (SELECT ? AS u)", [raw]
+        ).fetchone()[0]
+        assert got == want, (raw, got, want)
+
+
+def test_duckdb_idempotent():
+    con = duckdb.connect()
+    sql = canonicalize_url_sql("u")
+    sql2 = canonicalize_url_sql(f"({sql})")
+    for raw, want in CASES:
+        if not want:
+            continue
+        got2 = con.execute(
+            f"SELECT {sql2} FROM (SELECT ? AS u)", [raw]
+        ).fetchone()[0]
+        assert got2 == want, (raw, got2, want)
+
+
+@pytest.mark.usefixtures("spark")
+def test_spark_parity_and_idempotence(spark):
+    df = spark.createDataFrame([(r,) for r, _ in CASES], "u string")
+    out = df.select(
+        "u",
+        canonicalize_url_expr("u").alias("c1"),
+        canonicalize_url_expr(canonicalize_url_expr("u")).alias("c2"),
+    ).collect()
+    want = dict(CASES)
+    for row in out:
+        assert row["c1"] == want[row["u"]], row
+        if want[row["u"]]:
+            assert row["c2"] == row["c1"], row
+
+
+@pytest.mark.usefixtures("spark")
+def test_spark_plan_is_pure_jvm(spark):
+    df = spark.createDataFrame([("http://h.com/a",)], "u string")
+    plan = (
+        df.select(canonicalize_url_expr("u").alias("c"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for marker in ("Python", "BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan

@@ -51,10 +51,12 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 # (the PDF crawl-format gate), m9_image_dedup (perceptual dHash
 # dedup over real decoded pixels), x50_link_graph (crawl-frontier
 # href extraction + host in-degree), x51_robots_filter (RFC 9309
-# robots.txt parse + longest-match frontier filtering) and
+# robots.txt parse + longest-match frontier filtering),
 # x47_charset_sniff (WHATWG charset precedence + strict decode over
-# the s11 HTTP body path) — the last two push d10/a13 to lead the
-# r10 window; (3) 23 of the
+# the s11 HTTP body path) and x52_url_canonicalize (RFC 3986 §6.2.2
+# frontier dedup key: split-fold percent normalization + shared
+# dot-segment chain) — the last three push d9/d10/a13 to lead the
+# r10 window; (3) 22 of the
 # 49 r5-proof
 # entries — every one with machinery no in-window sibling covers
 # (the x11-x21 text/sketch family minus x19, whose grouped
@@ -85,6 +87,7 @@ _PRIORITY = [
     "d2_ngram_jaccard",
     "x51_robots_filter",
     "x47_charset_sniff",
+    "x52_url_canonicalize",
     "m8_progressive_decode",
     "s13_pdf_extract",
     "m9_image_dedup",

@@ -5212,3 +5212,70 @@ def x47(spark, sf_dir):
         build_and_decode,
         "doc_id long, charset string, n_bytes long, clean string",
     )
+
+
+from trisk_datawrangle_spark.llm.urls import canonicalize_url_sql
+
+
+@q(
+    "x52_url_canonicalize",
+    f"""
+WITH raw AS (
+    SELECT doc_id,
+        (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+        || '://Host' || CAST(doc_id % 23 AS VARCHAR) || '.Example.COM'
+        || (CASE doc_id % 3
+            WHEN 0 THEN (CASE WHEN doc_id % 2 = 0
+                         THEN ':80' ELSE ':443' END)
+            WHEN 1 THEN ':8080'
+            ELSE '' END)
+        || '/A/./b' || CAST(doc_id % 7 AS VARCHAR)
+        || '/../c%41/p%2e%7E' || CAST(doc_id AS VARCHAR)
+        || (CASE WHEN doc_id % 2 = 0 THEN '?x=%41&y=%3a' ELSE '' END)
+        || '#s' || CAST(doc_id AS VARCHAR) AS url
+    FROM documents
+)
+SELECT doc_id, url, {canonicalize_url_sql("url")} AS canon
+FROM raw
+""",
+)
+def x52(spark, sf_dir):
+    """URL canonicalization (RFC 3986 §6.2.2, llm/urls.py) — the
+    crawl frontier's dedup key: scheme/host case-folding,
+    default-port drop (per scheme) with non-default ports kept,
+    fragment strip, percent-encoding normalization (unreserved
+    escapes decode, every other escape's hex uppercases, malformed
+    tails pass through) via the split-on-% fold — NOT a 102-pass
+    replace table, which measurably blows whole-stage codegen's
+    64 KB method limit into interpreted fallback — and bounded
+    dot-segment resolution from the DOT_SEGMENT_STEPS chain shared
+    VERBATIM with the oracle builder. Each doc gets a messy spelling
+    (case noise, a default/kept/absent port rotation, /./ and /../
+    segments, three escape spellings, a fragment); the oracle
+    rebuilds the same raw URL arithmetically and canonicalizes with
+    canonicalize_url_sql — same shared steps, same piece arithmetic
+    — so a wrong port rule, decode, case fold, or dot-segment pass
+    flips the hash. Scale shape: pure JVM expressions fusing into
+    the scan (zero Python, zero shuffle), like x46/x9."""
+    from trisk_datawrangle_spark.llm.urls import canonicalize_url_expr
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://Host"), (did % 23).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(
+            did % 3 == 0,
+            F.when(did % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        ).when(did % 3 == 1, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/A/./b"), (did % 7).cast("string"),
+        F.lit("/../c%41/p%2e%7E"), did.cast("string"),
+        F.when(did % 2 == 0, F.lit("?x=%41&y=%3a")).otherwise(F.lit("")),
+        F.lit("#s"), did.cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        canonicalize_url_expr(url).alias("canon"),
+    )
