@@ -80,12 +80,14 @@ def test_jpeg_never_crashes_and_bounds_error(w, h, ch, quality, seed):
     gw, gh, gch, px = got
     assert (gw, gh, gch) == (w, h, ch)
     dec = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
-    # On full-range NOISE the per-pixel RGB error is NOT bounded by
-    # quantization: 4:2:0 averages chroma over 2x2 blocks, and random
-    # neighbors can shift Cb/Cr by ~190, i.e. ~1.77*190 in B before
-    # clipping — at ANY quality. What quantization does bound is the
-    # LUMA plane, so assert there (a broken zigzag/predictor/Huffman
-    # path still shows up as ~128-256 luma error).
+    # On full-range NOISE the per-pixel RGB error is NOT bounded
+    # tightly by quantization at ANY subsampling: the Annex-K CHROMA
+    # table is coarse (flat 99 in the high frequencies; ~109 at q55),
+    # and a chroma coefficient error propagates x1.77 into B via the
+    # color matrix — measured 235 at 4:4:4, 207 at 4:2:0 on the
+    # hypothesis counterexample. What quantization does bound is the
+    # LUMA plane (fine table), so assert there (a broken zigzag/
+    # predictor/Huffman path still shows up as ~128-256 luma error).
     if ch == 3:
         wts = np.array([0.299, 0.587, 0.114])
         luma_err = np.abs(
@@ -96,26 +98,32 @@ def test_jpeg_never_crashes_and_bounds_error(w, h, ch, quality, seed):
     assert luma_err <= 200, luma_err
     if quality >= 90:
         assert luma_err <= 35, luma_err
-    if ch == 3:
-        # chroma-SMOOTH image (2x2-constant blocks): subsampling is
-        # exact there, so the full-pixel error IS quantization-bounded
-        # — this keeps the chroma reconstruction path non-vacuously
-        # tested (a swapped Cb/Cr or broken upsample blows this up).
-        half = rng.integers(
-            0, 256, size=((h + 1) // 2, (w + 1) // 2, ch),
-            dtype=np.uint8,
-        )
-        smooth = half.repeat(2, axis=0).repeat(2, axis=1)[:h, :w, :]
-        payload2 = encode_jpeg(
-            w, h, ch, smooth.tobytes(), quality=quality
-        )
-        got2 = decode_jpeg(payload2)
-        assert got2 is not None
-        dec2 = np.frombuffer(got2[3], dtype=np.uint8).reshape(h, w, ch)
-        err2 = np.abs(dec2.astype(int) - smooth.astype(int)).max()
-        assert err2 <= 200, err2
-        if quality >= 90:
-            assert err2 <= 50, err2
+
+
+@settings(max_examples=10, deadline=None)
+@given(quality=st.integers(55, 97))
+def test_jpeg_chroma_path_reconstructs_colors(quality):
+    """The chroma RECONSTRUCTION path (Cb/Cr quantization, 4:2:0
+    subsample + upsample geometry, color matrix) under a TIGHT bound:
+    a non-square two-region red/blue image has smooth chroma planes,
+    so interior pixels reconstruct within ~1 (measured across
+    qualities). A swapped Cb/Cr flips red<->blue (~170 error); a
+    transposed/misshapen 2x2 upsample scrambles the non-square plane;
+    both blow the 40 bound. Random-noise chroma can NOT be bounded
+    tightly at any quality (coarse Annex-K chroma table x1.77 color
+    gain), which is why this arm is structured, not random."""
+    img = np.zeros((16, 32, 3), np.uint8)
+    img[:, :16] = (200, 30, 30)
+    img[:, 16:] = (30, 30, 200)
+    payload = encode_jpeg(
+        32, 16, 3, img.tobytes(), quality=quality, subsampling="420"
+    )
+    got = decode_jpeg(payload)
+    assert got is not None
+    dec = np.frombuffer(got[3], dtype=np.uint8).reshape(16, 32, 3)
+    for y, x in [(8, 6), (8, 25), (3, 4), (12, 28)]:
+        err = np.abs(dec[y, x].astype(int) - img[y, x].astype(int)).max()
+        assert err <= 40, (y, x, err)
 
 
 @settings(max_examples=25, deadline=None)

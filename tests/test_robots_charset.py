@@ -224,6 +224,33 @@ class TestCharset:
         )
         assert decode_body(None, b"\xe9")[0] == "windows-1252"
 
+    def test_meta_utf16_redirects_to_utf8(self):
+        # WHATWG prescan: a meta declaring utf-16 is self-
+        # contradictory (the prescan works on ASCII-compatible
+        # bytes) and MUST be treated as utf-8 — honoring it turns
+        # ASCII pages into CJK mojibake
+        for decl in ("utf-16le", "utf-16be"):
+            body = f'<meta charset="{decl}">hello'.encode("ascii")
+            got = decode_body(None, body)
+            assert got is not None
+            label, text = got
+            assert label == "utf-8"
+            assert text.endswith("hello")
+
+    def test_windows_1252_decode_is_total(self):
+        # Python's strict cp1252 raises on 0x81/0x8D/0x8F/0x90/0x9D;
+        # WHATWG windows-1252 maps them to the like-numbered C1
+        # controls — undeclared legacy bytes must decode, not drop
+        body = b"hello \x81 world \xe9"
+        got = decode_body(None, body)
+        assert got is not None
+        label, text = got
+        assert label == "windows-1252"
+        assert text == "hello \x81 world é"
+        # declared windows-1252 likewise
+        got = decode_body("x; charset=windows-1252", b"\x8d\x90\x9d")
+        assert got == ("windows-1252", "\x8d\x90\x9d")
+
     def test_refusals(self):
         # declared-but-unsupported charset
         assert decode_body("x; charset=shift-jis", b"abc") is None

@@ -5084,6 +5084,15 @@ _X47_META = '<meta charset="windows-1252">'
 @q(
     "x47_charset_sniff",
     f"""
+WITH d AS (
+    SELECT doc_id, text,
+        -- legacy-arm projection shared with the kernel: arms 1-4
+        -- encode as cp1252/ascii/utf-16, which raises on characters
+        -- outside those sets, so non-ASCII text projects to '?'
+        -- BEFORE encoding (and the byte arithmetic stays chars=bytes)
+        regexp_replace(text, '[^\\x00-\\x7f]', '?', 'g') AS t
+    FROM documents
+)
 SELECT doc_id,
     CASE doc_id % 5
         WHEN 0 THEN 'utf-8'
@@ -5093,17 +5102,17 @@ SELECT doc_id,
         ELSE 'windows-1252' END AS charset,
     CAST(CASE doc_id % 5
         WHEN 0 THEN octet_length(encode(text)) + 6
-        WHEN 1 THEN length(text) + 3
-        WHEN 2 THEN {len(_X47_META)} + length(text) + 3
-        WHEN 3 THEN 2 * (length(text) + 2) + 2
-        ELSE length(text) + 2 END AS BIGINT) AS n_bytes,
+        WHEN 1 THEN length(t) + 3
+        WHEN 2 THEN {len(_X47_META)} + length(t) + 3
+        WHEN 3 THEN 2 * (length(t) + 2) + 2
+        ELSE length(t) + 2 END AS BIGINT) AS n_bytes,
     CASE doc_id % 5
         WHEN 0 THEN text || ' é€'
-        WHEN 1 THEN text || ' é€'
-        WHEN 2 THEN '{_X47_META}' || text || ' Ã©'
-        WHEN 3 THEN text || ' 世'
-        ELSE text || ' é' END AS clean
-FROM documents
+        WHEN 1 THEN t || ' é€'
+        WHEN 2 THEN '{_X47_META}' || t || ' Ã©'
+        WHEN 3 THEN t || ' 世'
+        ELSE t || ' é' END AS clean
+FROM d
 """,
 )
 def x47(spark, sf_dir):
@@ -5134,6 +5143,8 @@ def x47(spark, sf_dir):
     like the media codecs; detection is O(1024) per record."""
     import pandas as pd
 
+    import re as _re
+
     from trisk_datawrangle_spark.llm.charset import http_decode_text
     from trisk_datawrangle_spark.llm.extract import http_chunk_encode
 
@@ -5147,30 +5158,35 @@ def x47(spark, sf_dir):
             ):
                 doc_id = int(doc_id)
                 m = doc_id % 5
+                # legacy arms encode as cp1252/ascii/utf-16, which
+                # RAISES on characters outside those sets — project
+                # to ASCII first (shared with the oracle's
+                # regexp_replace), keeping chars == bytes
+                t = _re.sub(r"[^\x00-\x7f]", "?", text)
                 if m == 0:
                     body = (text + " é€").encode("utf-8")
                     ctype = "text/html; charset=utf-8"
                     expect = text + " é€"
                 elif m == 1:
-                    body = (text + " é€").encode("cp1252")
+                    body = (t + " é€").encode("cp1252")
                     ctype = "text/html; charset=ISO-8859-1"
-                    expect = text + " é€"
+                    expect = t + " é€"
                 elif m == 2:
-                    body = (meta + text + " ").encode(
+                    body = (meta + t + " ").encode(
                         "ascii"
                     ) + b"\xc3\xa9"
                     ctype = "text/html"
-                    expect = meta + text + " Ã©"
+                    expect = meta + t + " Ã©"
                 elif m == 3:
-                    body = b"\xfe\xff" + (text + " 世").encode(
+                    body = b"\xfe\xff" + (t + " 世").encode(
                         "utf-16be"
                     )
                     ctype = "text/html; charset=windows-1252"
-                    expect = text + " 世"
+                    expect = t + " 世"
                 else:
-                    body = (text + " é").encode("cp1252")
+                    body = (t + " é").encode("cp1252")
                     ctype = "text/html"
-                    expect = text + " é"
+                    expect = t + " é"
                 if m == 0:
                     rec = (
                         b"HTTP/1.1 200 OK\r\nContent-Type: "
@@ -5223,15 +5239,22 @@ from trisk_datawrangle_spark.llm.urls import canonicalize_url_sql
 WITH raw AS (
     SELECT doc_id,
         (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
-        || '://Host' || CAST(doc_id % 23 AS VARCHAR) || '.Example.COM'
+        || '://'
+        || (CASE WHEN doc_id % 7 = 0
+            THEN 'UsEr' || CAST(doc_id AS VARCHAR) || '@'
+            ELSE '' END)
+        || 'Host' || CAST(doc_id % 23 AS VARCHAR) || '.Example.COM'
         || (CASE doc_id % 3
             WHEN 0 THEN (CASE WHEN doc_id % 2 = 0
                          THEN ':80' ELSE ':443' END)
             WHEN 1 THEN ':8080'
             ELSE '' END)
-        || '/A/./b' || CAST(doc_id % 7 AS VARCHAR)
-        || '/../c%41/p%2e%7E' || CAST(doc_id AS VARCHAR)
-        || (CASE WHEN doc_id % 2 = 0 THEN '?x=%41&y=%3a' ELSE '' END)
+        || (CASE WHEN doc_id % 5 = 0 THEN ''
+            ELSE '/A/./b' || CAST(doc_id % 7 AS VARCHAR)
+                 || '/../c%41/p%2e%7E' || CAST(doc_id AS VARCHAR)
+            END)
+        || (CASE WHEN doc_id % 2 = 0
+            THEN '?x=%41&y=%3a&r=/a/../b' ELSE '' END)
         || '#s' || CAST(doc_id AS VARCHAR) AS url
     FROM documents
 )
@@ -5251,7 +5274,11 @@ def x52(spark, sf_dir):
     dot-segment resolution from the DOT_SEGMENT_STEPS chain shared
     VERBATIM with the oracle builder. Each doc gets a messy spelling
     (case noise, a default/kept/absent port rotation, /./ and /../
-    segments, three escape spellings, a fragment); the oracle
+    segments, three escape spellings, a fragment; every 7th URL
+    carries case-sensitive userinfo that must pass through VERBATIM,
+    every 5th has no path — empty path + query normalizes to '/' —
+    and the query embeds a literal '/a/../b' that dot-segment removal
+    must NOT rewrite, the over-merge bug class); the oracle
     rebuilds the same raw URL arithmetically and canonicalizes with
     canonicalize_url_sql — same shared steps, same piece arithmetic
     — so a wrong port rule, decode, case fold, or dot-segment pass
@@ -5263,15 +5290,25 @@ def x52(spark, sf_dir):
     did = F.col("doc_id")
     url = F.concat(
         F.when(did % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
-        F.lit("://Host"), (did % 23).cast("string"),
+        F.lit("://"),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit("UsEr"), did.cast("string"), F.lit("@")),
+        ).otherwise(F.lit("")),
+        F.lit("Host"), (did % 23).cast("string"),
         F.lit(".Example.COM"),
         F.when(
             did % 3 == 0,
             F.when(did % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
         ).when(did % 3 == 1, F.lit(":8080")).otherwise(F.lit("")),
-        F.lit("/A/./b"), (did % 7).cast("string"),
-        F.lit("/../c%41/p%2e%7E"), did.cast("string"),
-        F.when(did % 2 == 0, F.lit("?x=%41&y=%3a")).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit("")).otherwise(
+            F.concat(
+                F.lit("/A/./b"), (did % 7).cast("string"),
+                F.lit("/../c%41/p%2e%7E"), did.cast("string"),
+            )
+        ),
+        F.when(did % 2 == 0, F.lit("?x=%41&y=%3a&r=/a/../b"))
+        .otherwise(F.lit("")),
         F.lit("#s"), did.cast("string"),
     )
     return d.select(

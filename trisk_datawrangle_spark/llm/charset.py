@@ -56,6 +56,32 @@ _ALIASES = {
     "us-ascii": "windows-1252",
 }
 
+#: Python's cp1252 leaves five bytes undefined (0x81 0x8D 0x8F 0x90
+#: 0x9D) and raises on them in strict mode; the WHATWG windows-1252
+#: encoding — the one browsers implement and this module claims —
+#: maps them to the like-numbered C1 controls, making the decode
+#: TOTAL (every byte sequence decodes). This error handler supplies
+#: exactly that mapping and nothing more, so windows-1252 decodes
+#: per spec while utf-8/utf-16 stay strict.
+_WHATWG_1252_BYTES = frozenset((0x81, 0x8D, 0x8F, 0x90, 0x9D))
+
+
+def _whatwg1252_errors(exc):
+    if not isinstance(exc, UnicodeDecodeError):  # pragma: no cover
+        raise exc
+    bad = exc.object[exc.start:exc.end]
+    if all(b in _WHATWG_1252_BYTES for b in bad):
+        return "".join(chr(b) for b in bad), exc.end
+    raise exc
+
+
+codecs.register_error("whatwg1252", _whatwg1252_errors)
+
+
+def _errors_for(label: str) -> str:
+    return "whatwg1252" if label == "windows-1252" else "strict"
+
+
 _CHARSET_PARAM_RX = re.compile(
     r"charset[ \t]*=[ \t]*\"?([A-Za-z0-9_.:-]+)\"?", re.I
 )
@@ -86,7 +112,15 @@ def sniff_charset(content_type: str | None, body: bytes) -> str | None:
             return _label(m.group(1))  # declared but unknown: None
     m = _META_RX.search(body[:1024])
     if m:
-        return _label(m.group(1).decode("ascii", "replace"))
+        label = _label(m.group(1).decode("ascii", "replace"))
+        # WHATWG prescan: a meta declaring utf-16 is self-
+        # contradictory (the prescan only works on ASCII-compatible
+        # bytes, so the document cannot actually BE utf-16) and MUST
+        # be treated as utf-8 — honoring it decodes ASCII pages into
+        # CJK mojibake
+        if label in ("utf-16be", "utf-16le"):
+            return "utf-8"
+        return label
     try:
         body.decode("utf-8", "strict")
         return "utf-8"
@@ -100,7 +134,10 @@ def decode_body(content_type: str | None, body: bytes) -> tuple[str, str] | None
     charset is undeclared-and-unsupported or the bytes do not decode
     strictly under the sniffed charset (a LYING declaration — utf-16
     with an odd byte count, declared utf-8 that isn't — is refused,
-    not patched with replacement chars)."""
+    not patched with replacement chars). windows-1252 alone is a
+    TOTAL decode (the WHATWG mapping assigns every byte, incl. the
+    five Python's strict cp1252 leaves undefined), so the refusal
+    arm never fires for it — per spec, not leniency."""
     label = sniff_charset(content_type, body)
     if label is None:
         return None
@@ -112,7 +149,7 @@ def decode_body(content_type: str | None, body: bytes) -> tuple[str, str] | None
     elif label == "utf-16le" and data[:2] == codecs.BOM_UTF16_LE:
         data = data[2:]
     try:
-        return label, data.decode(label, "strict")
+        return label, data.decode(label, _errors_for(label))
     except UnicodeDecodeError:
         return None
 

@@ -41,11 +41,15 @@ self-match class of bugs). Decode runs BEFORE dot-segment removal
 (§6.2.2 order: ``%2E`` must resolve as a dot segment).
 
 Scheme-based normalization (§6.2.3): scheme/host lowercase, default
-ports dropped (http:80, https:443), empty path → ``/``, fragment
-stripped (client-side). Non-absolute inputs (no ``scheme://``)
-canonicalize to the empty string — loud enough to filter, cheap
-enough to fuse. Userinfo (``user@host``) is out of scope for a
-crawl frontier and left in the host slot untouched.
+ports dropped (http:80, https:443), empty path → ``/`` (with or
+without a query), fragment stripped (client-side). Percent
+normalization applies to path AND query; dot-segment removal to the
+PATH ONLY — a ``/../`` inside a query parameter value is data, and
+rewriting it would over-merge distinct URLs. Userinfo
+(``user@host``) passes through VERBATIM: it is case-sensitive per
+§3.2.1, so it is excluded from the host's case fold. Non-absolute
+inputs (no ``scheme://``) canonicalize to the empty string — loud
+enough to filter, cheap enough to fuse.
 """
 
 from __future__ import annotations
@@ -71,7 +75,8 @@ DOT_SEGMENT_STEPS: list[tuple[str, str]] = _DOT_PASS * DOT_SEGMENT_PASSES
 
 _SCHEME_RX = "^([A-Za-z][A-Za-z0-9+.-]*)://"
 _AUTH_RX = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
-_PATHQ_RX = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)"
+_PATH_RX = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RX = "^[^?#]*(\\?[^#]*)"
 _HEX2_RX = "^[0-9A-Fa-f]{2}"
 
 
@@ -118,12 +123,20 @@ def pct_normalize_expr(pathq: Column) -> Column:
 
 def canonicalize_url_expr(col: str | Column) -> Column:
     """Canonical form of an absolute http(s) URL as one JVM
-    expression chain (see module docstring for the exact steps)."""
+    expression chain (see module docstring for the exact steps).
+    Percent normalization applies to path AND query (§6.2.2.1-2);
+    dot-segment removal applies to the PATH ONLY (§6.2.2.3 — a
+    ``/../`` inside a query parameter value is data, and rewriting
+    it over-merges distinct URLs); userinfo passes through verbatim
+    (case-sensitive per §3.2.1); an empty path with authority
+    normalizes to ``/`` whether or not a query follows (§6.2.3)."""
     url = F.col(col) if isinstance(col, str) else col
     scheme = F.lower(F.regexp_extract(url, _SCHEME_RX, 1))
     auth = F.regexp_extract(url, _AUTH_RX, 1)
-    host = F.lower(F.regexp_replace(auth, ":[0-9]*$", ""))
-    port = F.regexp_extract(auth, ":([0-9]+)$", 1)
+    user = F.regexp_extract(auth, "^(.*@)", 1)
+    hostport = F.regexp_replace(auth, "^.*@", "")
+    host = F.lower(F.regexp_replace(hostport, ":[0-9]*$", ""))
+    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
     default = (
         ((scheme == "http") & (port == "80"))
         | ((scheme == "https") & (port == "443"))
@@ -132,12 +145,15 @@ def canonicalize_url_expr(col: str | Column) -> Column:
     portpart = F.when(default, F.lit("")).otherwise(
         F.concat(F.lit(":"), port)
     )
-    pathq = pct_normalize_expr(F.regexp_extract(url, _PATHQ_RX, 1))
+    path = pct_normalize_expr(F.regexp_extract(url, _PATH_RX, 1))
     for pat, rep in DOT_SEGMENT_STEPS:
-        pathq = F.regexp_replace(pathq, pat, rep)
-    pathq = F.when(pathq == "", F.lit("/")).otherwise(pathq)
+        path = F.regexp_replace(path, pat, rep)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = pct_normalize_expr(F.regexp_extract(url, _QUERY_RX, 1))
     return F.when(scheme == "", F.lit("")).otherwise(
-        F.concat(scheme, F.lit("://"), host, portpart, pathq)
+        F.concat(
+            scheme, F.lit("://"), user, host, portpart, path, query
+        )
     )
 
 
@@ -178,24 +194,30 @@ def canonicalize_url_sql(expr: str) -> str:
     arithmetic."""
     scheme = f"lower(regexp_extract({expr}, '{_SCHEME_RX}', 1))"
     auth = f"regexp_extract({expr}, '{_AUTH_RX}', 1)"
-    host = f"lower(regexp_replace({auth}, ':[0-9]*$', ''))"
-    port = f"regexp_extract({auth}, ':([0-9]+)$', 1)"
+    user = f"regexp_extract({auth}, '^(.*@)', 1)"
+    hostport = f"regexp_replace({auth}, '^.*@', '')"
+    host = f"lower(regexp_replace({hostport}, ':[0-9]*$', ''))"
+    port = f"regexp_extract({hostport}, ':([0-9]+)$', 1)"
     default = (
         f"(({scheme} = 'http' AND {port} = '80') OR "
         f"({scheme} = 'https' AND {port} = '443') OR {port} = '')"
     )
     portpart = f"CASE WHEN {default} THEN '' ELSE ':' || {port} END"
-    pathq = pct_normalize_sql(
-        f"regexp_extract({expr}, '{_PATHQ_RX}', 1)"
+    path = pct_normalize_sql(
+        f"regexp_extract({expr}, '{_PATH_RX}', 1)"
     )
     # DuckDB standard strings pass backslashes through literally, so
     # patterns embed as-is (the strip_html_sql convention); only
     # quotes would need doubling (none of these contain quotes).
     for pat, rep in DOT_SEGMENT_STEPS:
-        pathq = f"regexp_replace({pathq}, '{pat}', '{rep}', 'g')"
-    pathq = f"CASE WHEN {pathq} = '' THEN '/' ELSE {pathq} END"
+        path = f"regexp_replace({path}, '{pat}', '{rep}', 'g')"
+    path = f"CASE WHEN {path} = '' THEN '/' ELSE {path} END"
+    query = pct_normalize_sql(
+        f"regexp_extract({expr}, '{_QUERY_RX}', 1)"
+    )
     return (
         f"CASE WHEN {scheme} = '' THEN '' "
-        f"ELSE {scheme} || '://' || {host} || {portpart} || {pathq} "
+        f"ELSE {scheme} || '://' || {user} || {host} || {portpart} "
+        f"|| {path} || {query} "
         f"END"
     )
