@@ -229,13 +229,19 @@ class TestCharset:
         # contradictory (the prescan works on ASCII-compatible
         # bytes) and MUST be treated as utf-8 — honoring it turns
         # ASCII pages into CJK mojibake
-        for decl in ("utf-16le", "utf-16be"):
+        for decl in ("utf-16le", "utf-16be", "utf-16", "UTF-16"):
             body = f'<meta charset="{decl}">hello'.encode("ascii")
             got = decode_body(None, body)
             assert got is not None
             label, text = got
             assert label == "utf-8"
             assert text.endswith("hello")
+
+    def test_header_bare_utf16_is_le_alias(self):
+        # WHATWG: a header-declared bare 'utf-16' means utf-16le
+        body = self.T.encode("utf-16le")  # no BOM
+        got = decode_body("text/html; charset=utf-16", body)
+        assert got == ("utf-16le", self.T)
 
     def test_windows_1252_decode_is_total(self):
         # Python's strict cp1252 raises on 0x81/0x8D/0x8F/0x90/0x9D;

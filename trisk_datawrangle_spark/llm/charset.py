@@ -48,6 +48,7 @@ _ALIASES = {
     "utf8": "utf-8",
     "utf-16be": "utf-16be",
     "utf-16le": "utf-16le",
+    "utf-16": "utf-16le",  # WHATWG: bare utf-16 is an le alias
     "windows-1252": "windows-1252",
     "cp1252": "windows-1252",
     "iso-8859-1": "windows-1252",
@@ -113,12 +114,13 @@ def sniff_charset(content_type: str | None, body: bytes) -> str | None:
     m = _META_RX.search(body[:1024])
     if m:
         label = _label(m.group(1).decode("ascii", "replace"))
-        # WHATWG prescan: a meta declaring utf-16 is self-
+        # WHATWG prescan: a meta declaring ANY utf-16 flavor (be/le/
+        # bare — the bare spelling is the common one) is self-
         # contradictory (the prescan only works on ASCII-compatible
         # bytes, so the document cannot actually BE utf-16) and MUST
         # be treated as utf-8 — honoring it decodes ASCII pages into
         # CJK mojibake
-        if label in ("utf-16be", "utf-16le"):
+        if label is not None and label.startswith("utf-16"):
             return "utf-8"
         return label
     try:
