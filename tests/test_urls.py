@@ -17,7 +17,29 @@ from trisk_datawrangle_spark.llm.urls import (
     DOT_SEGMENT_STEPS,
     canonicalize_url_expr,
     canonicalize_url_sql,
+    resolve_url_expr,
+    resolve_url_sql,
 )
+
+BASE = "https://Host3.example.com/dir/sub/page.html?old=1#top"
+
+# (ref, resolved-then-canonicalized) against BASE
+RESOLVE_CASES = [
+    ("http://abs.com/x", "http://abs.com/x"),
+    ("//cdn.example.com/lib.js", "https://cdn.example.com/lib.js"),
+    ("/img/1.png", "https://host3.example.com/img/1.png"),
+    ("?page=2", "https://host3.example.com/dir/sub/page.html?page=2"),
+    ("", "https://host3.example.com/dir/sub/page.html?old=1"),
+    ("#sec", "https://host3.example.com/dir/sub/page.html?old=1"),
+    ("../up/x", "https://host3.example.com/dir/up/x"),
+    ("sibling.html", "https://host3.example.com/dir/sub/sibling.html"),
+    ("a/b/../c", "https://host3.example.com/dir/sub/a/c"),
+    ("./here", "https://host3.example.com/dir/sub/here"),
+    # ANY scheme: prefix is absolute — mailto must not merge into
+    # the base path, and canonicalization drops non-http(s) to ''
+    ("mailto:x@y.z", ""),
+    ("tel:+15551234567", ""),
+]
 
 CASES = [
     # case folding + default port + decode + dot segments + fragment
@@ -81,14 +103,15 @@ def test_duckdb_side_expected_values():
 
 
 def test_duckdb_idempotent():
+    # feed each canonical result back through as DATA (composing the
+    # SQL text would square the expression string)
     con = duckdb.connect()
     sql = canonicalize_url_sql("u")
-    sql2 = canonicalize_url_sql(f"({sql})")
     for raw, want in CASES:
         if not want:
             continue
         got2 = con.execute(
-            f"SELECT {sql2} FROM (SELECT ? AS u)", [raw]
+            f"SELECT {sql} FROM (SELECT ? AS u)", [want]
         ).fetchone()[0]
         assert got2 == want, (raw, got2, want)
 
@@ -97,15 +120,73 @@ def test_duckdb_idempotent():
 def test_spark_parity_and_idempotence(spark):
     df = spark.createDataFrame([(r,) for r, _ in CASES], "u string")
     out = df.select(
-        "u",
-        canonicalize_url_expr("u").alias("c1"),
-        canonicalize_url_expr(canonicalize_url_expr("u")).alias("c2"),
+        "u", canonicalize_url_expr("u").alias("c1")
     ).collect()
     want = dict(CASES)
     for row in out:
         assert row["c1"] == want[row["u"]], row
-        if want[row["u"]]:
-            assert row["c2"] == row["c1"], row
+    # idempotence: canonical outputs fed back through as DATA
+    canon = [(w,) for _, w in CASES if w]
+    df2 = spark.createDataFrame(canon, "u string")
+    for row in df2.select(
+        "u", canonicalize_url_expr("u").alias("c2")
+    ).collect():
+        assert row["c2"] == row["u"], row
+
+
+@pytest.mark.usefixtures("spark")
+def test_staged_variants_match_column_variants(spark):
+    from trisk_datawrangle_spark.llm.urls import (
+        with_canonical_url,
+        with_resolved_url,
+    )
+
+    df = spark.createDataFrame([(r,) for r, _ in CASES], "u string")
+    got = {
+        r["u"]: r["c"]
+        for r in with_canonical_url(df, "u", "c").collect()
+    }
+    want = dict(CASES)
+    for u, w in want.items():
+        assert got[u] == w, (u, got[u], w)
+    df2 = spark.createDataFrame(
+        [(BASE, r) for r, _ in RESOLVE_CASES], "b string, r string"
+    )
+    staged = with_canonical_url(
+        with_resolved_url(df2, "b", "r", "raw"), "raw", "resolved"
+    )
+    wantr = dict(RESOLVE_CASES)
+    for row in staged.select("r", "resolved").collect():
+        assert row["resolved"] == wantr[row["r"]], row
+
+
+def test_resolve_duckdb_expected_values():
+    con = duckdb.connect()
+    base_lit = "'" + BASE + "'"
+    sql = canonicalize_url_sql(
+        "(" + resolve_url_sql(base_lit, "r") + ")"
+    )
+    for ref, want in RESOLVE_CASES:
+        got = con.execute(
+            f"SELECT {sql} FROM (SELECT ? AS r)", [ref]
+        ).fetchone()[0]
+        assert got == want, (ref, got, want)
+
+
+@pytest.mark.usefixtures("spark")
+def test_resolve_spark_parity(spark):
+    df = spark.createDataFrame(
+        [(BASE, r) for r, _ in RESOLVE_CASES], "b string, r string"
+    )
+    out = df.select(
+        "r",
+        canonicalize_url_expr(
+            resolve_url_expr("b", "r")
+        ).alias("resolved"),
+    ).collect()
+    want = dict(RESOLVE_CASES)
+    for row in out:
+        assert row["resolved"] == want[row["r"]], row
 
 
 @pytest.mark.usefixtures("spark")

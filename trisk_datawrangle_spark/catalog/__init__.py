@@ -55,8 +55,11 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 # x47_charset_sniff (WHATWG charset precedence + strict decode over
 # the s11 HTTP body path) and x52_url_canonicalize (RFC 3986 §6.2.2
 # frontier dedup key: split-fold percent normalization + shared
-# dot-segment chain) — the last three push d9/d10/a13 to lead the
-# r10 window; (3) 22 of the
+# dot-segment chain) and x53_link_resolve (RFC 3986 §5.3 relative-
+# reference resolution composed with canonicalization) — the last
+# four push d9/d10/a13/x14 to lead the r10 window (x14's keyed
+# text-aggregate machinery stays covered in-window by x11-x13);
+# (3) 21 of the
 # 49 r5-proof
 # entries — every one with machinery no in-window sibling covers
 # (the x11-x21 text/sketch family minus x19, whose grouped
@@ -88,6 +91,7 @@ _PRIORITY = [
     "x51_robots_filter",
     "x47_charset_sniff",
     "x52_url_canonicalize",
+    "x53_link_resolve",
     "m8_progressive_decode",
     "s13_pdf_extract",
     "m9_image_dedup",

@@ -5230,7 +5230,11 @@ def x47(spark, sf_dir):
     )
 
 
-from trisk_datawrangle_spark.llm.urls import canonicalize_url_sql
+from trisk_datawrangle_spark.llm.urls import (
+    canonicalize_url_sql,
+    pct_normalize_sql,
+    resolve_url_sql,
+)
 
 
 @q(
@@ -5257,9 +5261,15 @@ WITH raw AS (
             THEN '?x=%41&y=%3a&r=/a/../b' ELSE '' END)
         || '#s' || CAST(doc_id AS VARCHAR) AS url
     FROM documents
+),
+n AS (
+    -- the percent fold staged once per row (the Spark side stages
+    -- identically — with_canonical_url's __nurl column)
+    SELECT doc_id, url, {pct_normalize_sql("url")} AS nurl FROM raw
 )
-SELECT doc_id, url, {canonicalize_url_sql("url")} AS canon
-FROM raw
+SELECT doc_id, url,
+    {canonicalize_url_sql("nurl", prenormalized=True)} AS canon
+FROM n
 """,
 )
 def x52(spark, sf_dir):
@@ -5284,7 +5294,7 @@ def x52(spark, sf_dir):
     — so a wrong port rule, decode, case fold, or dot-segment pass
     flips the hash. Scale shape: pure JVM expressions fusing into
     the scan (zero Python, zero shuffle), like x46/x9."""
-    from trisk_datawrangle_spark.llm.urls import canonicalize_url_expr
+    from trisk_datawrangle_spark.llm.urls import with_canonical_url
 
     d = _docs(spark, sf_dir).select("doc_id")
     did = F.col("doc_id")
@@ -5311,8 +5321,118 @@ def x52(spark, sf_dir):
         .otherwise(F.lit("")),
         F.lit("#s"), did.cast("string"),
     )
-    return d.select(
+    # staged variant: the percent fold disqualifies whole-stage
+    # codegen, and interpreted mode re-evaluates every duplicated
+    # subtree per reference — with_canonical_url materializes each
+    # structural piece exactly once (see llm/urls.py)
+    raw = d.select("doc_id", url.alias("url"))
+    return with_canonical_url(raw, "url", "canon")
+
+
+@q(
+    "x53_link_resolve",
+    f"""
+WITH pages AS (
+    SELECT doc_id,
+        'https://Host' || CAST(doc_id % 23 AS VARCHAR)
+        || '.Example.com/dir' || CAST(doc_id % 7 AS VARCHAR)
+        || '/sub/page' || CAST(doc_id AS VARCHAR) || '.html?o=1#t'
+            AS base
+    FROM documents
+),
+links AS (
+    SELECT doc_id, base, j.j AS ref_idx,
+        CASE j.j
+            WHEN 0 THEN 'HTTP://Other' || CAST(doc_id % 5 AS VARCHAR)
+                        || '.example.com:80/abs%2e/x'
+            WHEN 1 THEN '//cdn' || CAST(doc_id % 3 AS VARCHAR)
+                        || '.Example.com/lib.js'
+            WHEN 2 THEN '/img/' || CAST(doc_id AS VARCHAR)
+                        || '.png?v=%41'
+            WHEN 3 THEN '../up' || CAST(doc_id % 7 AS VARCHAR) || '/x'
+            WHEN 4 THEN '?page=' || CAST(doc_id AS VARCHAR)
+            ELSE 'mailto:contact@example.com'
+        END AS ref
+    FROM pages, unnest(generate_series(0, 5)) AS j(j)
+),
+res AS (
+    SELECT doc_id, ref_idx, ref,
+        {resolve_url_sql('base', 'ref')} AS raw
+    FROM links
+),
+n AS (
+    SELECT doc_id, ref_idx, ref,
+        {pct_normalize_sql('raw')} AS nurl
+    FROM res
+)
+SELECT doc_id, CAST(ref_idx AS INTEGER) AS ref_idx, ref,
+    {canonicalize_url_sql('nurl', prenormalized=True)} AS resolved
+FROM n
+""",
+)
+def x53(spark, sf_dir):
+    """Relative-reference resolution (RFC 3986 §5.3, llm/urls.py
+    resolve_url_expr) composed with canonicalization — the other
+    half of the frontier's URL handling: pages link with RELATIVE
+    references (root-relative, protocol-relative, path-relative
+    with ../, query-only) far more often than absolute URLs, and a
+    link graph reading only absolute hrefs (x50) drops most real
+    edges. Six arms per page: an absolute URL with case/port/escape
+    noise (passes through resolution, canonicalization cleans it), a
+    network-path //cdn ref (inherits the base scheme), a
+    root-relative image with an escaped query, a ../ path-relative
+    ref (the §5.3.3 merge, dot segment resolved by the §6.2.2.3
+    chain), a query-only ref (replaces the base query, keeps its
+    path), and a mailto: link — ANY 'scheme:' prefix is absolute, so
+    it must NOT merge into the base path; canonicalization returns
+    '' for it, which is how the frontier drops non-http(s) edges.
+    The oracle rebuilds base and refs arithmetically and replays
+    resolution + canonicalization with the shared-regex SQL
+    builders, so a wrong merge rule, scheme detection, origin slice,
+    or any canonicalization step flips the hash. Scale shape: pure
+    JVM expressions fused into the scan — zero Python, zero shuffle,
+    like x52/x46."""
+    from trisk_datawrangle_spark.llm.urls import (
+        with_canonical_url,
+        with_resolved_url,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    base = F.concat(
+        F.lit("https://Host"), (did % 23).cast("string"),
+        F.lit(".Example.com/dir"), (did % 7).cast("string"),
+        F.lit("/sub/page"), did.cast("string"), F.lit(".html?o=1#t"),
+    )
+    refs = F.array(
+        F.concat(F.lit("HTTP://Other"), (did % 5).cast("string"),
+                 F.lit(".example.com:80/abs%2e/x")),
+        F.concat(F.lit("//cdn"), (did % 3).cast("string"),
+                 F.lit(".Example.com/lib.js")),
+        F.concat(F.lit("/img/"), did.cast("string"),
+                 F.lit(".png?v=%41")),
+        F.concat(F.lit("../up"), (did % 7).cast("string"),
+                 F.lit("/x")),
+        F.concat(F.lit("?page="), did.cast("string")),
+        F.lit("mailto:contact@example.com"),
+    )
+    links = d.select(
         "doc_id",
-        url.alias("url"),
-        canonicalize_url_expr(url).alias("canon"),
+        base.alias("base"),
+        F.posexplode(refs).alias("ref_idx", "ref"),
+    )
+    # staged variants throughout: the percent fold disqualifies
+    # whole-stage codegen for this stage, and interpreted mode
+    # re-evaluates every duplicated subtree per reference — nesting
+    # canonicalize(resolve(...)) as one Column tree measured 35 s at
+    # sf1 where the staged shape runs in ~2 s (llm/urls.py has the
+    # full analysis)
+    raw = with_resolved_url(links, "base", "ref", "raw").select(
+        "doc_id",
+        F.col("ref_idx").cast("int").alias("ref_idx"),
+        "ref",
+        "raw",
+    )
+    return with_canonical_url(raw, "raw", "resolved").select(
+        "doc_id", "ref_idx", "ref", "resolved"
     )

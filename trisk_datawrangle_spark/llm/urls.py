@@ -105,13 +105,16 @@ def _decode_piece(p: Column) -> Column:
 
 def pct_normalize_expr(pathq: Column) -> Column:
     """Percent-encoding normalization of a path+query Column: split
-    on ``%``, fold pieces back through :func:`_decode_piece`."""
+    on ``%``, fold pieces back through :func:`_decode_piece`. Guarded
+    by one ``contains('%')`` — most real URLs carry no escapes, and
+    the fold is the expensive (interpreted-HOF) piece; the oracle
+    builder carries the same guard."""
     parts = F.split(pathq, "%", -1)
     head = F.element_at(parts, 1)
     tail = F.slice(
         parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))
     )
-    return F.concat(
+    folded = F.concat(
         head,
         F.aggregate(
             tail,
@@ -119,18 +122,37 @@ def pct_normalize_expr(pathq: Column) -> Column:
             lambda acc, p: F.concat(acc, _decode_piece(p)),
         ),
     )
+    return F.when(pathq.contains("%"), folded).otherwise(pathq)
+
+
+def _dot_resolve(path: Column) -> Column:
+    """The dot-segment chain behind a cheap substring guard: every
+    pattern in DOT_SEGMENT_STEPS requires the two octets ``/.``
+    somewhere in the path, and the overwhelming majority of real
+    URLs have none — one ``contains`` beats 20 regex scans per row
+    on the common case. The oracle builder carries the same guard."""
+    chained = path
+    for pat, rep in DOT_SEGMENT_STEPS:
+        chained = F.regexp_replace(chained, pat, rep)
+    return F.when(path.contains("/."), chained).otherwise(path)
 
 
 def canonicalize_url_expr(col: str | Column) -> Column:
     """Canonical form of an absolute http(s) URL as one JVM
     expression chain (see module docstring for the exact steps).
-    Percent normalization applies to path AND query (§6.2.2.1-2);
-    dot-segment removal applies to the PATH ONLY (§6.2.2.3 — a
-    ``/../`` inside a query parameter value is data, and rewriting
-    it over-merges distinct URLs); userinfo passes through verbatim
+    Percent normalization runs ONCE over the whole URL before any
+    structural split — §6.2.2.1-2 applies URI-wide (host and
+    userinfo escapes normalize too), and decoding only UNRESERVED
+    octets cannot create new delimiters, so the structure regexes
+    see equivalent text and one fold replaces two (the fold is the
+    expensive, codegen-disqualifying piece). Dot-segment removal
+    applies to the PATH ONLY (§6.2.2.3 — a ``/../`` inside a query
+    parameter value is data, and rewriting it over-merges distinct
+    URLs); userinfo passes through otherwise verbatim
     (case-sensitive per §3.2.1); an empty path with authority
     normalizes to ``/`` whether or not a query follows (§6.2.3)."""
-    url = F.col(col) if isinstance(col, str) else col
+    raw = F.col(col) if isinstance(col, str) else col
+    url = pct_normalize_expr(raw)
     scheme = F.lower(F.regexp_extract(url, _SCHEME_RX, 1))
     auth = F.regexp_extract(url, _AUTH_RX, 1)
     user = F.regexp_extract(auth, "^(.*@)", 1)
@@ -145,11 +167,9 @@ def canonicalize_url_expr(col: str | Column) -> Column:
     portpart = F.when(default, F.lit("")).otherwise(
         F.concat(F.lit(":"), port)
     )
-    path = pct_normalize_expr(F.regexp_extract(url, _PATH_RX, 1))
-    for pat, rep in DOT_SEGMENT_STEPS:
-        path = F.regexp_replace(path, pat, rep)
+    path = _dot_resolve(F.regexp_extract(url, _PATH_RX, 1))
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = pct_normalize_expr(F.regexp_extract(url, _QUERY_RX, 1))
+    query = F.regexp_extract(url, _QUERY_RX, 1)
     return F.when(scheme == "", F.lit("")).otherwise(
         F.concat(
             scheme, F.lit("://"), user, host, portpart, path, query
@@ -182,18 +202,31 @@ def pct_normalize_sql(pathq: str) -> str:
     parts = f"string_split({pathq}, '%')"
     # COALESCE: DuckDB's array_to_string over the empty piece list
     # (no '%' in the input) yields NULL, not '' — measured
-    return (
+    folded = (
         f"({parts}[1] || COALESCE(array_to_string("
         f"list_transform({parts}[2:], p -> {piece}), ''), ''))"
     )
+    return (
+        f"(CASE WHEN contains({pathq}, '%') THEN {folded} "
+        f"ELSE {pathq} END)"
+    )
 
 
-def canonicalize_url_sql(expr: str) -> str:
+def canonicalize_url_sql(expr: str, prenormalized: bool = False) -> str:
     """The SAME normalization as DuckDB SQL over ``expr`` — parity by
     shared data (DOT_SEGMENT_STEPS verbatim) and same-shape piece
-    arithmetic."""
-    scheme = f"lower(regexp_extract({expr}, '{_SCHEME_RX}', 1))"
-    auth = f"regexp_extract({expr}, '{_AUTH_RX}', 1)"
+    arithmetic, including the whole-URL percent fold and the
+    ``/.``-guard around the dot chain.
+
+    ``prenormalized=True`` skips the fold — for callers that stage
+    ``pct_normalize_sql`` in a CTE first. The combined form inlines
+    the fold's SQL at every structural reference (expression strings
+    cannot share subtrees), so oracle text grows ~15x and composing
+    it (idempotence tests) squares that; staging keeps both engines'
+    texts linear. Same output either way."""
+    url = expr if prenormalized else pct_normalize_sql(expr)
+    scheme = f"lower(regexp_extract({url}, '{_SCHEME_RX}', 1))"
+    auth = f"regexp_extract({url}, '{_AUTH_RX}', 1)"
     user = f"regexp_extract({auth}, '^(.*@)', 1)"
     hostport = f"regexp_replace({auth}, '^.*@', '')"
     host = f"lower(regexp_replace({hostport}, ':[0-9]*$', ''))"
@@ -203,21 +236,251 @@ def canonicalize_url_sql(expr: str) -> str:
         f"({scheme} = 'https' AND {port} = '443') OR {port} = '')"
     )
     portpart = f"CASE WHEN {default} THEN '' ELSE ':' || {port} END"
-    path = pct_normalize_sql(
-        f"regexp_extract({expr}, '{_PATH_RX}', 1)"
-    )
+    rawpath = f"regexp_extract({url}, '{_PATH_RX}', 1)"
+    path = rawpath
     # DuckDB standard strings pass backslashes through literally, so
     # patterns embed as-is (the strip_html_sql convention); only
     # quotes would need doubling (none of these contain quotes).
     for pat, rep in DOT_SEGMENT_STEPS:
         path = f"regexp_replace({path}, '{pat}', '{rep}', 'g')"
-    path = f"CASE WHEN {path} = '' THEN '/' ELSE {path} END"
-    query = pct_normalize_sql(
-        f"regexp_extract({expr}, '{_QUERY_RX}', 1)"
+    path = (
+        f"CASE WHEN contains({rawpath}, '/.') THEN {path} "
+        f"ELSE {rawpath} END"
     )
+    path = f"CASE WHEN {path} = '' THEN '/' ELSE {path} END"
+    query = f"regexp_extract({url}, '{_QUERY_RX}', 1)"
     return (
         f"CASE WHEN {scheme} = '' THEN '' "
         f"ELSE {scheme} || '://' || {user} || {host} || {portpart} "
         f"|| {path} || {query} "
         f"END"
+    )
+
+
+# ------------------------------------------------------------------ #
+# relative reference resolution (RFC 3986 §5)                         #
+# ------------------------------------------------------------------ #
+#
+# The other half of the frontier's URL handling: pages link with
+# RELATIVE references ("../up", "/img/x.png", "//cdn.example.com/a",
+# "?page=2") far more often than absolute URLs, and a link-graph
+# stage that only reads absolute hrefs drops most of the real edges.
+# Resolution here covers the absolute-base cases a crawler meets
+# (the base always IS absolute — it is the fetched page's URL):
+#
+#   ref has a scheme          -> ref itself (ANY 'scheme:' prefix,
+#                                '://' not required — mailto:/tel:
+#                                links must not merge into the base
+#                                path; canonicalize then returns ''
+#                                for non-http(s) results, which is
+#                                how the frontier drops them. A
+#                                relative first segment containing
+#                                ':' must be written './seg' per
+#                                §4.2 — same rule browsers apply)
+#   ref starts with '//'      -> base scheme ':' ref (network-path)
+#   ref starts with '/'       -> base origin + ref
+#   ref starts with '?'       -> base origin + base path + ref
+#   ref empty or '#...'       -> the base itself (same document)
+#   otherwise (relative path) -> base origin + merge(base path, ref):
+#                                base path up to its last '/' + ref
+#                                (§5.3.3 merge; empty base path -> '/')
+#
+# Dot segments introduced by the merge ("../up") are NOT handled
+# here: callers canonicalize the resolved URL (the §6.2.2.3 chain in
+# canonicalize_url_expr), which is also what pins the two functions
+# together in the x53 entry. Everything is JVM regexp_extract /
+# CASE — scan-fused like the canonicalizer.
+
+_ANY_SCHEME_RX = "^[A-Za-z][A-Za-z0-9+.-]*:"
+_ORIGIN_RX = "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
+_BASE_DIR_RX = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*/)"
+_BASE_PQ_RX = "^([^?#]*)"
+
+
+def resolve_url_expr(base: str | Column, ref: str | Column) -> Column:
+    """Resolve ``ref`` against absolute ``base`` (RFC 3986 §5.3) as
+    one JVM expression. The result is raw — feed it through
+    :func:`canonicalize_url_expr` for the frontier key."""
+    b = F.col(base) if isinstance(base, str) else base
+    r = F.col(ref) if isinstance(ref, str) else ref
+    r = F.regexp_replace(r, "#.*$", "")  # fragment never survives
+    scheme = F.regexp_extract(b, _SCHEME_RX, 1)
+    origin = F.regexp_extract(b, _ORIGIN_RX, 1)
+    # base path's directory: up to and including the last '/'
+    # (greedy [^?#]* before the final '/'); '' when the base path
+    # has no '/' at all (empty path) -> merge onto '/'
+    basedir = F.regexp_extract(b, _BASE_DIR_RX, 1)
+    basedir = F.when(basedir == "", F.lit("/")).otherwise(basedir)
+    basepath = F.regexp_extract(
+        F.regexp_extract(b, _PATH_RX, 1), _BASE_PQ_RX, 1
+    )
+    basepath = F.when(basepath == "", F.lit("/")).otherwise(basepath)
+    return (
+        F.when(r.rlike(_ANY_SCHEME_RX), r)
+        .when(r.startswith("//"), F.concat(scheme, F.lit(":"), r))
+        .when(r.startswith("/"), F.concat(origin, r))
+        .when(r.startswith("?"), F.concat(origin, basepath, r))
+        .when(r == "", F.regexp_replace(b, "#.*$", ""))
+        .otherwise(F.concat(origin, basedir, r))
+    )
+
+
+def resolve_url_sql(base: str, ref: str) -> str:
+    """The SAME resolution as DuckDB SQL — same regexes, same CASE
+    arms, same merge rule."""
+    r = f"regexp_replace({ref}, '#.*$', '')"
+    scheme = f"regexp_extract({base}, '{_SCHEME_RX}', 1)"
+    origin = f"regexp_extract({base}, '{_ORIGIN_RX}', 1)"
+    basedir = f"regexp_extract({base}, '{_BASE_DIR_RX}', 1)"
+    basedir = f"CASE WHEN {basedir} = '' THEN '/' ELSE {basedir} END"
+    basepath = (
+        f"regexp_extract(regexp_extract({base}, '{_PATH_RX}', 1), "
+        f"'{_BASE_PQ_RX}', 1)"
+    )
+    basepath = (
+        f"CASE WHEN {basepath} = '' THEN '/' ELSE {basepath} END"
+    )
+    return (
+        "CASE "
+        f"WHEN regexp_matches({r}, '{_ANY_SCHEME_RX}') THEN {r} "
+        f"WHEN {r} LIKE '//%' THEN {scheme} || ':' || {r} "
+        f"WHEN {r} LIKE '/%' THEN {origin} || {r} "
+        f"WHEN {r} LIKE '?%' THEN {origin} || {basepath} || {r} "
+        f"WHEN {r} = '' THEN regexp_replace({base}, '#.*$', '') "
+        f"ELSE {origin} || {basedir} || {r} END"
+    )
+
+
+# ------------------------------------------------------------------ #
+# staged (DataFrame-level) variants — the hot path                    #
+# ------------------------------------------------------------------ #
+#
+# canonicalize_url_expr/resolve_url_expr return ONE Column, which
+# forces every structural piece (scheme, authority, path, ...) to be
+# re-derived at each reference site. With the percent fold in the
+# tree the projection cannot whole-stage-codegen (higher-order
+# functions are not codegen-able), and INTERPRETED evaluation does no
+# common-subexpression elimination — so the nested tree re-runs each
+# regexp_extract per reference, measured ~60 us/row on the x53 shape
+# (18 s for 300k rows). The staged variants below materialize each
+# structural piece as a named column exactly once; Catalyst's
+# CollapseProject keeps multi-use non-cheap aliases as separate
+# projections, so per-row work drops to one evaluation per piece.
+# Same results by construction — pinned by tests against the Column
+# variants, and by the x52/x53 oracles.
+
+
+def with_canonical_url(df, src: str, out: str):
+    """``df`` plus column ``out`` = canonical form of absolute URL
+    column ``src`` — identical semantics to
+    :func:`canonicalize_url_expr`, staged for interpreted-mode
+    efficiency."""
+    # ONE percent fold over the whole URL (the expensive piece),
+    # then structural extraction from the normalized text — same
+    # order as canonicalize_url_expr
+    d = df.withColumn("__nurl", pct_normalize_expr(F.col(src)))
+    url = F.col("__nurl")
+    d = d.withColumns(
+        {
+            "__scheme": F.lower(F.regexp_extract(url, _SCHEME_RX, 1)),
+            "__auth": F.regexp_extract(url, _AUTH_RX, 1),
+            "__rawpath": F.regexp_extract(url, _PATH_RX, 1),
+            "__query": F.regexp_extract(url, _QUERY_RX, 1),
+        }
+    )
+    d = d.withColumns(
+        {
+            "__user": F.regexp_extract(F.col("__auth"), "^(.*@)", 1),
+            "__hostport": F.regexp_replace(
+                F.col("__auth"), "^.*@", ""
+            ),
+        }
+    )
+    d = d.withColumns(
+        {
+            "__host": F.lower(
+                F.regexp_replace(F.col("__hostport"), ":[0-9]*$", "")
+            ),
+            "__port": F.regexp_extract(
+                F.col("__hostport"), ":([0-9]+)$", 1
+            ),
+            "__path": _dot_resolve(F.col("__rawpath")),
+        }
+    )
+    scheme, port = F.col("__scheme"), F.col("__port")
+    default = (
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+        | (port == "")
+    )
+    canon = F.when(scheme == "", F.lit("")).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            F.col("__user"),
+            F.col("__host"),
+            F.when(default, F.lit("")).otherwise(
+                F.concat(F.lit(":"), port)
+            ),
+            F.when(F.col("__path") == "", F.lit("/")).otherwise(
+                F.col("__path")
+            ),
+            F.col("__query"),
+        )
+    )
+    return d.withColumn(out, canon).drop(
+        "__nurl", "__scheme", "__auth", "__rawpath", "__user",
+        "__hostport", "__query", "__host", "__port",
+        "__path",
+    )
+
+
+def with_resolved_url(df, base: str, ref: str, out: str):
+    """``df`` plus column ``out`` = ``ref`` resolved against absolute
+    ``base`` — identical semantics to :func:`resolve_url_expr`,
+    staged for interpreted-mode efficiency. The result is raw; chain
+    :func:`with_canonical_url` for the frontier key."""
+    b = F.col(base)
+    d = df.withColumns(
+        {
+            "__r": F.regexp_replace(F.col(ref), "#.*$", ""),
+            "__bscheme": F.regexp_extract(b, _SCHEME_RX, 1),
+            "__origin": F.regexp_extract(b, _ORIGIN_RX, 1),
+            "__bdir": F.regexp_extract(b, _BASE_DIR_RX, 1),
+            "__bpath": F.regexp_extract(
+                F.regexp_extract(b, _PATH_RX, 1), _BASE_PQ_RX, 1
+            ),
+        }
+    )
+    r = F.col("__r")
+    resolved = (
+        F.when(r.rlike(_ANY_SCHEME_RX), r)
+        .when(
+            r.startswith("//"),
+            F.concat(F.col("__bscheme"), F.lit(":"), r),
+        )
+        .when(r.startswith("/"), F.concat(F.col("__origin"), r))
+        .when(
+            r.startswith("?"),
+            F.concat(
+                F.col("__origin"),
+                F.when(F.col("__bpath") == "", F.lit("/")).otherwise(
+                    F.col("__bpath")
+                ),
+                r,
+            ),
+        )
+        .when(r == "", F.regexp_replace(b, "#.*$", ""))
+        .otherwise(
+            F.concat(
+                F.col("__origin"),
+                F.when(F.col("__bdir") == "", F.lit("/")).otherwise(
+                    F.col("__bdir")
+                ),
+                r,
+            )
+        )
+    )
+    return d.withColumn(out, resolved).drop(
+        "__r", "__bscheme", "__origin", "__bdir", "__bpath"
     )
