@@ -135,6 +135,37 @@ def test_spark_parity_and_idempotence(spark):
 
 
 @pytest.mark.usefixtures("spark")
+def test_fragment_strip_parity_on_trailing_newline(spark):
+    # Java's '$' matches BEFORE a trailing line terminator; RE2's
+    # only at end-of-text — '#.*$' stripped '#f\n' differently per
+    # engine. The shared (?s)#.* pattern must behave identically.
+    base = "https://h.com/dir/page.html"
+    ref = "x#f\n"
+    df = spark.createDataFrame([(base, ref)], "b string, r string")
+    got = df.select(
+        resolve_url_expr("b", "r").alias("o")
+    ).collect()[0]["o"]
+    want = duckdb.sql(
+        "SELECT "
+        + resolve_url_sql("'" + base + "'", "r")
+        + " FROM (SELECT 'x#f' || chr(10) AS r)"
+    ).fetchone()[0]
+    assert got == want == "https://h.com/dir/x"
+
+
+@pytest.mark.usefixtures("spark")
+def test_staged_helper_rejects_temp_column_collisions(spark):
+    from trisk_datawrangle_spark.llm.urls import with_canonical_url
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("http://h.com/a",)], "u string"
+    ).withColumn("__nurl", F.lit("caller data"))
+    with pytest.raises(ValueError, match="__nurl"):
+        with_canonical_url(df, "u", "c")
+
+
+@pytest.mark.usefixtures("spark")
 def test_staged_variants_match_column_variants(spark):
     from trisk_datawrangle_spark.llm.urls import (
         with_canonical_url,

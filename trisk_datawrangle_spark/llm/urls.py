@@ -137,6 +137,68 @@ def _dot_resolve(path: Column) -> Column:
     return F.when(path.contains("/."), chained).otherwise(path)
 
 
+# The canonicalization semantics exist ONCE on the Spark side: the
+# piece builders below derive each structural Column, and the
+# assembler applies the default-port / empty-path / no-scheme rules.
+# canonicalize_url_expr composes them as one nested tree (handy for
+# tests and small data); with_canonical_url materializes each piece
+# as a named column (the hot path — see the staged-variants note).
+# A fix to any rule lands in exactly one place.
+
+
+def _url_pieces(url: Column) -> dict:
+    """Stage-1 structural extraction from a percent-normalized URL."""
+    return {
+        "scheme": F.lower(F.regexp_extract(url, _SCHEME_RX, 1)),
+        "auth": F.regexp_extract(url, _AUTH_RX, 1),
+        "rawpath": F.regexp_extract(url, _PATH_RX, 1),
+        "query": F.regexp_extract(url, _QUERY_RX, 1),
+    }
+
+
+def _auth_pieces(auth: Column) -> dict:
+    """Stage-2: userinfo (verbatim — case-sensitive per §3.2.1) and
+    the host:port remainder."""
+    return {
+        "user": F.regexp_extract(auth, "^(.*@)", 1),
+        "hostport": F.regexp_replace(auth, "^.*@", ""),
+    }
+
+
+def _hostport_pieces(hostport: Column) -> dict:
+    """Stage-3: case-folded host and the bare port digits."""
+    return {
+        "host": F.lower(F.regexp_replace(hostport, ":[0-9]*$", "")),
+        "port": F.regexp_extract(hostport, ":([0-9]+)$", 1),
+    }
+
+
+def _assemble_canonical(
+    scheme: Column, user: Column, host: Column, port: Column,
+    path: Column, query: Column,
+) -> Column:
+    """Scheme-based rules (§6.2.3) + assembly: default ports drop,
+    empty path → '/', no scheme → ''."""
+    default = (
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+        | (port == "")
+    )
+    return F.when(scheme == "", F.lit("")).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            user,
+            host,
+            F.when(default, F.lit("")).otherwise(
+                F.concat(F.lit(":"), port)
+            ),
+            F.when(path == "", F.lit("/")).otherwise(path),
+            query,
+        )
+    )
+
+
 def canonicalize_url_expr(col: str | Column) -> Column:
     """Canonical form of an absolute http(s) URL as one JVM
     expression chain (see module docstring for the exact steps).
@@ -150,30 +212,17 @@ def canonicalize_url_expr(col: str | Column) -> Column:
     parameter value is data, and rewriting it over-merges distinct
     URLs); userinfo passes through otherwise verbatim
     (case-sensitive per §3.2.1); an empty path with authority
-    normalizes to ``/`` whether or not a query follows (§6.2.3)."""
+    normalizes to ``/`` whether or not a query follows (§6.2.3).
+
+    Prefer :func:`with_canonical_url` on large data — this nested
+    form re-derives shared pieces at each reference."""
     raw = F.col(col) if isinstance(col, str) else col
-    url = pct_normalize_expr(raw)
-    scheme = F.lower(F.regexp_extract(url, _SCHEME_RX, 1))
-    auth = F.regexp_extract(url, _AUTH_RX, 1)
-    user = F.regexp_extract(auth, "^(.*@)", 1)
-    hostport = F.regexp_replace(auth, "^.*@", "")
-    host = F.lower(F.regexp_replace(hostport, ":[0-9]*$", ""))
-    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
-    default = (
-        ((scheme == "http") & (port == "80"))
-        | ((scheme == "https") & (port == "443"))
-        | (port == "")
-    )
-    portpart = F.when(default, F.lit("")).otherwise(
-        F.concat(F.lit(":"), port)
-    )
-    path = _dot_resolve(F.regexp_extract(url, _PATH_RX, 1))
-    path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(url, _QUERY_RX, 1)
-    return F.when(scheme == "", F.lit("")).otherwise(
-        F.concat(
-            scheme, F.lit("://"), user, host, portpart, path, query
-        )
+    u = _url_pieces(pct_normalize_expr(raw))
+    a = _auth_pieces(u["auth"])
+    hp = _hostport_pieces(a["hostport"])
+    return _assemble_canonical(
+        u["scheme"], a["user"], hp["host"], hp["port"],
+        _dot_resolve(u["rawpath"]), u["query"],
     )
 
 
@@ -294,49 +343,79 @@ def canonicalize_url_sql(expr: str, prenormalized: bool = False) -> str:
 _ANY_SCHEME_RX = "^[A-Za-z][A-Za-z0-9+.-]*:"
 _ORIGIN_RX = "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
 _BASE_DIR_RX = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*/)"
-_BASE_PQ_RX = "^([^?#]*)"
+#: Fragment strip. (?s) + no '$': Java's '$' matches BEFORE a
+#: trailing line terminator while RE2's matches only at end-of-text,
+#: so '#f\\n' stripped differently per engine — measured. DOTALL '.*'
+#: consumes to true end-of-text identically in both.
+_FRAG_RX = "(?s)#.*"
+
+
+def _base_pieces(b: Column) -> dict:
+    """The base-URL pieces resolution needs — shared by the nested
+    and staged variants. basedir = the base path up to and including
+    its last '/' (greedy [^?#]* before the final '/'); '' when the
+    base path has no '/' at all (empty path) — both it and basepath
+    fall back to '/' inside the arms."""
+    return {
+        "bscheme": F.regexp_extract(b, _SCHEME_RX, 1),
+        "origin": F.regexp_extract(b, _ORIGIN_RX, 1),
+        "bdir": F.regexp_extract(b, _BASE_DIR_RX, 1),
+        "bpath": F.regexp_extract(b, _PATH_RX, 1),
+    }
+
+
+def _resolve_arms(
+    b: Column, r: Column, bscheme: Column, origin: Column,
+    bdir: Column, bpath: Column,
+) -> Column:
+    """The §5.3 case analysis over a fragment-stripped ref ``r`` —
+    the single Spark-side copy of the resolution semantics."""
+    return (
+        F.when(r.rlike(_ANY_SCHEME_RX), r)
+        .when(r.startswith("//"), F.concat(bscheme, F.lit(":"), r))
+        .when(r.startswith("/"), F.concat(origin, r))
+        .when(
+            r.startswith("?"),
+            F.concat(
+                origin,
+                F.when(bpath == "", F.lit("/")).otherwise(bpath),
+                r,
+            ),
+        )
+        .when(r == "", F.regexp_replace(b, _FRAG_RX, ""))
+        .otherwise(
+            F.concat(
+                origin,
+                F.when(bdir == "", F.lit("/")).otherwise(bdir),
+                r,
+            )
+        )
+    )
 
 
 def resolve_url_expr(base: str | Column, ref: str | Column) -> Column:
     """Resolve ``ref`` against absolute ``base`` (RFC 3986 §5.3) as
     one JVM expression. The result is raw — feed it through
-    :func:`canonicalize_url_expr` for the frontier key."""
+    :func:`canonicalize_url_expr` for the frontier key. Prefer
+    :func:`with_resolved_url` on large data."""
     b = F.col(base) if isinstance(base, str) else base
     r = F.col(ref) if isinstance(ref, str) else ref
-    r = F.regexp_replace(r, "#.*$", "")  # fragment never survives
-    scheme = F.regexp_extract(b, _SCHEME_RX, 1)
-    origin = F.regexp_extract(b, _ORIGIN_RX, 1)
-    # base path's directory: up to and including the last '/'
-    # (greedy [^?#]* before the final '/'); '' when the base path
-    # has no '/' at all (empty path) -> merge onto '/'
-    basedir = F.regexp_extract(b, _BASE_DIR_RX, 1)
-    basedir = F.when(basedir == "", F.lit("/")).otherwise(basedir)
-    basepath = F.regexp_extract(
-        F.regexp_extract(b, _PATH_RX, 1), _BASE_PQ_RX, 1
-    )
-    basepath = F.when(basepath == "", F.lit("/")).otherwise(basepath)
-    return (
-        F.when(r.rlike(_ANY_SCHEME_RX), r)
-        .when(r.startswith("//"), F.concat(scheme, F.lit(":"), r))
-        .when(r.startswith("/"), F.concat(origin, r))
-        .when(r.startswith("?"), F.concat(origin, basepath, r))
-        .when(r == "", F.regexp_replace(b, "#.*$", ""))
-        .otherwise(F.concat(origin, basedir, r))
+    r = F.regexp_replace(r, _FRAG_RX, "")  # fragment never survives
+    p = _base_pieces(b)
+    return _resolve_arms(
+        b, r, p["bscheme"], p["origin"], p["bdir"], p["bpath"]
     )
 
 
 def resolve_url_sql(base: str, ref: str) -> str:
     """The SAME resolution as DuckDB SQL — same regexes, same CASE
     arms, same merge rule."""
-    r = f"regexp_replace({ref}, '#.*$', '')"
+    r = f"regexp_replace({ref}, '{_FRAG_RX}', '')"
     scheme = f"regexp_extract({base}, '{_SCHEME_RX}', 1)"
     origin = f"regexp_extract({base}, '{_ORIGIN_RX}', 1)"
     basedir = f"regexp_extract({base}, '{_BASE_DIR_RX}', 1)"
     basedir = f"CASE WHEN {basedir} = '' THEN '/' ELSE {basedir} END"
-    basepath = (
-        f"regexp_extract(regexp_extract({base}, '{_PATH_RX}', 1), "
-        f"'{_BASE_PQ_RX}', 1)"
-    )
+    basepath = f"regexp_extract({base}, '{_PATH_RX}', 1)"
     basepath = (
         f"CASE WHEN {basepath} = '' THEN '/' ELSE {basepath} END"
     )
@@ -346,7 +425,7 @@ def resolve_url_sql(base: str, ref: str) -> str:
         f"WHEN {r} LIKE '//%' THEN {scheme} || ':' || {r} "
         f"WHEN {r} LIKE '/%' THEN {origin} || {r} "
         f"WHEN {r} LIKE '?%' THEN {origin} || {basepath} || {r} "
-        f"WHEN {r} = '' THEN regexp_replace({base}, '#.*$', '') "
+        f"WHEN {r} = '' THEN regexp_replace({base}, '{_FRAG_RX}', '') "
         f"ELSE {origin} || {basedir} || {r} END"
     )
 
@@ -370,116 +449,72 @@ def resolve_url_sql(base: str, ref: str) -> str:
 # variants, and by the x52/x53 oracles.
 
 
+def _stage(df, mapping: dict):
+    """withColumns with a collision guard: the staged helpers use
+    fixed ``__``-prefixed temp names, and silently overwriting (then
+    dropping) a caller's same-named column would corrupt its data."""
+    clash = sorted(set(df.columns) & set(mapping))
+    if clash:
+        raise ValueError(
+            f"staged URL helper temp columns already exist: {clash} "
+            "— rename them before calling"
+        )
+    return df.withColumns(mapping)
+
+
 def with_canonical_url(df, src: str, out: str):
     """``df`` plus column ``out`` = canonical form of absolute URL
-    column ``src`` — identical semantics to
-    :func:`canonicalize_url_expr`, staged for interpreted-mode
-    efficiency."""
-    # ONE percent fold over the whole URL (the expensive piece),
-    # then structural extraction from the normalized text — same
-    # order as canonicalize_url_expr
-    d = df.withColumn("__nurl", pct_normalize_expr(F.col(src)))
-    url = F.col("__nurl")
-    d = d.withColumns(
-        {
-            "__scheme": F.lower(F.regexp_extract(url, _SCHEME_RX, 1)),
-            "__auth": F.regexp_extract(url, _AUTH_RX, 1),
-            "__rawpath": F.regexp_extract(url, _PATH_RX, 1),
-            "__query": F.regexp_extract(url, _QUERY_RX, 1),
-        }
+    column ``src`` — same semantics as :func:`canonicalize_url_expr`
+    (same piece builders and assembler), staged for interpreted-mode
+    efficiency: ONE percent fold over the whole URL (the expensive
+    piece), then each structural piece materialized exactly once."""
+    d = _stage(df, {"__nurl": pct_normalize_expr(F.col(src))})
+    d = _stage(
+        d,
+        {f"__{k}": c for k, c in _url_pieces(F.col("__nurl")).items()},
     )
-    d = d.withColumns(
-        {
-            "__user": F.regexp_extract(F.col("__auth"), "^(.*@)", 1),
-            "__hostport": F.regexp_replace(
-                F.col("__auth"), "^.*@", ""
-            ),
-        }
+    d = _stage(
+        d,
+        {f"__{k}": c for k, c in _auth_pieces(F.col("__auth")).items()},
     )
-    d = d.withColumns(
+    d = _stage(
+        d,
         {
-            "__host": F.lower(
-                F.regexp_replace(F.col("__hostport"), ":[0-9]*$", "")
-            ),
-            "__port": F.regexp_extract(
-                F.col("__hostport"), ":([0-9]+)$", 1
-            ),
+            **{
+                f"__{k}": c
+                for k, c in _hostport_pieces(
+                    F.col("__hostport")
+                ).items()
+            },
             "__path": _dot_resolve(F.col("__rawpath")),
-        }
+        },
     )
-    scheme, port = F.col("__scheme"), F.col("__port")
-    default = (
-        ((scheme == "http") & (port == "80"))
-        | ((scheme == "https") & (port == "443"))
-        | (port == "")
-    )
-    canon = F.when(scheme == "", F.lit("")).otherwise(
-        F.concat(
-            scheme,
-            F.lit("://"),
-            F.col("__user"),
-            F.col("__host"),
-            F.when(default, F.lit("")).otherwise(
-                F.concat(F.lit(":"), port)
-            ),
-            F.when(F.col("__path") == "", F.lit("/")).otherwise(
-                F.col("__path")
-            ),
-            F.col("__query"),
-        )
+    canon = _assemble_canonical(
+        F.col("__scheme"), F.col("__user"), F.col("__host"),
+        F.col("__port"), F.col("__path"), F.col("__query"),
     )
     return d.withColumn(out, canon).drop(
-        "__nurl", "__scheme", "__auth", "__rawpath", "__user",
-        "__hostport", "__query", "__host", "__port",
-        "__path",
+        "__nurl", "__scheme", "__auth", "__rawpath", "__query",
+        "__user", "__hostport", "__host", "__port", "__path",
     )
 
 
 def with_resolved_url(df, base: str, ref: str, out: str):
     """``df`` plus column ``out`` = ``ref`` resolved against absolute
-    ``base`` — identical semantics to :func:`resolve_url_expr`,
-    staged for interpreted-mode efficiency. The result is raw; chain
-    :func:`with_canonical_url` for the frontier key."""
+    ``base`` — same semantics as :func:`resolve_url_expr` (same
+    arms), staged for interpreted-mode efficiency. The result is
+    raw; chain :func:`with_canonical_url` for the frontier key."""
     b = F.col(base)
-    d = df.withColumns(
+    d = _stage(
+        df,
         {
-            "__r": F.regexp_replace(F.col(ref), "#.*$", ""),
-            "__bscheme": F.regexp_extract(b, _SCHEME_RX, 1),
-            "__origin": F.regexp_extract(b, _ORIGIN_RX, 1),
-            "__bdir": F.regexp_extract(b, _BASE_DIR_RX, 1),
-            "__bpath": F.regexp_extract(
-                F.regexp_extract(b, _PATH_RX, 1), _BASE_PQ_RX, 1
-            ),
-        }
+            "__r": F.regexp_replace(F.col(ref), _FRAG_RX, ""),
+            **{f"__{k}": c for k, c in _base_pieces(b).items()},
+        },
     )
-    r = F.col("__r")
-    resolved = (
-        F.when(r.rlike(_ANY_SCHEME_RX), r)
-        .when(
-            r.startswith("//"),
-            F.concat(F.col("__bscheme"), F.lit(":"), r),
-        )
-        .when(r.startswith("/"), F.concat(F.col("__origin"), r))
-        .when(
-            r.startswith("?"),
-            F.concat(
-                F.col("__origin"),
-                F.when(F.col("__bpath") == "", F.lit("/")).otherwise(
-                    F.col("__bpath")
-                ),
-                r,
-            ),
-        )
-        .when(r == "", F.regexp_replace(b, "#.*$", ""))
-        .otherwise(
-            F.concat(
-                F.col("__origin"),
-                F.when(F.col("__bdir") == "", F.lit("/")).otherwise(
-                    F.col("__bdir")
-                ),
-                r,
-            )
-        )
+    resolved = _resolve_arms(
+        b, F.col("__r"), F.col("__bscheme"), F.col("__origin"),
+        F.col("__bdir"), F.col("__bpath"),
     )
     return d.withColumn(out, resolved).drop(
         "__r", "__bscheme", "__origin", "__bdir", "__bpath"
