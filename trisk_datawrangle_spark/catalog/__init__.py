@@ -55,11 +55,13 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 # x47_charset_sniff (WHATWG charset precedence + strict decode over
 # the s11 HTTP body path) and x52_url_canonicalize (RFC 3986 §6.2.2
 # frontier dedup key: split-fold percent normalization + shared
-# dot-segment chain) and x53_link_resolve (RFC 3986 §5.3 relative-
-# reference resolution composed with canonicalization) — the last
-# four push d9/d10/a13/x14 to lead the r10 window (x14's keyed
-# text-aggregate machinery stays covered in-window by x11-x13);
-# (3) 21 of the
+# dot-segment chain), x53_link_resolve (RFC 3986 §5.3 relative-
+# reference resolution composed with canonicalization) and
+# x54_sitemap_ingest (sitemaps.org urlset parse: XML blocks →
+# entity decode → canonical frontier keys) — the last five push
+# d9/d10/a13/x14/x13 to lead the r10 window (the x11/x12 sketch
+# entries stay in-window for that family's machinery);
+# (3) 20 of the
 # 49 r5-proof
 # entries — every one with machinery no in-window sibling covers
 # (the x11-x21 text/sketch family minus x19, whose grouped
@@ -92,6 +94,7 @@ _PRIORITY = [
     "x47_charset_sniff",
     "x52_url_canonicalize",
     "x53_link_resolve",
+    "x54_sitemap_ingest",
     "m8_progressive_decode",
     "s13_pdf_extract",
     "m9_image_dedup",

@@ -5436,3 +5436,119 @@ def x53(spark, sf_dir):
     return with_canonical_url(raw, "raw", "resolved").select(
         "doc_id", "ref_idx", "ref", "resolved"
     )
+
+
+#: XML entity decode for sitemap <loc> values (sitemaps.org REQUIRES
+#: entity-escaping URLs in XML) — ordered, shared verbatim with the
+#: x54 oracle by value (the oracle builds expected output from the
+#: unescaped arithmetic, so a skipped decode leaves '&amp;' in the
+#: canonical URL and flips the hash). &amp; decodes LAST, the
+#: standard double-decode guard.
+_X54_ENTITY_STEPS = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&apos;", "'"), ("&amp;", "&"),
+]
+
+
+@q(
+    "x54_sitemap_ingest",
+    """
+WITH e AS (
+    SELECT d.doc_id, j.j AS url_idx,
+        'http://host' || CAST(d.doc_id % 23 AS VARCHAR)
+        || '.example.com/s/p' || CAST(j.j AS VARCHAR)
+        || '?a=1&b=' || CAST(j.j AS VARCHAR) AS loc,
+        CASE WHEN (d.doc_id + j.j) % 3 = 0 THEN ''
+             ELSE '2025-'
+                || lpad(CAST((d.doc_id + j.j) % 12 + 1 AS VARCHAR),
+                        2, '0')
+                || '-'
+                || lpad(CAST((d.doc_id * 3 + j.j) % 28 + 1
+                        AS VARCHAR), 2, '0')
+        END AS lastmod
+    FROM documents d,
+        unnest(generate_series(0, 1 + d.doc_id % 4)) AS j(j)
+)
+SELECT doc_id, CAST(url_idx AS INTEGER) AS url_idx, loc, lastmod
+FROM e
+""",
+)
+def x54(spark, sf_dir):
+    """Sitemap ingestion (sitemaps.org protocol) — the third crawl-
+    discovery channel beside page links (x50/x53) and robots.txt
+    (x51; its ``Sitemap:`` directive points here). Each doc carries a
+    built urlset XML: 2-5 ``<url>`` blocks with entity-escaped
+    ``<loc>`` values (the spec REQUIRES escaping — '&' appears as
+    '&amp;' in-file), case/port noise in the raw URLs, a
+    ``<changefreq>`` the parser must skip, and ``<lastmod>`` present
+    on only two-thirds of blocks (absent → ''). The chain is pure
+    JVM: ``regexp_extract_all`` over ``(?s)<url>(.*?)</url>`` blocks
+    → posexplode → per-block loc/lastmod extracts → ordered entity
+    decode (``&amp;`` LAST — the double-decode guard) →
+    with_canonical_url for the frontier key. The oracle builds the
+    EXPECTED canonical rows from the fixture arithmetic directly, so
+    a mis-paired block, skipped entity, broken canonicalization, or
+    phantom lastmod flips the hash. Scale shape: scan-fused JVM
+    regex + one explode, zero Python, zero shuffle — x50's shape
+    with XML blocks instead of anchors."""
+    from trisk_datawrangle_spark.llm.urls import with_canonical_url
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+
+    def blk(j):
+        return F.concat(
+            F.lit("<url><loc>HTTP://Host"),
+            (did % 23).cast("string"),
+            F.lit(".Example.com:80/s/p"),
+            j.cast("string"),
+            F.lit("?a=1&amp;b="),
+            j.cast("string"),
+            F.lit("</loc>"),
+            F.when((did + j) % 3 == 0, F.lit("")).otherwise(
+                F.concat(
+                    F.lit("<lastmod>2025-"),
+                    F.lpad(((did + j) % 12 + 1).cast("string"),
+                           2, "0"),
+                    F.lit("-"),
+                    F.lpad(((did * 3 + j) % 28 + 1).cast("string"),
+                           2, "0"),
+                    F.lit("</lastmod>"),
+                )
+            ),
+            F.lit("<changefreq>daily</changefreq></url>"),
+        )
+
+    # urlset built in-row (the x50 fold idiom) — no shuffle anywhere
+    sitemaps = d.select(
+        "doc_id",
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset>'),
+            F.aggregate(
+                F.sequence(F.lit(0), (did % 4) + 1),
+                F.lit(""),
+                lambda acc, j: F.concat(acc, blk(j)),
+            ),
+            F.lit("</urlset>"),
+        ).alias("xml"),
+    )
+    parts = F.expr(
+        "regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)"
+    )
+    entries = sitemaps.select(
+        "doc_id", F.posexplode(parts).alias("url_idx", "blk")
+    )
+    loc = F.regexp_extract(F.col("blk"), "<loc>([^<]*)</loc>", 1)
+    for ent, ch in _X54_ENTITY_STEPS:
+        loc = F.regexp_replace(loc, ent, ch)
+    entries = entries.select(
+        "doc_id",
+        F.col("url_idx").cast("int").alias("url_idx"),
+        loc.alias("rawloc"),
+        F.regexp_extract(
+            F.col("blk"), "<lastmod>([^<]*)</lastmod>", 1
+        ).alias("lastmod"),
+    )
+    return with_canonical_url(entries, "rawloc", "loc").select(
+        "doc_id", "url_idx", "loc", "lastmod"
+    )
