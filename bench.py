@@ -65,6 +65,13 @@ HEADLINE = [
     # sf-scaling sweep)
     "d13_probe_serving",
     "s7_probe_serving",
+    # crawl-tier representative (r9: the family gained 10 entries and
+    # had no bench presence): HTML strip + URL canonicalize are the
+    # two chains every fetched page crosses. Appended AFTER the
+    # historical 20, so the r1-comparable subset and all prior
+    # per-query comparisons stay intact.
+    "x46_html_extract",
+    "x52_url_canonicalize",
 ]
 
 WARM_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
