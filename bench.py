@@ -304,10 +304,27 @@ def main(argv=None) -> None:
 
     complete = not errors and len(times) == len(HEADLINE)
     total = round(sum(times.values()), 3) if complete else None
+    # the r1-comparable historical set = the first 20 HEADLINE
+    # entries; later family representatives append AFTER it, so
+    # suite-level totals carry an explicit continuity subtotal and a
+    # headline_n marker instead of silently changing meaning across
+    # rounds
+    hist = HEADLINE[:20]
+    hist_total = (
+        round(sum(times[q] for q in hist), 3)
+        if all(q in times for q in hist) else None
+    )
+    hist_warm = (
+        round(sum(warm[q] for q in hist), 3)
+        if all(q in warm for q in hist) else None
+    )
     out = {
         "metric": "suite_seconds",
         "value": total,
         "unit": "sec",
+        "headline_n": len(HEADLINE),
+        "value_historical_20": hist_total,
+        "warm_historical_20": hist_warm,
         "queries": times,
         "queries_warm": warm,
         "queries_spread": spread,

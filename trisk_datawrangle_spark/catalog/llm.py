@@ -5438,18 +5438,6 @@ def x53(spark, sf_dir):
     )
 
 
-#: XML entity decode for sitemap <loc> values (sitemaps.org REQUIRES
-#: entity-escaping URLs in XML) — ordered, shared verbatim with the
-#: x54 oracle by value (the oracle builds expected output from the
-#: unescaped arithmetic, so a skipped decode leaves '&amp;' in the
-#: canonical URL and flips the hash). &amp; decodes LAST, the
-#: standard double-decode guard.
-_X54_ENTITY_STEPS = [
-    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
-    ("&apos;", "'"), ("&amp;", "&"),
-]
-
-
 @q(
     "x54_sitemap_ingest",
     """
@@ -5457,7 +5445,8 @@ WITH e AS (
     SELECT d.doc_id, j.j AS url_idx,
         'http://host' || CAST(d.doc_id % 23 AS VARCHAR)
         || '.example.com/s/p' || CAST(j.j AS VARCHAR)
-        || '?a=1&b=' || CAST(j.j AS VARCHAR) AS loc,
+        || '?a=1&b=' || CAST(j.j AS VARCHAR)
+        || '&t=<"x">''' AS loc,
         CASE WHEN (d.doc_id + j.j) % 3 = 0 THEN ''
              ELSE '2025-'
                 || lpad(CAST((d.doc_id + j.j) % 12 + 1 AS VARCHAR),
@@ -5478,17 +5467,19 @@ def x54(spark, sf_dir):
     discovery channel beside page links (x50/x53) and robots.txt
     (x51; its ``Sitemap:`` directive points here). Each doc carries a
     built urlset XML: 2-5 ``<url>`` blocks with entity-escaped
-    ``<loc>`` values (the spec REQUIRES escaping — '&' appears as
-    '&amp;' in-file), case/port noise in the raw URLs, a
-    ``<changefreq>`` the parser must skip, and ``<lastmod>`` present
+    ``<loc>`` values (the spec REQUIRES escaping — every row of
+    XML_ENTITY_STEPS appears in-file: ``&amp; &lt; &gt; &quot;
+    &apos;``), case/port noise in the raw URLs, a ``<changefreq>``
+    the parser must skip, and ``<lastmod>`` present
     on only two-thirds of blocks (absent → ''). The chain is pure
     JVM: ``regexp_extract_all`` over ``(?s)<url>(.*?)</url>`` blocks
-    → posexplode → per-block loc/lastmod extracts → ordered entity
-    decode (``&amp;`` LAST — the double-decode guard) →
-    with_canonical_url for the frontier key. The oracle builds the
-    EXPECTED canonical rows from the fixture arithmetic directly, so
-    a mis-paired block, skipped entity, broken canonicalization, or
-    phantom lastmod flips the hash. Scale shape: scan-fused JVM
+    → posexplode → per-block loc/lastmod extracts →
+    xml_unescape_expr (llm/extract.py — the shared entity table,
+    ``&amp;`` LAST as the double-decode guard, contains('&')
+    guarded) → with_canonical_url for the frontier key. The oracle
+    builds the EXPECTED canonical rows from the fixture arithmetic
+    directly, so a mis-paired block, any skipped entity row, broken
+    canonicalization, or phantom lastmod flips the hash. Scale shape: scan-fused JVM
     regex + one explode, zero Python, zero shuffle — x50's shape
     with XML blocks instead of anchors."""
     from trisk_datawrangle_spark.llm.urls import with_canonical_url
@@ -5504,6 +5495,9 @@ def x54(spark, sf_dir):
             j.cast("string"),
             F.lit("?a=1&amp;b="),
             j.cast("string"),
+            # every XML_ENTITY_STEPS row appears in-file so each
+            # decode is non-vacuous: &amp; &lt; &quot; &gt; &apos;
+            F.lit("&amp;t=&lt;&quot;x&quot;&gt;&apos;"),
             F.lit("</loc>"),
             F.when((did + j) % 3 == 0, F.lit("")).otherwise(
                 F.concat(
@@ -5538,9 +5532,11 @@ def x54(spark, sf_dir):
     entries = sitemaps.select(
         "doc_id", F.posexplode(parts).alias("url_idx", "blk")
     )
-    loc = F.regexp_extract(F.col("blk"), "<loc>([^<]*)</loc>", 1)
-    for ent, ch in _X54_ENTITY_STEPS:
-        loc = F.regexp_replace(loc, ent, ch)
+    from trisk_datawrangle_spark.llm.extract import xml_unescape_expr
+
+    loc = xml_unescape_expr(
+        F.regexp_extract(F.col("blk"), "<loc>([^<]*)</loc>", 1)
+    )
     entries = entries.select(
         "doc_id",
         F.col("url_idx").cast("int").alias("url_idx"),

@@ -34,6 +34,20 @@ from pyspark.sql import functions as F
 #: then comments, then block-level tags to newline (so words in
 #: adjacent blocks don't fuse), then every remaining tag, then
 #: entities, then whitespace collapse.
+#: XML/HTML entity decode rows, ordered with ``&amp;`` LAST — the
+#: standard double-decode guard ('&amp;lt;' means the literal text
+#: '&lt;' and must NOT end up as '<'; decoding &amp; first does
+#: exactly that). Shared by the strip chain below and by sitemap
+#: <loc> decoding (catalog x54). Extending = adding rows.
+XML_ENTITY_STEPS: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", "\""),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+]
+
 STRIP_HTML_STEPS: list[tuple[str, str]] = [
     ("(?is)<script\\b[^>]*>.*?</script>", " "),
     ("(?is)<style\\b[^>]*>.*?</style>", " "),
@@ -42,14 +56,20 @@ STRIP_HTML_STEPS: list[tuple[str, str]] = [
      "\n"),
     ("<[^>]*>", " "),
     ("&nbsp;", " "),
-    ("&amp;", "&"),
-    ("&lt;", "<"),
-    ("&gt;", ">"),
-    ("&quot;", "\""),
-    ("&#39;", "'"),
+    *XML_ENTITY_STEPS,
     ("[ \\t]+", " "),
     ("\\s*\\n\\s*", "\n"),
 ]
+
+
+def xml_unescape_expr(col: "str | Column") -> "Column":
+    """Entity decode as a JVM chain, guarded by one ``contains('&')``
+    (the rows can only match on '&', and most text has none)."""
+    c = F.col(col) if isinstance(col, str) else col
+    decoded = c
+    for ent, ch in XML_ENTITY_STEPS:
+        decoded = F.regexp_replace(decoded, ent, ch)
+    return F.when(c.contains("&"), decoded).otherwise(c)
 
 
 def strip_html_expr(col: str | Column) -> Column:
