@@ -5234,6 +5234,7 @@ from trisk_datawrangle_spark.llm.urls import (
     canonicalize_url_sql,
     pct_normalize_sql,
     resolve_url_sql,
+    ws_strip_sql,
 )
 
 
@@ -5265,7 +5266,9 @@ WITH raw AS (
 n AS (
     -- the percent fold staged once per row (the Spark side stages
     -- identically — with_canonical_url's __nurl column)
-    SELECT doc_id, url, {pct_normalize_sql("url")} AS nurl FROM raw
+    SELECT doc_id, url,
+        {pct_normalize_sql(ws_strip_sql("url"))} AS nurl
+    FROM raw
 )
 SELECT doc_id, url,
     {canonicalize_url_sql("nurl", prenormalized=True)} AS canon
@@ -5362,7 +5365,7 @@ res AS (
 ),
 n AS (
     SELECT doc_id, ref_idx, ref,
-        {pct_normalize_sql('raw')} AS nurl
+        {pct_normalize_sql(ws_strip_sql('raw'))} AS nurl
     FROM res
 )
 SELECT doc_id, CAST(ref_idx AS INTEGER) AS ref_idx, ref,

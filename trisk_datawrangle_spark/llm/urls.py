@@ -73,6 +73,23 @@ DOT_SEGMENT_PASSES = 4
 
 DOT_SEGMENT_STEPS: list[tuple[str, str]] = _DOT_PASS * DOT_SEGMENT_PASSES
 
+#: WHATWG URL pre-parse: strip ALL tab/LF/CR anywhere and trim
+#: spaces — real hrefs carry them, and they are also the exact
+#: input class where Java and RE2 regex anchors diverge ('$' matches
+#: before a trailing line terminator in Java, only at end-of-text in
+#: RE2), so removing them up front keeps every downstream anchor
+#: engine-identical by construction.
+_WS_RX = "[\\t\\r\\n]"
+
+
+def _ws_strip(c: Column) -> Column:
+    return F.trim(F.regexp_replace(c, _WS_RX, ""))
+
+
+def ws_strip_sql(expr: str) -> str:
+    return f"trim(regexp_replace({expr}, '{_WS_RX}', '', 'g'))"
+
+
 _SCHEME_RX = "^([A-Za-z][A-Za-z0-9+.-]*)://"
 _AUTH_RX = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 _PATH_RX = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
@@ -217,7 +234,7 @@ def canonicalize_url_expr(col: str | Column) -> Column:
     Prefer :func:`with_canonical_url` on large data — this nested
     form re-derives shared pieces at each reference."""
     raw = F.col(col) if isinstance(col, str) else col
-    u = _url_pieces(pct_normalize_expr(raw))
+    u = _url_pieces(pct_normalize_expr(_ws_strip(raw)))
     a = _auth_pieces(u["auth"])
     hp = _hostport_pieces(a["hostport"])
     return _assemble_canonical(
@@ -273,7 +290,12 @@ def canonicalize_url_sql(expr: str, prenormalized: bool = False) -> str:
     cannot share subtrees), so oracle text grows ~15x and composing
     it (idempotence tests) squares that; staging keeps both engines'
     texts linear. Same output either way."""
-    url = expr if prenormalized else pct_normalize_sql(expr)
+    # prenormalized callers are expected to have staged
+    # pct_normalize_sql(ws_strip_sql(...)) themselves
+    url = (
+        expr if prenormalized
+        else pct_normalize_sql(ws_strip_sql(expr))
+    )
     scheme = f"lower(regexp_extract({url}, '{_SCHEME_RX}', 1))"
     auth = f"regexp_extract({url}, '{_AUTH_RX}', 1)"
     user = f"regexp_extract({auth}, '^(.*@)', 1)"
@@ -398,8 +420,8 @@ def resolve_url_expr(base: str | Column, ref: str | Column) -> Column:
     one JVM expression. The result is raw — feed it through
     :func:`canonicalize_url_expr` for the frontier key. Prefer
     :func:`with_resolved_url` on large data."""
-    b = F.col(base) if isinstance(base, str) else base
-    r = F.col(ref) if isinstance(ref, str) else ref
+    b = _ws_strip(F.col(base) if isinstance(base, str) else base)
+    r = _ws_strip(F.col(ref) if isinstance(ref, str) else ref)
     r = F.regexp_replace(r, _FRAG_RX, "")  # fragment never survives
     p = _base_pieces(b)
     return _resolve_arms(
@@ -410,7 +432,8 @@ def resolve_url_expr(base: str | Column, ref: str | Column) -> Column:
 def resolve_url_sql(base: str, ref: str) -> str:
     """The SAME resolution as DuckDB SQL — same regexes, same CASE
     arms, same merge rule."""
-    r = f"regexp_replace({ref}, '{_FRAG_RX}', '')"
+    base = ws_strip_sql(base)
+    r = f"regexp_replace({ws_strip_sql(ref)}, '{_FRAG_RX}', '')"
     scheme = f"regexp_extract({base}, '{_SCHEME_RX}', 1)"
     origin = f"regexp_extract({base}, '{_ORIGIN_RX}', 1)"
     basedir = f"regexp_extract({base}, '{_BASE_DIR_RX}', 1)"
@@ -468,7 +491,9 @@ def with_canonical_url(df, src: str, out: str):
     (same piece builders and assembler), staged for interpreted-mode
     efficiency: ONE percent fold over the whole URL (the expensive
     piece), then each structural piece materialized exactly once."""
-    d = _stage(df, {"__nurl": pct_normalize_expr(F.col(src))})
+    d = _stage(
+        df, {"__nurl": pct_normalize_expr(_ws_strip(F.col(src)))}
+    )
     d = _stage(
         d,
         {f"__{k}": c for k, c in _url_pieces(F.col("__nurl")).items()},
@@ -504,11 +529,13 @@ def with_resolved_url(df, base: str, ref: str, out: str):
     ``base`` — same semantics as :func:`resolve_url_expr` (same
     arms), staged for interpreted-mode efficiency. The result is
     raw; chain :func:`with_canonical_url` for the frontier key."""
-    b = F.col(base)
+    b = _ws_strip(F.col(base))
     d = _stage(
         df,
         {
-            "__r": F.regexp_replace(F.col(ref), _FRAG_RX, ""),
+            "__r": F.regexp_replace(
+                _ws_strip(F.col(ref)), _FRAG_RX, ""
+            ),
             **{f"__{k}": c for k, c in _base_pieces(b).items()},
         },
     )
