@@ -58,10 +58,12 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 # dot-segment chain), x53_link_resolve (RFC 3986 §5.3 relative-
 # reference resolution composed with canonicalization) and
 # x54_sitemap_ingest (sitemaps.org urlset parse: XML blocks →
-# entity decode → canonical frontier keys) — the last five push
-# d9/d10/a13/x14/x13 to lead the r10 window (the x11/x12 sketch
-# entries stay in-window for that family's machinery);
-# (3) 20 of the
+# entity decode → canonical frontier keys) and
+# w5_crawl_frontier_e2e (the control-plane composite: discover →
+# resolve → canonicalize → dedup → robots gate, stage-boundary
+# cached) — the last six push d9/d10/a13/x14/x13/x12 to lead the
+# r10 window (x11 stays in-window for the sketch family);
+# (3) 19 of the
 # 49 r5-proof
 # entries — every one with machinery no in-window sibling covers
 # (the x11-x21 text/sketch family minus x19, whose grouped
@@ -97,6 +99,7 @@ _PRIORITY = [
     "x52_url_canonicalize",
     "x53_link_resolve",
     "x54_sitemap_ingest",
+    "w5_crawl_frontier_e2e",
     "m8_progressive_decode",
     "s13_pdf_extract",
     "m9_image_dedup",
