@@ -83,10 +83,10 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 # via q3/q5, the outer-join machinery via the w0/w1-gated plans at
 # r8), a2/a3 native-agg wrappers (a6_a7 gates the agg family),
 # x23 winsorize (percentile machinery shared with in-window x18),
-# e10/e11 stream entries (e8/e12 gate streaming). All 221
-# entries (212 from r8 + the new m8/s13/m9/x50 and the crawl
-# control plane x51/x47/x52/x53/x54) stay green under the builder's
-# full-catalog driver-conf
+# e10/e11 stream entries (e8/e12 gate streaming). All 222
+# entries (212 from r8 + the new m8/s13/m9/x50, the crawl control
+# plane x51/x47/x52/x53/x54, and the w5 e2e composite) stay green
+# under the builder's full-catalog driver-conf
 # emulation and test_oracle_parity regardless of window position.
 # Rename note (r7 verdict #3): e3_sliding_window became
 # e9_sliding_window in r5 — recorded in COVERAGE.md.

@@ -4880,6 +4880,78 @@ def c5(spark, sf_dir):
 # ---------------------------------------------------------------- #
 
 
+def _robots_fixture_rules(spark):
+    """The shared 23-host robots.txt rules dimension used by x51 and
+    w5 — ONE fixture builder so the entries cannot drift apart. Each
+    host's body carries full lexer noise (comments, blank lines,
+    case-varied directive spellings, CRLF on odd hosts, the
+    empty-Disallow idiom, an ignored Crawl-delay) plus a decoy
+    ``otherbot`` ``Disallow: /`` group; hosts with h%3==0 carry a
+    specific ``trisk-crawler`` group that OVERRIDES the ``*`` group.
+    Parsed by the REAL parser (llm/robots.py) into a broadcastable
+    (h, verb, pattern, plen, rx) rules DataFrame."""
+    import pandas as pd
+
+    from trisk_datawrangle_spark.llm.robots import robots_rules
+
+    def build_rules(batches):
+        for pdf in batches:
+            hs, verbs, pats, plens, rxs = [], [], [], [], []
+            for h in pdf["id"].astype("int64"):
+                h = int(h)
+                nl = "\r\n" if h % 2 else "\n"
+                ua, dis, al = (
+                    ("USER-AGENT", "DISALLOW", "ALLOW")
+                    if h % 2
+                    else ("User-agent", "Disallow", "Allow")
+                )
+                lines = [
+                    f"# robots fixture, host {h}",
+                    f"{ua}: otherbot",
+                    f"{dis}: /",
+                    "",
+                ]
+                if h % 3 == 0:
+                    lines += [
+                        f"{ua}: trisk-crawler",
+                        f"{al}: /p/{h % 5}/ok$",
+                        f"{dis}: /p/{h % 5}*",
+                        "",
+                    ]
+                lines += [
+                    f"{ua}: *",
+                    f"{dis}: /q/",
+                    f"{dis}:",          # empty path: ignored per RFC
+                    f"{al}: /q/open",
+                    "Crawl-delay: 7",   # unknown directive: ignored
+                ]
+                rules = robots_rules(nl.join(lines), "trisk-crawler")
+                if not rules:
+                    raise AssertionError(
+                        f"robots fixture: empty rule set for host {h}"
+                    )
+                for verb, pattern, plen, rx in rules:
+                    hs.append(h)
+                    verbs.append(verb)
+                    pats.append(pattern)
+                    plens.append(plen)
+                    rxs.append(rx)
+            yield pd.DataFrame(
+                {
+                    "h": hs,
+                    "verb": verbs,
+                    "pattern": pats,
+                    "plen": plens,
+                    "rx": rxs,
+                }
+            )
+
+    return spark.range(23).mapInPandas(
+        build_rules,
+        "h long, verb string, pattern string, plen int, rx string",
+    )
+
+
 @q(
     "x51_robots_filter",
     """
@@ -4964,66 +5036,7 @@ def x51(spark, sf_dir):
     frontier scan never shuffles until the (doc_id,url_idx)-keyed
     partial aggregate — at 100 TB of frontier this is one broadcast
     join + one combinable aggregate."""
-    import pandas as pd
-
-    from trisk_datawrangle_spark.llm.robots import robots_rules
-
-    def build_rules(batches):
-        for pdf in batches:
-            hs, verbs, pats, plens, rxs = [], [], [], [], []
-            for h in pdf["id"].astype("int64"):
-                h = int(h)
-                nl = "\r\n" if h % 2 else "\n"
-                ua, dis, al = (
-                    ("USER-AGENT", "DISALLOW", "ALLOW")
-                    if h % 2
-                    else ("User-agent", "Disallow", "Allow")
-                )
-                lines = [
-                    f"# robots fixture, host {h}",
-                    f"{ua}: otherbot",
-                    f"{dis}: /",
-                    "",
-                ]
-                if h % 3 == 0:
-                    lines += [
-                        f"{ua}: trisk-crawler",
-                        f"{al}: /p/{h % 5}/ok$",
-                        f"{dis}: /p/{h % 5}*",
-                        "",
-                    ]
-                lines += [
-                    f"{ua}: *",
-                    f"{dis}: /q/",
-                    f"{dis}:",          # empty path: ignored per RFC
-                    f"{al}: /q/open",
-                    "Crawl-delay: 7",   # unknown directive: ignored
-                ]
-                rules = robots_rules(nl.join(lines), "trisk-crawler")
-                if not rules:
-                    raise AssertionError(
-                        f"x51: empty rule set for host {h}"
-                    )
-                for verb, pattern, plen, rx in rules:
-                    hs.append(h)
-                    verbs.append(verb)
-                    pats.append(pattern)
-                    plens.append(plen)
-                    rxs.append(rx)
-            yield pd.DataFrame(
-                {
-                    "h": hs,
-                    "verb": verbs,
-                    "pattern": pats,
-                    "plen": plens,
-                    "rx": rxs,
-                }
-            )
-
-    rules = spark.range(23).mapInPandas(
-        build_rules,
-        "h long, verb string, pattern string, plen int, rx string",
-    )
+    rules = _robots_fixture_rules(spark)
     d = _docs(spark, sf_dir).select("doc_id")
     paths = F.array(
         F.concat(F.lit("/p/"), (F.col("doc_id") % 5).cast("string"),
@@ -5584,9 +5597,6 @@ rx AS (
 links AS (
     SELECT d.doc_id, j.j,
         CASE j.j
-            WHEN 0 THEN (d.doc_id + 1) % 23
-            ELSE d.doc_id % 23 END AS h,
-        CASE j.j
             WHEN 0 THEN 'http://host'
                 || CAST((d.doc_id + 1) % 23 AS VARCHAR)
                 || '.example.com/p/'
@@ -5594,18 +5604,29 @@ links AS (
             WHEN 1 THEN 'https://host'
                 || CAST(d.doc_id % 23 AS VARCHAR)
                 || '.example.com/q/' || CAST(d.doc_id AS VARCHAR)
-            ELSE 'http://host' || CAST(d.doc_id % 23 AS VARCHAR)
+            WHEN 2 THEN 'http://host' || CAST(d.doc_id % 23 AS VARCHAR)
                 || '.example.com/s/p' || CAST(d.doc_id % 4 AS VARCHAR)
                 || '?a=1&b=2'
+            WHEN 3 THEN 'http://host' || CAST(d.doc_id % 23 AS VARCHAR)
+                || '.example.com/q/open' || CAST(d.doc_id AS VARCHAR)
+            ELSE 'https://host'
+                || CAST((d.doc_id + 2) % 23 AS VARCHAR)
+                || '.example.com/p/'
+                || CAST(((d.doc_id + 2) % 23) % 5 AS VARCHAR)
+                || '/ok'
         END AS canon
-    FROM documents d, unnest(generate_series(0, 2)) AS j(j)
+    FROM documents d, unnest(generate_series(0, 4)) AS j(j)
+),
+dedup AS (
+    SELECT canon, COUNT(*) AS n_discoveries
+    FROM links GROUP BY canon
 ),
 verdicts AS (
-    SELECT l.canon, l.h,
-        regexp_extract(l.canon, '^[a-z]+://[^/]+(/.*)', 1) AS path,
-        COUNT(*) AS n_discoveries
-    FROM links l
-    GROUP BY l.canon, l.h
+    SELECT canon, n_discoveries,
+        CAST(regexp_extract(canon, '^[a-z]+://host([0-9]+)', 1)
+             AS BIGINT) AS h,
+        regexp_extract(canon, '^[a-z]+://[^/]+(/.*)', 1) AS path
+    FROM dedup
 ),
 m AS (
     SELECT v.canon, r.verb, r.pattern,
@@ -5631,12 +5652,16 @@ def w5(spark, sf_dir):
     discovery yields (0) an absolute anchor with case/default-port
     noise and a fragment, (1) a '../'-relative href resolved against
     the page base (§5.3 merge + dot resolution), (2) an
-    entity-escaped sitemap loc, and (3) a mailto: link; refs go
-    xml_unescape → with_resolved_url → with_canonical_url, the
-    mailto canonicalizes to '' and MUST be filtered (dropping the
-    filter leaves phantom rows — hash flip); the deduped frontier
-    (exact groupBy on the canonical key — discovery count per URL)
-    then passes the robots gate: the x51 per-host rule fixture
+    entity-escaped sitemap loc, (3)/(4) two TIE-BREAK arms — URLs
+    matching two robots rules, so longest-match-allow-wins is
+    non-vacuous, one through the ``$``-anchored Allow — and (5) a
+    mailto: link; refs go xml_unescape → with_resolved_url →
+    with_canonical_url, the mailto canonicalizes to '' and MUST be
+    filtered (dropping the filter leaves phantom rows — hash flip);
+    the deduped frontier (groupBy on the canonical key ALONE, host
+    and path derived after the aggregate) then passes the robots
+    gate: the SAME per-host rule fixture as x51
+    (_robots_fixture_rules — one builder, entries cannot drift),
     parsed by the REAL parser, broadcast-joined on host, longest-
     match-allow-wins argmax. Output = one row per distinct frontier
     URL with discovery count, verdict, and matched rule. The oracle
@@ -5644,59 +5669,22 @@ def w5(spark, sf_dir):
     canonicalization are oracle-gated entry-by-entry in x52/x53/x54;
     HERE the oracle independently replays dedup counts and robots
     matching), so a wrong merge, canon, group-selection, dedup key,
-    or tie-break flips the hash. Scale shape: scan-fused JVM
-    discovery → ONE keyed aggregate on the canonical URL (map-side
-    combinable) → broadcast rules join + combinable argmax — two
-    shuffles total for the whole control plane at any corpus size."""
-    import pandas as pd
-
+    or argmax ordering flips the hash. Scale shape (verified in the
+    executed plan): scan-fused JVM discovery → ONE corpus-sized
+    exchange (the canonical-key dedup) → everything downstream
+    operates on the DEDUPED frontier: the rules join and the final
+    verdict join are both broadcasts, and the argmax re-partitions
+    only the tiny frontier (an AQE cache boundary does not preserve
+    output partitioning — the cache saves re-executing the whole
+    discovery subtree per branch, 25 s vs 8 s at sf0.1, and costs a
+    frontier-sized re-exchange)."""
     from trisk_datawrangle_spark.llm.extract import xml_unescape_expr
-    from trisk_datawrangle_spark.llm.robots import robots_rules
     from trisk_datawrangle_spark.llm.urls import (
         with_canonical_url,
         with_resolved_url,
     )
 
-    def build_rules(batches):
-        for pdf in batches:
-            hs, verbs, pats, plens, rxs = [], [], [], [], []
-            for h in pdf["id"].astype("int64"):
-                h = int(h)
-                lines = [f"User-agent: otherbot", "Disallow: /", ""]
-                if h % 3 == 0:
-                    lines += [
-                        "User-agent: trisk-crawler",
-                        f"Allow: /p/{h % 5}/ok$",
-                        f"Disallow: /p/{h % 5}*",
-                        "",
-                    ]
-                lines += [
-                    "User-agent: *",
-                    "Disallow: /q/",
-                    "Allow: /q/open",
-                ]
-                for verb, pattern, plen, rx in robots_rules(
-                    "\n".join(lines), "trisk-crawler"
-                ):
-                    hs.append(h)
-                    verbs.append(verb)
-                    pats.append(pattern)
-                    plens.append(plen)
-                    rxs.append(rx)
-            yield pd.DataFrame(
-                {
-                    "h": hs,
-                    "verb": verbs,
-                    "pattern": pats,
-                    "plen": plens,
-                    "rx": rxs,
-                }
-            )
-
-    rules = spark.range(23).mapInPandas(
-        build_rules,
-        "h long, verb string, pattern string, plen int, rx string",
-    )
+    rules = _robots_fixture_rules(spark)  # shared with x51
     d = _docs(spark, sf_dir).select("doc_id")
     did = F.col("doc_id")
     base = F.concat(
@@ -5712,6 +5700,18 @@ def w5(spark, sf_dir):
         F.concat(F.lit("http://Host"), (did % 23).cast("string"),
                  F.lit(".example.com/s/p"), (did % 4).cast("string"),
                  F.lit("?a=1&amp;b=2")),
+        # tie-break arms — URLs matching TWO rules, so the
+        # longest-match-allow-wins argmax is non-vacuous:
+        # /q/open{d} hits Disallow /q/ AND the longer Allow /q/open
+        F.concat(F.lit("http://Host"), (did % 23).cast("string"),
+                 F.lit(".example.com/q/open"), did.cast("string"),
+                 F.lit("#x")),
+        # /p/{k%5}/ok on a trisk host hits Disallow /p/k* AND the
+        # longer $-anchored Allow /p/k/ok$ (a broken '$' translation
+        # kills the Allow -> verdict flips)
+        F.concat(F.lit("//Host"), ((did + 2) % 23).cast("string"),
+                 F.lit(".Example.com/p/"),
+                 (((did + 2) % 23) % 5).cast("string"), F.lit("/ok")),
         F.lit("mailto:contact@example.com"),
     )
     links = d.select(
@@ -5723,16 +5723,24 @@ def w5(spark, sf_dir):
     canon = with_canonical_url(resolved, "raw", "canon").where(
         F.col("canon") != ""  # the non-http(s) drop (mailto arm)
     )
-    frontier = canon.select(
-        "canon",
-        F.regexp_extract(
-            F.col("canon"), "^[a-z]+://host([0-9]+)\\.", 1
-        ).cast("long").alias("h"),
-        F.regexp_extract(
-            F.col("canon"), "^[a-z]+://[^/]+(/.*)", 1
-        ).alias("path"),
-    ).groupBy("canon", "h", "path").agg(
-        F.count(F.lit(1)).alias("n_discoveries")
+    # dedup on the canonical key ALONE: h and path are pure
+    # functions of canon, so deriving them AFTER the aggregate lets
+    # the argmax groupBy and the final canon-keyed join both reuse
+    # this exchange's HashPartitioning(canon) — grouping by
+    # (canon, h, path) forced two extra exchanges downstream
+    frontier = (
+        canon.groupBy("canon")
+        .agg(F.count(F.lit(1)).alias("n_discoveries"))
+        .select(
+            "canon",
+            "n_discoveries",
+            F.regexp_extract(
+                F.col("canon"), "^[a-z]+://host([0-9]+)\\.", 1
+            ).cast("long").alias("h"),
+            F.regexp_extract(
+                F.col("canon"), "^[a-z]+://[^/]+(/.*)", 1
+            ).alias("path"),
+        )
     )
     # stage-boundary cache (the flagship idiom): frontier feeds BOTH
     # the rules-match branch and the final left join — uncached, the
