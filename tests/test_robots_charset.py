@@ -258,12 +258,43 @@ class TestCharset:
         assert got == ("windows-1252", "\x8d\x90\x9d")
 
     def test_refusals(self):
-        # declared-but-unsupported charset
-        assert decode_body("x; charset=shift-jis", b"abc") is None
+        # declared-but-unsupported charset (ISO-2022-JP's escape-
+        # sequence statefulness is deliberately out of scope)
+        assert decode_body("x; charset=iso-2022-jp", b"abc") is None
+        assert decode_body("x; charset=koi8-r", b"abc") is None
         # lying declaration: declared utf-8, invalid bytes
         assert decode_body("x; charset=utf-8", b"\xe9\xe9") is None
         # utf-16 with an odd byte tail
         assert decode_body(None, b"\xfe\xff\x00a\x00") is None
+        # lying CJK declaration: 0x81 opens a cp932 double-byte
+        # sequence whose second byte never arrives — strict refusal
+        assert decode_body("x; charset=shift_jis", b"abc \x81") is None
+
+    def test_cjk_legacy_multibyte(self):
+        # WHATWG registry labels fold to the five CJK encodings and
+        # decode via the codec matching the spec's decoder index
+        cases = [
+            ("shift-jis", "shift_jis", "日本語", "cp932"),
+            ("windows-31j", "shift_jis", "日本語", "cp932"),
+            ("EUC-JP", "euc-jp", "日本", "euc_jp"),
+            ("gb2312", "gbk", "中文", "gb18030"),
+            ("GBK", "gbk", "中文", "gb18030"),
+            ("big5", "big5", "中文", "big5hkscs"),
+            ("windows-949", "euc-kr", "한국", "cp949"),
+            ("euc-kr", "euc-kr", "한국", "cp949"),
+        ]
+        for decl, label, tail, codec in cases:
+            body = f"abc {tail}".encode(codec)
+            got = decode_body(f"x; charset={decl}", body)
+            assert got == (label, f"abc {tail}"), (decl, got)
+
+    def test_single_quoted_charset_param(self):
+        # RFC 9110 wants double quotes but single-quoted params are
+        # common in the wild; they must parse, not silently fall
+        # through to the sniff arms
+        body = "abc 中文".encode("big5hkscs")
+        got = decode_body("text/html; charset='big5'", body)
+        assert got == ("big5", "abc 中文")
 
     def test_http_front_door_plain_and_chunked(self):
         from trisk_datawrangle_spark.llm.extract import (

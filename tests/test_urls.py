@@ -68,6 +68,16 @@ CASES = [
     # trailing dot segments
     ("http://h.com/a/.", "http://h.com/a/"),
     ("http://h.com/a/b/..", "http://h.com/a/"),
+    # root-level '..' without a following slash (RFC 3986
+    # remove_dot_segments: can't go above root)
+    ("http://h.com/..", "http://h.com/"),
+    ("http://h.com/a/../..", "http://h.com/"),
+    ("http://h.com/.", "http://h.com/"),
+    # absolute non-http(s) schemes drop to '' — the frontier only
+    # fetches http(s), and '' is its drop signal (the w5 contract)
+    ("ftp://h.com/x", ""),
+    ("ws://h.com/x", ""),
+    ("FTP://h.com/x", ""),
     # leading ../ cannot climb above root
     ("http://h.com/../a", "http://h.com/a"),
     # nesting up to the documented bound resolves
@@ -96,7 +106,7 @@ CASES = [
 
 
 def test_dot_bound_matches_constant():
-    assert len(DOT_SEGMENT_STEPS) == 5 * DOT_SEGMENT_PASSES
+    assert len(DOT_SEGMENT_STEPS) == 6 * DOT_SEGMENT_PASSES
 
 
 def test_duckdb_side_expected_values():

@@ -4986,7 +4986,7 @@ frontier AS (
             WHEN 0 THEN '/p/' || CAST(d.doc_id % 5 AS VARCHAR) || '/x'
             WHEN 1 THEN '/q/' || CAST(d.doc_id AS VARCHAR)
             WHEN 2 THEN '/q/open' || CAST(d.doc_id AS VARCHAR)
-            ELSE '/p/' || CAST(d.doc_id % 5 AS VARCHAR) || '/ok'
+            ELSE '/p/' || CAST((d.doc_id % 23) % 5 AS VARCHAR) || '/ok'
         END AS path
     FROM documents d,
         unnest(generate_series(0, 2 + d.doc_id % 2)) AS j(j)
@@ -5043,7 +5043,13 @@ def x51(spark, sf_dir):
                  F.lit("/x")),
         F.concat(F.lit("/q/"), F.col("doc_id").cast("string")),
         F.concat(F.lit("/q/open"), F.col("doc_id").cast("string")),
-        F.concat(F.lit("/p/"), (F.col("doc_id") % 5).cast("string"),
+        # arm 3 keys on (doc_id % 23) % 5 — doc_id % 23 IS the host,
+        # so every arm-3 row lands on ITS host's '/p/{h%5}/ok$' Allow
+        # rule and exercises the longest-match-allow-wins tie-break
+        # (with doc_id % 5 the rule only matched when doc_id%5 ==
+        # (doc_id%23)%5, i.e. for a sliver of rows)
+        F.concat(F.lit("/p/"),
+                 (F.col("doc_id") % 23 % 5).cast("string"),
                  F.lit("/ok")),
     )
     frontier = d.select(
@@ -5092,6 +5098,7 @@ def x51(spark, sf_dir):
 
 
 _X47_META = '<meta charset="windows-1252">'
+_X47_META_GBK = "<meta charset=gb2312>"
 
 
 @q(
@@ -5099,39 +5106,56 @@ _X47_META = '<meta charset="windows-1252">'
     f"""
 WITH d AS (
     SELECT doc_id, text,
-        -- legacy-arm projection shared with the kernel: arms 1-4
-        -- encode as cp1252/ascii/utf-16, which raises on characters
-        -- outside those sets, so non-ASCII text projects to '?'
-        -- BEFORE encoding (and the byte arithmetic stays chars=bytes)
+        -- legacy-arm projection shared with the kernel: arms 1-9
+        -- encode as cp1252/ascii/utf-16/CJK codecs, which raise on
+        -- characters outside those sets, so non-ASCII text projects
+        -- to '?' BEFORE encoding (and the byte arithmetic stays
+        -- chars=bytes for the ASCII stem; the appended CJK tails
+        -- are 2 bytes/char in every legacy multibyte arm)
         regexp_replace(text, '[^\\x00-\\x7f]', '?', 'g') AS t
     FROM documents
 )
 SELECT doc_id,
-    CASE doc_id % 5
+    CASE doc_id % 10
         WHEN 0 THEN 'utf-8'
         WHEN 1 THEN 'windows-1252'
         WHEN 2 THEN 'windows-1252'
         WHEN 3 THEN 'utf-16be'
-        ELSE 'windows-1252' END AS charset,
-    CAST(CASE doc_id % 5
+        WHEN 4 THEN 'windows-1252'
+        WHEN 5 THEN 'shift_jis'
+        WHEN 6 THEN 'gbk'
+        WHEN 7 THEN 'euc-kr'
+        WHEN 8 THEN 'big5'
+        ELSE 'euc-jp' END AS charset,
+    CAST(CASE doc_id % 10
         WHEN 0 THEN octet_length(encode(text)) + 6
         WHEN 1 THEN length(t) + 3
         WHEN 2 THEN {len(_X47_META)} + length(t) + 3
         WHEN 3 THEN 2 * (length(t) + 2) + 2
-        ELSE length(t) + 2 END AS BIGINT) AS n_bytes,
-    CASE doc_id % 5
+        WHEN 4 THEN length(t) + 2
+        WHEN 5 THEN length(t) + 7
+        WHEN 6 THEN {len(_X47_META_GBK)} + length(t) + 5
+        WHEN 7 THEN length(t) + 5
+        WHEN 8 THEN length(t) + 5
+        ELSE length(t) + 5 END AS BIGINT) AS n_bytes,
+    CASE doc_id % 10
         WHEN 0 THEN text || ' é€'
         WHEN 1 THEN t || ' é€'
         WHEN 2 THEN '{_X47_META}' || t || ' Ã©'
         WHEN 3 THEN t || ' 世'
-        ELSE t || ' é' END AS clean
+        WHEN 4 THEN t || ' é'
+        WHEN 5 THEN t || ' 日本語'
+        WHEN 6 THEN '{_X47_META_GBK}' || t || ' 中文'
+        WHEN 7 THEN t || ' 한국'
+        WHEN 8 THEN t || ' 中文'
+        ELSE t || ' 日本' END AS clean
 FROM d
 """,
 )
 def x47(spark, sf_dir):
     """Charset sniffing + decoding for HTTP captures (llm/charset.py)
     — the step between the WARC reader's raw bytes and every text
-    stage; real crawls are NOT all UTF-8. Five arms by doc_id%5, each
+    stage; real crawls are NOT all UTF-8. Ten arms by doc_id%10, each
     wrapping the doc text in a REAL HTTP response and decoding back
     through the s11 body path + WHATWG precedence:
 
@@ -5147,13 +5171,28 @@ def x47(spark, sf_dir):
     3: utf-16be with BOM while the header LIES (charset=windows-1252)
        — BOM precedence, BOM stripped from the text;
     4: undeclared cp1252 with a lone 0xE9 — invalid utf-8, the
-       content-sniff fallback arm.
+       content-sniff fallback arm;
+    5: Shift_JIS declared as windows-31j (WHATWG folds the NEC/IBM
+       spelling), ' 日本語' tail encoded cp932 (the windows-31j
+       index) — invalid utf-8, so a sniffer ignoring the label
+       would mislabel AND misdecode;
+    6: NO header charset, <meta charset=gb2312> prescan — WHATWG
+       folds gb2312 into gbk; ' 中文' tail via gb18030 (the spec's
+       gbk decoder);
+    7: EUC-KR declared as windows-949 (UHC folding), ' 한국' via
+       cp949;
+    8: Big5 declared in SINGLE-quoted charset param ('big5' — the
+       RFC 9110-invalid-but-common spelling; exercises the quote
+       handling), ' 中文' via big5hkscs (WHATWG's big5 index);
+    9: EUC-JP declared plainly, ' 日本' via euc_jp.
 
-    The kernel RAISES unless the decoded text equals the constructed
-    original; the oracle replays label, byte count (utf-8/cp1252/
-    utf-16 length arithmetic over the ASCII doc text), and decoded
-    text per arm. Cost tier: bytes-level Arrow-batched mapInPandas
-    like the media codecs; detection is O(1024) per record."""
+    Every legacy-multibyte tail is 2 bytes/char under its codec, so
+    the oracle's byte arithmetic stays chars=bytes for the ASCII stem
+    plus a constant. The kernel RAISES unless the decoded text equals
+    the constructed original; the oracle replays label, byte count,
+    and decoded text per arm. Cost tier: bytes-level Arrow-batched
+    mapInPandas like the media codecs; detection is O(1024) per
+    record."""
     import pandas as pd
 
     import re as _re
@@ -5162,6 +5201,7 @@ def x47(spark, sf_dir):
     from trisk_datawrangle_spark.llm.extract import http_chunk_encode
 
     meta = _X47_META
+    meta_gbk = _X47_META_GBK
 
     def build_and_decode(batches):
         for pdf in batches:
@@ -5170,11 +5210,11 @@ def x47(spark, sf_dir):
                 pdf["doc_id"].astype("int64"), pdf["text"]
             ):
                 doc_id = int(doc_id)
-                m = doc_id % 5
-                # legacy arms encode as cp1252/ascii/utf-16, which
-                # RAISES on characters outside those sets — project
-                # to ASCII first (shared with the oracle's
-                # regexp_replace), keeping chars == bytes
+                m = doc_id % 10
+                # legacy arms encode as cp1252/ascii/utf-16/CJK
+                # codecs, which RAISE on characters outside those
+                # sets — project to ASCII first (shared with the
+                # oracle's regexp_replace), keeping chars == bytes
                 t = _re.sub(r"[^\x00-\x7f]", "?", text)
                 if m == 0:
                     body = (text + " é€").encode("utf-8")
@@ -5196,10 +5236,32 @@ def x47(spark, sf_dir):
                     )
                     ctype = "text/html; charset=windows-1252"
                     expect = t + " 世"
-                else:
+                elif m == 4:
                     body = (t + " é").encode("cp1252")
                     ctype = "text/html"
                     expect = t + " é"
+                elif m == 5:
+                    body = (t + " 日本語").encode("cp932")
+                    ctype = "text/html; charset=windows-31j"
+                    expect = t + " 日本語"
+                elif m == 6:
+                    body = (meta_gbk + t + " 中文").encode(
+                        "gb18030"
+                    )
+                    ctype = "text/html"
+                    expect = meta_gbk + t + " 中文"
+                elif m == 7:
+                    body = (t + " 한국").encode("cp949")
+                    ctype = "text/html; charset=windows-949"
+                    expect = t + " 한국"
+                elif m == 8:
+                    body = (t + " 中文").encode("big5hkscs")
+                    ctype = "text/html; charset='big5'"
+                    expect = t + " 中文"
+                else:
+                    body = (t + " 日本").encode("euc_jp")
+                    ctype = "text/html; charset=EUC-JP"
+                    expect = t + " 日本"
                 if m == 0:
                     rec = (
                         b"HTTP/1.1 200 OK\r\nContent-Type: "

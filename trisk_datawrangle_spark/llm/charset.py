@@ -22,7 +22,12 @@ law of what the bytes MEAN, since authors test against browsers):
    cp1252 decodes every byte, so this arm cannot fail).
 
 Label normalization maps the common aliases (``latin-1``,
-``iso-8859-1`` → windows-1252 per WHATWG; ``utf8`` → utf-8). A
+``iso-8859-1`` → windows-1252 per WHATWG; ``utf8`` → utf-8) and the
+CJK legacy multibyte registry labels: ``shift_jis`` (incl.
+windows-31j/sjis), ``euc-jp``, ``gbk`` (incl. gb2312 — WHATWG folds
+it), ``big5`` (incl. big5-hkscs), ``euc-kr`` (incl. windows-949/
+ks_c_5601) — each decoded by the stdlib codec matching the WHATWG
+decoder index (see ``_PY_CODEC``), strictly. A
 DECLARED charset outside the supported set, or payload bytes that
 do not decode under the declared charset, returns None — refused
 loudly, the same contract as the WARC/PDF parsers: mis-decoded text
@@ -55,6 +60,62 @@ _ALIASES = {
     "latin-1": "windows-1252",
     "latin1": "windows-1252",
     "us-ascii": "windows-1252",
+    # -- CJK legacy multibyte (the WHATWG registry's label sets) --
+    # A multilingual crawl that drops every declared Shift_JIS/GBK/
+    # Big5/EUC page sheds most of the Japanese/Chinese/Korean long
+    # tail; these labels cover the registry's spellings for the five
+    # encodings, all decoded via stdlib codecs (see _PY_CODEC).
+    "shift_jis": "shift_jis",
+    "shift-jis": "shift_jis",
+    "sjis": "shift_jis",
+    "x-sjis": "shift_jis",
+    "ms_kanji": "shift_jis",
+    "csshiftjis": "shift_jis",
+    "windows-31j": "shift_jis",
+    "euc-jp": "euc-jp",
+    "euc_jp": "euc-jp",
+    "x-euc-jp": "euc-jp",
+    "cseucpkdfmtjapanese": "euc-jp",
+    "gbk": "gbk",
+    "gb2312": "gbk",          # WHATWG folds gb2312 into gbk
+    "gb_2312": "gbk",
+    "gb_2312-80": "gbk",
+    "chinese": "gbk",
+    "csgb2312": "gbk",
+    "csiso58gb231280": "gbk",
+    "iso-ir-58": "gbk",
+    "x-gbk": "gbk",
+    "big5": "big5",
+    "big5-hkscs": "big5",     # WHATWG's big5 index includes HKSCS
+    "cn-big5": "big5",
+    "csbig5": "big5",
+    "x-x-big5": "big5",
+    "euc-kr": "euc-kr",
+    "euc_kr": "euc-kr",
+    "korean": "euc-kr",
+    "csksc56011987": "euc-kr",
+    "ks_c_5601-1987": "euc-kr",
+    "ks_c_5601-1989": "euc-kr",
+    "ksc5601": "euc-kr",
+    "ksc_5601": "euc-kr",
+    "iso-ir-149": "euc-kr",
+    "windows-949": "euc-kr",  # WHATWG folds UHC into euc-kr
+}
+
+#: Canonical label → the stdlib codec implementing the WHATWG
+#: decoder for it. WHATWG's Shift_JIS index is windows-31j (the
+#: NEC/IBM extension rows) → cp932; its euc-kr index is UHC/
+#: windows-949 → cp949; its gbk decoder IS the gb18030 decoder per
+#: spec → gb18030; its big5 index carries the HKSCS extensions →
+#: big5hkscs. Labels absent here decode under their own name.
+#: All CJK decodes stay STRICT — a declared-but-invalid body is
+#: refused like any other lying declaration.
+_PY_CODEC = {
+    "shift_jis": "cp932",
+    "euc-jp": "euc_jp",
+    "gbk": "gb18030",
+    "big5": "big5hkscs",
+    "euc-kr": "cp949",
 }
 
 #: Python's cp1252 leaves five bytes undefined (0x81 0x8D 0x8F 0x90
@@ -84,7 +145,7 @@ def _errors_for(label: str) -> str:
 
 
 _CHARSET_PARAM_RX = re.compile(
-    r"charset[ \t]*=[ \t]*\"?([A-Za-z0-9_.:-]+)\"?", re.I
+    r"charset[ \t]*=[ \t]*[\"']?([A-Za-z0-9_.:-]+)[\"']?", re.I
 )
 _META_RX = re.compile(
     rb"<meta[^>]+charset[ \t]*=[ \t]*[\"']?([A-Za-z0-9_.:-]+)", re.I
@@ -151,7 +212,8 @@ def decode_body(content_type: str | None, body: bytes) -> tuple[str, str] | None
     elif label == "utf-16le" and data[:2] == codecs.BOM_UTF16_LE:
         data = data[2:]
     try:
-        return label, data.decode(label, _errors_for(label))
+        codec = _PY_CODEC.get(label, label)
+        return label, data.decode(codec, _errors_for(label))
     except UnicodeDecodeError:
         return None
 

@@ -45,17 +45,24 @@ from __future__ import annotations
 import re
 
 #: Regex metacharacters to escape when translating a rule path to a
-#: regex. ``*`` and a trailing ``$`` are the RFC's own wildcards and
-#: are handled structurally, so they are NOT in this set.
-_RX_META = ".^+?()[]{}|\\"
+#: regex. ``*`` is the RFC's own wildcard and is handled structurally,
+#: so it is NOT in this set. ``$`` IS in the set: RFC 9309 gives it
+#: meaning only as the FINAL octet of a rule path (the end anchor,
+#: special-cased before the escape loop runs); anywhere else it is a
+#: literal path octet and must be escaped, or a rule like
+#: ``Disallow: /a$b`` would compile to ``^/a$b`` — a regex that can
+#: never match in Java/RE2/Python, silently turning the rule into a
+#: no-op and letting the crawler fetch disallowed URLs.
+_RX_META = ".^+?()[]{}|\\$"
 
 
 def rule_regex(path: str) -> str:
     """Translate an RFC 9309 rule path to an anchored regex in the
     Java∩RE2∩Python subset (the same engine-portability contract as
-    text.py's shared patterns): escape literals, ``*`` → ``.*``, a
-    trailing ``$`` → the regex end anchor. The regex is start-anchored
-    (rule paths match from the first path octet)."""
+    text.py's shared patterns): escape literals (including mid-path
+    ``$``), ``*`` → ``.*``, a trailing ``$`` → the regex end anchor.
+    The regex is start-anchored (rule paths match from the first path
+    octet)."""
     anchored = path.endswith("$")
     body = path[:-1] if anchored else path
     out = []

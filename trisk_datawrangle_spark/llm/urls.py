@@ -48,8 +48,10 @@ PATH ONLY — a ``/../`` inside a query parameter value is data, and
 rewriting it would over-merge distinct URLs. Userinfo
 (``user@host``) passes through VERBATIM: it is case-sensitive per
 §3.2.1, so it is excluded from the host's case fold. Non-absolute
-inputs (no ``scheme://``) canonicalize to the empty string — loud
-enough to filter, cheap enough to fuse.
+inputs (no ``scheme://``) AND absolute non-http(s) URLs
+(``ftp://``, ``ws://``, ...) canonicalize to the empty string — a
+crawl frontier only fetches http(s), and '' is loud enough to
+filter, cheap enough to fuse.
 """
 
 from __future__ import annotations
@@ -62,8 +64,9 @@ from pyspark.sql import functions as F
 #: oracle SQL builder.
 _DOT_PASS: list[tuple[str, str]] = [
     ("/\\./", "/"),                # /a/./b  -> /a/b
-    ("/\\.$", "/"),                # /a/.    -> /a/
+    ("/\\.$", "/"),                # /a/.    -> /a/  (and /. -> /)
     ("^/\\.\\./", "/"),            # /../a   -> /a (can't go above root)
+    ("^/\\.\\.$", "/"),            # /..     -> / (root-level, no slash)
     ("/[^/.][^/]*/\\.\\./", "/"),  # /a/../b -> /b
     ("/[^/.][^/]*/\\.\\.$", "/"),  # /a/..   -> /
 ]
@@ -195,13 +198,17 @@ def _assemble_canonical(
     path: Column, query: Column,
 ) -> Column:
     """Scheme-based rules (§6.2.3) + assembly: default ports drop,
-    empty path → '/', no scheme → ''."""
+    empty path → '/', non-http(s) scheme (or no scheme at all) → ''.
+    The '' result IS the frontier's drop signal — a crawl frontier
+    only fetches http(s), and returning ftp://... intact would let
+    it pass a ``canon != ''`` filter into the fetch queue (the w5
+    contract; this arm is what the x53/w5 docstrings describe)."""
     default = (
         ((scheme == "http") & (port == "80"))
         | ((scheme == "https") & (port == "443"))
         | (port == "")
     )
-    return F.when(scheme == "", F.lit("")).otherwise(
+    return F.when(~scheme.isin("http", "https"), F.lit("")).otherwise(
         F.concat(
             scheme,
             F.lit("://"),
@@ -321,7 +328,7 @@ def canonicalize_url_sql(expr: str, prenormalized: bool = False) -> str:
     path = f"CASE WHEN {path} = '' THEN '/' ELSE {path} END"
     query = f"regexp_extract({url}, '{_QUERY_RX}', 1)"
     return (
-        f"CASE WHEN {scheme} = '' THEN '' "
+        f"CASE WHEN {scheme} NOT IN ('http', 'https') THEN '' "
         f"ELSE {scheme} || '://' || {user} || {host} || {portpart} "
         f"|| {path} || {query} "
         f"END"
