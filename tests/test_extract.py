@@ -152,23 +152,85 @@ def test_strip_html_spark_duckdb_parity(spark):
         assert got[i] == want, (i, got[i], want)
 
 
-def test_http_composite_transfer_encoding_refused():
-    """r9 review finding: 'Transfer-Encoding: gzip, chunked' must be
-    REFUSED (None), not passed through still-compressed — zlib bytes
-    flowing into the text pipeline as document text is worse than
-    dropping the record. Bare identity stays accepted."""
+def test_http_composite_transfer_encoding():
+    """'Transfer-Encoding: gzip, chunked' now DECODES (dechunk, then
+    bounded gunzip — the RFC 9112 receiver order); mis-ordered or
+    non-gzip codings stay refused, as does composite framing whose
+    dechunked payload is not valid gzip — never passed through
+    still-compressed."""
+    import gzip as _gzip
+
+    from trisk_datawrangle_spark.llm.extract import http_response
+
+    body = b"hello crawl world" * 10
+    gz = _gzip.compress(body, 6, mtime=0)
+    raw = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip, chunked\r\n\r\n"
+        + http_chunk_encode(gz, 7)
+    )
+    got = http_response(raw)
+    assert got is not None
+    assert got[0] == body and got[1] >= 1 and got[2] is True
+    # dechunked payload that is NOT gzip: refused, not passed through
     enc = http_chunk_encode(b"abc", 2)
+    raw = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip, chunked\r\n\r\n"
+        + enc
+    )
+    assert http_body(raw) is None
     for head in (
-        b"Transfer-Encoding: gzip, chunked",
-        b"Transfer-Encoding: chunked, gzip",
+        b"Transfer-Encoding: chunked, gzip",  # mis-ordered
         b"transfer-encoding: gzip\r\ntransfer-encoding: chunked",
         b"Transfer-Encoding: deflate",
-        b"Transfer-Encoding: gzip",
+        b"Transfer-Encoding: gzip",  # gzip without chunked framing
     ):
         raw = b"HTTP/1.1 200 OK\r\n" + head + b"\r\n\r\n" + enc
         assert http_body(raw) is None, head
     ok = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: identity\r\n\r\nhi"
     assert http_body(ok) == b"hi"
+
+
+def test_http_content_encoding_gzip():
+    """'Content-Encoding: gzip' (and its x-gzip alias) inflates
+    behind the 8 MB bomb cap; deflate/br/unknown codings and
+    malformed/trailing-garbage/bomb gzip bodies are refused."""
+    import gzip as _gzip
+
+    from trisk_datawrangle_spark.llm.extract import http_response
+
+    body = b"<p>decoded</p>" * 30
+    gz = _gzip.compress(body, 6, mtime=0)
+    for name in (b"gzip", b"x-gzip"):
+        raw = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: " + name
+            + b"\r\nContent-Length: " + str(len(gz)).encode()
+            + b"\r\n\r\n" + gz
+        )
+        assert http_response(raw) == (body, 0, True), name
+    # content-coding OVER a chunked transfer: both layers undone
+    raw = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+        + http_chunk_encode(gz, 11)
+    )
+    got = http_response(raw)
+    assert got is not None and got[0] == body and got[2] is True
+    for tail, head in (
+        (gz[:-4], b"gzip"),        # truncated member
+        (gz + b"JUNK", b"gzip"),   # trailing garbage
+        (gz, b"deflate"),          # unsupported coding
+        (gz, b"br"),
+        (b"not gzip", b"gzip"),    # bad magic
+    ):
+        raw = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: " + head
+            + b"\r\n\r\n" + tail
+        )
+        assert http_response(raw) is None, head
+    # decompression bomb past the 8 MB cap: refused
+    bomb = _gzip.compress(b"\x00" * (9 * 1024 * 1024), 9, mtime=0)
+    raw = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + bomb
+    assert http_response(raw) is None
 
 
 def test_http_chunk_size_is_strict_hexdig():

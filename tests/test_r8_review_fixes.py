@@ -149,6 +149,9 @@ def test_http_body_chunked_spellings_refused():
         b"Transfer-Encoding:chunked",
         b"transfer-encoding:  chunked",
         b"TRANSFER-ENCODING\t: Chunked",
+        # composite gzip+chunked now DECODES when well-formed (r10);
+        # 'body' here is neither chunk-framed nor gzip, so it is
+        # still refused at the dechunk step
         b"Transfer-Encoding: gzip, chunked",
     ):
         rec = b"HTTP/1.1 200 OK\r\n" + hdr + b"\r\n\r\nbody"

@@ -4274,9 +4274,15 @@ WITH h AS (
 SELECT doc_id,
     CAST(COUNT(*) OVER (PARTITION BY archive_id) + 1 AS INTEGER)
         AS n_records,
-    CAST(CASE WHEN doc_id % 3 = 0
-         THEN ceil(octet_length(encode(html)) / {_S11_CHUNK}.0)
+    -- doc_id%6: 0 = gzip+chunked composite (chunk count runs over
+    -- COMPRESSED bytes, not text-derivable -> -1 sentinel), 3 =
+    -- plain chunked (count replayable from the html byte length),
+    -- 1/4 = Content-Encoding gzip, 2/5 = identity
+    CAST(CASE doc_id % 6
+         WHEN 0 THEN -1
+         WHEN 3 THEN ceil(octet_length(encode(html)) / {_S11_CHUNK}.0)
          ELSE 0 END AS INTEGER) AS n_chunks,
+    doc_id % 6 IN (0, 1, 4) AS gzipped,
     CAST(length(html) AS BIGINT) AS body_len,
     {strip_html_sql("html")} AS clean
 FROM h
@@ -4290,15 +4296,27 @@ def s11(spark, sf_dir):
     WARC (warc_build: 1 warcinfo + 50 HTTP responses),
     PARSED back (warc_records — Content-Length-driven slicing,
     per-member inflate) and EXPLODED to per-document rows, doc
-    identity recovered from the WARC-Target-URI header. Every third
-    response uses chunked transfer encoding (http_chunk_encode →
-    http_body_chunks' strict dechunk walk); the rest are plain
-    Content-Length. The recovered HTML goes through the SAME JVM
+    identity recovered from the WARC-Target-URI header. Response
+    codings by doc_id%6 — the mix a real capture delivers:
+
+    0: ``Transfer-Encoding: gzip, chunked`` composite — the kernel
+       dechunks THEN inflates (RFC 9112 order); the chunk count runs
+       over COMPRESSED bytes (not text-derivable), so the column
+       carries the -1 sentinel, and the decode itself is gated by
+       gzipped/body_len/clean;
+    3: plain chunked (http_chunk_encode → the strict dechunk walk),
+       count replayable from the html byte length;
+    1/4: ``Content-Encoding: gzip`` with Content-Length of the
+       COMPRESSED body — the dominant real-capture spelling,
+       inflated behind the PDF parser's 8 MB bomb cap;
+    2/5: identity.
+
+    The recovered HTML goes through the SAME JVM
     strip chain as x46 — kernels do bytes, Catalyst does text. The
     oracle replays the archive-size window count, the chunk-count
-    arithmetic, and the shared strip chain, so a wrong record
-    boundary, gzip member, header split, chunk frame, or URI parse
-    flips the hash.
+    and gzipped-arm arithmetic, and the shared strip chain, so a
+    wrong record boundary, gzip member, header split, chunk frame,
+    skipped/failed inflate, or URI parse flips the hash.
 
     Task balance at scale: parallelism is bounded by BYTES, not
     archive count — the archive table is repartitioned before the
@@ -4307,11 +4325,13 @@ def s11(spark, sf_dir):
     spark.sql.files.maxPartitionBytes over the .warc.gz objects
     (records never span gzip members, so member boundaries are
     resumable split points)."""
+    import gzip as _gzip
+
     import pandas as pd
 
     from trisk_datawrangle_spark.llm.extract import (
-        http_body_chunks,
         http_chunk_encode,
+        http_response,
         warc_build,
         warc_records,
     )
@@ -4324,11 +4344,30 @@ def s11(spark, sf_dir):
         ):
             doc_id = int(doc_id)
             html = _x46_html_py(doc_id, text).encode()
-            if doc_id % 3 == 0:
+            m = doc_id % 6
+            if m == 0:
+                # sender order gzip-then-chunked: chunk the gz bytes
+                gz = _gzip.compress(html, 6, mtime=0)
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    b"Transfer-Encoding: gzip, chunked\r\n\r\n"
+                    + http_chunk_encode(gz, _S11_CHUNK)
+                )
+            elif m == 3:
                 http = (
                     b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
                     b"Transfer-Encoding: chunked\r\n\r\n"
                     + http_chunk_encode(html, _S11_CHUNK)
+                )
+            elif m in (1, 4):
+                gz = _gzip.compress(html, 6, mtime=0)
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    b"Content-Encoding: gzip\r\n"
+                    + b"Content-Length: "
+                    + str(len(gz)).encode()
+                    + b"\r\n\r\n"
+                    + gz
                 )
             else:
                 http = (
@@ -4356,7 +4395,7 @@ def s11(spark, sf_dir):
 
     def extract(batches):
         for pdf in batches:
-            ids, nrecs, nchunks, bodies = [], [], [], []
+            ids, nrecs, nchunks, gzs, bodies = [], [], [], [], []
             for payload in pdf["payload"]:
                 recs = warc_records(bytes(payload))
                 if recs is None or len(recs) < 2:
@@ -4366,21 +4405,34 @@ def s11(spark, sf_dir):
                         continue
                     uri = headers["WARC-Target-URI"]
                     doc_id = int(uri.rsplit("/", 1)[1])
-                    got = http_body_chunks(content)
+                    got = http_response(content)
                     if got is None:
                         raise AssertionError(
                             f"s11: HTTP parse failed for doc {doc_id}"
                         )
-                    body, n_chunks = got
+                    body, n_chunks, gzipped = got
+                    if gzipped and n_chunks:
+                        # composite arm: the count ran over the
+                        # COMPRESSED bytes — assert the dechunker
+                        # actually walked chunks, then emit the
+                        # documented -1 sentinel (the oracle cannot
+                        # derive compressed sizes from text)
+                        if n_chunks < 1:
+                            raise AssertionError(
+                                "s11: composite arm without chunks"
+                            )
+                        n_chunks = -1
                     ids.append(doc_id)
                     nrecs.append(len(recs))
                     nchunks.append(n_chunks)
+                    gzs.append(gzipped)
                     bodies.append(body.decode())
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
                     "n_records": nrecs,
                     "n_chunks": nchunks,
+                    "gzipped": gzs,
                     "html": bodies,
                 }
             )
@@ -4398,12 +4450,14 @@ def s11(spark, sf_dir):
     )
     parsed = archives.mapInPandas(
         extract,
-        "doc_id long, n_records int, n_chunks int, html string",
+        "doc_id long, n_records int, n_chunks int, gzipped boolean,"
+        " html string",
     )
     return parsed.select(
         "doc_id",
         "n_records",
         "n_chunks",
+        "gzipped",
         F.length("html").cast("long").alias("body_len"),
         strip_html_expr("html").alias("clean"),
     )

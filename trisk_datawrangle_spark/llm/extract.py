@@ -20,7 +20,11 @@ parser for the real format, including chunked transfer encoding
 (RFC 9112 §7.1): :func:`http_body` dechunks via a deterministic
 size-line walk. Chunk extensions and non-empty trailers — rare,
 and a place where permissive parsing invites smuggling bugs — are
-refused loudly (None), as is any malformed framing.
+refused loudly (None), as is any malformed framing. gzip codings
+(``Content-Encoding: gzip`` and the composite ``Transfer-Encoding:
+gzip, chunked``) inflate via stdlib zlib behind the same 8 MB
+bomb cap as the PDF parser; ``deflate``/``br``/unknown codings are
+refused loudly, never passed through compressed.
 """
 
 from __future__ import annotations
@@ -235,18 +239,50 @@ def _dechunk(body: bytes) -> tuple[bytes, int] | None:
         n_chunks += 1
 
 
-def http_body_chunks(record_content: bytes) -> tuple[bytes, int] | None:
-    """Split an HTTP response record's content into headers + body,
-    dechunking when the headers declare ``Transfer-Encoding:
-    chunked`` (any case/whitespace spelling — HTTP allows no space,
-    extra spaces, or mixed case around the colon). Composite codings
-    (``gzip, chunked`` — compressed payloads this module cannot
-    undo) are REFUSED, not passed through compressed: feeding zlib
-    bytes to the text pipeline as document text is worse than
-    dropping the record. Returns ``(body, n_data_chunks)`` — 0
-    chunks for a plain Content-Length body — or None for non-HTTP
-    content, a non-identity non-chunked coding, or a body violating
-    the strict chunk grammar (see :func:`_dechunk`)."""
+#: Bounded inflate cap for gzip HTTP bodies — the same bomb-cap
+#: idiom as llm/pdf.py's _MAX_INFLATE: a coding that inflates past
+#: this is a decompression bomb, refused (None), never streamed on.
+_MAX_INFLATE = 8 * 1024 * 1024
+
+
+def _bounded_gunzip(data: bytes) -> bytes | None:
+    """Inflate ONE gzip member, bounded by :data:`_MAX_INFLATE`.
+    Refuses (None) on: zlib framing errors, output past the cap, a
+    truncated member (no eof), or ANY bytes after the member —
+    multi-member / trailing-garbage bodies are outside what an HTTP
+    content coding legitimately produces, and permissive tails are
+    where smuggling bugs live."""
+    import zlib
+
+    dec = zlib.decompressobj(16 + 15)
+    try:
+        out = dec.decompress(data, _MAX_INFLATE)
+    except zlib.error:
+        return None
+    if dec.unconsumed_tail or not dec.eof or dec.unused_data:
+        return None
+    return out
+
+
+def http_response(record_content: bytes) -> tuple[bytes, int, bool] | None:
+    """Split an HTTP response record's content into headers + body
+    and undo its codings: ``Transfer-Encoding`` first (``chunked``
+    via the strict :func:`_dechunk` walk; ``gzip, chunked`` —
+    applied by the sender in that order, so the receiver dechunks
+    THEN inflates — via the bounded gunzip), then a
+    ``Content-Encoding: gzip`` content coding (the common spelling
+    in real captures; ``x-gzip`` is its RFC 9110 alias). Header
+    spellings are case/whitespace-insensitive.
+
+    Returns ``(body, n_data_chunks, gzipped)`` — 0 chunks for a
+    non-chunked body, ``gzipped`` True when either coding layer
+    inflated — or None for non-HTTP content, a coding this module
+    cannot undo faithfully (``deflate``, ``br``, unknown tokens:
+    refused loudly, never passed through compressed — zlib bytes fed
+    to the text pipeline as document text are worse than a dropped
+    record), a chunk-grammar violation, or a gzip body that is
+    malformed, trailing-garbage-bearing, or inflates past the
+    8 MB bomb cap."""
     import re
 
     sep = record_content.find(b"\r\n\r\n")
@@ -254,25 +290,61 @@ def http_body_chunks(record_content: bytes) -> tuple[bytes, int] | None:
         return None
     head = record_content[:sep].lower()
     raw = record_content[sep + 4:]
-    codings = [
-        t.strip()
-        for m in re.finditer(
-            rb"^transfer-encoding[ \t]*:([^\r\n]*)", head, re.M
-        )
-        for t in m.group(1).split(b",")
-        if t.strip()
-    ]
+
+    def header_tokens(name: bytes) -> list[bytes]:
+        return [
+            t.strip()
+            for m in re.finditer(
+                rb"^" + name + rb"[ \t]*:([^\r\n]*)", head, re.M
+            )
+            for t in m.group(1).split(b",")
+            if t.strip()
+        ]
+
+    codings = header_tokens(b"transfer-encoding")
+    gzipped = False
     if not codings or codings == [b"identity"]:
-        return raw, 0
-    if codings == [b"chunked"]:
-        return _dechunk(raw)
-    return None  # gzip/deflate/composite codings: refused loudly
+        body, n_chunks = raw, 0
+    elif codings == [b"chunked"]:
+        got = _dechunk(raw)
+        if got is None:
+            return None
+        body, n_chunks = got
+    elif codings in ([b"gzip", b"chunked"], [b"x-gzip", b"chunked"]):
+        got = _dechunk(raw)
+        if got is None:
+            return None
+        inflated = _bounded_gunzip(got[0])
+        if inflated is None:
+            return None
+        body, n_chunks = inflated, got[1]
+        gzipped = True
+    else:
+        return None  # deflate/br/unknown/mis-ordered: refused loudly
+
+    content_codings = header_tokens(b"content-encoding")
+    if content_codings and content_codings != [b"identity"]:
+        if content_codings not in ([b"gzip"], [b"x-gzip"]):
+            return None
+        body2 = _bounded_gunzip(body)
+        if body2 is None:
+            return None
+        body, gzipped = body2, True
+    return body, n_chunks, gzipped
+
+
+def http_body_chunks(record_content: bytes) -> tuple[bytes, int] | None:
+    """The ``(body, n_data_chunks)`` view of :func:`http_response` —
+    kept as the stable name for callers that don't care whether a
+    gzip layer was inflated."""
+    got = http_response(record_content)
+    return None if got is None else (got[0], got[1])
 
 
 def http_body(record_content: bytes) -> bytes | None:
-    """The body-only view of :func:`http_body_chunks` — kept as the
-    stable public name; chunked responses are now decoded rather
-    than refused (refusal dropped every chunked capture, and real
-    WARC corpora contain them in volume)."""
-    got = http_body_chunks(record_content)
+    """The body-only view of :func:`http_response` — kept as the
+    stable public name; chunked and gzip-coded responses are decoded
+    rather than refused (refusal dropped every such capture, and
+    real WARC corpora contain both in volume)."""
+    got = http_response(record_content)
     return None if got is None else got[0]
