@@ -97,6 +97,13 @@ def _seeds() -> dict[str, bytes]:
             10, 12, 3, px3, quality=85
         ),
         "pdf": pdf_build(["hello world page one", "page two"]),
+        "pdf15": pdf_build(
+            ["hello world page one", "page two"], xref_stream=True
+        ),
+        "http_gzip": (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+            + __import__("gzip").compress(b"gzip fuzz seed " * 10, 6)
+        ),
         "warc": warc_build(
             [
                 ({"WARC-Type": "warcinfo"}, b"x\r\n"),
@@ -123,6 +130,8 @@ _PARSERS = {
     "jpeg": decode_jpeg,
     "jpeg_progressive": decode_jpeg,
     "pdf": pdf_text,
+    "pdf15": pdf_text,
+    "http_gzip": http_decode_text,
     "warc": warc_records,
     "wav": decode_wav,
     "avi": lambda b: sample_frames(b, every_n=2),

@@ -246,3 +246,108 @@ def test_bom_lookalike_latin1_roundtrips():
     reproduced silent corruption)."""
     pages = ["þÿabcd", "þÿab rest of page", "þÿ"]
     assert pdf_text(pdf_build(pages)) == pages
+
+
+# ------------------------------------------------------------------ #
+# PDF 1.5: cross-reference streams + object streams                   #
+# ------------------------------------------------------------------ #
+
+
+def test_xref_stream_roundtrip():
+    """The 1.5 builder/parser pair: xref STREAM (/W [1 4 2], PNG Up
+    predictor) + /ObjStm-compressed non-stream objects."""
+    for pages in (["only page"], ["a", "b", "c"],
+                  ["em—dash ’curly’", "emoji \U0001f600"]):
+        payload = pdf_build(pages, xref_stream=True)
+        assert payload.startswith(b"%PDF-1.5")
+        assert b"/Type /XRef" in payload and b"/ObjStm" in payload
+        assert pdf_text(payload) == pages
+
+
+def test_xref_stream_table_shape():
+    from trisk_datawrangle_spark.llm.pdf import _parse_xref
+
+    payload = pdf_build(["a", "b"], xref_stream=True)
+    table, trailer = _parse_xref(payload)
+    assert b"/Root 1 0 R" in trailer
+    # catalog/pages/font/page dicts compressed; contents + ObjStm +
+    # XRef direct
+    members = [e for e in table if isinstance(e, tuple)]
+    directs = [e for e in table if isinstance(e, int) and e >= 0]
+    assert len(members) == 3 + 2  # catalog, tree, font, 2 page dicts
+    assert len(directs) == 2 + 2  # 2 content streams, ObjStm, XRef
+    # every member names the same ObjStm container with unique index
+    assert len({m[1] for m in members}) == 1
+    assert sorted(m[2] for m in members) == list(range(5))
+
+
+def test_xref_stream_hostile_shapes():
+    """Each hostile 1.5 shape must refuse (None), never raise or
+    mis-decode."""
+    good = pdf_build(["hello", "world"], xref_stream=True)
+    assert pdf_text(good) == ["hello", "world"]
+    # /Prev incremental chain: outside the subset
+    assert pdf_text(
+        good.replace(b"/Type /XRef", b"/Type /XRef /Prev 9")
+    ) is None
+    # billion-object /Size: refused before allocation
+    assert pdf_text(re.sub(rb"/Size \d+", b"/Size 999999999", good)) is None
+    # TIFF predictor 2: refused
+    assert pdf_text(
+        good.replace(b"/Predictor 12", b"/Predictor 2")
+    ) is None
+    # type-2 entry pointing at a non-ObjStm object: the container
+    # validation refuses (flip the /Type name; offsets unchanged)
+    assert pdf_text(good.replace(b"/ObjStm", b"/Objxxx")) is None
+    # lying ObjStm member header: member numbers shifted by one
+    from trisk_datawrangle_spark.llm.pdf import (
+        _objstm_object, _parse_xref,
+    )
+
+    table, _ = _parse_xref(good)
+    objstm_num = next(e[1] for e in table if isinstance(e, tuple))
+    # ask for member index 0 under the WRONG object number
+    assert _objstm_object(good, 9999, objstm_num, 0, table) is None
+    # nested-ObjStm claim: container addressed as type-2 itself
+    fake = list(table)
+    fake[objstm_num] = ("s", objstm_num, 0)
+    assert _objstm_object(good, 1, objstm_num, 0, fake) is None
+
+
+def test_png_unpredict_filters():
+    """All five PNG row filters decode; unknown tags refuse."""
+    from trisk_datawrangle_spark.llm.pdf import _png_unpredict
+
+    cols = 4
+    raw = bytes(range(1, 13))  # 3 rows of 4
+    # encode with Up (tag 2) by hand
+    enc = bytearray()
+    prev = bytes(cols)
+    for r in range(0, len(raw), cols):
+        row = raw[r:r + cols]
+        enc += b"\x02" + bytes(
+            (row[i] - prev[i]) & 0xFF for i in range(cols)
+        )
+        prev = row
+    assert _png_unpredict(bytes(enc), 12, cols) == raw
+    # None filter rows (tag 0) pass through
+    none_enc = b"".join(
+        b"\x00" + raw[r:r + cols] for r in range(0, len(raw), cols)
+    )
+    assert _png_unpredict(none_enc, 12, cols) == raw
+    # Sub filter roundtrip
+    sub = bytearray()
+    for r in range(0, len(raw), cols):
+        row = raw[r:r + cols]
+        sub += b"\x01" + bytes([row[0]]) + bytes(
+            (row[i] - row[i - 1]) & 0xFF for i in range(1, cols)
+        )
+    assert _png_unpredict(bytes(sub), 12, cols) == raw
+    # unknown tag byte: refused
+    assert _png_unpredict(b"\x07" + raw[:cols], 12, cols) is None
+    # ragged framing: refused
+    assert _png_unpredict(b"\x00abc", 12, cols) is None
+    # predictor 1 = no prediction at all
+    assert _png_unpredict(raw, 1, cols) == raw
+    # TIFF predictor 2: refused
+    assert _png_unpredict(raw, 2, cols) is None

@@ -4496,7 +4496,12 @@ pages AS (
 )
 SELECT p.doc_id,
     CAST(pg.n_pages AS INTEGER) AS n_pages,
-    CAST(3 + 2 * pg.n_pages AS INTEGER) AS n_objects,
+    -- even docs build as PDF 1.5 (xref STREAM + /ObjStm container:
+    -- +2 objects), odd docs as classic PDF 1.4
+    CAST(3 + 2 * pg.n_pages
+         + CASE WHEN p.doc_id % 2 = 0 THEN 2 ELSE 0 END
+         AS INTEGER) AS n_objects,
+    p.doc_id % 2 = 0 AS xref_stream,
     string_agg(p.ptext, chr(10) ORDER BY p.page_idx) AS clean
 FROM pages p JOIN pg USING (doc_id)
 GROUP BY p.doc_id, pg.n_pages
@@ -4505,16 +4510,21 @@ GROUP BY p.doc_id, pg.n_pages
 def s13(spark, sf_dir):
     """PDF text extraction end to end (llm/pdf.py) — the other
     front-door crawl format beside WARC/HTML: per document the text
-    is split into 12-word pages, BUILT into a spec-valid PDF 1.4
-    (real xref byte offsets, Flate-compressed per-page content
-    streams, PDF string escaping), then PARSED back xref-first —
-    startxref → offset table → object slicing with
-    declared-object-number validation → /Root → page tree →
-    per-page /Contents → zlib inflate → Tj/TJ text ops with escape
-    handling — and the kernel RAISES unless the recovered pages
-    equal the built ones. The oracle replays the page-chunking
-    arithmetic and object-count formula (3 + 2·pages), so a wrong
-    xref offset, stream length, escape, or page order flips the
+    is split into 12-word pages and BUILT into a spec-valid PDF —
+    ODD doc_ids as classic PDF 1.4 (real xref table, 20-byte
+    entries), EVEN doc_ids as PDF 1.5 (cross-reference STREAM with
+    /W [1 4 2] rows under the PNG Up predictor, non-stream objects
+    packed into an /ObjStm container addressed by type-2 entries —
+    the majority class of post-2005 crawl PDFs) — then PARSED back
+    xref-first: startxref → table/stream walk → object slicing with
+    declared-object-number validation (type-2 members through the
+    ObjStm N-pair header) → /Root → page tree → per-page /Contents
+    → zlib inflate → Tj/TJ text ops with escape handling — and the
+    kernel RAISES unless the recovered pages equal the built ones.
+    The oracle replays the page-chunking arithmetic and the
+    per-variant object-count formula (3 + 2·pages, +2 for the 1.5
+    ObjStm/XRef objects), so a wrong xref offset, predictor row,
+    ObjStm slice, stream length, escape, or page order flips the
     hash. Scale shape: bytes-level Arrow-batched mapInPandas like
     s11 — parallelism from partitioning, records never scanned for
     delimiters (offsets drive every slice)."""
@@ -4530,7 +4540,7 @@ def s13(spark, sf_dir):
 
     def extract(batches):
         for pdf in batches:
-            ids, npages, nobjs, cleans = [], [], [], []
+            ids, npages, nobjs, xstreams, cleans = [], [], [], [], []
             for doc_id, text in zip(
                 pdf["doc_id"].astype("int64"), pdf["text"]
             ):
@@ -4544,27 +4554,50 @@ def s13(spark, sf_dir):
                     " ".join(words[i:i + _S13_PAGE])
                     for i in range(0, len(words), _S13_PAGE)
                 ] or [""]
-                payload = pdf_build(pages)
+                use_stream = doc_id % 2 == 0
+                payload = pdf_build(pages, xref_stream=use_stream)
                 got = pdf_text(payload)
                 if got != pages:
                     raise AssertionError(
                         f"s13: PDF roundtrip mismatch for doc "
                         f"{doc_id}"
                     )
-                table = _parse_xref(payload)
-                if table is None:
+                parsed = _parse_xref(payload)
+                if parsed is None:
                     raise AssertionError(
                         f"s13: xref parse failed for doc {doc_id}"
                     )
+                table, _trailer = parsed
+                # present = direct offsets OR type-2 ObjStm members
+                n_present = sum(
+                    1
+                    for e in table
+                    if isinstance(e, tuple)
+                    or (isinstance(e, int) and e >= 0)
+                )
+                if use_stream:
+                    n_members = sum(
+                        1 for e in table if isinstance(e, tuple)
+                    )
+                    # catalog + pages tree + font + page dicts ride
+                    # in the ObjStm; a wrong member count means the
+                    # type-2 rows mis-parsed even if text matched
+                    if n_members != 3 + len(got):
+                        raise AssertionError(
+                            f"s13: ObjStm member count off for doc "
+                            f"{doc_id}"
+                        )
                 ids.append(doc_id)
                 npages.append(len(got))
-                nobjs.append(sum(1 for off in table if off >= 0))
+                nobjs.append(n_present)
+                xstreams.append(use_stream)
                 cleans.append("\n".join(got))
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
                     "n_pages": npages,
                     "n_objects": nobjs,
+                    "xref_stream": xstreams,
                     "clean": cleans,
                 }
             )
@@ -4573,7 +4606,8 @@ def s13(spark, sf_dir):
     d = d.repartition(spark.sparkContext.defaultParallelism)
     return d.mapInPandas(
         extract,
-        "doc_id long, n_pages int, n_objects int, clean string",
+        "doc_id long, n_pages int, n_objects int,"
+        " xref_stream boolean, clean string",
     )
 
 

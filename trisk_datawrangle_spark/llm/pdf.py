@@ -2,7 +2,7 @@
 training corpus (crawls deliver .pdf alongside .html; a pipeline
 that drops them loses a large, high-quality text slice).
 
-Stdlib-only, spec-driven (PDF 1.4, ISO 32000 subset): the parser is
+Stdlib-only, spec-driven (ISO 32000 subset): the parser is
 XREF-DRIVEN — it reads ``startxref``, walks the cross-reference
 table, and slices each object at its declared byte offset (the same
 never-scan-for-delimiters discipline as the WARC reader's
@@ -13,11 +13,22 @@ content streams (stdlib zlib), and tokenizes the content stream for
 the text-showing operators ``Tj`` and ``TJ`` (with PDF string
 escapes: ``\\(``, ``\\)``, ``\\\\``, octal codes, line
 continuations; both latin-1 and the spec's BOM-marked UTF-16BE
-text strings decode). Anything outside this subset — encryption,
-object streams (/ObjStm), LZW/ASCII85 filters — returns None
-loudly rather than guessing, and hostile shapes (billion-object
-xref claims, Flate decompression bombs, 'endobj' bytes inside
-stream data) are refused or sliced past by declared DIRECT lengths,
+text strings decode).
+
+Both cross-reference FORMS parse: the classic PDF 1.4 ``xref``
+table, and the PDF 1.5 cross-reference STREAM (``/Type /XRef`` —
+FlateDecoded binary rows walked by the ``/W`` field-width triple,
+optional ``/Index`` subsections, PNG row predictors 10-15 per
+``/DecodeParms`` — the layout nearly every post-2005 writer emits)
+together with ``/Type /ObjStm`` OBJECT streams (type-2 entries:
+compressed non-stream objects addressed as (container, index) pairs
+through the container's N-pair header). Anything outside this
+subset — encryption, LZW/ASCII85 filters, incremental ``/Prev``
+chains, TIFF predictor 2 — returns None loudly rather than
+guessing, and hostile shapes (billion-object xref/Size claims,
+Flate decompression bombs, 'endobj' bytes inside stream data,
+object-stream containers nested in object streams, lying ObjStm
+headers) are refused or sliced past by declared DIRECT lengths,
 never scanned into; indirect ``/Length N 0 R`` objects are refused
 loudly rather than mis-sliced.
 
@@ -61,14 +72,10 @@ def _escape_string(s: str) -> bytes:
     return b"".join(_ESC.get(b, bytes([b])) for b in raw)
 
 
-def pdf_build(pages: list[str]) -> bytes:
-    """Serialize a PDF 1.4 document with one Flate-compressed content
-    stream per page, each showing its page's text as a single ``Tj``
-    string. Object layout: 1=catalog, 2=pages tree, 3=font, then
-    (page, contents) pairs — ``3 + 2 * n_pages`` objects, written
-    with a REAL xref table (exact 20-byte entries, byte offsets)."""
-    if not pages:
-        raise ValueError("pdf_build: at least one page required")
+def _page_objects(pages: list[str]) -> list[bytes]:
+    """The shared object bodies for both builder variants. Layout:
+    1=catalog, 2=pages tree, 3=font, then (page, contents) pairs —
+    ``3 + 2 * n_pages`` document objects."""
     n = len(pages)
     objects: list[bytes] = []
     kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n))
@@ -100,27 +107,129 @@ def pdf_build(pages: list[str]) -> bytes:
             + flate
             + b"\nendstream"
         )
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = [0]  # object 0 is the free head
-    for num, body in enumerate(objects, start=1):
-        offsets.append(len(out))
-        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    return objects
+
+
+def pdf_build(pages: list[str], xref_stream: bool = False) -> bytes:
+    """Serialize a PDF document with one Flate-compressed content
+    stream per page, each showing its page's text as a single ``Tj``
+    string (object layout per :func:`_page_objects`).
+
+    ``xref_stream=False`` (default): PDF 1.4 — a REAL classic xref
+    table (exact 20-byte entries, byte offsets) plus a trailer
+    dictionary.
+
+    ``xref_stream=True``: PDF 1.5 — the non-stream objects (catalog,
+    pages tree, font, page dictionaries) are packed into ONE
+    ``/Type /ObjStm`` object stream and addressed by type-2 xref
+    entries; content streams stay direct (streams may not live
+    inside an object stream, per spec); the cross-reference itself
+    is a ``/Type /XRef`` STREAM with ``/W [1 4 2]`` binary rows,
+    Flate-compressed under the PNG Up predictor (``/DecodeParms
+    << /Predictor 12 /Columns 7 >>`` — the layout real writers
+    emit). Total objects = ``3 + 2*n_pages + 2`` (+ObjStm +XRef)."""
+    if not pages:
+        raise ValueError("pdf_build: at least one page required")
+    n = len(pages)
+    objects = _page_objects(pages)
+    if not xref_stream:
+        out = bytearray(b"%PDF-1.4\n")
+        offsets = [0]  # object 0 is the free head
+        for num, body in enumerate(objects, start=1):
+            offsets.append(len(out))
+            out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+        xref_at = len(out)
+        out += f"xref\n0 {len(objects) + 1}\n".encode()
+        out += b"0000000000 65535 f \n"
+        for off in offsets[1:]:
+            out += f"{off:010d} 00000 n \n".encode()
+        out += (
+            f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n"
+        ).encode()
+        return bytes(out)
+
+    # ---- PDF 1.5: ObjStm + XRef stream ----
+    objstm_num = 4 + 2 * n
+    xref_num = 5 + 2 * n
+    size = xref_num + 1
+    # compressed members: every non-stream object, in number order
+    compressed = [1, 2, 3] + [4 + 2 * i for i in range(n)]
+    member_idx = {num: i for i, num in enumerate(compressed)}
+    bodies = [objects[num - 1] for num in compressed]
+    header = bytearray()
+    payload = bytearray()
+    for num, body in zip(compressed, bodies):
+        header += f"{num} {len(payload)} ".encode()
+        payload += body + b"\n"
+    stm = bytes(header) + bytes(payload)
+    objstm_flate = zlib.compress(stm, 6)
+    objstm = (
+        f"<< /Type /ObjStm /N {len(compressed)} /First {len(header)} "
+        f"/Length {len(objstm_flate)} /Filter /FlateDecode >>"
+        .encode()
+        + b"\nstream\n" + objstm_flate + b"\nendstream"
+    )
+
+    out = bytearray(b"%PDF-1.5\n")
+    direct_offsets: dict[int, int] = {}
+    for i in range(n):  # content streams stay direct objects
+        num = 5 + 2 * i
+        direct_offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objects[num - 1] + b"\nendobj\n"
+    direct_offsets[objstm_num] = len(out)
+    out += f"{objstm_num} 0 obj\n".encode() + objstm + b"\nendobj\n"
+
+    # xref rows, W = [1, 4, 2]: type, field2, field3
+    rows = bytearray()
+    for num in range(size):
+        if num == 0:
+            t, f2, f3 = 0, 0, 65535
+        elif num in member_idx:
+            t, f2, f3 = 2, objstm_num, member_idx[num]
+        elif num == xref_num:
+            t, f2, f3 = 1, len(out), 0
+        else:
+            t, f2, f3 = 1, direct_offsets[num], 0
+        rows += bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+    # PNG Up predictor (12): tag byte 2, row minus previous row
+    columns = 7
+    pred = bytearray()
+    prev = bytes(columns)
+    for r in range(0, len(rows), columns):
+        row = bytes(rows[r:r + columns])
+        pred += b"\x02" + bytes(
+            (row[i] - prev[i]) & 0xFF for i in range(columns)
+        )
+        prev = row
+    xref_flate = zlib.compress(bytes(pred), 6)
     xref_at = len(out)
-    out += f"xref\n0 {len(objects) + 1}\n".encode()
-    out += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        out += f"{off:010d} 00000 n \n".encode()
     out += (
-        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
-        f"startxref\n{xref_at}\n%%EOF\n"
-    ).encode()
+        f"{xref_num} 0 obj\n"
+        f"<< /Type /XRef /Size {size} /W [1 4 2] /Root 1 0 R "
+        f"/DecodeParms << /Predictor 12 /Columns {columns} >> "
+        f"/Length {len(xref_flate)} /Filter /FlateDecode >>"
+        .encode()
+        + b"\nstream\n" + xref_flate + b"\nendstream\nendobj\n"
+    )
+    out += f"startxref\n{xref_at}\n%%EOF\n".encode()
     return bytes(out)
 
 
-def _parse_xref(d: bytes) -> list[int] | None:
-    """startxref → xref table → object byte offsets (index = object
-    number). None on malformed/absent xref — no fallback scanning;
-    an offset table that lies is a refusal, not a heuristic."""
+#: Table entry for a type-2 (object-stream-compressed) object:
+#: ("s", container_object_number, index_within_container). Direct
+#: objects are plain int byte offsets; -1 = free/absent.
+_XrefEntry = "int | tuple"
+
+
+def _parse_xref(d: bytes) -> tuple[list, bytes] | None:
+    """startxref → cross-reference → (entry table indexed by object
+    number, trailer dictionary bytes). Handles BOTH forms: the
+    classic ``xref`` table (trailer = the ``trailer`` dict after the
+    table) and the PDF 1.5 cross-reference STREAM (trailer = the
+    XRef stream's own dictionary, which carries /Root and /Size per
+    spec). None on malformed/absent xref — no fallback scanning; an
+    offset table that lies is a refusal, not a heuristic."""
     tail = d[-256:]
     m = None
     for m in re.finditer(rb"startxref\s+(\d+)", tail):
@@ -128,8 +237,8 @@ def _parse_xref(d: bytes) -> list[int] | None:
     if m is None:
         return None
     xref_at = int(m.group(1))
-    if not d[xref_at:xref_at + 4] == b"xref":
-        return None
+    if d[xref_at:xref_at + 4] != b"xref":
+        return _parse_xref_stream(d, xref_at)
     pos = xref_at + 4
     offsets: dict[int, int] = {}
     while True:
@@ -155,24 +264,160 @@ def _parse_xref(d: bytes) -> list[int] | None:
             pos += 20
     if not offsets:
         return None
+    tm = re.match(rb"\s*trailer", d[pos:pos + 32])
+    if tm is None:
+        return None
+    trailer = _dict_of(d[pos + tm.end():pos + tm.end() + 2048])
+    if not trailer:
+        return None
     size = max(offsets) + 1
-    table = [-1] * size
+    table: list = [-1] * size
     for num, off in offsets.items():
         table[num] = off
-    return table
+    return table, trailer
 
 
-def _object_at(d: bytes, num: int, offsets: list[int]) -> bytes | None:
+def _png_unpredict(data: bytes, predictor: int, columns: int) -> bytes | None:
+    """Undo PNG row predictors (10-15 — the per-row tag byte decides
+    the actual filter, per the PNG spec ISO 32000 §7.4.4.4 points
+    at) over ``columns``-byte rows with 1-byte pixels (xref streams
+    are /Colors 1 /BitsPerComponent 8). TIFF predictor 2 and
+    malformed row framing are refused (None)."""
+    if predictor == 1:
+        return data
+    if not 10 <= predictor <= 15:
+        return None
+    if columns < 1 or len(data) % (columns + 1):
+        return None
+    out = bytearray()
+    prev = bytes(columns)
+    for r in range(0, len(data), columns + 1):
+        tag = data[r]
+        row = bytearray(data[r + 1:r + 1 + columns])
+        if tag == 0:
+            pass
+        elif tag == 1:  # Sub: left neighbor (bpp = 1)
+            for i in range(1, columns):
+                row[i] = (row[i] + row[i - 1]) & 0xFF
+        elif tag == 2:  # Up
+            for i in range(columns):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif tag == 3:  # Average
+            for i in range(columns):
+                left = row[i - 1] if i else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif tag == 4:  # Paeth
+            for i in range(columns):
+                a = row[i - 1] if i else 0
+                b = prev[i]
+                c = prev[i - 1] if i else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (
+                    b if pb <= pc else c
+                )
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            return None  # unknown row filter: refused
+        out += row
+        prev = bytes(row)
+    return bytes(out)
+
+
+def _parse_xref_stream(d: bytes, off: int) -> tuple[list, bytes] | None:
+    """PDF 1.5 cross-reference STREAM at byte ``off``: an ordinary
+    stream object whose dictionary is also the trailer. Binary rows
+    are walked by the /W field-width triple over the /Index
+    subsections (default ``[0 /Size]``); type 1 rows are direct byte
+    offsets, type 2 rows are (object-stream, index) pairs, type 0
+    free, unknown types skipped per spec (treat as null). Refused
+    loudly: /Prev incremental chains, absent/oversized /Size (the
+    classic billion-object DoS bound), /W widths past 8 bytes, row
+    underrun, predictors outside PNG 10-15."""
+    m = re.match(rb"(\d+)\s+\d+\s+obj\b", d[off:off + 32])
+    if m is None:
+        return None
+    body = d[off + m.end():off + m.end() + 65536]
+    head = _dict_of(body)
+    if not head or b"/XRef" not in head:
+        return None
+    if b"/Prev" in head:
+        return None  # incremental-update chains: outside the subset
+    length = _direct_length(head)
+    if length < 0:
+        return None
+    wm = re.search(rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]", head)
+    szm = re.search(rb"/Size\s+(\d+)", head)
+    if wm is None or szm is None:
+        return None
+    w = tuple(int(x) for x in wm.groups())
+    size = int(szm.group(1))
+    if size > len(d) // 8 + 16:
+        return None  # billion-object /Size claim: refused
+    rowlen = sum(w)
+    if rowlen == 0 or max(w) > 8:
+        return None
+    idxm = re.search(rb"/Index\s*\[([^\]]*)\]", head)
+    if idxm is not None:
+        nums = [int(x) for x in re.findall(rb"\d+", idxm.group(1))]
+        if not nums or len(nums) % 2:
+            return None
+        index = list(zip(nums[::2], nums[1::2]))
+    else:
+        index = [(0, size)]
+    if any(s + c > size for s, c in index):
+        return None
+    # slice the stream data exactly like any other object: the
+    # declared direct /Length drives it, never a delimiter scan
+    obj_slice = d[off + m.end():off + m.end() + len(head) + 64 + length]
+    data = _stream_data(obj_slice)
+    if data is None:
+        return None
+    pm = re.search(rb"/Predictor\s+(\d+)", head)
+    if pm is not None:
+        cm = re.search(rb"/Columns\s+(\d+)", head)
+        columns = int(cm.group(1)) if cm is not None else 1
+        data = _png_unpredict(data, int(pm.group(1)), columns)
+        if data is None:
+            return None
+    table: list = [-1] * size
+    pos = 0
+    for start, count in index:
+        for i in range(count):
+            row = data[pos:pos + rowlen]
+            if len(row) < rowlen:
+                return None
+            pos += rowlen
+            # width-0 field 1 defaults to type 1 per spec
+            t = int.from_bytes(row[:w[0]], "big") if w[0] else 1
+            f2 = int.from_bytes(row[w[0]:w[0] + w[1]], "big")
+            f3 = int.from_bytes(row[w[0] + w[1]:rowlen], "big")
+            if t == 1:
+                table[start + i] = f2
+            elif t == 2:
+                table[start + i] = ("s", f2, f3)
+            # t == 0 free / unknown types: left absent (null)
+    return table, head
+
+
+def _object_at(d: bytes, num: int, offsets: list) -> bytes | None:
     """Slice object ``num`` at its xref offset; validates the header
     actually declares that object number (a lying xref is refused).
     When the object carries a stream, the declared /Length drives
     the slice PAST the stream data before ``endobj`` is searched —
     compressed payloads can legitimately contain the 6-byte
     sequence 'endobj', so scanning for it inside stream bytes would
-    truncate valid objects (the WARC Content-Length discipline)."""
-    if not 0 <= num < len(offsets) or offsets[num] < 0:
+    truncate valid objects (the WARC Content-Length discipline).
+    Type-2 entries (object compressed inside an /ObjStm container)
+    resolve through :func:`_objstm_object`."""
+    if not 0 <= num < len(offsets):
         return None
-    off = offsets[num]
+    entry = offsets[num]
+    if isinstance(entry, tuple):
+        return _objstm_object(d, num, entry[1], entry[2], offsets)
+    if entry < 0:
+        return None
+    off = entry
     m = re.match(rb"(\d+)\s+\d+\s+obj\b", d[off:off + 32])
     if m is None or int(m.group(1)) != num:
         return None
@@ -197,6 +442,54 @@ def _object_at(d: bytes, num: int, offsets: list[int]) -> bytes | None:
     if end < 0:
         return None
     return d[body_start:end]
+
+
+def _objstm_object(
+    d: bytes, num: int, container: int, idx: int, offsets: list
+) -> bytes | None:
+    """Resolve a type-2 xref entry: object ``num`` is member ``idx``
+    of the ``/Type /ObjStm`` stream object ``container``. The
+    container must itself be a DIRECT object (the spec forbids
+    object streams inside object streams — and honoring a nested
+    claim would recurse on attacker-controlled depth, so the table
+    entry is checked BEFORE the fetch); its header is ``/N`` pairs
+    of ``objnum offset`` relative to ``/First``. The pair's declared
+    object number must BE ``num`` — a lying header is refused like a
+    lying xref offset. Slices run to the next member's offset (or
+    stream end), never by delimiter scan."""
+    if not 0 <= container < len(offsets):
+        return None
+    if not isinstance(offsets[container], int) or offsets[container] < 0:
+        return None  # nested-ObjStm claim or free container: refused
+    cobj = _object_at(d, container, offsets)
+    if cobj is None:
+        return None
+    head = _dict_of(cobj)
+    if b"/ObjStm" not in head:
+        return None  # type-2 entry pointing at a non-ObjStm object
+    nm = re.search(rb"/N\s+(\d+)", head)
+    fm = re.search(rb"/First\s+(\d+)", head)
+    if nm is None or fm is None:
+        return None
+    n, first = int(nm.group(1)), int(fm.group(1))
+    data = _stream_data(cobj)
+    if data is None:
+        return None
+    # the header region is ASCII pairs; N is bounded by the stream's
+    # real size (2 bytes minimum per pair), so no DoS allocation
+    if not 0 <= idx < n or first > len(data) or n > first // 2 + 1:
+        return None
+    pairs = re.findall(rb"(\d+)\s+(\d+)", data[:first])
+    if len(pairs) != n:
+        return None
+    objnum, rel = int(pairs[idx][0]), int(pairs[idx][1])
+    if objnum != num:
+        return None  # lying ObjStm header: refused
+    start = first + rel
+    end = first + int(pairs[idx + 1][1]) if idx + 1 < n else len(data)
+    if not first <= start <= end <= len(data):
+        return None
+    return data[start:end]
 
 
 def _direct_length(head: bytes) -> int:
@@ -384,24 +677,24 @@ def _content_text(content: bytes) -> str | None:
 
 
 def pdf_text(payload: bytes) -> list[str] | None:
-    """Extract per-page text from a PDF: xref walk → trailer /Root →
-    catalog /Pages → page tree /Kids (in order) → each page's
-    /Contents stream → FlateDecode → Tj/TJ concatenation. Returns
+    """Extract per-page text from a PDF: xref walk (classic table or
+    1.5 xref stream) → trailer /Root → catalog /Pages → page tree
+    /Kids (in order) → each page's /Contents stream (direct or
+    ObjStm-compressed) → FlateDecode → Tj/TJ concatenation. Returns
     one string per page, or None for anything outside the honest
     subset (bad xref, encryption, non-Flate filters, malformed
     streams)."""
     if not payload.startswith(b"%PDF-"):
         return None
-    offsets = _parse_xref(payload)
-    if offsets is None:
+    parsed = _parse_xref(payload)
+    if parsed is None:
         return None
-    m = None
-    for m in re.finditer(rb"/Root\s+(\d+)\s+0\s+R", payload[-512:]):
-        pass
+    offsets, trailer = parsed
+    m = re.search(rb"/Root\s+(\d+)\s+0\s+R", trailer)
     if m is None:
         return None
     catalog = _object_at(payload, int(m.group(1)), offsets)
-    if catalog is None or b"/Encrypt" in payload[-512:]:
+    if catalog is None or b"/Encrypt" in trailer:
         return None
     pm = re.search(rb"/Pages\s+(\d+)\s+0\s+R", catalog)
     if pm is None:
