@@ -315,3 +315,80 @@ class TestCharset:
         )
         assert http_decode_text(rec) == ("utf-8", self.T)
         assert http_decode_text(b"not http") is None
+
+
+class TestRobotsMeta:
+    """parse_robots_full: the Sitemap:/Crawl-delay: control-plane
+    surface (r10 — previously parsed past as unknown directives)."""
+
+    def test_sitemaps_are_global(self):
+        from trisk_datawrangle_spark.llm.robots import (
+            parse_robots_full,
+        )
+
+        body = (
+            "Sitemap: http://a/s1.xml\n"
+            "User-agent: otherbot\nDisallow: /\n"
+            "Sitemap: http://a/s2.xml\n"
+            "User-agent: *\nDisallow: /q/\n"
+            "sitemap:http://a/s3.xml\n"  # lowercase, no space
+        )
+        m = parse_robots_full(body, "trisk-crawler")
+        # file order, regardless of which group surrounds them
+        assert m["sitemaps"] == [
+            "http://a/s1.xml", "http://a/s2.xml", "http://a/s3.xml"
+        ]
+        assert m["rules"] == [("disallow", "/q/")]
+
+    def test_crawl_delay_is_group_scoped(self):
+        from trisk_datawrangle_spark.llm.robots import (
+            parse_robots_full,
+        )
+
+        body = (
+            "User-agent: otherbot\nDisallow: /\nCrawl-delay: 99\n"
+            "User-agent: trisk-crawler\nAllow: /x\nCrawl-delay: 2.5\n"
+            "User-agent: *\nDisallow: /q/\nCrawl-delay: 7\n"
+        )
+        # specific group selected: its delay, never the decoy's 99
+        m = parse_robots_full(body, "trisk-crawler")
+        assert m["crawl_delay"] == 2.5
+        # unmatched token falls to the * group's delay
+        m = parse_robots_full(body, "somebody-else")
+        assert m["crawl_delay"] == 7.0
+        # no selected group declares one -> None
+        m = parse_robots_full(
+            "User-agent: x\nCrawl-delay: 5\nUser-agent: *\n"
+            "Disallow: /a\n",
+            "tok",
+        )
+        assert m["crawl_delay"] is None
+
+    def test_crawl_delay_merge_and_typos(self):
+        from trisk_datawrangle_spark.llm.robots import (
+            parse_robots_full,
+        )
+
+        # several selected groups: maximum (most polite) wins
+        m = parse_robots_full(
+            "User-agent: *\nCrawl-delay: 1\n"
+            "User-agent: *\nCrawl-delay: 3\n",
+            "tok",
+        )
+        assert m["crawl_delay"] == 3.0
+        # malformed values are skipped, not fatal
+        for bad in ("nope", "-1", "1.2.3", "1s", ""):
+            m = parse_robots_full(
+                f"User-agent: *\nCrawl-delay: {bad}\nDisallow: /x\n",
+                "tok",
+            )
+            assert m["crawl_delay"] is None, bad
+            assert m["rules"] == [("disallow", "/x")]
+
+    def test_rules_view_unchanged(self):
+        # parse_robots stays the rules-only wrapper
+        body = (
+            "Sitemap: http://a/s.xml\nUser-agent: *\n"
+            "Crawl-delay: 4\nDisallow: /q/\n"
+        )
+        assert parse_robots(body, "x") == [("disallow", "/q/")]

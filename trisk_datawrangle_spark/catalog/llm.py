@@ -4968,16 +4968,102 @@ def c5(spark, sf_dir):
 # ---------------------------------------------------------------- #
 
 
+def _robots_fixture_body(h: int) -> str:
+    """The 23-host robots.txt fixture body — ONE builder shared by
+    the rules dimension (x51/w5), the meta dimension (x55/w5 delay),
+    and their oracles' arithmetic. Each host's body carries full
+    lexer noise (comments, blank lines, case-varied directive
+    spellings, CRLF on odd hosts, the empty-Disallow idiom) plus a
+    decoy ``otherbot`` ``Disallow: /`` group WITH a decoy
+    ``Crawl-delay: 99`` that must never surface; hosts with h%3==0
+    carry a specific ``trisk-crawler`` group (OVERRIDES the ``*``
+    group — its ``Crawl-delay: (h%7)+2`` wins over the ``*`` group's
+    ``Crawl-delay: 7``). Sitemap lines are GLOBAL: every host
+    advertises ``/sm/{h%3}.xml`` with case/default-port noise (the
+    x52 canonicalization edge), and h%4==0 hosts add a second
+    lowercase no-space ``sitemap:.../extra.xml`` at the very end."""
+    nl = "\r\n" if h % 2 else "\n"
+    ua, dis, al = (
+        ("USER-AGENT", "DISALLOW", "ALLOW")
+        if h % 2
+        else ("User-agent", "Disallow", "Allow")
+    )
+    lines = [
+        f"# robots fixture, host {h}",
+        f"Sitemap: HTTP://Host{h}.Example.com:80/sm/{h % 3}.xml",
+        f"{ua}: otherbot",
+        f"{dis}: /",
+        "Crawl-delay: 99",  # decoy group's delay: must never apply
+        "",
+    ]
+    if h % 3 == 0:
+        lines += [
+            f"{ua}: trisk-crawler",
+            f"{al}: /p/{h % 5}/ok$",
+            f"{dis}: /p/{h % 5}*",
+            f"Crawl-delay: {(h % 7) + 2}",
+            "",
+        ]
+    lines += [
+        f"{ua}: *",
+        f"{dis}: /q/",
+        f"{dis}:",          # empty path: ignored per RFC
+        f"{al}: /q/open",
+        "Crawl-delay: 7",
+    ]
+    if h % 4 == 0:
+        lines.append(f"sitemap:http://host{h}.example.com/extra.xml")
+    return nl.join(lines)
+
+
+def _robots_fixture_meta(spark):
+    """The control-plane META dimension from the SAME fixture bodies:
+    per host the selected crawl delay and the advertised sitemap
+    URLs (raw, file order) via parse_robots_full — broadcastable
+    like the rules dimension."""
+    import pandas as pd
+
+    from trisk_datawrangle_spark.llm.robots import parse_robots_full
+
+    def build_meta(batches):
+        for pdf in batches:
+            hs, idxs, sms, delays = [], [], [], []
+            for h in pdf["id"].astype("int64"):
+                h = int(h)
+                meta = parse_robots_full(
+                    _robots_fixture_body(h), "trisk-crawler"
+                )
+                if meta["crawl_delay"] is None or not meta["sitemaps"]:
+                    raise AssertionError(
+                        f"robots fixture: empty meta for host {h}"
+                    )
+                for i, sm in enumerate(meta["sitemaps"]):
+                    hs.append(h)
+                    idxs.append(i)
+                    sms.append(sm)
+                    delays.append(meta["crawl_delay"])
+            yield pd.DataFrame(
+                {
+                    "h": hs,
+                    "sm_idx": idxs,
+                    "sitemap_raw": sms,
+                    "crawl_delay": delays,
+                }
+            )
+
+    return spark.range(23).mapInPandas(
+        build_meta,
+        "h long, sm_idx int, sitemap_raw string, crawl_delay double",
+    )
+
+
 def _robots_fixture_rules(spark):
     """The shared 23-host robots.txt rules dimension used by x51 and
-    w5 — ONE fixture builder so the entries cannot drift apart. Each
-    host's body carries full lexer noise (comments, blank lines,
-    case-varied directive spellings, CRLF on odd hosts, the
-    empty-Disallow idiom, an ignored Crawl-delay) plus a decoy
-    ``otherbot`` ``Disallow: /`` group; hosts with h%3==0 carry a
-    specific ``trisk-crawler`` group that OVERRIDES the ``*`` group.
-    Parsed by the REAL parser (llm/robots.py) into a broadcastable
-    (h, verb, pattern, plen, rx) rules DataFrame."""
+    w5 — ONE fixture builder so the entries cannot drift apart
+    (bodies from :func:`_robots_fixture_body`, shared with the
+    x55/w5 meta dimension). Parsed by the REAL parser
+    (llm/robots.py) into a broadcastable (h, verb, pattern, plen,
+    rx) rules DataFrame."""
     import pandas as pd
 
     from trisk_datawrangle_spark.llm.robots import robots_rules
@@ -4987,33 +5073,9 @@ def _robots_fixture_rules(spark):
             hs, verbs, pats, plens, rxs = [], [], [], [], []
             for h in pdf["id"].astype("int64"):
                 h = int(h)
-                nl = "\r\n" if h % 2 else "\n"
-                ua, dis, al = (
-                    ("USER-AGENT", "DISALLOW", "ALLOW")
-                    if h % 2
-                    else ("User-agent", "Disallow", "Allow")
+                rules = robots_rules(
+                    _robots_fixture_body(h), "trisk-crawler"
                 )
-                lines = [
-                    f"# robots fixture, host {h}",
-                    f"{ua}: otherbot",
-                    f"{dis}: /",
-                    "",
-                ]
-                if h % 3 == 0:
-                    lines += [
-                        f"{ua}: trisk-crawler",
-                        f"{al}: /p/{h % 5}/ok$",
-                        f"{dis}: /p/{h % 5}*",
-                        "",
-                    ]
-                lines += [
-                    f"{ua}: *",
-                    f"{dis}: /q/",
-                    f"{dis}:",          # empty path: ignored per RFC
-                    f"{al}: /q/open",
-                    "Crawl-delay: 7",   # unknown directive: ignored
-                ]
-                rules = robots_rules(nl.join(lines), "trisk-crawler")
                 if not rules:
                     raise AssertionError(
                         f"robots fixture: empty rule set for host {h}"
@@ -5717,6 +5779,72 @@ def x54(spark, sf_dir):
 
 
 @q(
+    "x55_robots_sitemap_discovery",
+    """
+WITH hosts AS (
+    SELECT CAST(i AS BIGINT) AS h FROM generate_series(0, 22) t(i)
+),
+sm AS (
+    SELECT h, 0 AS sm_idx,
+        'http://host' || CAST(h AS VARCHAR)
+        || '.example.com/sm/' || CAST(h % 3 AS VARCHAR) || '.xml'
+            AS sitemap
+    FROM hosts
+    UNION ALL
+    SELECT h, 1,
+        'http://host' || CAST(h AS VARCHAR)
+        || '.example.com/extra.xml'
+    FROM hosts WHERE h % 4 = 0
+)
+SELECT h,
+    'host' || CAST(h AS VARCHAR) || '.example.com' AS host,
+    CAST(sm_idx AS INTEGER) AS sm_idx,
+    sitemap,
+    CAST(CASE WHEN h % 3 = 0 THEN (h % 7) + 2 ELSE 7 END AS DOUBLE)
+        AS crawl_delay
+FROM sm
+""",
+)
+def x55(spark, sf_dir):
+    """robots.txt → sitemap/politeness discovery (llm/robots.py
+    parse_robots_full) — the edge that closes the crawl control
+    plane's discovery loop: a production scheduler bootstraps from
+    exactly this (fetch robots.txt, surface its global ``Sitemap:``
+    URLs into the sitemap-ingestion channel (x54), and take the
+    selected group's ``Crawl-delay:`` as the per-host politeness
+    budget). The 23 fixture bodies are the SAME ones x51/w5 parse
+    rules from (_robots_fixture_body — one builder, no drift); each
+    carries a decoy ``Crawl-delay: 99`` in the otherbot group that
+    must NEVER surface, a ``*``-group delay of 7, an OVERRIDING
+    specific-group delay of (h%7)+2 on h%3==0 hosts (group selection
+    decides politeness, not just rules), a case/default-port-noisy
+    global Sitemap line (canonicalized through the x52 chain before
+    it enters the channel), and on h%4==0 hosts a second lowercase
+    no-space ``sitemap:`` spelling at end of file. The oracle
+    replays sitemap count/order/canonical form and the delay
+    arithmetic, so a group-selection slip (decoy delay leaking, *
+    beating specific), a missed global/second sitemap, or a broken
+    canonicalization flips the hash. Scale shape: robots meta is a
+    per-host KB dimension — parsed once per host, broadcast
+    everywhere (the x51 rules-dimension discipline); at 100 TB this
+    never touches the frontier's exchanges."""
+    from trisk_datawrangle_spark.llm.urls import with_canonical_url
+
+    meta = _robots_fixture_meta(spark)
+    canon = with_canonical_url(meta, "sitemap_raw", "sitemap")
+    return canon.select(
+        "h",
+        F.concat(
+            F.lit("host"), F.col("h").cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        F.col("sm_idx").cast("int").alias("sm_idx"),
+        "sitemap",
+        F.col("crawl_delay").cast("double").alias("crawl_delay"),
+    )
+
+
+@q(
     "w5_crawl_frontier_e2e",
     """
 WITH hosts AS (
@@ -5791,7 +5919,9 @@ m AS (
 SELECT v.canon,
     CAST(v.n_discoveries AS BIGINT) AS n_discoveries,
     COALESCE(w.verb, 'allow') = 'allow' AS allowed,
-    COALESCE(w.pattern, '') AS rule
+    COALESCE(w.pattern, '') AS rule,
+    CAST(CASE WHEN v.h % 3 = 0 THEN (v.h % 7) + 2 ELSE 7 END
+         AS DOUBLE) AS crawl_delay
 FROM verdicts v
 LEFT JOIN (SELECT * FROM m WHERE rn = 1) w ON v.canon = w.canon
 """,
@@ -5814,7 +5944,9 @@ def w5(spark, sf_dir):
     (_robots_fixture_rules — one builder, entries cannot drift),
     parsed by the REAL parser, broadcast-joined on host, longest-
     match-allow-wins argmax. Output = one row per distinct frontier
-    URL with discovery count, verdict, and matched rule. The oracle
+    URL with discovery count, verdict, matched rule, and the
+    per-host ``crawl_delay`` politeness budget (the x55 meta
+    dimension from the SAME robots bodies, broadcast on h). The oracle
     rebuilds expected canonical URLs arithmetically (resolution and
     canonicalization are oracle-gated entry-by-entry in x52/x53/x54;
     HERE the oracle independently replays dedup counts and robots
@@ -5835,6 +5967,11 @@ def w5(spark, sf_dir):
     )
 
     rules = _robots_fixture_rules(spark)  # shared with x51
+    # the politeness budget: per-host crawl delay from the SAME
+    # robots bodies (x55 gates the parse; here it rides the gate)
+    delays = _robots_fixture_meta(spark).select(
+        "h", "crawl_delay"
+    ).distinct()
     d = _docs(spark, sf_dir).select("doc_id")
     did = F.col("doc_id")
     base = F.concat(
@@ -5919,10 +6056,18 @@ def w5(spark, sf_dir):
             F.col("w.pattern").alias("pattern"),
         )
     )
-    return frontier.join(best, ["canon"], "left").select(
-        "canon",
-        F.col("n_discoveries").cast("long").alias("n_discoveries"),
-        (F.coalesce(F.col("verb"), F.lit("allow")) == "allow")
-        .alias("allowed"),
-        F.coalesce(F.col("pattern"), F.lit("")).alias("rule"),
+    return (
+        frontier.join(best, ["canon"], "left")
+        # per-host politeness budget: another broadcast dimension on
+        # the same h key — no new frontier exchange
+        .join(F.broadcast(delays), ["h"], "left")
+        .select(
+            "canon",
+            F.col("n_discoveries").cast("long")
+            .alias("n_discoveries"),
+            (F.coalesce(F.col("verb"), F.lit("allow")) == "allow")
+            .alias("allowed"),
+            F.coalesce(F.col("pattern"), F.lit("")).alias("rule"),
+            F.col("crawl_delay").cast("double").alias("crawl_delay"),
+        )
     )

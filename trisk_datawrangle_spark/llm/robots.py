@@ -23,11 +23,17 @@ Stdlib-only, spec-driven (RFC 9309, "Robots Exclusion Protocol"):
   ignored (``Disallow:`` with nothing = allow all, the historical
   idiom).
 * **Lexing** (§2.1): lines split on CR/LF, ``#`` starts a comment,
-  directive names are case-insensitive, unknown directives
-  (``Crawl-delay``, ``Sitemap``) are ignored — rules after one still
-  belong to the open group, but agent lines stack onto a group only
-  when adjacent (any other line in between starts a new group on the
-  next ``User-agent``, the de-facto reference-parser behavior).
+  directive names are case-insensitive, unknown directives are
+  ignored — rules after one still belong to the open group, but
+  agent lines stack onto a group only when adjacent (any other line
+  in between starts a new group on the next ``User-agent``, the
+  de-facto reference-parser behavior).
+* **Control-plane extensions**: ``Sitemap:`` URLs surface GLOBALLY
+  (the sitemaps.org protocol scopes them to the file, not a group) —
+  they bootstrap the x54 discovery channel; ``Crawl-delay:`` is
+  group-scoped like a rule (the Bing/Yandex extension) and only the
+  SELECTED group's value surfaces, several merging to the maximum
+  (most conservative politeness). See :func:`parse_robots_full`.
 
 The parser returns plain ``(verb, path)`` rules so the Spark side
 stays declarative: rules become a tiny per-host DataFrame (a
@@ -76,22 +82,42 @@ def rule_regex(path: str) -> str:
     return "^" + "".join(out) + ("$" if anchored else "")
 
 
-def parse_robots(body: str, agent: str) -> list[tuple[str, str]]:
-    """Parse a robots.txt body and return the merged rule list that
-    applies to ``agent`` (our product token): ``[(verb, path), ...]``
-    with verb in ``{"allow", "disallow"}``, fixture order preserved.
+#: Crawl-delay values are non-negative seconds, integer or decimal;
+#: anything else on the line is a typo and the directive is skipped.
+_DELAY_RX = re.compile(r"^\d+(\.\d+)?$")
 
-    Implements RFC 9309 group selection: specific-token groups beat
+
+def parse_robots_full(body: str, agent: str) -> dict:
+    """Parse a robots.txt body into everything the control plane
+    consumes, keyed to ``agent`` (our product token):
+
+    * ``"rules"`` — the merged ``[(verb, path), ...]`` list exactly
+      as :func:`parse_robots` returns it;
+    * ``"sitemaps"`` — every ``Sitemap:`` URL in file order. The
+      directive is GLOBAL per the sitemaps.org protocol (it is valid
+      anywhere in the file and is not scoped to a group), so all of
+      them surface regardless of group selection — they feed the
+      x54 ingestion channel;
+    * ``"crawl_delay"`` — the ``Crawl-delay:`` seconds from the
+      SELECTED group(s) (the de-facto Bing/Yandex extension is
+      group-scoped like a rule), or None when no selected group
+      declares one. Several selected groups declaring different
+      delays merge to the MAXIMUM — the most conservative politeness
+      wins. A decoy group's delay never surfaces.
+
+    Group selection is RFC 9309 (§2.2.1): specific-token groups beat
     ``*`` groups; several matching groups merge; agent tokens match
     case-insensitively and exactly. Rules before any ``User-agent``
-    line, rules with empty paths, and unknown directives are ignored.
-    Never raises on text input — a malformed line is skipped, not
-    fatal (robots.txt in the wild is full of typos, and a crawler
-    that crashes on one is worse than one that skips it)."""
+    line, rules with empty paths, unknown directives, and malformed
+    delay values are ignored. Never raises on text input — a
+    malformed line is skipped, not fatal (robots.txt in the wild is
+    full of typos, and a crawler that crashes on one is worse than
+    one that skips it)."""
     agent_lc = agent.lower()
-    # groups: list of (set_of_agent_tokens, [(verb, path), ...])
-    groups: list[tuple[set, list]] = []
+    # groups: (set_of_agent_tokens, [(verb, path), ...], [delays])
+    groups: list[tuple[set, list, list]] = []
     open_agents: set | None = None  # agent lines stacking onto a group
+    sitemaps: list[str] = []
     for raw in re.split(r"\r\n|\r|\n", body):
         line = raw.split("#", 1)[0].strip()
         if not line:
@@ -106,7 +132,7 @@ def parse_robots(body: str, agent: str) -> list[tuple[str, str]]:
                 continue
             if open_agents is None:
                 open_agents = {value.lower()}
-                groups.append((open_agents, []))
+                groups.append((open_agents, [], []))
             else:
                 open_agents.add(value.lower())
             continue
@@ -117,18 +143,41 @@ def parse_robots(body: str, agent: str) -> list[tuple[str, str]]:
                 groups[-1][1].append((name, value))
             open_agents = None
             continue
-        # unknown directive (crawl-delay, sitemap, ...): the rule list
-        # stays open (a later Allow/Disallow still joins this group)
-        # but the agent-line stack closes, like a rule closes it
+        if name == "sitemap":
+            # global: surfaces from anywhere in the file; still
+            # closes the agent-line stack like any non-agent line
+            if value:
+                sitemaps.append(value)
+            open_agents = None
+            continue
+        if name == "crawl-delay":
+            # group-scoped like a rule (the Bing/Yandex extension)
+            if groups and _DELAY_RX.match(value):
+                groups[-1][2].append(float(value))
+            open_agents = None
+            continue
+        # unknown directive: the rule list stays open (a later
+        # Allow/Disallow still joins this group) but the agent-line
+        # stack closes, like a rule closes it
         open_agents = None
-    specific = [r for agents, rules in groups if agent_lc in agents
-                for r in rules]
-    if any(agent_lc in agents for agents, _ in groups):
-        merged = specific
+    if any(agent_lc in agents for agents, _, _ in groups):
+        selected = [g for g in groups if agent_lc in g[0]]
     else:
-        merged = [r for agents, rules in groups if "*" in agents
-                  for r in rules]
-    return [(v, p) for v, p in merged if p]
+        selected = [g for g in groups if "*" in g[0]]
+    merged = [r for _, rules, _ in selected for r in rules]
+    delays = [d for _, _, ds in selected for d in ds]
+    return {
+        "rules": [(v, p) for v, p in merged if p],
+        "sitemaps": sitemaps,
+        "crawl_delay": max(delays) if delays else None,
+    }
+
+
+def parse_robots(body: str, agent: str) -> list[tuple[str, str]]:
+    """The rules-only view of :func:`parse_robots_full` — the merged
+    ``[(verb, path), ...]`` list that applies to ``agent``, fixture
+    order preserved, verb in ``{"allow", "disallow"}``."""
+    return parse_robots_full(body, agent)["rules"]
 
 
 def robots_rules(body: str, agent: str) -> list[tuple[str, str, int, str]]:
