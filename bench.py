@@ -75,6 +75,16 @@ HEADLINE = [
 ]
 
 WARM_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+#: Recorded idle-box calibration band (BASELINE.md "bench protocol"):
+#: the t1' record runs measured calibrate() at 0.44-0.51 s; 0.47 is
+#: the center. A probe outside ±CALIB_TOL of it means the box is not
+#: running at record speed (contended, or a different machine) and
+#: the JSON is stamped comparable=false — the r9 committed bench was
+#: a 0.754 s-probe contended run that read as a phantom 1.4×
+#: regression until manually adjudicated.
+CALIB_IDLE_SEC = 0.47
+CALIB_TOL = 0.20
+
 # 1-min loadavg above this means someone else is burning the box.
 # Headline queries here are parallel but short — background noise of
 # a few busy cores is what poisoned round 4's cold samples.
@@ -302,6 +312,20 @@ def main(argv=None) -> None:
     calib_after = calibrate()
     load_end = loadavg1()
 
+    # Calibration gate (r9 verdict #1): round-over-round deltas are
+    # only readable when the box speed matches the recorded idle
+    # band — the committed r9 JSON read 1.4× slower across the board
+    # purely because the probe ran at 0.754 s vs the 0.44-0.51 s
+    # record band, and adjudicating that cost a forensic re-run. The
+    # MIN of the two probes estimates true box speed (contention
+    # only inflates); outside ±CALIB_TOL of CALIB_IDLE_SEC the JSON
+    # is stamped comparable=false — still printed (the driver needs
+    # the line), but flagged so nobody reads box noise as a
+    # regression OR a fast-box reading as a win.
+    calib_best = min(calib_before, calib_after)
+    calib_dev = round(calib_best / CALIB_IDLE_SEC - 1.0, 3)
+    comparable = abs(calib_dev) <= CALIB_TOL
+
     complete = not errors and len(times) == len(HEADLINE)
     total = round(sum(times.values()), 3) if complete else None
     # the r1-comparable historical set = the first 20 HEADLINE
@@ -334,8 +358,22 @@ def main(argv=None) -> None:
         "errors": errors,
         "loadavg": {"start": load_start, "end": load_end},
         "calibration_sec": {"before": calib_before, "after": calib_after},
+        "comparable": comparable,
+        "calibration_band": {
+            "idle_sec": CALIB_IDLE_SEC,
+            "tolerance": CALIB_TOL,
+            "deviation": calib_dev,
+        },
         "sf": sf,
     }
+    if not comparable:
+        print(
+            f"  WARNING: calibration {calib_best}s deviates "
+            f"{calib_dev:+.0%} from the {CALIB_IDLE_SEC}s idle band "
+            f"— JSON stamped comparable=false (box noise, not an "
+            f"engine delta)",
+            file=sys.stderr,
+        )
     if args.compare:
         with open(args.compare) as fh:
             base = json.load(fh)

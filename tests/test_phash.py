@@ -102,3 +102,45 @@ def test_dedup_composes_relationally(spark):
     # every twin pair shares a hash: no group smaller than 2
     assert all(g.n >= 2 for g in groups)
     assert sum(g.n for g in groups) == 12
+
+
+def test_hamming_band_pairs_semantics(spark):
+    """Banded near-dup pairing: pigeonhole recall for hamming <
+    bands, verify threshold enforced, pair dedup across bands,
+    id_a < id_b orientation."""
+    from trisk_datawrangle_spark.llm.phash import hamming_band_pairs
+
+    h0 = 0xF123456789ABCDEF - (1 << 64)  # signed wrap, negative
+    rows = [
+        (0, h0),
+        (1, h0 ^ 0b11),          # hamming 2, one band touched
+        (2, h0 ^ (1 << 17) ^ (1 << 33) ^ (1 << 49)),  # 3, 3 bands
+        (3, h0 ^ 0x1F),          # hamming 5: candidate, fails verify
+        # hamming 4 spread over all four bands: the documented miss
+        (4, h0 ^ (1 << 1) ^ (1 << 17) ^ (1 << 33) ^ (1 << 49)),
+        (5, 0x7EDCBA9876543210),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, dhash long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_band_pairs(df, max_hamming=4).collect()
+    }
+    assert got[(0, 1)] == 2     # guaranteed: d < bands
+    assert got[(0, 2)] == 3     # guaranteed: d < bands
+    assert (0, 3) not in got    # candidate (3 shared bands), d=5 > k
+    assert (0, 4) not in got    # the documented pigeonhole miss
+    assert (1, 2) not in got    # d(1,2) = 5 > max_hamming
+    # orientation + dedup: every key ordered, no duplicates possible
+    assert all(a < b for a, b in got)
+    # unrelated hash pairs with nothing
+    assert not any(5 in k for k in got)
+
+
+def test_hamming_band_pairs_rejects_bad_bands(spark):
+    import pytest as _pytest
+
+    from trisk_datawrangle_spark.llm.phash import hamming_band_pairs
+
+    df = spark.createDataFrame([(1, 0)], "doc_id long, dhash long")
+    with _pytest.raises(ValueError):
+        hamming_band_pairs(df, bands=5)

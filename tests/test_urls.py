@@ -78,6 +78,14 @@ CASES = [
     ("ftp://h.com/x", ""),
     ("ws://h.com/x", ""),
     ("FTP://h.com/x", ""),
+    # IDN: the unicode spelling drops loudly (the documented refusal
+    # — the full IDNA fold is not a JVM expression); the xn--
+    # punycode spelling IS the IDNA-canonical ASCII form and passes
+    ("http://bücher.example/x", ""),
+    ("http://xn--bcher-kva.example/x",
+     "http://xn--bcher-kva.example/x"),
+    ("HTTP://XN--BCHER-KVA.example:80/x",
+     "http://xn--bcher-kva.example/x"),
     # leading ../ cannot climb above root
     ("http://h.com/../a", "http://h.com/a"),
     # nesting up to the documented bound resolves

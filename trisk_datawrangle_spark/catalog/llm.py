@@ -2290,6 +2290,161 @@ def m9(spark, sf_dir):
     )
 
 
+_M10_SQL = """
+WITH g AS (
+    SELECT doc_id, doc_id // 3 AS k, doc_id % 3 AS m,
+        CAST(12 + (doc_id // 3) % 9 AS BIGINT) AS w,
+        CAST(10 + (doc_id // 3) % 7 AS BIGINT) AS h
+    FROM documents
+),
+pix AS (
+    SELECT g.doc_id, g.k, g.m, g.w, g.h, oy.i AS oy, ox.i AS ox,
+        least(ox.i * g.w // 9, g.w - 1) AS sx,
+        least(oy.i * g.h // 8, g.h - 1) AS sy
+    FROM g,
+        unnest(generate_series(0, 8)) AS ox(i),
+        unnest(generate_series(0, 7)) AS oy(i)
+),
+chan AS (
+    SELECT doc_id, oy, ox, c.i AS c,
+        CASE
+            WHEN m = 2
+            THEN (k * 41 + 13 * sx + 29 * sy + 5 * c.i + 7) % 255
+            WHEN m = 1 AND sx = (3 * w) // 9 AND sy = (4 * h) // 8
+            THEN ((k * 37 + 11 * sx + 23 * sy + 5 * c.i) % 255 + 97)
+                 % 255
+            ELSE (k * 37 + 11 * sx + 23 * sy + 5 * c.i) % 255
+        END AS v
+    FROM pix, unnest(generate_series(0, 2)) AS c(i)
+),
+cells AS (
+    SELECT doc_id, oy, ox,
+        (299 * max(CASE WHEN c = 0 THEN v END)
+         + 587 * max(CASE WHEN c = 1 THEN v END)
+         + 114 * max(CASE WHEN c = 2 THEN v END)) // 1000 AS gray
+    FROM chan
+    GROUP BY doc_id, oy, ox
+),
+bits AS (
+    SELECT a.doc_id,
+        SUM(CASE WHEN b.gray > a.gray
+            THEN 1::HUGEINT << (a.oy * 8 + a.ox)
+            ELSE 0::HUGEINT END) AS raw
+    FROM cells a
+    JOIN cells b
+      ON b.doc_id = a.doc_id AND b.oy = a.oy AND b.ox = a.ox + 1
+    WHERE a.ox < 8
+    GROUP BY a.doc_id
+),
+hashes AS (
+    SELECT doc_id, raw,
+        CAST(CASE WHEN raw >= 9223372036854775808::HUGEINT
+             THEN raw - 18446744073709551616::HUGEINT
+             ELSE raw END AS BIGINT) AS dhash
+    FROM bits
+),
+bands AS (
+    SELECT doc_id, b.i AS band,
+        CAST((raw // (1::HUGEINT << (16 * b.i))) % 65536
+             AS INTEGER) AS bucket
+    FROM hashes, unnest(generate_series(0, 3)) AS b(i)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+    FROM bands a
+    JOIN bands b2
+      ON a.band = b2.band AND a.bucket = b2.bucket
+         AND a.doc_id < b2.doc_id
+)
+SELECT c.id_a, c.id_b,
+    CAST(bit_count(xor(h1.dhash, h2.dhash)) AS INTEGER) AS hamming,
+    c.id_a // 3 = c.id_b // 3 AS same_group
+FROM cand c
+JOIN hashes h1 ON h1.doc_id = c.id_a
+JOIN hashes h2 ON h2.doc_id = c.id_b
+WHERE bit_count(xor(h1.dhash, h2.dhash)) <= 4
+"""
+
+
+@q("m10_image_near_dup", _M10_SQL)
+def m10(spark, sf_dir):
+    """Banded hamming near-duplicate pairing over perceptual image
+    hashes (llm/phash.py hamming_band_pairs) — the rung above m9's
+    exact-hash grouping: images that are near-duplicates but NOT
+    hash-identical pair up via the d3/d4 banding idiom (4×16-bit
+    slices → candidate join on any agreeing slice → exact
+    ``bit_count(xor) <= 4`` verify; pigeonhole guarantees recall for
+    hamming < 4). Docs come in triplets (k = doc_id//3): the base
+    image (m=0), a LOCALLY EDITED variant (m=1 — the source pixel
+    feeding exactly ONE sample cell of the 9×8 dHash grid is bumped
+    +97, so at most the two comparisons touching that cell flip:
+    hamming <= 2, both flipped bits inside ONE band, three bands
+    still agreeing), and an unrelated image (m=2). Every payload is
+    a real RGBA PNG decoded by the real decoder. The oracle replays
+    the ENTIRE chain as SQL integer arithmetic — resample floor
+    indexing, the single-cell bump condition, luma division, bit
+    placement, two's-complement wrap, 16-bit band extraction over
+    the unsigned raw (== Spark's shiftrightunsigned on the signed),
+    candidate distinct, hamming verify — so a broken band slice,
+    shift semantics, pair dedup, or verify threshold flips the hash.
+    Scale shape: decode+hash in the Arrow media kernel, explode ×4,
+    ONE (band, bucket) equi-join with 16-bit bucket fan-in, JVM
+    popcount filter — nothing quadratic (the d3 discipline)."""
+    import pandas as pd
+
+    from trisk_datawrangle_spark.llm.multimodal import encode_png
+    from trisk_datawrangle_spark.llm.phash import (
+        hamming_band_pairs,
+        perceptual_hashes,
+    )
+
+    def mk_payload(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                doc_id = int(doc_id)
+                k, m = doc_id // 3, doc_id % 3
+                w, h = 12 + k % 9, 10 + k % 7
+                # the source pixel sampled by dHash grid cell (3, 4)
+                sx0, sy0 = (3 * w) // 9, (4 * h) // 8
+                px = bytearray()
+                for y in range(h):
+                    for x in range(w):
+                        for c in range(4):
+                            if m == 2:
+                                v = (
+                                    k * 41 + 13 * x + 29 * y
+                                    + 5 * c + 7
+                                ) % 255
+                            else:
+                                v = (
+                                    k * 37 + 11 * x + 23 * y + 5 * c
+                                ) % 255
+                                if m == 1 and x == sx0 and y == sy0:
+                                    v = (v + 97) % 255
+                            px.append(v)
+                ids.append(doc_id)
+                payloads.append(encode_png(w, h, 4, bytes(px)))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    payloads = d.mapInPandas(
+        mk_payload, "doc_id long, payload binary"
+    )
+    # stage boundary: the decode+dHash kernel feeds both sides of
+    # the band self-join through hamming_band_pairs — cached, it
+    # runs once per image (two longs per row held)
+    hashes = perceptual_hashes(payloads).cache()
+    pairs = hamming_band_pairs(hashes, bands=4, max_hamming=4)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "hamming",
+        F.expr("id_a div 3 = id_b div 3").alias("same_group"),
+    )
+
+
 def _m5_sql() -> str:
     """Oracle for the REAL pixel path: every stage is a pure integer
     function of doc_id, so DuckDB replays the whole
@@ -5473,7 +5628,8 @@ WITH raw AS (
         || (CASE WHEN doc_id % 7 = 0
             THEN 'UsEr' || CAST(doc_id AS VARCHAR) || '@'
             ELSE '' END)
-        || 'Host' || CAST(doc_id % 23 AS VARCHAR) || '.Example.COM'
+        || (CASE WHEN doc_id % 11 = 0 THEN 'BüCHER' ELSE 'Host' END)
+        || CAST(doc_id % 23 AS VARCHAR) || '.Example.COM'
         || (CASE doc_id % 3
             WHEN 0 THEN (CASE WHEN doc_id % 2 = 0
                          THEN ':80' ELSE ':443' END)
@@ -5516,7 +5672,10 @@ def x52(spark, sf_dir):
     carries case-sensitive userinfo that must pass through VERBATIM,
     every 5th has no path — empty path + query normalizes to '/' —
     and the query embeds a literal '/a/../b' that dot-segment removal
-    must NOT rewrite, the over-merge bug class); the oracle
+    must NOT rewrite, the over-merge bug class; every 11th host is a
+    UNICODE IDN spelling that canonicalizes to '' — the documented
+    refusal, since the IDNA fold is not a JVM expression, while
+    xn-- punycode forms pass as plain ASCII); the oracle
     rebuilds the same raw URL arithmetically and canonicalizes with
     canonicalize_url_sql — same shared steps, same piece arithmetic
     — so a wrong port rule, decode, case fold, or dot-segment pass
@@ -5533,7 +5692,13 @@ def x52(spark, sf_dir):
             did % 7 == 0,
             F.concat(F.lit("UsEr"), did.cast("string"), F.lit("@")),
         ).otherwise(F.lit("")),
-        F.lit("Host"), (did % 23).cast("string"),
+        # every 11th host is a UNICODE IDN spelling: the documented
+        # refusal arm — canonicalization drops it to '' (the full
+        # IDNA fold is not a JVM expression; the xn-- form passes)
+        F.when(did % 11 == 0, F.lit("BüCHER")).otherwise(
+            F.lit("Host")
+        ),
+        (did % 23).cast("string"),
         F.lit(".Example.COM"),
         F.when(
             did % 3 == 0,

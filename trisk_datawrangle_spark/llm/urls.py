@@ -198,17 +198,33 @@ def _assemble_canonical(
     path: Column, query: Column,
 ) -> Column:
     """Scheme-based rules (§6.2.3) + assembly: default ports drop,
-    empty path → '/', non-http(s) scheme (or no scheme at all) → ''.
-    The '' result IS the frontier's drop signal — a crawl frontier
-    only fetches http(s), and returning ftp://... intact would let
-    it pass a ``canon != ''`` filter into the fetch queue (the w5
-    contract; this arm is what the x53/w5 docstrings describe)."""
+    empty path → '/', non-http(s) scheme (or no scheme at all) → '',
+    non-ASCII host → ''. The '' result IS the frontier's drop signal
+    — a crawl frontier only fetches http(s), and returning ftp://...
+    intact would let it pass a ``canon != ''`` filter into the fetch
+    queue (the w5 contract; this arm is what the x53/w5 docstrings
+    describe).
+
+    IDN hosts — the documented refusal: a UNICODE host spelling
+    (``bücher.example``) needs the full IDNA ToASCII fold (nameprep
+    + punycode) to merge with its ``xn--`` form, which is not
+    expressible as a JVM expression chain and would put a Python
+    kernel in the hottest scan — so unicode-host URLs drop to ''
+    loudly instead of entering the frontier under a key that cannot
+    merge. The ``xn--`` PUNYCODE spelling is plain ASCII and IS the
+    IDNA-canonical form; it passes through case-folded like any
+    host. A production frontier that wants the unicode long tail
+    adds one Arrow-batched idna kernel UPSTREAM of this chain."""
     default = (
         ((scheme == "http") & (port == "80"))
         | ((scheme == "https") & (port == "443"))
         | (port == "")
     )
-    return F.when(~scheme.isin("http", "https"), F.lit("")).otherwise(
+    return F.when(
+        ~scheme.isin("http", "https")
+        | host.rlike("[^\\x00-\\x7f]"),
+        F.lit(""),
+    ).otherwise(
         F.concat(
             scheme,
             F.lit("://"),
@@ -314,6 +330,10 @@ def canonicalize_url_sql(expr: str, prenormalized: bool = False) -> str:
         f"({scheme} = 'https' AND {port} = '443') OR {port} = '')"
     )
     portpart = f"CASE WHEN {default} THEN '' ELSE ':' || {port} END"
+    drop = (
+        f"({scheme} NOT IN ('http', 'https') "
+        f"OR regexp_matches({host}, '[^\\x00-\\x7f]'))"
+    )
     rawpath = f"regexp_extract({url}, '{_PATH_RX}', 1)"
     path = rawpath
     # DuckDB standard strings pass backslashes through literally, so
@@ -328,7 +348,7 @@ def canonicalize_url_sql(expr: str, prenormalized: bool = False) -> str:
     path = f"CASE WHEN {path} = '' THEN '/' ELSE {path} END"
     query = f"regexp_extract({url}, '{_QUERY_RX}', 1)"
     return (
-        f"CASE WHEN {scheme} NOT IN ('http', 'https') THEN '' "
+        f"CASE WHEN {drop} THEN '' "
         f"ELSE {scheme} || '://' || {user} || {host} || {portpart} "
         f"|| {path} || {query} "
         f"END"
