@@ -36,111 +36,46 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 
 # Registration-order priority. The per-round correctness driver samples
 # the FIRST N catalog entries (N=50), so ordering decides which entries
-# get driver-verified each round. Round-9 window (r8 verdict #1):
-# (1) the three entries whose implementation CHANGED this round —
-# s11 (multi-record .warc.gz archives + chunked transfer decoding),
-# m2 (mixed real/fallback fixture, PNG-out resize with an exact
-# resample-sum oracle), d2 (explicit exhaustive=True opt-in after the
-# ngram_jaccard_pairs threshold-aware dispatch landed) — changed code
-# invalidates the old proof; (2) the full r4-proof cohort (18
-# entries, staleness computed from CORRECTNESS_r0{1..8}.json, not
-# from memory: w2, r1, s2_lsh, c1, m3, e8, t6, e7, d8, t4, q3, q5,
-# s2_csv, s8, x9, f13, a6_a7, r7); (2.5) the NEW-this-round entries
-# (no driver row yet), each taking a slot over one more r5 entry:
-# m8_progressive_decode (the progressive-JPEG gate), s13_pdf_extract
-# (the PDF crawl-format gate), m9_image_dedup (perceptual dHash
-# dedup over real decoded pixels), x50_link_graph (crawl-frontier
-# href extraction + host in-degree), x51_robots_filter (RFC 9309
-# robots.txt parse + longest-match frontier filtering),
-# x47_charset_sniff (WHATWG charset precedence + strict decode over
-# the s11 HTTP body path) and x52_url_canonicalize (RFC 3986 §6.2.2
-# frontier dedup key: split-fold percent normalization + shared
-# dot-segment chain), x53_link_resolve (RFC 3986 §5.3 relative-
-# reference resolution composed with canonicalization) and
-# x54_sitemap_ingest (sitemaps.org urlset parse: XML blocks →
-# entity decode → canonical frontier keys) and
-# w5_crawl_frontier_e2e (the control-plane composite: discover →
-# resolve → canonicalize → dedup → robots gate, stage-boundary
-# cached) — the last six push d9/d10/a13/x14/x13/x12 to lead the
-# r10 window (x11 stays in-window for the sketch family);
-# (3) 19 of the
-# 49 r5-proof
-# entries — every one with machinery no in-window sibling covers
-# (the x11-x21 text/sketch family minus x19, whose grouped
-# window/percentile shapes run inside in-window x18/x21 — it leads
-# the deferred block instead; d9-d12 dedup variants, e9/e12
-# streaming, s5/s6/s10 index+format entries, v1/v2 centroids, k2,
-# m4, st1, w3/w4 e2e chains, cp1, a13). The 24 r5-proof entries
-# deferred to positions 51+ (leading the r10 window) are the thin
-# relational wrappers whose plan shapes run inside in-window
-# composites meanwhile: x19 (x18/x21), m4 stub frame fan-out (the
-# REAL sampling m7 proved r8; in-window m8/m2 gate the media
-# kernels), v2 nearest-centroid (in-window v1 gates the centroid
-# aggregate; its broadcast-GEMM classify is the s1/s3 shape), e9
-# sliding window (in-window e8 session + e12 late-data gate the
-# event-window machinery), p1-p9 projections/filters (inside w2 and
-# the flagship chain), j1/j4-j10 joins (the join-agg shape gates
-# via q3/q5, the outer-join machinery via the w0/w1-gated plans at
-# r8), a2/a3 native-agg wrappers (a6_a7 gates the agg family),
-# x23 winsorize (percentile machinery shared with in-window x18),
-# e10/e11 stream entries (e8/e12 gate streaming). All 222
-# entries (212 from r8 + the new m8/s13/m9/x50, the crawl control
-# plane x51/x47/x52/x53/x54, and the w5 e2e composite) stay green
-# under the builder's full-catalog driver-conf
-# emulation and test_oracle_parity regardless of window position.
+# get driver-verified each round. Round-10 window (r9 verdict #1,
+# recomputed from CORRECTNESS_r0{1..9}.json staleness, not memory):
+# (1) the EIGHT entries whose implementation changed this round —
+# s11 (gzip content/transfer codings decode), s13 (PDF 1.5 xref/object
+# streams; even docs now build as 1.5), x47 (ten arms: CJK legacy
+# multibyte charsets + single-quoted params), x51 (mid-path '$'
+# escape + arm-3 tie-break arithmetic), x52 (IDN refusal arm +
+# root-level '..' + non-http(s) drop), x53/x54 (the same urls.py
+# changes flow through resolution/sitemap keys), w5 (crawl_delay
+# politeness column) — changed code invalidates the old proof;
+# (2) the TWO new entries: x55 (robots -> sitemap/crawl-delay
+# discovery) and m10 (banded hamming image near-dup);
+# (3) the full 30-entry r5-proof cohort staged at positions 51+ last
+# round (x12-x14 sketches, d9/d10 dedup, a13, x19, m4, v2, e9, the
+# p1-p9 projection/filter and j1-j10 join wrappers, a2/a3, x23,
+# e10/e11 streams) — after this round no entry's latest driver proof
+# is older than r6;
+# (4) ten of the 48 r6-proof entries, machinery-diverse: the a5-a12
+# native-agg family, w4/w6 windows, the d13 persisted-index
+# lifecycle, m1 multimodal decode, q9 FK audit.
+# Positions 51+ lead the r11 window with the REMAINING 38 r6-proof
+# entries (cf*/pr*/sc* pipeline sources, f* scalars, r3-r8 reshape,
+# u1-u3 set ops, t3/t5 spine, q5/q6 reports, w1, s7_ivf_pq_persisted,
+# x22-x29), then the r7/r8/r9 cohorts by staleness. All 224 entries
+# (222 from r9 + x55 + m10) stay green under the builder's
+# full-catalog driver-conf emulation and test_oracle_parity
+# regardless of window position.
 # Rename note (r7 verdict #3): e3_sliding_window became
 # e9_sliding_window in r5 — recorded in COVERAGE.md.
 _PRIORITY = [
     "s11_warc_extract",
-    "m2_multimodal_resize",
-    "d2_ngram_jaccard",
-    "x51_robots_filter",
+    "s13_pdf_extract",
     "x47_charset_sniff",
+    "x51_robots_filter",
     "x52_url_canonicalize",
     "x53_link_resolve",
     "x54_sitemap_ingest",
     "w5_crawl_frontier_e2e",
-    "m8_progressive_decode",
-    "s13_pdf_extract",
-    "m9_image_dedup",
-    "x50_link_graph",
-    "w2_asset_country_filters",
-    "r1_melt",
-    "s2_lsh_bucket_topk",
-    "c1_curate_exact",
-    "m3_multimodal_features",
-    "e8_session_window",
-    "t6_backfill_from_year",
-    "e7_asof_forward",
-    "d8_normalized_dedup",
-    "t4_extend_years_constant",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "s2_semicolon_csv",
-    "s8_glob_union",
-    "x9_normalize_text",
-    "f13_row_sum",
-    "a6_a7_wide_year_sums",
-    "r7_explode_words",
-    "w4_curation_e2e",
-    "x15_cluster_safe_split",
-    "x16_source_cap",
-    "x17_lm_score",
-    "s10_orc_roundtrip",
-    "x18_quantile_bins",
-    "d11_incremental_dedup",
-    "v1_label_centroids",
-    "x20_tfidf_keywords",
-    "x21_rolling_stats",
-    "k2_salted_join",
-    "d12_edit_distance_verify",
-    "e12_late_data_report",
-    "cp1_ngfs_carbon_price",
-    "w3_datalake_e2e",
-    "s5_ivf_pq_topk",
-    "s6_pq_recall",
-    "st1_stateful_running_totals",
-    "x11_token_topk",
+    "x55_robots_sitemap_discovery",
+    "m10_image_near_dup",
     "x12_cms_freq_gate",
     "x13_doc_chunking",
     "x14_bm25",
@@ -171,32 +106,114 @@ _PRIORITY = [
     "x23_winsorize",
     "e10_stream_static_join",
     "e11_stream_dedup",
-    "z1_zorder_scan",
-    "b1_bucketed_join",
-    "m5_pixel_stats",
-    "m6_audio_stats",
-    "m7_video_frame_sample",
-    "u4_incremental_upsert",
-    "q10_schema_drift",
-    "y1_compaction_roundtrip",
-    "x46_html_extract",
-    "x48_line_dedup",
-    "x49_bpe_train",
-    "c5_corpus_datasheet",
-    "c4_curate_v2",
-    "e13_windowed_psi",
-    "d7_dedup_clusters",
-    "c3_cluster_canonical",
-    "d14_semantic_dedup",
-    "d15_dedup_clusters_scale",
-    "d13_probe_serving",
-    "s7_probe_serving",
+    "a5_a12_counts",
+    "a8_minmax",
+    "a9_bool_reduce",
+    "a10_collect_sorted",
+    "a11_first_by_order",
+    "w4_row_number",
+    "w6_group_max_ratio",
+    "d13_persisted_index_dedup",
+    "m1_multimodal_decode",
+    "q9_fk_integrity",
+    "cf1_ngfs_capacity_factors",
+    "cf2_ipr_capacity_factors",
+    "cf3_weo2023_capacity_factors",
+    "cf4_gem_steel_capacity_factors",
+    "f10_unit_convert",
+    "f11_f12_null_gates",
+    "f14_safe_div",
+    "f1_recode",
+    "pr1_weo2021_prices",
+    "pr2_ngfs_prices",
+    "pr3_ipr_prices",
+    "pr4_oxford_prices",
+    "q5_missings_report",
+    "q6_duplicates_report",
+    "r3_pivot_wider",
+    "r4_r5_strings",
+    "r6_one_hot",
+    "r8_fan_out",
+    "s7_ivf_pq_persisted",
+    "sc1_weo_geco_wrangle",
+    "sc2_weo23_wrangle",
+    "sc3_ngfs_wrangle",
+    "sc4_ipr_wrangle",
+    "sc5_oxford_wrangle",
+    "sc6_steel_wrangle",
+    "t3_missing_combinations",
+    "t5_zero_after_last",
+    "u1_union_by_name",
+    "u2_clone_recode",
+    "u3_union_precedence",
+    "w1_baseline_index",
+    "x22_mixture_sample",
+    "x24_pii_scrub",
+    "x25_curriculum_order",
+    "x26_bpe_pair_stats",
+    "x27_temperature_mixture",
+    "x28_global_sample",
+    "x29_cdc_chunks",
+    "d16_prefix_filter_jaccard",
+    "d1_exact_dedup",
+    "d5_embedding_dups",
+    "d6_contamination",
+    "e1_tumbling_window",
+    "e2_json_extract",
+    "e5_rollup_range",
+    "g3_standardize_names",
+    "lc1_mp_steel_lc_prices",
+    "lc2_ipr_lcoe_prices",
+    "lc3_oxford_lcoe_ngfs_prices",
+    "pr5_ipr_baseline_prices",
+    "pr6_automotive_prices",
+    "q7_row_diff_report",
+    "s1_cosine_topk",
+    "s3_cosine_topk_vectorized",
+    "s4_ivf_topk",
+    "s7_seed_datasets",
+    "s8_pca_ivf_recall",
+    "s9_sq8_recall",
+    "v3_embedding_covariance",
+    "x1_lang_id",
+    "x2_token_stats",
+    "x30_kmeans_clusters",
+    "x31_semdedup_clustered",
+    "x32_source_vocab_overlap",
+    "x33_length_profile",
+    "x34_gopher_rules",
+    "x35_dsir_weights",
+    "x36_duplicate_spans",
+    "x37_bpe_encode",
+    "x38_dsir_resample",
+    "x39_scrub_spans",
+    "x3_quality_score",
+    "x40_ewma",
+    "x41_zipf_spectrum",
+    "x42_novelty_rate",
+    "x43_source_copy_matrix",
+    "x44_psi_drift",
+    "x45_maximal_spans",
+    "x4_fingerprint",
+    "x5_deterministic_split",
+    "x6_stratified_take",
+    "x7_repetition_score",
+    "x8_sequence_pack",
     "a1_pricing_summary",
     "a4_median",
+    "b1_bucketed_join",
     "c2_curate_near_dedup",
+    "c3_cluster_canonical",
+    "c4_curate_v2",
+    "c5_corpus_datasheet",
     "cf5_oxford_capacity_factors",
+    "d13_probe_serving",
+    "d14_semantic_dedup",
+    "d15_dedup_clusters_scale",
     "d3_minhash_lsh",
     "d4_simhash",
+    "d7_dedup_clusters",
+    "e13_windowed_psi",
     "e3_asof_join",
     "e4_interval_join",
     "e6_hll_distinct_rollup",
@@ -208,111 +225,71 @@ _PRIORITY = [
     "j2_inner_join_revenue",
     "j3_full_outer_natural",
     "k1_salted_count_distinct",
+    "m5_pixel_stats",
+    "m6_audio_stats",
+    "m7_video_frame_sample",
+    "q10_schema_drift",
     "q1_q4_assert_summary",
     "q8_incomplete_groups",
     "s1_s6_csv_roundtrip",
     "s3_excel_roundtrip",
+    "s7_probe_serving",
     "s9_jsonl_roundtrip",
     "t2_complete_cross",
+    "u4_incremental_upsert",
     "w0_run_workflow_e2e",
     "w1_assets_e2e",
     "w7_locf_fill",
     "w8_interpolate_keep_edges",
     "w9_lm_extrapolate",
     "x10_weighted_take",
-    "pr5_ipr_baseline_prices",
-    "pr6_automotive_prices",
-    "lc1_mp_steel_lc_prices",
-    "lc2_ipr_lcoe_prices",
-    "lc3_oxford_lcoe_ngfs_prices",
-    "d1_exact_dedup",
-    "d5_embedding_dups",
-    "d6_contamination",
-    "g3_standardize_names",
-    "q7_row_diff_report",
-    "s7_seed_datasets",
-    "s1_cosine_topk",
-    "s3_cosine_topk_vectorized",
-    "s4_ivf_topk",
-    "e1_tumbling_window",
-    "e2_json_extract",
-    "e5_rollup_range",
-    "x1_lang_id",
-    "x2_token_stats",
-    "x3_quality_score",
-    "x4_fingerprint",
-    "x5_deterministic_split",
-    "x6_stratified_take",
-    "x7_repetition_score",
-    "x8_sequence_pack",
-    "x30_kmeans_clusters",
-    "x31_semdedup_clustered",
-    "x32_source_vocab_overlap",
-    "x33_length_profile",
-    "d16_prefix_filter_jaccard",
-    "v3_embedding_covariance",
-    "s8_pca_ivf_recall",
-    "s9_sq8_recall",
-    "x34_gopher_rules",
-    "x35_dsir_weights",
-    "x36_duplicate_spans",
-    "x37_bpe_encode",
-    "x38_dsir_resample",
-    "x39_scrub_spans",
-    "x40_ewma",
-    "x41_zipf_spectrum",
-    "x42_novelty_rate",
-    "x43_source_copy_matrix",
-    "x44_psi_drift",
-    "x45_maximal_spans",
-    "q9_fk_integrity",
-    "d13_persisted_index_dedup",
-    "s7_ivf_pq_persisted",
-    "m1_multimodal_decode",
-    "x22_mixture_sample",
-    "x24_pii_scrub",
-    "x25_curriculum_order",
-    "x26_bpe_pair_stats",
-    "x27_temperature_mixture",
-    "x28_global_sample",
-    "x29_cdc_chunks",
-    "u1_union_by_name",
-    "u2_clone_recode",
-    "u3_union_precedence",
-    "f1_recode",
-    "f10_unit_convert",
-    "f11_f12_null_gates",
-    "f14_safe_div",
-    "a5_a12_counts",
-    "a8_minmax",
-    "a9_bool_reduce",
-    "a10_collect_sorted",
-    "a11_first_by_order",
-    "r3_pivot_wider",
-    "r4_r5_strings",
-    "r6_one_hot",
-    "r8_fan_out",
-    "t3_missing_combinations",
-    "t5_zero_after_last",
-    "q5_missings_report",
-    "q6_duplicates_report",
-    "w1_baseline_index",
-    "w4_row_number",
-    "w6_group_max_ratio",
-    "sc1_weo_geco_wrangle",
-    "sc2_weo23_wrangle",
-    "sc3_ngfs_wrangle",
-    "sc4_ipr_wrangle",
-    "sc5_oxford_wrangle",
-    "sc6_steel_wrangle",
-    "cf1_ngfs_capacity_factors",
-    "cf2_ipr_capacity_factors",
-    "cf3_weo2023_capacity_factors",
-    "cf4_gem_steel_capacity_factors",
-    "pr1_weo2021_prices",
-    "pr2_ngfs_prices",
-    "pr3_ipr_prices",
-    "pr4_oxford_prices",
+    "x46_html_extract",
+    "x48_line_dedup",
+    "x49_bpe_train",
+    "y1_compaction_roundtrip",
+    "z1_zorder_scan",
+    "a6_a7_wide_year_sums",
+    "c1_curate_exact",
+    "cp1_ngfs_carbon_price",
+    "d11_incremental_dedup",
+    "d12_edit_distance_verify",
+    "d2_ngram_jaccard",
+    "d8_normalized_dedup",
+    "e12_late_data_report",
+    "e7_asof_forward",
+    "e8_session_window",
+    "f13_row_sum",
+    "k2_salted_join",
+    "m2_multimodal_resize",
+    "m3_multimodal_features",
+    "m8_progressive_decode",
+    "m9_image_dedup",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "r1_melt",
+    "r7_explode_words",
+    "s10_orc_roundtrip",
+    "s2_lsh_bucket_topk",
+    "s2_semicolon_csv",
+    "s5_ivf_pq_topk",
+    "s6_pq_recall",
+    "s8_glob_union",
+    "st1_stateful_running_totals",
+    "t4_extend_years_constant",
+    "t6_backfill_from_year",
+    "v1_label_centroids",
+    "w2_asset_country_filters",
+    "w3_datalake_e2e",
+    "w4_curation_e2e",
+    "x11_token_topk",
+    "x15_cluster_safe_split",
+    "x16_source_cap",
+    "x17_lm_score",
+    "x18_quantile_bins",
+    "x20_tfidf_keywords",
+    "x21_rolling_stats",
+    "x50_link_graph",
+    "x9_normalize_text",
 ]
 
 _ordered = [n for n in _PRIORITY if n in _ALL_QUERIES]
