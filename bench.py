@@ -413,12 +413,41 @@ def main(argv=None) -> None:
                     and c_ratio > factor
                 ):
                     cold_only.append(name)
+        # the calibration gate applies to COMPARISONS above all: a
+        # ratio between runs on differently-fast boxes is box noise
+        # wearing a regression costume (the r9 lesson). Either side
+        # flagged (or the baseline predating the flag reading as
+        # contended via its own probes) poisons every ratio.
+        base_calib = base.get("calibration_sec") or {}
+        base_probe = min(
+            v for v in (
+                base_calib.get("before"), base_calib.get("after"),
+            ) if v is not None
+        ) if base_calib else None
+        base_comparable = base.get("comparable")
+        if base_comparable is None and base_probe is not None:
+            # pre-gate baseline JSON: derive the verdict from its
+            # recorded probes under the same band
+            base_comparable = (
+                abs(base_probe / CALIB_IDLE_SEC - 1.0) <= CALIB_TOL
+            )
+        ratios_comparable = comparable and base_comparable is not False
+        if not ratios_comparable:
+            print(
+                "  WARNING: --compare across calibration-flagged "
+                f"run(s) (this={comparable}, base={base_comparable})"
+                " — ratios and super_linear reflect box speed, not "
+                "the engine",
+                file=sys.stderr,
+            )
         out["compare"] = {
             "base_sf": base.get("sf"),
             "scale_factor": factor,
             "ratios": ratios,
             "super_linear": sorted(super_linear),
             "super_linear_cold_only": sorted(cold_only),
+            "comparable": ratios_comparable,
+            "base_calibration_min": base_probe,
         }
     print(json.dumps(out))
     spark.stop()

@@ -4566,15 +4566,21 @@ def s11(spark, sf_dir):
                             f"s11: HTTP parse failed for doc {doc_id}"
                         )
                     body, n_chunks, gzipped = got
-                    if gzipped and n_chunks:
-                        # composite arm: the count ran over the
-                        # COMPRESSED bytes — assert the dechunker
-                        # actually walked chunks, then emit the
-                        # documented -1 sentinel (the oracle cannot
-                        # derive compressed sizes from text)
-                        if n_chunks < 1:
+                    if doc_id % 6 == 0:
+                        # composite arm (keyed on the FIXTURE
+                        # arithmetic, not the decoder's own flags —
+                        # a decoder that forgot to gzip or chunk
+                        # must trip this, not sneak past): assert
+                        # both layers actually decoded, then emit
+                        # the documented -1 sentinel (the chunk
+                        # count ran over COMPRESSED bytes, which the
+                        # oracle cannot derive from text)
+                        if not gzipped or n_chunks < 1:
                             raise AssertionError(
-                                "s11: composite arm without chunks"
+                                f"s11: composite arm decoded wrong "
+                                f"for doc {doc_id} "
+                                f"(gzipped={gzipped}, "
+                                f"n_chunks={n_chunks})"
                             )
                         n_chunks = -1
                     ids.append(doc_id)

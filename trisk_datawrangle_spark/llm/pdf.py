@@ -216,12 +216,6 @@ def pdf_build(pages: list[str], xref_stream: bool = False) -> bytes:
     return bytes(out)
 
 
-#: Table entry for a type-2 (object-stream-compressed) object:
-#: ("s", container_object_number, index_within_container). Direct
-#: objects are plain int byte offsets; -1 = free/absent.
-_XrefEntry = "int | tuple"
-
-
 def _parse_xref(d: bytes) -> tuple[list, bytes] | None:
     """startxref → cross-reference → (entry table indexed by object
     number, trailer dictionary bytes). Handles BOTH forms: the
@@ -337,7 +331,8 @@ def _parse_xref_stream(d: bytes, off: int) -> tuple[list, bytes] | None:
     m = re.match(rb"(\d+)\s+\d+\s+obj\b", d[off:off + 32])
     if m is None:
         return None
-    body = d[off + m.end():off + m.end() + 65536]
+    body_at = off + m.end()
+    body = d[body_at:body_at + 65536]  # head-discovery window only
     head = _dict_of(body)
     if not head or b"/XRef" not in head:
         return None
@@ -368,8 +363,14 @@ def _parse_xref_stream(d: bytes, off: int) -> tuple[list, bytes] | None:
     if any(s + c > size for s, c in index):
         return None
     # slice the stream data exactly like any other object: the
-    # declared direct /Length drives it, never a delimiter scan
-    obj_slice = d[off + m.end():off + m.end() + len(head) + 64 + length]
+    # declared direct /Length drives it, never a delimiter scan.
+    # The budget is anchored at the dict's REAL '<<' offset (there
+    # may be whitespace/comments between 'N 0 obj' and the dict,
+    # which a fixed slack would mis-budget), + the dict, + room for
+    # 'stream\r\n', + the declared payload — sliced from d, not the
+    # 64 KB head window, so large xref streams aren't truncated.
+    dict_at = body.find(b"<<")
+    obj_slice = d[body_at:body_at + dict_at + len(head) + 64 + length]
     data = _stream_data(obj_slice)
     if data is None:
         return None

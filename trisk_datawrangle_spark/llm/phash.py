@@ -177,10 +177,17 @@ def hamming_band_pairs(
         .select("id_a", "id_b", "h_a", "h_b")
         .distinct()
     )
-    return cand.select(
+    verified = cand.select(
         "id_a",
         "id_b",
         F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
         .cast("int")
         .alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
+    # one row per (id_a, id_b) even when an id appears with SEVERAL
+    # hashes (re-ingested image): the distinct above keys on hashes
+    # too, so without this reduce a duplicate id would emit the same
+    # pair once per hash combination — min = the closest evidence
+    return verified.groupBy("id_a", "id_b").agg(
+        F.min("hamming").cast("int").alias("hamming")
+    )
