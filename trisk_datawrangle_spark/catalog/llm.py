@@ -6065,6 +6065,18 @@ links AS (
                 || '/ok'
         END AS canon
     FROM documents d, unnest(generate_series(0, 4)) AS j(j)
+    UNION ALL
+    -- the robots -> sitemap discovery edge: each host's advertised
+    -- Sitemap URLs (x55's meta dimension) enter the frontier once
+    SELECT CAST(-1 AS BIGINT), 0,
+        'http://host' || CAST(h AS VARCHAR)
+        || '.example.com/sm/' || CAST(h % 3 AS VARCHAR) || '.xml'
+    FROM generate_series(0, 22) t(h)
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), 1,
+        'http://host' || CAST(h AS VARCHAR)
+        || '.example.com/extra.xml'
+    FROM generate_series(0, 22) t(h) WHERE h % 4 = 0
 ),
 dedup AS (
     SELECT canon, COUNT(*) AS n_discoveries
@@ -6109,6 +6121,10 @@ def w5(spark, sf_dir):
     mailto: link; refs go xml_unescape → with_resolved_url →
     with_canonical_url, the mailto canonicalizes to '' and MUST be
     filtered (dropping the filter leaves phantom rows — hash flip);
+    PLUS the robots→sitemap discovery edge (since r10): every host's
+    robots-advertised Sitemap URLs (the x55 meta dimension) union
+    into the frontier as first-class discoveries, fetched through
+    the same dedup and politeness gate as page URLs;
     the deduped frontier (groupBy on the canonical key ALONE, host
     and path derived after the aggregate) then passes the robots
     gate: the SAME per-host rule fixture as x51
@@ -6181,6 +6197,16 @@ def w5(spark, sf_dir):
     canon = with_canonical_url(resolved, "raw", "canon").where(
         F.col("canon") != ""  # the non-http(s) drop (mailto arm)
     )
+    # the robots -> sitemap discovery edge (verdict r9 #5): every
+    # host's advertised Sitemap URLs (the x55 meta dimension, parsed
+    # from the same robots bodies as the rules) enter the frontier
+    # as first-class discoveries — the scheduler fetches sitemap
+    # files through the same dedup + politeness gate as page URLs.
+    # 23-29 rows: a dimension-sized union, invisible at scale.
+    sm_discoveries = with_canonical_url(
+        _robots_fixture_meta(spark), "sitemap_raw", "canon"
+    ).select("canon")
+    canon = canon.select("canon").unionByName(sm_discoveries)
     # dedup on the canonical key ALONE: h and path are pure
     # functions of canon, so deriving them AFTER the aggregate lets
     # the argmax groupBy and the final canon-keyed join both reuse
