@@ -275,7 +275,8 @@ def test_xref_stream_table_shape():
     members = [e for e in table if isinstance(e, tuple)]
     directs = [e for e in table if isinstance(e, int) and e >= 0]
     assert len(members) == 3 + 2  # catalog, tree, font, 2 page dicts
-    assert len(directs) == 2 + 2  # 2 content streams, ObjStm, XRef
+    # 2 content streams, ObjStm, XRef, 2 indirect-length objects
+    assert len(directs) == 2 + 2 + 2
     # every member names the same ObjStm container with unique index
     assert len({m[1] for m in members}) == 1
     assert sorted(m[2] for m in members) == list(range(5))
@@ -351,3 +352,27 @@ def test_png_unpredict_filters():
     assert _png_unpredict(raw, 1, cols) == raw
     # TIFF predictor 2: refused
     assert _png_unpredict(raw, 2, cols) is None
+
+
+def test_indirect_length_resolves_with_xref_table():
+    """r10: /Length N 0 R resolves through the xref table (the
+    streaming-writer shape; the 1.5 builder emits it for every
+    content stream). Chicken-and-egg shapes stay refused."""
+    from trisk_datawrangle_spark.llm.pdf import (
+        _parse_xref, _resolve_length,
+    )
+
+    pages = ["resolved through the table", "second page"]
+    p15 = pdf_build(pages, xref_stream=True)
+    assert b" 0 R /Filter /FlateDecode" in p15  # really indirect
+    assert pdf_text(p15) == pages
+    table, _ = _parse_xref(p15)
+    # direct resolution helper: the first content stream's dict
+    assert _resolve_length(p15, b"<< /Length 99999 0 R >>", table) == -1
+    # a length ref pointing at an ObjStm MEMBER (object 1): refused
+    assert _resolve_length(p15, b"<< /Length 1 0 R >>", table) == -1
+    # a length ref pointing at a non-integer direct object: refused
+    objstm_num = next(e[1] for e in table if isinstance(e, tuple))
+    assert _resolve_length(
+        p15, f"<< /Length {objstm_num} 0 R >>".encode(), table
+    ) == -1

@@ -4657,10 +4657,12 @@ pages AS (
 )
 SELECT p.doc_id,
     CAST(pg.n_pages AS INTEGER) AS n_pages,
-    -- even docs build as PDF 1.5 (xref STREAM + /ObjStm container:
-    -- +2 objects), odd docs as classic PDF 1.4
+    -- even docs build as PDF 1.5: xref STREAM + /ObjStm container
+    -- (+2) and one plain-integer length object per page (indirect
+    -- /Length); odd docs as classic PDF 1.4
     CAST(3 + 2 * pg.n_pages
-         + CASE WHEN p.doc_id % 2 = 0 THEN 2 ELSE 0 END
+         + CASE WHEN p.doc_id % 2 = 0
+                THEN 2 + pg.n_pages ELSE 0 END
          AS INTEGER) AS n_objects,
     p.doc_id % 2 = 0 AS xref_stream,
     string_agg(p.ptext, chr(10) ORDER BY p.page_idx) AS clean

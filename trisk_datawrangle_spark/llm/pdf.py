@@ -28,9 +28,14 @@ chains, TIFF predictor 2 — returns None loudly rather than
 guessing, and hostile shapes (billion-object xref/Size claims,
 Flate decompression bombs, 'endobj' bytes inside stream data,
 object-stream containers nested in object streams, lying ObjStm
-headers) are refused or sliced past by declared DIRECT lengths,
-never scanned into; indirect ``/Length N 0 R`` objects are refused
-loudly rather than mis-sliced.
+headers) are refused or sliced past by declared lengths, never
+scanned into. Indirect ``/Length N 0 R`` references — the shape
+streaming writers emit, since they don't know a stream's length
+until after its dict is written — RESOLVE through the xref table
+via a bounded plain-integer parse (no recursion on hostile
+structure; a length object living in an ObjStm, or the xref
+stream's own length being indirect, refuses — chicken-and-egg
+shapes stay refused).
 
 The builder (:func:`pdf_build`) writes spec-valid single-font PDFs
 (real xref offsets, Flate-compressed content streams) so the parser
@@ -123,11 +128,15 @@ def pdf_build(pages: list[str], xref_stream: bool = False) -> bytes:
     pages tree, font, page dictionaries) are packed into ONE
     ``/Type /ObjStm`` object stream and addressed by type-2 xref
     entries; content streams stay direct (streams may not live
-    inside an object stream, per spec); the cross-reference itself
-    is a ``/Type /XRef`` STREAM with ``/W [1 4 2]`` binary rows,
+    inside an object stream, per spec) and declare their lengths
+    INDIRECTLY (``/Length N 0 R`` with one plain-integer length
+    object per page — the shape streaming writers emit, gating the
+    parser's resolution path); the cross-reference itself is a
+    ``/Type /XRef`` STREAM with ``/W [1 4 2]`` binary rows,
     Flate-compressed under the PNG Up predictor (``/DecodeParms
     << /Predictor 12 /Columns 7 >>`` — the layout real writers
-    emit). Total objects = ``3 + 2*n_pages + 2`` (+ObjStm +XRef)."""
+    emit). Total objects = ``3 + 3*n_pages + 2`` (+ObjStm +XRef
+    +one length object per page)."""
     if not pages:
         raise ValueError("pdf_build: at least one page required")
     n = len(pages)
@@ -149,10 +158,24 @@ def pdf_build(pages: list[str], xref_stream: bool = False) -> bytes:
         ).encode()
         return bytes(out)
 
-    # ---- PDF 1.5: ObjStm + XRef stream ----
+    # ---- PDF 1.5: ObjStm + XRef stream + indirect lengths ----
     objstm_num = 4 + 2 * n
     xref_num = 5 + 2 * n
-    size = xref_num + 1
+    # one plain-integer length object per content stream, after xref
+    length_num = {5 + 2 * i: 6 + 2 * n + i for i in range(n)}
+    size = 6 + 2 * n + n
+    # rewrite each content stream's direct /Length to the indirect
+    # reference its length object will carry
+    stream_len: dict[int, int] = {}
+    for i in range(n):
+        num = 5 + 2 * i
+        body = objects[num - 1]
+        m = re.match(rb"<< /Length (\d+) ", body)
+        stream_len[num] = int(m.group(1))
+        objects[num - 1] = (
+            b"<< /Length " + f"{length_num[num]} 0 R ".encode()
+            + body[m.end():]
+        )
     # compressed members: every non-stream object, in number order
     compressed = [1, 2, 3] + [4 + 2 * i for i in range(n)]
     member_idx = {num: i for i, num in enumerate(compressed)}
@@ -179,6 +202,12 @@ def pdf_build(pages: list[str], xref_stream: bool = False) -> bytes:
         out += f"{num} 0 obj\n".encode() + objects[num - 1] + b"\nendobj\n"
     direct_offsets[objstm_num] = len(out)
     out += f"{objstm_num} 0 obj\n".encode() + objstm + b"\nendobj\n"
+    for i in range(n):  # the plain-integer length objects
+        num = length_num[5 + 2 * i]
+        direct_offsets[num] = len(out)
+        out += (
+            f"{num} 0 obj\n{stream_len[5 + 2 * i]}\nendobj\n".encode()
+        )
 
     # xref rows, W = [1, 4, 2]: type, field2, field3
     rows = bytearray()
@@ -428,10 +457,10 @@ def _object_at(d: bytes, num: int, offsets: list) -> bytes | None:
     head = _dict_of(win)
     if head:
         dict_end = body_start + win.find(b"<<") + len(head)
-        lm = _direct_length(head)
-        if lm == -2:
-            return None  # indirect /Length N 0 R: outside the subset
+        lm = _resolve_length(d, head, offsets)
         sm = re.match(rb"\s*stream", d[dict_end:dict_end + 16])
+        if sm is not None and lm < 0 and b"/Length" in head:
+            return None  # unresolvable stream length: refused
         if lm >= 0 and sm is not None:
             data_at = dict_end + sm.end()
             if d[data_at:data_at + 2] == b"\r\n":
@@ -473,7 +502,7 @@ def _objstm_object(
     if nm is None or fm is None:
         return None
     n, first = int(nm.group(1)), int(fm.group(1))
-    data = _stream_data(cobj)
+    data = _stream_data(cobj, d, offsets)
     if data is None:
         return None
     # the header region is ASCII pairs; N is bounded by the stream's
@@ -496,16 +525,50 @@ def _objstm_object(
 def _direct_length(head: bytes) -> int:
     """The dictionary's direct /Length value, -1 when absent, -2
     when it is an INDIRECT reference (``/Length 7 0 R``) — common in
-    real crawled PDFs but outside this subset: resolving it would
-    need a second object fetch mid-slice, and treating the object
-    number as a byte count silently truncates streams, so indirect
-    lengths are refused loudly instead."""
+    real crawled PDFs (writers that stream content out don't know
+    the length until after the dict is written). Callers holding the
+    xref table resolve -2 through :func:`_resolve_length`; callers
+    without one (the xref stream itself — chicken-and-egg) refuse,
+    because treating the object number as a byte count silently
+    truncates streams."""
     m = re.search(rb"/Length\s+(\d+)", head)
     if m is None:
         return -1
     if re.match(rb"\s+0\s+R\b", head[m.end():]):
         return -2
     return int(m.group(1))
+
+
+def _resolve_length(d: bytes, head: bytes, offsets: list) -> int:
+    """The stream dictionary's /Length as an int, resolving ONE
+    indirect reference through the xref table when needed. The
+    length object must be a DIRECT plain-integer object (``7 0 obj
+    737 endobj``) — it is parsed with a bounded regex, never through
+    the object machinery, so no recursion on attacker-controlled
+    structure is possible (a length living in an ObjStm would need
+    the container's stream, whose length could point back here).
+    Returns -1 on absence or any refusal."""
+    lm = _direct_length(head)
+    if lm != -2:
+        return lm
+    m = re.search(rb"/Length\s+(\d+)\s+0\s+R\b", head)
+    if m is None:  # -2 implies it matches, but stay total
+        return -1
+    num = int(m.group(1))
+    if not 0 <= num < len(offsets):
+        return -1
+    entry = offsets[num]
+    if not isinstance(entry, int) or entry < 0:
+        return -1  # free, absent, or ObjStm-compressed: refused
+    hm = re.match(rb"(\d+)\s+\d+\s+obj\b", d[entry:entry + 32])
+    if hm is None or int(hm.group(1)) != num:
+        return -1  # lying xref offset: refused
+    vm = re.match(
+        rb"\s*(\d+)\s*endobj\b", d[entry + hm.end():entry + hm.end() + 48]
+    )
+    if vm is None:
+        return -1  # not a plain integer object: refused
+    return int(vm.group(1))
 
 
 _REF_RX = rb"(\d+)\s+0\s+R"
@@ -534,15 +597,26 @@ def _dict_of(obj: bytes) -> bytes:
     return b""
 
 
-def _stream_data(obj: bytes) -> bytes | None:
+def _stream_data(
+    obj: bytes, d: bytes | None = None, offsets: list | None = None
+) -> bytes | None:
     """stream ... endstream payload, FlateDecoded when the object
     dictionary says /Filter /FlateDecode (the only filter this
-    subset ships); /Length drives the slice."""
+    subset ships); /Length drives the slice. Callers passing the
+    document and xref table get indirect ``/Length N 0 R``
+    references resolved (:func:`_resolve_length`); without them —
+    the xref stream's own dict, where a table does not exist yet —
+    an indirect length refuses."""
     head = _dict_of(obj)
-    length = _direct_length(head)
+    if d is not None and offsets is not None:
+        length = _resolve_length(d, head, offsets)
+    else:
+        length = _direct_length(head)
+        if length == -2:
+            length = -1
     s = obj.find(b"stream")
     if length < 0 or s < 0:
-        return None  # absent or indirect /Length: refused
+        return None  # absent or unresolvable /Length: refused
     data_at = s + len(b"stream")
     if obj[data_at:data_at + 2] == b"\r\n":
         data_at += 2
@@ -717,7 +791,7 @@ def pdf_text(payload: bytes) -> list[str] | None:
         cobj = _object_at(payload, int(cm.group(1)), offsets)
         if cobj is None:
             return None
-        data = _stream_data(cobj)
+        data = _stream_data(cobj, payload, offsets)
         if data is None:
             return None
         text = _content_text(data)
