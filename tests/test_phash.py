@@ -105,18 +105,20 @@ def test_dedup_composes_relationally(spark):
 
 
 def test_hamming_band_pairs_semantics(spark):
-    """Banded near-dup pairing: pigeonhole recall for hamming <
-    bands, verify threshold enforced, pair dedup across bands,
-    id_a < id_b orientation."""
+    """Manku block-combination near-dup pairing: GUARANTEED recall
+    to hamming blocks-key_blocks (incl. the worst spread), verify
+    threshold enforced, pair dedup, id_a < id_b orientation."""
     from trisk_datawrangle_spark.llm.phash import hamming_band_pairs
 
     h0 = 0xF123456789ABCDEF - (1 << 64)  # signed wrap, negative
     rows = [
         (0, h0),
-        (1, h0 ^ 0b11),          # hamming 2, one band touched
-        (2, h0 ^ (1 << 17) ^ (1 << 33) ^ (1 << 49)),  # 3, 3 bands
+        (1, h0 ^ 0b11),          # hamming 2, one block touched
+        (2, h0 ^ (1 << 17) ^ (1 << 33) ^ (1 << 49)),  # 3, 3 blocks
         (3, h0 ^ 0x1F),          # hamming 5: candidate, fails verify
-        # hamming 4 spread over all four bands: the documented miss
+        # hamming 4 spread over four DISTINCT blocks — the old
+        # 4x16-bit scheme's documented pigeonhole miss; the (8, 4)
+        # combination keys are GUARANTEED to catch it
         (4, h0 ^ (1 << 1) ^ (1 << 17) ^ (1 << 33) ^ (1 << 49)),
         (5, 0x7EDCBA9876543210),  # unrelated
     ]
@@ -125,10 +127,10 @@ def test_hamming_band_pairs_semantics(spark):
         (r.id_a, r.id_b): r.hamming
         for r in hamming_band_pairs(df, max_hamming=4).collect()
     }
-    assert got[(0, 1)] == 2     # guaranteed: d < bands
-    assert got[(0, 2)] == 3     # guaranteed: d < bands
-    assert (0, 3) not in got    # candidate (3 shared bands), d=5 > k
-    assert (0, 4) not in got    # the documented pigeonhole miss
+    assert got[(0, 1)] == 2     # guaranteed: d <= blocks-key_blocks
+    assert got[(0, 2)] == 3
+    assert (0, 3) not in got    # candidate, d=5 > max_hamming
+    assert got[(0, 4)] == 4     # worst spread: now guaranteed
     assert (1, 2) not in got    # d(1,2) = 5 > max_hamming
     # orientation + dedup: every key ordered, no duplicates possible
     assert all(a < b for a, b in got)
@@ -136,11 +138,42 @@ def test_hamming_band_pairs_semantics(spark):
     assert not any(5 in k for k in got)
 
 
-def test_hamming_band_pairs_rejects_bad_bands(spark):
+def test_hamming_band_pairs_equal_hashes_and_orientation(spark):
+    """Equal hashes pair (hamming 0) via the value self-pair; doc
+    pairs orient id_a < id_b even when the id order opposes the
+    hash order; duplicate ids reduce to min hamming."""
+    from trisk_datawrangle_spark.llm.phash import hamming_band_pairs
+
+    h_small, h_big = 100, 1 << 40
+    rows = [
+        (9, h_small),           # id order opposes hash order:
+        (3, h_big ^ 0b1),       # (3, 9) must still surface if close
+        (7, h_big),
+        (8, h_big),             # exact twin of 7
+        (8, h_big ^ 0b11),      # duplicate id, second hash
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, dhash long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_band_pairs(df, max_hamming=4).collect()
+    }
+    assert got[(7, 8)] == 0      # exact pair via the value self-pair
+    assert got[(3, 7)] == 1
+    assert got[(3, 8)] == 1      # min over 8's two hashes (1 vs 2+1)
+    assert (3, 9) not in got     # far apart — but orientation held:
+    assert all(a < b for a, b in got)
+
+
+def test_hamming_band_pairs_rejects_bad_params(spark):
     import pytest as _pytest
 
     from trisk_datawrangle_spark.llm.phash import hamming_band_pairs
 
     df = spark.createDataFrame([(1, 0)], "doc_id long, dhash long")
     with _pytest.raises(ValueError):
-        hamming_band_pairs(df, bands=5)
+        hamming_band_pairs(df, blocks=5)  # 64 % 5 != 0
+    with _pytest.raises(ValueError):
+        hamming_band_pairs(df, blocks=8, key_blocks=8)
+    with _pytest.raises(ValueError):
+        # recall guarantee impossible: refuse, never silently miss
+        hamming_band_pairs(df, blocks=8, key_blocks=4, max_hamming=5)

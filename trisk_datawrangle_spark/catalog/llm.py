@@ -2290,7 +2290,17 @@ def m9(spark, sf_dir):
     )
 
 
-_M10_SQL = """
+#: the C(8,4)=70 block-index combinations of the Manku key scheme,
+#: shared between the kernel (via phash defaults) and the oracle's
+#: VALUES table below.
+_M10_COMBOS = ", ".join(
+    f"({ci}, {c[0]}, {c[1]}, {c[2]}, {c[3]})"
+    for ci, c in enumerate(
+        __import__("itertools").combinations(range(8), 4)
+    )
+)
+
+_M10_SQL = f"""
 WITH g AS (
     SELECT doc_id, doc_id // 3 AS k, doc_id % 3 AS m,
         CAST(12 + (doc_id // 3) % 9 AS BIGINT) AS w,
@@ -2309,11 +2319,13 @@ chan AS (
     SELECT doc_id, oy, ox, c.i AS c,
         CASE
             WHEN m = 2
-            THEN (k * 41 + 13 * sx + 29 * sy + 5 * c.i + 7) % 255
+            THEN (k * 41 + (13 + k % 97) * sx + (29 + k % 89) * sy
+                  + 5 * c.i + 7) % 255
             WHEN m = 1 AND sx = (3 * w) // 9 AND sy = (4 * h) // 8
-            THEN ((k * 37 + 11 * sx + 23 * sy + 5 * c.i) % 255 + 97)
-                 % 255
-            ELSE (k * 37 + 11 * sx + 23 * sy + 5 * c.i) % 255
+            THEN ((k * 37 + (11 + k % 97) * sx + (23 + k % 89) * sy
+                   + 5 * c.i) % 255 + 97) % 255
+            ELSE (k * 37 + (11 + k % 97) * sx + (23 + k % 89) * sy
+                  + 5 * c.i) % 255
         END AS v
     FROM pix, unnest(generate_series(0, 2)) AS c(i)
 ),
@@ -2343,26 +2355,45 @@ hashes AS (
              ELSE raw END AS BIGINT) AS dhash
     FROM bits
 ),
-bands AS (
-    SELECT doc_id, b.i AS band,
-        CAST((raw // (1::HUGEINT << (16 * b.i))) % 65536
-             AS INTEGER) AS bucket
-    FROM hashes, unnest(generate_series(0, 3)) AS b(i)
+hv AS (
+    SELECT DISTINCT raw, dhash FROM hashes
 ),
-cand AS (
-    SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
-    FROM bands a
-    JOIN bands b2
-      ON a.band = b2.band AND a.bucket = b2.bucket
-         AND a.doc_id < b2.doc_id
+combos(ci, i0, i1, i2, i3) AS (
+    VALUES {_M10_COMBOS}
+),
+keys AS (
+    SELECT hv.dhash, c.ci,
+        CAST((hv.raw // (1::HUGEINT << (8 * c.i0))) % 256
+             + ((hv.raw // (1::HUGEINT << (8 * c.i1))) % 256) * 256
+             + ((hv.raw // (1::HUGEINT << (8 * c.i2))) % 256) * 65536
+             + ((hv.raw // (1::HUGEINT << (8 * c.i3))) % 256)
+               * 16777216
+             AS BIGINT) AS key
+    FROM hv, combos c
+),
+vcand AS (
+    SELECT DISTINCT a.dhash AS h_a, b.dhash AS h_b
+    FROM keys a
+    JOIN keys b ON a.ci = b.ci AND a.key = b.key
+        AND a.dhash <= b.dhash
+),
+vpairs AS (
+    SELECT h_a, h_b,
+        CAST(bit_count(xor(h_a, h_b)) AS INTEGER) AS hamming
+    FROM vcand
+    WHERE bit_count(xor(h_a, h_b)) <= 4
 )
-SELECT c.id_a, c.id_b,
-    CAST(bit_count(xor(h1.dhash, h2.dhash)) AS INTEGER) AS hamming,
-    c.id_a // 3 = c.id_b // 3 AS same_group
-FROM cand c
-JOIN hashes h1 ON h1.doc_id = c.id_a
-JOIN hashes h2 ON h2.doc_id = c.id_b
-WHERE bit_count(xor(h1.dhash, h2.dhash)) <= 4
+SELECT
+    least(da.doc_id, db.doc_id) AS id_a,
+    greatest(da.doc_id, db.doc_id) AS id_b,
+    min(v.hamming) AS hamming,
+    least(da.doc_id, db.doc_id) // 3
+        = greatest(da.doc_id, db.doc_id) // 3 AS same_group
+FROM vpairs v
+JOIN hashes da ON da.dhash = v.h_a
+JOIN hashes db ON db.dhash = v.h_b
+WHERE da.doc_id <> db.doc_id
+GROUP BY 1, 2, 4
 """
 
 
@@ -2371,25 +2402,33 @@ def m10(spark, sf_dir):
     """Banded hamming near-duplicate pairing over perceptual image
     hashes (llm/phash.py hamming_band_pairs) — the rung above m9's
     exact-hash grouping: images that are near-duplicates but NOT
-    hash-identical pair up via the d3/d4 banding idiom (4×16-bit
-    slices → candidate join on any agreeing slice → exact
-    ``bit_count(xor) <= 4`` verify; pigeonhole guarantees recall for
-    hamming < 4). Docs come in triplets (k = doc_id//3): the base
-    image (m=0), a LOCALLY EDITED variant (m=1 — the source pixel
-    feeding exactly ONE sample cell of the 9×8 dHash grid is bumped
-    +97, so at most the two comparisons touching that cell flip:
-    hamming <= 2, both flipped bits inside ONE band, three bands
-    still agreeing), and an unrelated image (m=2). Every payload is
-    a real RGBA PNG decoded by the real decoder. The oracle replays
-    the ENTIRE chain as SQL integer arithmetic — resample floor
-    indexing, the single-cell bump condition, luma division, bit
-    placement, two's-complement wrap, 16-bit band extraction over
-    the unsigned raw (== Spark's shiftrightunsigned on the signed),
-    candidate distinct, hamming verify — so a broken band slice,
-    shift semantics, pair dedup, or verify threshold flips the hash.
-    Scale shape: decode+hash in the Arrow media kernel, explode ×4,
-    ONE (band, bucket) equi-join with 16-bit bucket fan-in, JVM
-    popcount filter — nothing quadratic (the d3 discipline)."""
+    hash-identical pair up via the Manku WWW'07 block-combination
+    scheme (8×8-bit blocks, C(8,4)=70 32-bit composite keys,
+    GUARANTEED recall to hamming 4 → exact ``bit_count(xor) <= 4``
+    verify), banded over DISTINCT hash values with doc expansion at
+    the end. Docs come in triplets (k = doc_id//3): the base image
+    (m=0, pixel pattern with k-dependent multipliers so the corpus
+    hash space is DIVERSE — the first-cut fixture's ~16k distinct
+    hashes at sf10 exploded any banding scheme's equal-key joins),
+    a LOCALLY EDITED variant (m=1 — the source pixel feeding
+    exactly ONE sample cell of the 9×8 dHash grid is bumped +97, so
+    at most the two comparisons touching that cell flip: hamming
+    <= 2, well inside the recall guarantee), and an unrelated image
+    (m=2). Every payload is a real RGBA PNG decoded by the real
+    decoder. The oracle replays the ENTIRE chain as SQL integer
+    arithmetic — resample floor indexing, the single-cell bump
+    condition, luma division, bit placement, two's-complement wrap,
+    8-bit block extraction + combination keys over the unsigned raw
+    (== Spark's shiftrightunsigned on the signed), value-level
+    candidate distinct, hamming verify, least/greatest doc
+    expansion — so a broken block slice, shift semantics, key
+    combination, pair dedup, or verify threshold flips the hash.
+    Scale shape: decode+hash in the Arrow media kernel, distinct →
+    explode ×70 → ONE (combo, key) equi-join with 32-bit key
+    fan-in (collision term 70·n²/2³² — measured: the 16-bit
+    first cut read 42× per 10× at sf10; this shape is sublinear),
+    JVM popcount filter, two hash-equi expansion joins — nothing
+    quadratic in rows (the d3 discipline)."""
     import pandas as pd
 
     from trisk_datawrangle_spark.llm.multimodal import encode_png
@@ -2407,18 +2446,25 @@ def m10(spark, sf_dir):
                 w, h = 12 + k % 9, 10 + k % 7
                 # the source pixel sampled by dHash grid cell (3, 4)
                 sx0, sy0 = (3 * w) // 9, (4 * h) // 8
+                # k-dependent multipliers: the hash must vary with
+                # (k%255, k%97, k%89, w, h), not k%255 alone — the
+                # fixed-multiplier first cut had a ~16k-value hash
+                # space at sf10, a degenerate corpus that explodes
+                # ANY banding scheme's equal-key joins (measured
+                # 495 s before this fix)
+                mx, my = 11 + k % 97, 23 + k % 89
                 px = bytearray()
                 for y in range(h):
                     for x in range(w):
                         for c in range(4):
                             if m == 2:
                                 v = (
-                                    k * 41 + 13 * x + 29 * y
-                                    + 5 * c + 7
+                                    k * 41 + (mx + 2) * x
+                                    + (my + 6) * y + 5 * c + 7
                                 ) % 255
                             else:
                                 v = (
-                                    k * 37 + 11 * x + 23 * y + 5 * c
+                                    k * 37 + mx * x + my * y + 5 * c
                                 ) % 255
                                 if m == 1 and x == sx0 and y == sy0:
                                     v = (v + 97) % 255
@@ -2432,11 +2478,14 @@ def m10(spark, sf_dir):
     payloads = d.mapInPandas(
         mk_payload, "doc_id long, payload binary"
     )
-    # stage boundary: the decode+dHash kernel feeds both sides of
-    # the band self-join through hamming_band_pairs — cached, it
-    # runs once per image (two longs per row held)
+    # stage boundary: the decode+dHash kernel feeds the distinct,
+    # the value join, and the two expansion joins inside
+    # hamming_band_pairs — cached, it runs once per image (two
+    # longs per row held)
     hashes = perceptual_hashes(payloads).cache()
-    pairs = hamming_band_pairs(hashes, bands=4, max_hamming=4)
+    pairs = hamming_band_pairs(
+        hashes, blocks=8, key_blocks=4, max_hamming=4
+    )
     return pairs.select(
         "id_a",
         "id_b",
