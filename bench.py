@@ -123,6 +123,34 @@ def calibrate() -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def _calibrate_worker(_):
+    acc = 0
+    for i in range(2_000_000):
+        acc += i ^ (i >> 3)
+    return acc
+
+
+def calibrate_parallel() -> float:
+    """The same busy-work on EVERY core at once (processes — the GIL
+    makes threads useless for this). Single-thread probes miss
+    multi-core throughput differences (cgroup CPU quota, thermal
+    limits, SMT topology, a neighbor saturating the socket), which
+    shift the WHOLE suite uniformly while calibrate() reads in-band
+    — the r10 close measured exactly that: single-thread probe
+    0.449 s (band-identical to the r8 record's 0.451 s) while every
+    untouched query ran a uniform ~1.36× slower. Recorded in the
+    JSON (calibration_parallel_sec) so cross-round readers can
+    separate engine deltas from box-throughput deltas; a gate band
+    accrues once a few rounds carry the field."""
+    import concurrent.futures
+
+    n = min(32, os.cpu_count() or 1)
+    t0 = time.perf_counter()
+    with concurrent.futures.ProcessPoolExecutor(n) as ex:
+        list(ex.map(_calibrate_worker, range(n)))
+    return round(time.perf_counter() - t0, 4)
+
+
 def parse_args(argv):
     import argparse
 
@@ -194,6 +222,7 @@ def main(argv=None) -> None:
 
     load_start = wait_for_idle(max_wait=120.0, label="suite start")
     calib_before = calibrate()
+    calib_par_before = calibrate_parallel()
 
     spark = get_spark(
         app_name="trisk-bench",
@@ -310,6 +339,7 @@ def main(argv=None) -> None:
         )
 
     calib_after = calibrate()
+    calib_par_after = calibrate_parallel()
     load_end = loadavg1()
 
     # Calibration gate (r9 verdict #1): round-over-round deltas are
@@ -358,6 +388,9 @@ def main(argv=None) -> None:
         "errors": errors,
         "loadavg": {"start": load_start, "end": load_end},
         "calibration_sec": {"before": calib_before, "after": calib_after},
+        "calibration_parallel_sec": {
+            "before": calib_par_before, "after": calib_par_after,
+        },
         "comparable": comparable,
         "calibration_band": {
             "idle_sec": CALIB_IDLE_SEC,
