@@ -218,8 +218,10 @@ def test_http_content_encoding_gzip():
     for tail, head in (
         (gz[:-4], b"gzip"),        # truncated member
         (gz + b"JUNK", b"gzip"),   # trailing garbage
-        (gz, b"deflate"),          # unsupported coding
-        (gz, b"br"),
+        (gz, b"deflate"),          # gzip bytes are not deflate
+        (gz, b"br"),               # unsupported coding
+        (gz, b"zstd"),
+        (gz, b"gzip, gzip"),       # stacked codings refused
         (b"not gzip", b"gzip"),    # bad magic
     ):
         raw = (
@@ -227,7 +229,39 @@ def test_http_content_encoding_gzip():
             + b"\r\n\r\n" + tail
         )
         assert http_response(raw) is None, head
-    # decompression bomb past the 8 MB cap: refused
+
+
+def test_http_content_encoding_deflate():
+    """'Content-Encoding: deflate' decodes both the RFC 9110 zlib
+    wrapping and the raw-deflate legacy form; malformed/bomb bodies
+    refuse."""
+    import zlib as _zlib
+
+    from trisk_datawrangle_spark.llm.extract import http_response
+
+    body = b"<p>deflated</p>" * 25
+    wrapped = _zlib.compress(body, 6)
+    co = _zlib.compressobj(6, _zlib.DEFLATED, -15)
+    rawdef = co.compress(body) + co.flush()
+    for payload in (wrapped, rawdef):
+        rec = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+            + payload
+        )
+        assert http_response(rec) == (body, 0, True)
+    # truncation and trailing garbage refuse under either framing
+    for bad in (wrapped[:-3], wrapped + b"X", rawdef + b"XY"):
+        rec = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+            + bad
+        )
+        assert http_response(rec) is None
+    # bombs past the cap refuse under both codings
+    import gzip as _gzip
+
+    bomb = _zlib.compress(b"\x00" * (9 * 1024 * 1024), 9)
+    rec = b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + bomb
+    assert http_response(rec) is None
     bomb = _gzip.compress(b"\x00" * (9 * 1024 * 1024), 9, mtime=0)
     raw = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + bomb
     assert http_response(raw) is None

@@ -261,7 +261,7 @@ class TestCharset:
         # declared-but-unsupported charset (ISO-2022-JP's escape-
         # sequence statefulness is deliberately out of scope)
         assert decode_body("x; charset=iso-2022-jp", b"abc") is None
-        assert decode_body("x; charset=koi8-r", b"abc") is None
+        assert decode_body("x; charset=utf-7", b"abc") is None
         # lying declaration: declared utf-8, invalid bytes
         assert decode_body("x; charset=utf-8", b"\xe9\xe9") is None
         # utf-16 with an odd byte tail
@@ -392,3 +392,53 @@ class TestRobotsMeta:
             "Crawl-delay: 4\nDisallow: /q/\n"
         )
         assert parse_robots(body, "x") == [("disallow", "/q/")]
+
+
+class TestCharsetRegistryWidth:
+    """r10: the WHATWG registry's single-byte members (Central
+    European, Cyrillic, Greek, Turkish, Hebrew, Arabic, Baltic,
+    Thai, Vietnamese) — all stdlib codecs, all strict."""
+
+    def test_every_label_decodes_ascii(self):
+        from trisk_datawrangle_spark.llm.charset import _ALIASES
+
+        for label, canon in sorted(_ALIASES.items()):
+            if canon.startswith("utf-16"):
+                continue  # odd-length ASCII bodies legitimately refuse
+            got = decode_body(f"x; charset={label}", b"hello world")
+            assert got is not None and got[0] == canon, (label, got)
+
+    def test_family_samples_roundtrip(self):
+        cases = [
+            ("iso-8859-2", "Žluťoučký", "iso-8859-2"),
+            ("windows-1250", "Łódź", "cp1250"),
+            ("windows-1251", "Привет", "cp1251"),
+            ("iso-8859-5", "мир", "iso-8859-5"),
+            ("koi8-r", "мир", "koi8_r"),
+            ("koi8-u", "ґанок", "koi8_u"),
+            ("iso-8859-7", "Ελλάδα", "iso-8859-7"),
+            ("windows-1253", "αβγ", "cp1253"),
+            # WHATWG folds iso-8859-9 into windows-1254
+            ("iso-8859-9", "ğüşİ", "cp1254"),
+            ("iso-8859-8", "שלום", "iso-8859-8"),
+            ("windows-1255", "שלום", "cp1255"),
+            ("windows-1256", "مرحبا", "cp1256"),
+            ("iso-8859-4", "ņemt", "iso-8859-4"),
+            ("windows-1257", "žemė", "cp1257"),
+            # WHATWG folds TIS-620/iso-8859-11 into windows-874
+            ("tis-620", "ไทย", "cp874"),
+            ("windows-1258", "đà", "cp1258"),
+            ("iso-8859-15", "€uro", "iso-8859-15"),
+        ]
+        for decl, text, codec in cases:
+            got = decode_body(
+                f"x; charset={decl}", text.encode(codec)
+            )
+            assert got is not None and got[1] == text, (decl, got)
+
+    def test_single_byte_stays_strict(self):
+        # cp1255 leaves 0xFB undefined: a declared-but-invalid body
+        # refuses, exactly like the CJK and utf arms
+        assert decode_body(
+            "x; charset=windows-1255", b"ok \xfb"
+        ) is None

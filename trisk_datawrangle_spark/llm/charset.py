@@ -27,7 +27,11 @@ CJK legacy multibyte registry labels: ``shift_jis`` (incl.
 windows-31j/sjis), ``euc-jp``, ``gbk`` (incl. gb2312 — WHATWG folds
 it), ``big5`` (incl. big5-hkscs), ``euc-kr`` (incl. windows-949/
 ks_c_5601) — each decoded by the stdlib codec matching the WHATWG
-decoder index (see ``_PY_CODEC``), strictly. A
+decoder index (see ``_PY_CODEC``), strictly — plus the registry's
+single-byte members (iso-8859-2/4/5/7/8/15, windows-1250..1258,
+windows-874/tis-620, koi8-r/u; WHATWG's folds iso-8859-9 →
+windows-1254 and iso-8859-11 → windows-874 included), ~90 labels
+total. A
 DECLARED charset outside the supported set, or payload bytes that
 do not decode under the declared charset, returns None — refused
 loudly, the same contract as the WARC/PDF parsers: mis-decoded text
@@ -100,6 +104,58 @@ _ALIASES = {
     "ksc_5601": "euc-kr",
     "iso-ir-149": "euc-kr",
     "windows-949": "euc-kr",  # WHATWG folds UHC into euc-kr
+    # -- single-byte registry members (all stdlib, strict) --
+    # Central European
+    "iso-8859-2": "iso-8859-2",
+    "iso8859-2": "iso-8859-2",
+    "latin2": "iso-8859-2",
+    "windows-1250": "windows-1250",
+    "cp1250": "windows-1250",
+    # Cyrillic
+    "iso-8859-5": "iso-8859-5",
+    "iso8859-5": "iso-8859-5",
+    "windows-1251": "windows-1251",
+    "cp1251": "windows-1251",
+    "koi8-r": "koi8-r",
+    "koi8": "koi8-r",
+    "koi8-u": "koi8-u",
+    "koi8-ru": "koi8-u",
+    # Greek
+    "iso-8859-7": "iso-8859-7",
+    "iso8859-7": "iso-8859-7",
+    "greek": "iso-8859-7",
+    "greek8": "iso-8859-7",
+    "windows-1253": "windows-1253",
+    "cp1253": "windows-1253",
+    # Turkish
+    "iso-8859-9": "windows-1254",  # WHATWG folds 8859-9 into 1254
+    "iso8859-9": "windows-1254",
+    "latin5": "windows-1254",
+    "windows-1254": "windows-1254",
+    "cp1254": "windows-1254",
+    # Hebrew / Arabic
+    "iso-8859-8": "iso-8859-8",
+    "iso8859-8": "iso-8859-8",
+    "hebrew": "iso-8859-8",
+    "windows-1255": "windows-1255",
+    "cp1255": "windows-1255",
+    "windows-1256": "windows-1256",
+    "cp1256": "windows-1256",
+    # Baltic / Western supplement
+    "iso-8859-4": "iso-8859-4",
+    "iso8859-4": "iso-8859-4",
+    "latin4": "iso-8859-4",
+    "windows-1257": "windows-1257",
+    "cp1257": "windows-1257",
+    "iso-8859-15": "iso-8859-15",
+    "iso8859-15": "iso-8859-15",
+    "latin9": "iso-8859-15",
+    # Thai / Vietnamese
+    "windows-874": "windows-874",
+    "tis-620": "windows-874",  # WHATWG folds TIS-620 into 874
+    "iso-8859-11": "windows-874",
+    "windows-1258": "windows-1258",
+    "cp1258": "windows-1258",
 }
 
 #: Canonical label → the stdlib codec implementing the WHATWG
@@ -116,6 +172,16 @@ _PY_CODEC = {
     "gbk": "gb18030",
     "big5": "big5hkscs",
     "euc-kr": "cp949",
+    # single-byte canonical names mapping onto stdlib spellings
+    "windows-1250": "cp1250",
+    "windows-1251": "cp1251",
+    "windows-1253": "cp1253",
+    "windows-1254": "cp1254",
+    "windows-1255": "cp1255",
+    "windows-1256": "cp1256",
+    "windows-1257": "cp1257",
+    "windows-1258": "cp1258",
+    "windows-874": "cp874",
 }
 
 #: Python's cp1252 leaves five bytes undefined (0x81 0x8D 0x8F 0x90

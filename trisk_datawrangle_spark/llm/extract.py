@@ -20,11 +20,13 @@ parser for the real format, including chunked transfer encoding
 (RFC 9112 §7.1): :func:`http_body` dechunks via a deterministic
 size-line walk. Chunk extensions and non-empty trailers — rare,
 and a place where permissive parsing invites smuggling bugs — are
-refused loudly (None), as is any malformed framing. gzip codings
-(``Content-Encoding: gzip`` and the composite ``Transfer-Encoding:
-gzip, chunked``) inflate via stdlib zlib behind the same 8 MB
-bomb cap as the PDF parser; ``deflate``/``br``/unknown codings are
-refused loudly, never passed through compressed.
+refused loudly (None), as is any malformed framing. Compressed
+codings (``Content-Encoding: gzip``/``x-gzip``/``deflate`` — zlib
+wrapped with the raw-deflate legacy fallback — and the composite
+``Transfer-Encoding: gzip, chunked``) inflate via stdlib zlib
+behind the same 8 MB bomb cap as the PDF parser; ``br``/``zstd``/
+stacked/unknown codings are refused loudly, never passed through
+compressed.
 """
 
 from __future__ import annotations
@@ -245,16 +247,16 @@ def _dechunk(body: bytes) -> tuple[bytes, int] | None:
 _MAX_INFLATE = 8 * 1024 * 1024
 
 
-def _bounded_gunzip(data: bytes) -> bytes | None:
-    """Inflate ONE gzip member, bounded by :data:`_MAX_INFLATE`.
-    Refuses (None) on: zlib framing errors, output past the cap, a
-    truncated member (no eof), or ANY bytes after the member —
-    multi-member / trailing-garbage bodies are outside what an HTTP
-    content coding legitimately produces, and permissive tails are
-    where smuggling bugs live."""
+def _bounded_inflate(data: bytes, wbits: int) -> bytes | None:
+    """Inflate ONE member under ``wbits`` framing, bounded by
+    :data:`_MAX_INFLATE`. Refuses (None) on: zlib framing errors,
+    output past the cap, a truncated member (no eof), or ANY bytes
+    after the member — multi-member / trailing-garbage bodies are
+    outside what an HTTP content coding legitimately produces, and
+    permissive tails are where smuggling bugs live."""
     import zlib
 
-    dec = zlib.decompressobj(16 + 15)
+    dec = zlib.decompressobj(wbits)
     try:
         out = dec.decompress(data, _MAX_INFLATE)
     except zlib.error:
@@ -264,25 +266,45 @@ def _bounded_gunzip(data: bytes) -> bytes | None:
     return out
 
 
+def _bounded_gunzip(data: bytes) -> bytes | None:
+    """gzip-member view of :func:`_bounded_inflate` (wbits 16+15)."""
+    return _bounded_inflate(data, 16 + 15)
+
+
+def _bounded_deflate(data: bytes) -> bytes | None:
+    """``Content-Encoding: deflate`` per RFC 9110 means a ZLIB
+    (RFC 1950) wrapped stream; some legacy servers send RAW deflate
+    (RFC 1951) instead. Both decode here — zlib framing first, raw
+    as the fallback (the WHATWG fetch behavior browsers apply) —
+    each under the same bomb cap and exact-tail discipline. A body
+    valid under NEITHER framing refuses."""
+    out = _bounded_inflate(data, 15)
+    if out is not None:
+        return out
+    return _bounded_inflate(data, -15)
+
+
 def http_response(record_content: bytes) -> tuple[bytes, int, bool] | None:
     """Split an HTTP response record's content into headers + body
     and undo its codings: ``Transfer-Encoding`` first (``chunked``
     via the strict :func:`_dechunk` walk; ``gzip, chunked`` —
     applied by the sender in that order, so the receiver dechunks
     THEN inflates — via the bounded gunzip), then a
-    ``Content-Encoding: gzip`` content coding (the common spelling
-    in real captures; ``x-gzip`` is its RFC 9110 alias). Header
-    spellings are case/whitespace-insensitive.
+    ``Content-Encoding`` content coding: ``gzip`` (the common
+    spelling in real captures; ``x-gzip`` is its RFC 9110 alias) or
+    ``deflate`` (zlib-wrapped per RFC 9110, with the raw-deflate
+    fallback legacy servers need — see :func:`_bounded_deflate`).
+    Header spellings are case/whitespace-insensitive.
 
     Returns ``(body, n_data_chunks, gzipped)`` — 0 chunks for a
     non-chunked body, ``gzipped`` True when either coding layer
     inflated — or None for non-HTTP content, a coding this module
-    cannot undo faithfully (``deflate``, ``br``, unknown tokens:
-    refused loudly, never passed through compressed — zlib bytes fed
-    to the text pipeline as document text are worse than a dropped
-    record), a chunk-grammar violation, or a gzip body that is
-    malformed, trailing-garbage-bearing, or inflates past the
-    8 MB bomb cap."""
+    cannot undo faithfully (``br``, ``zstd``, stacked or unknown
+    tokens: refused loudly, never passed through compressed —
+    compressed bytes fed to the text pipeline as document text are
+    worse than a dropped record), a chunk-grammar violation, or a
+    compressed body that is malformed, trailing-garbage-bearing, or
+    inflates past the 8 MB bomb cap."""
     import re
 
     sep = record_content.find(b"\r\n\r\n")
@@ -324,9 +346,12 @@ def http_response(record_content: bytes) -> tuple[bytes, int, bool] | None:
 
     content_codings = header_tokens(b"content-encoding")
     if content_codings and content_codings != [b"identity"]:
-        if content_codings not in ([b"gzip"], [b"x-gzip"]):
-            return None
-        body2 = _bounded_gunzip(body)
+        if content_codings in ([b"gzip"], [b"x-gzip"]):
+            body2 = _bounded_gunzip(body)
+        elif content_codings == [b"deflate"]:
+            body2 = _bounded_deflate(body)
+        else:
+            return None  # br/zstd/stacked codings: refused loudly
         if body2 is None:
             return None
         body, gzipped = body2, True
