@@ -46,8 +46,10 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 # root-level '..' + non-http(s) drop), x53/x54 (the same urls.py
 # changes flow through resolution/sitemap keys), w5 (crawl_delay
 # politeness column) — changed code invalidates the old proof;
-# (2) the TWO new entries: x55 (robots -> sitemap/crawl-delay
-# discovery) and m10 (banded hamming image near-dup);
+# (2) the THREE new entries: x55 (robots -> sitemap/crawl-delay
+# discovery), m10 (banded hamming image near-dup), and x56
+# (sitemap-index walking — lands mid-round, displacing q9 to lead
+# the r11 block so the window stays exactly 50);
 # (3) the full 30-entry r5-proof cohort staged at positions 51+ last
 # round (x12-x14 sketches, d9/d10 dedup, a13, x19, m4, v2, e9, the
 # p1-p9 projection/filter and j1-j10 join wrappers, a2/a3, x23,
@@ -76,6 +78,7 @@ _PRIORITY = [
     "w5_crawl_frontier_e2e",
     "x55_robots_sitemap_discovery",
     "m10_image_near_dup",
+    "x56_sitemap_index_walk",
     "x12_cms_freq_gate",
     "x13_doc_chunking",
     "x14_bm25",

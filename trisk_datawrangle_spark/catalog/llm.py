@@ -6001,6 +6001,163 @@ def x54(spark, sf_dir):
 
 
 @q(
+    "x56_sitemap_index_walk",
+    """
+WITH kids AS (
+    SELECT d.doc_id, j.j
+    FROM documents d,
+        unnest(generate_series(0, d.doc_id % 3)) AS j(j)
+),
+pages AS (
+    SELECT k.doc_id, k.j, u.u
+    FROM kids k,
+        unnest(generate_series(0, (k.doc_id + k.j) % 2)) AS u(u)
+)
+SELECT doc_id,
+    CAST(j AS INTEGER) AS child_idx,
+    CAST(u AS INTEGER) AS url_idx,
+    'http://host' || CAST(doc_id % 23 AS VARCHAR)
+        || '.example.com/sm/' || CAST(doc_id AS VARCHAR)
+        || '/' || CAST(j AS VARCHAR) || '.xml' AS child_loc,
+    'http://host' || CAST(doc_id % 23 AS VARCHAR)
+        || '.example.com/s/pA' || CAST(j AS VARCHAR)
+        || '-' || CAST(u AS VARCHAR)
+        || '?a=1&b=' || CAST(u AS VARCHAR) AS page_loc
+FROM pages
+""",
+)
+def x56(spark, sf_dir):
+    """Sitemap INDEX walking (sitemaps.org ``<sitemapindex>``) — the
+    protocol's second file form and how large sites actually expose
+    their URL space (a urlset caps at 50k URLs / 50 MB, so real
+    hosts publish an index of child sitemaps): parse the index →
+    canonicalize the child locs → FETCH the children → parse each
+    child urlset → page URLs. Per doc the index carries 1-3
+    ``<sitemap>`` blocks (case/default-port noise on the locs, a
+    ``<lastmod>`` the parser must skip on even arms); child urlsets
+    are keyed by (doc, child) and their page locs carry an
+    entity-escaped ``&amp;`` AND a ``%41`` escape, so both decode
+    layers (XML entity, percent) are non-vacuous per row. The fetch
+    step is modeled the way a batch crawler actually does it: the
+    canonical child loc's key fields are extracted BACK out of the
+    canonical URL by regexp (proving the loc survived the
+    canonicalization roundtrip) and equi-joined to the fetched-body
+    table — at 100 TB this is the one URL-keyed exchange a
+    discovery→fetch handoff costs, with both parse stages scan-fused
+    JVM regex on either side of it. The oracle replays the
+    (doc, child, url) fan-out and both canonical forms
+    arithmetically, so a mis-paired block, skipped child, broken
+    key-roundtrip, join-key drift, or missed decode flips the
+    hash."""
+    from trisk_datawrangle_spark.llm.extract import xml_unescape_expr
+    from trisk_datawrangle_spark.llm.urls import with_canonical_url
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+
+    def sm_blk(j):
+        return F.concat(
+            F.lit("<sitemap><loc>HTTP://Host"),
+            (did % 23).cast("string"),
+            F.lit(".Example.com:80/sm/"), did.cast("string"),
+            F.lit("/"), j.cast("string"), F.lit(".xml</loc>"),
+            F.when(
+                (did + j) % 2 == 0,
+                F.lit("<lastmod>2025-01-01</lastmod>"),
+            ).otherwise(F.lit("")),
+            F.lit("</sitemap>"),
+        )
+
+    index = d.select(
+        "doc_id",
+        F.concat(
+            F.lit('<?xml version="1.0"?><sitemapindex>'),
+            F.aggregate(
+                F.sequence(F.lit(0), did % 3),
+                F.lit(""),
+                lambda acc, j: F.concat(acc, sm_blk(j)),
+            ),
+            F.lit("</sitemapindex>"),
+        ).alias("xml"),
+    )
+
+    # the fetched-body table: child urlsets keyed by (doc_id, j)
+    jcol = F.col("j")
+
+    def url_blk(u):
+        return F.concat(
+            F.lit("<url><loc>http://Host"),
+            (did % 23).cast("string"),
+            F.lit(".example.com/s/p%41"), jcol.cast("string"),
+            F.lit("-"), u.cast("string"),
+            F.lit("?a=1&amp;b="), u.cast("string"),
+            F.lit("</loc></url>"),
+        )
+
+    children = d.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), did % 3)).alias("j")
+    ).select(
+        "doc_id",
+        "j",
+        F.concat(
+            F.lit("<urlset>"),
+            F.aggregate(
+                F.sequence(F.lit(0), (did + jcol) % 2),
+                F.lit(""),
+                lambda acc, u: F.concat(acc, url_blk(u)),
+            ),
+            F.lit("</urlset>"),
+        ).alias("child_xml"),
+    )
+
+    blocks = F.expr(
+        "regexp_extract_all(xml, '(?s)<sitemap>(.*?)</sitemap>', 1)"
+    )
+    entries = index.select(
+        "doc_id", F.posexplode(blocks).alias("child_idx", "blk")
+    ).select(
+        "doc_id",
+        F.col("child_idx").cast("int").alias("child_idx"),
+        xml_unescape_expr(
+            F.regexp_extract(F.col("blk"), "<loc>([^<]*)</loc>", 1)
+        ).alias("rawloc"),
+    )
+    entries = with_canonical_url(entries, "rawloc", "child_loc")
+    # key-roundtrip: the child's (doc, j) extracted from the
+    # CANONICAL loc — a broken canonicalization breaks the fetch key
+    entries = entries.select(
+        "doc_id",
+        "child_idx",
+        "child_loc",
+        F.regexp_extract(
+            F.col("child_loc"), "/sm/[0-9]+/([0-9]+)\\.xml$", 1
+        ).cast("long").alias("j"),
+    )
+    fetched = entries.join(children, ["doc_id", "j"])
+    ublocks = F.expr(
+        "regexp_extract_all(child_xml, '(?s)<url>(.*?)</url>', 1)"
+    )
+    out = fetched.select(
+        "doc_id",
+        "child_idx",
+        "child_loc",
+        F.posexplode(ublocks).alias("url_idx", "ublk"),
+    ).select(
+        "doc_id",
+        "child_idx",
+        F.col("url_idx").cast("int").alias("url_idx"),
+        "child_loc",
+        xml_unescape_expr(
+            F.regexp_extract(F.col("ublk"), "<loc>([^<]*)</loc>", 1)
+        ).alias("p"),
+    )
+    out = with_canonical_url(out, "p", "page_loc")
+    return out.select(
+        "doc_id", "child_idx", "url_idx", "child_loc", "page_loc"
+    )
+
+
+@q(
     "x55_robots_sitemap_discovery",
     """
 WITH hosts AS (
