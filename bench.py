@@ -144,7 +144,8 @@ def calibrate_parallel() -> float:
     accrues once a few rounds carry the field."""
     import concurrent.futures
 
-    n = min(32, os.cpu_count() or 1)
+    n = os.cpu_count() or 1  # every core — a cap would skew the
+    # cross-box comparisons this field exists to enable
     t0 = time.perf_counter()
     with concurrent.futures.ProcessPoolExecutor(n) as ex:
         list(ex.map(_calibrate_worker, range(n)))

@@ -229,6 +229,10 @@ def test_http_content_encoding_gzip():
             + b"\r\n\r\n" + tail
         )
         assert http_response(raw) is None, head
+    # decompression bomb past the 8 MB cap: refused
+    bomb = _gzip.compress(b"\x00" * (9 * 1024 * 1024), 9, mtime=0)
+    raw = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + bomb
+    assert http_response(raw) is None
 
 
 def test_http_content_encoding_deflate():
@@ -256,15 +260,11 @@ def test_http_content_encoding_deflate():
             + bad
         )
         assert http_response(rec) is None
-    # bombs past the cap refuse under both codings
-    import gzip as _gzip
-
+    # deflate bomb past the cap refuses (the gzip bomb is asserted
+    # in test_http_content_encoding_gzip, where it belongs)
     bomb = _zlib.compress(b"\x00" * (9 * 1024 * 1024), 9)
     rec = b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + bomb
     assert http_response(rec) is None
-    bomb = _gzip.compress(b"\x00" * (9 * 1024 * 1024), 9, mtime=0)
-    raw = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + bomb
-    assert http_response(raw) is None
 
 
 def test_http_chunk_size_is_strict_hexdig():

@@ -11,6 +11,8 @@ property tests in tests/ (LSH candidates ⊇ high-Jaccard pairs).
 
 from __future__ import annotations
 
+from itertools import combinations as _combinations
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -2290,14 +2292,15 @@ def m9(spark, sf_dir):
     )
 
 
-#: the C(8,4)=70 block-index combinations of the Manku key scheme,
-#: shared between the kernel (via phash defaults) and the oracle's
-#: VALUES table below.
+#: the C(8,4)=70 block-index combinations of the Manku key scheme.
+#: ORDER IS THE PARITY CONTRACT: the oracle's VALUES table below and
+#: the kernel's posexplode (phash.hamming_band_pairs builds its key
+#: array from the same itertools.combinations(range(8), 4) call,
+#: whose order is documented-deterministic) must agree
+#: combination-for-combination.
 _M10_COMBOS = ", ".join(
     f"({ci}, {c[0]}, {c[1]}, {c[2]}, {c[3]})"
-    for ci, c in enumerate(
-        __import__("itertools").combinations(range(8), 4)
-    )
+    for ci, c in enumerate(_combinations(range(8), 4))
 )
 
 _M10_SQL = f"""
@@ -4734,8 +4737,9 @@ def s13(spark, sf_dir):
     → zlib inflate → Tj/TJ text ops with escape handling — and the
     kernel RAISES unless the recovered pages equal the built ones.
     The oracle replays the page-chunking arithmetic and the
-    per-variant object-count formula (3 + 2·pages, +2 for the 1.5
-    ObjStm/XRef objects), so a wrong xref offset, predictor row,
+    per-variant object-count formula (3 + 2·pages classic; 1.5 adds
+    the ObjStm + XRef objects AND one plain-integer length object
+    per page: 3 + 3·pages + 2), so a wrong xref offset, predictor row,
     ObjStm slice, stream length, escape, or page order flips the
     hash. Scale shape: bytes-level Arrow-batched mapInPandas like
     s11 — parallelism from partitioning, records never scanned for
@@ -6123,12 +6127,17 @@ def x56(spark, sf_dir):
         ).alias("rawloc"),
     )
     entries = with_canonical_url(entries, "rawloc", "child_loc")
-    # key-roundtrip: the child's (doc, j) extracted from the
-    # CANONICAL loc — a broken canonicalization breaks the fetch key
+    # key-roundtrip: BOTH fetch-key fields extracted from the
+    # CANONICAL loc — a canonicalization bug that corrupts either
+    # path segment breaks the join and flips the hash (carrying the
+    # input doc_id through would let a mangled doc segment pass
+    # unnoticed)
     entries = entries.select(
-        "doc_id",
         "child_idx",
         "child_loc",
+        F.regexp_extract(
+            F.col("child_loc"), "/sm/([0-9]+)/[0-9]+\\.xml$", 1
+        ).cast("long").alias("doc_id"),
         F.regexp_extract(
             F.col("child_loc"), "/sm/[0-9]+/([0-9]+)\\.xml$", 1
         ).cast("long").alias("j"),

@@ -184,30 +184,34 @@ _PY_CODEC = {
     "windows-874": "cp874",
 }
 
-#: Python's cp1252 leaves five bytes undefined (0x81 0x8D 0x8F 0x90
-#: 0x9D) and raises on them in strict mode; the WHATWG windows-1252
-#: encoding — the one browsers implement and this module claims —
-#: maps them to the like-numbered C1 controls, making the decode
-#: TOTAL (every byte sequence decodes). This error handler supplies
-#: exactly that mapping and nothing more, so windows-1252 decodes
-#: per spec while utf-8/utf-16 stay strict.
-_WHATWG_1252_BYTES = frozenset((0x81, 0x8D, 0x8F, 0x90, 0x9D))
-
-
-def _whatwg1252_errors(exc):
+#: Python's windows-* single-byte codecs leave their 0x80-0x9F holes
+#: undefined and raise on them in strict mode (cp1252: 0x81 0x8D
+#: 0x8F 0x90 0x9D; cp1250: 0x81 0x83 0x88 0x90 0x98; cp1251: 0x98;
+#: cp874: most of the block; ...). The WHATWG single-byte indexes —
+#: the ones browsers implement and this module claims — fill every
+#: such 0x80-0x9F hole with the like-numbered C1 control, so real
+#: legacy pages carrying stray C1 bytes still decode. This error
+#: handler supplies exactly that mapping and NOTHING more: an
+#: undefined byte outside 0x80-0x9F (e.g. cp1255's 0xFB, cp1257's
+#: 0xA1 — positions the WHATWG indexes also leave undefined) still
+#: refuses, per spec, and utf-8/utf-16/CJK stay fully strict.
+def _whatwg_c1_errors(exc):
     if not isinstance(exc, UnicodeDecodeError):  # pragma: no cover
         raise exc
     bad = exc.object[exc.start:exc.end]
-    if all(b in _WHATWG_1252_BYTES for b in bad):
+    if all(0x80 <= b <= 0x9F for b in bad):
         return "".join(chr(b) for b in bad), exc.end
     raise exc
 
 
-codecs.register_error("whatwg1252", _whatwg1252_errors)
+codecs.register_error("whatwgc1", _whatwg_c1_errors)
 
 
 def _errors_for(label: str) -> str:
-    return "whatwg1252" if label == "windows-1252" else "strict"
+    # the windows-* family (incl. windows-874) gets the C1 fill; the
+    # iso-8859/koi8 codecs are already total in Python, and strict
+    # is a no-op for them
+    return "whatwgc1" if label.startswith("windows-") else "strict"
 
 
 _CHARSET_PARAM_RX = re.compile(
