@@ -46,10 +46,12 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 # root-level '..' + non-http(s) drop), x53/x54 (the same urls.py
 # changes flow through resolution/sitemap keys), w5 (crawl_delay
 # politeness column) — changed code invalidates the old proof;
-# (2) the THREE new entries: x55 (robots -> sitemap/crawl-delay
-# discovery), m10 (banded hamming image near-dup), and x56
-# (sitemap-index walking — lands mid-round, displacing q9 to lead
-# the r11 block so the window stays exactly 50);
+# (2) the FIVE new entries: x55 (robots -> sitemap/crawl-delay
+# discovery), m10 (banded hamming image near-dup), x56 (sitemap-
+# index walking), x57 (politeness scheduling over w5's frontier),
+# and m11 (image dedup clusters over m10's pairs) — the later ones
+# landed mid-round, displacing q9/d13/m1 to lead the r11 block so
+# the window stays exactly 50;
 # (3) the full 30-entry r5-proof cohort staged at positions 51+ last
 # round (x12-x14 sketches, d9/d10 dedup, a13, x19, m4, v2, e9, the
 # p1-p9 projection/filter and j1-j10 join wrappers, a2/a3, x23,
@@ -57,8 +59,9 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 # is older than r6;
 # (4) ten of the 48 r6-proof entries, machinery-diverse: the a5-a12
 # native-agg family, w4/w6 windows, the d13 persisted-index
-# lifecycle, m1 multimodal decode, q9 FK audit.
-# Positions 51+ lead the r11 window with the REMAINING 38 r6-proof
+# native-agg family and the w4/w6 windows.
+# Positions 51+ lead the r11 window with q9/d13/m1 and the
+# REMAINING 38 r6-proof
 # entries (cf*/pr*/sc* pipeline sources, f* scalars, r3-r8 reshape,
 # u1-u3 set ops, t3/t5 spine, q5/q6 reports, w1, s7_ivf_pq_persisted,
 # x22-x29), then the r7/r8/r9 cohorts by staleness. All 224 entries
@@ -76,9 +79,11 @@ _PRIORITY = [
     "x53_link_resolve",
     "x54_sitemap_ingest",
     "w5_crawl_frontier_e2e",
+    "x57_politeness_schedule",
     "x55_robots_sitemap_discovery",
     "m10_image_near_dup",
     "x56_sitemap_index_walk",
+    "m11_image_dedup_clusters",
     "x12_cms_freq_gate",
     "x13_doc_chunking",
     "x14_bm25",
@@ -116,9 +121,9 @@ _PRIORITY = [
     "a11_first_by_order",
     "w4_row_number",
     "w6_group_max_ratio",
+    "q9_fk_integrity",
     "d13_persisted_index_dedup",
     "m1_multimodal_decode",
-    "q9_fk_integrity",
     "cf1_ngfs_capacity_factors",
     "cf2_ipr_capacity_factors",
     "cf3_weo2023_capacity_factors",

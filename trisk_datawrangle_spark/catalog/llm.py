@@ -2318,19 +2318,36 @@ pix AS (
         unnest(generate_series(0, 8)) AS ox(i),
         unnest(generate_series(0, 7)) AS oy(i)
 ),
-chan AS (
-    SELECT doc_id, oy, ox, c.i AS c,
-        CASE
-            WHEN m = 2
-            THEN (k * 41 + (13 + k % 97) * sx + (29 + k % 89) * sy
-                  + 5 * c.i + 7) % 255
-            WHEN m = 1 AND sx = (3 * w) // 9 AND sy = (4 * h) // 8
-            THEN ((k * 37 + (11 + k % 97) * sx + (23 + k % 89) * sy
-                   + 5 * c.i) % 255 + 97) % 255
-            ELSE (k * 37 + (11 + k % 97) * sx + (23 + k % 89) * sy
-                  + 5 * c.i) % 255
-        END AS v
+seed AS (
+    SELECT doc_id, m, w, h, oy, ox, sx, sy, c.i AS c,
+        (k * 2654435761 + sx * 40503 + sy * 65599 + 7 * c.i
+         + CASE WHEN m = 2 THEN 999331 ELSE 0 END)
+        % 4294967296 AS t
     FROM pix, unnest(generate_series(0, 2)) AS c(i)
+),
+-- the splitmix finalizer: xor-shift-16 + two 0x45d9f3b multiplies,
+-- all BIGINT-safe (< 2^32 before each multiply)
+mixed AS (
+    SELECT doc_id, m, w, h, oy, ox, sx, sy, c,
+        xor(t4, t4 // 65536) AS t5
+    FROM (
+        SELECT *,
+            (xor(t2, t2 // 65536) * 73244475) % 4294967296 AS t4
+        FROM (
+            SELECT *,
+                (xor(t, t // 65536) * 73244475) % 4294967296 AS t2
+            FROM seed
+        )
+    )
+),
+chan AS (
+    SELECT doc_id, oy, ox, c,
+        CASE
+            WHEN m = 1 AND sx = (3 * w) // 9 AND sy = (4 * h) // 8
+            THEN ((t5 % 255) + 97) % 255
+            ELSE t5 % 255
+        END AS v
+    FROM mixed
 ),
 cells AS (
     SELECT doc_id, oy, ox,
@@ -2432,13 +2449,51 @@ def m10(spark, sf_dir):
     first cut read 42× per 10× at sf10; this shape is sublinear),
     JVM popcount filter, two hash-equi expansion joins — nothing
     quadratic in rows (the d3 discipline)."""
+    from trisk_datawrangle_spark.llm.phash import hamming_band_pairs
+
+    # stage boundary: the decode+dHash kernel feeds the distinct,
+    # the value join, and the two expansion joins inside
+    # hamming_band_pairs — cached, it runs once per image (two
+    # longs per row held)
+    hashes = _m10_hashes(spark, sf_dir).cache()
+    pairs = hamming_band_pairs(
+        hashes, blocks=8, key_blocks=4, max_hamming=4
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "hamming",
+        F.expr("id_a div 3 = id_b div 3").alias("same_group"),
+    )
+
+
+def _m10_hashes(spark, sf_dir):
+    """The shared m10/m11 fixture: per-doc triplet PNGs (base /
+    single-cell local edit / unrelated — see m10's docstring)
+    decoded to (doc_id, dhash) by the real decoder. ONE builder so
+    the pair entry and the cluster entry cannot drift apart."""
     import pandas as pd
 
     from trisk_datawrangle_spark.llm.multimodal import encode_png
-    from trisk_datawrangle_spark.llm.phash import (
-        hamming_band_pairs,
-        perceptual_hashes,
-    )
+    from trisk_datawrangle_spark.llm.phash import perceptual_hashes
+
+    # Per-pixel splitmix noise, NOT an affine gradient: dHash bits
+    # of smooth gradients carry far less than 1 bit of entropy each
+    # (measured — affine fixtures produced 40-368 accidental
+    # hamming<=4 pairs per ~3k docs however the coefficients were
+    # k-diversified, whose chains then blew the component iteration
+    # budget at sf1), while the mixed pixels give unbiased,
+    # independent comparisons: 0 accidental pairs in the same
+    # simulation, popcount mean 31.9. The mix is oracle-replayable
+    # BIGINT arithmetic (xor + shift-16 + two 0x45d9f3b multiplies
+    # mod 2^32 — the classic 32-bit finalizer).
+    def _mix(t: int) -> int:
+        t ^= t >> 16
+        t = (t * 0x45D9F3B) % 4294967296
+        t ^= t >> 16
+        t = (t * 0x45D9F3B) % 4294967296
+        t ^= t >> 16
+        return t
 
     def mk_payload(batches):
         for pdf in batches:
@@ -2449,28 +2504,18 @@ def m10(spark, sf_dir):
                 w, h = 12 + k % 9, 10 + k % 7
                 # the source pixel sampled by dHash grid cell (3, 4)
                 sx0, sy0 = (3 * w) // 9, (4 * h) // 8
-                # k-dependent multipliers: the hash must vary with
-                # (k%255, k%97, k%89, w, h), not k%255 alone — the
-                # fixed-multiplier first cut had a ~16k-value hash
-                # space at sf10, a degenerate corpus that explodes
-                # ANY banding scheme's equal-key joins (measured
-                # 495 s before this fix)
-                mx, my = 11 + k % 97, 23 + k % 89
+                salt = 999331 if m == 2 else 0
                 px = bytearray()
                 for y in range(h):
                     for x in range(w):
                         for c in range(4):
-                            if m == 2:
-                                v = (
-                                    k * 41 + (mx + 2) * x
-                                    + (my + 6) * y + 5 * c + 7
-                                ) % 255
-                            else:
-                                v = (
-                                    k * 37 + mx * x + my * y + 5 * c
-                                ) % 255
-                                if m == 1 and x == sx0 and y == sy0:
-                                    v = (v + 97) % 255
+                            t = (
+                                k * 2654435761 + x * 40503
+                                + y * 65599 + 7 * c + salt
+                            ) % 4294967296
+                            v = _mix(t) % 255
+                            if m == 1 and x == sx0 and y == sy0:
+                                v = (v + 97) % 255
                             px.append(v)
                 ids.append(doc_id)
                 payloads.append(encode_png(w, h, 4, bytes(px)))
@@ -2481,19 +2526,78 @@ def m10(spark, sf_dir):
     payloads = d.mapInPandas(
         mk_payload, "doc_id long, payload binary"
     )
-    # stage boundary: the decode+dHash kernel feeds the distinct,
-    # the value join, and the two expansion joins inside
-    # hamming_band_pairs — cached, it runs once per image (two
-    # longs per row held)
-    hashes = perceptual_hashes(payloads).cache()
+    return perceptual_hashes(payloads)
+
+
+_M11_SQL = f"""
+WITH RECURSIVE dpairs AS (
+{_M10_SQL}
+),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM dpairs
+    UNION SELECT id_b, id_a FROM dpairs
+),
+lbl(node, comp) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT e.u, l.comp FROM edges e JOIN lbl l ON e.v = l.node
+),
+comp AS (SELECT node, MIN(comp) AS comp FROM lbl GROUP BY node),
+clusters AS (
+    SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+)
+SELECT doc_id, cluster_id,
+    CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS INTEGER)
+        AS cluster_size
+FROM clusters
+"""
+
+
+@q("m11_image_dedup_clusters", _M11_SQL)
+def m11(spark, sf_dir):
+    """Image near-dup CLUSTERS — the d7 idiom on the visual ladder:
+    m10's Manku-banded hamming pairs feed pointer-jumped connected
+    components (llm/components.py dedup_clusters — the SAME operator
+    the text ladder uses, proving the pair tiers compose across
+    modalities), every doc gets its component's minimum id as
+    cluster_id (singletons their own), plus the cluster size. The
+    fixture is the SHARED m10 triplet builder (_m10_hashes — one
+    source of truth): base + local-edit variants cluster together,
+    unrelated images stand alone unless genuinely within hamming 4.
+    Cluster ids are what a multimodal corpus build feeds to
+    deterministic_split so near-duplicate image families never
+    straddle a train/test boundary (the x15 cluster-safe-split
+    contract). The oracle wraps the FULL m10 pair SQL in a recursive
+    min-label CTE (the d7 oracle idiom) plus a cluster-size window,
+    so a missed pair, a wrong component fold, or an unstable
+    min-label flips the hash. Scale shape: m10's linear pair plan +
+    pointer-jumping components (log-depth rounds, checkpoint-hygiene
+    documented in connected_components — the same machinery measured
+    at sf10 under d7/d15)."""
+    from trisk_datawrangle_spark.llm.components import dedup_clusters
+    from trisk_datawrangle_spark.llm.phash import hamming_band_pairs
+
+    hashes = _m10_hashes(spark, sf_dir).cache()
     pairs = hamming_band_pairs(
         hashes, blocks=8, key_blocks=4, max_hamming=4
     )
-    return pairs.select(
-        "id_a",
-        "id_b",
-        "hamming",
-        F.expr("id_a div 3 = id_b div 3").alias("same_group"),
+    # cut the lineage at the (tiny) pair set BEFORE components: the
+    # loop's edges checkpoint otherwise re-materializes the whole
+    # decode→band→expand subtree inside the iteration's own memory
+    # envelope — at sf10 a broadcast build failed to allocate while
+    # 32 tasks were simultaneously inside the expansion joins
+    # (measured). Checkpointed, the loop's working set is
+    # label-sized frames only.
+    pairs = pairs.localCheckpoint(eager=True)
+    hashes.unpersist()
+    docs = _docs(spark, sf_dir).select("doc_id")
+    clusters = dedup_clusters(docs, pairs)
+    win = Window.partitionBy("cluster_id")
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(win).cast("int").alias("cluster_size"),
     )
 
 
@@ -6232,9 +6336,9 @@ def x55(spark, sf_dir):
     )
 
 
-@q(
-    "w5_crawl_frontier_e2e",
-    """
+#: w5's oracle SQL — shared with x57, which schedules the SAME
+#: frontier (one source of truth for the control-plane fixture).
+_W5_SQL = """
 WITH hosts AS (
     SELECT CAST(i AS BIGINT) AS h FROM generate_series(0, 22) t(i)
 ),
@@ -6324,8 +6428,10 @@ SELECT v.canon,
          AS DOUBLE) AS crawl_delay
 FROM verdicts v
 LEFT JOIN (SELECT * FROM m WHERE rn = 1) w ON v.canon = w.canon
-""",
-)
+"""
+
+
+@q("w5_crawl_frontier_e2e", _W5_SQL)
 def w5(spark, sf_dir):
     """The crawl control plane END TO END — the e2e composite (the
     w0-w4 idiom) proving the round-9 pieces COMPOSE: per page,
@@ -6484,4 +6590,57 @@ def w5(spark, sf_dir):
             F.coalesce(F.col("pattern"), F.lit("")).alias("rule"),
             F.col("crawl_delay").cast("double").alias("crawl_delay"),
         )
+    )
+
+
+@q(
+    "x57_politeness_schedule",
+    f"""
+WITH base AS ({_W5_SQL}),
+allowed AS (
+    SELECT canon, crawl_delay,
+        CAST(regexp_extract(canon, '^[a-z]+://host([0-9]+)', 1)
+             AS BIGINT) AS h
+    FROM base WHERE allowed
+)
+SELECT canon, h,
+    CAST(row_number() OVER (PARTITION BY h ORDER BY canon)
+         AS INTEGER) AS slot,
+    CAST((row_number() OVER (PARTITION BY h ORDER BY canon) - 1)
+         * crawl_delay AS DOUBLE) AS eta_sec
+FROM allowed
+""",
+)
+def x57(spark, sf_dir):
+    """Politeness SCHEDULING — the last stage of the crawl control
+    plane: the robots-gated frontier (w5's exact output — one
+    function call, one source of truth) becomes a per-host fetch
+    plan. Each host's Crawl-delay is a budget of one fetch per
+    ``delay`` seconds, so the schedule is a deterministic per-host
+    ordering (slot = row_number over the canonical URL — any stable
+    key works; canon is the one both engines already share) with
+    ``eta_sec = (slot-1) * crawl_delay``: the earliest time the
+    fetcher may issue each URL relative to the host's first fetch.
+    Disallowed URLs never enter the plan. The oracle wraps the FULL
+    w5 SQL (shared constant — the fixtures cannot drift) with the
+    same window arithmetic, so a verdict flip, a lost delay, or an
+    unstable slot order flips the hash. Scale shape: ONE window per
+    host over the already-deduped frontier — per-host sequential
+    scheduling is inherently per-host ordered, so a hash-partitioned
+    window on h is the minimal plan; a production scheduler shards a
+    mega-host by path prefix before this window, which composes (the
+    window key just gains the shard column)."""
+    base = w5(spark, sf_dir).where(F.col("allowed"))
+    h = F.regexp_extract(
+        F.col("canon"), "^[a-z]+://host([0-9]+)", 1
+    ).cast("long")
+    scoped = base.select("canon", h.alias("h"), "crawl_delay")
+    win = Window.partitionBy("h").orderBy("canon")
+    rn = F.row_number().over(win)
+    return scoped.select(
+        "canon",
+        "h",
+        rn.cast("int").alias("slot"),
+        ((rn - F.lit(1)) * F.col("crawl_delay"))
+        .cast("double").alias("eta_sec"),
     )
