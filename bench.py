@@ -453,11 +453,15 @@ def main(argv=None) -> None:
         # flagged (or the baseline predating the flag reading as
         # contended via its own probes) poisons every ratio.
         base_calib = base.get("calibration_sec") or {}
-        base_probe = min(
+        _base_probes = [
             v for v in (
                 base_calib.get("before"), base_calib.get("after"),
             ) if v is not None
-        ) if base_calib else None
+        ]
+        # a partial record from a crashed run can carry a non-empty
+        # dict with both probes null — min() over that is a crash,
+        # not a verdict
+        base_probe = min(_base_probes) if _base_probes else None
         base_comparable = base.get("comparable")
         if base_comparable is None and base_probe is not None:
             # pre-gate baseline JSON: derive the verdict from its

@@ -5329,8 +5329,13 @@ def _robots_fixture_body(h: int) -> str:
         f"{dis}: /q/",
         f"{dis}:",          # empty path: ignored per RFC
         f"{al}: /q/open",
-        "Crawl-delay: 7",
     ]
+    if h % 11 != 5:
+        # hosts 5 and 16 (neither carries a specific group) publish
+        # NO Crawl-delay at all — the common real-world case; the
+        # scheduler (x57) must pin an explicit default, not
+        # propagate NULL etas (r10 verdict Wrong #2)
+        lines.append("Crawl-delay: 7")
     if h % 4 == 0:
         lines.append(f"sitemap:http://host{h}.example.com/extra.xml")
     return nl.join(lines)
@@ -5353,9 +5358,15 @@ def _robots_fixture_meta(spark):
                 meta = parse_robots_full(
                     _robots_fixture_body(h), "trisk-crawler"
                 )
-                if meta["crawl_delay"] is None or not meta["sitemaps"]:
+                if not meta["sitemaps"]:
                     raise AssertionError(
                         f"robots fixture: empty meta for host {h}"
+                    )
+                # self-check: delay is None exactly on the no-delay
+                # hosts (h%11==5) — anything else is a parser drift
+                if (meta["crawl_delay"] is None) != (h % 11 == 5):
+                    raise AssertionError(
+                        f"robots fixture: delay drift for host {h}"
                     )
                 for i, sm in enumerate(meta["sitemaps"]):
                     hs.append(h)
@@ -5367,7 +5378,10 @@ def _robots_fixture_meta(spark):
                     "h": hs,
                     "sm_idx": idxs,
                     "sitemap_raw": sms,
-                    "crawl_delay": delays,
+                    # nullable Float64, NOT float64: a None delay
+                    # must cross Arrow as NULL, not NaN (NaN would
+                    # diverge from the oracle's SQL NULL)
+                    "crawl_delay": pd.array(delays, dtype="Float64"),
                 }
             )
 
@@ -6292,7 +6306,9 @@ SELECT h,
     'host' || CAST(h AS VARCHAR) || '.example.com' AS host,
     CAST(sm_idx AS INTEGER) AS sm_idx,
     sitemap,
-    CAST(CASE WHEN h % 3 = 0 THEN (h % 7) + 2 ELSE 7 END AS DOUBLE)
+    CAST(CASE WHEN h % 3 = 0 THEN (h % 7) + 2
+              WHEN h % 11 = 5 THEN NULL
+              ELSE 7 END AS DOUBLE)
         AS crawl_delay
 FROM sm
 """,
@@ -6307,7 +6323,9 @@ def x55(spark, sf_dir):
     budget). The 23 fixture bodies are the SAME ones x51/w5 parse
     rules from (_robots_fixture_body — one builder, no drift); each
     carries a decoy ``Crawl-delay: 99`` in the otherbot group that
-    must NEVER surface, a ``*``-group delay of 7, an OVERRIDING
+    must NEVER surface, a ``*``-group delay of 7 (OMITTED entirely
+    on h%11==5 hosts — the delay surfaces as NULL, and the scheduler
+    x57 pins the default), an OVERRIDING
     specific-group delay of (h%7)+2 on h%3==0 hosts (group selection
     decides politeness, not just rules), a case/default-port-noisy
     global Sitemap line (canonicalized through the x52 chain before
@@ -6424,7 +6442,9 @@ SELECT v.canon,
     CAST(v.n_discoveries AS BIGINT) AS n_discoveries,
     COALESCE(w.verb, 'allow') = 'allow' AS allowed,
     COALESCE(w.pattern, '') AS rule,
-    CAST(CASE WHEN v.h % 3 = 0 THEN (v.h % 7) + 2 ELSE 7 END
+    CAST(CASE WHEN v.h % 3 = 0 THEN (v.h % 7) + 2
+              WHEN v.h % 11 = 5 THEN NULL
+              ELSE 7 END
          AS DOUBLE) AS crawl_delay
 FROM verdicts v
 LEFT JOIN (SELECT * FROM m WHERE rn = 1) w ON v.canon = w.canon
@@ -6593,12 +6613,20 @@ def w5(spark, sf_dir):
     )
 
 
+#: Politeness default when a host publishes NO Crawl-delay: one
+#: fetch per second — the conservative industry convention. Pinned
+#: HERE (not inside the window arithmetic) so a NULL delay can never
+#: propagate NULL etas into a real frontier (r10 verdict Wrong #2).
+_DEFAULT_CRAWL_DELAY = 1.0
+
+
 @q(
     "x57_politeness_schedule",
     f"""
 WITH base AS ({_W5_SQL}),
 allowed AS (
-    SELECT canon, crawl_delay,
+    SELECT canon,
+        COALESCE(crawl_delay, {_DEFAULT_CRAWL_DELAY}) AS crawl_delay,
         CAST(regexp_extract(canon, '^[a-z]+://host([0-9]+)', 1)
              AS BIGINT) AS h
     FROM base WHERE allowed
@@ -6621,7 +6649,11 @@ def x57(spark, sf_dir):
     key works; canon is the one both engines already share) with
     ``eta_sec = (slot-1) * crawl_delay``: the earliest time the
     fetcher may issue each URL relative to the host's first fetch.
-    Disallowed URLs never enter the plan. The oracle wraps the FULL
+    Hosts publishing NO Crawl-delay (fixture hosts 5/16 — the common
+    real-world case) take the explicit
+    :data:`_DEFAULT_CRAWL_DELAY` via coalesce in BOTH engines, so a
+    NULL budget can never propagate NULL etas (r10 verdict Wrong
+    #2). Disallowed URLs never enter the plan. The oracle wraps the FULL
     w5 SQL (shared constant — the fixtures cannot drift) with the
     same window arithmetic, so a verdict flip, a lost delay, or an
     unstable slot order flips the hash. Scale shape: ONE window per
@@ -6634,7 +6666,15 @@ def x57(spark, sf_dir):
     h = F.regexp_extract(
         F.col("canon"), "^[a-z]+://host([0-9]+)", 1
     ).cast("long")
-    scoped = base.select("canon", h.alias("h"), "crawl_delay")
+    scoped = base.select(
+        "canon",
+        h.alias("h"),
+        # a host with no published Crawl-delay gets the explicit
+        # default — NULL must never reach the eta arithmetic
+        F.coalesce(
+            F.col("crawl_delay"), F.lit(_DEFAULT_CRAWL_DELAY)
+        ).alias("crawl_delay"),
+    )
     win = Window.partitionBy("h").orderBy("canon")
     rn = F.row_number().over(win)
     return scoped.select(

@@ -259,6 +259,15 @@ def _bounded_inflate(data: bytes, wbits: int) -> bytes | None:
     dec = zlib.decompressobj(wbits)
     try:
         out = dec.decompress(data, _MAX_INFLATE)
+        if dec.unconsumed_tail and len(out) == _MAX_INFLATE:
+            # A body that inflates to EXACTLY the cap stops here with
+            # the member trailer still unconsumed (max_length halts
+            # before the framing bytes), which reads as a bomb. One
+            # more byte decides: any further output means the member
+            # truly exceeds the cap; zero bytes means the tail was
+            # only framing and eof/unused_data below judge as usual.
+            if dec.decompress(dec.unconsumed_tail, 1):
+                return None
     except zlib.error:
         return None
     if dec.unconsumed_tail or not dec.eof or dec.unused_data:

@@ -534,7 +534,11 @@ def _direct_length(head: bytes) -> int:
     m = re.search(rb"/Length\s+(\d+)", head)
     if m is None:
         return -1
-    if re.match(rb"\s+0\s+R\b", head[m.end():]):
+    if re.match(rb"\s+\d+\s+R\b", head[m.end():]):
+        # ANY generation reads as indirect — ``/Length 7 1 R`` must
+        # not parse as direct length 7 and mis-slice the stream.
+        # _resolve_length only resolves generation 0, so non-zero
+        # generations refuse there explicitly.
         return -2
     return int(m.group(1))
 
