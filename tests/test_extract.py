@@ -278,3 +278,78 @@ def test_http_chunk_size_is_strict_hexdig():
     body = b"x" * 10
     raw = b"A\r\n" + body + b"\r\n0\r\n\r\n"
     assert http_body(_chunked_resp(raw)) == body
+
+
+# ------------------------------------------------- link politeness
+def test_anchor_hrefs_honors_rel_nofollow(spark):
+    """anchor_hrefs_expr (r10 verdict Missing #5): per-anchor
+    rel=nofollow drops in every spelling page authors use —
+    either quote style, any attribute order, multi-token rel —
+    while rel tokens merely CONTAINING 'nofollow' keep."""
+    from trisk_datawrangle_spark.llm.extract import anchor_hrefs_expr
+
+    html = (
+        '<a href="http://k/1">a</a>'
+        '<a rel="NoFollow" href="http://d/1">b</a>'
+        "<a href='http://d/2' REL='external nofollow'>c</a>"
+        '<a rel="nofollowable" href="http://k/2">d</a>'
+        '<a rel="author canonical" href="http://k/3">e</a>'
+        '<a href="">empty drops</a>'
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    [row] = df.select(anchor_hrefs_expr("html").alias("h")).collect()
+    assert row["h"] == ["http://k/1", "http://k/2", "http://k/3"]
+    # honor_nofollow=False is the audit view: every href surfaces
+    [row] = df.select(
+        anchor_hrefs_expr("html", honor_nofollow=False).alias("h")
+    ).collect()
+    assert len(row["h"]) == 5
+
+
+def test_meta_robots_predicate(spark):
+    """meta_robots_expr: only name=robots metas count, any attribute
+    order / case / quote style; directives are comma-separated
+    tokens."""
+    from trisk_datawrangle_spark.llm.extract import meta_robots_expr
+
+    rows = [
+        ('<META NAME="ROBOTS" CONTENT="NOINDEX, NOFOLLOW">', True, True),
+        ('<meta content="noindex" name="robots">', False, True),
+        ("<meta name='robots' content='nofollow'>", True, False),
+        ('<meta name="generator" content="nofollow-cms">', False, False),
+        ('<meta name="robots" content="index, follow">', False, False),
+        ('<meta name="description" content="noindex nofollow">',
+         False, False),
+        ("no meta at all", False, False),
+    ]
+    df = spark.createDataFrame(
+        [(h,) for h, _, _ in rows], "html string"
+    )
+    got = df.select(
+        "html",
+        meta_robots_expr("html", "nofollow").alias("nf"),
+        meta_robots_expr("html", "noindex").alias("ni"),
+    ).collect()
+    want = {h: (nf, ni) for h, nf, ni in rows}
+    for r in got:
+        assert (r["nf"], r["ni"]) == want[r["html"]], r["html"]
+
+
+def test_link_politeness_exprs_are_pure_jvm(spark):
+    from trisk_datawrangle_spark.llm.extract import (
+        anchor_hrefs_expr,
+        meta_robots_expr,
+    )
+
+    df = spark.createDataFrame([("<a href='http://x/'>",)], "h string")
+    plan = (
+        df.select(
+            anchor_hrefs_expr("h").alias("a"),
+            meta_robots_expr("h", "noindex").alias("b"),
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for marker in ("Python", "BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan

@@ -256,3 +256,78 @@ def test_spark_plan_is_pure_jvm(spark):
     )
     for marker in ("Python", "BatchEvalPython", "ArrowEvalPython"):
         assert marker not in plan
+
+
+# ------------------------------------------------------------- IDN
+class TestIdnKernel:
+    """with_idn_ascii_url / idn_ascii_url — the Arrow-batched IDNA
+    ToASCII fold upstream of canonicalization (r10 verdict Missing
+    #3): unicode and xn-- spellings of one host must share one
+    canonical frontier key."""
+
+    def test_pure_fold_cases(self):
+        from trisk_datawrangle_spark.llm.urls import idn_ascii_url
+
+        # the classic pair: nameprep lowercases, punycode encodes
+        assert (
+            idn_ascii_url("https://BüCHER.Example.com/x")
+            == "https://xn--bcher-kva.Example.com/x"
+        )
+        # ASCII returns the IDENTICAL object (the short-circuit)
+        u = "https://UsEr@Host3.example.com:8080/p?q#f"
+        assert idn_ascii_url(u) is u
+        # userinfo is verbatim data — a unicode USER must not fold
+        got = idn_ascii_url("https://büro@bücher.example/x")
+        assert got.startswith("https://büro@xn--bcher-kva.example")
+        # port survives next to the folded host
+        assert (
+            idn_ascii_url("http://日本語.jp:8080/a")
+            == "http://xn--wgv71a119e.jp:8080/a"
+        )
+        # refusals return the input unchanged (downstream JVM chain
+        # drops them loudly): empty label, oversize label, no scheme
+        assert idn_ascii_url("https://..é../x") == "https://..é../x"
+        long = "https://" + "é" * 80 + ".example/x"
+        assert idn_ascii_url(long) == long
+        assert idn_ascii_url("bücher.example/x") == "bücher.example/x"
+        assert idn_ascii_url(None) is None
+
+    def test_unicode_and_punycode_merge_to_one_key(self, spark):
+        from trisk_datawrangle_spark.llm.urls import (
+            with_canonical_url,
+            with_idn_ascii_url,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("https://BüCHER.Example.com:443/a/b?x=1#f",),
+                ("HTTPS://XN--BCHER-KVA.example.COM/a/b?x=1",),
+                ("https://xn--bcher-kva.example.com/a/b?x=1",),
+            ],
+            "u string",
+        )
+        folded = with_idn_ascii_url(df, "u", "uf")
+        canon = with_canonical_url(folded, "uf", "canon")
+        keys = {r["canon"] for r in canon.collect()}
+        # THE merge: all three spellings, one frontier key
+        assert keys == {"https://xn--bcher-kva.example.com/a/b?x=1"}
+
+    def test_kernel_is_arrow_batched_not_row_udf(self, spark):
+        from trisk_datawrangle_spark.llm.urls import with_idn_ascii_url
+
+        df = spark.createDataFrame([("https://é.example/",)], "u string")
+        plan = (
+            with_idn_ascii_url(df, "u", "uf")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "MapInPandas" in plan
+        assert "BatchEvalPython" not in plan  # no row-at-a-time UDF
+
+    def test_output_column_collision_refused(self, spark):
+        from trisk_datawrangle_spark.llm.urls import with_idn_ascii_url
+
+        df = spark.createDataFrame([("x", "y")], "u string, uf string")
+        with pytest.raises(ValueError, match="already exists"):
+            with_idn_ascii_url(df, "u", "uf")

@@ -4931,9 +4931,6 @@ def s13(spark, sf_dir):
     )
 
 
-_X50_RX = 'href="([^"]*)"'
-
-
 @q(
     "x50_link_graph",
     """
@@ -4943,6 +4940,8 @@ WITH links AS (
             || '.example.com' AS host
     FROM documents d,
         unnest(generate_series(0, d.doc_id % 4)) AS i(i)
+    -- rel=nofollow anchors never enter the graph
+    WHERE (d.doc_id + i.i) % 5 <> 0
 )
 SELECT host,
     CAST(COUNT(*) AS BIGINT) AS in_degree,
@@ -4956,33 +4955,59 @@ def x50(spark, sf_dir):
     scheduling and link-based quality signals: each doc's HTML
     carries 1-4 anchor tags (mixed-case scheme/host, query string,
     fragment — built as ONE JVM concat expression so the fixture is
-    oracle-reconstructible), hrefs are pulled with a case-insensitive
-    JVM regexp_extract_all, normalized (strip fragment, lowercase),
-    the host is sliced out of the URL, and per-host in-degree /
-    distinct-linker counts aggregate. The oracle generates the SAME
-    hosts from the link arithmetic directly, so a mis-parsed href,
-    missed anchor, broken normalization, or wrong host slice changes
-    the counts and flips the hash. Scale shape: extraction fuses
+    oracle-reconstructible), hrefs are pulled with the nofollow-
+    honoring anchor extractor (llm/extract.py anchor_hrefs_expr —
+    every (doc_id+i)%5==0 anchor carries ``rel=nofollow`` in rotated
+    spellings: single-quoted multi-token rel BEFORE href vs
+    double-quoted after, and %5==1 anchors carry a keep-rel decoy;
+    a frontier that follows nofollow links violates the one
+    politeness channel page authors control directly, r10 verdict
+    Missing #5), normalized (strip fragment, lowercase), the host is
+    sliced out of the URL, and per-host in-degree / distinct-linker
+    counts aggregate. The oracle generates the SAME hosts from the
+    link arithmetic directly MINUS the nofollow arm, so a mis-parsed
+    href, missed anchor, followed-nofollow link, broken
+    normalization, or wrong host slice changes the counts and flips
+    the hash. Scale shape: extraction fuses
     into the scan (zero Python, like x46); one explode + one
     map-side-combinable groupBy on the host key — the plan survives
     any corpus size; hot hosts (every real link graph has them) are
     exactly the k1/k2 salting case if the aggregate ever skews."""
+    from trisk_datawrangle_spark.llm.extract import anchor_hrefs_expr
+
     d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
     html = F.concat(
         F.lit("<html><body>"),
         F.aggregate(
             F.transform(
-                F.sequence(F.lit(0), F.col("doc_id") % 4),
+                F.sequence(F.lit(0), did % 4),
                 lambda i: F.concat(
-                    F.lit('<p>see <a HREF="HTTP://Host'),
-                    ((F.col("doc_id") * 7 + i * 13) % 23).cast(
-                        "string"
-                    ),
+                    F.lit("<p>see <a "),
+                    # rel=nofollow arms (every (did+i)%5==0 anchor
+                    # must DROP): single-quoted multi-token rel
+                    # BEFORE href on the %10 half, double-quoted
+                    # rel AFTER href on the other; (did+i)%5==1
+                    # anchors carry a KEEP-rel decoy
+                    F.when(
+                        (did + i) % 10 == 0,
+                        F.lit("rel='External NOFOLLOW' "),
+                    ).otherwise(F.lit("")),
+                    F.lit('HREF="HTTP://Host'),
+                    ((did * 7 + i * 13) % 23).cast("string"),
                     F.lit(".Example.com/p/"),
-                    F.col("doc_id").cast("string"),
-                    F.lit('?q=1#frag'),
+                    did.cast("string"),
+                    F.lit("?q=1#frag"),
                     i.cast("string"),
-                    F.lit('">link</a></p>'),
+                    F.lit('"'),
+                    F.when(
+                        ((did + i) % 5 == 0) & ((did + i) % 10 != 0),
+                        F.lit(' REL="NoFollow"'),
+                    ).when(
+                        (did + i) % 5 == 1,
+                        F.lit(' rel="author canonical"'),
+                    ).otherwise(F.lit("")),
+                    F.lit(">link</a></p>"),
                 ),
             ),
             F.lit(""),
@@ -4990,9 +5015,7 @@ def x50(spark, sf_dir):
         ),
         F.lit("</body></html>"),
     )
-    hrefs = F.expr(
-        f"regexp_extract_all(html, '(?i){_X50_RX}', 1)"
-    )
+    hrefs = anchor_hrefs_expr(F.col("html"))
     links = (
         d.withColumn("html", html)
         .select("doc_id", F.explode(hrefs).alias("url"))
@@ -5807,7 +5830,9 @@ WITH raw AS (
         || (CASE WHEN doc_id % 7 = 0
             THEN 'UsEr' || CAST(doc_id AS VARCHAR) || '@'
             ELSE '' END)
-        || (CASE WHEN doc_id % 11 = 0 THEN 'BüCHER' ELSE 'Host' END)
+        || (CASE WHEN doc_id % 11 = 0 THEN 'xn--bcher-kva.Host'
+                 WHEN doc_id % 11 = 6 THEN 'XN--BCHER-KVA.Host'
+                 ELSE 'Host' END)
         || CAST(doc_id % 23 AS VARCHAR) || '.Example.COM'
         || (CASE doc_id % 3
             WHEN 0 THEN (CASE WHEN doc_id % 2 = 0
@@ -5851,15 +5876,20 @@ def x52(spark, sf_dir):
     carries case-sensitive userinfo that must pass through VERBATIM,
     every 5th has no path — empty path + query normalizes to '/' —
     and the query embeds a literal '/a/../b' that dot-segment removal
-    must NOT rewrite, the over-merge bug class; every 11th host is a
-    UNICODE IDN spelling that canonicalizes to '' — the documented
-    refusal, since the IDNA fold is not a JVM expression, while
-    xn-- punycode forms pass as plain ASCII); the oracle
-    rebuilds the same raw URL arithmetically and canonicalizes with
-    canonicalize_url_sql — same shared steps, same piece arithmetic
-    — so a wrong port rule, decode, case fold, or dot-segment pass
-    flips the hash. Scale shape: pure JVM expressions fusing into
-    the scan (zero Python, zero shuffle), like x46/x9."""
+    must NOT rewrite, the over-merge bug class; every 11th host
+    carries a UNICODE IDN label that the Arrow-batched idna kernel
+    (llm/urls.py with_idn_ascii_url) folds to its xn-- form UPSTREAM
+    of the JVM chain, and every (11k+6)th spells the same label as
+    case-noisy literal punycode — post-fold the two spellings share
+    one canonical host key, the merge the unicode long tail needs);
+    the oracle rebuilds the POST-FOLD URL arithmetically (literal
+    xn-- label) and canonicalizes with canonicalize_url_sql — same
+    shared steps, same piece arithmetic — so a wrong port rule,
+    decode, case fold, dot-segment pass, or idna fold flips the
+    hash. Scale shape: ONE Arrow-batched Python fold whose
+    str.isascii short-circuit makes ~all real rows a memchr-class
+    scan, then pure JVM expressions (no shuffle); the JVM chain's
+    non-ASCII refusal arm still backstops hosts the fold refuses."""
     from trisk_datawrangle_spark.llm.urls import with_canonical_url
 
     d = _docs(spark, sf_dir).select("doc_id")
@@ -5871,12 +5901,15 @@ def x52(spark, sf_dir):
             did % 7 == 0,
             F.concat(F.lit("UsEr"), did.cast("string"), F.lit("@")),
         ).otherwise(F.lit("")),
-        # every 11th host is a UNICODE IDN spelling: the documented
-        # refusal arm — canonicalization drops it to '' (the full
-        # IDNA fold is not a JVM expression; the xn-- form passes)
-        F.when(did % 11 == 0, F.lit("BüCHER")).otherwise(
-            F.lit("Host")
-        ),
+        # every 11th host carries a UNICODE IDN label; the idna
+        # kernel upstream folds it onto its xn-- form, and every
+        # (11k+6)th host spells the SAME label as case-noisy literal
+        # punycode — after the fold + case fold the two spellings
+        # share one canonical host key (the merge the r10 verdict
+        # asked for; exact-merge asserted in tests/test_urls.py)
+        F.when(did % 11 == 0, F.lit("BüCHER.Host"))
+        .when(did % 11 == 6, F.lit("XN--BCHER-KVA.Host"))
+        .otherwise(F.lit("Host")),
         (did % 23).cast("string"),
         F.lit(".Example.COM"),
         F.when(
@@ -5893,12 +5926,20 @@ def x52(spark, sf_dir):
         .otherwise(F.lit("")),
         F.lit("#s"), did.cast("string"),
     )
-    # staged variant: the percent fold disqualifies whole-stage
-    # codegen, and interpreted mode re-evaluates every duplicated
-    # subtree per reference — with_canonical_url materializes each
-    # structural piece exactly once (see llm/urls.py)
-    raw = d.select("doc_id", url.alias("url"))
-    return with_canonical_url(raw, "url", "canon")
+    # the idna kernel folds the unicode arm's host to punycode
+    # UPSTREAM (Arrow-batched, isascii short-circuit for the other
+    # 10/11 of rows); the output `url` column is the POST-fold
+    # spelling — the frontier's stored form — which the oracle
+    # rebuilds arithmetically with the literal xn-- label.
+    # Downstream: the staged JVM chain, unchanged (the percent fold
+    # disqualifies whole-stage codegen, and interpreted mode
+    # re-evaluates every duplicated subtree per reference —
+    # with_canonical_url materializes each piece exactly once)
+    from trisk_datawrangle_spark.llm.urls import with_idn_ascii_url
+
+    raw = d.select("doc_id", url.alias("__raw"))
+    folded = with_idn_ascii_url(raw, "__raw", "url").drop("__raw")
+    return with_canonical_url(folded, "url", "canon")
 
 
 @q(
@@ -6404,6 +6445,8 @@ links AS (
                 || '/ok'
         END AS canon
     FROM documents d, unnest(generate_series(0, 4)) AS j(j)
+    -- meta-robots nofollow pages contribute NO outlinks
+    WHERE d.doc_id % 17 <> 0
     UNION ALL
     -- the robots -> sitemap discovery edge: each host's advertised
     -- Sitemap URLs (x55's meta dimension) enter the frontier once
@@ -6468,6 +6511,12 @@ def w5(spark, sf_dir):
     robots-advertised Sitemap URLs (the x55 meta dimension) union
     into the frontier as first-class discoveries, fetched through
     the same dedup and politeness gate as page URLs;
+    PLUS the meta-robots discovery edge (r11): every 17th page's
+    head carries ``<meta name="robots" content="noindex, nofollow">``
+    parsed by the real JVM predicate (meta_robots_expr) — its
+    outlinks never enter the frontier, with decoy spellings
+    (generator-meta saying "nofollow", a benign robots
+    "index, follow") that must NOT trigger;
     the deduped frontier (groupBy on the canonical key ALONE, host
     and path derived after the aggregate) then passes the robots
     gate: the SAME per-host rule fixture as x51
@@ -6490,7 +6539,10 @@ def w5(spark, sf_dir):
     output partitioning — the cache saves re-executing the whole
     discovery subtree per branch, 25 s vs 8 s at sf0.1, and costs a
     frontier-sized re-exchange)."""
-    from trisk_datawrangle_spark.llm.extract import xml_unescape_expr
+    from trisk_datawrangle_spark.llm.extract import (
+        meta_robots_expr,
+        xml_unescape_expr,
+    )
     from trisk_datawrangle_spark.llm.urls import (
         with_canonical_url,
         with_resolved_url,
@@ -6531,11 +6583,43 @@ def w5(spark, sf_dir):
                  (((did + 2) % 23) % 5).cast("string"), F.lit("/ok")),
         F.lit("mailto:contact@example.com"),
     )
-    links = d.select(
-        "doc_id",
-        base.alias("base"),
-        F.explode(refs).alias("rawref"),
-    ).withColumn("ref", xml_unescape_expr(F.col("rawref")))
+    # the page-level politeness channel (r10 verdict Missing #5):
+    # every 17th page's head carries <meta name=robots
+    # content="noindex, nofollow"> — parsed by the REAL predicate
+    # (llm/extract.py meta_robots_expr), its outlinks never enter
+    # the frontier; a decoy generator-meta spelling "nofollow" and a
+    # benign robots "index, follow" must NOT trigger
+    head = (
+        F.when(
+            did % 17 == 0,
+            F.lit(
+                '<head><META NAME="ROBOTS" CONTENT='
+                '"NOINDEX, NOFOLLOW"></head>'
+            ),
+        )
+        .when(
+            did % 17 == 1,
+            F.lit(
+                '<head><meta name="generator" '
+                'content="nofollow-cms">'
+                '<meta content="index, follow" name="robots">'
+                "</head>"
+            ),
+        )
+        .otherwise(
+            F.lit('<head><meta name="description" content="p"></head>')
+        )
+    )
+    links = (
+        d.withColumn("head", head)
+        .where(~meta_robots_expr("head", "nofollow"))
+        .select(
+            "doc_id",
+            base.alias("base"),
+            F.explode(refs).alias("rawref"),
+        )
+        .withColumn("ref", xml_unescape_expr(F.col("rawref")))
+    )
     resolved = with_resolved_url(links, "base", "ref", "raw")
     canon = with_canonical_url(resolved, "raw", "canon").where(
         F.col("canon") != ""  # the non-http(s) drop (mailto arm)

@@ -88,6 +88,65 @@ def strip_html_expr(col: str | Column) -> Column:
     return F.trim(c)
 
 
+#: An anchor's rel value contains the ``nofollow`` token (RFC 8288
+#: link relations are space-separated tokens — substring matching
+#: would wrongly drop rel="nofollowable").
+_REL_NOFOLLOW_RX = (
+    "(?i)\\brel\\s*=\\s*(\"[^\"]*\\bnofollow\\b[^\"]*\""
+    "|'[^']*\\bnofollow\\b[^']*')"
+)
+_HREF_RX = "(?i)\\bhref\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)')"
+
+
+def anchor_hrefs_expr(
+    col: str | Column, honor_nofollow: bool = True
+) -> Column:
+    """``array<string>`` of anchor hrefs in an HTML column — the
+    link-discovery edge, honoring per-link politeness: anchors whose
+    ``rel`` carries the ``nofollow`` token (any case, either quote
+    style, any attribute ORDER — rel-before-href is as common as
+    after) are dropped before the href is even extracted, so a
+    production frontier never sees them (a crawler that follows
+    nofollow links violates the one politeness channel page authors
+    control directly). Pure JVM: one regexp_extract_all over the
+    anchor TAGS + a higher-order filter/transform — fuses into the
+    scan, no Python, no shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    tags = F.regexp_extract_all(c, F.lit("(?i)<a\\s[^>]*>"), 0)
+    if honor_nofollow:
+        tags = F.filter(tags, lambda t: ~t.rlike(_REL_NOFOLLOW_RX))
+    hrefs = F.transform(
+        tags,
+        lambda t: F.coalesce(
+            F.nullif(F.regexp_extract(t, _HREF_RX, 1), F.lit("")),
+            F.regexp_extract(t, _HREF_RX, 2),
+        ),
+    )
+    return F.filter(hrefs, lambda h: h != "")
+
+
+def meta_robots_expr(col: str | Column, directive: str) -> Column:
+    """True when the page's ``<meta name="robots">`` content carries
+    ``directive`` (``noindex`` / ``nofollow`` / ...) as a
+    comma-separated token, any case, any attribute order, either
+    quote style. A ``noindex`` page must drop at the INDEXING edge
+    and a meta-``nofollow`` page contributes NO outlinks at the
+    DISCOVERY edge — the page-level complement of the per-anchor
+    rel gate. Only ``name="robots"`` tags count: content= on any
+    other meta (description, generator) must not trigger. Pure JVM
+    predicate (one rlike), fuses into the scan."""
+    c = F.col(col) if isinstance(col, str) else col
+    d = directive.lower()
+    # one tag carrying BOTH name=robots and content~directive, in
+    # either attribute order, [^>]* confining the match to one tag
+    both = (
+        "(?i)<meta\\s(?=[^>]*\\bname\\s*=\\s*[\"']robots[\"'])"
+        "(?=[^>]*\\bcontent\\s*=\\s*[\"'][^\"'>]*\\b" + d
+        + "\\b)[^>]*>"
+    )
+    return c.rlike(both)
+
+
 def strip_html_sql(expr: str) -> str:
     """The SAME chain as DuckDB SQL over ``expr`` — oracle parity by
     shared data, not re-implementation."""

@@ -214,7 +214,10 @@ def _assemble_canonical(
     merge. The ``xn--`` PUNYCODE spelling is plain ASCII and IS the
     IDNA-canonical form; it passes through case-folded like any
     host. A production frontier that wants the unicode long tail
-    adds one Arrow-batched idna kernel UPSTREAM of this chain."""
+    adds one Arrow-batched idna kernel UPSTREAM of this chain —
+    :func:`with_idn_ascii_url` at the bottom of this module IS that
+    kernel; this refusal arm then only fires for hosts the fold
+    itself refused (empty labels, >63 octets, nameprep failures)."""
     default = (
         ((scheme == "http") & (port == "80"))
         | ((scheme == "https") & (port == "443"))
@@ -573,3 +576,90 @@ def with_resolved_url(df, base: str, ref: str, out: str):
     return d.withColumn(out, resolved).drop(
         "__r", "__bscheme", "__origin", "__bdir", "__bpath"
     )
+
+
+# --------------------------------------------------------------- IDN
+# The one URL-normalization step that is NOT a JVM expression: IDNA
+# ToASCII (nameprep + punycode, RFC 3490) folds a unicode host
+# spelling onto its ``xn--`` form so ``bücher.example`` and
+# ``xn--bcher-kva.example`` merge under one frontier key instead of
+# the unicode spelling dropping to ''. Runs UPSTREAM of the JVM
+# canonicalization chain, which stays unchanged (its non-ASCII-host
+# refusal arm now only fires for hosts the fold itself refused).
+
+import re as _re
+
+#: scheme://authority split mirroring _url_pieces/_auth_pieces —
+#: Python-side because the fold is Python-side.
+_IDN_URL_RX = _re.compile(
+    r"^([A-Za-z][A-Za-z0-9+.-]*://)([^/?#]*)(.*)$", _re.S
+)
+_IDN_PORT_RX = _re.compile(r":([0-9]*)$")
+
+
+def idn_ascii_url(url):
+    """One URL with its host IDNA-folded to ASCII; ASCII inputs
+    return IDENTICAL (``str.isascii`` short-circuit — at crawl scale
+    ~all rows take it, so the kernel costs one memchr-class scan per
+    row). A host the fold refuses (empty / over-63-octet / bare-dot
+    labels, nameprep failures) returns the URL UNCHANGED — it then
+    hits the JVM chain's documented non-ASCII refusal and drops to
+    '' loudly, never entering the frontier under an unmergeable key.
+    Only the HOST folds: userinfo is case-sensitive verbatim data
+    (§3.2.1) and non-ASCII path/query bytes are the percent-fold's
+    business, so both pass through untouched."""
+    if url is None or url.isascii():
+        return url
+    m = _IDN_URL_RX.match(url)
+    if m is None:
+        return url
+    scheme, auth, rest = m.groups()
+    user, sep, hostport = auth.rpartition("@")
+    pm = _IDN_PORT_RX.search(hostport)
+    host = hostport[: pm.start()] if pm else hostport
+    port = hostport[pm.start():] if pm else ""
+    if host.isascii() or host.startswith("["):
+        return url
+    from encodings import idna as _idna
+
+    labels = host.split(".")
+    try:
+        folded = ".".join(
+            lbl if lbl.isascii() and lbl != ""
+            else _idna.ToASCII(lbl).decode("ascii")
+            for lbl in labels
+        )
+    except UnicodeError:
+        return url
+    return f"{scheme}{user}{sep}{folded}{port}{rest}"
+
+
+def with_idn_ascii_url(df, src: str, out: str):
+    """``df`` plus column ``out`` = :func:`idn_ascii_url` of URL
+    column ``src`` — THE Arrow-batched idna kernel the
+    :func:`_assemble_canonical` docstring promises, placed upstream
+    of :func:`with_canonical_url` so the unicode long tail merges
+    with its ``xn--`` spellings instead of dropping. mapInPandas
+    (Arrow batches, zero per-row Python call overhead beyond the
+    isascii short-circuit), embarrassingly parallel, no shuffle; on
+    wide rows apply it to a projected (key, url) frame to keep the
+    Arrow transfer narrow."""
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    if out in df.columns:
+        raise ValueError(f"output column already exists: {out}")
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out, StringType())]
+    )
+
+    def fold(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out] = pd.array(
+                [idn_ascii_url(u) for u in pdf[src]],
+                dtype="string",
+            )
+            yield pdf
+
+    return df.mapInPandas(fold, schema)
