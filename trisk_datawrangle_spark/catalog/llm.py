@@ -5623,7 +5623,7 @@ WITH d AS (
     FROM documents
 )
 SELECT doc_id,
-    CASE doc_id % 10
+    CASE doc_id % 11
         WHEN 0 THEN 'utf-8'
         WHEN 1 THEN 'windows-1252'
         WHEN 2 THEN 'windows-1252'
@@ -5633,8 +5633,9 @@ SELECT doc_id,
         WHEN 6 THEN 'gbk'
         WHEN 7 THEN 'euc-kr'
         WHEN 8 THEN 'big5'
-        ELSE 'euc-jp' END AS charset,
-    CAST(CASE doc_id % 10
+        WHEN 9 THEN 'euc-jp'
+        ELSE 'shift_jis' END AS charset,
+    CAST(CASE doc_id % 11
         WHEN 0 THEN octet_length(encode(text)) + 6
         WHEN 1 THEN length(t) + 3
         WHEN 2 THEN {len(_X47_META)} + length(t) + 3
@@ -5644,8 +5645,9 @@ SELECT doc_id,
         WHEN 6 THEN {len(_X47_META_GBK)} + length(t) + 5
         WHEN 7 THEN length(t) + 5
         WHEN 8 THEN length(t) + 5
-        ELSE length(t) + 5 END AS BIGINT) AS n_bytes,
-    CASE doc_id % 10
+        WHEN 9 THEN length(t) + 5
+        ELSE length(t) + 19 END AS BIGINT) AS n_bytes,
+    CASE doc_id % 11
         WHEN 0 THEN text || ' é€'
         WHEN 1 THEN t || ' é€'
         WHEN 2 THEN '{_X47_META}' || t || ' Ã©'
@@ -5655,16 +5657,17 @@ SELECT doc_id,
         WHEN 6 THEN '{_X47_META_GBK}' || t || ' 中文'
         WHEN 7 THEN t || ' 한국'
         WHEN 8 THEN t || ' 中文'
-        ELSE t || ' 日本' END AS clean
+        WHEN 9 THEN t || ' 日本'
+        ELSE t || ' 日本語のページです' END AS clean
 FROM d
 """,
 )
 def x47(spark, sf_dir):
     """Charset sniffing + decoding for HTTP captures (llm/charset.py)
     — the step between the WARC reader's raw bytes and every text
-    stage; real crawls are NOT all UTF-8. Ten arms by doc_id%10, each
-    wrapping the doc text in a REAL HTTP response and decoding back
-    through the s11 body path + WHATWG precedence:
+    stage; real crawls are NOT all UTF-8. Eleven arms by doc_id%11,
+    each wrapping the doc text in a REAL HTTP response and decoding
+    back through the s11 body path + WHATWG precedence:
 
     0: utf-8 declared in Content-Type, served CHUNKED (ties in the
        dechunker), non-ASCII 'é€' payload;
@@ -5691,7 +5694,12 @@ def x47(spark, sf_dir):
     8: Big5 declared in SINGLE-quoted charset param ('big5' — the
        RFC 9110-invalid-but-common spelling; exercises the quote
        handling), ' 中文' via big5hkscs (WHATWG's big5 index);
-    9: EUC-JP declared plainly, ' 日本' via euc_jp.
+    9: EUC-JP declared plainly, ' 日本' via euc_jp;
+    10: UNDECLARED Shift_JIS — no header charset, no meta, invalid
+       utf-8: the structural content sniff (charset.py
+       _cjk_content_sniff ladder: strict validity, kana dominance,
+       frequency priors) must recover shift_jis where the pre-r11
+       fallback silently mangled as cp1252 (r10 verdict Missing #2).
 
     Every legacy-multibyte tail is 2 bytes/char under its codec, so
     the oracle's byte arithmetic stays chars=bytes for the ASCII stem
@@ -5717,7 +5725,7 @@ def x47(spark, sf_dir):
                 pdf["doc_id"].astype("int64"), pdf["text"]
             ):
                 doc_id = int(doc_id)
-                m = doc_id % 10
+                m = doc_id % 11
                 # legacy arms encode as cp1252/ascii/utf-16/CJK
                 # codecs, which RAISE on characters outside those
                 # sets — project to ASCII first (shared with the
@@ -5765,10 +5773,19 @@ def x47(spark, sf_dir):
                     body = (t + " 中文").encode("big5hkscs")
                     ctype = "text/html; charset='big5'"
                     expect = t + " 中文"
-                else:
+                elif m == 9:
                     body = (t + " 日本").encode("euc_jp")
                     ctype = "text/html; charset=EUC-JP"
                     expect = t + " 日本"
+                else:
+                    # arm 10: UNDECLARED Shift_JIS — no header
+                    # charset, no meta, invalid utf-8: the content
+                    # sniff must recover shift_jis structurally
+                    # (kana-dominant tail) instead of the old
+                    # silent-cp1252 mangle (r10 verdict Missing #2)
+                    body = (t + " 日本語のページです").encode("cp932")
+                    ctype = "text/html"
+                    expect = t + " 日本語のページです"
                 if m == 0:
                     rec = (
                         b"HTTP/1.1 200 OK\r\nContent-Type: "

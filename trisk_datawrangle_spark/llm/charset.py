@@ -17,9 +17,13 @@ law of what the bytes MEAN, since authors test against browsers):
    optional quotes).
 3. **<meta> prescan** of the first 1024 body bytes (ASCII-compatible
    view): ``<meta charset=...>`` or the ``http-equiv`` form.
-4. **Content sniff fallback**: strict-UTF-8 if the bytes validate,
-   else windows-1252 (WHATWG's default for the no-information case;
-   cp1252 decodes every byte, so this arm cannot fail).
+4. **Content sniff fallback**: strict-UTF-8 if the bytes validate;
+   else the CJK structural sniff (:func:`_cjk_content_sniff` — a
+   headerless Shift_JIS/GBK page must not silently decode as cp1252
+   mojibake; ambiguous CJK refuses rather than guesses); else
+   windows-1252 (WHATWG's default for the no-information case,
+   now applied only to content that does NOT look CJK; cp1252
+   decodes every byte, so this last arm cannot fail).
 
 Label normalization maps the common aliases (``latin-1``,
 ``iso-8859-1`` → windows-1252 per WHATWG; ``utf8`` → utf-8) and the
@@ -226,12 +230,194 @@ def _label(raw: str) -> str | None:
     return _ALIASES.get(raw.strip().lower())
 
 
+# ------------------------------------------------- undeclared CJK
+#: Sample window for the content sniff — structure shows up in the
+#: first few KB; the full body still decodes strictly afterwards.
+_CJK_SNIFF_BYTES = 4096
+
+#: Sentinel: the bytes look like legacy CJK but more than one codec
+#: explains them equally well — refused (None from sniff_charset)
+#: rather than guessed at, the module's lying-declaration contract
+#: applied to the no-declaration case.
+AMBIGUOUS_CJK = "ambiguous-cjk"
+
+_CJK_CANDIDATES = ("shift_jis", "euc-jp", "euc-kr", "gbk", "big5")
+
+
+def _strict_sample_decode(
+    sample: bytes, codec: str, truncated: bool
+) -> str | None:
+    """Strict decode of a sniff sample, tolerating ONE multibyte
+    char split by the sample cut (only when the sample really is a
+    truncation of a longer body — an error at the tail of a complete
+    body is a genuine invalidity)."""
+    try:
+        return sample.decode(codec)
+    except UnicodeDecodeError as e:
+        if truncated and e.start > 0 and e.start >= len(sample) - 4:
+            try:
+                return sample[: e.start].decode(codec)
+            except UnicodeDecodeError:
+                return None
+        return None
+
+
+def _script_evidence(text: str) -> tuple[int, int, int, int, int]:
+    """(kana, hangul, han, punct, bad) code-point counts — the
+    block arithmetic behind the sniff. Halfwidth katakana (FF61-9F)
+    is deliberately NEUTRAL: EUC-JP bytes mis-decoded as Shift_JIS
+    come out as all-halfwidth-katakana, so counting it as kana would
+    score the mis-decode. ``bad`` = C1 controls + private-use — the
+    classic mis-decode tell (GBK's 2-byte space maps unassigned
+    positions into the PUA)."""
+    kana = hangul = han = punct = bad = 0
+    for ch in text:
+        o = ord(ch)
+        if o < 0x80:
+            continue
+        if 0x3040 <= o <= 0x30FF:
+            kana += 1
+        elif 0xAC00 <= o <= 0xD7A3 or 0x1100 <= o <= 0x11FF:
+            hangul += 1
+        elif 0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF:
+            han += 1
+        elif 0x3000 <= o <= 0x303F or 0xFF01 <= o <= 0xFF5E:
+            punct += 1
+        elif 0x80 <= o <= 0x9F or 0xE000 <= o <= 0xF8FF:
+            bad += 1
+    return kana, hangul, han, punct, bad
+
+
+#: The highest-frequency hanzi (public frequency-list knowledge,
+#: simplified head + common traditional variants) — the tiny prior
+#: that arbitrates the gbk-vs-big5 tie: a CORRECT decode of real
+#: Chinese text hits this set densely; a mis-decode of the same
+#: bytes under the other codec yields near-uniform-random han that
+#: virtually never does.
+_COMMON_HAN = frozenset(
+    "的一是不了人我在有他这中大来上国个到说们为子和你地出道也时年"
+    "得就那要下以生会自着去之过家学对可她里后小么心多天而能好都然"
+    "没日于起还发成事只作当想看文无开手十用主行方又如前所本见经头"
+    "面公同三已老从动两长知民样现分将外但身些与高意进把法此实回二"
+    "理美点月明其种声全工己话儿者向情部正名定女问力机给等几"
+    # traditional variants of the head
+    "這來說們為時得還發見經頭長現樣點幾話兒種聲處開國學會對與機無"
+    "個裡後媽從動兩員務係讓關門電間問題體"
+)
+
+#: The highest-frequency hangul syllables (same public-frequency
+#: idea as :data:`_COMMON_HAN`): real Korean hits this set densely;
+#: hangul produced by MIS-decoding foreign bytes under cp949 is
+#:near-uniform over 11 172 syllables and near-never does (measured:
+#: kanji-only Shift_JIS bytes decode under cp949 as pure rare-
+#: syllable hangul — structurally perfect, frequency-impossible).
+_COMMON_HANGUL = frozenset(
+    "이다는을가에하의고지를서기한은로사아해것수있되니시그인부대만"
+    "나도않자주우스무임거라면까정제성간요들와과내어년중보진문일국"
+    "생학교전소리신장때말람집또히입았었겠습동상공간외오용같관워크"
+    "되며련식회경위험김차산금토평화미녀남녀버지테레비스템선개발왔"
+)
+
+
+def _cjk_content_sniff(body: bytes) -> str | None:
+    """Structural-validity + script-evidence scorer for UNDECLARED
+    non-UTF-8 content — the arm that used to silently decode a
+    headerless Shift_JIS/GBK page as cp1252 mojibake (r10 verdict
+    Missing #2). Returns a canonical CJK label, AMBIGUOUS_CJK, or
+    None (not CJK-looking — the western-legacy cp1252 default is
+    then actually justified).
+
+    The ladder, and why it is shaped this way (each rule measured
+    against real cross-decodes of ja/ko/zh text — see
+    tests/test_robots_charset.py):
+
+    1. Every candidate must decode the sample STRICTLY (one split
+       char tolerated at the cut) and show ZERO C1/PUA output (the
+       classic mis-decode tell: big5-as-gbk lights up the PUA).
+    2. Codec-DISTINCTIVE scripts qualify with DOMINANCE, not mere
+       presence: the Japanese codecs need kana≥4 AND 2·kana≥han
+       (real Japanese is kana-heavy); euc-kr needs hangul≥4 AND
+       hangul≥4·han (modern Korean is hanja-free — measured:
+       GBK-Chinese bytes decode under cp949 to a hangul≈han MIX,
+       which this veto rejects, while real Korean decodes pure)
+       AND ≥4 :data:`_COMMON_HANGUL` hits at ≥1/8 density
+       (measured: kanji-only Shift_JIS bytes decode under cp949 as
+       structurally-perfect but frequency-impossible rare hangul).
+    3. Distinctive qualifiers outrank han-only ones: ja/ko bytes
+       mis-decoded under a han codec come out as plausible-count
+       han (measured: SJIS-Japanese validates under gb18030 with
+       han=32), so han volume cannot arbitrate; but han codecs
+       cannot produce DOMINANT kana/hangul from ja/ko bytes without
+       tripping validity, the bad-block veto, or the mix veto.
+       Among distinctive qualifiers, the top score (4·native + han
+       + punct) must DOUBLE the runner-up, else AMBIGUOUS_CJK.
+    4. Han-only content (Chinese): gbk/big5 qualify with ≥8 han and
+       zero kana/hangul in their own decode. Both validating is
+       byte-structurally common, so the :data:`_COMMON_HAN`
+       frequency prior arbitrates — the correct decode hits the
+       top-frequency set densely (≥4 and ≥2× the other + 1), the
+       mis-decode near-never. No clear winner → AMBIGUOUS_CJK:
+       a wrong pick silently mangles, refusal is loud.
+
+    Pure per-row Python over ≤4 KB, same Arrow-batched cost tier as
+    the decode itself; deterministic by construction."""
+    sample = body[:_CJK_SNIFF_BYTES]
+    truncated = len(body) > len(sample)
+    distinctive: list[tuple[int, str]] = []
+    han_only: list[tuple[int, str]] = []
+    for label in _CJK_CANDIDATES:
+        text = _strict_sample_decode(
+            sample, _PY_CODEC[label], truncated
+        )
+        if text is None:
+            continue
+        kana, hangul, han, punct, bad = _script_evidence(text)
+        if bad:
+            continue
+        if label in ("shift_jis", "euc-jp"):
+            if kana < 4 or 2 * kana < han:
+                continue
+            native = kana
+        elif label == "euc-kr":
+            if hangul < 4 or hangul < 4 * han:
+                continue
+            hits = sum(1 for ch in text if ch in _COMMON_HANGUL)
+            if hits < 4 or hits * 8 < hangul:
+                continue
+            native = hangul
+        else:
+            if kana or hangul or han < 8:
+                continue
+            hits = sum(1 for ch in text if ch in _COMMON_HAN)
+            han_only.append((hits, label))
+            continue
+        distinctive.append((4 * native + han + punct, label))
+    if distinctive:
+        distinctive.sort(reverse=True)
+        if len(distinctive) == 1:
+            return distinctive[0][1]
+        if distinctive[0][0] >= 2 * distinctive[1][0]:
+            return distinctive[0][1]
+        return AMBIGUOUS_CJK
+    if len(han_only) == 1:
+        return han_only[0][1]
+    if han_only:
+        han_only.sort(reverse=True)
+        top, second = han_only[0], han_only[1]
+        if top[0] >= 4 and top[0] >= 2 * second[0] + 1:
+            return top[1]
+        return AMBIGUOUS_CJK
+    return None
+
+
 def sniff_charset(content_type: str | None, body: bytes) -> str | None:
     """The detection step alone: the canonical charset label for
     ``body`` under the WHATWG precedence (BOM > header > meta
-    prescan > UTF-8-validates > windows-1252), or None when a
-    DECLARED label is outside the supported set. Never None for
-    undeclared content — the fallback arm always names a charset."""
+    prescan > UTF-8-validates > CJK content sniff > windows-1252),
+    or None when a DECLARED label is outside the supported set OR
+    undeclared bytes look CJK but ambiguously so (the
+    :func:`_cjk_content_sniff` ladder — refusing beats the silent
+    cp1252 mangle that poisons every downstream text gate)."""
     if body[:3] == b"\xef\xbb\xbf":
         return "utf-8"
     if body[:2] == b"\xfe\xff":
@@ -258,6 +444,11 @@ def sniff_charset(content_type: str | None, body: bytes) -> str | None:
         body.decode("utf-8", "strict")
         return "utf-8"
     except UnicodeDecodeError:
+        cjk = _cjk_content_sniff(body)
+        if cjk == AMBIGUOUS_CJK:
+            return None  # looks CJK, no defensible pick: refuse
+        if cjk is not None:
+            return cjk
         return "windows-1252"
 
 
