@@ -100,6 +100,16 @@ def _seeds() -> dict[str, bytes]:
         "pdf15": pdf_build(
             ["hello world page one", "page two"], xref_stream=True
         ),
+        # glyph-coded subset font: mutations land in the
+        # /Differences array and the ToUnicode CMap stream too
+        "pdf_glyph": pdf_build(
+            ["hello world page one", "page two"], subset_font=True
+        ),
+        "pdf15_glyph": pdf_build(
+            ["hello world page one", "page two"],
+            xref_stream=True,
+            subset_font=True,
+        ),
         "http_gzip": (
             b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
             + __import__("gzip").compress(b"gzip fuzz seed " * 10, 6)
@@ -131,6 +141,8 @@ _PARSERS = {
     "jpeg_progressive": decode_jpeg,
     "pdf": pdf_text,
     "pdf15": pdf_text,
+    "pdf_glyph": pdf_text,
+    "pdf15_glyph": pdf_text,
     "http_gzip": http_decode_text,
     "warc": warc_records,
     "wav": decode_wav,

@@ -4932,6 +4932,162 @@ def s13(spark, sf_dir):
 
 
 @q(
+    "s14_pdf_glyph_extract",
+    f"""
+WITH toks AS (
+    SELECT doc_id,
+        list_filter(
+            string_split_regex(text, '[ \\t\\n\\v\\f\\r]+'),
+            x -> x <> ''
+        ) AS words
+    FROM documents
+),
+pg AS (
+    SELECT doc_id,
+        CAST(greatest(ceil(len(words) / {_S13_PAGE}.0), 1) AS BIGINT)
+            AS n_pages
+    FROM toks
+),
+pages AS (
+    SELECT t.doc_id, i.i AS page_idx,
+        array_to_string(
+            t.words[i.i * {_S13_PAGE} + 1
+                    : i.i * {_S13_PAGE} + {_S13_PAGE}],
+            ' ') AS ptext
+    FROM toks t JOIN pg USING (doc_id),
+        unnest(generate_series(0, pg.n_pages - 1)) AS i(i)
+)
+SELECT p.doc_id,
+    CAST(pg.n_pages AS INTEGER) AS n_pages,
+    -- subset font adds ONE object (the ToUnicode CMap stream,
+    -- direct in both variants) on top of the s13 arithmetic
+    CAST(4 + 2 * pg.n_pages
+         + CASE WHEN p.doc_id % 2 = 0
+                THEN 2 + pg.n_pages ELSE 0 END
+         AS INTEGER) AS n_objects,
+    p.doc_id % 2 = 0 AS xref_stream,
+    string_agg(p.ptext, chr(10) ORDER BY p.page_idx) AS clean
+FROM pages p JOIN pg USING (doc_id)
+GROUP BY p.doc_id, pg.n_pages
+""",
+)
+def s14(spark, sf_dir):
+    """PDF GLYPH decoding end to end (llm/pdf.py, r10 verdict
+    Missing #1) — the fidelity rung above s13's structural walk:
+    real crawled PDFs overwhelmingly use SUBSET fonts whose Tj
+    string bytes are glyph indices, not character codes, so an
+    extractor without the font's decode channels returns mojibake
+    that no downstream gate can detect. Same page chunking and
+    1.4/1.5 xref rotation as s13, but every document builds with
+    ``subset_font=True``: codes are assigned sequentially from 0x21
+    over the ord-sorted distinct chars (non-identity by
+    construction — the kernel ASSERTS the coded literal differs
+    from the text, so the fixture cannot silently degenerate into
+    the identity case), and the mapping deliberately SPLITS across
+    the two public decode channels — every 7th AGL-named char lives
+    ONLY in ``/Encoding /Differences`` (resolved through the Adobe
+    Glyph List subset), the rest ONLY in the ``/ToUnicode`` CMap
+    (bfchar singles + bfranges in BOTH destination forms, Flate-
+    compressed stream object) — so an extractor implementing one
+    channel but not the other fails the roundtrip. The oracle
+    replays the chunking and the per-variant object arithmetic
+    (+1 CMap stream object over s13: streams may not live in an
+    ObjStm, so it stays direct in the 1.5 variant too). Scale
+    shape: bytes-level Arrow-batched mapInPandas like s13 — no
+    shuffle, embarrassingly parallel; hostile CMaps/Differences
+    (dup codes, hi<lo ranges, odd hex, lone surrogates, non-gen-0
+    refs, unmapped codes) refuse loudly, fuzz-gated in
+    tests/test_parser_fuzz.py."""
+    import pandas as pd
+
+    import re as _re
+
+    from trisk_datawrangle_spark.llm.pdf import (
+        _glyph_coder,
+        _parse_xref,
+        pdf_build,
+        pdf_text,
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            ids, npages, nobjs, xstreams, cleans = [], [], [], [], []
+            for doc_id, text in zip(
+                pdf["doc_id"].astype("int64"), pdf["text"]
+            ):
+                doc_id = int(doc_id)
+                words = [
+                    w
+                    for w in _re.split(r"[\t\n\x0b\x0c\r ]+", text)
+                    if w
+                ]
+                pages = [
+                    " ".join(words[i:i + _S13_PAGE])
+                    for i in range(0, len(words), _S13_PAGE)
+                ] or [""]
+                code_of, _diff, _cmap = _glyph_coder(pages)
+                if all(code == ord(ch) for ch, code in code_of.items()):
+                    raise AssertionError(
+                        f"s14: identity coding for doc {doc_id} — "
+                        "the glyph fixture is vacuous"
+                    )
+                use_stream = doc_id % 2 == 0
+                payload = pdf_build(
+                    pages, xref_stream=use_stream, subset_font=True
+                )
+                got = pdf_text(payload)
+                if got != pages:
+                    raise AssertionError(
+                        f"s14: glyph roundtrip mismatch for doc "
+                        f"{doc_id}"
+                    )
+                parsed = _parse_xref(payload)
+                if parsed is None:
+                    raise AssertionError(
+                        f"s14: xref parse failed for doc {doc_id}"
+                    )
+                table, _trailer = parsed
+                n_present = sum(
+                    1
+                    for e in table
+                    if isinstance(e, tuple)
+                    or (isinstance(e, int) and e >= 0)
+                )
+                if use_stream:
+                    n_members = sum(
+                        1 for e in table if isinstance(e, tuple)
+                    )
+                    # the CMap stream must NOT ride in the ObjStm
+                    if n_members != 3 + len(got):
+                        raise AssertionError(
+                            f"s14: ObjStm member count off for doc "
+                            f"{doc_id}"
+                        )
+                ids.append(doc_id)
+                npages.append(len(got))
+                nobjs.append(n_present)
+                xstreams.append(use_stream)
+                cleans.append("\n".join(got))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_pages": npages,
+                    "n_objects": nobjs,
+                    "xref_stream": xstreams,
+                    "clean": cleans,
+                }
+            )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    return d.mapInPandas(
+        extract,
+        "doc_id long, n_pages int, n_objects int,"
+        " xref_stream boolean, clean string",
+    )
+
+
+@q(
     "x50_link_graph",
     """
 WITH links AS (

@@ -77,10 +77,132 @@ def _escape_string(s: str) -> bytes:
     return b"".join(_ESC.get(b, bytes([b])) for b in raw)
 
 
-def _page_objects(pages: list[str]) -> list[bytes]:
+# Adobe Glyph List subset (public AGL) — printable ASCII, the names
+# simple-font /Differences arrays use. Shared by the builder (char →
+# name when emitting a subset encoding) and the extractor (name →
+# char when no ToUnicode entry covers a code).
+_AGL: dict[str, str] = {
+    "space": " ", "exclam": "!", "quotedbl": '"',
+    "numbersign": "#", "dollar": "$", "percent": "%",
+    "ampersand": "&", "quotesingle": "'", "parenleft": "(",
+    "parenright": ")", "asterisk": "*", "plus": "+", "comma": ",",
+    "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@",
+    "bracketleft": "[", "backslash": "\\", "bracketright": "]",
+    "asciicircum": "^", "underscore": "_", "grave": "`",
+    "braceleft": "{", "bar": "|", "braceright": "}",
+    "asciitilde": "~",
+    **{c: c for c in
+       "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"},
+}
+_AGL_NAME = {ch: name for name, ch in _AGL.items()}
+
+
+def _glyph_coder(pages: list[str]) -> tuple[dict[str, int], bytes,
+                                            bytes]:
+    """The subset-font coding for ``pages``: a NON-identity char →
+    glyph-code map (codes assigned sequentially from 0x21 over the
+    ord-sorted distinct characters — the shape real subsetters
+    emit), the ``/Differences`` array bytes, and the ToUnicode CMap
+    stream bytes. The mapping splits across the two public decode
+    channels so an extractor must implement BOTH: every 7th mapping
+    with an AGL-named char goes to /Differences ONLY; the rest go to
+    the ToUnicode CMap — maximal ord-aligned runs of ≥3 as bfrange
+    (the first such run in the ARRAY destination form, later ones in
+    the start-code form), singles/pairs as bfchar. Raises
+    ValueError past 223 distinct characters (a simple font has
+    one-byte codes)."""
+    chars = sorted(set("".join(pages)))
+    if len(chars) > 0xFF - 0x21 + 1:
+        raise ValueError("subset font: more than 223 distinct chars")
+    if not chars:
+        chars = [" "]  # all-empty pages still need a font program
+    code_of = {ch: 0x21 + i for i, ch in enumerate(chars)}
+    diff_only = {
+        ch for i, ch in enumerate(chars)
+        if i % 7 == 3 and ch in _AGL_NAME
+    }
+    # ---- /Differences: the diff-only codes, run-compressed ----
+    diff_parts: list[str] = []
+    prev_code = None
+    for ch in chars:
+        if ch not in diff_only:
+            continue
+        code = code_of[ch]
+        if prev_code != code - 1:
+            diff_parts.append(str(code))
+        diff_parts.append("/" + _AGL_NAME[ch])
+        prev_code = code
+    differences = (" ".join(diff_parts)).encode("ascii")
+    # ---- ToUnicode: the rest, bfranges over ord-aligned runs ----
+    tu_chars = [ch for ch in chars if ch not in diff_only]
+    runs: list[list[str]] = []
+    for ch in tu_chars:
+        if (
+            runs
+            and ord(ch) == ord(runs[-1][-1]) + 1
+            and code_of[ch] == code_of[runs[-1][-1]] + 1
+        ):
+            runs[-1].append(ch)
+        else:
+            runs.append([ch])
+    bfchar: list[bytes] = []
+    bfrange: list[bytes] = []
+    array_form_used = False
+    for run in runs:
+        if len(run) < 3:
+            for ch in run:
+                bfchar.append(
+                    b"<%02X> <%s>" % (
+                        code_of[ch],
+                        ch.encode("utf-16-be").hex().upper().encode(),
+                    )
+                )
+            continue
+        lo, hi = code_of[run[0]], code_of[run[-1]]
+        if not array_form_used:
+            array_form_used = True
+            dsts = b" ".join(
+                b"<%s>" % ch.encode("utf-16-be").hex().upper()
+                .encode() for ch in run
+            )
+            bfrange.append(b"<%02X> <%02X> [%s]" % (lo, hi, dsts))
+        else:
+            bfrange.append(
+                b"<%02X> <%02X> <%s>" % (
+                    lo, hi,
+                    run[0].encode("utf-16-be").hex().upper().encode(),
+                )
+            )
+    cmap = bytearray(
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"12 dict begin\nbegincmap\n"
+        b"/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n"
+    )
+    if bfchar:
+        cmap += b"%d beginbfchar\n" % len(bfchar)
+        cmap += b"\n".join(bfchar) + b"\nendbfchar\n"
+    if bfrange:
+        cmap += b"%d beginbfrange\n" % len(bfrange)
+        cmap += b"\n".join(bfrange) + b"\nendbfrange\n"
+    cmap += b"endcmap\nend\nend\n"
+    return code_of, differences, bytes(cmap)
+
+
+def _page_objects(
+    pages: list[str], subset_font: bool = False
+) -> list[bytes]:
     """The shared object bodies for both builder variants. Layout:
     1=catalog, 2=pages tree, 3=font, then (page, contents) pairs —
-    ``3 + 2 * n_pages`` document objects."""
+    ``3 + 2 * n_pages`` document objects; with ``subset_font`` a
+    ToUnicode CMap STREAM is appended as object ``4 + 2*n`` and the
+    font becomes a glyph-coded subset (content-stream string bytes
+    are glyph CODES, decodable only through /Differences +
+    ToUnicode — the majority shape of real crawled PDFs, whose Tj
+    bytes are subset indices, not character codes)."""
     n = len(pages)
     objects: list[bytes] = []
     kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n))
@@ -90,15 +212,35 @@ def _page_objects(pages: list[str]) -> list[bytes]:
     objects.append(
         f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode()
     )
-    objects.append(
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
-    )
-    for i, text in enumerate(pages):
-        content = (
-            b"BT /F1 12 Tf 72 720 Td ("
-            + _escape_string(text)
-            + b") Tj ET"
+    coder = None
+    if subset_font:
+        code_of, differences, cmap = _glyph_coder(pages)
+        coder = code_of
+        tou_num = 4 + 2 * n
+        codes = sorted(code_of.values())
+        objects.append(
+            (
+                f"<< /Type /Font /Subtype /TrueType "
+                f"/BaseFont /GRAFTA+FakeSans "
+                f"/FirstChar {codes[0]} /LastChar {codes[-1]} "
+                f"/Encoding << /Type /Encoding /Differences ["
+            ).encode()
+            + differences
+            + f"] >> /ToUnicode {tou_num} 0 R >>".encode()
         )
+    else:
+        objects.append(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        )
+    for i, text in enumerate(pages):
+        if coder is not None:
+            raw = bytes(coder[ch] for ch in text)
+            lit = b"".join(
+                _ESC.get(b, bytes([b])) for b in raw
+            )
+        else:
+            lit = _escape_string(text)
+        content = b"BT /F1 12 Tf 72 720 Td (" + lit + b") Tj ET"
         flate = zlib.compress(content, 6)
         objects.append(
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
@@ -112,10 +254,21 @@ def _page_objects(pages: list[str]) -> list[bytes]:
             + flate
             + b"\nendstream"
         )
+    if subset_font:
+        cmap_flate = zlib.compress(cmap, 6)
+        objects.append(
+            f"<< /Length {len(cmap_flate)} /Filter /FlateDecode >>"
+            .encode()
+            + b"\nstream\n" + cmap_flate + b"\nendstream"
+        )
     return objects
 
 
-def pdf_build(pages: list[str], xref_stream: bool = False) -> bytes:
+def pdf_build(
+    pages: list[str],
+    xref_stream: bool = False,
+    subset_font: bool = False,
+) -> bytes:
     """Serialize a PDF document with one Flate-compressed content
     stream per page, each showing its page's text as a single ``Tj``
     string (object layout per :func:`_page_objects`).
@@ -136,11 +289,18 @@ def pdf_build(pages: list[str], xref_stream: bool = False) -> bytes:
     Flate-compressed under the PNG Up predictor (``/DecodeParms
     << /Predictor 12 /Columns 7 >>`` — the layout real writers
     emit). Total objects = ``3 + 3*n_pages + 2`` (+ObjStm +XRef
-    +one length object per page)."""
+    +one length object per page).
+
+    ``subset_font=True``: the font becomes a glyph-coded SUBSET
+    (see :func:`_page_objects`) — content-stream string bytes are
+    glyph codes, NOT character codes, decodable only through the
+    font's ``/Encoding /Differences`` and ``/ToUnicode`` CMap; one
+    more object (the CMap stream, direct in both variants — streams
+    may not live in an ObjStm)."""
     if not pages:
         raise ValueError("pdf_build: at least one page required")
     n = len(pages)
-    objects = _page_objects(pages)
+    objects = _page_objects(pages, subset_font)
     if not xref_stream:
         out = bytearray(b"%PDF-1.4\n")
         offsets = [0]  # object 0 is the free head
@@ -159,11 +319,14 @@ def pdf_build(pages: list[str], xref_stream: bool = False) -> bytes:
         return bytes(out)
 
     # ---- PDF 1.5: ObjStm + XRef stream + indirect lengths ----
-    objstm_num = 4 + 2 * n
-    xref_num = 5 + 2 * n
+    # base = highest document object (3+2n, +1 for the subset-font
+    # ToUnicode CMap stream); container numbering flows from it
+    base = len(objects)
+    objstm_num = base + 1
+    xref_num = base + 2
     # one plain-integer length object per content stream, after xref
-    length_num = {5 + 2 * i: 6 + 2 * n + i for i in range(n)}
-    size = 6 + 2 * n + n
+    length_num = {5 + 2 * i: base + 3 + i for i in range(n)}
+    size = base + 3 + n
     # rewrite each content stream's direct /Length to the indirect
     # reference its length object will carry
     stream_len: dict[int, int] = {}
@@ -196,8 +359,10 @@ def pdf_build(pages: list[str], xref_stream: bool = False) -> bytes:
 
     out = bytearray(b"%PDF-1.5\n")
     direct_offsets: dict[int, int] = {}
-    for i in range(n):  # content streams stay direct objects
-        num = 5 + 2 * i
+    direct_nums = [5 + 2 * i for i in range(n)]
+    if subset_font:  # the ToUnicode CMap stream is direct too
+        direct_nums.append(4 + 2 * n)
+    for num in direct_nums:
         direct_offsets[num] = len(out)
         out += f"{num} 0 obj\n".encode() + objects[num - 1] + b"\nendobj\n"
     direct_offsets[objstm_num] = len(out)
@@ -643,8 +808,185 @@ def _stream_data(
     return raw
 
 
-def _unescape_string(raw: bytes) -> str | None:
-    """Unescape a string literal's bytes, then decode: BOM FE FF
+#: Hostile-shape bound: a ToUnicode CMap claiming more code
+#: mappings than a simple font can even address is attacker input.
+_MAX_CMAP_ENTRIES = 65536
+
+
+def _parse_tounicode(data: bytes) -> dict[int, str] | None:
+    """code → text map from a ToUnicode CMap stream (ISO 32000
+    §9.10.3): ``beginbfchar``/``endbfchar`` pairs and
+    ``beginbfrange`` in BOTH destination forms (start-code and
+    array). Simple-font discipline: source codes are one byte
+    (two hex digits — longer refuses), destinations are UTF-16BE
+    (hex length a multiple of 4; multi-unit ligature targets
+    decode), range bounds must satisfy lo ≤ hi ≤ 0xFF, array-form
+    destination counts must equal the range width, duplicate source
+    codes refuse (a lying writer, not a dialect), and the total
+    mapping count is bounded by :data:`_MAX_CMAP_ENTRIES`. An
+    empty-but-present CMap refuses — it would silently shadow the
+    font's real coding."""
+    mapping: dict[int, str] = {}
+
+    def put(code: int, dst_hex: bytes) -> bool:
+        if code in mapping or len(mapping) >= _MAX_CMAP_ENTRIES:
+            return False
+        if len(dst_hex) % 4 or not dst_hex:
+            return False
+        try:
+            mapping[code] = bytes.fromhex(
+                dst_hex.decode("ascii")
+            ).decode("utf-16-be")
+        except (ValueError, UnicodeDecodeError):
+            return False
+        return True
+
+    for block in re.finditer(
+        rb"beginbfchar(.*?)endbfchar", data, re.S
+    ):
+        body = block.group(1)
+        pairs = re.findall(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", body
+        )
+        # anything in the block beside whitespace and the pairs is
+        # a grammar violation, refused (strict front end)
+        if re.sub(rb"<[0-9A-Fa-f]+>|\s+", b"", body):
+            return None
+        for src, dst in pairs:
+            if len(src) != 2:
+                return None  # not a one-byte simple-font code
+            if not put(int(src, 16), dst):
+                return None
+    for block in re.finditer(
+        rb"beginbfrange(.*?)endbfrange", data, re.S
+    ):
+        body = block.group(1)
+        if re.sub(rb"<[0-9A-Fa-f]+>|[\[\]]|\s+", b"", body):
+            return None
+        pos = 0
+        entry_rx = re.compile(
+            rb"\s*<([0-9A-Fa-f]{2})>\s*<([0-9A-Fa-f]{2})>\s*"
+            rb"(?:<([0-9A-Fa-f]+)>|\[((?:\s*<[0-9A-Fa-f]+>)+)\s*\])"
+        )
+        while body[pos:].strip():
+            m = entry_rx.match(body, pos)
+            if m is None:
+                return None
+            lo, hi = int(m.group(1), 16), int(m.group(2), 16)
+            if hi < lo or hi > 0xFF:
+                return None
+            if m.group(3) is not None:
+                start = m.group(3)
+                if len(start) % 4 or not start:
+                    return None
+                try:
+                    first = bytes.fromhex(
+                        start.decode("ascii")
+                    ).decode("utf-16-be")
+                except (ValueError, UnicodeDecodeError):
+                    return None
+                # start-form increments the LAST code unit; the
+                # single-char case (the one this module emits and
+                # real simple fonts use) is plain ord arithmetic
+                if len(first) != 1:
+                    return None
+                for k in range(hi - lo + 1):
+                    if lo + k in mapping or len(
+                        mapping
+                    ) >= _MAX_CMAP_ENTRIES:
+                        return None
+                    mapping[lo + k] = chr(ord(first) + k)
+            else:
+                dsts = re.findall(
+                    rb"<([0-9A-Fa-f]+)>", m.group(4)
+                )
+                if len(dsts) != hi - lo + 1:
+                    return None
+                for k, dst in enumerate(dsts):
+                    if not put(lo + k, dst):
+                        return None
+            pos = m.end()
+    if not mapping:
+        return None
+    return mapping
+
+
+def _differences_map(font: bytes) -> dict[int, str] | None:
+    """code → char map from a simple font's ``/Encoding``
+    ``/Differences`` array: integers set the next code, names
+    assign ``code`` → the AGL character and increment. Codes past
+    0xFF and tokens that are neither refuse; a name OUTSIDE the
+    :data:`_AGL` subset leaves its code unmapped (loud at USE time
+    if a string actually needs it) rather than killing codes the
+    ToUnicode CMap covers. Returns None when the array is absent
+    (identity semantics upstream) or malformed."""
+    m = re.search(rb"/Differences\s*\[([^\]]*)\]", font)
+    if m is None:
+        return None
+    out: dict[int, str] = {}
+    code = -1
+    for tok in re.finditer(
+        rb"(\d+)|/([A-Za-z0-9.]+)|(\S)", m.group(1)
+    ):
+        if tok.group(3) is not None:
+            return None  # neither number nor name: malformed
+        if tok.group(1) is not None:
+            code = int(tok.group(1))
+            if code > 0xFF:
+                return None
+            continue
+        if code < 0 or code > 0xFF:
+            return None
+        name = tok.group(2).decode("ascii")
+        if name in _AGL:
+            out[code] = _AGL[name]
+        code += 1
+    return out
+
+
+def _font_decode_map(
+    d: bytes, offsets: list, font: bytes
+) -> dict[int, str] | None:
+    """The page font's glyph-code → text map: ToUnicode CMap
+    entries (authoritative for extraction per §9.10.2) overlaid on
+    /Differences-with-AGL-names for codes the CMap doesn't cover.
+    ``{}`` = the font declares NEITHER channel (identity semantics
+    — the classic non-subset builder arm); None = the font declares
+    a channel that refuses to parse (a lying/hostile font mangles
+    silently if extraction proceeds)."""
+    tu = re.search(rb"/ToUnicode\s+(\d+)\s+0\s+R", font)
+    diff = _differences_map(font)
+    if tu is None and diff is None:
+        if b"/ToUnicode" in font or b"/Differences" in font:
+            return None  # non-gen-0 ref / malformed array: refuse
+        return {}
+    mapping: dict[int, str] = dict(diff or {})
+    if tu is not None:
+        num = int(tu.group(1))
+        if not 0 <= num < len(offsets):
+            return None
+        cobj = _object_at(d, num, offsets)
+        if cobj is None:
+            return None
+        data = _stream_data(cobj, d, offsets)
+        if data is None:
+            return None
+        parsed = _parse_tounicode(data)
+        if parsed is None:
+            return None
+        mapping.update(parsed)
+    if not mapping:
+        return None
+    return mapping
+
+
+def _unescape_string(
+    raw: bytes, dmap: dict[int, str] | None = None
+) -> str | None:
+    """Unescape a string literal's bytes, then decode: with a glyph
+    decode map (``dmap``) every byte is a GLYPH CODE mapped through
+    it (an unmapped code refuses — emitting the raw byte would be
+    mojibake by construction); without one, BOM FE FF
     means the spec's UTF-16BE text-string form, anything else is
     latin-1 (the PDFDocEncoding subset this module emits)."""
     out = bytearray()
@@ -686,6 +1028,11 @@ def _unescape_string(raw: bytes) -> str | None:
         else:
             return None  # unknown escape: refuse
     data = bytes(out)
+    if dmap is not None:
+        try:
+            return "".join(dmap[b] for b in data)
+        except KeyError:
+            return None  # unmapped glyph code: refuse, don't guess
     if data[:2] == b"\xfe\xff":
         try:
             return data[2:].decode("utf-16-be")
@@ -694,9 +1041,13 @@ def _unescape_string(raw: bytes) -> str | None:
     return data.decode("latin-1")
 
 
-def _content_text(content: bytes) -> str | None:
+def _content_text(
+    content: bytes, dmap: dict[int, str] | None = None
+) -> str | None:
     """Concatenate the arguments of every Tj / TJ text-showing
-    operator, in stream order. TJ arrays interleave strings with
+    operator, in stream order, decoding string bytes through the
+    page font's glyph map when one exists (``dmap`` — see
+    :func:`_font_decode_map`). TJ arrays interleave strings with
     kerning numbers (ignored). ONE stateful linear scan: string
     literals are consumed atomically with escape awareness (a
     ``\\)`` must not terminate the literal, and a ``[``/``]``
@@ -731,7 +1082,7 @@ def _content_text(content: bytes) -> str | None:
                 j += 1
             if depth:
                 return None  # unterminated string
-            s = _unescape_string(bytes(buf))
+            s = _unescape_string(bytes(buf), dmap)
             if s is None:
                 return None
             if array_buf is not None:
@@ -785,10 +1136,30 @@ def pdf_text(payload: bytes) -> list[str] | None:
     if km is None:
         return None
     pages = []
+    font_maps: dict[int, dict[int, str] | None] = {}
     for ref in re.finditer(_REF_RX, km.group(1)):
         page = _object_at(payload, int(ref.group(1)), offsets)
         if page is None:
             return None
+        # the page font's glyph decode channel (subset fonts code
+        # their Tj bytes as glyph indices — extracting them as
+        # latin-1 is mojibake, the pre-r11 gap): resolve /F1,
+        # build its map once per font object
+        fm = re.search(rb"/Font\s*<<\s*/F1\s+(\d+)\s+0\s+R", page)
+        dmap: dict[int, str] | None = None
+        if fm is not None:
+            fnum = int(fm.group(1))
+            if fnum not in font_maps:
+                fobj = _object_at(payload, fnum, offsets)
+                if fobj is None:
+                    return None
+                font_maps[fnum] = _font_decode_map(
+                    payload, offsets, _dict_of(fobj)
+                )
+            built = font_maps[fnum]
+            if built is None:
+                return None  # declared-but-unparseable channel
+            dmap = built or None  # {} = identity semantics
         cm = re.search(rb"/Contents\s+(\d+)\s+0\s+R", page)
         if cm is None:
             return None
@@ -798,7 +1169,7 @@ def pdf_text(payload: bytes) -> list[str] | None:
         data = _stream_data(cobj, payload, offsets)
         if data is None:
             return None
-        text = _content_text(data)
+        text = _content_text(data, dmap)
         if text is None:
             return None
         pages.append(text)
