@@ -6918,7 +6918,11 @@ def x57(spark, sf_dir):
     scheduling is inherently per-host ordered, so a hash-partitioned
     window on h is the minimal plan; a production scheduler shards a
     mega-host by path prefix before this window, which composes (the
-    window key just gains the shard column)."""
+    window key just gains the shard column) — factored as
+    llm/politeness.py politeness_schedule(big_hosts=..., n_shards=..)
+    and MEASURED at 15M rows/50% hot-share in
+    scripts/bench_politeness_skew.py (BENCH_SKEW_r11, flat-vs-skew
+    table in BASELINE.md)."""
     base = w5(spark, sf_dir).where(F.col("allowed"))
     h = F.regexp_extract(
         F.col("canon"), "^[a-z]+://host([0-9]+)", 1
