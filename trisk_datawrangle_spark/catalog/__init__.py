@@ -38,8 +38,11 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 # the FIRST N catalog entries (N=50), so ordering decides which entries
 # get driver-verified each round. Round-11 window (r10 verdict #1,
 # exactly as the verdict staged it plus this round's changes):
-# (1) the ONE new entry: s14 (PDF glyph decoding — subset fonts,
-# /Differences + /ToUnicode CMaps, r10 verdict Missing #1);
+# (1) the TWO new entries: s14 (PDF glyph decoding — subset fonts,
+# /Differences + /ToUnicode CMaps, r10 verdict Missing #1) and x58
+# (mega-host sharded politeness scheduling — the x57 composition as
+# a first-class operator, llm/politeness.py; landed after the
+# changed block, displacing x29 to lead the r12 block);
 # (2) the TEN entries whose implementation or fixture changed this
 # round — changed code invalidates the old proof: x47 (eleventh
 # arm: undeclared-Shift_JIS content sniff, Missing #2), x52 (IDN
@@ -54,13 +57,14 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 # (3) the verdict-staged r6-proof leads q9/d13/m1, then 36 of the
 # 38 remaining r6-proof entries (cf1-cf4, pr1-pr4, sc1-sc4,
 # f1/f10/f11/f14, r3-r6/r8, u1-u3, t3/t5, q5/q6, w1_baseline_index,
-# s7_ivf_pq_persisted, x22/x24-x29). sc5/sc6 spill to positions
-# 51-52 and LEAD the r12 window (the window is exactly 50 and the
-# changed-entry set takes precedence; sc1-sc4 exercise the same
-# wrangle machinery in-window this round);
-# (4) positions 53+: the r7/r8/r9 cohorts by staleness, with the
+# s7_ivf_pq_persisted, x22/x24-x28). x29/sc5/sc6 spill to positions
+# 51-53 and LEAD the r12 window (the window is exactly 50 and the
+# new/changed-entry set takes precedence; sc1-sc4 exercise the same
+# wrangle machinery in-window this round, x29's CDC chunker shares
+# the rolling-hash machinery x45 proved in r9);
+# (4) positions 54+: the r7/r8/r9 cohorts by staleness, with the
 # r10-verified window entries (freshest proofs) at the very back.
-# All 228 entries stay green under the builder's full-catalog
+# All 229 entries stay green under the builder's full-catalog
 # driver-conf emulation and test_oracle_parity regardless of window
 # position.
 # Rename note (r7 verdict #3): e3_sliding_window became
@@ -77,6 +81,7 @@ _PRIORITY = [
     "x56_sitemap_index_walk",
     "s13_pdf_extract",
     "s11_warc_extract",
+    "x58_politeness_sharded",
     "q9_fk_integrity",
     "d13_persisted_index_dedup",
     "m1_multimodal_decode",

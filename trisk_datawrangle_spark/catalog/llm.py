@@ -6945,3 +6945,95 @@ def x57(spark, sf_dir):
         ((rn - F.lit(1)) * F.col("crawl_delay"))
         .cast("double").alias("eta_sec"),
     )
+
+
+@q(
+    "x58_politeness_sharded",
+    """
+WITH frontier AS (
+    SELECT
+        CASE WHEN doc_id % 2 = 0 THEN 0 ELSE doc_id % 23 END AS h,
+        'https://host'
+        || CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+                     ELSE doc_id % 23 END AS VARCHAR)
+        || '.example.com/p' || CAST(doc_id % 8 AS VARCHAR)
+        || '/u' || CAST(doc_id AS VARCHAR) AS canon,
+        CASE WHEN (CASE WHEN doc_id % 2 = 0 THEN 0
+                        ELSE doc_id % 23 END) % 7 = 0 THEN NULL
+             ELSE CAST((CASE WHEN doc_id % 2 = 0 THEN 0
+                             ELSE doc_id % 23 END) % 3 + 1 AS DOUBLE)
+        END AS crawl_delay
+    FROM documents
+),
+sharded AS (
+    SELECT h, canon,
+        COALESCE(crawl_delay, 1.0) AS delay,
+        CASE WHEN h = 0
+             THEN CAST(regexp_extract(canon, '/p([0-9]+)/', 1)
+                       AS INTEGER) % 4
+             ELSE 0 END AS shard
+    FROM frontier
+)
+SELECT h, CAST(shard AS INTEGER) AS shard, canon,
+    CAST(row_number() OVER (PARTITION BY h, shard ORDER BY canon)
+         AS INTEGER) AS slot,
+    CAST((row_number() OVER (PARTITION BY h, shard ORDER BY canon)
+          - 1) * delay AS DOUBLE) AS eta_sec
+FROM sharded
+""",
+)
+def x58(spark, sf_dir):
+    """Mega-host SHARDED politeness scheduling (llm/politeness.py
+    politeness_schedule, the x57 composition made first-class): a
+    skewed frontier — host 0 owns HALF the URLs (every even doc),
+    the zipfian shape real frontiers have — schedules through ONE
+    window whose key gains a shard column for known-big hosts:
+    host 0's URLs spread over 4 first-path-segment shards (the
+    shard basis here is the arithmetic prefix index so the oracle
+    can replay it in ANSI SQL; the operator's default basis is the
+    same prefix through xxhash64 — see the shard_expr docstring),
+    every other host keeps shard 0 and a schedule BIT-IDENTICAL to
+    the flat x57 plan (the composition invariant, asserted in
+    tests/test_politeness.py and gate-checked in the 15M-row skew
+    bench). Hot-host delays are NULL by construction (h=0 is a
+    no-delay host), so the explicit 1.0 s default is load-bearing on
+    the hot path, not decorative. The oracle replays the frontier
+    arithmetic, the shard derivation, and the per-(host, shard)
+    window, so a wrong shard, a NULL eta, a slot gap, or an unstable
+    order flips the hash. Scale shape: one window over the deduped
+    frontier partitioned by (h, shard) — measured at 15M rows /
+    50% hot-share: flat pays 4.62x under skew, 16 shards recover to
+    1.49x, uniform corpora pay ~nothing (BENCH_SKEW_r11.json,
+    BASELINE.md r11)."""
+    from trisk_datawrangle_spark.llm.politeness import (
+        politeness_schedule,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    h = F.when(did % 2 == 0, F.lit(0)).otherwise(did % 23)
+    canon = F.concat(
+        F.lit("https://host"), h.cast("string"),
+        F.lit(".example.com/p"), (did % 8).cast("string"),
+        F.lit("/u"), did.cast("string"),
+    )
+    delay = F.when(
+        h % 7 == 0, F.lit(None).cast("double")
+    ).otherwise((h % 3).cast("double") + F.lit(1.0))
+    frontier = d.select(
+        h.cast("long").alias("h"),
+        canon.alias("canon"),
+        delay.alias("crawl_delay"),
+    )
+    shard = F.pmod(
+        F.regexp_extract(F.col("canon"), "/p([0-9]+)/", 1)
+        .cast("int"),
+        F.lit(4),
+    ).cast("int")
+    return politeness_schedule(
+        frontier,
+        big_hosts=[0],
+        n_shards=4,
+        default_delay=1.0,
+        shard_expr=shard,
+    ).select("h", "shard", "canon", "slot", "eta_sec")

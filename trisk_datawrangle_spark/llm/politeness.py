@@ -54,6 +54,7 @@ def politeness_schedule(
     big_hosts: list | None = None,
     n_shards: int = 16,
     default_delay: float = DEFAULT_CRAWL_DELAY,
+    shard_expr: Column | None = None,
 ) -> DataFrame:
     """The per-host fetch plan over a deduped, robots-allowed
     frontier: one row per URL with ``shard``, ``slot`` (1-based
@@ -63,8 +64,13 @@ def politeness_schedule(
 
     ``big_hosts`` lists the hosts to shard (a literal isin — budget
     tables are dimension-sized; an empty/None list is the x57 plan
-    exactly, one window per host). Scale shape: ONE window over the
-    already-deduped frontier, partitioned by (host, shard) — the
+    exactly, one window per host). ``shard_expr`` overrides the
+    default first-path-segment xxhash64 shard basis — deployments
+    carry their own URL-space partitioning policies, and an
+    arithmetic basis lets the x58 oracle replay the shard in ANSI
+    SQL (Spark's xxhash64 has no DuckDB twin); it must be a pure
+    int expression in [0, n_shards). Scale shape: ONE window over
+    the already-deduped frontier, partitioned by (host, shard) — the
     shard column turns the mega-host straggler into ``n_shards``
     parallel tasks; everything upstream (dedup, robots gate) already
     exchanged on the canonical key, so this adds exactly one
@@ -74,15 +80,15 @@ def politeness_schedule(
     h, k = F.col(host), F.col(key)
     d = F.coalesce(F.col(delay), F.lit(float(default_delay)))
     if big_hosts:
-        shard = (
-            F.when(
-                h.isin(list(big_hosts)),
-                F.pmod(
-                    F.xxhash64(_first_path_segment(k)),
-                    F.lit(n_shards),
-                ).cast("int"),
-            )
-            .otherwise(F.lit(0))
+        basis = (
+            shard_expr
+            if shard_expr is not None
+            else F.pmod(
+                F.xxhash64(_first_path_segment(k)), F.lit(n_shards)
+            ).cast("int")
+        )
+        shard = F.when(h.isin(list(big_hosts)), basis).otherwise(
+            F.lit(0)
         )
     else:
         shard = F.lit(0)
