@@ -110,6 +110,13 @@ def _seeds() -> dict[str, bytes]:
             xref_stream=True,
             subset_font=True,
         ),
+        # mixed identity-/F1 + coded-/F2 with a mid-stream Tf
+        # switch: mutations land in the font STATE tracking too
+        "pdf_mixed": pdf_build(
+            ["hello world page one", "page two"],
+            xref_stream=True,
+            mixed_fonts=True,
+        ),
         "http_gzip": (
             b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
             + __import__("gzip").compress(b"gzip fuzz seed " * 10, 6)
@@ -143,6 +150,7 @@ _PARSERS = {
     "pdf15": pdf_text,
     "pdf_glyph": pdf_text,
     "pdf15_glyph": pdf_text,
+    "pdf_mixed": pdf_text,
     "http_gzip": http_decode_text,
     "warc": warc_records,
     "wav": decode_wav,

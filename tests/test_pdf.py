@@ -512,3 +512,67 @@ class TestGlyphDecoding:
     def test_identity_fonts_unaffected(self):
         p = pdf_build(self.PAGES)
         assert pdf_text(p) == self.PAGES
+
+    def test_dangling_bfchar_token_refuses(self):
+        from trisk_datawrangle_spark.llm.pdf import _parse_tounicode
+
+        # odd hex token after valid pairs: a findall would silently
+        # drop it; the pos-anchored walk refuses (r11 self-review)
+        assert _parse_tounicode(
+            b"2 beginbfchar\n<41> <0042> <43>\nendbfchar\n"
+        ) is None
+
+    def test_malformed_differences_beside_valid_tounicode_refuses(
+        self,
+    ):
+        from trisk_datawrangle_spark.llm.pdf import _font_decode_map
+
+        p = pdf_build(["abc"], subset_font=True)
+        m = re.search(rb"/Differences \[([^\]]*)\]", p)
+        assert m is not None
+        hacked = p.replace(
+            b"/Differences [" + m.group(1) + b"]",
+            b"/Differences [ 33 ( ]",
+        )
+        assert hacked != p
+        assert pdf_text(hacked) is None
+
+    def test_mixed_fonts_roundtrip_and_state_tracking(self):
+        pages = [
+            "alpha beta gamma delta words one",
+            "second page here with text two",
+        ]
+        for xs in (False, True):
+            p = pdf_build(pages, xref_stream=xs, mixed_fonts=True)
+            assert pdf_text(p) == pages, xs
+        # the /F2 half is genuinely coded while /F1 shows plain text
+        p = pdf_build(["abcdef"], mixed_fonts=True)
+        m = re.search(rb"stream\n(.*?)\nendstream", p, re.S)
+        content = zlib.decompress(m.group(1))
+        assert b"(abc) Tj /F2 12 Tf" in content
+        lit2 = re.search(rb"/F2 12 Tf \((.*?)\) Tj", content).group(1)
+        assert lit2 != b"def"
+
+    def test_tf_naming_undeclared_font_refuses(self):
+        p = pdf_build(["abcdef"], mixed_fonts=True)
+        hacked = p  # rebuild content with /F9
+        m = re.search(rb"stream\n(.*?)\nendstream", p, re.S)
+        content = zlib.decompress(m.group(1))
+        bad = zlib.compress(content.replace(b"/F2 12 Tf", b"/F9 12 Tf"))
+        # splice only if lengths align; otherwise assert the scanner
+        # directly
+        from trisk_datawrangle_spark.llm.pdf import _content_text
+
+        assert (
+            _content_text(
+                b"BT /F9 1 Tf (x) Tj ET", fonts={b"F1": None}
+            )
+            is None
+        )
+        del hacked, bad
+
+    def test_exclusive_builder_variants(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="exclusive"):
+            pdf_build(["x"], subset_font=True, mixed_fonts=True)

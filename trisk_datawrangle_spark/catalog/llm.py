@@ -4960,8 +4960,10 @@ pages AS (
 SELECT p.doc_id,
     CAST(pg.n_pages AS INTEGER) AS n_pages,
     -- subset font adds ONE object (the ToUnicode CMap stream,
-    -- direct in both variants) on top of the s13 arithmetic
-    CAST(4 + 2 * pg.n_pages
+    -- direct in both variants) on top of the s13 arithmetic; the
+    -- mixed-font arm (doc%3=0) adds TWO (/F2 font dict + its CMap)
+    CAST(CASE WHEN p.doc_id % 3 = 0 THEN 5 ELSE 4 END
+         + 2 * pg.n_pages
          + CASE WHEN p.doc_id % 2 = 0
                 THEN 2 + pg.n_pages ELSE 0 END
          AS INTEGER) AS n_objects,
@@ -4978,21 +4980,29 @@ def s14(spark, sf_dir):
     string bytes are glyph indices, not character codes, so an
     extractor without the font's decode channels returns mojibake
     that no downstream gate can detect. Same page chunking and
-    1.4/1.5 xref rotation as s13, but every document builds with
-    ``subset_font=True``: codes are assigned sequentially from 0x21
+    1.4/1.5 xref rotation as s13, but every document builds with a
+    glyph-coded font: codes are assigned sequentially from 0x21
     over the ord-sorted distinct chars (non-identity by
-    construction — the kernel ASSERTS the coded literal differs
-    from the text, so the fixture cannot silently degenerate into
+    construction — the kernel ASSERTS the coding differs from
+    identity, so the fixture cannot silently degenerate into
     the identity case), and the mapping deliberately SPLITS across
     the two public decode channels — every 7th AGL-named char lives
     ONLY in ``/Encoding /Differences`` (resolved through the Adobe
     Glyph List subset), the rest ONLY in the ``/ToUnicode`` CMap
     (bfchar singles + bfranges in BOTH destination forms, Flate-
     compressed stream object) — so an extractor implementing one
-    channel but not the other fails the roundtrip. The oracle
+    channel but not the other fails the roundtrip. Every THIRD doc
+    builds ``mixed_fonts``: each page shows its first half through
+    the identity /F1 and its second half through the coded /F2 with
+    a mid-stream ``/F2 12 Tf`` text-state switch — the shape every
+    real multi-font page has; an extractor resolving one font per
+    page (the first s14 cut) would decode the /F2 half as latin-1
+    mojibake and fail. The oracle
     replays the chunking and the per-variant object arithmetic
     (+1 CMap stream object over s13: streams may not live in an
-    ObjStm, so it stays direct in the 1.5 variant too). Scale
+    ObjStm, so it stays direct in the 1.5 variant too; +2 for the
+    mixed arm's /F2 dict, which DOES ride the ObjStm,
+    member-count-asserted). Scale
     shape: bytes-level Arrow-batched mapInPandas like s13 — no
     shuffle, embarrassingly parallel; hostile CMaps/Differences
     (dup codes, hi<lo ranges, odd hex, lone surrogates, non-gen-0
@@ -5025,7 +5035,13 @@ def s14(spark, sf_dir):
                     " ".join(words[i:i + _S13_PAGE])
                     for i in range(0, len(words), _S13_PAGE)
                 ] or [""]
-                code_of, _diff, _cmap = _glyph_coder(pages)
+                use_mixed = doc_id % 3 == 0
+                coded_src = (
+                    [t[len(t) // 2:] for t in pages]
+                    if use_mixed
+                    else pages
+                )
+                code_of, _diff, _cmap = _glyph_coder(coded_src)
                 if all(code == ord(ch) for ch, code in code_of.items()):
                     raise AssertionError(
                         f"s14: identity coding for doc {doc_id} — "
@@ -5033,7 +5049,10 @@ def s14(spark, sf_dir):
                     )
                 use_stream = doc_id % 2 == 0
                 payload = pdf_build(
-                    pages, xref_stream=use_stream, subset_font=True
+                    pages,
+                    xref_stream=use_stream,
+                    subset_font=not use_mixed,
+                    mixed_fonts=use_mixed,
                 )
                 got = pdf_text(payload)
                 if got != pages:
@@ -5057,8 +5076,10 @@ def s14(spark, sf_dir):
                     n_members = sum(
                         1 for e in table if isinstance(e, tuple)
                     )
-                    # the CMap stream must NOT ride in the ObjStm
-                    if n_members != 3 + len(got):
+                    # the CMap stream must NOT ride in the ObjStm;
+                    # the mixed arm's /F2 font dict MUST
+                    want_members = (4 if use_mixed else 3) + len(got)
+                    if n_members != want_members:
                         raise AssertionError(
                             f"s14: ObjStm member count off for doc "
                             f"{doc_id}"

@@ -356,8 +356,11 @@ def _cjk_content_sniff(body: bytes) -> str | None:
        byte-structurally common, so the :data:`_COMMON_HAN`
        frequency prior arbitrates — the correct decode hits the
        top-frequency set densely (≥4 and ≥2× the other + 1), the
-       mis-decode near-never. No clear winner → AMBIGUOUS_CJK:
-       a wrong pick silently mangles, refusal is loud.
+       mis-decode near-never; a UNIQUE qualifier passes the same
+       ≥4-hit bar (a spaceless non-CJK single-byte page can
+       structurally validate under exactly one han codec). No clear
+       winner → AMBIGUOUS_CJK: a wrong pick silently mangles,
+       refusal is loud.
 
     Pure per-row Python over ≤4 KB, same Arrow-batched cost tier as
     the decode itself; deterministic by construction."""
@@ -400,7 +403,14 @@ def _cjk_content_sniff(body: bytes) -> str | None:
             return distinctive[0][1]
         return AMBIGUOUS_CJK
     if len(han_only) == 1:
-        return han_only[0][1]
+        # the frequency prior gates the UNIQUE qualifier too: a
+        # spaceless non-CJK single-byte page could structurally
+        # validate under exactly one han codec, and its junk han
+        # near-never hits the top-frequency set (real Chinese does,
+        # densely)
+        if han_only[0][0] >= 4:
+            return han_only[0][1]
+        return AMBIGUOUS_CJK
     if han_only:
         han_only.sort(reverse=True)
         top, second = han_only[0], han_only[1]

@@ -192,8 +192,40 @@ def _glyph_coder(pages: list[str]) -> tuple[dict[str, int], bytes,
     return code_of, differences, bytes(cmap)
 
 
+def _subset_font_dict(
+    code_of: dict[str, int], differences: bytes, tou_num: int
+) -> bytes:
+    codes = sorted(code_of.values())
+    return (
+        (
+            f"<< /Type /Font /Subtype /TrueType "
+            f"/BaseFont /GRAFTA+FakeSans "
+            f"/FirstChar {codes[0]} /LastChar {codes[-1]} "
+            f"/Encoding << /Type /Encoding /Differences ["
+        ).encode()
+        + differences
+        + f"] >> /ToUnicode {tou_num} 0 R >>".encode()
+    )
+
+
+def _cmap_stream_obj(cmap: bytes) -> bytes:
+    cmap_flate = zlib.compress(cmap, 6)
+    return (
+        f"<< /Length {len(cmap_flate)} /Filter /FlateDecode >>"
+        .encode()
+        + b"\nstream\n" + cmap_flate + b"\nendstream"
+    )
+
+
+def _coded_literal(coder: dict[str, int], text: str) -> bytes:
+    raw = bytes(coder[ch] for ch in text)
+    return b"".join(_ESC.get(b, bytes([b])) for b in raw)
+
+
 def _page_objects(
-    pages: list[str], subset_font: bool = False
+    pages: list[str],
+    subset_font: bool = False,
+    mixed_fonts: bool = False,
 ) -> list[bytes]:
     """The shared object bodies for both builder variants. Layout:
     1=catalog, 2=pages tree, 3=font, then (page, contents) pairs —
@@ -202,7 +234,14 @@ def _page_objects(
     font becomes a glyph-coded subset (content-stream string bytes
     are glyph CODES, decodable only through /Differences +
     ToUnicode — the majority shape of real crawled PDFs, whose Tj
-    bytes are subset indices, not character codes)."""
+    bytes are subset indices, not character codes); with
+    ``mixed_fonts`` each page shows its FIRST half through the
+    identity /F1 and its second half through a glyph-coded subset
+    /F2 (``/F2 12 Tf`` mid-stream — the text-state switch every
+    real multi-font page makes), appending the /F2 font dict as
+    object ``4 + 2*n`` and its ToUnicode CMap as ``5 + 2*n``."""
+    if subset_font and mixed_fonts:
+        raise ValueError("subset_font and mixed_fonts are exclusive")
     n = len(pages)
     objects: list[bytes] = []
     kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n))
@@ -213,38 +252,50 @@ def _page_objects(
         f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode()
     )
     coder = None
+    halves: list[tuple[str, str]] = []
     if subset_font:
         code_of, differences, cmap = _glyph_coder(pages)
         coder = code_of
-        tou_num = 4 + 2 * n
-        codes = sorted(code_of.values())
         objects.append(
-            (
-                f"<< /Type /Font /Subtype /TrueType "
-                f"/BaseFont /GRAFTA+FakeSans "
-                f"/FirstChar {codes[0]} /LastChar {codes[-1]} "
-                f"/Encoding << /Type /Encoding /Differences ["
-            ).encode()
-            + differences
-            + f"] >> /ToUnicode {tou_num} 0 R >>".encode()
+            _subset_font_dict(code_of, differences, 4 + 2 * n)
         )
     else:
         objects.append(
             b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
         )
+        if mixed_fonts:
+            halves = [
+                (t[: len(t) // 2], t[len(t) // 2:]) for t in pages
+            ]
+            code_of, differences, cmap = _glyph_coder(
+                [h2 for _, h2 in halves]
+            )
+            coder = code_of
     for i, text in enumerate(pages):
-        if coder is not None:
-            raw = bytes(coder[ch] for ch in text)
-            lit = b"".join(
-                _ESC.get(b, bytes([b])) for b in raw
+        if mixed_fonts:
+            h1, h2 = halves[i]
+            content = (
+                b"BT /F1 12 Tf 72 720 Td ("
+                + _escape_string(h1)
+                + b") Tj /F2 12 Tf ("
+                + _coded_literal(coder, h2)
+                + b") Tj ET"
+            )
+            resources = (
+                f"/Font << /F1 3 0 R /F2 {4 + 2 * n} 0 R >>"
             )
         else:
-            lit = _escape_string(text)
-        content = b"BT /F1 12 Tf 72 720 Td (" + lit + b") Tj ET"
+            lit = (
+                _coded_literal(coder, text)
+                if coder is not None
+                else _escape_string(text)
+            )
+            content = b"BT /F1 12 Tf 72 720 Td (" + lit + b") Tj ET"
+            resources = "/Font << /F1 3 0 R >>"
         flate = zlib.compress(content, 6)
         objects.append(
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Resources << {resources} >> "
             f"/Contents {5 + 2 * i} 0 R >>".encode()
         )
         objects.append(
@@ -255,12 +306,12 @@ def _page_objects(
             + b"\nendstream"
         )
     if subset_font:
-        cmap_flate = zlib.compress(cmap, 6)
+        objects.append(_cmap_stream_obj(cmap))
+    elif mixed_fonts:
         objects.append(
-            f"<< /Length {len(cmap_flate)} /Filter /FlateDecode >>"
-            .encode()
-            + b"\nstream\n" + cmap_flate + b"\nendstream"
+            _subset_font_dict(code_of, differences, 5 + 2 * n)
         )
+        objects.append(_cmap_stream_obj(cmap))
     return objects
 
 
@@ -268,6 +319,7 @@ def pdf_build(
     pages: list[str],
     xref_stream: bool = False,
     subset_font: bool = False,
+    mixed_fonts: bool = False,
 ) -> bytes:
     """Serialize a PDF document with one Flate-compressed content
     stream per page, each showing its page's text as a single ``Tj``
@@ -296,11 +348,16 @@ def pdf_build(
     glyph codes, NOT character codes, decodable only through the
     font's ``/Encoding /Differences`` and ``/ToUnicode`` CMap; one
     more object (the CMap stream, direct in both variants — streams
-    may not live in an ObjStm)."""
+    may not live in an ObjStm).
+
+    ``mixed_fonts=True``: identity /F1 AND a glyph-coded subset /F2
+    per page with a mid-stream ``/F2 12 Tf`` switch — two more
+    objects (the /F2 font dict, ObjStm-able, and its CMap stream,
+    direct)."""
     if not pages:
         raise ValueError("pdf_build: at least one page required")
     n = len(pages)
-    objects = _page_objects(pages, subset_font)
+    objects = _page_objects(pages, subset_font, mixed_fonts)
     if not xref_stream:
         out = bytearray(b"%PDF-1.4\n")
         offsets = [0]  # object 0 is the free head
@@ -341,6 +398,8 @@ def pdf_build(
         )
     # compressed members: every non-stream object, in number order
     compressed = [1, 2, 3] + [4 + 2 * i for i in range(n)]
+    if mixed_fonts:  # the /F2 font dict is ObjStm-able
+        compressed.append(4 + 2 * n)
     member_idx = {num: i for i, num in enumerate(compressed)}
     bodies = [objects[num - 1] for num in compressed]
     header = bytearray()
@@ -362,6 +421,8 @@ def pdf_build(
     direct_nums = [5 + 2 * i for i in range(n)]
     if subset_font:  # the ToUnicode CMap stream is direct too
         direct_nums.append(4 + 2 * n)
+    elif mixed_fonts:  # /F2's CMap stream (the font dict rides the
+        direct_nums.append(5 + 2 * n)  # ObjStm)
     for num in direct_nums:
         direct_offsets[num] = len(out)
         out += f"{num} 0 obj\n".encode() + objects[num - 1] + b"\nendobj\n"
@@ -841,22 +902,26 @@ def _parse_tounicode(data: bytes) -> dict[int, str] | None:
             return False
         return True
 
+    pair_rx = re.compile(
+        rb"\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>"
+    )
     for block in re.finditer(
         rb"beginbfchar(.*?)endbfchar", data, re.S
     ):
         body = block.group(1)
-        pairs = re.findall(
-            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", body
-        )
-        # anything in the block beside whitespace and the pairs is
-        # a grammar violation, refused (strict front end)
-        if re.sub(rb"<[0-9A-Fa-f]+>|\s+", b"", body):
-            return None
-        for src, dst in pairs:
+        # pos-anchored walk, not findall: a dangling odd hex token
+        # (`<41> <0042> <43>`) must refuse, not silently drop
+        pos = 0
+        while body[pos:].strip():
+            m = pair_rx.match(body, pos)
+            if m is None:
+                return None  # grammar violation: refuse
+            src, dst = m.group(1), m.group(2)
             if len(src) != 2:
                 return None  # not a one-byte simple-font code
             if not put(int(src, 16), dst):
                 return None
+            pos = m.end()
     for block in re.finditer(
         rb"beginbfrange(.*?)endbfrange", data, re.S
     ):
@@ -956,9 +1021,14 @@ def _font_decode_map(
     silently if extraction proceeds)."""
     tu = re.search(rb"/ToUnicode\s+(\d+)\s+0\s+R", font)
     diff = _differences_map(font)
+    if b"/Differences" in font and diff is None:
+        # a PRESENT-but-malformed array must refuse even when a
+        # valid ToUnicode rides alongside — the codes the array was
+        # supposed to carry would otherwise mangle silently
+        return None
     if tu is None and diff is None:
-        if b"/ToUnicode" in font or b"/Differences" in font:
-            return None  # non-gen-0 ref / malformed array: refuse
+        if b"/ToUnicode" in font:
+            return None  # non-gen-0 ref: refuse
         return {}
     mapping: dict[int, str] = dict(diff or {})
     if tu is not None:
@@ -1041,14 +1111,27 @@ def _unescape_string(
     return data.decode("latin-1")
 
 
+#: A ``/Name size Tf`` font-selection operator — the text-state
+#: switch real multi-font pages (i.e. nearly all real pages) flip
+#: between subset fonts mid-stream.
+_TF_RX = re.compile(rb"/([A-Za-z0-9]+)\s+[0-9.]+\s+Tf")
+
+
 def _content_text(
-    content: bytes, dmap: dict[int, str] | None = None
+    content: bytes,
+    dmap: dict[int, str] | None = None,
+    fonts: dict[bytes, dict[int, str] | None] | None = None,
 ) -> str | None:
     """Concatenate the arguments of every Tj / TJ text-showing
     operator, in stream order, decoding string bytes through the
-    page font's glyph map when one exists (``dmap`` — see
-    :func:`_font_decode_map`). TJ arrays interleave strings with
-    kerning numbers (ignored). ONE stateful linear scan: string
+    ACTIVE font's glyph map: with ``fonts`` (name → map or None for
+    identity) the scan tracks ``/Fn size Tf`` text-state operators
+    and switches maps mid-stream — real pages mix fonts, and a
+    string shown under /F2 decoded with /F1's map is deterministic
+    mojibake; a Tf naming a font absent from the page's /Font
+    resources refuses. Without ``fonts``, ``dmap`` applies
+    statically (the single-font path). TJ arrays interleave strings
+    with kerning numbers (ignored). ONE stateful linear scan: string
     literals are consumed atomically with escape awareness (a
     ``\\)`` must not terminate the literal, and a ``[``/``]``
     INSIDE a string must not look like array structure — raw-byte
@@ -1061,6 +1144,16 @@ def _content_text(
     n = len(content)
     while i < n:
         c = content[i]
+        if fonts is not None and c == 0x2F:  # "/" — maybe a Tf
+            m = _TF_RX.match(content, i)
+            if m is not None:
+                if m.group(1) not in fonts:
+                    return None  # Tf names an undeclared font
+                dmap = fonts[m.group(1)]
+                i = m.end()
+                continue
+            i += 1
+            continue
         if c == 0x28:  # "(" — string literal start
             j = i + 1
             depth = 1
@@ -1141,25 +1234,32 @@ def pdf_text(payload: bytes) -> list[str] | None:
         page = _object_at(payload, int(ref.group(1)), offsets)
         if page is None:
             return None
-        # the page font's glyph decode channel (subset fonts code
+        # the page fonts' glyph decode channels (subset fonts code
         # their Tj bytes as glyph indices — extracting them as
-        # latin-1 is mojibake, the pre-r11 gap): resolve /F1,
-        # build its map once per font object
-        fm = re.search(rb"/Font\s*<<\s*/F1\s+(\d+)\s+0\s+R", page)
-        dmap: dict[int, str] | None = None
+        # latin-1 is mojibake, the pre-r11 gap): resolve EVERY font
+        # in the page's /Font resources, build each map once per
+        # font object; the content scan then tracks /Fn Tf switches
+        fonts: dict[bytes, dict[int, str] | None] | None = None
+        fm = re.search(rb"/Font\s*<<([^>]*)>>", page)
         if fm is not None:
-            fnum = int(fm.group(1))
-            if fnum not in font_maps:
-                fobj = _object_at(payload, fnum, offsets)
-                if fobj is None:
-                    return None
-                font_maps[fnum] = _font_decode_map(
-                    payload, offsets, _dict_of(fobj)
-                )
-            built = font_maps[fnum]
-            if built is None:
-                return None  # declared-but-unparseable channel
-            dmap = built or None  # {} = identity semantics
+            fonts = {}
+            for name, num in re.findall(
+                rb"/([A-Za-z0-9]+)\s+(\d+)\s+0\s+R", fm.group(1)
+            ):
+                fnum = int(num)
+                if fnum not in font_maps:
+                    fobj = _object_at(payload, fnum, offsets)
+                    if fobj is None:
+                        return None
+                    font_maps[fnum] = _font_decode_map(
+                        payload, offsets, _dict_of(fobj)
+                    )
+                built = font_maps[fnum]
+                if built is None:
+                    return None  # declared-but-unparseable channel
+                fonts[name] = built or None  # {} = identity
+            if not fonts:
+                return None  # a /Font dict with no parseable refs
         cm = re.search(rb"/Contents\s+(\d+)\s+0\s+R", page)
         if cm is None:
             return None
@@ -1169,7 +1269,7 @@ def pdf_text(payload: bytes) -> list[str] | None:
         data = _stream_data(cobj, payload, offsets)
         if data is None:
             return None
-        text = _content_text(data, dmap)
+        text = _content_text(data, fonts=fonts)
         if text is None:
             return None
         pages.append(text)
