@@ -353,3 +353,32 @@ def test_link_politeness_exprs_are_pure_jvm(spark):
     )
     for marker in ("Python", "BatchEvalPython", "ArrowEvalPython"):
         assert marker not in plan
+
+
+def test_base_href_extraction(spark):
+    """base_href_expr: first base element wins, either quote style,
+    any attribute order/case; <basefont> and href-less <base> never
+    match; NULL when absent (callers coalesce over the page URL)."""
+    from trisk_datawrangle_spark.llm.extract import base_href_expr
+
+    rows = [
+        ('<base href="https://a/x/">', "https://a/x/"),
+        ("<BASE TARGET='_t' HREF='https://b/'>", "https://b/"),
+        ('<base href="https://first/"><base href="https://second/">',
+         "https://first/"),
+        ("<base href='https://sq/'><base href=\"https://dq/\">",
+         "https://sq/"),  # first wins across quote styles
+        ('<basefont href="https://decoy/">', None),
+        ("<base target='_t'>", None),
+        ("no head at all", None),
+        ('<base href="">', None),  # empty href: no override
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in rows], "h string")
+    got = {
+        r["h"]: r["b"]
+        for r in df.select(
+            "h", base_href_expr("h").alias("b")
+        ).collect()
+    }
+    for h, want in rows:
+        assert got[h] == want, (h, got[h])

@@ -43,26 +43,28 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 # (mega-host sharded politeness scheduling — the x57 composition as
 # a first-class operator, llm/politeness.py; landed after the
 # changed block, displacing x29 to lead the r12 block);
-# (2) the TEN entries whose implementation or fixture changed this
-# round — changed code invalidates the old proof: x47 (eleventh
-# arm: undeclared-Shift_JIS content sniff, Missing #2), x52 (IDN
-# idna kernel + punycode-merge arms, Missing #3), x50 (rel=nofollow
-# anchor gating, Missing #5), w5 (meta-robots nofollow discovery
-# edge + no-delay fixture hosts), x57 (explicit crawl-delay default
-# over the no-delay hosts, Wrong #2), x55/x51/x56 (the shared
-# robots fixture bodies changed: h%11==5 hosts publish no
-# Crawl-delay), s13 (pdf.py object-numbering generalization +
-# any-generation /Length fix), s11 (exact-at-cap bounded-inflate
-# fix);
+# (2) the ELEVEN entries whose implementation or fixture changed
+# this round — changed code invalidates the old proof: x47
+# (eleventh arm: undeclared-Shift_JIS content sniff, Missing #2),
+# x52 (IDN idna kernel + punycode-merge arms, Missing #3), x50
+# (rel=nofollow anchor gating, Missing #5), w5 (meta-robots
+# nofollow discovery edge + no-delay fixture hosts), x57 (explicit
+# crawl-delay default over the no-delay hosts, Wrong #2),
+# x55/x51/x56 (the shared robots fixture bodies changed: h%11==5
+# hosts publish no Crawl-delay), x53 (<base href> override arm —
+# first-base-wins, basefont decoy; displaced x28 to the r12 block),
+# s13 (pdf.py object-numbering generalization + any-generation
+# /Length fix), s11 (exact-at-cap bounded-inflate fix);
 # (3) the verdict-staged r6-proof leads q9/d13/m1, then 36 of the
 # 38 remaining r6-proof entries (cf1-cf4, pr1-pr4, sc1-sc4,
 # f1/f10/f11/f14, r3-r6/r8, u1-u3, t3/t5, q5/q6, w1_baseline_index,
-# s7_ivf_pq_persisted, x22/x24-x28). x29/sc5/sc6 spill to positions
-# 51-53 and LEAD the r12 window (the window is exactly 50 and the
-# new/changed-entry set takes precedence; sc1-sc4 exercise the same
-# wrangle machinery in-window this round, x29's CDC chunker shares
-# the rolling-hash machinery x45 proved in r9);
-# (4) positions 54+: the r7/r8/r9 cohorts by staleness, with the
+# s7_ivf_pq_persisted, x22/x24-x27). x28/x29/sc5/sc6 spill to
+# positions 51-54 and LEAD the r12 window (the window is exactly 50
+# and the new/changed-entry set takes precedence; sc1-sc4 exercise
+# the same wrangle machinery in-window this round, x29's CDC
+# chunker shares the rolling-hash machinery x45 proved in r9, x28's
+# global sampler shares x22's mixture machinery);
+# (5) positions 55+: the r7/r8/r9 cohorts by staleness, with the
 # r10-verified window entries (freshest proofs) at the very back.
 # All 229 entries stay green under the builder's full-catalog
 # driver-conf emulation and test_oracle_parity regardless of window
@@ -79,6 +81,7 @@ _PRIORITY = [
     "x55_robots_sitemap_discovery",
     "x51_robots_filter",
     "x56_sitemap_index_walk",
+    "x53_link_resolve",
     "s13_pdf_extract",
     "s11_warc_extract",
     "x58_politeness_sharded",
@@ -258,7 +261,6 @@ _PRIORITY = [
     "x20_tfidf_keywords",
     "x21_rolling_stats",
     "x9_normalize_text",
-    "x53_link_resolve",
     "x54_sitemap_ingest",
     "m10_image_near_dup",
     "m11_image_dedup_clusters",

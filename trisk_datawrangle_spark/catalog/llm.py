@@ -6141,10 +6141,17 @@ def x52(spark, sf_dir):
     f"""
 WITH pages AS (
     SELECT doc_id,
-        'https://Host' || CAST(doc_id % 23 AS VARCHAR)
-        || '.Example.com/dir' || CAST(doc_id % 7 AS VARCHAR)
-        || '/sub/page' || CAST(doc_id AS VARCHAR) || '.html?o=1#t'
-            AS base
+        -- every 4th page's <base href> overrides the page URL as
+        -- the resolution base (first base element wins; the
+        -- basefont decoy and the second base never apply)
+        CASE WHEN doc_id % 4 = 0
+             THEN 'https://Base' || CAST(doc_id % 5 AS VARCHAR)
+                  || '.Example.com/bd/sub/page.html'
+             ELSE 'https://Host' || CAST(doc_id % 23 AS VARCHAR)
+                  || '.Example.com/dir' || CAST(doc_id % 7 AS VARCHAR)
+                  || '/sub/page' || CAST(doc_id AS VARCHAR)
+                  || '.html?o=1#t'
+        END AS base
     FROM documents
 ),
 links AS (
@@ -6193,7 +6200,16 @@ def x53(spark, sf_dir):
     path), and a mailto: link — ANY 'scheme:' prefix is absolute, so
     it must NOT merge into the base path; canonicalization returns
     '' for it, which is how the frontier drops non-http(s) edges.
-    The oracle rebuilds base and refs arithmetically and replays
+    PLUS the <base href> override (r11): every 4th page's head
+    declares a base element — attribute order/case/quote noise, a
+    <basefont> decoy that must not match, a SECOND base that must be
+    ignored (first wins per the HTML spec) — parsed by the real
+    extractor (llm/extract.py base_href_expr) and coalesced over the
+    page URL as the resolution base; a resolver ignoring <base>
+    rewrites every relative link on those pages to the wrong
+    host/directory, flipping the hash.
+    The oracle rebuilds base (with the override CASE) and refs
+    arithmetically and replays
     resolution + canonicalization with the shared-regex SQL
     builders, so a wrong merge rule, scheme detection, origin slice,
     or any canonicalization step flips the hash. Scale shape: pure
@@ -6204,12 +6220,32 @@ def x53(spark, sf_dir):
         with_resolved_url,
     )
 
+    from trisk_datawrangle_spark.llm.extract import base_href_expr
+
     d = _docs(spark, sf_dir).select("doc_id")
     did = F.col("doc_id")
-    base = F.concat(
+    page_url = F.concat(
         F.lit("https://Host"), (did % 23).cast("string"),
         F.lit(".Example.com/dir"), (did % 7).cast("string"),
         F.lit("/sub/page"), did.cast("string"), F.lit(".html?o=1#t"),
+    )
+    # the <base href> override (every 4th page): attribute-order
+    # and quote noise, a <basefont> decoy that must NOT match, and
+    # a SECOND base element that must be IGNORED (first wins per
+    # the HTML spec) — parsed by the real extractor, and resolution
+    # runs against the effective base, not the page URL
+    head = F.concat(
+        F.lit('<head><basefont href="https://decoy.example.com/">'),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit("<BASE TARGET='_t' HREF='https://Base"),
+                (did % 5).cast("string"),
+                F.lit(".Example.com/bd/sub/page.html'>"),
+                F.lit('<base href="https://ignored.example.com/">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</head>"),
     )
     refs = F.array(
         F.concat(F.lit("HTTP://Other"), (did % 5).cast("string"),
@@ -6225,7 +6261,7 @@ def x53(spark, sf_dir):
     )
     links = d.select(
         "doc_id",
-        base.alias("base"),
+        F.coalesce(base_href_expr(head), page_url).alias("base"),
         F.posexplode(refs).alias("ref_idx", "ref"),
     )
     # staged variants throughout: the percent fold disqualifies

@@ -125,6 +125,32 @@ def anchor_hrefs_expr(
     return F.filter(hrefs, lambda h: h != "")
 
 
+#: The document's <base href> — two capture groups, one per quote
+#: style; ``<base\b`` keeps <basefont> from matching.
+_BASE_HREF_RX = (
+    "(?i)<base\\b[^>]*\\bhref\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)')"
+)
+
+
+def base_href_expr(col: str | Column) -> Column:
+    """The page's effective base URL override: the FIRST ``<base
+    href=...>`` in the document (per the HTML spec only the first
+    base element with an href counts), either quote style, any
+    attribute order/case, or NULL when absent — callers
+    ``coalesce`` it over the page's own URL before resolving
+    relative references (a resolver that ignores <base> rewrites
+    every relative link on the page to the wrong host/directory,
+    silently corrupting the link graph). ``<basefont>`` and a
+    ``<base>`` without href must NOT match. Pure JVM (one
+    regexp_extract per group), fuses into the scan."""
+    c = F.col(col) if isinstance(col, str) else col
+    dq = F.regexp_extract(c, _BASE_HREF_RX, 1)
+    sq = F.regexp_extract(c, _BASE_HREF_RX, 2)
+    return F.coalesce(
+        F.nullif(dq, F.lit("")), F.nullif(sq, F.lit(""))
+    )
+
+
 def meta_robots_expr(col: str | Column, directive: str) -> Column:
     """True when the page's ``<meta name="robots">`` content carries
     ``directive`` (``noindex`` / ``nofollow`` / ...) as a
