@@ -576,3 +576,34 @@ class TestGlyphDecoding:
 
         with pytest.raises(ValueError, match="exclusive"):
             pdf_build(["x"], subset_font=True, mixed_fonts=True)
+
+    def test_indirect_resources_refuses_not_mangles(self):
+        """A page whose /Resources is an indirect reference hides
+        its /Font dict from the inline scan — proceeding would
+        silently decode subset text as identity latin-1; refuse
+        (r11 self-review pass 2)."""
+        content = zlib.compress(b"BT /F1 12 Tf (x) Tj ET")
+        doc = bytearray(b"%PDF-1.4\n")
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /Resources 9 0 R "
+            b"/Contents 4 0 R >>",
+            b"<< /Length " + str(len(content)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + content
+            + b"\nendstream",
+        ]
+        offsets = [0]
+        for num, body in enumerate(objs, start=1):
+            offsets.append(len(doc))
+            doc += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+        xref_at = len(doc)
+        doc += f"xref\n0 {len(objs) + 1}\n".encode()
+        doc += b"0000000000 65535 f \n"
+        for off in offsets[1:]:
+            doc += f"{off:010d} 00000 n \n".encode()
+        doc += (
+            f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n"
+        ).encode()
+        assert pdf_text(bytes(doc)) is None

@@ -6281,9 +6281,10 @@ def x53(spark, sf_dir):
     )
 
 
-@q(
-    "x54_sitemap_ingest",
-    """
+#: x54's oracle SQL — shared with x59, which schedules recrawls
+#: over the SAME sitemap entries (the _W5_SQL idiom: one source of
+#: truth for the fixture arithmetic).
+_X54_SQL = """
 WITH e AS (
     SELECT d.doc_id, j.j AS url_idx,
         'http://host' || CAST(d.doc_id % 23 AS VARCHAR)
@@ -6303,8 +6304,10 @@ WITH e AS (
 )
 SELECT doc_id, CAST(url_idx AS INTEGER) AS url_idx, loc, lastmod
 FROM e
-""",
-)
+"""
+
+
+@q("x54_sitemap_ingest", _X54_SQL)
 def x54(spark, sf_dir):
     """Sitemap ingestion (sitemaps.org protocol) — the third crawl-
     discovery channel beside page links (x50/x53) and robots.txt
@@ -6552,6 +6555,91 @@ def x56(spark, sf_dir):
     out = with_canonical_url(out, "p", "page_loc")
     return out.select(
         "doc_id", "child_idx", "url_idx", "child_loc", "page_loc"
+    )
+
+
+@q(
+    "x59_recrawl_priority",
+    f"""
+WITH sm AS ({_X54_SQL}),
+hist AS (
+    SELECT doc_id, url_idx, loc, lastmod,
+        '2025-'
+        || lpad(CAST((doc_id * 5 + url_idx) % 12 + 1 AS VARCHAR),
+                2, '0')
+        || '-'
+        || lpad(CAST((doc_id + url_idx * 7) % 28 + 1 AS VARCHAR),
+                2, '0') AS last_fetch
+    FROM sm
+)
+SELECT doc_id, url_idx, loc, lastmod, last_fetch,
+    (lastmod = '' OR lastmod > last_fetch) AS needs_fetch,
+    CAST(CASE
+        WHEN lastmod = '' THEN 30
+        WHEN lastmod > last_fetch THEN
+            (CAST(substr(lastmod, 6, 2) AS INTEGER)
+             - CAST(substr(last_fetch, 6, 2) AS INTEGER)) * 30
+            + CAST(substr(lastmod, 9, 2) AS INTEGER)
+            - CAST(substr(last_fetch, 9, 2) AS INTEGER)
+        ELSE 0 END AS INTEGER) AS staleness
+FROM hist
+""",
+)
+def x59(spark, sf_dir):
+    """Recrawl PRIORITIZATION — the stage that closes the crawl
+    loop: discovery (x50/x53/x54/x55) and politeness (x57/x58) feed
+    the FIRST fetch; a production crawler spends most of its budget
+    RE-fetching, ordered by evidence of change. The evidence is
+    x54's sitemap ``<lastmod>`` (one function call over the same
+    entries — the w5/x57 one-source-of-truth idiom) joined against
+    a per-URL fetch history (fixture arithmetic both engines
+    replay): ``needs_fetch`` when the sitemap says the page changed
+    after the last fetch (ISO-8601 dates compare as strings) OR
+    when lastmod is ABSENT — a third of real sitemap entries —
+    where the scheduler must fall back to an age prior instead of
+    never refetching (the silent-staleness bug class); ``staleness``
+    is the day-arithmetic backlog score the fetch queue orders by
+    (the absent-lastmod prior pins 30). CASE arms guard the
+    substring→int casts so the empty lastmod never reaches ANSI
+    cast, in BOTH engines. The oracle wraps the full shared x54 SQL
+    with the same history arithmetic, so a phantom lastmod, a
+    date-compare slip, or a prior that never fires flips the hash.
+    Scale shape: x54's scan-fused JVM chain + one more stage of
+    per-row arithmetic — zero Python, zero shuffle, zero joins (the
+    history here is arithmetic; a real one is a canonical-key
+    equi-join against the fetch log, the frontier dedup's shape)."""
+    sm = x54(spark, sf_dir)
+    did, uix = F.col("doc_id"), F.col("url_idx")
+    last_fetch = F.concat(
+        F.lit("2025-"),
+        F.lpad(((did * 5 + uix) % 12 + 1).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad(((did + uix * 7) % 28 + 1).cast("string"), 2, "0"),
+    )
+    lm, lf = F.col("lastmod"), F.col("last_fetch")
+    mdiff = (
+        F.substring(lm, 6, 2).cast("int")
+        - F.substring(lf, 6, 2).cast("int")
+    )
+    ddiff = (
+        F.substring(lm, 9, 2).cast("int")
+        - F.substring(lf, 9, 2).cast("int")
+    )
+    return (
+        sm.withColumn("last_fetch", last_fetch)
+        .select(
+            "doc_id",
+            "url_idx",
+            "loc",
+            "lastmod",
+            "last_fetch",
+            ((lm == "") | (lm > lf)).alias("needs_fetch"),
+            F.when(lm == "", F.lit(30))
+            .when(lm > lf, mdiff * 30 + ddiff)
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("staleness"),
+        )
     )
 
 

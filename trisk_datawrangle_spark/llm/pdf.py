@@ -1239,6 +1239,12 @@ def pdf_text(payload: bytes) -> list[str] | None:
         # latin-1 is mojibake, the pre-r11 gap): resolve EVERY font
         # in the page's /Font resources, build each map once per
         # font object; the content scan then tracks /Fn Tf switches
+        if re.search(rb"/Resources\s+\d+\s+\d+\s+R", page):
+            # INDIRECT Resources would hide the /Font dict from the
+            # inline scan below and the page would silently decode
+            # as identity — outside the honest subset, refused
+            # loudly (r11 self-review pass 2)
+            return None
         fonts: dict[bytes, dict[int, str] | None] | None = None
         fm = re.search(rb"/Font\s*<<([^>]*)>>", page)
         if fm is not None:
