@@ -382,3 +382,27 @@ def test_base_href_extraction(spark):
     }
     for h, want in rows:
         assert got[h] == want, (h, got[h])
+
+
+def test_http_status_location():
+    """http_status_location: header-name case-insensitive, VALUE
+    bytes preserved exactly (URL paths are case-significant), first
+    Location wins, empty/absent -> None, non-HTTP -> None."""
+    from trisk_datawrangle_spark.llm.extract import (
+        http_status_location,
+    )
+
+    rec = (
+        b"HTTP/1.1 301 Moved\r\nServer: x\r\n"
+        b"location:  ../t/CaseKept#f\r\n"
+        b"Location: http://second.example.com/\r\n\r\n"
+    )
+    assert http_status_location(rec) == (301, "../t/CaseKept#f")
+    assert http_status_location(
+        b"HTTP/1.0 200 OK\r\nContent-Length: 2\r\n\r\nok"
+    ) == (200, None)
+    assert http_status_location(
+        b"HTTP/1.1 302 F\r\nLocation:\r\n\r\n"
+    ) == (302, None)
+    assert http_status_location(b"not http") is None
+    assert http_status_location(b"HTTP/1.1 xx\r\n\r\n") is None

@@ -38,14 +38,15 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 # the FIRST N catalog entries (N=50), so ordering decides which entries
 # get driver-verified each round. Round-11 window (r10 verdict #1,
 # exactly as the verdict staged it plus this round's changes):
-# (1) the THREE new entries: s14 (PDF glyph decoding — subset
+# (1) the FOUR new entries: s14 (PDF glyph decoding — subset
 # fonts, /Differences + /ToUnicode CMaps + the mixed-font /Fn Tf
 # arm, r10 verdict Missing #1), x58 (mega-host sharded politeness
 # scheduling — the x57 composition as a first-class operator,
-# llm/politeness.py), and x59 (recrawl prioritization over x54's
-# lastmod — the stage that closes the crawl loop); the latter two
-# landed after the changed block, displacing x29/x27 to the r12
-# block;
+# llm/politeness.py), x59 (recrawl prioritization over x54's
+# lastmod), and x60 (HTTP redirect chains: relative Location
+# resolution + bounded iterative joins + loop refusal — with x59,
+# the stages that close the crawl loop); the latter three landed
+# after the changed block, displacing x29/x27/x26 to the r12 block;
 # (2) the ELEVEN entries whose implementation or fixture changed
 # this round — changed code invalidates the old proof: x47
 # (eleventh arm: undeclared-Shift_JIS content sniff, Missing #2),
@@ -61,15 +62,16 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 # (3) the verdict-staged r6-proof leads q9/d13/m1, then 36 of the
 # 38 remaining r6-proof entries (cf1-cf4, pr1-pr4, sc1-sc4,
 # f1/f10/f11/f14, r3-r6/r8, u1-u3, t3/t5, q5/q6, w1_baseline_index,
-# s7_ivf_pq_persisted, x22/x24-x26). x27/x28/x29/sc5/sc6 spill to
-# positions 51-55 and LEAD the r12 window (the window is exactly 50
-# and the new/changed-entry set takes precedence; sc1-sc4 exercise
-# the same wrangle machinery in-window this round, x29's CDC
-# chunker shares the rolling-hash machinery x45 proved in r9,
+# s7_ivf_pq_persisted, x22/x24-x25). x26/x27/x28/x29/sc5/sc6 spill
+# to positions 51-56 and LEAD the r12 window (the window is exactly
+# 50 and the new/changed-entry set takes precedence; sc1-sc4
+# exercise the same wrangle machinery in-window this round, x29's
+# CDC chunker shares the rolling-hash machinery x45 proved in r9,
+# x26's pair stats share x37/x49's BPE machinery (r8-proved),
 # x27/x28's samplers share x22's mixture machinery);
-# (4) positions 56+: the r7/r8/r9 cohorts by staleness, with the
+# (4) positions 57+: the r7/r8/r9 cohorts by staleness, with the
 # r10-verified window entries (freshest proofs) at the very back.
-# All 230 entries stay green under the builder's full-catalog
+# All 231 entries stay green under the builder's full-catalog
 # driver-conf emulation and test_oracle_parity regardless of window
 # position.
 # Rename note (r7 verdict #3): e3_sliding_window became
@@ -89,6 +91,7 @@ _PRIORITY = [
     "s11_warc_extract",
     "x58_politeness_sharded",
     "x59_recrawl_priority",
+    "x60_redirect_chains",
     "q9_fk_integrity",
     "d13_persisted_index_dedup",
     "m1_multimodal_decode",

@@ -31,6 +31,8 @@ compressed.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -450,6 +452,36 @@ def http_response(record_content: bytes) -> tuple[bytes, int, bool] | None:
             return None
         body, gzipped = body2, True
     return body, n_chunks, gzipped
+
+
+_STATUS_LINE_RX = re.compile(rb"^HTTP/1\.[01] (\d{3})")
+_LOCATION_RX = re.compile(
+    rb"^location[ \t]*:[ \t]*([^\r\n]*)", re.I | re.M
+)
+
+
+def http_status_location(
+    record_content: bytes,
+) -> tuple[int, str | None] | None:
+    """``(status, location)`` of an HTTP response record — the
+    redirect-following view: a crawl spends a large share of its
+    fetches on 3xx responses whose ``Location`` (often RELATIVE,
+    legal since RFC 7231) must resolve against the request URL and
+    re-enter the frontier. The header NAME matches
+    case-insensitively but the VALUE keeps its exact bytes — URL
+    paths are case-significant, and lowering the target (as the
+    body-decoding path does to the whole head) corrupts it. First
+    Location wins; absent/empty → None; non-HTTP content → None."""
+    sep = record_content.find(b"\r\n\r\n")
+    if sep < 0 or not record_content.startswith(b"HTTP/"):
+        return None
+    head = record_content[:sep]
+    m = _STATUS_LINE_RX.match(head)
+    if m is None:
+        return None
+    lm = _LOCATION_RX.search(head)
+    loc = lm.group(1).strip().decode("latin-1") if lm else ""
+    return int(m.group(1)), (loc or None)
 
 
 def http_body_chunks(record_content: bytes) -> tuple[bytes, int] | None:
