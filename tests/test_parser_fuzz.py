@@ -117,6 +117,22 @@ def _seeds() -> dict[str, bytes]:
             xref_stream=True,
             mixed_fonts=True,
         ),
+        # Type0/Identity-H composite font (2-byte glyph codes shown
+        # as hex strings across Tj and '): mutations land in the
+        # wide-code CMap, the hex-string scan, and the descendant
+        # font structure (r12)
+        "pdf_type0": pdf_build(
+            ["hello world page one", "page two"],
+            xref_stream=True,
+            type0=True,
+        ),
+        # subset font shown through hex-string operands: mutations
+        # land in the hex body / odd-digit / <<-dict paths (r12)
+        "pdf_hex": pdf_build(
+            ["hello world page one", "page two"],
+            subset_font=True,
+            hex_strings=True,
+        ),
         "http_gzip": (
             b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
             + __import__("gzip").compress(b"gzip fuzz seed " * 10, 6)
@@ -151,6 +167,8 @@ _PARSERS = {
     "pdf_glyph": pdf_text,
     "pdf15_glyph": pdf_text,
     "pdf_mixed": pdf_text,
+    "pdf_type0": pdf_text,
+    "pdf_hex": pdf_text,
     "http_gzip": http_decode_text,
     "warc": warc_records,
     "wav": decode_wav,

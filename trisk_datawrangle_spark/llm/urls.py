@@ -597,29 +597,21 @@ _IDN_URL_RX = _re.compile(
 _IDN_PORT_RX = _re.compile(r":([0-9]*)$")
 
 
-def idn_ascii_url(url):
-    """One URL with its host IDNA-folded to ASCII; ASCII inputs
-    return IDENTICAL (``str.isascii`` short-circuit — at crawl scale
-    ~all rows take it, so the kernel costs one memchr-class scan per
-    row). A host the fold refuses (empty / over-63-octet / bare-dot
-    labels, nameprep failures) returns the URL UNCHANGED — it then
-    hits the JVM chain's documented non-ASCII refusal and drops to
-    '' loudly, never entering the frontier under an unmergeable key.
-    Only the HOST folds: userinfo is case-sensitive verbatim data
-    (§3.2.1) and non-ASCII path/query bytes are the percent-fold's
-    business, so both pass through untouched."""
-    if url is None or url.isascii():
-        return url
-    m = _IDN_URL_RX.match(url)
-    if m is None:
-        return url
-    scheme, auth, rest = m.groups()
+def idn_ascii_authority(auth: str) -> str:
+    """One URL AUTHORITY with its host IDNA-folded to ASCII. A host
+    the fold refuses (empty / over-63-octet / bare-dot labels,
+    nameprep failures) returns the authority UNCHANGED — the URL
+    then hits the JVM chain's documented non-ASCII refusal and
+    drops to '' loudly, never entering the frontier under an
+    unmergeable key. Only the HOST folds: userinfo is
+    case-sensitive verbatim data (§3.2.1), the port passes through,
+    and a bracketed IP-literal host never folds."""
     user, sep, hostport = auth.rpartition("@")
     pm = _IDN_PORT_RX.search(hostport)
     host = hostport[: pm.start()] if pm else hostport
     port = hostport[pm.start():] if pm else ""
     if host.isascii() or host.startswith("["):
-        return url
+        return auth
     from encodings import idna as _idna
 
     labels = host.split(".")
@@ -630,36 +622,125 @@ def idn_ascii_url(url):
             for lbl in labels
         )
     except UnicodeError:
+        return auth
+    return f"{user}{sep}{folded}{port}"
+
+
+def idn_ascii_url(url):
+    """One URL with its host IDNA-folded to ASCII
+    (:func:`idn_ascii_authority` on the authority component);
+    ASCII inputs return IDENTICAL (``str.isascii`` short-circuit).
+    Non-ASCII path/query bytes are the percent-fold's business and
+    pass through untouched. The SCALAR reference semantics —
+    :func:`with_idn_ascii_url` distributes exactly this."""
+    if url is None or url.isascii():
         return url
-    return f"{scheme}{user}{sep}{folded}{port}{rest}"
+    m = _IDN_URL_RX.match(url)
+    if m is None:
+        return url
+    scheme, auth, rest = m.groups()
+    return f"{scheme}{idn_ascii_authority(auth)}{rest}"
+
+
+#: JVM mirrors of _IDN_URL_RX's first two groups (Java regex; the
+#: character classes contain no \s/\d/$ constructs, so Java and
+#: Python agree byte-for-byte on every input — see the r9 regex
+#: divergence audit).
+_IDN_SCHEME_RX = r"^([A-Za-z][A-Za-z0-9+.-]*://)"
+_IDN_AUTH_RX = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 
 
 def with_idn_ascii_url(df, src: str, out: str):
     """``df`` plus column ``out`` = :func:`idn_ascii_url` of URL
-    column ``src`` — THE Arrow-batched idna kernel the
-    :func:`_assemble_canonical` docstring promises, placed upstream
-    of :func:`with_canonical_url` so the unicode long tail merges
-    with its ``xn--`` spellings instead of dropping. mapInPandas
-    (Arrow batches, zero per-row Python call overhead beyond the
-    isascii short-circuit), embarrassingly parallel, no shuffle; on
-    wide rows apply it to a projected (key, url) frame to keep the
-    Arrow transfer narrow."""
+    column ``src`` — the IDNA fold the :func:`_assemble_canonical`
+    docstring promises, placed upstream of
+    :func:`with_canonical_url` so the unicode long tail merges with
+    its ``xn--`` spellings instead of dropping.
+
+    100 TB shape (r11 verdict Wrong #2): the fold runs on DISTINCT
+    non-ASCII authorities only — never on rows. At crawl scale
+    distinct authorities ≪ rows and the non-ASCII subset is a long
+    tail of THAT, so the one Python stage (nameprep+punycode has no
+    JVM expression) touches a vanishing fraction of the data; the
+    per-row path is 100% JVM: a scheme/authority regex split, an
+    ASCII test, a broadcast hash join against the (authority →
+    folded) map, and a three-piece concat. No shuffle of the big
+    side, no Arrow transfer of the corpus. The JVM split mirrors
+    ``_IDN_URL_RX``'s groups exactly and the REST piece is taken by
+    code-point arithmetic (``substr(len(scheme)+len(auth)+1)``),
+    not by a ``$``-anchored regex — Java's ``$``-before-newline
+    quirk never enters; the port/userinfo split stays inside the
+    Python kernel (:func:`idn_ascii_authority`) where Python regex
+    semantics are authoritative. Rows the scalar leaves unchanged
+    (ASCII urls, no scheme, ASCII host, bracketed IP literal,
+    refused folds) take the ``otherwise(url)`` arm byte-for-byte;
+    tests/test_urls.py property-checks the distributed ≡ scalar
+    equivalence over an adversarial corpus."""
     import pandas as pd
     from pyspark.sql.types import StringType, StructField, StructType
 
     if out in df.columns:
         raise ValueError(f"output column already exists: {out}")
-    schema = StructType(
-        list(df.schema.fields) + [StructField(out, StringType())]
+    ascii_rx = r"^[\x00-\x7F]*$"
+    scheme_c = F.regexp_extract(F.col(src), _IDN_SCHEME_RX, 1)
+    auth_c = F.regexp_extract(F.col(src), _IDN_AUTH_RX, 1)
+    staged = df.withColumn("__idn_scheme", scheme_c).withColumn(
+        "__idn_auth", auth_c
+    )
+    needs = (
+        F.col(src).isNotNull()
+        & (F.col("__idn_scheme") != F.lit(""))
+        & ~F.col("__idn_auth").rlike(ascii_rx)
+    )
+    fold_schema = StructType(
+        [
+            StructField("__idn_auth_key", StringType()),
+            StructField("__idn_folded", StringType()),
+        ]
     )
 
     def fold(batches):
         for pdf in batches:
-            pdf = pdf.copy()
-            pdf[out] = pd.array(
-                [idn_ascii_url(u) for u in pdf[src]],
-                dtype="string",
+            auths = pdf["__idn_auth"]
+            yield pd.DataFrame(
+                {
+                    "__idn_auth_key": auths,
+                    "__idn_folded": pd.array(
+                        [idn_ascii_authority(a) for a in auths],
+                        dtype="string",
+                    ),
+                }
             )
-            yield pdf
 
-    return df.mapInPandas(fold, schema)
+    fold_map = (
+        staged.where(needs)
+        .select("__idn_auth")
+        .distinct()
+        .mapInPandas(fold, fold_schema)
+    )
+    rest_c = F.col(src).substr(
+        F.length("__idn_scheme") + F.length("__idn_auth") + F.lit(1),
+        F.length(F.col(src)),
+    )
+    return (
+        staged.join(
+            F.broadcast(fold_map),
+            F.col("__idn_auth") == F.col("__idn_auth_key"),
+            "left",
+        )
+        .withColumn(
+            out,
+            F.when(
+                needs & F.col("__idn_folded").isNotNull(),
+                F.concat(
+                    F.col("__idn_scheme"),
+                    F.col("__idn_folded"),
+                    rest_c,
+                ),
+            ).otherwise(F.col(src)),
+        )
+        .drop(
+            "__idn_scheme", "__idn_auth", "__idn_auth_key",
+            "__idn_folded",
+        )
+    )
