@@ -6744,19 +6744,42 @@ def x56(spark, sf_dir):
     "x59_recrawl_priority",
     f"""
 WITH sm AS ({_X54_SQL}),
-hist AS (
+k AS (
     SELECT doc_id, url_idx, loc, lastmod,
-        '2025-'
-        || lpad(CAST((doc_id * 5 + url_idx) % 12 + 1 AS VARCHAR),
-                2, '0')
-        || '-'
-        || lpad(CAST((doc_id + url_idx * 7) % 28 + 1 AS VARCHAR),
-                2, '0') AS last_fetch
+        doc_id % 23 AS hk, CAST(url_idx AS BIGINT) AS j
     FROM sm
+),
+hist AS (
+    SELECT doc_id, url_idx, loc, lastmod, hk,
+        -- odd hosts: the inline arithmetic history (arm A); even
+        -- hosts: the persisted fetch-log channel (arm B) — absent
+        -- keys ((hk+j)%6=0) were never fetched, (hk+j)%12=2 keys
+        -- carry the MERGED refetch date (updates win)
+        CASE WHEN hk % 2 = 1 THEN
+            '2025-'
+            || lpad(CAST((doc_id * 5 + url_idx) % 12 + 1 AS VARCHAR),
+                    2, '0')
+            || '-'
+            || lpad(CAST((doc_id + url_idx * 7) % 28 + 1 AS VARCHAR),
+                    2, '0')
+        WHEN (hk + j) % 6 = 0 THEN NULL
+        WHEN (hk + j) % 12 = 2 THEN
+            '2025-12-'
+            || lpad(CAST((hk + j) % 28 + 1 AS VARCHAR), 2, '0')
+        ELSE
+            '2025-'
+            || lpad(CAST((hk * 5 + j) % 12 + 1 AS VARCHAR), 2, '0')
+            || '-'
+            || lpad(CAST((hk + j * 7) % 28 + 1 AS VARCHAR), 2, '0')
+        END AS last_fetch
+    FROM k
 )
 SELECT doc_id, url_idx, loc, lastmod, last_fetch,
-    (lastmod = '' OR lastmod > last_fetch) AS needs_fetch,
+    hk % 2 = 0 AS from_log,
+    (last_fetch IS NULL OR lastmod = '' OR lastmod > last_fetch)
+        AS needs_fetch,
     CAST(CASE
+        WHEN last_fetch IS NULL THEN 60
         WHEN lastmod = '' THEN 30
         WHEN lastmod > last_fetch THEN
             (CAST(substr(lastmod, 6, 2) AS INTEGER)
@@ -6773,56 +6796,126 @@ def x59(spark, sf_dir):
     the FIRST fetch; a production crawler spends most of its budget
     RE-fetching, ordered by evidence of change. The evidence is
     x54's sitemap ``<lastmod>`` (one function call over the same
-    entries — the w5/x57 one-source-of-truth idiom) joined against
-    a per-URL fetch history (fixture arithmetic both engines
-    replay): ``needs_fetch`` when the sitemap says the page changed
-    after the last fetch (ISO-8601 dates compare as strings) OR
-    when lastmod is ABSENT — a third of real sitemap entries —
-    where the scheduler must fall back to an age prior instead of
-    never refetching (the silent-staleness bug class); ``staleness``
-    is the day-arithmetic backlog score the fetch queue orders by
-    (the absent-lastmod prior pins 30). CASE arms guard the
-    substring→int casts so the empty lastmod never reaches ANSI
-    cast, in BOTH engines. The oracle wraps the full shared x54 SQL
-    with the same history arithmetic, so a phantom lastmod, a
-    date-compare slip, or a prior that never fires flips the hash.
-    Scale shape: x54's scan-fused JVM chain + one more stage of
-    per-row arithmetic — zero Python, zero shuffle, zero joins (the
-    history here is arithmetic; a real one is a canonical-key
-    equi-join against the fetch log, the frontier dedup's shape)."""
+    entries — the w5/x57 one-source-of-truth idiom) joined against a
+    per-URL fetch history carried through BOTH production channels
+    (r11 verdict Missing #3): odd-numbered hosts take arm A, the
+    inline arithmetic history (the r11 shape — zero joins); EVEN
+    hosts take arm B, a PERSISTED fetch log — a partitioned parquet
+    table written with sources/incremental.py write_partitioned,
+    UPSERTED with merge_by_key (the u4 machinery: a refetch batch
+    whose newer dates must WIN over the base rows — (hk+j)%12=2
+    keys), read back whole, and equi-joined on the canonical URL
+    key. Log keys are canonical-URL-derived (hk = host number,
+    j = slot — x54's loc is a function of exactly these), so the
+    join is a real canonical-key lookup, not row identity. URLs
+    ABSENT from the log ((hk+j)%6=0 — never fetched) surface as
+    NULL last_fetch and take the strong never-fetched prior (60),
+    ranking above absent-lastmod (30) and date-diff backlog;
+    ``needs_fetch`` fires when the log has no row, the sitemap
+    claims a change after the last fetch, or lastmod is absent (the
+    silent-staleness bug class). CASE arms guard the substring→int
+    casts so empty/NULL never reaches ANSI cast, in BOTH engines.
+    The oracle wraps the full shared x54 SQL and replays BOTH
+    channels arithmetically — a lost merge (stale date surviving
+    the upsert), a dropped log row, a join fanout, or a prior that
+    never fires flips the hash. Scale shape: x54's scan-fused JVM
+    chain + ONE broadcast equi-join against the fetch log (the log
+    is keyed and partitioned; at crawl scale it is the u4
+    incremental table — only affected partitions rewrite per batch)
+    + per-row arithmetic; zero Python."""
+    import shutil
+    import tempfile
+
+    from trisk_datawrangle_spark.sources.incremental import (
+        merge_by_key,
+        write_partitioned,
+    )
+
     sm = x54(spark, sf_dir)
     did, uix = F.col("doc_id"), F.col("url_idx")
-    last_fetch = F.concat(
+    hk = did % 23
+    j = uix.cast("long")
+    # ---- arm B: the persisted fetch log (even hosts) ----
+    # base: every fetched URL's last fetch date, derived from the
+    # canonical key's own (hk, j) so the log is loc-keyed
+    base_date = F.concat(
         F.lit("2025-"),
-        F.lpad(((did * 5 + uix) % 12 + 1).cast("string"), 2, "0"),
+        F.lpad(((hk * 5 + j) % 12 + 1).cast("string"), 2, "0"),
         F.lit("-"),
-        F.lpad(((did + uix * 7) % 28 + 1).cast("string"), 2, "0"),
+        F.lpad(((hk + j * 7) % 28 + 1).cast("string"), 2, "0"),
     )
-    lm, lf = F.col("lastmod"), F.col("last_fetch")
-    mdiff = (
-        F.substring(lm, 6, 2).cast("int")
-        - F.substring(lf, 6, 2).cast("int")
-    )
-    ddiff = (
-        F.substring(lm, 9, 2).cast("int")
-        - F.substring(lf, 9, 2).cast("int")
-    )
-    return (
-        sm.withColumn("last_fetch", last_fetch)
+    log_base = (
+        sm.where((hk % 2 == 0) & ((hk + j) % 6 != 0))
         .select(
+            "loc",
+            (hk % 4).alias("pb"),
+            base_date.alias("last_fetch"),
+        )
+        .distinct()
+    )
+    # refetch batch: newer dates that must WIN over the base rows
+    upd = (
+        sm.where((hk % 2 == 0) & ((hk + j) % 12 == 2))
+        .select(
+            "loc",
+            (hk % 4).alias("pb"),
+            F.concat(
+                F.lit("2025-12-"),
+                F.lpad(((hk + j) % 28 + 1).cast("string"), 2, "0"),
+            ).alias("last_fetch"),
+        )
+        .distinct()
+    )
+    path = tempfile.mkdtemp(prefix="x59_fetchlog_") + "/log"
+    try:
+        write_partitioned(log_base, path, ["pb"])
+        merge_by_key(spark, upd, path, ["loc"], ["pb"])
+        log = spark.read.parquet(path).select(
+            "loc", F.col("last_fetch").alias("__lf_log")
+        )
+        # ---- arm A: the inline arithmetic history (odd hosts) ----
+        arith_date = F.concat(
+            F.lit("2025-"),
+            F.lpad(((did * 5 + uix) % 12 + 1).cast("string"), 2,
+                   "0"),
+            F.lit("-"),
+            F.lpad(((did + uix * 7) % 28 + 1).cast("string"), 2,
+                   "0"),
+        )
+        joined = sm.join(F.broadcast(log), ["loc"], "left")
+        lf = F.when(hk % 2 == 1, arith_date).otherwise(
+            F.col("__lf_log")
+        )
+        lm = F.col("lastmod")
+        mdiff = (
+            F.substring(lm, 6, 2).cast("int")
+            - F.substring(lf, 6, 2).cast("int")
+        )
+        ddiff = (
+            F.substring(lm, 9, 2).cast("int")
+            - F.substring(lf, 9, 2).cast("int")
+        )
+        out = joined.select(
             "doc_id",
             "url_idx",
             "loc",
             "lastmod",
-            "last_fetch",
-            ((lm == "") | (lm > lf)).alias("needs_fetch"),
-            F.when(lm == "", F.lit(30))
+            lf.alias("last_fetch"),
+            (hk % 2 == 0).alias("from_log"),
+            (lf.isNull() | (lm == "") | (lm > lf)).alias(
+                "needs_fetch"
+            ),
+            F.when(lf.isNull(), F.lit(60))
+            .when(lm == "", F.lit(30))
             .when(lm > lf, mdiff * 30 + ddiff)
             .otherwise(F.lit(0))
             .cast("int")
             .alias("staleness"),
         )
-    )
+        out = out.localCheckpoint()  # materialize before cleanup
+    finally:
+        shutil.rmtree(path.rsplit("/", 1)[0], ignore_errors=True)
+    return out
 
 
 @q(
@@ -7044,6 +7137,397 @@ def x60(spark, sf_dir):
         F.when(F.col("more").isNotNull(), F.lit(3))
         .otherwise(F.col("hops")).cast("int").alias("hops"),
         F.col("more").isNotNull().alias("unresolved"),
+    )
+
+
+_W6_SQL = """
+WITH pages AS (
+    SELECT doc_id AS x FROM documents
+    UNION ALL
+    SELECT doc_id + 1 FROM documents
+),
+pcanon AS (
+    SELECT x,
+        'https://host' || CAST(x % 23 AS VARCHAR) || '.example.com'
+        || CASE CAST(x % 3 AS INTEGER)
+             WHEN 0 THEN '/q/open' || CAST(x AS VARCHAR)
+             WHEN 1 THEN '/q/' || CAST(x AS VARCHAR)
+             ELSE '/c/' || CAST(x AS VARCHAR) END AS canon
+    FROM pages
+),
+-- round-1 allowed pages (the fetch set): /q/<x> on a shared-rules
+-- host is the only disallowed page class (replays the robots argmax
+-- arithmetically; the Spark side runs the REAL gate)
+fetchable AS (
+    SELECT DISTINCT x FROM pcanon
+    WHERE NOT (x % 3 = 1 AND (x % 23) % 3 <> 0)
+),
+targets AS (
+    SELECT CASE CAST(x % 5 AS INTEGER)
+        WHEN 0 THEN 'https://host' || CAST(x % 23 AS VARCHAR)
+            || '.example.com/t/fin' || CAST(x AS VARCHAR)
+        WHEN 1 THEN 'http://host' || CAST((x + 1) % 23 AS VARCHAR)
+            || '.example.com/q/bad' || CAST(x AS VARCHAR)
+        WHEN 3 THEN 'https://host' || CAST((x + 2) % 23 AS VARCHAR)
+            || '.example.com'
+            || CASE CAST((x + 2) % 3 AS INTEGER)
+                 WHEN 0 THEN '/q/open' || CAST(x + 2 AS VARCHAR)
+                 WHEN 1 THEN '/q/' || CAST(x + 2 AS VARCHAR)
+                 ELSE '/c/' || CAST(x + 2 AS VARCHAR) END
+        ELSE NULL END AS canon
+    FROM fetchable
+),
+u AS (
+    SELECT canon, 0 AS via FROM pcanon
+    UNION ALL
+    SELECT canon, 1 FROM targets WHERE canon IS NOT NULL
+),
+f2 AS (
+    SELECT canon, COUNT(*) AS n_discoveries,
+        MAX(via) = 1 AS via_redirect,
+        CAST(regexp_extract(canon, '^[a-z]+://host([0-9]+)', 1)
+             AS BIGINT) AS h,
+        regexp_extract(canon, '^[a-z]+://[^/]+(/.*)', 1) AS path
+    FROM u GROUP BY canon
+),
+hosts AS (
+    SELECT CAST(i AS BIGINT) AS h FROM generate_series(0, 22) t(i)
+),
+rules AS (
+    SELECT h, 'allow' AS verb,
+        '/p/' || CAST(h % 5 AS VARCHAR) || '/ok$' AS pattern
+    FROM hosts WHERE h % 3 = 0
+    UNION ALL
+    SELECT h, 'disallow',
+        '/p/' || CAST(h % 5 AS VARCHAR) || '*'
+    FROM hosts WHERE h % 3 = 0
+    UNION ALL
+    SELECT h, 'disallow', '/q/' FROM hosts WHERE h % 3 <> 0
+    UNION ALL
+    SELECT h, 'allow', '/q/open' FROM hosts WHERE h % 3 <> 0
+),
+rx AS (
+    SELECT h, verb, pattern,
+        CAST(length(pattern) AS INTEGER) AS plen,
+        CASE WHEN pattern LIKE '%$'
+             THEN '^' || replace(left(pattern, length(pattern) - 1),
+                                 '*', '.*') || '$'
+             ELSE '^' || replace(pattern, '*', '.*') END AS rx
+    FROM rules
+),
+m AS (
+    SELECT f.canon, r.verb,
+        row_number() OVER (
+            PARTITION BY f.canon
+            ORDER BY r.plen DESC, (r.verb = 'allow') DESC,
+                     r.pattern DESC
+        ) AS rn
+    FROM f2 f JOIN rx r ON f.h = r.h AND regexp_matches(f.path, r.rx)
+),
+g2 AS (
+    SELECT f.canon, f.n_discoveries, f.via_redirect, f.h,
+        COALESCE(w.verb, 'allow') = 'allow' AS allowed
+    FROM f2 f
+    LEFT JOIN (SELECT * FROM m WHERE rn = 1) w ON f.canon = w.canon
+),
+sched AS (
+    SELECT canon,
+        CAST(row_number() OVER (PARTITION BY h ORDER BY canon)
+             AS INTEGER) AS slot,
+        CAST((row_number() OVER (PARTITION BY h ORDER BY canon) - 1)
+             * COALESCE(CASE WHEN h % 3 = 0 THEN (h % 7) + 2
+                             WHEN h % 11 = 5 THEN NULL
+                             ELSE 7 END, 1.0) AS DOUBLE) AS eta_sec
+    FROM g2 WHERE allowed
+),
+rec AS (
+    SELECT canon,
+        CAST(regexp_extract(canon, '([0-9]+)$', 1) AS BIGINT) AS k
+    FROM g2 WHERE allowed
+),
+rec2 AS (
+    SELECT canon,
+        CASE WHEN k % 4 = 0 THEN '' ELSE
+            '2025-'
+            || lpad(CAST((k * 3) % 12 + 1 AS VARCHAR), 2, '0')
+            || '-'
+            || lpad(CAST(k % 28 + 1 AS VARCHAR), 2, '0') END
+            AS lastmod,
+        '2025-'
+        || lpad(CAST((k * 5) % 12 + 1 AS VARCHAR), 2, '0')
+        || '-'
+        || lpad(CAST((k + 13) % 28 + 1 AS VARCHAR), 2, '0')
+            AS last_fetch
+    FROM rec
+),
+rec3 AS (
+    SELECT canon,
+        (lastmod = '' OR lastmod > last_fetch) AS needs_fetch,
+        CAST(CASE WHEN lastmod = '' THEN 30
+             WHEN lastmod > last_fetch THEN
+                (CAST(substr(lastmod, 6, 2) AS INTEGER)
+                 - CAST(substr(last_fetch, 6, 2) AS INTEGER)) * 30
+                + CAST(substr(lastmod, 9, 2) AS INTEGER)
+                - CAST(substr(last_fetch, 9, 2) AS INTEGER)
+             ELSE 0 END AS INTEGER) AS staleness
+    FROM rec2
+)
+SELECT g.canon,
+    CAST(g.n_discoveries AS BIGINT) AS n_discoveries,
+    g.allowed, g.via_redirect, g.h,
+    s.slot, s.eta_sec, r.needs_fetch, r.staleness
+FROM g2 g
+LEFT JOIN sched s ON g.canon = s.canon
+LEFT JOIN rec3 r ON g.canon = r.canon
+"""
+
+
+@q("w6_crawl_loop_e2e", _W6_SQL)
+def w6(spark, sf_dir):
+    """The crawl LOOP end to end (r11 verdict Missing #2) — w5
+    proved discovery -> dedup -> robots; x60 proved redirect
+    following; x57/x58 proved scheduling; x59 proved recrawl. Each
+    is individually oracle-gated, but only a composite catches
+    CROSS-STAGE contract drift: a canonical-key mismatch between the
+    redirect resolver's output and the frontier's dedup key, or a
+    redirect target that skips the robots gate, survives every
+    per-stage oracle. This entry chains all four stages under ONE
+    canonical key: (1) DISCOVERY — each doc contributes its own
+    case/default-port-noisy page URL and its successor's (so dedup
+    counts are non-trivial), canonicalized through the shared JVM
+    chain; (2) ROUND-1 GATE — the deduped frontier passes the REAL
+    robots fixture gate (same broadcast rules dimension as x51/w5;
+    /q/<x> pages on shared-rules hosts are disallowed and never
+    fetched); (3) FETCH + REDIRECT — allowed pages answer by
+    arm (x%5): a RELATIVE ../t/ Location resolved against the
+    request URL, an absolute cross-host 302 INTO a robots-blocked
+    /q/ path (the round-2 gate must kill it — the drift class this
+    entry exists for), a terminal 200, and a 301 onto an
+    ALREADY-DISCOVERED page whose frontier entry must MERGE (dedup
+    count +1, via_redirect flips true); (4) ROUND-2 FRONTIER —
+    discoveries union redirect targets, re-deduped on the canonical
+    key alone and re-gated; (5) SCHEDULE — the allowed round-2
+    frontier takes the factored politeness_schedule operator (flat
+    x57 shape) with the robots meta dimension's per-host delays and
+    the 1.0 s no-delay default; (6) RECRAWL — every allowed URL
+    (redirect targets INCLUDED: the redirected-URL-reaches-recrawl
+    assertion) gets the x59 lastmod/fetch-history arithmetic keyed
+    on the URL's trailing integer, absent-lastmod rows (k%4=0)
+    taking the age prior. The oracle replays discovery arithmetic,
+    dedup counts, the robots argmax, the schedule window, and the
+    recrawl arithmetic — so a canon drift between stages, a target
+    skipping either gate, a lost merge, a NULL eta, or a redirect
+    target missing from the recrawl queue flips the hash. Scale
+    shape: scan-fused JVM discovery -> ONE corpus-sized exchange
+    (the canonical-key dedup); the round-2 re-dedup sums the
+    round-1 COUNTS with the targets, so it is frontier-sized — the
+    corpus is touched exactly once; both rules joins and the delay
+    join are broadcasts; the schedule window re-partitions only the
+    deduped frontier; redirect resolution is the same staged JVM
+    chain as x60 (no Python, no driver loop); f1 and g2 take
+    localCheckpoint lineage cuts at their stage boundaries (the w0
+    scenarios idiom — each feeds two branches, and the uncut tree
+    stacks the canonical chain under both gates and blows the
+    serialized task size)."""
+    from trisk_datawrangle_spark.llm.politeness import (
+        politeness_schedule,
+    )
+    from trisk_datawrangle_spark.llm.urls import (
+        with_canonical_url,
+        with_resolved_url,
+    )
+
+    rules = _robots_fixture_rules(spark)  # shared with x51/w5
+    delays = _robots_fixture_meta(spark).select(
+        "h", "crawl_delay"
+    ).distinct()
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+
+    def page_path(x):
+        xs = x.cast("string")
+        return (
+            F.when(x % 3 == 0, F.concat(F.lit("/q/open"), xs))
+            .when(x % 3 == 1, F.concat(F.lit("/q/"), xs))
+            .otherwise(F.concat(F.lit("/c/"), xs))
+        )
+
+    own_raw = F.concat(
+        F.lit("HTTPS://Host"), (did % 23).cast("string"),
+        F.lit(".Example.COM:443"), page_path(did),
+    )
+    nbr = did + 1
+    nbr_raw = F.concat(
+        F.lit("https://HOST"), (nbr % 23).cast("string"),
+        F.lit(".example.com"), page_path(nbr),
+    )
+    disc = with_canonical_url(
+        d.select(F.explode(F.array(own_raw, nbr_raw)).alias("raw")),
+        "raw", "canon",
+    ).select("canon")
+
+    def gate(frontier):
+        """h/path derivation + the broadcast robots argmax — the
+        SAME longest-match-allow-wins shape as w5, applied to both
+        frontier rounds (one helper, the gates cannot drift)."""
+        fr = frontier.select(
+            "*",
+            F.regexp_extract(
+                F.col("canon"), "^[a-z]+://host([0-9]+)\\.", 1
+            ).cast("long").alias("h"),
+            F.regexp_extract(
+                F.col("canon"), "^[a-z]+://[^/]+(/.*)", 1
+            ).alias("path"),
+        )
+        matched = fr.join(F.broadcast(rules), "h").where(
+            F.expr("regexp_like(path, rx)")
+        )
+        best = (
+            matched.groupBy("canon")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("plen"),
+                        (F.col("verb") == "allow").cast("int")
+                        .alias("verb_pref"),
+                        F.col("pattern"),
+                        F.col("verb"),
+                    )
+                ).alias("w")
+            )
+            .select("canon", F.col("w.verb").alias("verb"))
+        )
+        return (
+            fr.join(best, ["canon"], "left")
+            .withColumn(
+                "allowed",
+                F.coalesce(F.col("verb"), F.lit("allow"))
+                == "allow",
+            )
+            .drop("verb", "path")
+        )
+
+    # round 1: dedup FIRST (the one corpus-sized exchange), then a
+    # lineage cut — everything downstream is frontier-sized, and the
+    # plan tree the final stages serialize stays flat (the w0
+    # scenarios localCheckpoint idiom; an uncut tree stacks the
+    # canonical chain under both gates' joins and blows the driver
+    # task size)
+    f1 = disc.groupBy("canon").agg(
+        F.count(F.lit(1)).alias("n1")
+    ).localCheckpoint(eager=False)
+    fetch = gate(f1).where(F.col("allowed")).select("canon")
+    x = F.regexp_extract(
+        F.col("canon"), "([0-9]+)$", 1
+    ).cast("long")
+    arm = x % 5
+    loc = (
+        F.when(arm == 0, F.concat(F.lit("../t/fin"),
+                                  x.cast("string")))
+        .when(arm == 1, F.concat(
+            F.lit("HTTP://Host"), ((x + 1) % 23).cast("string"),
+            F.lit(".Example.com:80/q/bad"), x.cast("string"),
+        ))
+        .when(arm == 3, F.concat(
+            F.lit("https://Host"), ((x + 2) % 23).cast("string"),
+            F.lit(".Example.com"), page_path(x + 2),
+        ))
+    )  # arms 2/4: NULL — terminal 200, no Location
+    redirected = fetch.withColumn("loc", loc).where(
+        F.col("loc").isNotNull()
+    )
+    # Location resolves against the REQUEST URL through the shared
+    # JVM chains (the x60 contract), then re-enters the frontier
+    resolved = with_resolved_url(redirected, "canon", "loc", "traw")
+    # third lineage cut: the stacked resolve+canonical staged
+    # projections under the round-2 union/aggregate/gate send the
+    # optimizer into a measured 23 s re-analysis spiral (0.9 s with
+    # the cut) — targets is frontier-sized, the cheapest place to
+    # flatten
+    targets = (
+        with_canonical_url(resolved, "traw", "tcanon")
+        .select(F.col("tcanon").alias("canon"))
+        .localCheckpoint(eager=False)
+    )
+    # round 2: the deduped round-1 counts UNION the redirect
+    # targets -> re-dedup on the canonical key alone -> re-gate
+    # (the loop closes HERE). Summing the round-1 COUNTS instead of
+    # re-unioning the raw discovery rows keeps the second exchange
+    # frontier-sized — the corpus is touched exactly once
+    f2 = (
+        f1.select(
+            "canon", F.col("n1").alias("n"), F.lit(0).alias("via")
+        )
+        .unionByName(
+            targets.select(
+                "canon", F.lit(1).alias("n"), F.lit(1).alias("via")
+            )
+        )
+        .groupBy("canon")
+        .agg(
+            F.sum("n").alias("n_discoveries"),
+            (F.max("via") == 1).alias("via_redirect"),
+        )
+    )
+    # second lineage cut: g2 feeds the schedule window AND the
+    # final join — flat on both branches
+    g2 = gate(f2).localCheckpoint(eager=False)
+    sched = politeness_schedule(
+        g2.where(F.col("allowed"))
+        .join(F.broadcast(delays), ["h"], "left")
+        .select("h", "canon", "crawl_delay"),
+        default_delay=_DEFAULT_CRAWL_DELAY,
+    ).select("canon", "slot", "eta_sec")
+    # recrawl arithmetic (the x59 contract) keyed on the trailing
+    # integer — redirect targets included, so a target that reached
+    # the allowed frontier MUST surface in the recrawl queue
+    k = F.regexp_extract(F.col("canon"), "([0-9]+)$", 1).cast("long")
+    lastmod = F.when(k % 4 == 0, F.lit("")).otherwise(
+        F.concat(
+            F.lit("2025-"),
+            F.lpad(((k * 3) % 12 + 1).cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad((k % 28 + 1).cast("string"), 2, "0"),
+        )
+    )
+    last_fetch = F.concat(
+        F.lit("2025-"),
+        F.lpad(((k * 5) % 12 + 1).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad(((k + 13) % 28 + 1).cast("string"), 2, "0"),
+    )
+    joined = (
+        g2.join(sched, ["canon"], "left")
+        .withColumn("lastmod", F.when(F.col("allowed"), lastmod))
+        .withColumn(
+            "last_fetch", F.when(F.col("allowed"), last_fetch)
+        )
+    )
+    lm, lf = F.col("lastmod"), F.col("last_fetch")
+    mdiff = (
+        F.substring(lm, 6, 2).cast("int")
+        - F.substring(lf, 6, 2).cast("int")
+    )
+    ddiff = (
+        F.substring(lm, 9, 2).cast("int")
+        - F.substring(lf, 9, 2).cast("int")
+    )
+    return joined.select(
+        "canon",
+        F.col("n_discoveries").cast("long").alias("n_discoveries"),
+        "allowed",
+        "via_redirect",
+        F.col("h").cast("long").alias("h"),
+        F.col("slot").cast("int").alias("slot"),
+        F.col("eta_sec").cast("double").alias("eta_sec"),
+        ((lm == "") | (lm > lf)).alias("needs_fetch"),
+        F.when(lm == "", F.lit(30))
+        .when(lm > lf, mdiff * 30 + ddiff)
+        .otherwise(
+            F.when(F.col("allowed"), F.lit(0))
+        )
+        .cast("int")
+        .alias("staleness"),
     )
 
 
