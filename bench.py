@@ -89,16 +89,21 @@ CALIB_TOL = 0.20
 #: measured a box whose SINGLE-thread probe sat dead in the idle
 #: band while every untouched query ran a uniform 1.36× slower —
 #: multicore throughput (cgroup quota, SMT topology, a neighbor on
-#: the socket) is invisible to the scalar probe. Field data:
-#: r10-committed 0.368/0.379 s, r11 idle runs 0.356-0.41 s, the
-#: r10-divergent box fluctuated 0.36-0.61 s. Band center 0.37 s;
-#: tolerance wider than the scalar's (process-pool startup rides in
-#: the number) and applied to BOTH probes individually — a
+#: the socket) is invisible to the scalar probe. Field data, three
+#: rounds (the r11 verdict's accrual plan): r10-committed
+#: 0.368/0.379 s, r11 idle runs 0.350-0.41 s, r12 idle runs
+#: 0.346-0.40 s — idle spread ±9% around 0.375; the r10-divergent
+#: box fluctuated 0.36-0.61 s (its 0.61 side is +63%, still
+#: flagged). Band center 0.375 s; tolerance tightened 35% → 25%
+#: (r11 verdict #8 — three rounds of data admit every idle reading
+#: with ≥2× margin while keeping the divergent box out), still
+#: wider than the scalar's (process-pool startup rides in the
+#: number) and applied to BOTH probes individually — a
 #: throughput-fluctuating box (the diagnosed failure mode) shows an
 #: out-of-band reading on at least one side even when the pair's
 #: min looks idle.
-CALIB_PAR_IDLE_SEC = 0.37
-CALIB_PAR_TOL = 0.35
+CALIB_PAR_IDLE_SEC = 0.375
+CALIB_PAR_TOL = 0.25
 
 # 1-min loadavg above this means someone else is burning the box.
 # Headline queries here are parallel but short — background noise of

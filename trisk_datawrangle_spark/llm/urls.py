@@ -642,12 +642,23 @@ def idn_ascii_url(url):
     return f"{scheme}{idn_ascii_authority(auth)}{rest}"
 
 
-#: JVM mirrors of _IDN_URL_RX's first two groups (Java regex; the
+#: JVM mirror of _IDN_URL_RX's scheme+authority PREFIX (groups 1+2
+#: concatenated — one regexp_extract per row instead of two; the
 #: character classes contain no \s/\d/$ constructs, so Java and
 #: Python agree byte-for-byte on every input — see the r9 regex
 #: divergence audit).
-_IDN_SCHEME_RX = r"^([A-Za-z][A-Za-z0-9+.-]*://)"
-_IDN_AUTH_RX = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_IDN_PREFIX_RX = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
+
+
+def _idn_fold_prefix(prefix: str) -> str:
+    """``scheme://authority`` with the authority's host IDNA-folded
+    (:func:`idn_ascii_authority`); the scheme is ASCII by the prefix
+    regex, so a non-ASCII prefix always means a non-ASCII
+    authority."""
+    scheme_end = prefix.index("://") + 3
+    return prefix[:scheme_end] + idn_ascii_authority(
+        prefix[scheme_end:]
+    )
 
 
 def with_idn_ascii_url(df, src: str, out: str):
@@ -682,31 +693,32 @@ def with_idn_ascii_url(df, src: str, out: str):
     if out in df.columns:
         raise ValueError(f"output column already exists: {out}")
     ascii_rx = r"^[\x00-\x7F]*$"
-    scheme_c = F.regexp_extract(F.col(src), _IDN_SCHEME_RX, 1)
-    auth_c = F.regexp_extract(F.col(src), _IDN_AUTH_RX, 1)
-    staged = df.withColumn("__idn_scheme", scheme_c).withColumn(
-        "__idn_auth", auth_c
-    )
+    prefix_c = F.regexp_extract(F.col(src), _IDN_PREFIX_RX, 1)
+    staged = df.withColumn("__idn_prefix", prefix_c)
+    # a non-ASCII scheme://authority prefix is exactly the fold
+    # condition: the scheme is ASCII by construction, so non-ASCII
+    # prefix ⟺ non-ASCII authority (host or userinfo; the kernel
+    # leaves ASCII-host prefixes unchanged)
     needs = (
         F.col(src).isNotNull()
-        & (F.col("__idn_scheme") != F.lit(""))
-        & ~F.col("__idn_auth").rlike(ascii_rx)
+        & (F.col("__idn_prefix") != F.lit(""))
+        & ~F.col("__idn_prefix").rlike(ascii_rx)
     )
     fold_schema = StructType(
         [
-            StructField("__idn_auth_key", StringType()),
+            StructField("__idn_key", StringType()),
             StructField("__idn_folded", StringType()),
         ]
     )
 
     def fold(batches):
         for pdf in batches:
-            auths = pdf["__idn_auth"]
+            prefixes = pdf["__idn_prefix"]
             yield pd.DataFrame(
                 {
-                    "__idn_auth_key": auths,
+                    "__idn_key": prefixes,
                     "__idn_folded": pd.array(
-                        [idn_ascii_authority(a) for a in auths],
+                        [_idn_fold_prefix(p) for p in prefixes],
                         dtype="string",
                     ),
                 }
@@ -714,33 +726,25 @@ def with_idn_ascii_url(df, src: str, out: str):
 
     fold_map = (
         staged.where(needs)
-        .select("__idn_auth")
+        .select("__idn_prefix")
         .distinct()
         .mapInPandas(fold, fold_schema)
     )
     rest_c = F.col(src).substr(
-        F.length("__idn_scheme") + F.length("__idn_auth") + F.lit(1),
-        F.length(F.col(src)),
+        F.length("__idn_prefix") + F.lit(1), F.length(F.col(src))
     )
     return (
         staged.join(
             F.broadcast(fold_map),
-            F.col("__idn_auth") == F.col("__idn_auth_key"),
+            F.col("__idn_prefix") == F.col("__idn_key"),
             "left",
         )
         .withColumn(
             out,
             F.when(
                 needs & F.col("__idn_folded").isNotNull(),
-                F.concat(
-                    F.col("__idn_scheme"),
-                    F.col("__idn_folded"),
-                    rest_c,
-                ),
+                F.concat(F.col("__idn_folded"), rest_c),
             ).otherwise(F.col(src)),
         )
-        .drop(
-            "__idn_scheme", "__idn_auth", "__idn_auth_key",
-            "__idn_folded",
-        )
+        .drop("__idn_prefix", "__idn_key", "__idn_folded")
     )
