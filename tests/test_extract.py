@@ -406,3 +406,92 @@ def test_http_status_location():
     ) == (302, None)
     assert http_status_location(b"not http") is None
     assert http_status_location(b"HTTP/1.1 xx\r\n\r\n") is None
+
+
+class TestHttpValidators:
+    """r12: http_validators — the conditional-revalidation view
+    (status, ETag, Last-Modified). Names case-insensitive, VALUES
+    byte-preserved (entity tags are case-sensitive opaque strings;
+    the W/ weak prefix must survive), first header wins."""
+
+    def test_basic_and_case_insensitive_names(self):
+        from trisk_datawrangle_spark.llm.extract import (
+            http_validators,
+        )
+
+        rec = (
+            b"HTTP/1.1 200 OK\r\neTaG:  \"AbC\"\r\n"
+            b"LAST-modified: Wed, 01 Jan 2025 00:00:00 GMT\r\n"
+            b"\r\nbody"
+        )
+        assert http_validators(rec) == (
+            200, '"AbC"', "Wed, 01 Jan 2025 00:00:00 GMT"
+        )
+
+    def test_weak_prefix_and_value_bytes_preserved(self):
+        from trisk_datawrangle_spark.llm.extract import (
+            http_validators,
+        )
+
+        rec = b'HTTP/1.1 304 NM\r\nETag: W/"CaSe"\r\n\r\n'
+        assert http_validators(rec) == (304, 'W/"CaSe"', None)
+
+    def test_first_header_wins_and_decoy_ignored(self):
+        from trisk_datawrangle_spark.llm.extract import (
+            http_validators,
+        )
+
+        rec = (
+            b'HTTP/1.1 200 OK\r\nX-ETag: "decoy"\r\n'
+            b'ETag: "first"\r\netag: "second"\r\n\r\n'
+        )
+        assert http_validators(rec) == (200, '"first"', None)
+
+    def test_absent_and_malformed(self):
+        from trisk_datawrangle_spark.llm.extract import (
+            http_validators,
+        )
+
+        assert http_validators(
+            b"HTTP/1.1 200 OK\r\nServer: x\r\n\r\n"
+        ) == (200, None, None)
+        assert http_validators(b"not http") is None
+        assert http_validators(b"HTTP/1.1 200 OK") is None  # no sep
+        # empty value -> None, not ''
+        assert http_validators(
+            b"HTTP/1.1 200 OK\r\nETag:   \r\n\r\n"
+        ) == (200, None, None)
+
+
+class TestHttpRetryAfter:
+    """r12: http_retry_after — the backoff view. Value bytes kept
+    verbatim (interpretation is the scheduler's CASE); first header
+    wins; X-Retry-After decoys ignored."""
+
+    def test_delta_and_date_values_verbatim(self):
+        from trisk_datawrangle_spark.llm.extract import (
+            http_retry_after,
+        )
+
+        assert http_retry_after(
+            b"HTTP/1.1 429 TM\r\nRetry-After: 120\r\n\r\n"
+        ) == (429, "120")
+        assert http_retry_after(
+            b"HTTP/1.1 503 SU\r\nretry-after:  Wed, 01 Jan 2025 "
+            b"00:45:07 GMT\r\n\r\n"
+        ) == (503, "Wed, 01 Jan 2025 00:45:07 GMT")
+
+    def test_first_wins_decoy_ignored_absent_none(self):
+        from trisk_datawrangle_spark.llm.extract import (
+            http_retry_after,
+        )
+
+        rec = (
+            b"HTTP/1.1 429 TM\r\nX-Retry-After: 9999\r\n"
+            b"Retry-After: 30\r\nretry-after: 1\r\n\r\n"
+        )
+        assert http_retry_after(rec) == (429, "30")
+        assert http_retry_after(
+            b"HTTP/1.1 200 OK\r\nServer: x\r\n\r\n"
+        ) == (200, None)
+        assert http_retry_after(b"junk") is None

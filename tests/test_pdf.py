@@ -767,3 +767,37 @@ class TestHexStringsAndType0:
             )
         with pytest.raises(ValueError, match="subset_font"):
             pdf_build(["x"], hex_strings=True)
+
+
+class TestInlineImages:
+    """r12: BI ... ID <binary> EI inline images embed raw binary in
+    the operator stream — token scanning extracts phantom text from
+    image bytes (reproduced below), and skipping to EI is heuristic
+    (no length field; the binary can contain 'EI'). The honest
+    subset refuses LOUDLY at the BI operator."""
+
+    def test_inline_image_refuses_not_mis_extracts(self):
+        from trisk_datawrangle_spark.llm.pdf import _content_text
+
+        binary = b"BI /W 2 /H 2 /BPC 8 ID \x28fake\x29 Tj\xff\x00 EI"
+        assert _content_text(
+            b"BT (real) Tj ET " + binary + b" BT (tail) Tj ET"
+        ) is None
+        # whole-document path refuses too
+        assert pdf_text(
+            _mini_pdf(b"BT (x) Tj ET " + binary)
+        ) is None
+
+    def test_bi_lookalikes_do_not_false_positive(self):
+        from trisk_datawrangle_spark.llm.pdf import _content_text
+
+        # BI inside a longer name token: no boundary, no refusal
+        assert _content_text(b"/ABI1 gs (x) Tj") == "x"
+        # BI inside a string literal: consumed atomically
+        assert _content_text(b"(has BI inside) Tj") == "has BI inside"
+        # BI inside a hex string: hex scan owns it... 'BI' IS two
+        # hex digits, so it decodes as a byte, not an operator
+        assert _content_text(b"<4249> Tj") == "BI"
+        # BIG as an (unknown) operator token: B followed by I but
+        # the token continues — no refusal
+        assert _content_text(b"(x) Tj BIG (y) Tj") == "xy"

@@ -105,3 +105,56 @@ def test_single_window_plan(spark):
     assert plan.count("Window") >= 1
     for marker in ("Python", "BatchEvalPython", "ArrowEvalPython"):
         assert marker not in plan
+
+
+class TestRetryAfterBackoff:
+    """r12: retry_after_backoff_expr — RFC 9110 §10.2.3 backoff as a
+    pure JVM expression: delta-seconds, IMF-fixdate differenced
+    against 'now' (tz cancels), past dates clamp to 0, garbage on a
+    throttling status takes the loud default."""
+
+    NOW = "Wed, 01 Jan 2025 00:30:00 GMT"
+
+    def _run(self, spark, rows):
+        from trisk_datawrangle_spark.llm.politeness import (
+            retry_after_backoff_expr,
+        )
+
+        df = spark.createDataFrame(
+            rows, "retry_after string, status int"
+        )
+        out = df.select(
+            "retry_after", "status",
+            retry_after_backoff_expr(
+                "retry_after", "status", self.NOW
+            ).alias("b"),
+        )
+        return {(r["retry_after"], r["status"]): r["b"]
+                for r in out.collect()}
+
+    def test_all_arms(self, spark):
+        got = self._run(spark, [
+            ("120", 429),
+            ("Wed, 01 Jan 2025 00:45:07 GMT", 503),   # +907s
+            ("Wed, 01 Jan 2025 00:10:00 GMT", 503),   # past -> 0
+            ("soon", 429),                            # malformed
+            (None, 503),                              # missing
+            (None, 200),                              # fine
+            ("Thu, 02 Jan 2025 00:30:00 GMT", 503),   # +86400
+        ])
+        assert got[("120", 429)] == 120.0
+        assert got[("Wed, 01 Jan 2025 00:45:07 GMT", 503)] == 907.0
+        assert got[("Wed, 01 Jan 2025 00:10:00 GMT", 503)] == 0.0
+        assert got[("soon", 429)] == 60.0
+        assert got[(None, 503)] == 60.0
+        assert got[(None, 200)] == 0.0
+        assert got[("Thu, 02 Jan 2025 00:30:00 GMT", 503)] == 86400.0
+
+    def test_legacy_date_forms_take_default(self, spark):
+        # rfc850 / asctime shapes are outside the fixdate subset:
+        # conservative default, never a mis-parse
+        got = self._run(spark, [
+            ("Wednesday, 01-Jan-25 00:45:07 GMT", 503),
+            ("Wed Jan  1 00:45:07 2025", 429),
+        ])
+        assert set(got.values()) == {60.0}

@@ -38,10 +38,17 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 # the FIRST N catalog entries (N=50), so ordering decides which entries
 # get driver-verified each round. Round-12 window (r11 verdict #1,
 # exactly as staged, plus this round's changes):
-# (1) the TWO new entries: s15 (Type0/Identity-H composite fonts +
+# (1) the FIVE new entries: s15 (Type0/Identity-H composite fonts +
 # hex-string show operands — r11 verdict Missing #1) and w6 (the
 # crawl-loop e2e composite chaining discovery -> robots -> redirects
-# -> schedule -> recrawl under one canonical key — Missing #2);
+# -> schedule -> recrawl under one canonical key — Missing #2),
+# and x61 (conditional revalidation: ETag/Last-Modified validators,
+# weak comparison, 304-keeps-stored — the fetch x59's queue issues)
+# x62 (Retry-After backoff: delta-seconds + IMF-fixdate arms,
+# past dates clamp, malformed takes the loud default), and x63
+# (gzipped sitemaps through the bounded gunzip, bombs refuse as
+# loud rows); x54 also re-enters — its builder/parse factored into
+# the shared helpers x63 reuses;
 # (2) the FOUR entries whose implementation changed this round —
 # changed code invalidates the old proof: x59 (second arm: persisted
 # fetch-log parquet upserted via the u4 merge machinery and
@@ -53,8 +60,9 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 # (3) the verdict-staged r6-proof leads x26-x29/sc5/sc6 (the last
 # six r6-proof entries, exactly as r11 staged them at 51-56);
 # (4) 38 of the r7 cohort by staleness (d16/d1/d5/d6, e1/e2/e5, g3,
-# lc1-lc3, pr5/pr6, q7, s1/s3/s4/s7_seed/s8/s9, v3, x1/x2, x30-x43,
-# x3/x39/x40-x43). x44/x45/x4-x8 spill to positions 51+ and lead the
+# lc1-lc3, pr5/pr6, q7, s1/s3/s4/s7_seed/s8/s9, v3, x1/x2,
+# x30-x3/x39). x40/x41/x42/x43/x44/x45/x4-x8 spill to positions
+# 51+ and lead the
 # r13 window; after them the r8/r9/r10 cohorts by staleness, with
 # the r11-verified window entries (freshest proofs) at the back.
 # All 233 entries stay green under the builder's full-catalog
@@ -65,6 +73,10 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 _PRIORITY = [
     "s15_pdf_type0_extract",
     "w6_crawl_loop_e2e",
+    "x61_conditional_revalidation",
+    "x62_retry_after_backoff",
+    "x63_sitemap_gzip",
+    "x54_sitemap_ingest",
     "x59_recrawl_priority",
     "x52_url_canonicalize",
     "s13_pdf_extract",
@@ -109,10 +121,6 @@ _PRIORITY = [
     "x38_dsir_resample",
     "x39_scrub_spans",
     "x3_quality_score",
-    "x40_ewma",
-    "x41_zipf_spectrum",
-    "x42_novelty_rate",
-    "x43_source_copy_matrix",
     "x47_charset_sniff",
     "x50_link_graph",
     "w5_crawl_frontier_e2e",
@@ -256,7 +264,6 @@ _PRIORITY = [
     "x20_tfidf_keywords",
     "x21_rolling_stats",
     "x9_normalize_text",
-    "x54_sitemap_ingest",
     "m10_image_near_dup",
     "m11_image_dedup_clusters",
     "x12_cms_freq_gate",

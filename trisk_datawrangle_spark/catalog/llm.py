@@ -6489,30 +6489,13 @@ FROM e
 """
 
 
-@q("x54_sitemap_ingest", _X54_SQL)
-def x54(spark, sf_dir):
-    """Sitemap ingestion (sitemaps.org protocol) — the third crawl-
-    discovery channel beside page links (x50/x53) and robots.txt
-    (x51; its ``Sitemap:`` directive points here). Each doc carries a
-    built urlset XML: 2-5 ``<url>`` blocks with entity-escaped
-    ``<loc>`` values (the spec REQUIRES escaping — every row of
-    XML_ENTITY_STEPS appears in-file: ``&amp; &lt; &gt; &quot;
-    &apos;``), case/port noise in the raw URLs, a ``<changefreq>``
-    the parser must skip, and ``<lastmod>`` present
-    on only two-thirds of blocks (absent → ''). The chain is pure
-    JVM: ``regexp_extract_all`` over ``(?s)<url>(.*?)</url>`` blocks
-    → posexplode → per-block loc/lastmod extracts →
-    xml_unescape_expr (llm/extract.py — the shared entity table,
-    ``&amp;`` LAST as the double-decode guard, contains('&')
-    guarded) → with_canonical_url for the frontier key. The oracle
-    builds the EXPECTED canonical rows from the fixture arithmetic
-    directly, so a mis-paired block, any skipped entity row, broken
-    canonicalization, or phantom lastmod flips the hash. Scale shape: scan-fused JVM
-    regex + one explode, zero Python, zero shuffle — x50's shape
-    with XML blocks instead of anchors."""
-    from trisk_datawrangle_spark.llm.urls import with_canonical_url
-
-    d = _docs(spark, sf_dir).select("doc_id")
+def _sitemap_urlset_xml(d):
+    """The shared per-doc urlset XML fixture column (x54's builder,
+    factored r12 so x63's gzip arm serializes the SAME bytes — one
+    source of truth, the w5/x57 idiom): 2-5 ``<url>`` blocks with
+    entity-escaped ``<loc>`` values (every XML_ENTITY_STEPS row
+    appears in-file), case/port noise, a ``<changefreq>`` decoy,
+    and ``<lastmod>`` on two-thirds of blocks."""
     did = F.col("doc_id")
 
     def blk(j):
@@ -6542,7 +6525,7 @@ def x54(spark, sf_dir):
         )
 
     # urlset built in-row (the x50 fold idiom) — no shuffle anywhere
-    sitemaps = d.select(
+    return d.select(
         "doc_id",
         F.concat(
             F.lit('<?xml version="1.0"?><urlset>'),
@@ -6554,14 +6537,22 @@ def x54(spark, sf_dir):
             F.lit("</urlset>"),
         ).alias("xml"),
     )
+
+
+def _sitemap_urlset_parse(spark, sitemaps):
+    """The shared urlset parse chain (x54's, factored r12): pure JVM
+    ``regexp_extract_all`` over ``(?s)<url>(.*?)</url>`` blocks →
+    posexplode → per-block loc/lastmod extracts → xml_unescape_expr
+    → with_canonical_url for the frontier key."""
+    from trisk_datawrangle_spark.llm.extract import xml_unescape_expr
+    from trisk_datawrangle_spark.llm.urls import with_canonical_url
+
     parts = F.expr(
         "regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)"
     )
     entries = sitemaps.select(
         "doc_id", F.posexplode(parts).alias("url_idx", "blk")
     )
-    from trisk_datawrangle_spark.llm.extract import xml_unescape_expr
-
     loc = xml_unescape_expr(
         F.regexp_extract(F.col("blk"), "<loc>([^<]*)</loc>", 1)
     )
@@ -6576,6 +6567,31 @@ def x54(spark, sf_dir):
     return with_canonical_url(entries, "rawloc", "loc").select(
         "doc_id", "url_idx", "loc", "lastmod"
     )
+
+
+@q("x54_sitemap_ingest", _X54_SQL)
+def x54(spark, sf_dir):
+    """Sitemap ingestion (sitemaps.org protocol) — the third crawl-
+    discovery channel beside page links (x50/x53) and robots.txt
+    (x51; its ``Sitemap:`` directive points here). Each doc carries a
+    built urlset XML: 2-5 ``<url>`` blocks with entity-escaped
+    ``<loc>`` values (the spec REQUIRES escaping — every row of
+    XML_ENTITY_STEPS appears in-file: ``&amp; &lt; &gt; &quot;
+    &apos;``), case/port noise in the raw URLs, a ``<changefreq>``
+    the parser must skip, and ``<lastmod>`` present
+    on only two-thirds of blocks (absent → ''). The chain is pure
+    JVM: ``regexp_extract_all`` over ``(?s)<url>(.*?)</url>`` blocks
+    → posexplode → per-block loc/lastmod extracts →
+    xml_unescape_expr (llm/extract.py — the shared entity table,
+    ``&amp;`` LAST as the double-decode guard, contains('&')
+    guarded) → with_canonical_url for the frontier key. The oracle
+    builds the EXPECTED canonical rows from the fixture arithmetic
+    directly, so a mis-paired block, any skipped entity row, broken
+    canonicalization, or phantom lastmod flips the hash. Scale shape: scan-fused JVM
+    regex + one explode, zero Python, zero shuffle — x50's shape
+    with XML blocks instead of anchors."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    return _sitemap_urlset_parse(spark, _sitemap_urlset_xml(d))
 
 
 @q(
@@ -7137,6 +7153,481 @@ def x60(spark, sf_dir):
         F.when(F.col("more").isNotNull(), F.lit(3))
         .otherwise(F.col("hops")).cast("int").alias("hops"),
         F.col("more").isNotNull().alias("unresolved"),
+    )
+
+
+@q(
+    "x63_sitemap_gzip",
+    f"""
+WITH sm AS ({_X54_SQL})
+SELECT doc_id, url_idx, loc, lastmod, FALSE AS refused
+FROM sm WHERE doc_id % 17 <> 0
+UNION ALL
+SELECT doc_id, CAST(-1 AS INTEGER), '', '', TRUE
+FROM documents WHERE doc_id % 17 = 0
+""",
+)
+def x63(spark, sf_dir):
+    """GZIPPED sitemap ingestion (sitemaps.org: sitemap files MAY
+    be gzip-compressed, and large sites' usually are — a crawler
+    that cannot inflate .xml.gz silently loses those URL spaces) —
+    x54's channel with the compression layer made real: each doc's
+    urlset XML (the SHARED _sitemap_urlset_xml fixture — one
+    builder, x54/x59/x63 cannot drift) is gzip-SERIALIZED and
+    inflated back through the BOUNDED gunzip (llm/extract.py
+    _bounded_gunzip — the s11 WARC discipline: a member inflating
+    past the 8 MB cap is a decompression bomb, refused, never
+    inflated into executor memory), the kernel asserting the
+    byte roundtrip; every 17th doc's sitemap IS a bomb (a tiny
+    gzip member claiming 9 MB of zeros) and must surface as a
+    refused row (url_idx=-1, loud) rather than hang, blow memory,
+    or silently vanish. Inflated XML then takes x54's exact JVM
+    parse chain (_sitemap_urlset_parse: regex blocks -> posexplode
+    -> entity decode -> canonical locs). The oracle wraps the
+    shared x54 SQL for the clean docs and pins the refused rows,
+    so a lost gz member, a cap that does not fire, a refusal that
+    drops the row entirely, or any parse drift flips the hash.
+    Scale shape: per-row Arrow gunzip (bytes-level, no shuffle,
+    linear in documents — the s11/s13 media-kernel tier) feeding
+    the scan-fused JVM parse; the bomb payload is built once per
+    kernel, not per row."""
+    import gzip as _gzip
+
+    import pandas as pd
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    xml_df = _sitemap_urlset_xml(d)
+
+    def inflate(batches):
+        from trisk_datawrangle_spark.llm.extract import (
+            _bounded_gunzip,
+        )
+
+        bomb = _gzip.compress(bytes(9 * 1024 * 1024), 1)
+        for pdf in batches:
+            ids, xmls, refs = [], [], []
+            for doc_id, xml in zip(
+                pdf["doc_id"].astype("int64"), pdf["xml"]
+            ):
+                doc_id = int(doc_id)
+                if doc_id % 17 == 0:
+                    if _bounded_gunzip(bomb) is not None:
+                        raise AssertionError(
+                            "x63: the inflate cap did not fire"
+                        )
+                    ids.append(doc_id)
+                    xmls.append("")
+                    refs.append(True)
+                    continue
+                payload = _gzip.compress(xml.encode("utf-8"), 6)
+                got = _bounded_gunzip(payload)
+                if got is None or got.decode("utf-8") != xml:
+                    raise AssertionError(
+                        f"x63: gzip roundtrip mismatch doc {doc_id}"
+                    )
+                ids.append(doc_id)
+                xmls.append(xml)
+                refs.append(False)
+            yield pd.DataFrame(
+                {"doc_id": ids, "xml": xmls, "refused": refs}
+            )
+
+    k = xml_df.mapInPandas(
+        inflate, "doc_id long, xml string, refused boolean"
+    )
+    parsed = _sitemap_urlset_parse(
+        spark, k.where(~F.col("refused")).select("doc_id", "xml")
+    ).select(
+        "doc_id", "url_idx", "loc", "lastmod",
+        F.lit(False).alias("refused"),
+    )
+    refused_rows = k.where(F.col("refused")).select(
+        "doc_id",
+        F.lit(-1).cast("int").alias("url_idx"),
+        F.lit("").alias("loc"),
+        F.lit("").alias("lastmod"),
+        F.lit(True).alias("refused"),
+    )
+    return parsed.unionByName(refused_rows)
+
+
+@q(
+    "x61_conditional_revalidation",
+    """
+WITH v AS (
+    SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS arm,
+        CASE WHEN doc_id % 4 = 3 THEN NULL
+             WHEN doc_id % 8 IN (2, 4)
+             THEN 'W/"e' || CAST(doc_id AS VARCHAR) || '"'
+             ELSE '"e' || CAST(doc_id AS VARCHAR) || '"'
+        END AS stored_etag
+    FROM documents
+),
+r AS (
+    SELECT doc_id, arm, stored_etag,
+        CASE WHEN arm = 0 THEN 304 ELSE 200 END AS status,
+        CASE WHEN arm = 0 THEN stored_etag
+             WHEN arm = 1 THEN '"e' || CAST(doc_id AS VARCHAR)
+                 || 'v2"'
+             WHEN arm = 2 THEN '"e' || CAST(doc_id AS VARCHAR) || '"'
+             ELSE '"n' || CAST(doc_id AS VARCHAR) || '"'
+        END AS etag,
+        CASE WHEN arm = 0 THEN NULL
+             ELSE 'Wed, '
+                || lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0')
+                || ' Jan 2025 00:00:'
+                || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+                || ' GMT'
+        END AS last_modified
+    FROM v
+)
+SELECT doc_id, CAST(status AS INTEGER) AS status, etag,
+    last_modified, stored_etag,
+    CASE WHEN status = 304 THEN 'not_modified'
+         WHEN stored_etag IS NULL THEN 'unconditional'
+         WHEN regexp_replace(etag, '^W/', '')
+              = regexp_replace(stored_etag, '^W/', '')
+         THEN 'wasted'
+         ELSE 'updated' END AS verdict,
+    (status = 304 OR (stored_etag IS NOT NULL
+        AND regexp_replace(etag, '^W/', '')
+            = regexp_replace(stored_etag, '^W/', ''))) AS keep_stored
+FROM r
+""",
+)
+def x61(spark, sf_dir):
+    """HTTP conditional REVALIDATION (RFC 9110 §8.8/§13.1,
+    llm/extract.py http_validators) — the fetch x59's recrawl queue
+    actually issues: a production crawler refetches with
+    ``If-None-Match`` (stored ETag, WEAK comparison) /
+    ``If-Modified-Since`` and most answers are ``304 Not Modified``
+    — keep the stored copy, download nothing. Four arms by doc%4:
+    (0) 304 echoing the stored validator (weak ``W/`` tags — every
+    doc%8=4 — survive byte-for-byte; lowercasing an entity tag
+    fabricates a different tag), (1) 200 with a NEW strong tag →
+    ``updated``, (2) 200 carrying the SAME entity tag the crawler
+    sent — a server that ignored the conditional; detected as
+    ``wasted`` (bandwidth audit), with doc%8=2 rows storing the
+    WEAK form so the match must use weak comparison (strip ``W/``,
+    then compare — strong equality would mis-classify them as
+    updated), (3) no stored validators → ``unconditional``.
+    ``keep_stored`` marks responses whose body must NOT replace the
+    stored copy (304s and wasted refetches). The kernel builds a
+    REAL response per doc (header-name case rotation, padding, an
+    ``X-ETag`` decoy the ^-anchored regex must not match, a
+    DUPLICATE trailing ETag header — first wins) and parses it back
+    with http_validators, asserting the roundtrip; classification
+    is a pure JVM CASE the oracle replays arithmetically — a
+    dropped weak prefix, a case-mangled tag, a decoy hit, or a
+    wrong comparison mode flips the hash. Scale shape: per-row
+    Arrow header parse (bytes-level, no shuffle) + JVM
+    classification; the stored-validator side at production scale
+    is the x59 fetch-log equi-join (same canonical key), already
+    proven there."""
+    import pandas as pd
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    arm = (did % 4).cast("int")
+    stored = F.when(did % 4 == 3, F.lit(None).cast("string")).otherwise(
+        F.when(
+            (did % 8).isin(2, 4),
+            F.concat(F.lit('W/"e'), did.cast("string"), F.lit('"')),
+        ).otherwise(
+            F.concat(F.lit('"e'), did.cast("string"), F.lit('"'))
+        )
+    )
+    resp_etag = (
+        F.when(arm == 0, stored)
+        .when(arm == 1, F.concat(F.lit('"e'), did.cast("string"),
+                                 F.lit('v2"')))
+        .when(arm == 2, F.concat(F.lit('"e'), did.cast("string"),
+                                 F.lit('"')))
+        .otherwise(F.concat(F.lit('"n'), did.cast("string"),
+                            F.lit('"')))
+    )
+    lastmod = F.when(arm == 0, F.lit(None).cast("string")).otherwise(
+        F.concat(
+            F.lit("Wed, "),
+            F.lpad((did % 27 + 1).cast("string"), 2, "0"),
+            F.lit(" Jan 2025 00:00:"),
+            F.lpad((did % 60).cast("string"), 2, "0"),
+            F.lit(" GMT"),
+        )
+    )
+    raw = d.select(
+        "doc_id",
+        arm.alias("arm"),
+        stored.alias("stored_etag"),
+        resp_etag.alias("want_etag"),
+        lastmod.alias("want_lm"),
+    )
+
+    def roundtrip(batches):
+        from trisk_datawrangle_spark.llm.extract import (
+            http_validators,
+        )
+
+        for pdf in batches:
+            ids, sts, ets, lms, stos = [], [], [], [], []
+            for doc_id, a, sto, we, wl in zip(
+                pdf["doc_id"].astype("int64"),
+                pdf["arm"].astype("int64"),
+                pdf["stored_etag"],
+                pdf["want_etag"],
+                pdf["want_lm"],
+            ):
+                doc_id, a = int(doc_id), int(a)
+                status = 304 if a == 0 else 200
+                ename = [b"ETag", b"etag", b"ETAG"][doc_id % 3]
+                lname = [
+                    b"Last-Modified", b"last-modified",
+                    b"LAST-MODIFIED",
+                ][doc_id % 3]
+                head = bytearray(
+                    b"HTTP/1.1 %d X\r\nServer: x\r\n"
+                    % status
+                )
+                # decoy: ^-anchored name regexes must not match it
+                head += b'X-ETag: "decoy"\r\n'
+                head += ename + b":  " + we.encode("latin-1") + b"\r\n"
+                if wl is not None and not isinstance(wl, float):
+                    head += (
+                        lname + b": " + wl.encode("latin-1")
+                        + b"\r\n"
+                    )
+                # duplicate trailing header: FIRST must win
+                head += b'etag: "dup"\r\n'
+                if status == 304:
+                    rec = bytes(head) + b"\r\n"
+                else:
+                    rec = (
+                        bytes(head)
+                        + b"Content-Length: 2\r\n\r\nok"
+                    )
+                got = http_validators(rec)
+                want_lm = (
+                    wl if wl is not None
+                    and not isinstance(wl, float) else None
+                )
+                if got is None or got != (status, we, want_lm):
+                    raise AssertionError(
+                        f"x61: validator roundtrip mismatch doc "
+                        f"{doc_id}: {got}"
+                    )
+                ids.append(doc_id)
+                sts.append(status)
+                ets.append(we)
+                lms.append(want_lm)
+                stos.append(
+                    sto if sto is not None
+                    and not isinstance(sto, float) else None
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "status": sts,
+                    "etag": ets,
+                    "last_modified": lms,
+                    "stored_etag": stos,
+                }
+            )
+
+    parsed = raw.mapInPandas(
+        roundtrip,
+        "doc_id long, status int, etag string,"
+        " last_modified string, stored_etag string",
+    )
+    core = F.regexp_replace(F.col("etag"), "^W/", "")
+    score = F.regexp_replace(F.col("stored_etag"), "^W/", "")
+    same = F.col("stored_etag").isNotNull() & (core == score)
+    return parsed.select(
+        "doc_id",
+        F.col("status").cast("int").alias("status"),
+        "etag",
+        "last_modified",
+        "stored_etag",
+        F.when(F.col("status") == 304, F.lit("not_modified"))
+        .when(F.col("stored_etag").isNull(), F.lit("unconditional"))
+        .when(same, F.lit("wasted"))
+        .otherwise(F.lit("updated"))
+        .alias("verdict"),
+        ((F.col("status") == 304) | same).alias("keep_stored"),
+    )
+
+
+@q(
+    "x62_retry_after_backoff",
+    """
+WITH r AS (
+    SELECT doc_id, doc_id % 23 AS h,
+        CASE CAST(doc_id % 5 AS INTEGER)
+            WHEN 0 THEN 429 WHEN 1 THEN 503 WHEN 2 THEN 200
+            WHEN 3 THEN 429 ELSE 503 END AS status,
+        CASE CAST(doc_id % 5 AS INTEGER)
+            WHEN 0 THEN CAST((doc_id % 7) * 10 + 30 AS VARCHAR)
+            WHEN 1 THEN 'Wed, 01 Jan 2025 00:'
+                || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+                || ':'
+                || lpad(CAST((doc_id * 3) % 60 AS VARCHAR), 2, '0')
+                || ' GMT'
+            WHEN 3 THEN 'soon'
+            ELSE NULL END AS retry_after
+    FROM documents
+),
+b AS (
+    SELECT doc_id, h, status, retry_after,
+        CASE WHEN retry_after IS NULL THEN
+                CASE WHEN status IN (429, 503)
+                     THEN 60.0 ELSE 0.0 END
+             WHEN regexp_matches(retry_after, '^[0-9]+$')
+                THEN CAST(retry_after AS DOUBLE)
+             WHEN regexp_matches(retry_after,
+                '^[A-Za-z]{3}, [0-9]{2} [A-Za-z]{3} [0-9]{4} '
+                || '[0-9]{2}:[0-9]{2}:[0-9]{2} GMT$')
+                THEN CAST(greatest(CAST(0 AS BIGINT),
+                    CAST(epoch(try_strptime(substr(retry_after, 6),
+                        '%d %b %Y %H:%M:%S GMT')) AS BIGINT)
+                    - CAST(epoch(strptime('01 Jan 2025 00:30:00 GMT',
+                        '%d %b %Y %H:%M:%S GMT')) AS BIGINT))
+                    AS DOUBLE)
+             ELSE 60.0 END AS backoff_sec
+    FROM r
+)
+SELECT doc_id, h, CAST(status AS INTEGER) AS status, retry_after,
+    backoff_sec,
+    MAX(backoff_sec) OVER (PARTITION BY h) AS host_backoff_sec
+FROM b
+""",
+)
+def x62(spark, sf_dir):
+    """Retry-After BACKOFF (RFC 9110 §10.2.3, llm/extract.py
+    http_retry_after + llm/politeness.py retry_after_backoff_expr)
+    — the throttling channel the politeness scheduler must obey: a
+    real crawl sees 429/503 answers whose ``Retry-After`` carries
+    either DELTA-SECONDS or an IMF-FIXDATE, and a scheduler that
+    ignores it (or silently treats garbage as zero) hammers a host
+    that just asked it to stop. Five arms by doc%5: (0) 429 with
+    delta-seconds, (1) 503 with an IMF-fixdate converted relative
+    to the fixture 'now' — dates already PAST clamp to 0, not
+    negative etas (doc%60 < 30 rows), and the tz-dependence cancels
+    because the expression differences two unix_timestamp readings
+    (Spark 3+ cannot parse a day-of-week pattern letter, so the
+    shape gate validates the full fixdate and the parse starts
+    after the redundant day name), (2) a 200 with no header → 0,
+    (3) 429 with a MALFORMED value → the conservative 60 s default
+    (backing off on garbage beats retrying instantly), (4) 503
+    with NO header → the same default. Per-host backoff = MAX over
+    the host's responses (one window), the value a scheduler adds
+    to the politeness_schedule eta base. The kernel builds a REAL
+    response per doc (header-name case rotation, an
+    ``X-Retry-After`` decoy the ^-anchored regex must not match, a
+    duplicate trailing header — first wins) and asserts the
+    http_retry_after roundtrip; interpretation is the pure JVM
+    CASE the oracle replays, so a dropped clamp, a silent-zero
+    malformed value, a decoy hit, or a tz leak flips the hash.
+    Scale shape: per-row Arrow header parse (no shuffle) + JVM
+    CASE + one per-host window over dimension-sized hosts."""
+    import pandas as pd
+
+    from trisk_datawrangle_spark.llm.politeness import (
+        retry_after_backoff_expr,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    arm = (did % 5).cast("int")
+    status = (
+        F.when(arm.isin(0, 3), F.lit(429))
+        .when(arm.isin(1, 4), F.lit(503))
+        .otherwise(F.lit(200))
+    )
+    ra = (
+        F.when(arm == 0, ((did % 7) * 10 + 30).cast("string"))
+        .when(arm == 1, F.concat(
+            F.lit("Wed, 01 Jan 2025 00:"),
+            F.lpad((did % 60).cast("string"), 2, "0"),
+            F.lit(":"),
+            F.lpad(((did * 3) % 60).cast("string"), 2, "0"),
+            F.lit(" GMT"),
+        ))
+        .when(arm == 3, F.lit("soon"))
+    )  # arms 2/4: NULL — no header
+    raw = d.select(
+        "doc_id", (did % 23).alias("h"), status.alias("status"),
+        ra.alias("want_ra"),
+    )
+
+    def roundtrip(batches):
+        from trisk_datawrangle_spark.llm.extract import (
+            http_retry_after,
+        )
+
+        for pdf in batches:
+            ids, hs, sts, ras = [], [], [], []
+            for doc_id, h, st, wra in zip(
+                pdf["doc_id"].astype("int64"),
+                pdf["h"].astype("int64"),
+                pdf["status"].astype("int64"),
+                pdf["want_ra"],
+            ):
+                doc_id, st = int(doc_id), int(st)
+                want = (
+                    wra if wra is not None
+                    and not isinstance(wra, float) else None
+                )
+                name = [
+                    b"Retry-After", b"retry-after", b"RETRY-AFTER",
+                ][doc_id % 3]
+                head = bytearray(
+                    b"HTTP/1.1 %d X\r\nServer: x\r\n" % st
+                )
+                head += b"X-Retry-After: 9999\r\n"  # decoy
+                if want is not None:
+                    head += (
+                        name + b":  " + want.encode("latin-1")
+                        + b"\r\n"
+                    )
+                    # duplicate trailing header: FIRST must win
+                    head += b"retry-after: 1\r\n"
+                rec = (
+                    bytes(head) + b"Content-Length: 2\r\n\r\nok"
+                )
+                got = http_retry_after(rec)
+                if got is None or got != (st, want):
+                    raise AssertionError(
+                        f"x62: retry-after roundtrip mismatch doc "
+                        f"{doc_id}: {got}"
+                    )
+                ids.append(doc_id)
+                hs.append(int(h))
+                sts.append(st)
+                ras.append(want)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "h": hs,
+                    "status": sts,
+                    "retry_after": ras,
+                }
+            )
+
+    parsed = raw.mapInPandas(
+        roundtrip,
+        "doc_id long, h long, status int, retry_after string",
+    )
+    backoff = retry_after_backoff_expr(
+        "retry_after", "status", "Wed, 01 Jan 2025 00:30:00 GMT"
+    )
+    win = Window.partitionBy("h")
+    return parsed.select(
+        "doc_id",
+        "h",
+        F.col("status").cast("int").alias("status"),
+        "retry_after",
+        backoff.alias("backoff_sec"),
+    ).withColumn(
+        "host_backoff_sec", F.max("backoff_sec").over(win)
     )
 
 

@@ -484,6 +484,69 @@ def http_status_location(
     return int(m.group(1)), (loc or None)
 
 
+_ETAG_RX = re.compile(rb"^etag[ \t]*:[ \t]*([^\r\n]*)", re.I | re.M)
+_LASTMOD_RX = re.compile(
+    rb"^last-modified[ \t]*:[ \t]*([^\r\n]*)", re.I | re.M
+)
+
+
+def http_validators(
+    record_content: bytes,
+) -> tuple[int, str | None, str | None] | None:
+    """``(status, etag, last_modified)`` of an HTTP response record
+    — the conditional-revalidation view (RFC 9110 §8.8, §13.1): a
+    production crawler spends most of its refetch budget on
+    conditional requests (``If-None-Match`` / ``If-Modified-Since``
+    built from these two validators), and a ``304 Not Modified``
+    answer keeps the stored copy without re-downloading the body.
+    Header NAMES match case-insensitively; VALUES keep their exact
+    bytes — entity tags are case-SENSITIVE opaque quoted strings
+    (lowercasing ``"AbC"`` fabricates a different tag) and the
+    ``W/`` weak-validator prefix must survive for weak comparison.
+    First header of each name wins; absent/empty → None; non-HTTP
+    content → None."""
+    sep = record_content.find(b"\r\n\r\n")
+    if sep < 0 or not record_content.startswith(b"HTTP/"):
+        return None
+    head = record_content[:sep]
+    m = _STATUS_LINE_RX.match(head)
+    if m is None:
+        return None
+    em = _ETAG_RX.search(head)
+    etag = em.group(1).strip().decode("latin-1") if em else ""
+    lm = _LASTMOD_RX.search(head)
+    lmod = lm.group(1).strip().decode("latin-1") if lm else ""
+    return int(m.group(1)), (etag or None), (lmod or None)
+
+
+_RETRY_AFTER_RX = re.compile(
+    rb"^retry-after[ \t]*:[ \t]*([^\r\n]*)", re.I | re.M
+)
+
+
+def http_retry_after(
+    record_content: bytes,
+) -> tuple[int, str | None] | None:
+    """``(status, retry_after)`` of an HTTP response record — the
+    backoff view (RFC 9110 §10.2.3): 429/503 answers carry
+    ``Retry-After`` as either delta-seconds or an IMF-fixdate, and
+    a scheduler that ignores it hammers a throttling host. Header
+    NAME matches case-insensitively, the VALUE keeps its exact
+    bytes (interpretation — digits vs date vs malformed — is the
+    scheduler's CASE, not the parser's guess). First header wins;
+    absent/empty → None; non-HTTP content → None."""
+    sep = record_content.find(b"\r\n\r\n")
+    if sep < 0 or not record_content.startswith(b"HTTP/"):
+        return None
+    head = record_content[:sep]
+    m = _STATUS_LINE_RX.match(head)
+    if m is None:
+        return None
+    rm = _RETRY_AFTER_RX.search(head)
+    ra = rm.group(1).strip().decode("latin-1") if rm else ""
+    return int(m.group(1)), (ra or None)
+
+
 def http_body_chunks(record_content: bytes) -> tuple[bytes, int] | None:
     """The ``(body, n_data_chunks)`` view of :func:`http_response` —
     kept as the stable name for callers that don't care whether a

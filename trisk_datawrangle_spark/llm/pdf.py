@@ -1325,6 +1325,11 @@ _TF_RX = re.compile(rb"/([A-Za-z0-9]+)\s+[0-9.]+\s+Tf")
 #: the operator token.
 _SHOW_OPS = (b"Tj", b"'", b'"')
 
+#: PDF token boundaries: whitespace (§7.2.2) + delimiters (§7.2.3)
+#: — used to match two-letter operators like BI without firing
+#: inside longer names/operators.
+_PDF_DELIM_WS = b"\x00\t\n\x0c\r ()<>[]{}/%"
+
 
 def _content_text(
     content: bytes,
@@ -1426,6 +1431,21 @@ def _content_text(
                     parts.extend(array_buf)
                 array_buf = None
             i += 1
+        elif (
+            c == 0x42  # "B" — maybe the BI inline-image operator
+            and content[i:i + 2] == b"BI"
+            and (i == 0 or content[i - 1] in _PDF_DELIM_WS)
+            and (
+                i + 2 >= n or content[i + 2] in _PDF_DELIM_WS
+            )
+        ):
+            # an inline image (BI ... ID <binary> EI) embeds raw
+            # binary in the OPERATOR stream; its bytes can contain
+            # "(...) Tj" look-alikes that a token scan would extract
+            # as phantom text (reproduced in tests). Skipping to EI
+            # is heuristic (EI has no length field; the binary can
+            # contain "EI"), so the honest subset refuses LOUDLY.
+            return None
         else:
             i += 1
     return "".join(parts)

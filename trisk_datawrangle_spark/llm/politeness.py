@@ -109,3 +109,64 @@ def politeness_schedule(
         .cast("double")
         .alias("eta_sec"),
     )
+
+
+#: IMF-fixdate shape gate (RFC 9110 §5.6.7 preferred form). Spark 3+
+#: cannot PARSE a day-of-week pattern letter, so the gate validates
+#: the shape and the parse starts at position 6 (the day name is
+#: redundant data in a fixdate); the two-digit-day/named-month form
+#: is the only date form this subset accepts — rfc850 and asctime
+#: legacy dates fall through to the conservative default.
+_IMF_FIXDATE_RX = (
+    "^[A-Za-z]{3}, [0-9]{2} [A-Za-z]{3} [0-9]{4} "
+    "[0-9]{2}:[0-9]{2}:[0-9]{2} GMT$"
+)
+_IMF_PARSE_FMT = "dd MMM yyyy HH:mm:ss 'GMT'"
+
+#: Conservative backoff when a throttling response (429/503) carries
+#: a missing or unparseable Retry-After — back off loudly rather
+#: than retrying immediately (the silent-zero bug class).
+DEFAULT_RETRY_AFTER_SEC = 60.0
+
+
+def retry_after_backoff_expr(
+    retry_after: Column | str,
+    status: Column | str,
+    now: str,
+    default_sec: float = DEFAULT_RETRY_AFTER_SEC,
+) -> Column:
+    """Seconds a host must back off per one response's
+    ``Retry-After`` (RFC 9110 §10.2.3) — pure JVM expression:
+    delta-seconds parse digits directly; an IMF-fixdate converts
+    relative to ``now`` (a fixdate string; the difference of two
+    ``unix_timestamp`` readings cancels the session timezone, so
+    the expression is tz-independent), clamped at 0 for dates
+    already past; a throttling status (429/503) with a missing or
+    malformed value takes ``default_sec`` (backing off on garbage
+    beats hammering); any other status without a value backs off 0.
+    Composition: per-host backoff = max over the host's responses,
+    added to the politeness_schedule eta base."""
+    ra = F.col(retry_after) if isinstance(retry_after, str) else retry_after
+    st = F.col(status) if isinstance(status, str) else status
+    throttling = st.isin(429, 503)
+    ts = F.try_to_timestamp(
+        ra.substr(F.lit(6), F.length(ra)), F.lit(_IMF_PARSE_FMT)
+    )
+    now_ts = F.try_to_timestamp(F.lit(now[5:]), F.lit(_IMF_PARSE_FMT))
+    date_backoff = F.greatest(
+        F.lit(0).cast("long"),
+        F.unix_timestamp(ts) - F.unix_timestamp(now_ts),
+    )
+    return (
+        F.when(
+            ra.isNull(),
+            F.when(throttling, F.lit(float(default_sec))).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .when(ra.rlike("^[0-9]+$"), ra.cast("long").cast("double"))
+        .when(
+            ra.rlike(_IMF_FIXDATE_RX), date_backoff.cast("double")
+        )
+        .otherwise(F.lit(float(default_sec)))
+    )
