@@ -105,6 +105,13 @@ CALIB_TOL = 0.20
 CALIB_PAR_IDLE_SEC = 0.375
 CALIB_PAR_TOL = 0.25
 
+#: Minimum base reading the super-linear flag divides by (r12): a
+#: sub-second sf0.1 warm time is noise-dominated (±50%+ between
+#: comparable runs), so raw ratios over it flag box variance, not
+#: asymptotics. max(base, floor) keeps the gate meaningful: any
+#: genuinely quadratic core's big-side time dwarfs factor × 1 s.
+_RATIO_BASE_FLOOR_SEC = 1.0
+
 # 1-min loadavg above this means someone else is burning the box.
 # Headline queries here are parallel but short — background noise of
 # a few busy cores is what poisoned round 4's cold samples.
@@ -484,17 +491,30 @@ def main(argv=None) -> None:
             # 8.3×). When a query has no warm sample, cold decides.
             # Cold-only exceedances are still recorded separately so
             # a noisy cold reading can't cry wolf in the main list.
+            # Flagging measures the BIG side against max(base,
+            # _RATIO_BASE_FLOOR_SEC) — a sub-second base carries
+            # ±50%+ run-to-run noise (d2's sf0.1 warm read 0.62 s
+            # and 1.31 s on comparable r12/r11 runs with no code
+            # change, swinging the raw per-10× ratio 7-15×), while
+            # a genuinely super-linear core dwarfs the floor at the
+            # big scale anyway. The recorded ratios stay raw.
             if factor:
-                w_ratio = r.get("warm")
-                c_ratio = r.get("cold")
-                primary = w_ratio if w_ratio is not None else c_ratio
-                if primary is not None and primary > factor:
+                w_flag = (
+                    warm[name]
+                    > factor * max(b_warm, _RATIO_BASE_FLOOR_SEC)
+                    if b_warm and name in warm
+                    else None
+                )
+                c_flag = (
+                    times[name]
+                    > factor * max(b_cold, _RATIO_BASE_FLOOR_SEC)
+                    if b_cold
+                    else None
+                )
+                primary = w_flag if w_flag is not None else c_flag
+                if primary:
                     super_linear.append(name)
-                elif (
-                    w_ratio is not None
-                    and c_ratio is not None
-                    and c_ratio > factor
-                ):
+                elif w_flag is not None and c_flag:
                     cold_only.append(name)
         # the calibration gate applies to COMPARISONS above all: a
         # ratio between runs on differently-fast boxes is box noise
