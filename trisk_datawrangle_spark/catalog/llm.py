@@ -7157,6 +7157,207 @@ def x60(spark, sf_dir):
 
 
 @q(
+    "x64_warc_revisit_dedup",
+    """
+WITH caps AS (
+    SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0 THEN doc_id % 50
+             ELSE doc_id END AS p,
+        'http://host' || CAST(doc_id % 23 AS VARCHAR)
+            || '.example.com/a/' || CAST(doc_id AS VARCHAR)
+            AS target_uri
+    FROM documents
+),
+bodies AS (
+    SELECT doc_id, p, target_uri,
+        'archived payload ' || CAST(p AS VARCHAR) || ' '
+            || repeat('x', 40 + CAST(p % 13 AS INTEGER)) AS body,
+        CASE WHEN doc_id % 2 = 0 AND doc_id % 50 <> doc_id
+             THEN doc_id % 50 ELSE doc_id END AS orig_doc
+    FROM caps
+)
+SELECT b.doc_id, b.target_uri,
+    CASE WHEN b.orig_doc = b.doc_id THEN 'response'
+         ELSE 'revisit' END AS record_type,
+    sha256(b.body) AS digest,
+    CASE WHEN b.orig_doc = b.doc_id THEN NULL
+         ELSE 'http://host' || CAST(b.orig_doc % 23 AS VARCHAR)
+              || '.example.com/a/' || CAST(b.orig_doc AS VARCHAR)
+    END AS refers_to,
+    CAST(CASE WHEN b.orig_doc = b.doc_id
+              THEN length(b.body) ELSE 0 END AS INTEGER)
+        AS stored_len,
+    CAST(length(b.body) AS INTEGER) AS resolved_len,
+    CAST(CASE WHEN b.orig_doc = b.doc_id
+              THEN 0 ELSE length(b.body) END AS INTEGER)
+        AS bytes_saved
+FROM bodies b
+""",
+)
+def x64(spark, sf_dir):
+    """WARC REVISIT records (ISO 28500 §6.7.2 identical-payload-
+    digest) — archive-time dedup, the storage half of the dedup
+    family: a web archive stores each distinct payload ONCE as a
+    ``response`` record; a re-capture whose payload digest matches
+    an earlier capture becomes a ``revisit`` record — headers only,
+    ``WARC-Payload-Digest`` + ``WARC-Refers-To-Target-URI``
+    pointing at the original — and READING the archive resolves the
+    revisit back to the referenced payload. Half the fixture docs
+    (even) draw from a 25-payload pool (the original = the pool
+    doc itself), the rest are unique. The mechanics are the REAL
+    distributed shape, not arithmetic: payload digests (JVM
+    ``sha2(…, 256)`` — lowercase hex, bit-identical to DuckDB's
+    sha256, so the digest column itself is hash-gated) →
+    groupBy(digest).min(doc_id) elects each payload's original →
+    broadcast join back marks revisits; the Arrow kernel then
+    builds the actual WARC record per capture (warc_build:
+    Content-Length-driven slicing, never delimiter scans) and
+    parses it back (warc_records), asserting the record type, the
+    digest header, the refers-to chain, and that a revisit stores
+    ZERO payload bytes; resolution re-joins revisits to their
+    original's stored length. The oracle replays payload classes,
+    digests, original election, and the byte arithmetic — a wrong
+    election (min rule), a revisit that silently stores its body, a
+    broken refers-to URI, or a digest drift flips the hash. Scale
+    shape: one digest aggregate (map-side combine over
+    dimension-sized distinct digests) + two broadcast joins + a
+    per-row Arrow build/parse roundtrip — no corpus shuffle beyond
+    the digest dedup, the d1-class plan plus archival plumbing."""
+    import pandas as pd
+
+    from trisk_datawrangle_spark.llm.extract import (
+        warc_build,
+        warc_records,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    p = F.when(did % 2 == 0, did % 50).otherwise(did)
+    uri = F.concat(
+        F.lit("http://host"), (did % 23).cast("string"),
+        F.lit(".example.com/a/"), did.cast("string"),
+    )
+    body = F.concat(
+        F.lit("archived payload "), p.cast("string"), F.lit(" "),
+        F.expr("repeat('x', 40 + CAST(pmod(__p, 13) AS INT))"),
+    )
+    staged = d.select(
+        "doc_id", p.alias("__p"), uri.alias("target_uri")
+    ).withColumn("body", body)
+    digests = staged.withColumn("digest", F.sha2(F.col("body"), 256))
+    originals = digests.groupBy("digest").agg(
+        F.min("doc_id").alias("orig_doc")
+    )
+    marked = digests.join(F.broadcast(originals), ["digest"]).select(
+        "doc_id",
+        "target_uri",
+        "body",
+        "digest",
+        "orig_doc",
+        F.concat(
+            F.lit("http://host"),
+            (F.col("orig_doc") % 23).cast("string"),
+            F.lit(".example.com/a/"),
+            F.col("orig_doc").cast("string"),
+        ).alias("orig_uri"),
+    )
+
+    def roundtrip(batches):
+        for pdf in batches:
+            ids, uris, types, digs, refs, slens = (
+                [], [], [], [], [], []
+            )
+            for doc_id, u, b, dig, od, ou in zip(
+                pdf["doc_id"].astype("int64"), pdf["target_uri"],
+                pdf["body"], pdf["digest"],
+                pdf["orig_doc"].astype("int64"), pdf["orig_uri"],
+            ):
+                doc_id, od = int(doc_id), int(od)
+                is_rev = od != doc_id
+                if is_rev:
+                    hdrs = {
+                        "WARC-Type": "revisit",
+                        "WARC-Target-URI": u,
+                        "WARC-Payload-Digest": "sha256:" + dig,
+                        "WARC-Refers-To-Target-URI": ou,
+                        "WARC-Profile":
+                            "http://netpreserve.org/warc/1.0/"
+                            "revisit/identical-payload-digest",
+                    }
+                    payload = b""
+                else:
+                    hdrs = {
+                        "WARC-Type": "response",
+                        "WARC-Target-URI": u,
+                        "WARC-Payload-Digest": "sha256:" + dig,
+                    }
+                    payload = b.encode("utf-8")
+                rec = warc_build([(hdrs, payload)],
+                                 gzip_members=doc_id % 2 == 0)
+                got = warc_records(rec)
+                if (
+                    got is None or len(got) != 1
+                    or got[0][0].get("WARC-Type")
+                    != ("revisit" if is_rev else "response")
+                    or got[0][0].get("WARC-Payload-Digest")
+                    != "sha256:" + dig
+                    or got[0][1] != payload
+                    or (is_rev and got[0][0].get(
+                        "WARC-Refers-To-Target-URI") != ou)
+                ):
+                    raise AssertionError(
+                        f"x64: WARC revisit roundtrip mismatch doc "
+                        f"{doc_id}"
+                    )
+                ids.append(doc_id)
+                uris.append(u)
+                types.append("revisit" if is_rev else "response")
+                digs.append(dig)
+                refs.append(ou if is_rev else None)
+                slens.append(len(got[0][1]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "target_uri": uris,
+                    "record_type": types,
+                    "digest": digs,
+                    "refers_to": refs,
+                    "stored_len": slens,
+                }
+            )
+
+    parsed = marked.mapInPandas(
+        roundtrip,
+        "doc_id long, target_uri string, record_type string,"
+        " digest string, refers_to string, stored_len long",
+    )
+    # reading the archive: a revisit resolves to the referenced
+    # original's stored payload — one broadcast join on the
+    # refers-to URI against the response records' lengths
+    resp_lens = parsed.where(
+        F.col("record_type") == "response"
+    ).select(
+        F.col("target_uri").alias("refers_to"),
+        F.col("stored_len").alias("__orig_len"),
+    )
+    resolved = parsed.join(
+        F.broadcast(resp_lens), ["refers_to"], "left"
+    )
+    rlen = F.coalesce(F.col("__orig_len"), F.col("stored_len"))
+    return resolved.select(
+        "doc_id",
+        "target_uri",
+        "record_type",
+        "digest",
+        "refers_to",
+        F.col("stored_len").cast("int").alias("stored_len"),
+        rlen.cast("int").alias("resolved_len"),
+        (rlen - F.col("stored_len")).cast("int")
+        .alias("bytes_saved"),
+    )
+
+
+@q(
     "x63_sitemap_gzip",
     f"""
 WITH sm AS ({_X54_SQL})
