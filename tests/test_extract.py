@@ -495,3 +495,60 @@ class TestHttpRetryAfter:
             b"HTTP/1.1 200 OK\r\nServer: x\r\n\r\n"
         ) == (200, None)
         assert http_retry_after(b"junk") is None
+
+
+class TestRelCanonical:
+    """r12: rel_canonical_expr — the content-level URL-alias signal
+    (RFC 6596). Token-exact rel matching, first link wins, both
+    quote styles + unquoted, NULL on canonical-less heads."""
+
+    def _one(self, spark, html):
+        from trisk_datawrangle_spark.llm.extract import (
+            rel_canonical_expr,
+        )
+
+        df = spark.createDataFrame([(html,)], "h string")
+        return df.select(
+            rel_canonical_expr("h").alias("c")
+        ).collect()[0]["c"]
+
+    def test_orders_quotes_and_first_wins(self, spark):
+        assert self._one(
+            spark,
+            '<LINK REL="canonical" HREF="https://a.example/x">'
+            '<link rel="canonical" href="https://b.example/y">',
+        ) == "https://a.example/x"
+        # href before rel, single quotes
+        assert self._one(
+            spark,
+            "<link href='https://c.example/z' rel='canonical'>",
+        ) == "https://c.example/z"
+        # unquoted rel value
+        assert self._one(
+            spark, '<link rel=canonical href="../up/one">'
+        ) == "../up/one"
+
+    def test_token_exact_and_token_lists(self, spark):
+        # hyphenated decoy must NOT match (a \b boundary would)
+        assert self._one(
+            spark,
+            '<link rel="canonical-x" href="https://no.example/">',
+        ) is None
+        assert self._one(
+            spark,
+            '<link rel="canonicalish" href="https://no.example/">',
+        ) is None
+        # rel is a token LIST: 'alternate canonical' counts
+        assert self._one(
+            spark,
+            '<link rel="alternate canonical" '
+            'href="https://yes.example/">',
+        ) == "https://yes.example/"
+
+    def test_non_canonical_links_and_absent(self, spark):
+        assert self._one(
+            spark, '<link rel="stylesheet" href="/s.css">'
+        ) is None
+        assert self._one(spark, "<p>no links</p>") is None
+        # canonical link without href: NULL, not a crash
+        assert self._one(spark, '<link rel="canonical">') is None

@@ -38,7 +38,7 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 # the FIRST N catalog entries (N=50), so ordering decides which entries
 # get driver-verified each round. Round-12 window (r11 verdict #1,
 # exactly as staged, plus this round's changes):
-# (1) the SIX new entries: s15 (Type0/Identity-H composite fonts +
+# (1) the SEVEN new entries: s15 (Type0/Identity-H composite fonts +
 # hex-string show operands — r11 verdict Missing #1) and w6 (the
 # crawl-loop e2e composite chaining discovery -> robots -> redirects
 # -> schedule -> recrawl under one canonical key — Missing #2),
@@ -48,7 +48,10 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 # past dates clamp, malformed takes the loud default), and x63
 # (gzipped sitemaps through the bounded gunzip, bombs refuse as
 # loud rows), and x64 (WARC revisit records — digest-elected
-# originals, zero-payload revisits, refers-to resolution); x54 also
+# originals, zero-payload revisits, refers-to resolution), and x65
+# (rel=canonical URL-alias extraction: token-exact rel matching,
+# first-wins, relative hrefs through the shared chains, alias-group
+# sizes); x54 also
 # re-enters — its builder/parse factored into the shared helpers
 # x63 reuses;
 # (2) the FOUR entries whose implementation changed this round —
@@ -63,7 +66,7 @@ _ALL_ORACLES = {**_REL_ORACLES, **_LLM_ORACLES, **_EXT_ORACLES, **_SCN_ORACLES}
 # six r6-proof entries, exactly as r11 staged them at 51-56);
 # (4) 38 of the r7 cohort by staleness (d16/d1/d5/d6, e1/e2/e5, g3,
 # lc1-lc3, pr5/pr6, q7, s1/s3/s4/s7_seed/s8/s9, v3, x1/x2,
-# x30-x38, x3). x39/x40-x45/x4-x8 spill to positions 51+ and lead
+# x30-x38). x3/x39/x40-x45/x4-x8 spill to positions 51+ and lead
 # the
 # r13 window; after them the r8/r9/r10 cohorts by staleness, with
 # the r11-verified window entries (freshest proofs) at the back.
@@ -79,6 +82,7 @@ _PRIORITY = [
     "x62_retry_after_backoff",
     "x63_sitemap_gzip",
     "x64_warc_revisit_dedup",
+    "x65_rel_canonical",
     "x54_sitemap_ingest",
     "x59_recrawl_priority",
     "x52_url_canonicalize",
@@ -122,7 +126,6 @@ _PRIORITY = [
     "x36_duplicate_spans",
     "x37_bpe_encode",
     "x38_dsir_resample",
-    "x3_quality_score",
     "x47_charset_sniff",
     "x50_link_graph",
     "w5_crawl_frontier_e2e",

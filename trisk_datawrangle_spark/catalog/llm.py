@@ -7157,6 +7157,130 @@ def x60(spark, sf_dir):
 
 
 @q(
+    "x65_rel_canonical",
+    """
+WITH pages AS (
+    SELECT doc_id,
+        CAST(doc_id % 4 AS INTEGER) AS arm,
+        doc_id % 40 AS k,
+        'https://host' || CAST(doc_id % 23 AS VARCHAR)
+            || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+            AS page_url
+    FROM documents
+),
+resolved AS (
+    SELECT doc_id, page_url,
+        CASE arm
+            WHEN 0 THEN page_url
+            WHEN 1 THEN 'https://host'
+                || CAST((doc_id % 40) % 23 AS VARCHAR)
+                || '.example.com/canon/' || CAST(k AS VARCHAR)
+            WHEN 3 THEN 'https://host'
+                || CAST(doc_id % 23 AS VARCHAR)
+                || '.example.com/c/' || CAST(k AS VARCHAR)
+            ELSE page_url
+        END AS canonical_url
+    FROM pages
+)
+SELECT doc_id, page_url, canonical_url,
+    canonical_url = page_url AS is_self,
+    CAST(COUNT(*) OVER (PARTITION BY canonical_url) AS BIGINT)
+        AS alias_group_size
+FROM resolved
+""",
+)
+def x65(spark, sf_dir):
+    """rel=canonical extraction (RFC 6596, llm/extract.py
+    rel_canonical_expr) — the CONTENT-level URL-alias signal: CDNs,
+    tracking parameters, and mirrored paths serve one document
+    under many URLs, and the page's own ``<link rel="canonical">``
+    declares the authoritative spelling; a dedup pipeline that
+    ignores it keeps every alias as a distinct document. Four arms
+    by doc%4: (0) SELF-canonical with case/default-port noise (the
+    canonicalization must prove the self-reference equal) plus a
+    SECOND canonical decoy later in the head that must not apply
+    (first-wins, the <base href> convention); (1) CROSS-page
+    canonical — href-before-rel attribute order, single quotes —
+    onto a 40-URL pool, so alias GROUPS form and their sizes are
+    hash-gated; (2) decoys only (stylesheet links, rel="canonical-x"
+    — a \\b-boundary regex would accept the hyphenated decoy, the
+    token match must not — and a canonical-less head) → the page
+    falls back to itself; (3) a RELATIVE canonical href with an
+    UNQUOTED rel attribute, resolved against the page URL through
+    the shared §5.3 chain. The declared href then runs
+    with_resolved_url + with_canonical_url (the x52/x53 machinery),
+    and the alias-group size is one count-window over the canonical
+    key — exactly the dedup merge the signal exists for. The oracle
+    replays arm arithmetic, resolution, canonicalization and group
+    sizes, so a wrong token match, a second-link win, a dropped
+    quote style, a broken relative resolve, or a lost alias merge
+    flips the hash. Scale shape: 100% JVM scan-fused extraction
+    (regexp_extract_all + HOF filter + F.get — NULL out-of-bounds
+    even under ANSI), staged resolve/canonical chains, ONE
+    canonical-key exchange for the group window — no Python
+    anywhere."""
+    from trisk_datawrangle_spark.llm.extract import (
+        rel_canonical_expr,
+    )
+    from trisk_datawrangle_spark.llm.urls import (
+        with_canonical_url,
+        with_resolved_url,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    arm = (did % 4).cast("int")
+    k = (did % 40).cast("string")
+    page_raw = F.concat(
+        F.lit("HTTPS://Host"), (did % 23).cast("string"),
+        F.lit(".Example.COM:443/p/"), did.cast("string"),
+    )
+    head = (
+        F.when(arm == 0, F.concat(
+            F.lit('<head><LINK REL="canonical" HREF="'), page_raw,
+            F.lit('"><link rel="canonical" '
+                  'href="https://decoy.example/x"></head>'),
+        ))
+        .when(arm == 1, F.concat(
+            F.lit("<head><link href='https://Host"),
+            (did % 40 % 23).cast("string"),
+            F.lit(".Example.com/canon/"), k,
+            F.lit("' rel='canonical'></head>"),
+        ))
+        .when(arm == 2, F.lit(
+            '<head><link rel="stylesheet" href="/s.css">'
+            '<link rel="canonical-x" href="https://no.example/">'
+            "</head>"
+        ))
+        .otherwise(F.concat(
+            F.lit("<head><link rel=canonical href=\"../c/"), k,
+            F.lit('"></head>'),
+        ))
+    )
+    staged = d.select(
+        "doc_id", page_raw.alias("page_raw"),
+        rel_canonical_expr(head).alias("decl"),
+    ).withColumn(
+        # canonical-less pages fall back to themselves BEFORE the
+        # resolve (the declared href is legally relative)
+        "ref", F.coalesce(F.col("decl"), F.col("page_raw"))
+    )
+    resolved = with_resolved_url(staged, "page_raw", "ref", "traw")
+    canon = with_canonical_url(resolved, "traw", "canonical_url")
+    out = with_canonical_url(canon, "page_raw", "page_url")
+    win = Window.partitionBy("canonical_url")
+    return out.select(
+        "doc_id",
+        "page_url",
+        "canonical_url",
+        (F.col("canonical_url") == F.col("page_url"))
+        .alias("is_self"),
+        F.count(F.lit(1)).over(win).cast("long")
+        .alias("alias_group_size"),
+    )
+
+
+@q(
     "x64_warc_revisit_dedup",
     """
 WITH caps AS (

@@ -153,6 +153,48 @@ def base_href_expr(col: str | Column) -> Column:
     )
 
 
+#: rel attribute carrying the ``canonical`` link type as a
+#: SPACE-DELIMITED token (HTML rel is a token list): either quote
+#: style or unquoted-single-token; ``canonical-x`` / ``canonicalish``
+#: must NOT match (a \b boundary alone would accept the hyphenated
+#: decoy), ``alternate canonical`` must.
+_REL_CANONICAL_RX = (
+    "(?i)\\brel\\s*=\\s*(?:"
+    "\"(?:[^\"]*\\s)?canonical(?:\\s[^\"]*)?\""
+    "|'(?:[^']*\\s)?canonical(?:\\s[^']*)?'"
+    "|canonical(?=[\\s/>]))"
+)
+
+
+def rel_canonical_expr(col: str | Column) -> Column:
+    """The page's declared canonical URL — the ``<link
+    rel="canonical" href=...>`` head element (RFC 6596), the
+    CONTENT-level URL-alias signal every dedup pipeline needs: CDNs,
+    tracking parameters, and mirrored paths serve one document under
+    many URLs, and the canonical link is how the page itself says
+    which spelling is authoritative. FIRST matching link wins (the
+    consuming-first convention, same as <base href>); any attribute
+    order, any case, either quote style or an unquoted value; the
+    ``rel`` token list matches ``canonical`` as a whole
+    space-delimited token (``rel="alternate canonical"`` counts,
+    ``rel="canonical-x"`` must not); stylesheet/alternate links and
+    canonical-less pages yield NULL — callers ``coalesce`` over the
+    page's own URL. The href is RAW: resolve (it is legally
+    relative) and canonicalize through the shared chains before
+    using it as a dedup key. Pure JVM: one regexp_extract_all over
+    <link> tags + a higher-order filter + F.get (NULL out-of-bounds
+    even under ANSI) — fuses into the scan, no Python, no
+    shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    tags = F.regexp_extract_all(c, F.lit("(?i)<link\\s[^>]*>"), 0)
+    canon_tags = F.filter(tags, lambda t: t.rlike(_REL_CANONICAL_RX))
+    first = F.get(canon_tags, 0)
+    return F.coalesce(
+        F.nullif(F.regexp_extract(first, _HREF_RX, 1), F.lit("")),
+        F.nullif(F.regexp_extract(first, _HREF_RX, 2), F.lit("")),
+    )
+
+
 def meta_robots_expr(col: str | Column, directive: str) -> Column:
     """True when the page's ``<meta name="robots">`` content carries
     ``directive`` (``noindex`` / ``nofollow`` / ...) as a
