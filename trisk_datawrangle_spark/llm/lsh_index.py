@@ -358,8 +358,19 @@ def minhash_lsh_index_pairs(
             )
             .select("id", "h")
         )
+        # no distinct on the union (r12): both sides are already
+        # per-(id, h) distinct — sh_in is built distinct=True, and the
+        # stored shingles table is written from a distinct frame with
+        # merge_by_key replacing whole ids — and their id sets are
+        # disjoint (sh_ex is semi-joined to cand.id_a, which the bands
+        # anti-join restricted to index-minus-batch ids). A distinct
+        # here re-shuffled every shingle row for nothing: measured
+        # 1.33 s → 0.74 s on the sf0.1 verify stage, identical output
+        # row-hash (the invariant is asserted cheaply by the verifier's
+        # per-id n_grams, which exact-Jaccard would corrupt loudly on
+        # any duplicate).
         return _verify_candidates_arrays(
-            sh_ex.union(sh_in).distinct(), cand, threshold
+            sh_ex.union(sh_in), cand, threshold
         ).localCheckpoint(eager=True)
     finally:
         sh_in.unpersist()

@@ -161,17 +161,47 @@ def _normalize_timestamps(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df
 
 
+#: Per-process memo of corpus RELATIONS (r12 optimization): the
+#: DataFrame handle only — the parquet file index and inferred
+#: schema, i.e. table METADATA, exactly what Spark's own catalog
+#: caches for registered tables (guide §6 file-listing cache). Every
+#: action on a memoized frame still scans the parquet files, so
+#: bench/oracle runs keep computing from the inputs; what stops
+#: being re-paid is the ~90 ms/table of driver-side footer read +
+#: relation building that every catalog entry re-ran on every call
+#: (measured: 10 tables = 0.78-0.95 s per load_tables call; per-entry
+#: build cost 0.28-0.68 s of pure metadata work, ~4-6 s of the 20 s
+#: sf0.1 warm suite). Keyed by (applicationId, abs dir, table,
+#: session timeZone): a new session never sees a stopped session's
+#: JVM handles, and the NTZ relabel branch chosen at build time
+#: depends on the session timezone (tests/test_reader_timezone.py).
+#: Corpus inputs are immutable by contract (the driver's testdata,
+#: read-only); writers in this package never overwrite a corpus dir
+#: in place.
+_TABLE_MEMO: dict[tuple[str, str, str, str], DataFrame] = {}
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: Sequence[str] = TABLES
 ) -> dict[str, DataFrame]:
     """S4: parquet scans for the test corpus."""
+    import os
+
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
-    # runtime-set too: the driver may pass a session built without it
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    app = spark.sparkContext.applicationId
+    base = os.path.abspath(sf_dir)
+    tz = spark.conf.get("spark.sql.session.timeZone") or "UTC"
     out: dict[str, DataFrame] = {}
-    for name in names:
+    missing = [
+        n for n in names if (app, base, n, tz) not in _TABLE_MEMO
+    ]
+    if missing:
+        # runtime-set too: the driver may pass a session built
+        # without it
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for name in missing:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         for c in NANO_TS_COLS.get(name, ()):
             if c in df.columns and isinstance(df.schema[c].dataType, LongType):
@@ -182,7 +212,11 @@ def load_tables(
                 df = df.withColumn(
                     c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000"))
                 )
-        out[name] = _normalize_timestamps(spark, df)
+        _TABLE_MEMO[(app, base, name, tz)] = _normalize_timestamps(
+            spark, df
+        )
+    for name in names:
+        out[name] = _TABLE_MEMO[(app, base, name, tz)]
     return out
 
 
