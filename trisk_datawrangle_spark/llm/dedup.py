@@ -608,6 +608,13 @@ def minhash_lsh_dedup_pairs(
     ).cache()
     sig = _signatures_from_shingles(shingled, num_hashes)
     cand = _lsh_candidate_pairs(sig, num_hashes, bands)
+    # NOT narrowed to candidate ids (r12 measurement): semi-joining
+    # ``shingled`` to cand's id set before the verifier — the shape
+    # that wins in the persisted-index probe, lsh_index.py — LOSES
+    # here (sf0.1 A/B: 1.3-1.8 s → 1.8-2.4 s): cand has one consumer
+    # in this inline composite, so the narrowing forces an extra
+    # cache barrier + two more shuffles to save array-building for
+    # docs the JVM aggregates cheaply anyway.
     return _verify_candidates_arrays(shingled, cand, threshold)
 
 

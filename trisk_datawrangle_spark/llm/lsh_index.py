@@ -369,8 +369,23 @@ def minhash_lsh_index_pairs(
         # row-hash (the invariant is asserted cheaply by the verifier's
         # per-id n_grams, which exact-Jaccard would corrupt loudly on
         # any duplicate).
+        #
+        # The batch side is likewise narrowed to CANDIDATE ids (r12):
+        # the verifier inner-joins its array table to cand's id_a/id_b,
+        # so shingles of batch docs that collided with nothing can
+        # never reach the output — dropping them up front (a broadcast
+        # semi-join against the cached cand) keeps the sort-array
+        # aggregation proportional to |candidates|, not |batch|
+        # (sf0.1: ~120 candidate ids of 2 500 batch docs; at 100 TB the
+        # same ratio is the difference between verifying a delta and
+        # verifying collisions).
+        sh_b = sh_in.join(
+            cand.select(F.col("id_b").alias("id")).distinct(),
+            "id",
+            "left_semi",
+        ).select("id", "h")
         return _verify_candidates_arrays(
-            sh_ex.union(sh_in), cand, threshold
+            sh_ex.union(sh_b), cand, threshold
         ).localCheckpoint(eager=True)
     finally:
         sh_in.unpersist()

@@ -21,15 +21,32 @@ def word_gram_table(df, text_col="text", id_col="doc_id", n=3, distinct=False):
     evaluates interpreted per word — measured ~2× the whole shingling
     cost at sf0.1), form grams with ``lead`` windows (row-based, so
     position gaps from removed empties don't matter), drop incomplete
-    tail grams."""
+    tail grams.
+
+    The doc frame is hash-repartitioned by id BEFORE the explode
+    (r12, guide §2.3/§3.3 "explode multiplies the shuffle"): the
+    ``lead`` window needs hash(id) clustering either way, so the one
+    unavoidable exchange moves ~n× fewer, far narrower rows (docs,
+    not grams — each word rides ``n`` grams after the explode, plus
+    per-row shuffle overhead ×words), and the split+explode work is
+    spread across the cluster instead of running inside the scan
+    task of what is typically a small delta/batch frame (measured
+    sf0.1 warm: 0.56-0.75 s → 0.49-0.51 s for the d13 probe's
+    shingle stage). No explicit partition count — the config default
+    scales it, and AQE may coalesce."""
     from pyspark.sql import Window
 
-    words = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(
-            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
-        ).alias("pos", "w"),
-    ).filter(F.col("w") != "")
+    words = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        .repartition("id")
+        .select(
+            "id",
+            F.posexplode(
+                F.split(F.lower(F.col("__t")), "[^a-z0-9]+")
+            ).alias("pos", "w"),
+        )
+        .filter(F.col("w") != "")
+    )
     win = Window.partitionBy("id").orderBy("pos")
     parts = [F.col("w")] + [F.lead("w", k).over(win) for k in range(1, n)]
     grams = (
@@ -52,15 +69,23 @@ def word_gram_table_pos(df, text_col="text", id_col="doc_id", n=3):
     ``start`` counts non-empty words (empties from the split are
     filtered before numbering), so it matches an oracle that indexes
     a filtered word list. Same relational/codegen shape: posexplode,
-    row_number renumber, lead windows, tail-gram filter."""
+    row_number renumber, lead windows, tail-gram filter — and the
+    same pre-explode repartition as :func:`word_gram_table` (the
+    windows need hash(id) clustering; exchanging docs beats
+    exchanging words)."""
     from pyspark.sql import Window
 
-    words = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(
-            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
-        ).alias("pos", "w"),
-    ).filter(F.col("w") != "")
+    words = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        .repartition("id")
+        .select(
+            "id",
+            F.posexplode(
+                F.split(F.lower(F.col("__t")), "[^a-z0-9]+")
+            ).alias("pos", "w"),
+        )
+        .filter(F.col("w") != "")
+    )
     win = Window.partitionBy("id").orderBy("pos")
     numbered = words.withColumn("start", F.row_number().over(win))
     parts = [F.col("w")] + [F.lead("w", k).over(win) for k in range(1, n)]
@@ -254,19 +279,37 @@ def lang_id(col: str | Column, default: str = "und") -> Column:
 def quality_score(col: str | Column) -> Column:
     """Composite document-quality score in [0,1]: length band,
     punctuation ratio, stopword ratio — the standard cheap filters in
-    LLM data pipelines (C4-style), as one expression."""
+    LLM data pipelines (C4-style), as one expression.
+
+    The word array is let-bound via a single-element ``transform``
+    (r12, guide §1.2 per-task work): the stop-score arm references
+    the tokenization three times (word count twice, stopword filter
+    once), and because array lambdas keep the whole Project off the
+    codegen path there is no common-subexpression elimination —
+    the split+filter ran three times per row (visible verbatim in
+    the physical plan). Binding it to a lambda variable evaluates it
+    once; inside the lambda, references are variable reads. Same
+    arithmetic on the same values — bit-identical scores (oracle
+    x3 replays it)."""
     c = _c(col)
     n = F.length(c)
-    words = tokenize(c)
-    n_words = F.size(words)
     stop = F.array([F.lit(w) for ws in LANG_MARKERS.values() for w in ws])
-    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
     n_punct = F.size(F.regexp_extract_all(c, F.lit("[^A-Za-z0-9\\s]"), 0))
     len_score = F.when((n >= 100) & (n <= 10000), 1.0).otherwise(0.5)
     punct_ratio = F.when(n > 0, n_punct / n).otherwise(F.lit(0.0))
     punct_score = F.when(punct_ratio <= 0.1, 1.0).otherwise(0.3)
-    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
-    stop_score = F.when(stop_ratio >= 0.05, 1.0).otherwise(0.6)
+
+    def _stop_score(words: Column) -> Column:
+        n_words = F.size(words)
+        n_stop = F.size(
+            F.filter(words, lambda w: F.array_contains(stop, w))
+        )
+        stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(
+            F.lit(0.0)
+        )
+        return F.when(stop_ratio >= 0.05, 1.0).otherwise(0.6)
+
+    stop_score = F.transform(F.array(tokenize(c)), _stop_score)[0]
     return (len_score + punct_score + stop_score) / 3.0
 
 
