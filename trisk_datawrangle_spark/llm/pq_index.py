@@ -117,15 +117,27 @@ def load_ivf_pq_model(spark: SparkSession, path: str):
     arrays). ``path`` may be a versioned root (``CURRENT`` pointer,
     see :func:`~trisk_datawrangle_spark.llm.lsh_index.
     publish_index_versioned`) — it resolves to the current version."""
+    import concurrent.futures
+
     import numpy as np
 
     path = resolve_index_path(spark, path)
     meta = read_index_meta(spark, path)
-    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    # the two model tables are independent KB-sized reads; submit
+    # them as concurrent jobs (guide §2.6 — overlap independent
+    # jobs) so the serving path pays one small-job latency, not two
+    with concurrent.futures.ThreadPoolExecutor(2) as pool:
+        cent_f = pool.submit(
+            lambda: spark.read.parquet(f"{path}/centroids").collect()
+        )
+        book_f = pool.submit(
+            lambda: spark.read.parquet(f"{path}/codebooks").collect()
+        )
+        cent_rows = cent_f.result()
+        book_rows = book_f.result()
     cent = np.empty((meta["n_cells"], meta["dim"]))
     for r in cent_rows:
         cent[r["cell"]] = r["c"]
-    book_rows = spark.read.parquet(f"{path}/codebooks").collect()
     dsub = meta["dim"] // meta["m"]
     books = np.empty((meta["m"], meta["k_codes"], dsub))
     for r in book_rows:
@@ -173,6 +185,31 @@ def ivf_pq_index_topk(
         .filter(F.col("__cell").isin(*cells))
         .select("neighbor_id", "__cell", "__codes")
     )
+    # the query→cell assignment was just computed on the driver (the
+    # GEMM above prunes the codes read); hand it to adc_topk as a
+    # literal frame instead of letting it re-derive the same thing in
+    # a mapInPandas over a request-sized batch — one fewer Python
+    # worker round-trip per probe, same cells by construction (r12)
+    probed_df = spark.createDataFrame(
+        [
+            (
+                int(r[id_col]),
+                [float(x) for x in r[vec_col]],
+                int(c),
+            )
+            for r, row in zip(qrows, probed)
+            for c in row
+        ],
+        "query_id long, __qv array<float>, __cell int",
+    )
     return adc_topk(
-        codes, queries, cent, books, k, n_probe, id_col, vec_col
+        codes,
+        queries,
+        cent,
+        books,
+        k,
+        n_probe,
+        id_col,
+        vec_col,
+        probed=probed_df,
     )

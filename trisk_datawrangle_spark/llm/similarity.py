@@ -740,6 +740,7 @@ def adc_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probed: DataFrame | None = None,
 ) -> DataFrame:
     """Probe + asymmetric-distance scoring + top-k over a prebuilt
     ``(neighbor_id, __cell, __codes)`` index frame (from
@@ -747,7 +748,16 @@ def adc_topk(
     Per query, one ``m × k_codes`` LUT of subspace dot products
     against the broadcast codebooks; each candidate's approximate
     cosine is the sum of ``m`` lookups — no float vectors move at
-    query time."""
+    query time.
+
+    ``probed`` (r12): a caller that has ALREADY assigned queries to
+    cells — the persisted-index serving path collects the
+    request-sized batch to the driver and runs the |q| × n_cells
+    GEMM there anyway, to prune the codes read — can pass the
+    ``(query_id, __qv, __cell)`` frame directly and skip this
+    function's probe stage (one whole Python worker round-trip +
+    its exchange for a batch of a few rows). Same numpy probe math
+    either way — identical cells, identical output."""
     import numpy as np
     import pandas as pd
 
@@ -776,9 +786,10 @@ def adc_topk(
                 }
             )
 
-    probed = queries.select(id_col, vec_col).mapInPandas(
-        probe, "query_id long, __qv array<float>, __cell int"
-    )
+    if probed is None:
+        probed = queries.select(id_col, vec_col).mapInPandas(
+            probe, "query_id long, __qv array<float>, __cell int"
+        )
     joined = index.join(F.broadcast(probed), "__cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )

@@ -51,6 +51,15 @@ def get_spark(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
+        # stays at its default (false) — MEASURED both ways in r12:
+        # true exposes cached-stage partitioning to consumers and
+        # removes 3 exchanges from flagship (warm ~1.0 → ~0.74 s),
+        # but it also lets AQE coalesce the cached shingle tables the
+        # dedup ladder shares to one post-shuffle partition, which
+        # serializes their downstream 64-way signature aggregation
+        # (d2 0.97 → 2.1 s, d3 1.3 → 1.9 s warm sf0.1). Net loss;
+        # revisit if the dedup caches ever stop being the hot path.
         # Deterministic time semantics vs naive parquet timestamps.
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.shuffle.partitions": str(shuffle_partitions or 32),
