@@ -502,6 +502,81 @@ def resolve_url_sql(base: str, ref: str) -> str:
 # variants, and by the x52/x53 oracles.
 
 
+# ------------------------------------------------------------------ #
+# Spark-SQL-dialect builders (r12 driver-cost optimization)           #
+# ------------------------------------------------------------------ #
+# The staged hot path (with_canonical_url) used to build ~120 Column
+# objects per call; on this round's box each Column operator is a
+# ~0.6-2 ms py4j round-trip, ~0.3 s of pure driver latency per call
+# (the _signatures_from_shingles lesson, again). These builders emit
+# the SAME expressions as the Column helpers above — every function,
+# argument and guard mirrored one-to-one — as Spark SQL text, so a
+# whole stage is ONE parsed string. The Column forms stay for
+# canonicalize_url_expr (tests compose them), and
+# tests/test_urls.py's distributed≡scalar property gates the mirror.
+
+
+def _sparkq(s: str) -> str:
+    """Spark SQL string literal holding exactly the Python string
+    ``s``: the default parser processes backslash escapes (unlike
+    DuckDB standard strings — see canonicalize_url_sql's note), so
+    backslashes double and quotes escape."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _ws_strip_spark_sql(expr: str) -> str:
+    """:func:`_ws_strip` as Spark SQL."""
+    return f"trim(regexp_replace({expr}, {_sparkq(_WS_RX)}, ''))"
+
+
+def _pct_normalize_spark_sql(pathq: str) -> str:
+    """:func:`pct_normalize_expr` (with :func:`_decode_piece`) as
+    Spark SQL — split on ``%``, fold pieces back through the same
+    hex/code-point arithmetic, behind the same ``contains('%')``
+    guard."""
+    hex2 = "upper(substring(p, 1, 2))"
+    code = f"cast(conv({hex2}, 16, 10) as int)"
+    unres = (
+        f"(({code} >= 48 AND {code} <= 57)"
+        f" OR ({code} >= 65 AND {code} <= 90)"
+        f" OR ({code} >= 97 AND {code} <= 122)"
+        f" OR {code} IN (45, 46, 95, 126))"
+    )
+    rest = "substring(p, 3, length(p))"
+    hexrx = _sparkq(_HEX2_RX)
+    piece = (
+        f"CASE WHEN p RLIKE {hexrx} AND {unres} "
+        f"THEN concat(char({code}), {rest}) "
+        f"WHEN p RLIKE {hexrx} "
+        f"THEN concat('%', {hex2}, {rest}) "
+        "ELSE concat('%', p) END"
+    )
+    parts = f"split({pathq}, '%', -1)"
+    folded = (
+        f"concat(element_at({parts}, 1), aggregate("
+        f"slice({parts}, 2, greatest(size({parts}) - 1, 0)), "
+        f"'', (acc, p) -> concat(acc, {piece})))"
+    )
+    return (
+        f"(CASE WHEN contains({pathq}, '%') THEN {folded} "
+        f"ELSE {pathq} END)"
+    )
+
+
+def _dot_resolve_spark_sql(path: str) -> str:
+    """:func:`_dot_resolve` as Spark SQL — the DOT_SEGMENT_STEPS
+    chain behind the same ``contains('/.')`` guard."""
+    chained = path
+    for pat, rep in DOT_SEGMENT_STEPS:
+        chained = (
+            f"regexp_replace({chained}, {_sparkq(pat)}, {_sparkq(rep)})"
+        )
+    return (
+        f"(CASE WHEN contains({path}, '/.') THEN {chained} "
+        f"ELSE {path} END)"
+    )
+
+
 def _stage(df, mapping: dict):
     """withColumns with a collision guard: the staged helpers use
     fixed ``__``-prefixed temp names, and silently overwriting (then
@@ -520,38 +595,60 @@ def with_canonical_url(df, src: str, out: str):
     column ``src`` — same semantics as :func:`canonicalize_url_expr`
     (same piece builders and assembler), staged for interpreted-mode
     efficiency: ONE percent fold over the whole URL (the expensive
-    piece), then each structural piece materialized exactly once."""
-    d = _stage(
-        df, {"__nurl": pct_normalize_expr(_ws_strip(F.col(src)))}
-    )
-    d = _stage(
-        d,
-        {f"__{k}": c for k, c in _url_pieces(F.col("__nurl")).items()},
-    )
-    d = _stage(
-        d,
-        {f"__{k}": c for k, c in _auth_pieces(F.col("__auth")).items()},
-    )
-    d = _stage(
-        d,
-        {
-            **{
-                f"__{k}": c
-                for k, c in _hostport_pieces(
-                    F.col("__hostport")
-                ).items()
-            },
-            "__path": _dot_resolve(F.col("__rawpath")),
-        },
-    )
-    canon = _assemble_canonical(
-        F.col("__scheme"), F.col("__user"), F.col("__host"),
-        F.col("__port"), F.col("__path"), F.col("__query"),
-    )
-    return d.withColumn(out, canon).drop(
+    piece), then each structural piece materialized exactly once.
+
+    Assembled from the Spark-SQL mirror builders above (r12): the
+    same staged expressions as parsed strings — a handful of py4j
+    round-trips per call instead of one per Column operator."""
+    nonascii_rx = _sparkq("[^\\x00-\\x7f]")
+    src_q = f"`{src}`"
+    temps = [
         "__nurl", "__scheme", "__auth", "__rawpath", "__query",
         "__user", "__hostport", "__host", "__port", "__path",
+    ]
+    clash = sorted(set(df.columns) & set(temps))
+    if clash:
+        raise ValueError(
+            f"staged URL helper temp columns already exist: {clash} "
+            "— rename them before calling"
+        )
+    d = df.selectExpr(
+        "*",
+        f"{_pct_normalize_spark_sql(_ws_strip_spark_sql(src_q))}"
+        " AS __nurl",
     )
+    d = d.selectExpr(
+        "*",
+        f"lower(regexp_extract(__nurl, {_sparkq(_SCHEME_RX)}, 1))"
+        " AS __scheme",
+        f"regexp_extract(__nurl, {_sparkq(_AUTH_RX)}, 1) AS __auth",
+        f"regexp_extract(__nurl, {_sparkq(_PATH_RX)}, 1) AS __rawpath",
+        f"regexp_extract(__nurl, {_sparkq(_QUERY_RX)}, 1) AS __query",
+    )
+    d = d.selectExpr(
+        "*",
+        "regexp_extract(__auth, '^(.*@)', 1) AS __user",
+        "regexp_replace(__auth, '^.*@', '') AS __hostport",
+    )
+    d = d.selectExpr(
+        "*",
+        "lower(regexp_replace(__hostport, ':[0-9]*$', '')) AS __host",
+        "regexp_extract(__hostport, ':([0-9]+)$', 1) AS __port",
+        f"{_dot_resolve_spark_sql('__rawpath')} AS __path",
+    )
+    default = (
+        "((__scheme = 'http' AND __port = '80') OR "
+        "(__scheme = 'https' AND __port = '443') OR __port = '')"
+    )
+    canon = (
+        "CASE WHEN __scheme NOT IN ('http', 'https') "
+        f"OR __host RLIKE {nonascii_rx} THEN '' "
+        "ELSE concat(__scheme, '://', __user, __host, "
+        f"CASE WHEN {default} THEN '' ELSE concat(':', __port) END, "
+        "CASE WHEN __path = '' THEN '/' ELSE __path END, "
+        "__query) END"
+    )
+    return d.selectExpr("*", f"{canon} AS `{out}`").drop(*temps)
 
 
 def with_resolved_url(df, base: str, ref: str, out: str):

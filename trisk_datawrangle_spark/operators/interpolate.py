@@ -218,34 +218,45 @@ def lm_extrapolate(
         # quotient is rounded in integer arithmetic (decimal128) with
         # explicit half-away-from-zero, bit-identical on any engine,
         # partitioning or FMA behavior.
+        # assembled as few parsed SQL strings (r12): the same
+        # Catalyst expressions built as Column-object chains cost one
+        # py4j round-trip per operator (~0.6-2 ms each on this box;
+        # ~0.2 s of pure driver latency per call at this branch's
+        # ~100 operators), while each selectExpr/expr string is one
+        # round-trip to the identical resolved plan — the
+        # _signatures_from_shingles lesson applied here.
         mult = 10 ** exact_scale
-        xi = F.col(x_col).cast("long")
-        yi = F.round(F.col(y_col) * mult).cast("long")
-        coef = fit.groupBy(*groups).agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.sum(xi).alias("__sx"),
-            F.sum(xi * xi).alias("__sxx"),
-            F.sum(yi).alias("__sy"),
-            F.sum(xi * yi).alias("__sxy"),
-        )
+        gq = [f"`{g}`" for g in groups]
         dec = "decimal(38,0)"
-        n, sx, sxx, sy, sxy = (
-            F.col("__n").cast(dec), F.col("__sx").cast(dec),
-            F.col("__sxx").cast(dec), F.col("__sy").cast(dec),
-            F.col("__sxy").cast(dec),
+        coef = (
+            fit.selectExpr(
+                *gq,
+                f"cast(`{x_col}` as long) AS __xi",
+                f"cast(round(`{y_col}` * {mult}) as long) AS __yi",
+            )
+            .groupBy(*groups)
+            .agg(
+                F.expr("count(1) AS __n"),
+                F.expr("sum(__xi) AS __sx"),
+                F.expr("sum(__xi * __xi) AS __sxx"),
+                F.expr("sum(__yi) AS __sy"),
+                F.expr("sum(__xi * __yi) AS __sxy"),
+            )
+            .selectExpr(
+                "*",
+                f"cast(__n as {dec}) * cast(__sxy as {dec})"
+                f" - cast(__sx as {dec}) * cast(__sy as {dec}) AS __A",
+                f"cast(__n as {dec}) * cast(__sxx as {dec})"
+                f" - cast(__sx as {dec}) * cast(__sx as {dec}) AS __B",
+            )
         )
-        coef = coef.withColumn("__A", n * sxy - sx * sy).withColumn(
-            "__B", n * sxx - sx * sx
+        joined = df.join(coef, groups, "left").selectExpr(
+            "*",
+            f"cast(__sy as {dec}) * __B - __A * cast(__sx as {dec})"
+            f" + __A * cast(__n as {dec}) * cast(`{x_col}` as {dec})"
+            " AS __num",
+            f"__B * cast(__n as {dec}) AS __den",
         )
-        joined = df.join(coef, groups, "left")
-        xd = F.col(x_col).cast(dec)
-        num = (
-            F.col("__sy").cast(dec) * F.col("__B")
-            - F.col("__A") * F.col("__sx").cast(dec)
-            + F.col("__A") * F.col("__n").cast(dec) * xd
-        )
-        den = F.col("__B") * F.col("__n").cast(dec)
-        joined = joined.withColumn("__num", num).withColumn("__den", den)
         scaled_units = F.expr(
             "CASE WHEN __den IS NULL OR __den = 0 THEN NULL "
             "WHEN __num >= 0 THEN (2 * __num + __den) div (2 * __den) "
