@@ -258,22 +258,42 @@ def token_count(col: str | Column, mode: str = "bpe") -> Column:
 def lang_id(col: str | Column, default: str = "und") -> Column:
     """N-gram-marker language guess: score = number of marker-word
     hits per language, pick the max (ties broken by fixed language
-    order). Pure expression — no UDF, no model."""
-    c = F.concat(F.lit(" "), F.lower(_c(col)), F.lit(" "))
-    scores = []
-    for lang, markers in LANG_MARKERS.items():
-        score = None
-        for m in markers:
-            hits = (
-                F.size(F.split(c, f" {m} ")) - 1
-            )  # non-overlapping marker occurrences
-            score = hits if score is None else score + hits
-        scores.append((lang, score))
-    best = F.greatest(*[s for _, s in scores])
-    expr = F.when(best <= 0, F.lit(default))
-    for lang, score in scores:
-        expr = expr.when(score == best, F.lit(lang))
-    return expr.otherwise(F.lit(default))
+    order). Pure expression — no UDF, no model.
+
+    Let-bound twice over single-element ``transform``s (r12, the
+    quality_score pattern): the padded-lowercase text feeds all 12
+    marker splits, and each language's score is referenced by BOTH
+    the ``greatest`` and its ``when`` arm — without the bindings the
+    non-codegen Project (array lambdas disable codegen, and there is
+    no interpreted CSE) re-ran ``lower`` 12× and every whole-text
+    split 2× per row. Bound, each runs once; references are variable
+    reads. Same comparisons in the same order — identical labels."""
+    langs = list(LANG_MARKERS)
+
+    def _pick(scores: Column) -> Column:
+        best = F.greatest(*[scores[i] for i in range(len(langs))])
+        expr = F.when(best <= 0, F.lit(default))
+        for i, lang in enumerate(langs):
+            expr = expr.when(scores[i] == best, F.lit(lang))
+        return expr.otherwise(F.lit(default))
+
+    def _scores(c: Column) -> Column:
+        scores = []
+        for markers in LANG_MARKERS.values():
+            score = None
+            for m in markers:
+                hits = (
+                    F.size(F.split(c, f" {m} ")) - 1
+                )  # non-overlapping marker occurrences
+                score = hits if score is None else score + hits
+            scores.append(score)
+        return F.array(*scores)
+
+    padded = F.concat(F.lit(" "), F.lower(_c(col)), F.lit(" "))
+    return F.transform(
+        F.array(padded),
+        lambda c: F.transform(F.array(_scores(c)), _pick)[0],
+    )[0]
 
 
 def quality_score(col: str | Column) -> Column:
