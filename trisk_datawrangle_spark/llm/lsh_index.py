@@ -85,19 +85,26 @@ def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
         out.close()
 
 
-def read_index_meta(spark: SparkSession, path: str) -> dict:
-    jvm, hpath, fs = _fs(spark, f"{path}/meta.json")
+def _read_small_file(jvm, fs, hpath) -> bytes:
+    """Whole small file in ONE py4j round-trip. The previous
+    per-byte ``stream.read()`` loop paid one driver↔JVM round-trip
+    PER BYTE — ~150 round-trips (~100 ms) for a meta.json, on every
+    probe of every serving index (guide §1: this showed up as fixed
+    per-probe latency in d13/s7 before any Spark job ran).
+    commons-io ships with Spark, and ``toByteArray`` drains the
+    Hadoop stream JVM-side."""
     stream = fs.open(hpath)
     try:
-        data = bytearray()
-        while True:
-            b = stream.read()
-            if b < 0:
-                break
-            data.append(b)
+        return bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
     finally:
         stream.close()
-    return json.loads(bytes(data).decode())
+
+
+def read_index_meta(spark: SparkSession, path: str) -> dict:
+    jvm, hpath, fs = _fs(spark, f"{path}/meta.json")
+    return json.loads(_read_small_file(jvm, fs, hpath).decode())
 
 
 def _check_id_col(meta: dict, id_col: str, op: str) -> None:
@@ -518,17 +525,10 @@ def acquire_index_lease(
     except Exception:
         holder = "unknown"
         try:
-            stream = fs.open(hpath)
-            try:
-                data = bytearray()
-                while True:
-                    b = stream.read()
-                    if b < 0:
-                        break
-                    data.append(b)
-                holder = bytes(data).decode(errors="replace") or holder
-            finally:
-                stream.close()
+            holder = (
+                _read_small_file(jvm, fs, hpath).decode(errors="replace")
+                or holder
+            )
         except Exception:
             pass
         raise RuntimeError(
@@ -602,17 +602,7 @@ def resolve_index_path(spark: SparkSession, path: str) -> str:
     jvm, hpath, fs = _fs(spark, pointer)
     if not fs.exists(hpath):
         return path
-    stream = fs.open(hpath)
-    try:
-        data = bytearray()
-        while True:
-            b = stream.read()
-            if b < 0:
-                break
-            data.append(b)
-    finally:
-        stream.close()
-    version = bytes(data).decode().strip()
+    version = _read_small_file(jvm, fs, hpath).decode().strip()
     if not version or "/" in version or version.startswith("."):
         raise ValueError(
             f"resolve_index_path: corrupt pointer {pointer!r} -> "

@@ -220,6 +220,64 @@ def load_tables(
     return out
 
 
+#: fan_out_scan only fires when the WHOLE scan is smaller than this
+#: (conf `spark.trisk.fanout.maxInputBytes`): a small unsplittable
+#: input is the only case where paying a shuffle to parallelize is
+#: provably cheap. Production tables exceed it and keep their scan
+#: layout untouched.
+_FANOUT_MAX_BYTES = 256 * 1024 * 1024
+
+
+def fan_out_scan(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Guide §2.5 input-skew recovery for UNSPLITTABLE small scans.
+
+    The local corpora are single-file, single-row-group parquet, so
+    every scan is one task: the whole downstream chain (joins,
+    aggregations, interpreted expression work) runs on one core while
+    the rest idle. When — and only when — the scan exposes fewer
+    files than cores AND the entire input is small (< 256 MB by
+    default; `spark.trisk.fanout.maxInputBytes`), hash-repartition
+    the (already projected) frame so the downstream work spreads.
+    Hash, not round-robin: a keyless ``repartition(n)`` first pays a
+    partition-local sort of the single input task
+    (``spark.sql.execution.sortBeforeRepartition``).
+
+    At production scale this is a structural no-op, not a tuning
+    knob: many-file inputs fail the file-count gate, big inputs fail
+    the byte gate, and non-local filesystems (object stores) skip
+    entirely — so no corpus-sized shuffle can ever be introduced by
+    it. Callers pass the columns they actually need first; the
+    exchange then carries only those."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    spark = df.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    cap = int(
+        spark.conf.get(
+            "spark.trisk.fanout.maxInputBytes", str(_FANOUT_MAX_BYTES)
+        )
+    )
+    files = df.inputFiles()
+    if len(files) >= p:
+        return df
+    total = 0
+    for f in files:
+        if not f.startswith("file:"):
+            return df  # remote store: production layout, leave it
+        try:
+            total += os.path.getsize(unquote(urlparse(f).path))
+        except OSError:
+            return df
+        if total > cap:
+            return df
+    return (
+        df.repartition(p, *[df[c] for c in key_cols])
+        if key_cols
+        else df.repartition(p)
+    )
+
+
 def register_views(
     spark: SparkSession, sf_dir: str, names: Sequence[str] = TABLES
 ) -> dict[str, DataFrame]:
