@@ -387,6 +387,61 @@ def _signatures_from_shingles(
     return proj.groupBy("id").agg(F.expr(f"array({mins_sql}) AS sig"))
 
 
+def _shingle_profile(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    num_hashes: int,
+) -> DataFrame:
+    """(id, hs, n_grams, sig) — the sorted DISTINCT shingle-hash
+    array, its size, and the MinHash signature, in ONE aggregation
+    over the raw gram stream (r12, guide §2.4 remove shuffles
+    outright).
+
+    The split shape this replaces paid two corpus-sized exchanges
+    that the data's layout already made redundant:
+    ``shingle_hashes(distinct=True)`` shuffled every (id, h) gram row
+    by (id, h) even though :func:`~trisk_datawrangle_spark.llm.text.
+    word_gram_table`'s doc repartition had already placed ALL grams
+    of an id in one partition, and ``_signatures_from_shingles``'s
+    groupBy(id) then shuffled the cached distinct rows AGAIN on a
+    key they were already clustered by (the cache boundary hides the
+    child partitioning from the planner —
+    canChangeCachedPlanOutputPartitioning stays false, see
+    session.py). Aggregating straight off the gram stream instead
+    satisfies the groupBy's ClusteredDistribution(id) with the
+    repartition the grams already paid: ZERO additional exchanges,
+    one ObjectHashAggregate computing ``collect_set`` (the distinct)
+    and the K mins (duplicate-insensitive) together, and the cache
+    the callers hold shrinks from |grams| rows to |docs| rows.
+
+    Identical values by construction: ``sort_array(collect_set(h))``
+    == the sorted distinct hash list the verifier aggregated;
+    ``min`` over non-distinct h31 == min over distinct;
+    ``size(hs)`` == the verifier's distinct-gram count (cast to
+    long to keep the old ``count(1)`` column type)."""
+    from trisk_datawrangle_spark.llm.text import word_gram_table
+
+    grams = word_gram_table(df, text_col, id_col, n).select(
+        "id", F.xxhash64("gram").alias("h")
+    )
+    p = _MERSENNE_31
+    proj = grams.select(
+        "id", "h", F.pmod(F.col("h"), F.lit(p)).alias("h31")
+    )
+    mins_sql = ", ".join(
+        f"min(pmod(h31 * {a}L + {b}L, {p}L))"
+        for a, b in _affine_params(num_hashes)
+    )
+    return proj.groupBy("id").agg(
+        F.sort_array(F.collect_set("h")).alias("hs"),
+        F.expr(f"array({mins_sql}) AS sig"),
+    ).select(
+        "id", "hs", F.size("hs").cast("long").alias("n_grams"), "sig"
+    )
+
+
 def _banded_table(
     sig: DataFrame, num_hashes: int, bands: int
 ) -> DataFrame:
@@ -517,6 +572,18 @@ def _verify_candidates_arrays(
         F.sort_array(F.collect_list("h")).alias("hs"),
         F.count(F.lit(1)).alias("n_grams"),
     )
+    return _verify_pairs_from_arrays(arrays, cand, threshold)
+
+
+def _verify_pairs_from_arrays(
+    arrays: DataFrame, cand: DataFrame, threshold: float
+) -> DataFrame:
+    """The pair-join half of :func:`_verify_candidates_arrays`, for
+    callers that already HOLD the per-doc (id, hs, n_grams) array
+    table (r12: :func:`_shingle_profile` computes it in the same
+    aggregation as the signatures, so re-aggregating exploded rows
+    here would be pure waste). Same joins, same size gate, same
+    Jaccard arithmetic — identical output."""
     withA = cand.select("id_a", "id_b").join(
         arrays.select(
             F.col("id").alias("id_a"),
@@ -601,21 +668,23 @@ def minhash_lsh_dedup_pairs(
     Only the narrow candidate pair set is taken from the LSH stage —
     the estimated-Jaccard signature re-attach is skipped entirely
     (exact verification supersedes it) — and both stages read ONE
-    cached distinct shingle table (signatures are duplicate-
-    insensitive), so the corpus is scanned and shingled once."""
-    shingled = shingle_hashes(
-        df, text_col, id_col, ngram, distinct=True
-    ).cache()
-    sig = _signatures_from_shingles(shingled, num_hashes)
-    cand = _lsh_candidate_pairs(sig, num_hashes, bands)
+    cached per-doc shingle PROFILE (:func:`_shingle_profile`:
+    sorted distinct-hash array + signature from a single
+    aggregation), so the corpus is scanned and shingled once and
+    neither the distinct nor the signature groupBy pays an
+    exchange (r12)."""
+    prof = _shingle_profile(df, text_col, id_col, ngram, num_hashes).cache()
+    cand = _lsh_candidate_pairs(prof.select("id", "sig"), num_hashes, bands)
     # NOT narrowed to candidate ids (r12 measurement): semi-joining
-    # ``shingled`` to cand's id set before the verifier — the shape
+    # the arrays to cand's id set before the verifier — the shape
     # that wins in the persisted-index probe, lsh_index.py — LOSES
     # here (sf0.1 A/B: 1.3-1.8 s → 1.8-2.4 s): cand has one consumer
     # in this inline composite, so the narrowing forces an extra
-    # cache barrier + two more shuffles to save array-building for
-    # docs the JVM aggregates cheaply anyway.
-    return _verify_candidates_arrays(shingled, cand, threshold)
+    # cache barrier + two more shuffles to save work the JVM joins
+    # away cheaply anyway.
+    return _verify_pairs_from_arrays(
+        prof.select("id", "hs", "n_grams"), cand, threshold
+    )
 
 
 #: Pair tiers :func:`near_dup_pairs` dispatches on. Ordered from the

@@ -54,10 +54,9 @@ from trisk_datawrangle_spark.operators.persist import (
 )
 from trisk_datawrangle_spark.llm.dedup import (
     _banded_table,
-    _signatures_from_shingles,
-    _verify_candidates_arrays,
+    _shingle_profile,
+    _verify_pairs_from_arrays,
     minhash_lsh_dedup_pairs,
-    shingle_hashes,
 )
 
 #: Default shard count for both partition layouts. 64 keeps the
@@ -129,20 +128,25 @@ def _index_frames(
     ngram: int,
     n_shards: int,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(bands_frame, shingles_frame, cached_shingle_base) with shard
-    columns attached. One cached distinct shingle table feeds both
-    (signatures are duplicate-insensitive, verification needs the
-    dedup anyway). The third element is the cached base — callers
-    MUST ``unpersist()`` it once their writes land, or a long-running
+    """(bands_frame, shingles_frame, cached_base) with shard
+    columns attached. One cached per-doc PROFILE
+    (:func:`~trisk_datawrangle_spark.llm.dedup._shingle_profile` —
+    sorted distinct-hash array + signature from a single
+    no-extra-exchange aggregation, r12) feeds both: the banded table
+    is an inline() projection of the signatures, the stored shingle
+    rows an explode of the arrays (the store keeps the exploded
+    layout — probes prune and re-aggregate only candidate ids).
+    The third element is the cached base — callers MUST
+    ``unpersist()`` it once their writes land, or a long-running
     ingest loop leaks one cached RDD per micro-batch until GC."""
-    sh = shingle_hashes(df, text_col, id_col, ngram, distinct=True).cache()
+    prof = _shingle_profile(df, text_col, id_col, ngram, num_hashes).cache()
     banded = _banded_table(
-        _signatures_from_shingles(sh, num_hashes), num_hashes, bands
+        prof.select("id", "sig"), num_hashes, bands
     ).withColumn("bshard", F.pmod(F.col("bucket"), F.lit(n_shards)))
-    shingles = sh.withColumn(
+    shingles = prof.select("id", F.explode("hs").alias("h")).withColumn(
         "ishard", F.pmod(F.xxhash64(F.col("id")), F.lit(n_shards))
     )
-    return banded, shingles, sh
+    return banded, shingles, prof
 
 
 def write_lsh_index(
@@ -313,21 +317,24 @@ def minhash_lsh_index_pairs(
     meta = read_index_meta(spark, path)
     _check_id_col(meta, id_col, "minhash_lsh_index_pairs")
     n_shards = meta["n_shards"]
-    sh_in = shingle_hashes(
-        incoming, text_col, id_col, meta["ngram"], distinct=True
+    # ONE cached per-doc profile (r12, _shingle_profile): the sorted
+    # distinct-hash array, its size and the signature come out of a
+    # single no-extra-exchange aggregation over the gram stream —
+    # the previous shape cached the exploded distinct (id, h) rows
+    # and paid two delta-sized exchanges (the distinct and the
+    # signature groupBy) plus a second delta-wide aggregation in the
+    # verify stage. The banded table is a cheap inline() projection
+    # of the cached profile, so it no longer needs its own cache.
+    prof = _shingle_profile(
+        incoming, text_col, id_col, meta["ngram"], meta["num_hashes"]
     ).cache()
-    banded_in = (
-        _banded_table(
-            _signatures_from_shingles(sh_in, meta["num_hashes"]),
-            meta["num_hashes"],
-            meta["bands"],
-        )
-        .withColumn("bshard", F.pmod(F.col("bucket"), F.lit(n_shards)))
-        .cache()  # used for shard discovery AND the candidate join
-    )
+    banded_in = _banded_table(
+        prof.select("id", "sig"), meta["num_hashes"], meta["bands"]
+    ).withColumn("bshard", F.pmod(F.col("bucket"), F.lit(n_shards)))
 
     index_bands = _pruned_bands_read(spark, path, banded_in).join(
-        F.broadcast(banded_in.select("id").distinct()), "id", "left_anti"
+        # prof is one row per id — already distinct
+        F.broadcast(prof.select("id")), "id", "left_anti"
     )
     cand = (
         index_bands.select(F.col("id").alias("id_a"), "band", "bucket")
@@ -365,38 +372,38 @@ def minhash_lsh_index_pairs(
             )
             .select("id", "h")
         )
-        # no distinct on the union (r12): both sides are already
-        # per-(id, h) distinct — sh_in is built distinct=True, and the
-        # stored shingles table is written from a distinct frame with
-        # merge_by_key replacing whole ids — and their id sets are
-        # disjoint (sh_ex is semi-joined to cand.id_a, which the bands
-        # anti-join restricted to index-minus-batch ids). A distinct
-        # here re-shuffled every shingle row for nothing: measured
-        # 1.33 s → 0.74 s on the sf0.1 verify stage, identical output
-        # row-hash (the invariant is asserted cheaply by the verifier's
-        # per-id n_grams, which exact-Jaccard would corrupt loudly on
-        # any duplicate).
-        #
-        # The batch side is likewise narrowed to CANDIDATE ids (r12):
-        # the verifier inner-joins its array table to cand's id_a/id_b,
-        # so shingles of batch docs that collided with nothing can
-        # never reach the output — dropping them up front (a broadcast
-        # semi-join against the cached cand) keeps the sort-array
-        # aggregation proportional to |candidates|, not |batch|
-        # (sf0.1: ~120 candidate ids of 2 500 batch docs; at 100 TB the
-        # same ratio is the difference between verifying a delta and
-        # verifying collisions).
-        sh_b = sh_in.join(
+        # The index side still needs aggregating into per-doc arrays
+        # (the store holds exploded (id, h) rows), but only for the
+        # ~|candidates| ids the semi-join kept; no distinct first —
+        # the stored shingles table is written from a distinct frame
+        # with merge_by_key replacing whole ids, and its id set is
+        # disjoint from the batch's (the bands anti-join restricted
+        # id_a to index-minus-batch ids), so a distinct here would
+        # re-shuffle every row for nothing (r12, measured 1.33 s →
+        # 0.74 s on the sf0.1 verify stage, identical output).
+        arrays_ex = sh_ex.groupBy("id").agg(
+            F.sort_array(F.collect_list("h")).alias("hs"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        # The batch side's arrays are ALREADY in the cached profile —
+        # narrowed to CANDIDATE ids (r12): the verifier inner-joins
+        # to cand's id_a/id_b, so docs that collided with nothing can
+        # never reach the output; dropping them up front (a broadcast
+        # semi-join against the cached cand) keeps the verify
+        # proportional to |candidates|, not |batch| (sf0.1: ~120
+        # candidate ids of 2 500 batch docs; at 100 TB the same ratio
+        # is the difference between verifying a delta and verifying
+        # collisions).
+        arrays_b = prof.join(
             cand.select(F.col("id_b").alias("id")).distinct(),
             "id",
             "left_semi",
-        ).select("id", "h")
-        return _verify_candidates_arrays(
-            sh_ex.union(sh_b), cand, threshold
+        ).select("id", "hs", "n_grams")
+        return _verify_pairs_from_arrays(
+            arrays_ex.union(arrays_b), cand, threshold
         ).localCheckpoint(eager=True)
     finally:
-        sh_in.unpersist()
-        banded_in.unpersist()
+        prof.unpersist()
         cand.unpersist()
 
 
