@@ -232,3 +232,23 @@ def test_vectorized_pairs_reject_oversized_corpus(spark):
     # and the explicit-override escape hatch still works
     small = e.limit(4)
     assert cosine_pairs_vectorized(small, threshold=-1.0, max_rows=4).count() > 0
+
+
+def test_ivf_plan_is_single_fused_python_pass(spark):
+    """r12 shape contract: the IVF scoring plan crosses Python ONCE
+    (the fused assign+score mapInPandas) — no per-pair expression
+    dots, no join carrying vector arrays, and the global rank window
+    sees only partition-local top-k rows."""
+    import re
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    res = ivf_topk(e, q, k=5, n_cells=8, n_probe=4)
+    plan = res._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    heads = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    assert heads.count("MapInPandas") == 1, plan
+    assert "Join" not in " ".join(heads), plan

@@ -420,14 +420,26 @@ def ivf_topk(
     ("cell"); each query probes its ``n_probe`` nearest cells and
     scores only the vectors inverted-listed there.
 
-    Scale shape: corpus assignment is one vectorized pass (a
-    ``batch × n_cells`` GEMM per Arrow batch, no shuffle); the probe
-    join is an equi-join on the cell id with the query side
-    broadcast, so scored pairs shrink by ~``n_probe / n_cells``
-    versus brute force and the corpus is never re-shuffled per query
-    batch. Recall < 1 by design — raise ``n_probe`` (→ brute force at
+    Scale shape (r12, guide §4.2/§8): ONE fused vectorized pass over
+    the corpus — each Arrow batch is assigned to cells with a
+    ``batch × n_cells`` GEMM and immediately scored against the
+    (broadcast) query matrix with a ``batch × queries`` GEMM, masked
+    to each query's probed cells, emitting only the batch-local
+    top-k per query. The query→cell probe runs driver-side on the
+    collected request batch (request-sized by the serving contract —
+    the same shape as :func:`ivf_pq_index_topk` and
+    :func:`cosine_topk_vectorized`). Versus the previous
+    assign-then-broadcast-join-then-expression plan this removes the
+    per-pair interpreted ``zip_with``/``aggregate`` dot products
+    (~|pairs| × dim interpreted ops), the join that shipped two
+    ``dim``-float arrays per scored pair, and the corpus-sized
+    window: the global rank sees |partitions| × k rows per query.
+    Recall < 1 by design — raise ``n_probe`` (→ brute force at
     ``n_probe = n_cells``) or ``n_cells`` granularity. Same output
-    contract as :func:`cosine_topk`.
+    contract as :func:`cosine_topk`; scoring truncates vectors to
+    float32 before the f64 GEMM, matching the previous plan's
+    ``array<float>`` boundary exactly (norms stay full-precision,
+    like the old ``__qn``/``__cn``).
     """
     import numpy as np
     import pandas as pd
@@ -439,59 +451,65 @@ def ivf_topk(
     n_cells = len(centroids)
     n_probe = min(n_probe, n_cells)
     sc = corpus.sparkSession.sparkContext
-    bc = sc.broadcast(np.asarray(centroids, dtype=np.float64))
+    cent = np.asarray(centroids, dtype=np.float64)
 
-    def assign_cells(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-        cent = bc.value
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows])
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_norm = np.maximum(np.linalg.norm(q_mat, axis=1), 1e-12)
+    # top-n_probe cells per query, deterministic order — identical
+    # argsort to the previous mapInPandas probe stage
+    q_sims = (q_mat / q_norm[:, None]) @ cent.T
+    q_probes = np.argsort(-q_sims, kind="stable", axis=1)[:, :n_probe]
+    # score over the float32-truncated vectors (the old plan crossed
+    # an array<float> boundary before its per-element double casts)
+    q_score = q_mat.astype(np.float32).astype(np.float64)
+    bq = sc.broadcast((q_ids, q_score, q_norm, q_probes))
+    bc = sc.broadcast(cent)
+
+    def score_partition(
+        batches: "Iterator[pd.DataFrame]",
+    ) -> "Iterator[pd.DataFrame]":
+        ids, qs, qn, probes = bq.value
+        cent_ = bc.value
         for pdf in batches:
-            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            norm = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
-            cell = np.argmax((mat / norm[:, None]) @ cent.T, axis=1)
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_ids = pdf[id_col].to_numpy()
+            c_norm = np.maximum(np.linalg.norm(c_mat, axis=1), 1e-12)
+            cell = np.argmax((c_mat / c_norm[:, None]) @ cent_.T, axis=1)
+            c_score = c_mat.astype(np.float32).astype(np.float64)
+            sims = (c_score @ qs.T) / np.outer(c_norm, qn)
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(ids)):
+                mask = np.isin(cell, probes[j]) & (c_ids != ids[j])
+                cand_idx = np.nonzero(mask)[0]
+                if len(cand_idx) == 0:
+                    continue
+                take = min(k, len(cand_idx))
+                col = sims[:, j]
+                # lexsort pins the local take-boundary tiebreak to
+                # (cosine desc, neighbor_id asc) — see
+                # cosine_topk_vectorized for why argpartition alone
+                # would make the boundary partition-layout-dependent
+                order = np.lexsort((c_ids[cand_idx], -col[cand_idx]))
+                top = cand_idx[order[:take]]
+                out_q.extend([ids[j]] * len(top))
+                out_n.extend(c_ids[top])
+                out_c.extend(col[top])
             yield pd.DataFrame(
-                {
-                    "neighbor_id": pdf[id_col].to_numpy(),
-                    "__cv": list(pdf[vec_col]),
-                    "__cn": norm,
-                    "__cell": cell.astype(np.int32),
-                }
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
             )
 
-    assigned = corpus.select(id_col, vec_col).mapInPandas(
-        assign_cells,
-        "neighbor_id long, __cv array<float>, __cn double, __cell int",
+    part = corpus.select(id_col, vec_col).repartition(
+        sc.defaultParallelism, id_col
+    ).mapInPandas(
+        score_partition, "query_id long, neighbor_id long, cosine double"
     )
-
-    def probe_cells(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-        cent = bc.value
-        for pdf in batches:
-            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            norm = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
-            sims = (mat / norm[:, None]) @ cent.T
-            # top-n_probe cells per query, deterministic order
-            probes = np.argsort(-sims, kind="stable", axis=1)[:, :n_probe]
-            n = len(pdf)
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(pdf[id_col].to_numpy(), n_probe),
-                    "__qv": [v for v in pdf[vec_col] for _ in range(n_probe)],
-                    "__qn": np.repeat(norm, n_probe),
-                    "__cell": probes.reshape(-1).astype(np.int32),
-                }
-            )
-
-    probed = queries.select(id_col, vec_col).mapInPandas(
-        probe_cells, "query_id long, __qv array<float>, __qn double, __cell int"
-    )
-    pairs = assigned.join(F.broadcast(probed), "__cell").filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    cos = _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        pairs.withColumn("cosine", cos)
-        .withColumn("rank", F.row_number().over(w))
+        part.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
