@@ -567,7 +567,8 @@ def s5(spark, sf_dir):
     # rescore sees the complete pair set (full-probe ⇒ each corpus
     # vector is a candidate exactly once per query)
     cand = ivf_pq_topk(
-        e, qd, k=2_000_000_000, n_cells=16, n_probe=16, m=8
+        e, qd, k=2_000_000_000, n_cells=16, n_probe=16, m=8,
+        ranked=False,  # every pair feeds the exact rescore (r12)
     )
     res = rescore_topk(cand, e, qd, k=5)
     return res.select(
@@ -3959,7 +3960,10 @@ def s7_probe(spark, sf_dir):
         write_ivf_pq_index(e, staged, n_cells=16, m=8)
 
     path = _served_index_path(spark, "ivf_pq", sf_dir, build)
-    cand = ivf_pq_index_topk(spark, path, qd, k=2_000_000_000, n_probe=16)
+    cand = ivf_pq_index_topk(
+        spark, path, qd, k=2_000_000_000, n_probe=16,
+        ranked=False,  # every pair feeds the exact rescore (r12)
+    )
     res = rescore_topk(cand, e, qd, k=5)
     return res.select(
         "query_id",

@@ -111,17 +111,37 @@ def write_ivf_pq_index(
     )
 
 
+#: Per-process memo of loaded PQ models keyed by (applicationId,
+#: RESOLVED version path) — r12. A published index version is
+#: immutable by the lifecycle contract (publish_index_versioned
+#: creates a fresh v=N and atomically flips CURRENT; versions are
+#: never edited in place), so the KB-sized centroid/codebook
+#: ndarrays for a given resolved path can live for the process: a
+#: serving deployment holds its model in memory and re-reads only
+#: the CURRENT pointer per request. The pointer resolve stays
+#: per-call (resolve_index_path below), so a retrain-and-swap is
+#: picked up on the next probe — it lands on a NEW resolved path
+#: and misses the memo.
+_MODEL_MEMO: dict = {}
+
+
 def load_ivf_pq_model(spark: SparkSession, path: str):
     """(centroids, codebooks) ndarrays from the stored model tables —
     a bounded driver collect (n_cells + m·k_codes rows of short
     arrays). ``path`` may be a versioned root (``CURRENT`` pointer,
     see :func:`~trisk_datawrangle_spark.llm.lsh_index.
-    publish_index_versioned`) — it resolves to the current version."""
+    publish_index_versioned`) — it resolves to the current version.
+    The loaded model is memoized per (application, resolved version)
+    — see ``_MODEL_MEMO``."""
     import concurrent.futures
 
     import numpy as np
 
     path = resolve_index_path(spark, path)
+    key = (spark.sparkContext.applicationId, path)
+    hit = _MODEL_MEMO.get(key)
+    if hit is not None:
+        return hit
     meta = read_index_meta(spark, path)
     # the two model tables are independent KB-sized reads; submit
     # them as concurrent jobs (guide §2.6 — overlap independent
@@ -142,6 +162,7 @@ def load_ivf_pq_model(spark: SparkSession, path: str):
     books = np.empty((meta["m"], meta["k_codes"], dsub))
     for r in book_rows:
         books[r["j"], r["code"]] = r["c"]
+    _MODEL_MEMO[key] = (cent, books)
     return cent, books
 
 
@@ -153,6 +174,7 @@ def ivf_pq_index_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    ranked: bool = True,
 ) -> DataFrame:
     """Serve a query batch from the persisted index: load + broadcast
     the model, compute the batch's probed cells DRIVER-SIDE (a
@@ -212,4 +234,5 @@ def ivf_pq_index_topk(
         id_col,
         vec_col,
         probed=probed_df,
+        ranked=ranked,
     )

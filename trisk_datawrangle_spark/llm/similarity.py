@@ -663,6 +663,7 @@ def ivf_pq_topk(
     k_codes: int = 256,
     centroids=None,
     codebooks=None,
+    ranked: bool = True,
 ) -> DataFrame:
     """IVF-PQ approximate cosine top-k — the memory-scale ANN tier.
 
@@ -695,7 +696,8 @@ def ivf_pq_topk(
         )
     index = encode_pq_index(corpus, centroids, codebooks, id_col, vec_col)
     return adc_topk(
-        index, queries, centroids, codebooks, k, n_probe, id_col, vec_col
+        index, queries, centroids, codebooks, k, n_probe, id_col, vec_col,
+        ranked=ranked,
     )
 
 
@@ -759,6 +761,7 @@ def adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probed: DataFrame | None = None,
+    ranked: bool = True,
 ) -> DataFrame:
     """Probe + asymmetric-distance scoring + top-k over a prebuilt
     ``(neighbor_id, __cell, __codes)`` index frame (from
@@ -845,6 +848,13 @@ def adc_topk(
     scored = joined.mapInPandas(
         adc_score, "query_id long, neighbor_id long, cosine double"
     )
+    # ranked=False (r12): the full-candidate refine shape
+    # (k >= |corpus|, every scored pair feeds an exact rescore that
+    # re-ranks from scratch) pays a corpus-candidate-sized
+    # exchange + sort here for a rank column the caller drops.
+    # Opting out returns the identical candidate SET unranked.
+    if not ranked:
+        return scored.select("query_id", "neighbor_id", "cosine")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -874,26 +884,90 @@ def rescore_topk(
     one shuffle of the candidate list against the corpus, never a
     re-scan per query). With R > k this recovers most of the recall
     the quantizer lost while the index still never stores floats.
-    Output contract matches :func:`cosine_topk`."""
+    Output contract matches :func:`cosine_topk`.
+
+    Scoring shape (r12, guide §4.2): the candidate list joins the
+    corpus vectors (one equi-join — unchanged), but the exact
+    cosines run as a batched numpy gather+einsum against the
+    collected query matrix instead of per-pair interpreted
+    ``zip_with``/``aggregate`` expressions (|pairs| × dim
+    interpreted ops before), and each batch emits only its local
+    top-k per query — the global rank window sees
+    |partitions| × k rows per query, not every candidate. Queries
+    are request-sized by the serving contract (every caller probes
+    a bounded batch; the previous plan already collected them into
+    a broadcast relation). Vectors are truncated to float32 before
+    the f64 products, matching the old ``array<float>`` boundary;
+    norms stay full-precision."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_norm = np.maximum(np.linalg.norm(q_mat, axis=1), 1e-12)
+    q_score = q_mat.astype(np.float32).astype(np.float64)
+    order = np.argsort(q_ids, kind="stable")
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids[order], q_score[order], q_norm[order]))
+
     cand = candidates.select("query_id", "neighbor_id")
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        _norm(vec_col).alias("__cn"),
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        _norm(vec_col).alias("__qn"),
+    pairs = cand.join(c, "neighbor_id")
+
+    def score_batch(
+        batches: "Iterator[pd.DataFrame]",
+    ) -> "Iterator[pd.DataFrame]":
+        ids, qs, qn = bq.value
+        for pdf in batches:
+            if len(ids) == 0:
+                continue  # inner join vs an empty query batch
+            qid = pdf["query_id"].to_numpy()
+            nid = pdf["neighbor_id"].to_numpy()
+            c_mat = np.array(list(pdf["__cv"]), dtype=np.float64)
+            c_norm = np.maximum(np.linalg.norm(c_mat, axis=1), 1e-12)
+            c_score = c_mat.astype(np.float32).astype(np.float64)
+            qi = np.searchsorted(ids, qid)
+            # the old plan INNER-joined the query side: a candidate
+            # whose query_id is not in this batch is dropped, never
+            # mis-scored against a neighboring row
+            ok = (qi < len(ids)) & (ids[np.minimum(qi, len(ids) - 1)] == qid)
+            if not ok.all():
+                keep = np.nonzero(ok)[0]
+                qid, nid = qid[keep], nid[keep]
+                c_score, c_norm = c_score[keep], c_norm[keep]
+                qi = qi[keep]
+            cos = np.einsum("ij,ij->i", c_score, qs[qi]) / (
+                c_norm * qn[qi]
+            )
+            out_q, out_n, out_c = [], [], []
+            for j, qv in enumerate(ids):
+                sel = np.nonzero(qid == qv)[0]
+                if len(sel) == 0:
+                    continue
+                take = min(k, len(sel))
+                # same deterministic take-boundary tiebreak as
+                # cosine_topk_vectorized: (cosine desc, neighbor asc)
+                o = np.lexsort((nid[sel], -cos[sel]))
+                top = sel[o[:take]]
+                out_q.extend(qid[top])
+                out_n.extend(nid[top])
+                out_c.extend(cos[top])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+            )
+
+    part = pairs.mapInPandas(
+        score_batch, "query_id long, neighbor_id long, cosine double"
     )
-    pairs = cand.join(c, "neighbor_id").join(F.broadcast(q), "query_id")
-    cos = _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        pairs.withColumn("cosine", cos)
-        .withColumn("rank", F.row_number().over(w))
+        part.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
