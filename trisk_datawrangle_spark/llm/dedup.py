@@ -156,13 +156,17 @@ def ngram_jaccard_pairs(
                 "minhash_lsh_dedup_pairs for bounded approximate "
                 "candidates."
             )
-    # stage boundary: the shingle table feeds the size aggregate AND
-    # both sides of the co-shingle self-join — uncached, the
-    # scan→explode→hash subtree runs three times (measured 2× total
-    # query time at sf0.1). The cached frame is (id, long-hash) rows,
-    # far smaller than the text it came from.
-    shingled = shingle_hashes(df, text_col, id_col, n, distinct=True).cache()
-    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    # stage boundary: the per-doc distinct-shingle ARRAYS feed the
+    # sizes AND both sides of the co-shingle self-join — uncached,
+    # the scan→explode→hash subtree runs three times (measured 2×
+    # total query time at sf0.1). Caching the array form
+    # (_shingle_profile, r12) instead of the exploded rows removes
+    # the (id, h) distinct exchange and the sizes aggregation
+    # outright (size(hs) is a projection), and shrinks the cache to
+    # one row per doc; the join sides re-explode from the cache.
+    prof = _shingle_profile(df, text_col, id_col, n, 0).cache()
+    shingled = prof.select("id", F.explode("hs").alias("h"))
+    sizes = prof.select("id", "n_grams")
     if max_doc_freq is not None:
         rare = (
             shingled.groupBy("h")
@@ -234,20 +238,22 @@ def ngram_jaccard_prefix_pairs(
     (keyed by id — no global sort), the prefix self-join, and two
     id-keyed array fetches for verify. All keyed, AQE-splittable.
     """
-    shingled = shingle_hashes(df, text_col, id_col, n, distinct=True).cache()
-    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    # one cached per-doc array profile (r12): the distinct exchange,
+    # the sizes aggregation AND the verify stage's array re-build all
+    # disappear — sizes ride the explode, the verify reads ``hs``
+    # straight off the cache
+    prof = _shingle_profile(df, text_col, id_col, n, 0).cache()
+    shingled = prof.select(
+        "id", "n_grams", F.explode("hs").alias("h")
+    )
     doc_freq = shingled.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
     # Canonical global shingle order: ascending document frequency,
     # hash as the tiebreak — every doc ranks its shingles identically.
-    ranked = (
-        shingled.join(doc_freq, "h")
-        .withColumn(
-            "__pos",
-            F.row_number().over(
-                Window.partitionBy("id").orderBy("__df", "h")
-            ),
-        )
-        .join(sizes, "id")
+    ranked = shingled.join(doc_freq, "h").withColumn(
+        "__pos",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy("__df", "h")
+        ),
     )
     t = float(threshold)
     prefix_len = F.col("n_grams") - F.ceil(F.lit(t) * F.col("n_grams")) + 1
@@ -285,10 +291,9 @@ def ngram_jaccard_prefix_pairs(
         .distinct()
     )
     # Exact verify on candidate-bounded rows: per-doc sorted hash
-    # arrays (|doc| longs each), intersection size per pair.
-    arrays = shingled.groupBy("id").agg(
-        F.sort_array(F.collect_list("h")).alias("hs")
-    )
+    # arrays (|doc| longs each), intersection size per pair —
+    # straight off the cached profile, no re-aggregation (r12).
+    arrays = prof.select("id", "hs")
     common = (
         cand.join(
             arrays.select(F.col("id").alias("id_a"), F.col("hs").alias("ha")),
@@ -430,6 +435,15 @@ def _shingle_profile(
     proj = grams.select(
         "id", "h", F.pmod(F.col("h"), F.lit(p)).alias("h31")
     )
+    if num_hashes == 0:
+        # array-only profile (no signatures): the exact-Jaccard
+        # tiers need just (hs, n_grams)
+        agg = proj.groupBy("id").agg(
+            F.sort_array(F.collect_set("h")).alias("hs")
+        )
+        return agg.select(
+            "id", "hs", F.size("hs").cast("long").alias("n_grams")
+        )
     mins_sql = ", ".join(
         f"min(pmod(h31 * {a}L + {b}L, {p}L))"
         for a, b in _affine_params(num_hashes)
