@@ -872,7 +872,13 @@ FROM feat
 
 @q("x3_quality_score", _QUALITY_SQL)
 def x3(spark, sf_dir):
-    return _docs(spark, sf_dir).select(
+    # gated fan-out (r12, guide §2.5): the let-bound quality score is
+    # interpreted per row (array lambdas disable codegen) and the
+    # single-file scan is one task; spread it like x4's fingerprint
+    d = fan_out_scan(
+        _docs(spark, sf_dir).select("doc_id", "text"), "doc_id"
+    )
+    return d.select(
         "doc_id", F.round(quality_score("text"), 6).alias("quality")
     )
 
@@ -1739,7 +1745,12 @@ def m1(spark, sf_dir):
     (unrecognized bytes) is unit-tested too."""
     from trisk_datawrangle_spark.llm.multimodal import png_payload
 
-    d = _docs(spark, sf_dir).select(
+    # gated fan-out (r12, guide §2.5): PNG assembly (CRC32 over
+    # zlib-wrapped scanlines) + the Arrow decode are per-row CPU on a
+    # one-task scan without it
+    d = fan_out_scan(
+        _docs(spark, sf_dir).select("doc_id", "text"), "doc_id"
+    ).select(
         "doc_id",
         "text",
         (F.lit(16) + F.col("doc_id") % 512).cast("int").alias("__w"),
@@ -4569,7 +4580,11 @@ def x46(spark, sf_dir):
     identical passes over identically constructed HTML — parity by
     shared data. Scale shape: fuses into the scan (zero Python, zero
     shuffle) — at 100 TB this runs at I/O speed like x9/x24."""
-    d = _docs(spark, sf_dir)
+    # gated fan-out (r12, guide §2.5): the regexp chain is pure
+    # per-row CPU on a one-task scan without it
+    d = fan_out_scan(
+        _docs(spark, sf_dir).select("doc_id", "text"), "doc_id"
+    )
     html = F.expr(_X46_HTML_SPARK)
     clean = strip_html_expr(html)
     return d.select(
