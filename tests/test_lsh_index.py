@@ -210,3 +210,25 @@ def test_publish_index_swaps_and_rolls(spark, tmp_path_factory):
 
     with _pytest.raises(ValueError, match="absent"):
         publish_index(spark, f"{base}/nope", live)
+
+
+def test_relation_memo_identity_and_invalidation(spark, tmp_path_factory):
+    """r12 memo contract: repeated probes reuse ONE relation handle
+    per (app, table dir); every mutator entry point purges it (the
+    publish-swap and append tests above prove the end-to-end
+    behavior — this pins the mechanism)."""
+    from trisk_datawrangle_spark.llm.lsh_index import (
+        _invalidate_index_relations,
+        _read_index_table,
+    )
+
+    base = str(tmp_path_factory.mktemp("memo"))
+    spark.range(10).selectExpr("id", "id * 2 AS v").write.mode(
+        "overwrite"
+    ).parquet(f"{base}/bands")
+    a = _read_index_table(spark, base, "bands")
+    b = _read_index_table(spark, base, "bands")
+    assert a is b
+    _invalidate_index_relations(base)
+    c = _read_index_table(spark, base, "bands")
+    assert c is not a

@@ -119,6 +119,47 @@ def _check_id_col(meta: dict, id_col: str, op: str) -> None:
         )
 
 
+#: Per-process memo of index-table RELATION handles keyed by
+#: (applicationId, table dir) — r12, the load_tables pattern: the
+#: DataFrame handle holds only the file index + schema (driver-side
+#: metadata, ~0.2-0.3 s to rebuild for the bands table's
+#: bands × n_shards leaf dirs), re-paid by every probe without it;
+#: every ACTION on the memoized frame still reads the parquet
+#: files. Index tables are mutable in place via the append path
+#: (merge_by_key rewrites touched partitions), so BOTH mutators
+#: (write_lsh_index, lsh_index_append) invalidate their path's
+#: entries; a retrain-and-swap publishes a NEW version dir and
+#: never hits a stale handle. Cross-process appends remain governed
+#: by the single-writer lifecycle contract, same as before.
+_RELATION_MEMO: dict = {}
+
+
+def _read_index_table(spark: SparkSession, path: str, table: str):
+    key = (spark.sparkContext.applicationId, f"{path}/{table}")
+    df = _RELATION_MEMO.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{path}/{table}")
+        _RELATION_MEMO[key] = df
+    return df
+
+
+#: Extra per-module invalidators (e.g. pq_index's model memo)
+#: registered at import time — avoids a circular import while
+#: keeping ONE invalidation entry point for every index mutator.
+_INVALIDATION_HOOKS: list = []
+
+
+def _invalidate_index_relations(path: str) -> None:
+    """Drop memoized handles under ``path`` (called by every mutator
+    of a serving location — write, append, publish swap — so a
+    same-process probe after the mutation sees the new file set)."""
+    stale = [k for k in _RELATION_MEMO if k[1].startswith(path)]
+    for k in stale:
+        del _RELATION_MEMO[k]
+    for hook in _INVALIDATION_HOOKS:
+        hook(path)
+
+
 def _index_frames(
     df: DataFrame,
     text_col: str,
@@ -196,6 +237,7 @@ def write_lsh_index(
         )
     finally:
         sh.unpersist()
+        _invalidate_index_relations(path)
     _write_meta(
         spark=df.sparkSession,
         path=path,
@@ -251,6 +293,7 @@ def lsh_index_append(
         )
     finally:
         sh.unpersist()
+        _invalidate_index_relations(path)
 
 
 def _pruned_bands_read(
@@ -264,7 +307,7 @@ def _pruned_bands_read(
     touched: dict[int, set[int]] = {}
     for r in probe_banded.select("band", "bshard").distinct().collect():
         touched.setdefault(int(r["band"]), set()).add(int(r["bshard"]))
-    index = spark.read.parquet(f"{path}/bands")
+    index = _read_index_table(spark, path, "bands")
     cond = F.lit(False)
     for band, shards in sorted(touched.items()):
         cond = cond | (
@@ -363,7 +406,7 @@ def minhash_lsh_index_pairs(
             ).localCheckpoint(eager=True)
         shards = sorted(int(r["ishard"]) for r in shard_rows)
         sh_ex = (
-            spark.read.parquet(f"{path}/shingles")
+            _read_index_table(spark, path, "shingles")
             .filter(F.col("ishard").isin(*shards))
             .join(
                 cand.select(F.col("id_a").alias("id")).distinct(),
@@ -590,6 +633,9 @@ def publish_index(spark: SparkSession, staged_path: str, live_path: str) -> None
         )
     if had_live:
         fs.delete(retired, True)
+    # the swap mutated what live_path points AT — drop memoized
+    # relation/model handles for it (r12)
+    _invalidate_index_relations(live_path)
 
 
 #: Name of the pointer file a versioned index root carries. The file

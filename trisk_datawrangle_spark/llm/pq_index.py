@@ -33,6 +33,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from trisk_datawrangle_spark.llm.lsh_index import (
+    _INVALIDATION_HOOKS,
+    _invalidate_index_relations,
+    _read_index_table,
     _write_meta,
     read_index_meta,
     resolve_index_path,
@@ -109,6 +112,9 @@ def write_ivf_pq_index(
             "id_col": id_col,
         },
     )
+    # a rewrite into the same path must not leave stale relation or
+    # model handles behind (r12 memos; the hook purges the model memo)
+    _invalidate_index_relations(path)
 
 
 #: Per-process memo of loaded PQ models keyed by (applicationId,
@@ -123,6 +129,16 @@ def write_ivf_pq_index(
 #: picked up on the next probe — it lands on a NEW resolved path
 #: and misses the memo.
 _MODEL_MEMO: dict = {}
+
+
+def _purge_model_memo(path: str) -> None:
+    for key in [k for k in _MODEL_MEMO if k[1].startswith(path)]:
+        del _MODEL_MEMO[key]
+
+
+# every index mutator (write/append/publish swap) reaches the model
+# memo through the shared invalidation entry point
+_INVALIDATION_HOOKS.append(_purge_model_memo)
 
 
 def load_ivf_pq_model(spark: SparkSession, path: str):
@@ -203,7 +219,7 @@ def ivf_pq_index_topk(
     cells = sorted({int(c) for row in probed for c in row})
 
     codes = (
-        spark.read.parquet(f"{path}/codes")
+        _read_index_table(spark, path, "codes")
         .filter(F.col("__cell").isin(*cells))
         .select("neighbor_id", "__cell", "__codes")
     )
