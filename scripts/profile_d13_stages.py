@@ -3,7 +3,8 @@
 the time goes before changing anything). Replays
 minhash_lsh_index_pairs step by step with a timer around each eager
 action, against the same published serving index the catalog entry
-uses. Run on an idle box.
+uses. Mirrors the r12 probe shape (_shingle_profile + memoized
+relation reads + array-side verify). Run on an idle box.
 """
 
 from __future__ import annotations
@@ -31,14 +32,17 @@ def main() -> None:
     from trisk_datawrangle_spark.catalog.llm import _docs, _served_index_path
     from trisk_datawrangle_spark.llm.dedup import (
         _banded_table,
-        _signatures_from_shingles,
-        _verify_candidates_arrays,
-        shingle_hashes,
+        _shingle_profile,
+        _verify_pairs_from_arrays,
     )
     from trisk_datawrangle_spark.llm.lsh_index import (
         _pruned_bands_read,
+        _read_index_table,
         read_index_meta,
         resolve_index_path,
+    )
+    from trisk_datawrangle_spark.operators.persist import (
+        unpersist_all_rdds,
     )
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -61,53 +65,30 @@ def main() -> None:
     for rep in range(3):
         print(f"pass {rep}:", flush=True)
         spark.catalog.clearCache()
-        from trisk_datawrangle_spark.operators.persist import (
-            unpersist_all_rdds,
-        )
-
         unpersist_all_rdds(spark)
         t0 = time.perf_counter()
         path = t(
             "resolve+meta",
-            lambda: (
-                resolve_index_path(
-                    spark,
-                    _served_index_path(spark, "lsh", sf_dir, None),
-                )
+            lambda: resolve_index_path(
+                spark, _served_index_path(spark, "lsh", sf_dir, None)
             ),
         )
         meta = read_index_meta(spark, path)
         n_shards = meta["n_shards"]
-        sh_in = shingle_hashes(
-            incoming, "text", "doc_id", meta["ngram"], distinct=True
+        prof = _shingle_profile(
+            incoming, "text", "doc_id", meta["ngram"], meta["num_hashes"]
         ).cache()
-        banded_in = (
-            _banded_table(
-                _signatures_from_shingles(sh_in, meta["num_hashes"]),
-                meta["num_hashes"],
-                meta["bands"],
-            )
-            .withColumn(
-                "bshard", F.pmod(F.col("bucket"), F.lit(n_shards))
-            )
-            .cache()
-        )
+        banded_in = _banded_table(
+            prof.select("id", "sig"), meta["num_hashes"], meta["bands"]
+        ).withColumn("bshard", F.pmod(F.col("bucket"), F.lit(n_shards)))
         index_bands = t(
             "bands collect+prune (job A)",
             lambda: _pruned_bands_read(spark, path, banded_in),
-        ).join(
-            F.broadcast(banded_in.select("id").distinct()),
-            "id",
-            "left_anti",
-        )
+        ).join(F.broadcast(prof.select("id")), "id", "left_anti")
         cand = (
-            index_bands.select(
-                F.col("id").alias("id_a"), "band", "bucket"
-            )
+            index_bands.select(F.col("id").alias("id_a"), "band", "bucket")
             .join(
-                banded_in.select(
-                    F.col("id").alias("id_b"), "band", "bucket"
-                ),
+                banded_in.select(F.col("id").alias("id_b"), "band", "bucket"),
                 ["band", "bucket"],
             )
             .filter(F.col("id_a") != F.col("id_b"))
@@ -118,16 +99,16 @@ def main() -> None:
         shard_rows = t(
             "cand+shard collect (job B)",
             lambda: cand.select(
-                F.pmod(
-                    F.xxhash64(F.col("id_a")), F.lit(n_shards)
-                ).alias("ishard")
+                F.pmod(F.xxhash64(F.col("id_a")), F.lit(n_shards)).alias(
+                    "ishard"
+                )
             )
             .distinct()
             .collect(),
         )
         shards = sorted(int(r["ishard"]) for r in shard_rows)
         sh_ex = (
-            spark.read.parquet(f"{path}/shingles")
+            _read_index_table(spark, path, "shingles")
             .filter(F.col("ishard").isin(*shards))
             .join(
                 cand.select(F.col("id_a").alias("id")).distinct(),
@@ -136,17 +117,31 @@ def main() -> None:
             )
             .select("id", "h")
         )
+        arrays_ex = sh_ex.groupBy("id").agg(
+            F.sort_array(F.collect_list("h")).alias("hs"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        arrays_b = prof.join(
+            cand.select(F.col("id_b").alias("id")).distinct(),
+            "id",
+            "left_semi",
+        ).select("id", "hs", "n_grams")
         out = t(
             "verify+checkpoint (job C)",
-            lambda: _verify_candidates_arrays(
-                sh_ex.union(sh_in), cand, 0.5
+            lambda: _verify_pairs_from_arrays(
+                arrays_ex.union(arrays_b), cand, 0.5
             ).localCheckpoint(eager=True),
         )
-        t("final select+noop", lambda: out.select(
-            "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
-        ).write.format("noop").mode("overwrite").save())
-        sh_in.unpersist()
-        banded_in.unpersist()
+        t(
+            "final select+noop",
+            lambda: out.select(
+                "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
+        prof.unpersist()
         cand.unpersist()
         print(f"  total {time.perf_counter() - t0:.3f}s", flush=True)
     spark.stop()

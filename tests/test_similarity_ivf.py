@@ -252,3 +252,20 @@ def test_ivf_plan_is_single_fused_python_pass(spark):
     heads = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
     assert heads.count("MapInPandas") == 1, plan
     assert "Join" not in " ".join(heads), plan
+
+
+def test_empty_query_batch_returns_typed_empty(spark):
+    """r12: the driver-side probe must not die on a zero-row request
+    batch — both vectorized paths return the typed empty frame the
+    old join-based plans produced."""
+    from trisk_datawrangle_spark.llm.similarity import rescore_topk
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    none = e.filter(F.col("vec_id") < -1)
+    out = ivf_topk(e, none, k=5, n_cells=8, n_probe=4)
+    assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+    assert out.count() == 0
+    cand = spark.createDataFrame([], "query_id long, neighbor_id long")
+    out2 = rescore_topk(cand, e, none, k=5)
+    assert out2.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+    assert out2.count() == 0

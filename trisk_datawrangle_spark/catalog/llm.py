@@ -4578,8 +4578,12 @@ def x46(spark, sf_dir):
     (pattern, replacement) list is shared VERBATIM with the oracle's
     SQL builder (strip_html_sql), so both engines run the literally
     identical passes over identically constructed HTML — parity by
-    shared data. Scale shape: fuses into the scan (zero Python, zero
-    shuffle) — at 100 TB this runs at I/O speed like x9/x24."""
+    shared data. Scale shape: zero Python, and the chain itself
+    demands no distribution — on split/production inputs it fuses
+    into the scan and runs at I/O speed like x9/x24; on the small
+    unsplittable local fixtures the byte-gated fan-out (r12) spends
+    one explicit repartition to spread the regex work off the
+    single scan task."""
     # gated fan-out (r12, guide §2.5): the regexp chain is pure
     # per-row CPU on a one-task scan without it
     d = fan_out_scan(

@@ -454,6 +454,13 @@ def ivf_topk(
     cent = np.asarray(centroids, dtype=np.float64)
 
     q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        # empty request batch: typed empty result (the numpy probe
+        # below would die on a zero-row matrix; the old join-based
+        # plan returned empty)
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
     q_ids = np.array([r[id_col] for r in q_rows])
     q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
     q_norm = np.maximum(np.linalg.norm(q_mat, axis=1), 1e-12)
@@ -903,6 +910,11 @@ def rescore_topk(
     import pandas as pd
 
     q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        # inner-join semantics vs an empty query batch: empty result
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
     q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
     q_norm = np.maximum(np.linalg.norm(q_mat, axis=1), 1e-12)
