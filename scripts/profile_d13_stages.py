@@ -33,7 +33,7 @@ def main() -> None:
     from trisk_datawrangle_spark.llm.dedup import (
         _banded_table,
         _shingle_profile,
-        _verify_pairs_from_arrays,
+        _verify_pairs_two_sided,
     )
     from trisk_datawrangle_spark.llm.lsh_index import (
         _pruned_bands_read,
@@ -81,10 +81,9 @@ def main() -> None:
         banded_in = _banded_table(
             prof.select("id", "sig"), meta["num_hashes"], meta["bands"]
         ).withColumn("bshard", F.pmod(F.col("bucket"), F.lit(n_shards)))
-        index_bands = t(
-            "bands collect+prune (job A)",
-            lambda: _pruned_bands_read(spark, path, banded_in),
-        ).join(F.broadcast(prof.select("id")), "id", "left_anti")
+        index_bands = _pruned_bands_read(spark, path, banded_in).join(
+            F.broadcast(prof.select("id")), "id", "left_anti"
+        )
         cand = (
             index_bands.select(F.col("id").alias("id_a"), "band", "bucket")
             .join(
@@ -97,7 +96,7 @@ def main() -> None:
             .cache()
         )
         shard_rows = t(
-            "cand+shard collect (job B)",
+            "profile+bands+cand+shard collect (fused barrier, r13)",
             lambda: cand.select(
                 F.pmod(F.xxhash64(F.col("id_a")), F.lit(n_shards)).alias(
                     "ishard"
@@ -127,9 +126,9 @@ def main() -> None:
             "left_semi",
         ).select("id", "hs", "n_grams")
         out = t(
-            "verify+checkpoint (job C)",
-            lambda: _verify_pairs_from_arrays(
-                arrays_ex.union(arrays_b), cand, 0.5
+            "verify+checkpoint",
+            lambda: _verify_pairs_two_sided(
+                arrays_ex, arrays_b, cand, 0.5
             ).localCheckpoint(eager=True),
         )
         t(

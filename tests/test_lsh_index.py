@@ -87,6 +87,10 @@ def test_index_probe_prunes_partitions(spark, tmp_path_factory):
     )
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "band" in pf[0] and "bshard" in pf[0], plan
+    # r13: the pruning is injected dynamically (broadcast semi-join on
+    # the partition columns) — the scan must carry the DPP expression,
+    # or the probe would re-scan the full index per batch
+    assert "dynamicpruningexpression(band" in pf[0], plan
     # a one-doc probe touches at most `bands` partitions; the full
     # layout has bands × n_shards — the read must be a strict subset
     n_read = pruned.select("band", "bshard").distinct().count()

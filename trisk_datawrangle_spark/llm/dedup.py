@@ -598,8 +598,25 @@ def _verify_pairs_from_arrays(
     aggregation as the signatures, so re-aggregating exploded rows
     here would be pure waste). Same joins, same size gate, same
     Jaccard arithmetic — identical output."""
+    return _verify_pairs_two_sided(arrays, arrays, cand, threshold)
+
+
+def _verify_pairs_two_sided(
+    arrays_a: DataFrame,
+    arrays_b: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """:func:`_verify_pairs_from_arrays` for callers whose a-side and
+    b-side array tables are DISJOINT id sets held separately (r13:
+    the index probe's existing-vs-batch sides) — joining each side
+    against its own table only skips the union the single-table form
+    would force, and each join's build side stays half the size.
+    Identical output when ``arrays_a`` covers every ``id_a`` and
+    ``arrays_b`` every ``id_b`` (inner-join semantics are per-side
+    either way)."""
     withA = cand.select("id_a", "id_b").join(
-        arrays.select(
+        arrays_a.select(
             F.col("id").alias("id_a"),
             F.col("hs").alias("ha"),
             F.col("n_grams").alias("n_a"),
@@ -607,7 +624,7 @@ def _verify_pairs_from_arrays(
         "id_a",
     )
     withB = withA.join(
-        arrays.select(
+        arrays_b.select(
             F.col("id").alias("id_b"),
             F.col("hs").alias("hb"),
             F.col("n_grams").alias("n_b"),

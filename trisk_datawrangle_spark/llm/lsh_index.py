@@ -55,7 +55,7 @@ from trisk_datawrangle_spark.operators.persist import (
 from trisk_datawrangle_spark.llm.dedup import (
     _banded_table,
     _shingle_profile,
-    _verify_pairs_from_arrays,
+    _verify_pairs_two_sided,
     minhash_lsh_dedup_pairs,
 )
 
@@ -296,25 +296,41 @@ def lsh_index_append(
         _invalidate_index_relations(path)
 
 
+#: r13 marker: the probe no longer pays a separate driver barrier to
+#: build the bands-read pruning predicate (scripts/explain_d13_jobs.py
+#: keys its barrier labels off this).
+_PROBE_FUSED = True
+
+
 def _pruned_bands_read(
     spark: SparkSession, path: str, probe_banded: DataFrame
 ) -> DataFrame:
     """Index bands restricted to the partitions the probe can collide
-    in. The collected set is (band, bshard) tuples — bounded by
-    bands × n_shards regardless of delta size — grouped into one
-    ``band = b AND bshard IN (...)`` clause per band so the whole
-    predicate is partition-column-only and prunes at planning."""
-    touched: dict[int, set[int]] = {}
-    for r in probe_banded.select("band", "bshard").distinct().collect():
-        touched.setdefault(int(r["band"]), set()).add(int(r["bshard"]))
+    in — via DYNAMIC partition pruning instead of a collected
+    predicate (r13, guide §2.6 fewer driver barriers): a broadcast
+    left-semi join on the partition columns lets Spark inject a
+    ``dynamicpruningexpression(band IN ..., bshard IN ...)`` into the
+    scan, so the probe's first eager action no longer needs a
+    separate collect-job just to build the filter — the probe's two
+    leading jobs fuse into one driver barrier. The pruned set is the
+    same by construction: index rows whose (band, bshard) pair occurs
+    in the delta (bounded by bands × n_shards keys, so the broadcast
+    is tiny at any corpus size).
+
+    The ``bshard >= 0`` no-op comparison exists for the planner, not
+    the data: PartitionPruning only injects the DPP filter when the
+    build side shows a "likely selective" predicate, and the cached
+    delta profile hides the delta's own filter behind its
+    InMemoryRelation. Pinned by tests/test_lsh_index.py (the plan
+    must show dynamicpruningexpression on both partition columns, and
+    a one-doc probe must read at most ``bands`` leaf partitions)."""
+    probe_keys = (
+        probe_banded.select("band", "bshard")
+        .distinct()
+        .filter(F.col("bshard") >= 0)
+    )
     index = _read_index_table(spark, path, "bands")
-    cond = F.lit(False)
-    for band, shards in sorted(touched.items()):
-        cond = cond | (
-            (F.col("band") == F.lit(band))
-            & F.col("bshard").isin(*sorted(shards))
-        )
-    return index.filter(cond)
+    return index.join(F.broadcast(probe_keys), ["band", "bshard"], "left_semi")
 
 
 def minhash_lsh_index_pairs(
@@ -340,15 +356,18 @@ def minhash_lsh_index_pairs(
     and reproduces the original run's pairs exactly — the id-disjoint
     output contract holds even when the inputs overlap.
 
-    Eager plan (two bounded driver collects, each ≤ n_shards-sized):
-    1. shingle+band the delta inline (one cached pass);
-    2. read index bands pruned to the delta's (band, bshard) set,
-       drop rows keyed by an incoming id (broadcast anti-join on the
-       delta's small id set), join on (band, bucket) → candidate
-       pairs (cached — reused for shard discovery and verification);
-    3. read index shingles pruned to the candidates' ishard set,
-       semi-joined to candidate ids, union the delta's shingles,
-       exact-verify.
+    Eager plan (ONE bounded driver collect, ≤ n_shards-sized — r13;
+    the pre-r13 shape paid a second collect just to build the bands
+    pruning predicate, now injected as dynamic partition pruning
+    inside the same job, see :func:`_pruned_bands_read`):
+    1. shingle+band the delta inline (one cached pass), read index
+       bands DPP-pruned to the delta's (band, bshard) set, drop rows
+       keyed by an incoming id (broadcast anti-join on the delta's
+       small id set), join on (band, bucket) → candidate pairs
+       (cached), collect the candidates' ishard set;
+    2. read index shingles pruned to that ishard set, semi-joined to
+       candidate ids, exact-verify each side against its own array
+       table (existing ids vs batch ids are disjoint, so no union).
 
     The returned frame is locally checkpointed (self-contained), so
     the per-call caches are unpersisted before returning — a
@@ -442,8 +461,11 @@ def minhash_lsh_index_pairs(
             "id",
             "left_semi",
         ).select("id", "hs", "n_grams")
-        return _verify_pairs_from_arrays(
-            arrays_ex.union(arrays_b), cand, threshold
+        # existing ids and batch ids are disjoint (the bands anti-join
+        # restricted id_a to index-minus-batch), so each verify side
+        # joins its own array table — no union (r13)
+        return _verify_pairs_two_sided(
+            arrays_ex, arrays_b, cand, threshold
         ).localCheckpoint(eager=True)
     finally:
         prof.unpersist()
