@@ -114,3 +114,69 @@ def test_empty_bootstrap_rejected(spark, tmp_path_factory):
     docs = spark.createDataFrame([], "doc_id long, text string")
     with __import__("pytest").raises(ValueError, match="bootstrap"):
         write_lsh_index(docs, str(tmp_path_factory.mktemp("lsh_e")) + "/i")
+
+
+def test_unranked_probe_is_bare_candidates_no_python(
+    spark, tmp_path_factory
+):
+    """ranked=False (r13): the full-candidate refine shape must get
+    the candidate PAIR SET with no ADC scoring — same pairs as the
+    ranked probe, and ZERO Python evaluation nodes in the plan (the
+    persisted serving path assigns cells driver-side, so the whole
+    candidate stage stays in the JVM)."""
+    path = str(tmp_path_factory.mktemp("pqidx_unranked")) + "/idx"
+    e = _embs(spark)
+    q = e.filter(F.col("vec_id") < 5)
+    write_ivf_pq_index(e, path, n_cells=16, m=8)
+
+    cand = ivf_pq_index_topk(
+        spark, path, q, k=2_000_000_000, n_probe=16, ranked=False
+    )
+    assert cand.columns == ["query_id", "neighbor_id"]
+    plan = cand._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan
+    ranked = ivf_pq_index_topk(
+        spark, path, q, k=2_000_000_000, n_probe=16, ranked=True
+    )
+    got = {(r.query_id, r.neighbor_id) for r in cand.collect()}
+    ref = {(r.query_id, r.neighbor_id) for r in ranked.collect()}
+    assert got == ref and got
+
+
+def test_collect_query_batch_guard(spark):
+    from trisk_datawrangle_spark.llm.similarity import collect_query_batch
+
+    e = _embs(spark)
+    rows = collect_query_batch(
+        e.filter(F.col("vec_id") < 10), "vec_id", "embedding", max_rows=10
+    )
+    assert len(rows) == 10
+    try:
+        collect_query_batch(e, "vec_id", "embedding", max_rows=10)
+        raise AssertionError("guard did not fire")
+    except ValueError as err:
+        assert "max_rows" in str(err)
+
+
+def test_model_memo_arrays_are_frozen(spark, tmp_path_factory):
+    """The memoized model ndarrays are shared across callers — they
+    must be read-only so one caller's in-place edit cannot poison
+    every later probe (r13, advice item)."""
+    import numpy as np
+    import pytest
+
+    path = str(tmp_path_factory.mktemp("pqidx_frozen")) + "/idx"
+    e = _embs(spark)
+    write_ivf_pq_index(e, path, n_cells=8, m=8)
+    cent, books = load_ivf_pq_model(spark, path)
+    with pytest.raises(ValueError):
+        cent[0, 0] = 0.0
+    with pytest.raises(ValueError):
+        books[0, 0, 0] = 0.0
+    c2, b2 = load_ivf_pq_model(spark, path)
+    assert np.array_equal(cent, c2) and np.array_equal(books, b2)

@@ -3963,6 +3963,7 @@ def s7_probe(spark, sf_dir):
         ivf_pq_index_topk,
         write_ivf_pq_index,
     )
+    from trisk_datawrangle_spark.llm.similarity import collect_query_batch
 
     e = _embs(spark, sf_dir)
     qd = e.filter(F.col("vec_id") < 10)
@@ -3971,11 +3972,16 @@ def s7_probe(spark, sf_dir):
         write_ivf_pq_index(e, staged, n_cells=16, m=8)
 
     path = _served_index_path(spark, "ivf_pq", sf_dir, build)
+    # collect the request batch ONCE and hand it to both stages (r13)
+    # — the probe GEMM and the rescore broadcast use the same rows,
+    # so the serving pipeline pays one query-collect job, not two
+    q_rows = collect_query_batch(qd, "vec_id", "embedding", caller="s7")
     cand = ivf_pq_index_topk(
         spark, path, qd, k=2_000_000_000, n_probe=16,
         ranked=False,  # every pair feeds the exact rescore (r12)
+        q_rows=q_rows,
     )
-    res = rescore_topk(cand, e, qd, k=5)
+    res = rescore_topk(cand, e, qd, k=5, q_rows=q_rows)
     return res.select(
         "query_id",
         "neighbor_id",

@@ -139,6 +139,12 @@ def _read_index_table(spark: SparkSession, path: str, table: str):
     df = _RELATION_MEMO.get(key)
     if df is None:
         df = spark.read.parquet(f"{path}/{table}")
+        # bound the memo (r13, advice item): a long-lived process
+        # probing many distinct index paths must not grow it without
+        # limit — evict oldest-first (metadata handles, cheap to
+        # rebuild on a later re-probe)
+        while len(_RELATION_MEMO) >= 64:
+            del _RELATION_MEMO[next(iter(_RELATION_MEMO))]
         _RELATION_MEMO[key] = df
     return df
 
@@ -153,7 +159,14 @@ def _invalidate_index_relations(path: str) -> None:
     """Drop memoized handles under ``path`` (called by every mutator
     of a serving location — write, append, publish swap — so a
     same-process probe after the mutation sees the new file set)."""
-    stale = [k for k in _RELATION_MEMO if k[1].startswith(path)]
+    # path-separator boundary (r13, advice item): mutating /idx/a
+    # must not purge /idx/ab (over-invalidation was safe but
+    # surprising). The memo keys are {path}/{table}, so a mutated dir
+    # matches only via the '/' boundary or exact equality.
+    p = path.rstrip("/")
+    stale = [
+        k for k in _RELATION_MEMO if k[1] == p or k[1].startswith(p + "/")
+    ]
     for k in stale:
         del _RELATION_MEMO[k]
     for hook in _INVALIDATION_HOOKS:

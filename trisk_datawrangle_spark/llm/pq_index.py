@@ -132,7 +132,12 @@ _MODEL_MEMO: dict = {}
 
 
 def _purge_model_memo(path: str) -> None:
-    for key in [k for k in _MODEL_MEMO if k[1].startswith(path)]:
+    # path-separator boundary (r13, advice item): mutating /idx/a
+    # must not purge /idx/ab
+    p = path.rstrip("/")
+    for key in [
+        k for k in _MODEL_MEMO if k[1] == p or k[1].startswith(p + "/")
+    ]:
         del _MODEL_MEMO[key]
 
 
@@ -178,6 +183,14 @@ def load_ivf_pq_model(spark: SparkSession, path: str):
     books = np.empty((meta["m"], meta["k_codes"], dsub))
     for r in book_rows:
         books[r["j"], r["code"]] = r["c"]
+    # the memo hands the SAME ndarrays to every caller — freeze them
+    # so an in-place mutation cannot silently poison the process-wide
+    # cache (r13, advice item); bound the memo (stale versions of
+    # long-lived processes evict oldest-first)
+    cent.setflags(write=False)
+    books.setflags(write=False)
+    while len(_MODEL_MEMO) >= 64:
+        del _MODEL_MEMO[next(iter(_MODEL_MEMO))]
     _MODEL_MEMO[key] = (cent, books)
     return cent, books
 
@@ -191,6 +204,7 @@ def ivf_pq_index_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     ranked: bool = True,
+    q_rows: list | None = None,
 ) -> DataFrame:
     """Serve a query batch from the persisted index: load + broadcast
     the model, compute the batch's probed cells DRIVER-SIDE (a
@@ -200,13 +214,25 @@ def ivf_pq_index_topk(
     shared :func:`adc_topk` probe/score/rank stage. ``path`` may be a
     versioned root — resolved ONCE up front so the model and the
     codes read come from the same version even if a publish lands
-    mid-call."""
+    mid-call. ``q_rows`` (r13): a caller chaining this probe with an
+    exact rescore can pass the already-collected request batch so the
+    serving pipeline pays ONE query-collect job, not one per stage;
+    when omitted the collect is size-guarded (advice item) so a
+    corpus-sized frame fails loudly instead of OOMing the driver."""
     import numpy as np
+
+    from trisk_datawrangle_spark.llm.similarity import collect_query_batch
 
     path = resolve_index_path(spark, path)
     cent, books = load_ivf_pq_model(spark, path)
     n_probe = min(n_probe, len(cent))
-    qrows = queries.select(id_col, vec_col).collect()
+    qrows = (
+        collect_query_batch(
+            queries, id_col, vec_col, caller="ivf_pq_index_topk"
+        )
+        if q_rows is None
+        else q_rows
+    )
     if not qrows:
         # empty request batch: typed empty result, no index read (the
         # numpy probe below would die on a zero-row matrix)

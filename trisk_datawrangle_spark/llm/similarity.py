@@ -192,6 +192,41 @@ def lsh_bucket_topk(
 #: collect-free :func:`cosine_pairs_blocked`.
 MAX_VECTORIZED_CORPUS_ROWS = 2_000_000
 
+#: Ceiling on a collected QUERY batch (r13, advice item): the serving
+#: paths (ivf_topk / adc rescore / persisted-index probes) collect the
+#: request batch to the driver for the probe GEMM and the broadcast
+#: score matrix — request-sized by the serving contract, but a caller
+#: handing a corpus-sized frame by mistake must get a loud error, not
+#: a driver OOM. 200k × 64-dim f64 ≈ 100 MB broadcast, a sane cap.
+MAX_QUERY_BATCH_ROWS = 200_000
+
+
+def collect_query_batch(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    max_rows: int = MAX_QUERY_BATCH_ROWS,
+    caller: str = "collect_query_batch",
+) -> list:
+    """Collect a request-sized query batch ``(id, vec)`` with a size
+    guard — ONE plain collect job (a ``limit`` would route through
+    executeTake's incremental partition scale-up, several sequential
+    mini-jobs for a small batch — measured +0.8 s per probe; a
+    pre-count would be a whole extra job): the row-count check runs
+    after the collect, and the catastrophic case (a frame several GB
+    over the cap) is already aborted cleanly by
+    ``spark.driver.maxResultSize`` (1 GB default) before the driver
+    can OOM, with an error naming that knob."""
+    rows = queries.select(id_col, vec_col).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"{caller}: query batch exceeds max_rows={max_rows}; this "
+            "serving path collects and broadcasts the query batch — "
+            "probe in bounded request batches, or raise max_rows "
+            "explicitly if the driver really has the memory"
+        )
+    return rows
+
 
 def cosine_pairs_vectorized(
     df: DataFrame,
@@ -414,6 +449,7 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     centroids=None,
+    q_rows: list | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) index:
     every corpus vector is assigned to its nearest coarse centroid
@@ -453,7 +489,12 @@ def ivf_topk(
     sc = corpus.sparkSession.sparkContext
     cent = np.asarray(centroids, dtype=np.float64)
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    if q_rows is None:
+        # size-guarded collect (r13, advice item): a corpus-sized
+        # query frame must fail loudly, not OOM the driver
+        q_rows = collect_query_batch(
+            queries, id_col, vec_col, caller="ivf_topk"
+        )
     if not q_rows:
         # empty request batch: typed empty result (the numpy probe
         # below would die on a zero-row matrix; the old join-based
@@ -693,7 +734,9 @@ def ivf_pq_topk(
     stage (an equi-join on id — deliberately NOT fused here so the
     compressed index never has to carry the floats).
     Output contract matches :func:`cosine_topk` with ``cosine``
-    holding the ADC approximation.
+    holding the ADC approximation; ``ranked=False`` returns the bare
+    candidate pair set for an exact-rescore refine (see
+    :func:`adc_topk`).
     """
     if centroids is None:
         centroids = train_ivf_centroids(corpus, n_cells, id_col, vec_col)
@@ -785,7 +828,13 @@ def adc_topk(
     ``(query_id, __qv, __cell)`` frame directly and skip this
     function's probe stage (one whole Python worker round-trip +
     its exchange for a batch of a few rows). Same numpy probe math
-    either way — identical cells, identical output."""
+    either way — identical cells, identical output.
+
+    ``ranked=False`` (r13): returns the bare candidate PAIR SET
+    ``(query_id, neighbor_id)`` with no ADC scoring at all — the
+    full-candidate refine shape re-scores every pair exactly, so
+    computing approximate cosines for it is one dead Python boundary
+    over every candidate row (r12 had only dropped the rank window)."""
     import numpy as np
     import pandas as pd
 
@@ -794,8 +843,6 @@ def adc_topk(
     m = codebooks.shape[0]
     dsub = codebooks.shape[2]
     sc = queries.sparkSession.sparkContext
-    bc_cent = sc.broadcast(np.asarray(centroids, dtype=np.float64))
-    bc_books = sc.broadcast(np.asarray(codebooks, dtype=np.float64))
 
     def probe(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         cent = bc_cent.value
@@ -815,12 +862,23 @@ def adc_topk(
             )
 
     if probed is None:
+        bc_cent = sc.broadcast(np.asarray(centroids, dtype=np.float64))
         probed = queries.select(id_col, vec_col).mapInPandas(
             probe, "query_id long, __qv array<float>, __cell int"
         )
     joined = index.join(F.broadcast(probed), "__cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
+    # ranked=False (r13): the full-candidate refine shape re-scores
+    # every pair EXACTLY downstream, so the approximate ADC cosines
+    # are dead columns there — candidacy is cell membership, which
+    # the join above already decided. Skip the scoring Python
+    # boundary (one whole worker round-trip over every candidate
+    # row) and return the bare candidate set; same pairs by
+    # construction. (r12 had already dropped the rank window here.)
+    if not ranked:
+        return joined.select("query_id", "neighbor_id")
+    bc_books = sc.broadcast(np.asarray(codebooks, dtype=np.float64))
 
     def adc_score(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         books = bc_books.value
@@ -855,13 +913,6 @@ def adc_topk(
     scored = joined.mapInPandas(
         adc_score, "query_id long, neighbor_id long, cosine double"
     )
-    # ranked=False (r12): the full-candidate refine shape
-    # (k >= |corpus|, every scored pair feeds an exact rescore that
-    # re-ranks from scratch) pays a corpus-candidate-sized
-    # exchange + sort here for a rank column the caller drops.
-    # Opting out returns the identical candidate SET unranked.
-    if not ranked:
-        return scored.select("query_id", "neighbor_id", "cosine")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -879,6 +930,7 @@ def rescore_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    q_rows: list | None = None,
 ) -> DataFrame:
     """Exact-rescore refine stage for approximate ANN: take candidate
     (query_id, neighbor_id) pairs from any approximate tier (IVF-PQ's
@@ -909,7 +961,14 @@ def rescore_topk(
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    if q_rows is None:
+        # size-guarded collect (r13, advice item): callers that
+        # already collected the request batch (the persisted-index
+        # serving path probes with the same rows) pass it through —
+        # one collect job per probe, not one per stage
+        q_rows = collect_query_batch(
+            queries, id_col, vec_col, caller="rescore_topk"
+        )
     if not q_rows:
         # inner-join semantics vs an empty query batch: empty result
         return corpus.sparkSession.createDataFrame(
@@ -955,11 +1014,18 @@ def rescore_topk(
             cos = np.einsum("ij,ij->i", c_score, qs[qi]) / (
                 c_norm * qn[qi]
             )
+            # group batch rows by query via ONE argsort + run slicing
+            # (r13, advice item): the previous per-query boolean mask
+            # was O(|queries| × batch_rows) per batch
             out_q, out_n, out_c = [], [], []
-            for j, qv in enumerate(ids):
-                sel = np.nonzero(qid == qv)[0]
-                if len(sel) == 0:
-                    continue
+            order_b = np.argsort(qid, kind="stable")
+            q_sorted = qid[order_b]
+            starts = np.flatnonzero(
+                np.r_[True, q_sorted[1:] != q_sorted[:-1]]
+            )
+            bounds = np.r_[starts, len(q_sorted)]
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                sel = order_b[s:e]
                 take = min(k, len(sel))
                 # same deterministic take-boundary tiebreak as
                 # cosine_topk_vectorized: (cosine desc, neighbor asc)
