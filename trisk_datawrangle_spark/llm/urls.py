@@ -563,6 +563,60 @@ def _pct_normalize_spark_sql(pathq: str) -> str:
     )
 
 
+def _pct_fold_staged_spark_sql(wurl: str, parts: str) -> str:
+    """The percent fold of :func:`_pct_normalize_spark_sql`, LET-BOUND
+    for interpreted evaluation (r13, guide §4 keep per-row work out of
+    re-evaluation): callers stage the ws-stripped URL (``wurl``) and
+    its split-on-'%' array (``parts``) as named columns once, and each
+    piece's hex/rest/validity/code subexpressions are staged through
+    nested ``transform()`` structs so every subexpression evaluates
+    exactly once per piece. The Column/SQL tree this replaces re-ran
+    the whole-URL regexp_replace up to 5× and the per-piece
+    ``conv``/``substring`` up to 6× per reference — interpreted
+    higher-order functions do no common-subexpression elimination.
+
+    Identical arithmetic and guards, one-to-one:
+    ``aggregate(tail, '', (acc, p) -> concat(acc, piece))`` ==
+    ``array_join(transform(tail, piece), '')`` (left-fold of string
+    concat; pieces are never NULL — every CASE arm concats non-null
+    operands); the unconditional ``conv`` on invalid pieces (the old
+    AND short-circuited it) parses the longest valid prefix and never
+    raises, and its value is only READ when the RLIKE guard passed.
+    Parity with the Column form and the DuckDB oracle builder is
+    gated by tests/test_urls.py and the x52/x53 oracles."""
+    hexrx = _sparkq(_HEX2_RX)
+    tail = f"slice({parts}, 2, greatest(size({parts}) - 1, 0))"
+    t1 = (
+        f"transform({tail}, p -> struct("
+        "p AS p, "
+        "upper(substring(p, 1, 2)) AS h2, "
+        "substring(p, 3, length(p)) AS rest, "
+        f"p RLIKE {hexrx} AS ok))"
+    )
+    t2 = (
+        f"transform({t1}, s -> struct("
+        "s.p AS p, s.h2 AS h2, s.rest AS rest, s.ok AS ok, "
+        "cast(conv(s.h2, 16, 10) as int) AS code))"
+    )
+    unres = (
+        "((s.code >= 48 AND s.code <= 57)"
+        " OR (s.code >= 65 AND s.code <= 90)"
+        " OR (s.code >= 97 AND s.code <= 122)"
+        " OR s.code IN (45, 46, 95, 126))"
+    )
+    t3 = (
+        f"transform({t2}, s -> "
+        f"CASE WHEN s.ok AND {unres} THEN concat(char(s.code), s.rest) "
+        "WHEN s.ok THEN concat('%', s.h2, s.rest) "
+        "ELSE concat('%', s.p) END)"
+    )
+    folded = f"concat(element_at({parts}, 1), array_join({t3}, ''))"
+    return (
+        f"(CASE WHEN contains({wurl}, '%') THEN {folded} "
+        f"ELSE {wurl} END)"
+    )
+
+
 def _dot_resolve_spark_sql(path: str) -> str:
     """:func:`_dot_resolve` as Spark SQL — the DOT_SEGMENT_STEPS
     chain behind the same ``contains('/.')`` guard."""
@@ -603,6 +657,7 @@ def with_canonical_url(df, src: str, out: str):
     nonascii_rx = _sparkq("[^\\x00-\\x7f]")
     src_q = f"`{src}`"
     temps = [
+        "__wurl", "__wparts",
         "__nurl", "__scheme", "__auth", "__rawpath", "__query",
         "__user", "__hostport", "__host", "__port", "__path",
     ]
@@ -612,10 +667,19 @@ def with_canonical_url(df, src: str, out: str):
             f"staged URL helper temp columns already exist: {clash} "
             "— rename them before calling"
         )
+    # stage the ws-stripped URL and its %-split ONCE (r13): the
+    # inlined form re-ran the whitespace regexp_replace per reference
+    # (contains + 3 split sites + the ELSE arm) and split() three
+    # times — interpreted evaluation does no CSE, so naming the
+    # columns IS the let-binding (CollapseProject keeps multi-use
+    # non-cheap aliases staged)
     d = df.selectExpr(
+        "*", f"{_ws_strip_spark_sql(src_q)} AS __wurl"
+    )
+    d = d.selectExpr("*", "split(__wurl, '%', -1) AS __wparts")
+    d = d.selectExpr(
         "*",
-        f"{_pct_normalize_spark_sql(_ws_strip_spark_sql(src_q))}"
-        " AS __nurl",
+        f"{_pct_fold_staged_spark_sql('__wurl', '__wparts')} AS __nurl",
     )
     d = d.selectExpr(
         "*",
