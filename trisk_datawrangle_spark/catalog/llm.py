@@ -1745,12 +1745,13 @@ def m1(spark, sf_dir):
     (unrecognized bytes) is unit-tested too."""
     from trisk_datawrangle_spark.llm.multimodal import png_payload
 
-    # gated fan-out (r12, guide §2.5): PNG assembly (CRC32 over
-    # zlib-wrapped scanlines) + the Arrow decode are per-row CPU on a
-    # one-task scan without it
-    d = fan_out_scan(
-        _docs(spark, sf_dir).select("doc_id", "text"), "doc_id"
-    ).select(
+    # NO fan-out here (r13): the r12 fan-out was kept on an
+    # inconclusive A/B for family consistency; a clean conf-toggled
+    # same-session A/B this round read OFF <= ON at BOTH sf0.1
+    # (0.745 vs 0.918 warm-min) and sf1 (0.937 vs 0.952) — m1's
+    # decode chain re-partitions inside decode_metadata anyway, so
+    # the extra (doc_id, text) exchange buys nothing
+    d = _docs(spark, sf_dir).select("doc_id", "text").select(
         "doc_id",
         "text",
         (F.lit(16) + F.col("doc_id") % 512).cast("int").alias("__w"),
