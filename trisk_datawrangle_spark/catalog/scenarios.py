@@ -2076,15 +2076,28 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 12 audit subtrees share the four stage frames; eager
     # localCheckpoint computes each interpolation/share chain exactly
     # once instead of once per subtree (plain .cache() still plans 12
-    # copies of the chain into the single union job)
-    parents = {
-        "price_data_long": fr["prices"].localCheckpoint(eager=True),
-        "ngfs_carbon_price": fr["carbon"].localCheckpoint(eager=True),
-        "prewrangled_capacity_factors": fr["cf"].localCheckpoint(
-            eager=True
-        ),
-    }
-    scen = fr["scen"].localCheckpoint(eager=True)
+    # copies of the chain into the single union job). The four
+    # materializations are independent — submit them from a small
+    # thread pool (guide §2.6 overlap independent jobs) so their
+    # stage waves back-fill each other's tails instead of running
+    # strictly in sequence.
+    import concurrent.futures
+
+    with concurrent.futures.ThreadPoolExecutor(4) as pool:
+        futs = {
+            name: pool.submit(
+                lambda f=fr[key]: f.localCheckpoint(eager=True)
+            )
+            for name, key in (
+                ("price_data_long", "prices"),
+                ("ngfs_carbon_price", "carbon"),
+                ("prewrangled_capacity_factors", "cf"),
+                ("scen", "scen"),
+            )
+        }
+        done = {name: f.result() for name, f in futs.items()}
+    scen = done.pop("scen")
+    parents = done
     reports = []
     for ccol, ptbl, _, pcol in _Q9_REFS:
         orphans = fk_orphans(scen, parents[ptbl], {ccol: pcol})
