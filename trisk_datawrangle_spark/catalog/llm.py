@@ -8682,9 +8682,16 @@ def w5(spark, sf_dir):
         .withColumn("ref", xml_unescape_expr(F.col("rawref")))
     )
     resolved = with_resolved_url(links, "base", "ref", "raw")
-    canon = with_canonical_url(resolved, "raw", "canon").where(
-        F.col("canon") != ""  # the non-http(s) drop (mailto arm)
-    )
+    # the non-http(s) drop (mailto arm) moved BELOW the checkpoint
+    # (r13): a .where(canon != '') here gets predicate-pushed through
+    # every staged projection, substituting the alias at each step —
+    # the executed plan blew up from 5 KB to 309 KB with NINETEEN
+    # inlined copies of the percent fold, re-running the whole
+    # canonicalization per reference and costing w5 most of its
+    # runtime. The '' URLs form one group in the dedup aggregate and
+    # are dropped right after the plan-truncation boundary — same
+    # output rows.
+    canon = with_canonical_url(resolved, "raw", "canon")
     # the robots -> sitemap discovery edge (verdict r9 #5): every
     # host's advertised Sitemap URLs (the x55 meta dimension, parsed
     # from the same robots bodies as the rules) enter the frontier
@@ -8706,19 +8713,35 @@ def w5(spark, sf_dir):
         .select(
             "canon",
             "n_discoveries",
-            F.regexp_extract(
-                F.col("canon"), "^[a-z]+://host([0-9]+)\\.", 1
+            # nullif: the '' group (mailto arm, dropped right after
+            # the checkpoint below) extracts '' here, which an ANSI
+            # cast to bigint rejects; real canons always match
+            F.nullif(
+                F.regexp_extract(
+                    F.col("canon"), "^[a-z]+://host([0-9]+)\\.", 1
+                ),
+                F.lit(""),
             ).cast("long").alias("h"),
             F.regexp_extract(
                 F.col("canon"), "^[a-z]+://[^/]+(/.*)", 1
             ).alias("path"),
         )
     )
-    # stage-boundary cache (the flagship idiom): frontier feeds BOTH
-    # the rules-match branch and the final left join — uncached, the
-    # whole discover→resolve→canonicalize→dedup subtree re-executes
-    # per branch (measured 25 s vs 7 s at sf0.1)
-    frontier = frontier.cache()
+    # stage boundary: frontier feeds BOTH the rules-match branch and
+    # the final left join — uncached, the whole
+    # discover→resolve→canonicalize→dedup subtree re-executes per
+    # branch (measured 25 s vs 7 s at sf0.1). r13: EAGER
+    # localCheckpoint instead of cache (the q9 idiom) — .cache()
+    # still PLANS the giant URL-expression subtree into every
+    # consumer branch, so each AQE stage materialization re-optimizes
+    # and re-codegens those regex trees (statusTracker: 7 jobs /
+    # 325 tasks per pass); the checkpoint truncates the plan to the
+    # tiny frontier RDD. The '' drop lands HERE, where the predicate
+    # has no lineage left to push into (see the note at the canon
+    # stage).
+    frontier = frontier.localCheckpoint(eager=True).where(
+        F.col("canon") != ""
+    )
     matched = frontier.join(F.broadcast(rules), "h").where(
         F.expr("regexp_like(path, rx)")
     )

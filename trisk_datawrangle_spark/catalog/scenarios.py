@@ -1942,6 +1942,28 @@ def _w0_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
     return {"scen": scen, "cf": cf, "prices": prices, "carbon": carbon}
 
 
+def _w0_stage_frames_materialized(
+    spark: SparkSession, sf_dir: str
+) -> dict:
+    """The w0 stage quartet, eagerly localCheckpointed from a small
+    thread pool (r13; guide §2.6 overlap independent jobs + the q9
+    plan-truncation idiom): the downstream align/assemble (w0) and
+    the 12 FK audits (q9) reference each stage frame several times,
+    and every reference re-PLANS the whole interpolation/share chain
+    (w0's executed plan measured 530 KB); checkpointing truncates
+    each to its tiny materialized RDD, and the four independent
+    materializations overlap instead of running in sequence."""
+    import concurrent.futures
+
+    fr = _w0_stage_frames(spark, sf_dir)
+    with concurrent.futures.ThreadPoolExecutor(4) as pool:
+        futs = {
+            k: pool.submit(lambda f=v: f.localCheckpoint(eager=True))
+            for k, v in fr.items()
+        }
+        return {k: f.result() for k, f in futs.items()}
+
+
 @q("w0_run_workflow_e2e", _W0_FINAL_SQL)
 def w0(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end workflow oracle (run_workflow.R:104-268 composed
@@ -1958,7 +1980,7 @@ def w0(spark: SparkSession, sf_dir: str) -> DataFrame:
         assemble_scenarios_data,
     )
 
-    fr = _w0_stage_frames(spark, sf_dir)
+    fr = _w0_stage_frames_materialized(spark, sf_dir)
     scen, prices, cf = align_to_common_scenarios(
         fr["scen"], fr["prices"], fr["cf"]
     )
@@ -2072,32 +2094,19 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-sized anti-join — never a fact-table shuffle."""
     from trisk_datawrangle_spark.operators.quality import fk_orphans
 
-    fr = _w0_stage_frames(spark, sf_dir)
-    # 12 audit subtrees share the four stage frames; eager
-    # localCheckpoint computes each interpolation/share chain exactly
-    # once instead of once per subtree (plain .cache() still plans 12
-    # copies of the chain into the single union job). The four
-    # materializations are independent — submit them from a small
-    # thread pool (guide §2.6 overlap independent jobs) so their
-    # stage waves back-fill each other's tails instead of running
-    # strictly in sequence.
-    import concurrent.futures
-
-    with concurrent.futures.ThreadPoolExecutor(4) as pool:
-        futs = {
-            name: pool.submit(
-                lambda f=fr[key]: f.localCheckpoint(eager=True)
-            )
-            for name, key in (
-                ("price_data_long", "prices"),
-                ("ngfs_carbon_price", "carbon"),
-                ("prewrangled_capacity_factors", "cf"),
-                ("scen", "scen"),
-            )
-        }
-        done = {name: f.result() for name, f in futs.items()}
-    scen = done.pop("scen")
-    parents = done
+    # 12 audit subtrees share the four stage frames; the shared
+    # materializer (r13) eagerly localCheckpoints them from a thread
+    # pool — each interpolation/share chain computes exactly once and
+    # the plans the audits see are truncated to the tiny RDDs (plain
+    # .cache() still planned 12 copies of the chain into the single
+    # union job).
+    fr = _w0_stage_frames_materialized(spark, sf_dir)
+    parents = {
+        "price_data_long": fr["prices"],
+        "ngfs_carbon_price": fr["carbon"],
+        "prewrangled_capacity_factors": fr["cf"],
+    }
+    scen = fr["scen"]
     reports = []
     for ccol, ptbl, _, pcol in _Q9_REFS:
         orphans = fk_orphans(scen, parents[ptbl], {ccol: pcol})
