@@ -1199,6 +1199,13 @@ def c4(spark, sf_dir):
     )
 
     docs = _docs(spark, sf_dir)
+    # NOTE (r13, measured and rejected): a nondeterministic pushdown
+    # barrier here (monotonically_increasing_id in the projection)
+    # stops the gate filter re-inlining the score chain, and wins on
+    # the isolated gate scan (1.22 -> 0.80 s) — but in THIS composite
+    # it measured a consistent LOSS (c4 warm 5.0 -> 7.0 s interleaved):
+    # the nondeterministic projection defeats subtree reuse between
+    # gated's two consumers, which outweighs the saved evaluation.
     gated = docs.withColumn(
         "__q", F.round(quality_score("text"), 6)
     ).filter(F.col("__q") >= 0.8).drop("__q")
@@ -6771,6 +6778,13 @@ def x56(spark, sf_dir):
             F.col("child_loc"), "/sm/[0-9]+/([0-9]+)\\.xml$", 1
         ).cast("long").alias("j"),
     )
+    # stage boundary (r13): the equi-join's inferred isnotnull(doc_id)
+    # null filters get predicate-pushed through the staged projections
+    # above, substituting the whole canonicalization chain into the
+    # filter (the w5 bug class — this entry's executed plan measured
+    # 129 KB); the checkpoint leaves the predicate nothing to push
+    # into. The entries frame is sitemap-index-sized (≤4 rows/doc).
+    entries = entries.localCheckpoint(eager=True)
     fetched = entries.join(children, ["doc_id", "j"])
     ublocks = F.expr(
         "regexp_extract_all(child_xml, '(?s)<url>(.*?)</url>', 1)"
@@ -6886,7 +6900,13 @@ def x59(spark, sf_dir):
         write_partitioned,
     )
 
-    sm = x54(spark, sf_dir)
+    # stage boundary (r13): the entry consumes x54's sitemap chain
+    # THREE times (the log base, the refetch batch, and the final
+    # join's probe side) plus two eager log writes — uncheckpointed,
+    # each consumer re-plans and re-executes the whole scan-fused
+    # extraction chain. The checkpoint truncates all of them to the
+    # tiny materialized entries RDD.
+    sm = x54(spark, sf_dir).localCheckpoint(eager=True)
     did, uix = F.col("doc_id"), F.col("url_idx")
     hk = did % 23
     j = uix.cast("long")

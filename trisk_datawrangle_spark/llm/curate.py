@@ -38,6 +38,16 @@ def curate_exact(
     """Deterministic curation: language filter, quality gate, exact
     dedup keeping the lowest id per distinct content. Returns the
     surviving docs with (lang, quality, n_tokens) columns."""
+    # NOTE (r13, measured and rejected): the gate filter on these
+    # derived columns is predicate-pushed below the projection, so the
+    # interpreted lang-id + quality chains run twice per row. A
+    # nondeterministic pushdown barrier (monotonically_increasing_id
+    # in the projection) fixes that for the isolated scan (measured
+    # 1.22 -> 0.80 s at sf0.1, identical rows) but LOSES in the
+    # composites that consume the gated frame from several branches
+    # (c4 5.0 -> 7.0 s, w4 4.5/5.3 -> 5.7/5.4 interleaved): the
+    # nondeterministic projection defeats subtree reuse across
+    # branches, which costs more than the saved evaluation.
     scored = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("text"),
