@@ -18,6 +18,8 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from trisk_datawrangle_spark.sources.readers import fan_out_scan
+
 
 def _c(col: str | Column) -> Column:
     return F.col(col) if isinstance(col, str) else col
@@ -67,11 +69,15 @@ def cosine_topk(
         F.col(vec_col).alias("__qv"),
         _norm(vec_col).alias("__qn"),
     )
-    # parallelize the corpus side (the |corpus|·|queries| dot products
-    # are the cost center; a single input file = a single task otherwise)
-    corpus = corpus.repartition(
-        corpus.sparkSession.sparkContext.defaultParallelism, id_col
-    )
+    # parallelize the corpus side through the GATED fan-out (r13,
+    # guide §2.4: the unconditional repartition here shuffled the
+    # whole corpus's vectors at ANY scale just to spread work; the
+    # gate keeps the spread on small unsplittable local scans — where
+    # a single input file would otherwise mean a single task — and is
+    # structurally inert on split/production layouts, where the scan
+    # already parallelizes). Values are partition-independent (per-row
+    # dot products + a deterministic global window).
+    corpus = fan_out_scan(corpus, id_col)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
@@ -286,9 +292,10 @@ def cosine_pairs_vectorized(
                 }
             )
 
-    part = df.select(id_col, vec_col).repartition(
-        df.sparkSession.sparkContext.defaultParallelism, id_col
-    )
+    # gated fan-out, not an unconditional repartition (r13): the GEMM
+    # batches need parallel INPUT, not clustering — on split inputs the
+    # scan already provides it, so shuffling every vector was waste
+    part = fan_out_scan(df.select(id_col, vec_col), id_col)
     return part.mapInPandas(pairs, "id_a long, id_b long, cosine double")
 
 
@@ -548,9 +555,11 @@ def ivf_topk(
                 {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
             )
 
-    part = corpus.select(id_col, vec_col).repartition(
-        sc.defaultParallelism, id_col
-    ).mapInPandas(
+    # gated fan-out (r13): the batch-local top-k + deterministic global
+    # window make the result partition-independent, so the spread is a
+    # pure work-distribution choice — the gate keeps it off split
+    # production scans where it would shuffle every corpus vector
+    part = fan_out_scan(corpus.select(id_col, vec_col), id_col).mapInPandas(
         score_partition, "query_id long, neighbor_id long, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -632,9 +641,8 @@ def cosine_topk_vectorized(
                 {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
             )
 
-    part = corpus.repartition(
-        corpus.sparkSession.sparkContext.defaultParallelism, id_col
-    ).mapInPandas(
+    # gated fan-out (r13): same rationale as ivf_topk above
+    part = fan_out_scan(corpus, id_col).mapInPandas(
         topk_partition, "query_id long, neighbor_id long, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(
